@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables._
+
+/** Analytic surface: window functions (rank / row_number / lag / lead /
+  * running and framed aggregates), rollup / cube / grouping sets, pivot,
+  * top-k per group.
+  *
+  * Window determinism: every ORDER BY inside a window carries a unique
+  * tie-break key, otherwise running sums differ between engines. Rollup /
+  * cube subtotal rows surface NULL group keys — they are coalesced to a
+  * sentinel so row ordering is null-free and portable.
+  *
+  * Scale notes: window partitions are keyed on high-cardinality columns
+  * (suppkey / custkey / orderkey), so the single shuffle each window
+  * needs spreads evenly across executors; no window runs unpartitioned
+  * over the full table.
+  */
+object Analytic {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, Q] = Map(
+    "q18_topk_per_group" -> ((s, d) => {
+      // top-3 orders per market segment (row_number + filter)
+      val joined = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
+    "q19_running_sum" -> ((s, d) => {
+      // running quantity per supplier in ship order. (l_orderkey,
+      // l_linenumber) is NOT unique in the fixture, so the ordering
+      // tie-breaks through the measure columns: rows that still tie are
+      // value-identical and order-insensitive.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                 col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    }),
+
+    "q20_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("prev_price",
+          lag(dec(col("o_totalprice")), 1).over(w).cast(DoubleType))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("prev_price").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("next_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q21_moving_window_frame" -> ((s, d) => {
+      // 4-row moving quantity sum per supplier (framed aggregate)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                 col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(-3, Window.currentRow)
+      lineitem(s, d)
+        .withColumn("mov_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_qty"))
+    }),
+
+    "q22_rank_dense" -> ((s, d) => {
+      // rank vs dense_rank over integral quantity within returnflag
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 49.0)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .groupBy(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_quantity").desc)
+    }),
+
+    "q23_ntile_percent" -> ((s, d) => {
+      // distribution slices: quartile + percent_rank over customer balances
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+             min(col("c_acctbal")).as("min_bal"),
+             max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("quartile"))
+    }),
+
+    "q24_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+                coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+                col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "q25_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+                coalesce(col("o_orderpriority"), lit("(all)")).as("pr"),
+                col("n"), col("total"))
+        .orderBy(col("st"), col("pr"))
+    }),
+
+    "q26_grouping_sets" -> ((s, d) => {
+      val v = s"gs_lineitem_${Math.abs(d.hashCode)}"
+      lineitem(s, d).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
+           |       coalesce(l_linestatus, '(all)') AS ls,
+           |       COUNT(*) AS n
+           |FROM $v
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    "q27_pivot" -> ((s, d) => {
+      // event counts per user-bucket, event types pivoted to columns
+      events(s, d)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_bucket"))
+    }),
+
+    "q28_first_last" -> ((s, d) => {
+      // min/max-by semantics: first and last order per customer by date
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .groupBy(col("o_custkey"), col("first_key"), col("last_key"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_topk_per_group" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q19_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "q20_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, prev_price, next_key FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+        |    LEAD(o_orderkey, 1) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+        |  FROM orders) t
+        |WHERE prev_price IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q21_moving_window_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_qty""".stripMargin,
+
+    "q22_rank_dense" ->
+      """SELECT l_returnflag, l_quantity, rnk, drnk, COUNT(*) AS n FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
+        |  FROM lineitem WHERE l_quantity >= 49.0) t
+        |GROUP BY l_returnflag, l_quantity, rnk, drnk
+        |ORDER BY l_returnflag, l_quantity DESC""".stripMargin,
+
+    "q23_ntile_percent" ->
+      """SELECT quartile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM (SELECT c_acctbal,
+        |        NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        |      FROM customer) t
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "q24_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q25_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS st,
+        |       coalesce(o_orderpriority, '(all)') AS pr,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
+
+    "q26_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS "click",
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS "error",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "q28_first_last" ->
+      """SELECT o_custkey, first_key, last_key, COUNT(*) AS n_orders FROM (
+        |  SELECT o_custkey,
+        |    FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |    LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |  FROM orders) t
+        |GROUP BY o_custkey, first_key, last_key
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

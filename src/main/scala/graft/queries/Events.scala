@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables._
+
+/** Streaming-style operators run in batch form over the `events` table:
+  * tumbling / sliding / session windows, event dedup, ordered-rate stats.
+  * The same transformations run unchanged on `spark.readStream` inputs
+  * (see graft.ingest for the live streaming engine + watermark usage);
+  * batch execution here is what the DuckDB oracle can check.
+  *
+  * Window semantics: Spark `window(ts, W)` buckets are epoch-aligned;
+  * DuckDB `time_bucket(INTERVAL W, ts)` aligns to midnight boundaries,
+  * identical for divisors of a day. Session windows use Spark's
+  * `session_window` (gap-based); the oracle reproduces gap semantics
+  * with LAG + a running session counter — the standard SQL islands
+  * construction.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, Q] = Map(
+    "q37_tumbling_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "6 hours").getField("start").as("w_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    "q38_sliding_window" -> ((s, d) => {
+      // 12h windows sliding every 6h: each event lands in 2 buckets
+      events(s, d)
+        .groupBy(window(col("ts"), "12 hours", "6 hours").getField("start").as("w_start"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("w_start"))
+    }),
+
+    "q39_session_window" -> ((s, d) => {
+      // gap-based sessionization: a session per user closes after 30 min idle
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(dec(col("value"))).cast(DoubleType).as("session_value"))
+        .select(col("user_id"),
+                col("session_window").getField("start").as("s_start"),
+                col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
+    "q40_event_dedup" -> ((s, d) => {
+      // streaming dropDuplicates analogue: first event per (user, type)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "q41_hourly_rate" -> ((s, d) => {
+      events(s, d)
+        .groupBy(hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hod"))
+    }),
+
+    "q42_user_activity" -> ((s, d) => {
+      // per-user lifetime stats: span, counts, monetary total
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             min(col("ts")).as("first_ts"),
+             max(col("ts")).as("last_ts"),
+             sum(dec(col("value"))).cast(DoubleType).as("total_value"),
+             countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_tumbling_window" ->
+      """SELECT TIME_BUCKET(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q38_sliding_window" ->
+      """SELECT w_start, COUNT(*) AS n FROM (
+        |  SELECT TIME_BUCKET(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start FROM events
+        |  UNION ALL
+        |  SELECT TIME_BUCKET(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '6 hours' AS w_start FROM events
+        |) t GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q39_session_window" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '30 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q40_event_dedup" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q41_hourly_rate" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY hod""".stripMargin,
+
+    "q42_user_activity" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS first_ts, CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables._
+
+/** Relational core: scans, filters, projections, joins (inner / left /
+  * semi / anti / multiway / broadcast), aggregations, distinct, set ops,
+  * having, scalar subquery.
+  *
+  * Oracle-parity rules used throughout the query surface:
+  *   - money doubles are exact 2-decimal values in the fixtures, so they
+  *     are cast to DECIMAL(12,2) before arithmetic → exact decimal math,
+  *     bit-identical across Spark and DuckDB; final aggregates are cast
+  *     back to DOUBLE (one exact decimal→double conversion on each side).
+  *   - every result carries a total ORDER BY over its key columns so row
+  *     order is deterministic in both engines.
+  *   - aliases match the oracle SQL exactly (driver hashes by column name).
+  *
+  * Scale notes (100 TB): all plans below are shuffle-minimal — joins to
+  * dimension tables are broadcast, fact-fact joins shuffle on the join
+  * key only after filters are pushed into the parquet scan, and every
+  * aggregate is a partial (map-side) + final hash aggregate chosen by
+  * Catalyst. Nothing collects to the driver.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal view of a 2-decimal money column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact decimal sum rendered as double (identical bits both engines). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  val queries: Map[String, Q] = Map(
+    // --- scans / filters / projections -------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      // predicate + projection pushed into the parquet scan
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+                col("l_discount") >= lit(0.09) && col("l_quantity") < lit(5.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q03_top_orders" -> ((s, d) => {
+      // global top-k: Spark plans TakeOrderedAndProject (no full sort)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_orders_by_month" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+                 month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    "q05_selective_sum" -> ((s, d) => {
+      // TPC-H Q6 shape: tight scan-side filter, single global aggregate
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+                col("l_quantity") < lit(24.0))
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+               .cast(DoubleType).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // --- joins --------------------------------------------------------
+    "q06_join_segment_revenue" -> ((s, d) => {
+      // fact⨝dim: customer is small → broadcast; one shuffle for the agg
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q07_left_join_counts" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q08_semi_join" -> ((s, d) => {
+      // EXISTS: customers with at least one urgent open order
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q09_anti_join" -> ((s, d) => {
+      // NOT EXISTS: customers with no orders at all
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q10_multiway_join" -> ((s, d) => {
+      // 5-way: lineitem⨝orders shuffles on orderkey; customer/nation/region
+      // are broadcast dims — exactly one big shuffle end-to-end.
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+               .cast(DoubleType).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q11_broadcast_join_brand" -> ((s, d) => {
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- aggregation variants -----------------------------------------
+    "q12_distinct_counts" -> ((s, d) => {
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
+             countDistinct(col("o_orderpriority")).as("n_priorities"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q13_having" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .filter(col("n") >= 45)
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q14_scalar_subquery" -> ((s, d) => {
+      // orders above the global average price; avg computed identically
+      // on both sides (exact decimal sum / count → double)
+      val o = orders(s, d)
+      val avgPrice = o.agg(
+        (sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("ap"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above_avg"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- set operations -------------------------------------------------
+    "q15_union_all" -> ((s, d) => {
+      val hi = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("k"), lit("high").as("bucket"))
+      val lo = orders(s, d).filter(col("o_totalprice") < 30000.0)
+        .select(col("o_orderkey").as("k"), lit("low").as("bucket"))
+      hi.unionAll(lo).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q16_intersect" -> ((s, d) => {
+      val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("k"))
+      val machinery = customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey").as("k"))
+      building.intersect(machinery).orderBy(col("k"))
+    }),
+
+    "q17_except" -> ((s, d) => {
+      val all = customer(s, d).select(col("c_custkey").as("k"))
+      val active = orders(s, d).select(col("o_custkey").as("k"))
+      all.except(active).orderBy(col("k"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_discount >= 0.09 AND l_quantity < 5.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_orders_by_month" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+
+    "q05_selective_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "q06_join_segment_revenue" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_left_join_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_multiway_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q11_broadcast_join_brand" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q12_distinct_counts" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT o_custkey) AS n_active_customers,
+        |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q13_having" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 45
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q14_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_union_all" ->
+      """SELECT bucket, COUNT(*) AS n FROM (
+        |  SELECT o_orderkey AS k, 'high' AS bucket FROM orders WHERE o_totalprice > 400000.0
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 'low'  AS bucket FROM orders WHERE o_totalprice < 30000.0
+        |) t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q16_intersect" ->
+      """SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY k""".stripMargin,
+
+    "q17_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin
+  )
+}
