@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * shingling, quality signals, language scoring, fingerprints. All are
+  * built-in expression compositions (codegen'd, distributable); the
+  * only stateful pieces — stopword / marker dictionaries — are literal
+  * arrays folded into the plan, not driver-side lookups.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (the `documents` fixture is space-separated). */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword token count: word pieces, numbers, punctuation
+    * runs — the standard pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (sliding window over whitespace tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, n))))
+  }
+
+  /** Distinct word n-gram shingles. */
+  def distinctShingles(text: Column, n: Int): Column =
+    array_distinct(wordShingles(text, n))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val noPunct = length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    when(total === 0, 0.0).otherwise((total - noPunct).cast("double") / total)
+  }
+
+  /** Fraction of tokens that are in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = wsTokens(text)
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length in useful range, low
+    * punctuation noise, moderate stopword density. Deterministic
+    * arithmetic only (no transcendentals) for oracle parity. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0)) // saturates at 20 tokens
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = lit(1.0) - stopwordRatio(text, stopwords)
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3).cast("double"), 6)
+  }
+
+  /** Language marker dictionaries for the n-gram/marker-word heuristic
+    * language ID. Small, public stopword cores per language. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /** Marker-hit count for one language. */
+  def langScore(text: Column, lang: String): Column =
+    size(filter(wsTokens(text), t => t.isin(langMarkers(lang): _*)))
+
+  /** Predicted language: argmax marker count, ties broken by language
+    * code ascending, 'und' (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
+    // argmax with lang-asc tiebreak: sort by (score desc, lang asc) = max of (score, reversed-lang)... keep it simple:
+    val best = langs.foldLeft(struct(lit(-1).as("score"), lit("und").as("lang"))) { (acc, l) =>
+      val s = langScore(text, l)
+      when(s > acc.getField("score"), struct(s.as("score"), lit(l).as("lang"))).otherwise(acc)
+    }
+    when(best.getField("score") <= 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Content-defined fingerprint: hex MD5 of the normalized text
+    * (lowercased, whitespace-collapsed) — the exact-dup key. */
+  def md5Fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Winnowing-style fingerprint: minimum 64-bit hash over the word
+    * k-shingles — a single-value rolling-hash document sketch (the
+    * k-min-sketch with k=1). Used for near-dup candidate bucketing. */
+  def minShingleHash(text: Column, n: Int): Column =
+    array_min(transform(wordShingles(text, n), s => xxhash64(s)))
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with` / `aggregate` /
+  * `transform`) — no UDFs, so the expressions inline into whole-stage
+  * codegen and survive column pruning.
+  *
+  * Precision contract: elements are cast FLOAT→DOUBLE before any
+  * arithmetic and folded strictly left-to-right, matching the oracle's
+  * `list_sum(list_transform(...))` evaluation order, so dot products
+  * and cosines are bit-identical across engines.
+  */
+object VectorFunctions {
+
+  /** Sequential left-fold sum of a double array. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val den = sqrt(normSq(a) * normSq(b))
+    when(den === 0.0, 0.0).otherwise(d / den)
+  }
+
+  /** Cosine from precomputed norms (join-side optimization: norms are
+    * computed once per row before the pair join, not once per pair). */
+  def cosinePrenormed(dotCol: Column, normA: Column, normB: Column): Column =
+    when(normA * normB === 0.0, 0.0).otherwise(dotCol / (normA * normB))
+
+  /** Random-hyperplane (SimHash) signature of an embedding: `planes`
+    * sign bits packed into a long. Hyperplane weights are deterministic
+    * ±1 derived from xxhash64(plane, dim) — reproducible across runs
+    * and executors with no broadcast state.
+    */
+  def hyperplaneSignature(emb: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // w(p,d) = +1 if bit 0 of xxhash64(p, d) else -1
+      val proj = fsum(zip_with(emb, sequence(lit(0), lit(63)), (x, d) =>
+        x.cast("double") *
+          when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))))
+      when(proj > 0.0, lit(1L) << p).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}
