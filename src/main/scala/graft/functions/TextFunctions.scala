@@ -27,7 +27,7 @@ object TextFunctions {
     val toks = wsTokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
   /** Distinct word n-gram shingles. */

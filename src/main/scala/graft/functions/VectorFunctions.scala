@@ -49,11 +49,11 @@ object VectorFunctions {
   def hyperplaneSignature(emb: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       // w(p,d) = +1 if bit 0 of xxhash64(p, d) else -1
-      val proj = fsum(zip_with(emb, sequence(lit(0), lit(63)), (x, d) =>
+      val proj = fsum(zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
         x.cast("double") *
           when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))))
-      when(proj > 0.0, lit(1L) << p).otherwise(lit(0L))
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    bits.reduce(_.bitwiseOR(_))
   }
 }
