@@ -1,0 +1,133 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line front end, option-for-option compatible with the
+  * reference CLI (reference `core/CulvertCLI.java:115-139`; defaults
+  * `CulvertCLI.java:36-47`). Both short and long spellings are
+  * accepted, commons-cli style (`-db` / `-table` are long-only there).
+  *
+  * Deviations (SURVEY.md §7.3): there is no Hive metastore — the sink
+  * is a partitioned columnar directory `<output-dir>/<db>/<table>`, so
+  * `-u` is accepted-and-ignored, and the extension option `-o`
+  * (`--output-dir`, default `./culvert-warehouse`) locates the
+  * warehouse; `-o console` selects the console sink fallback
+  * (`Stream.java:190-191`). `-s`, `-b`, `-f` are accepted no-ops as in
+  * SURVEY §2.1 #11-13.
+  */
+object Cli {
+
+  final case class Parsed(cfg: IngestConfig, metastoreUrl: String, help: Boolean)
+
+  private val defaultWarehouse = "./culvert-warehouse"
+
+  def parse(args: Array[String]): Either[String, Parsed] = {
+    var metastoreUrl = "thrift://localhost:9083"
+    var db = "default"
+    var table = "culvert"
+    var commitAfterNRows = 1000000
+    var timeout = 60000L
+    var dynamicPartitioning = false
+    var streamingOptimizations = true
+    var transactionBatchSize = 1
+    var eventsPerSecond = 10000
+    var numParallelStreams = 1
+    var streamLaunchDelayMs = 0L
+    var enableAutoFlush = true
+    var outputDir = defaultWarehouse
+    var help = false
+
+    def num[T](raw: String, f: String => T): Either[String, T] =
+      try Right(f(raw))
+      catch { case _: NumberFormatException => Left("Invalid type for parameter.") }
+
+    var i = 0
+    while (i < args.length) {
+      def arg(): Either[String, String] =
+        if (i + 1 < args.length) { i += 1; Right(args(i)) }
+        else Left("Invalid parameter.")
+      val r: Either[String, Unit] = args(i) match {
+        case "-u" | "--metastore-url"          => arg().map(metastoreUrl = _)
+        case "-db"                             => arg().map(db = _)
+        case "-table"                          => arg().map(table = _)
+        case "-n" | "--commit-after-n-rows"    => arg().flatMap(num(_, _.toInt)).map(commitAfterNRows = _)
+        case "-t" | "--timeout"                => arg().flatMap(num(_, _.toLong)).map(timeout = _)
+        case "-d" | "--enable-dynamic-partition" => dynamicPartitioning = true; Right(())
+        case "-s" | "--disable-streaming-optimization" => streamingOptimizations = false; Right(())
+        case "-b" | "--transaction-batch-size" => arg().flatMap(num(_, _.toInt)).map(transactionBatchSize = _)
+        case "-e" | "--events-per-second"      => arg().flatMap(num(_, _.toInt)).map(eventsPerSecond = _)
+        case "-p" | "--parallelism"            => arg().flatMap(num(_, _.toInt)).map(numParallelStreams = _)
+        case "-l" | "--stream-launch-delay"    => arg().flatMap(num(_, _.toLong)).map(streamLaunchDelayMs = _)
+        case "-f" | "--disable-auto-flush"     => enableAutoFlush = false; Right(())
+        case "-o" | "--output-dir"             => arg().map(outputDir = _)
+        case "-h" | "--help"                   => help = true; Right(())
+        case other                             => Left("Invalid parameter.")
+      }
+      r match {
+        case Left(e)  => return Left(e)
+        case Right(_) => i += 1
+      }
+    }
+
+    val outputPath =
+      if (outputDir == "console") None else Some(s"$outputDir/$db/$table")
+    Right(Parsed(
+      IngestConfig(
+        outputPath = outputPath,
+        db = db,
+        table = table,
+        commitAfterNRows = commitAfterNRows,
+        timeoutMs = timeout,
+        dynamicPartitioning = dynamicPartitioning,
+        streamingOptimizations = streamingOptimizations,
+        transactionBatchSize = transactionBatchSize,
+        eventsPerSecond = eventsPerSecond,
+        parallelism = numParallelStreams,
+        streamLaunchDelayMs = streamLaunchDelayMs,
+        autoFlush = enableAutoFlush),
+      metastoreUrl, help))
+  }
+
+  /** Usage text: one line per option, reference wording
+    * (`CulvertCLI.java:116-138,142`). */
+  val usage: String =
+    """Example usage: culvert -n 100000 -t 60000 -e 100
+      |
+      |usage: Culvert
+      | -u,--metastore-url <arg>              remote metastore url (accepted, unused: file sink). default = 'thrift://localhost:9083'
+      | -n,--commit-after-n-rows <arg>        commit transaction after every n rows. default = 1_000_000
+      | -t,--timeout <arg>                    timeout in milliseconds after which all streams in culvert will be stopped. default = 60000
+      | -d,--enable-dynamic-partition         enable dynamic partitioned insert. default = false
+      | -s,--disable-streaming-optimization   disables all streaming optimizations. default = false
+      | -b,--transaction-batch-size <arg>     size of transaction batch. default = 1
+      | -e,--events-per-second <arg>          events/records per second. default = 10_000
+      | -p,--parallelism <arg>                number of parallel streams. default = 1
+      | -l,--stream-launch-delay <arg>        delay in milliseconds between launching streams. default = 0
+      | -f,--disable-auto-flush               disable auto-flush of open orc files. default = false
+      | -db <arg>                             destination database. default = default
+      | -table <arg>                          destination table. default = culvert
+      | -o,--output-dir <arg>                 warehouse directory for the file sink ('console' = console sink). default = ./culvert-warehouse
+      | -h,--help                             usage help
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit =
+    parse(args) match {
+      case Left(err) =>
+        System.err.println(err)
+        println(usage)
+      case Right(Parsed(_, _, true)) =>
+        println(usage)
+      case Right(Parsed(cfg, _, _)) =>
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .appName(cfg.name)
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try Ingest.run(spark, cfg)
+        finally spark.stop()
+    }
+}

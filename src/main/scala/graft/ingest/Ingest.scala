@@ -1,0 +1,199 @@
+package graft.ingest
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Job configuration, mirroring the reference CLI's twelve knobs and
+  * their defaults (reference `core/CulvertCLI.java:36-47`) plus the
+  * sink location (we write partitioned ORC/parquet directories instead
+  * of a Hive-metastore ACID table — SURVEY.md §7.3 declared deviation).
+  *
+  * No-op flags are retained for CLI parity and documented as such:
+  *  - `transactionBatchSize` amortized metastore txn allocation
+  *    (`Culvert.java:229`) — no metastore here;
+  *  - `streamingOptimizations` toggled hive-streaming internals
+  *    (`Culvert.java:228`);
+  *  - `autoFlush` toggled ORC memory-pressure flush (`Culvert.java:222`)
+  *    — internal to Spark's ORC writer.
+  */
+final case class IngestConfig(
+    outputPath: Option[String],
+    db: String = "default",
+    table: String = "culvert",
+    commitAfterNRows: Int = 1000000,
+    timeoutMs: Long = 60000,
+    dynamicPartitioning: Boolean = false,
+    streamingOptimizations: Boolean = true,
+    transactionBatchSize: Int = 1,
+    eventsPerSecond: Int = 10000,
+    parallelism: Int = 1,
+    streamLaunchDelayMs: Long = 0,
+    autoFlush: Boolean = true,
+    buckets: Int = 32,
+    seed: Long = 123L,
+    format: String = "orc",
+    name: String = "culvert")
+
+/** Outcome of one run: committed-rows accounting and the two summary
+  * lines in the reference's exact format (`Culvert.java:169-171`). */
+final case class IngestResult(
+    rowsCommitted: Long,
+    commits: Long,
+    throughputRowsPerSec: Long,
+    summaryLines: Seq[String])
+
+/** The streaming ingest engine: the reference's entire dataflow
+  * (generate → serialize → partitioned transactional write →
+  * commit-every-N → throughput report, `Stream.java:168-215` +
+  * `Culvert.java:100-172`) re-expressed on Structured Streaming.
+  *
+  * Spark mapping (SURVEY.md §2.1):
+  *  - p parallel writer threads → `rate` source with `numPartitions = p`;
+  *    one source partition == one reference stream.
+  *  - per-row sleep throttle → exact `rowsPerSecond = eps × p` (the
+  *    reference's `eps > 1000 ⇒ unthrottled` sleep artifact is not
+  *    reproduced; rates are exact).
+  *  - commit-every-N-rows transaction → one micro-batch == one atomic
+  *    commit: `foreachBatch` appends a complete file-set per batch, and
+  *    the trigger interval is sized so a batch carries ≈ N rows.
+  *  - static partition routing (`year=2018, month=streamIdx`,
+  *    `Culvert.java:182`) → literal year + `spark_partition_id()`.
+  *  - dynamic routing (`Stream.java:77-80`) → generated year/month
+  *    columns + native dynamic partition insert.
+  *  - `clustered by (user_id) into 32 buckets` (`README.md:62-63`) →
+  *    `repartition(32, user_id)` ahead of the write, yielding 32
+  *    hash-disjoint files per partition directory.
+  *  - committed-rows-only accounting (`Stream.java:194-197`): rows of a
+  *    batch count only after its write completes; rows still in flight
+  *    when the timeout fires are never counted — same tail-loss
+  *    semantics as the reference's uncommitted final transaction.
+  *
+  * At cluster scale nothing here changes: the rate source partitions
+  * spread over executors, generation is codegen'd scalar work, and the
+  * only shuffle is the optional bucket repartition (hash exchange on
+  * user_id — the price the reference's DDL also pays inside Hive).
+  */
+object Ingest {
+
+  /** The unbounded generated frame: rate source → generator projection →
+    * partition-routing columns. */
+  def streamingFrame(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    val rate = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", cfg.eventsPerSecond.toLong * cfg.parallelism)
+      .option("numPartitions", cfg.parallelism)
+      .load()
+    projected(rate.select(col("value")), cfg)
+  }
+
+  /** Bounded batch frame over `spark.range` — same generators, same
+    * routing; used by tests and the bench's throughput probe. */
+  def batchFrame(spark: SparkSession, cfg: IngestConfig, numRows: Long): DataFrame = {
+    val idx = spark.range(0, numRows, 1, cfg.parallelism).select(col("id").as("value"))
+    projected(idx, cfg)
+  }
+
+  private def projected(indexed: DataFrame, cfg: IngestConfig): DataFrame = {
+    val row = col("value")
+    if (cfg.dynamicPartitioning) {
+      // dynamic: year/month are generator columns over the same row
+      // index, appended to the schema (`Stream.java:77-80`); the sink
+      // routes rows by value.
+      val specs = Gen.defaultColumns ++ Gen.partitionColumns
+      indexed.select(specs.map(s => Gen.expr(s, cfg.seed, row).as(s.name)): _*)
+    } else {
+      // static: every stream i writes (year=2018, month=i) — month is
+      // the stream index 0..p-1, NOT a calendar month (the reference's
+      // observable layout, `Culvert.java:182`).
+      indexed.select(
+        Gen.defaultColumns.map(s => Gen.expr(s, cfg.seed, row).as(s.name)) ++
+          Seq(lit(2018).as("year"), spark_partition_id().as("month")): _*)
+    }
+  }
+
+  private def bucketed(df: DataFrame, cfg: IngestConfig): DataFrame =
+    if (cfg.buckets > 0) df.repartition(cfg.buckets, col("user_id")) else df
+
+  /** Run the streaming engine for `timeoutMs`, then report. */
+  def run(spark: SparkSession, cfg: IngestConfig): IngestResult = {
+    val frame = streamingFrame(spark, cfg)
+    val committed = new AtomicLong(0)
+    val commits = new AtomicLong(0)
+
+    val query = cfg.outputPath match {
+      case Some(path) =>
+        frame.writeStream
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime(triggerMs(cfg)))
+          .option("checkpointLocation", s"$path/_checkpoint")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // Batch size, counted up front: under count() Catalyst prunes
+            // every generator expression, so this just counts the rate
+            // micro-batch's range — no second generation pass.
+            val n = batch.count()
+            bucketed(batch, cfg)
+              .write.mode("append").format(cfg.format)
+              .partitionBy("year", "month")
+              .save(path)
+            if (n > 0) {
+              val total = committed.addAndGet(n)
+              val k = commits.incrementAndGet()
+              println(s"Stream [${cfg.name}] committed $k transactions [rows: $total]..")
+            }
+          }
+          .start()
+      case None =>
+        // Console fallback (`Stream.java:190-191`): rows are printed,
+        // nothing is committed — rowsCommitted stays 0, as in the
+        // reference where the commit path needs a live connection.
+        frame.select(Gen.csvLine(frame.columns.toSeq).as("value"))
+          .writeStream.format("console")
+          .option("truncate", "false")
+          .trigger(Trigger.ProcessingTime(triggerMs(cfg)))
+          .start()
+    }
+    query.awaitTermination(cfg.timeoutMs)
+    query.stop()
+    report(committed.get, commits.get, cfg.timeoutMs)
+  }
+
+  /** Bounded-batch ingest (generator → partitioned columnar write), the
+    * bench's throughput probe. One write == one commit; throughput uses
+    * measured wall-clock (there is no configured timeout in batch mode). */
+  def runBatch(spark: SparkSession, cfg: IngestConfig, numRows: Long): IngestResult = {
+    val path = cfg.outputPath.getOrElse(
+      sys.error("batch ingest requires an output path"))
+    val t0 = System.nanoTime()
+    bucketed(batchFrame(spark, cfg, numRows), cfg)
+      .write.mode("append").format(cfg.format)
+      .partitionBy("year", "month")
+      .save(path)
+    val elapsedMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
+    report(numRows, 1, elapsedMs)
+  }
+
+  /** Trigger sized so one micro-batch ≈ commitAfterNRows rows at the
+    * configured rate, clamped to a sane range for local runs. */
+  private def triggerMs(cfg: IngestConfig): Long = {
+    val rowsPerSec = math.max(1L, cfg.eventsPerSecond.toLong * cfg.parallelism)
+    val ms = cfg.commitAfterNRows.toLong * 1000 / rowsPerSec
+    math.min(10000L, math.max(100L, ms))
+  }
+
+  /** The two summary lines, format-identical to `Culvert.java:169-171`;
+    * throughput divides by the CONFIGURED timeout in whole seconds (not
+    * actual elapsed) — that formula defines the reference's reported
+    * numbers (SURVEY.md §7.3). */
+  private def report(rows: Long, commits: Long, timeoutMs: Long): IngestResult = {
+    val timeoutSeconds = math.max(1L, timeoutMs / 1000)
+    val throughput = rows / timeoutSeconds
+    val lines = Seq(
+      s"Total rows committed: $rows",
+      s"Throughput: $throughput rows/second")
+    lines.foreach(println)
+    IngestResult(rows, commits, throughput, lines)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI parse matrix: the reference's 12 options with identical defaults
+  * (reference `CulvertCLI.java:36-47,115-139`). */
+class CliSpec extends AnyFunSuite {
+
+  test("defaults mirror the reference") {
+    val Right(p) = Cli.parse(Array.empty): @unchecked
+    val c = p.cfg
+    assert(p.metastoreUrl == "thrift://localhost:9083")
+    assert(c.db == "default" && c.table == "culvert")
+    assert(c.commitAfterNRows == 1000000)
+    assert(c.timeoutMs == 60000L)
+    assert(!c.dynamicPartitioning)
+    assert(c.streamingOptimizations)
+    assert(c.transactionBatchSize == 1)
+    assert(c.eventsPerSecond == 10000)
+    assert(c.parallelism == 1)
+    assert(c.streamLaunchDelayMs == 0L)
+    assert(c.autoFlush)
+    assert(c.outputPath.contains("./culvert-warehouse/default/culvert"))
+    assert(!p.help)
+  }
+
+  test("all options parse (short forms)") {
+    val Right(p) = Cli.parse(Array(
+      "-u", "thrift://mh:9083", "-db", "test", "-table", "cv",
+      "-n", "100000", "-t", "30000", "-d", "-s", "-b", "5",
+      "-e", "100", "-p", "64", "-l", "250", "-f", "-o", "/tmp/w")): @unchecked
+    val c = p.cfg
+    assert(p.metastoreUrl == "thrift://mh:9083")
+    assert(c.db == "test" && c.table == "cv")
+    assert(c.commitAfterNRows == 100000)
+    assert(c.timeoutMs == 30000L)
+    assert(c.dynamicPartitioning)
+    assert(!c.streamingOptimizations)
+    assert(c.transactionBatchSize == 5)
+    assert(c.eventsPerSecond == 100)
+    assert(c.parallelism == 64)
+    assert(c.streamLaunchDelayMs == 250L)
+    assert(!c.autoFlush)
+    assert(c.outputPath.contains("/tmp/w/test/cv"))
+  }
+
+  test("long forms parse") {
+    val Right(p) = Cli.parse(Array(
+      "--commit-after-n-rows", "7", "--timeout", "9",
+      "--enable-dynamic-partition", "--events-per-second", "3",
+      "--parallelism", "2", "--stream-launch-delay", "4",
+      "--disable-auto-flush", "--disable-streaming-optimization",
+      "--transaction-batch-size", "8")): @unchecked
+    val c = p.cfg
+    assert(c.commitAfterNRows == 7 && c.timeoutMs == 9 &&
+      c.dynamicPartitioning && c.eventsPerSecond == 3 && c.parallelism == 2 &&
+      c.streamLaunchDelayMs == 4 && !c.autoFlush &&
+      !c.streamingOptimizations && c.transactionBatchSize == 8)
+  }
+
+  test("help flag") {
+    val Right(p) = Cli.parse(Array("-h")): @unchecked
+    assert(p.help)
+    assert(Cli.usage.contains("Example usage: culvert -n 100000 -t 60000 -e 100"))
+  }
+
+  test("console output dir selects console sink") {
+    val Right(p) = Cli.parse(Array("-o", "console")): @unchecked
+    assert(p.cfg.outputPath.isEmpty)
+  }
+
+  test("bad input yields parse errors, mirroring reference error text") {
+    assert(Cli.parse(Array("-x")) == Left("Invalid parameter."))
+    assert(Cli.parse(Array("-n")) == Left("Invalid parameter."))
+    assert(Cli.parse(Array("-n", "abc")) == Left("Invalid type for parameter."))
+    assert(Cli.parse(Array("-t", "1.5")) == Left("Invalid type for parameter."))
+  }
+}

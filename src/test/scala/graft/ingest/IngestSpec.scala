@@ -1,0 +1,77 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end ingest smoke tests per SURVEY.md §5: partitioned layout,
+  * committed-rows accounting, summary-line format, static vs dynamic
+  * routing, bucket fan-out. */
+class IngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ingest").toString
+
+  test("batch ingest writes static year=2018/month=streamIdx ORC layout") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 4)
+    val res = Ingest.runBatch(spark, cfg, 10000)
+    assert(res.rowsCommitted == 10000)
+    val d = new java.io.File(dir)
+    assert(new java.io.File(d, "year=2018/month=0").isDirectory)
+    assert(new java.io.File(d, "year=2018/month=1").isDirectory)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 10000)
+    assert(back.columns.toSet == Set("user_id", "page_id", "ad_id", "ad_type",
+      "event_type", "event_time", "ip_address", "year", "month"))
+    // bucket fan-out: ≤ buckets data files per partition directory
+    val files = new java.io.File(d, "year=2018/month=0")
+      .listFiles().count(_.getName.endsWith(".orc"))
+    assert(files <= 4 && files > 0)
+  }
+
+  test("dynamic partitioning routes by generated year/month values") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      dynamicPartitioning = true, buckets = 0)
+    Ingest.runBatch(spark, cfg, 5000)
+    val years = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("year=")).map(_.getName)
+    assert(years.length > 1, "dynamic mode should produce many year= dirs")
+    assert(years.forall { y =>
+      val v = y.stripPrefix("year=").toInt; v >= 2000 && v <= 2049
+    })
+    val back = spark.read.orc(dir)
+    val mm = back.agg(min("month"), max("month")).collect().head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 11)
+  }
+
+  test("summary lines match the reference format") {
+    val dir = tmp()
+    val res = Ingest.runBatch(spark,
+      IngestConfig(outputPath = Some(dir), buckets = 0), 1000)
+    assert(res.summaryLines.head == "Total rows committed: 1000")
+    assert(res.summaryLines(1).matches("Throughput: \\d+ rows/second"))
+  }
+
+  test("streaming ingest commits batches and accounts committed rows only") {
+    val dir = tmp()
+    val cfg = IngestConfig(
+      outputPath = Some(dir), parallelism = 2, eventsPerSecond = 2000,
+      commitAfterNRows = 500, timeoutMs = 6000, buckets = 2)
+    val res = Ingest.run(spark, cfg)
+    assert(res.rowsCommitted > 0, "no rows committed within timeout")
+    assert(res.commits > 0)
+    // committed accounting == rows actually readable from the sink
+    val back = spark.read.orc(dir)
+    assert(back.count() == res.rowsCommitted,
+      "rowsCommitted must equal rows visible in the sink")
+    // static layout from the streaming path too
+    assert(new java.io.File(dir, "year=2018").isDirectory)
+    // throughput formula: committed rows / configured timeout seconds
+    assert(res.throughputRowsPerSec == res.rowsCommitted / (cfg.timeoutMs / 1000))
+  }
+}
