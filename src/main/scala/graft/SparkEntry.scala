@@ -18,7 +18,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Analytic.queries, Analytic.oracles),
       (Scalars.queries, Scalars.oracles),
-      (Events.queries, Events.oracles)
+      (Events.queries, Events.oracles),
+      (Pipeline.queries, Pipeline.oracles)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

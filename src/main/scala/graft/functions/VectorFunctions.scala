@@ -43,15 +43,16 @@ object VectorFunctions {
 
   /** Random-hyperplane (SimHash) signature of an embedding: `planes`
     * sign bits packed into a long. Hyperplane weights are deterministic
-    * ±1 derived from xxhash64(plane, dim) — reproducible across runs
-    * and executors with no broadcast state.
+    * ±1 derived from xxhash64(salt, plane, dim) — reproducible across
+    * runs and executors with no broadcast state. Distinct `salt`s yield
+    * independent hash tables for multi-table LSH.
     */
-  def hyperplaneSignature(emb: Column, planes: Int): Column = {
+  def hyperplaneSignature(emb: Column, planes: Int, salt: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      // w(p,d) = +1 if bit 0 of xxhash64(p, d) else -1
+      // w(p,d) = +1 if bit 0 of xxhash64(salt, p, d) else -1
       val proj = fsum(zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
         x.cast("double") *
-          when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))))
+          when(pmod(xxhash64(lit(salt), lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))))
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: exact + near dedup (shingle-verified and
+  * MinHash-LSH), SimHash, cosine top-k similarity (brute force and
+  * hyperplane-bucketed ANN), text quality, language ID, token stats.
+  *
+  * Scale notes (100 TB framing):
+  *  - every candidate-generation step is a keyed equi-join (fingerprint,
+  *    shingle, band-bucket, signature-chunk) — never an unkeyed all-pairs
+  *    product except the explicitly-labelled brute-force baseline;
+  *  - per-document features are codegen'd scalar/higher-order
+  *    expressions — no UDFs, no collects;
+  *  - float aggregates that cross the DuckDB oracle are carried as
+  *    DECIMAL(18,6) sums (exact, order-independent) and divided once in
+  *    double, so partial-aggregation order can't break bit-equality.
+  */
+object Pipeline {
+
+  private val Shingle = 3
+  private val MinHashes = 64
+  private val Bands = 16 // 4 rows per band
+  private val JaccardThreshold = 0.8
+
+  /** doc_id + distinct lowercase word 3-shingles (+ set size). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), distinctShingles(lower(col("text")), Shingle).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  /** Exact Jaccard for a candidate pair set carrying both shingle arrays. */
+  private def verified(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: group on the normalized-text MD5 fingerprint; keep the
+    // lowest doc_id as the canonical survivor. One keyed shuffle on the
+    // fingerprint — the 100 TB-safe exact-dedup shape.
+    "q43_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5Fingerprint(col("text")).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+        .orderBy("keep_doc_id")
+    }),
+
+    // Ground-truth near-dup pairs: inverted-index join on shingles (any
+    // pair with J >= 0.8 must share many shingles), then exact Jaccard.
+    // Keyed shuffle on the shingle; at 100 TB add a stop-shingle document
+    // -frequency cap so hot shingles don't fan out quadratically.
+    "q44_near_dup_pairs" -> ((s, d) => {
+      val ex = shingled(s, d).select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+        .filter(col("jaccard") >= JaccardThreshold)
+      cand.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash-LSH near-dup: 64 min-hashes per doc, banded 16×4; docs
+    // colliding in any band become candidates; candidates are verified
+    // with exact Jaccard. This is the scale path: candidate generation
+    // is an equi-join on (band, band-hash) — cost is proportional to
+    // collisions, not to n². P(miss | J=0.97) ≈ 1e-15, so the oracle is
+    // the exact ground truth (same SQL as q44).
+    "q45_minhash_lsh" -> ((s, d) => {
+      val docs = shingled(s, d).cache()
+      val mh = docs.select(col("doc_id"),
+        transform(sequence(lit(0), lit(MinHashes - 1)),
+          i => array_min(transform(col("sh"), t => xxhash64(i, t)))).as("mh"))
+      val bands = mh.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(Bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(b, slice(col("mh"), b * lit(MinHashes / Bands) + 1,
+                lit(MinHashes / Bands))).as("bkey")))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      verified(pairs)
+    }),
+
+    // SimHash near-dup: 64-bit signature = sign of per-bit sums of ±1
+    // token-hash contributions; candidates must share one of four 16-bit
+    // signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal);
+    // report pairs at hamming distance ≤ 3. Candidate join is keyed on
+    // (chunk index, chunk value). No DuckDB oracle (xxhash64-based) —
+    // rows-only check; correctness is covered by PipelineSpec.
+    "q46_simhash_pairs" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      val sig = toks.select(col("doc_id"),
+        (0 until 64).map { k =>
+          val bitSum = aggregate(col("toks"), lit(0L), (acc, t) =>
+            acc + when(xxhash64(t).bitwiseAND(lit(1L << k)) =!= 0, 1L).otherwise(-1L))
+          when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("sig")).cache()
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("cval"))): _*)).as("cc"))
+        .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Brute-force cosine top-3 neighbors per vector — the exactness
+    // baseline. All-pairs by construction (O(n²)): right side broadcast,
+    // norms hoisted before the join so each is computed n times, not n².
+    // The scale path is q48; this one is the oracle-checked ground truth.
+    "q47_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Multi-table hyperplane-LSH ANN: 16 independent salted tables of
+    // 6-plane signatures; a pair is a candidate if it collides in ANY
+    // table; candidates get exact cosines; top-3 per query vector.
+    // Candidate generation is an equi-join on (table, signature) — the
+    // shape that survives 100 TB (cost ∝ collisions, not n²). Recall vs
+    // the exact q47 is measured in PipelineSpec. Rows-only check.
+    "q48_ann_hyperplane" -> ((s, d) => {
+      val tables = 16
+      val planes = 6
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        .cache()
+      val sigs = e.select(col("vec_id"),
+          explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+            hyperplaneSignature(col("embedding"), planes, t).as("sig"))): _*)).as("ts"))
+        .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+        .distinct()
+      val pairs = cand
+        .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Per-language text-quality profile. Integer sums (token counts) are
+    // exact; double metrics go through DECIMAL(18,6) sums so aggregation
+    // order is irrelevant, then one double division.
+    "q49_text_quality" -> ((s, d) => {
+      val en = langMarkers("en")
+      val docs = Tables.documents(s, d).select(col("lang"),
+        tokenCount(col("text")).as("ws_toks"),
+        bpeishTokenCount(col("text")).as("bpe_toks"),
+        round(punctRatio(col("text")), 6).cast("decimal(18,6)").as("punct"),
+        qualityScore(col("text"), en).cast("decimal(18,6)").as("quality"))
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("ws_toks")).as("avg_ws_tokens"),
+          avg(col("bpe_toks")).as("avg_bpe_tokens"),
+          round(sum(col("punct")).cast("double") / count(lit(1)), 6).as("avg_punct"),
+          round(sum(col("quality")).cast("double") / count(lit(1)), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
+    // Language ID via marker-word argmax (ties → language code asc,
+    // no hits → 'und'), confusion-matrix style output against the
+    // labelled lang column.
+    "q50_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), langId(lower(col("text"))).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Token accounting per source: whitespace tokens and the BPE-ish
+    // pre-tokenizer count (word pieces / numbers / punctuation runs).
+    "q51_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          tokenCount(col("text")).as("ws"), bpeishTokenCount(col("text")).as("bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"),
+          max("ws").as("max_ws"), sum(length(col("text"))).as("chars"))
+        .orderBy("source")
+    }),
+
+    // Rolling-hash document sketch: min shingle-hash fingerprint (k-min
+    // sketch, k=1) — the cheap near-dup pre-filter key. xxhash64-based,
+    // no DuckDB analogue → rows-only; determinism checked in PipelineSpec.
+    "q52_min_shingle_fp" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), minShingleHash(lower(col("text")), Shingle).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val shingleCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+       |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter,
+       |         any_value(a.n) na, any_value(b.n) nb
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2
+       |)
+       |SELECT doc_a, doc_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
+       |FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q43_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+        |       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "q44_near_dup_pairs" -> shingleCte,
+    "q45_minhash_lsh" -> shingleCte,
+    "q47_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) dot,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nb
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id,
+        |    CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END AS c,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY (CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END) DESC,
+        |               neighbor_id) AS "rank"
+        |  FROM p)
+        |SELECT vec_id, "rank", neighbor_id, round(c, 6) AS cos
+        |FROM r WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    "q49_text_quality" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    len(string_split_regex(text, '\s+')) ws_toks,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) bpe_toks,
+        |    CAST(round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |        / length(text) END, 6) AS DECIMAL(18,6)) punct,
+        |    CAST(round(
+        |      least(len(string_split_regex(text, '\s+')) / 20.0, 1.0) * 0.4
+        |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |            / length(text) END) * 4.0, 1.0)) * 0.3
+        |      + (1.0 - (CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0 ELSE
+        |          len(list_filter(string_split_regex(text, '\s+'),
+        |            x -> x IN ('the','a','of','and','to','in','is','that')))*1.0
+        |            / len(string_split_regex(text, '\s+')) END)) * 0.3, 6) AS DECIMAL(18,6)) quality
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  avg(ws_toks) AS avg_ws_tokens, avg(bpe_toks) AS avg_bpe_tokens,
+        |  round(CAST(sum(punct) AS DOUBLE) / count(*), 6) AS avg_punct,
+        |  round(CAST(sum(quality) AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q50_lang_id" ->
+      """WITH toks AS (
+        |  SELECT lang, string_split_regex(lower(text), '\s+') t FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) s_de,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))) s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','de','et','un','est','que','des'))) s_fr,
+        |    len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不'))) s_zh
+        |  FROM toks),
+        |pred AS (
+        |  SELECT lang, CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0 THEN 'und'
+        |    ELSE substr(least(
+        |      printf('%04d|de', 9999-s_de), printf('%04d|en', 9999-s_en),
+        |      printf('%04d|es', 9999-s_es), printf('%04d|fr', 9999-s_fr),
+        |      printf('%04d|zh', 9999-s_zh)), 6) END predicted
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q51_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(len(string_split_regex(text, '\s+'))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+        |  max(len(string_split_regex(text, '\s+'))) AS max_ws,
+        |  sum(length(text)) AS chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
