@@ -1,5 +1,23 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.ingest.{Ingest, IngestConfig}
+
+/** Benchmark main (driver contract): one JSON line with per-query wall
+  * times on SPARK_GRAFT_SF_DIR plus the ingest engine's batch
+  * throughput.
+  *
+  * Fidelity fixes from VERDICT r1 #4: (a) a warmup pass first so the
+  * first timed query doesn't absorb JVM/classloader/scan warmup; (b)
+  * results are materialized through `queryExecution.toRdd.count()`,
+  * which executes the COMPLETE physical plan (final sorts and
+  * projections included) without collecting to the driver — `.count()`
+  * on the Dataset would let Catalyst prune exactly the operators being
+  * measured.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +25,48 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Long =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+
+    // Warmup: touch every base table's scan path + codegen pipeline once.
+    Seq("q31_date_funcs", "q01_pricing_summary", "q43_exact_dedup",
+      "q47_cosine_topk", "q37_tumbling_window")
+      .foreach(q => try materialize(q) catch { case _: Throwable => () })
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(name) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Ingest throughput probe: bounded batch through the full generator →
+    // 32-bucket → partitioned-ORC path (same dataflow the streaming
+    // engine commits per micro-batch).
+    val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000000").toLong
+    val tmp = Files.createTempDirectory("graft-bench-ingest")
+    val ingest = Ingest.runBatch(spark,
+      IngestConfig(outputPath = Some(tmp.toString), parallelism = cpus.toInt),
+      ingestRows)
+    val ingestRate = {
+      // recompute from ms-precision result for reporting
+      ingest.throughputRowsPerSec
+    }
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(tmp.toFile)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate}""")
     spark.stop()
   }
 }
