@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured-Streaming execution of the event-window operators: the
+  * same transformations the batch surface runs (graft.queries.Events
+  * q37–q40) expressed over `readStream`, with watermarks, streaming
+  * windows (tumbling / sliding / session), streaming dedup, and a
+  * `mapGroupsWithState` custom-state counter.
+  *
+  * Batch/streaming parity is enforced by StreamingParitySpec: each
+  * streaming query processes the same parquet input via
+  * `Trigger.AvailableNow` and must produce the batch query's result.
+  *
+  * Scale notes: every stateful op keys its state by a high-cardinality
+  * column (window × event_type, user_id), so state shards evenly across
+  * executors; watermarks bound state size — late data beyond 1 hour is
+  * dropped, and closed windows/sessions are evicted from the store.
+  */
+object EventStreams {
+
+  /** Unbounded view of the events table: file-stream source over the
+    * same parquet directory (schema from a batch peek — streaming
+    * sources require a declared schema), with the same ns→µs timestamp
+    * conversion the batch loader applies. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The file-stream source wants a directory: stream the parent dir
+    // with a glob filter selecting just the events file(s).
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** q37 streaming form: watermarked tumbling window aggregate. */
+  def tumbling(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("w_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+
+  /** q38 streaming form: watermarked sliding window count. */
+  def sliding(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "12 hours", "6 hours").getField("start").as("w_start"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q39 streaming form: gap-based session windows per user. */
+  def sessionized(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"))).cast(DoubleType).as("session_value"))
+      .select(col("user_id"),
+              col("session_window").getField("start").as("s_start"),
+              col("n_events"), col("session_value"))
+
+  /** q40 streaming form: stateful dedup on (user_id, event_type).
+    * Streaming `dropDuplicates` keeps the FIRST ARRIVAL per key (state
+    *-store semantics) — arrival order is file order, so the surviving
+    * event_id may differ from the batch query's min-(ts,event_id) pick;
+    * the key set is identical. Parity is asserted on the key set. */
+  def dedup(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Custom-state operator: running event count per user via
+    * `mapGroupsWithState` — the arbitrary-stateful-processing API the
+    * built-in aggregates don't cover. Emits the updated lifetime count
+    * for each user seen in the micro-batch. */
+  def statefulUserCounts(s: SparkSession, df: DataFrame): Dataset[(Long, Long)] = {
+    import s.implicits._
+    df.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (uid, n)
+      }
+  }
+
+  /** Drain a streaming frame into an in-memory table with
+    * `Trigger.AvailableNow` (process everything currently in the
+    * source, then stop) and return the result. */
+  def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}
