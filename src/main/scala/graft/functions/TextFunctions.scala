@@ -82,16 +82,17 @@ object TextFunctions {
     size(filter(wsTokens(text), t => t.isin(langMarkers(lang): _*)))
 
   /** Predicted language: argmax marker count, ties broken by language
-    * code ascending, 'und' (undetermined) when no marker hits at all. */
+    * code ascending, 'und' (undetermined) when no marker hits at all.
+    * Encoded as a least-of-sortable-strings pick — `%04d|lang` of the
+    * INVERTED score sorts (score desc, lang asc) — because a when-chain
+    * fold duplicates the accumulator subtree per level and blows up the
+    * expression size; this form references each score twice, total. */
   def langId(text: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
-    // argmax with lang-asc tiebreak: sort by (score desc, lang asc) = max of (score, reversed-lang)... keep it simple:
-    val best = langs.foldLeft(struct(lit(-1).as("score"), lit("und").as("lang"))) { (acc, l) =>
-      val s = langScore(text, l)
-      when(s > acc.getField("score"), struct(s.as("score"), lit(l).as("lang"))).otherwise(acc)
-    }
-    when(best.getField("score") <= 0, "und").otherwise(best.getField("lang"))
+    val keyed = langs.map(l =>
+      format_string("%04d|%s", lit(9999) - langScore(text, l), lit(l)))
+    when(greatest(langs.map(langScore(text, _)): _*) <= 0, lit("und"))
+      .otherwise(substring(least(keyed: _*), 6, 2))
   }
 
   /** Content-defined fingerprint: hex MD5 of the normalized text
@@ -101,7 +102,25 @@ object TextFunctions {
 
   /** Winnowing-style fingerprint: minimum 64-bit hash over the word
     * k-shingles — a single-value rolling-hash document sketch (the
-    * k-min-sketch with k=1). Used for near-dup candidate bucketing. */
+    * k-min-sketch with k=1). Used for near-dup candidate bucketing.
+    * Native expression (see expr.TextExprs): one pass, no intermediate
+    * shingle arrays. */
   def minShingleHash(text: Column, n: Int): Column =
-    array_min(transform(wordShingles(text, n), s => xxhash64(s)))
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.MinShingleHash(
+        org.apache.spark.sql.GraftExprBridge.expression(text), n))
+
+  /** k MinHash values over word n-shingles in one pass (native
+    * expression; double-hashing family h_i = h1 + i·h2). */
+  def minHashes(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.MinHashes(
+        org.apache.spark.sql.GraftExprBridge.expression(text), n, k))
+
+  /** 64-bit frequency-weighted SimHash over whitespace tokens (native
+    * expression, one pass). */
+  def simHash64(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.SimHash64(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
 }

@@ -19,9 +19,14 @@ object VectorFunctions {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two float-array columns, computed in double via the
+    * native codegen'd expression (same left-to-right fold as the HOF
+    * form, ~15× faster on all-pairs kernels — see FloatVecExprs). */
   def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.FloatDotProduct(
+        org.apache.spark.sql.GraftExprBridge.expression(a),
+        org.apache.spark.sql.GraftExprBridge.expression(b)))
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
@@ -54,6 +59,35 @@ object VectorFunctions {
         x.cast("double") *
           when(pmod(xxhash64(lit(salt), lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))))
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** splitmix64 — the standard 64-bit finalizer, used to derive
+    * deterministic hyperplane weights driver-side. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Fast hyperplane signature for a KNOWN dimension: the ±1 weight
+    * vectors are data-independent, so they are precomputed once on the
+    * driver and folded into the plan as float-array literals; each
+    * plane's projection is then one native `vec_dot`. Versus the
+    * dimension-from-data variant above (which re-hashes every
+    * (salt, plane, dim) triple per ROW) this removes rows × planes ×
+    * dims hash evaluations from the hot path. Weights differ from the
+    * xxhash64 variant's — signatures are internal bucketing keys, not a
+    * cross-version contract. */
+  def hyperplaneSignatureFast(emb: Column, planes: Int, salt: Int, dim: Int): Column = {
+    require(dim > 0, "dimension must be known and positive")
+    val bits = (0 until planes).map { p =>
+      val w = Array.tabulate(dim) { d =>
+        if ((splitmix64(salt.toLong << 40 | p.toLong << 20 | d) & 1L) == 0L) 1f else -1f
+      }
+      when(dot(emb, lit(w)) > 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }

@@ -67,6 +67,8 @@ object Pipeline {
     // -frequency cap so hot shingles don't fan out quadratically.
     "q44_near_dup_pairs" -> ((s, d) => {
       val ex = shingled(s, d).select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+        .cache() // both sides of the self-join read this
+
       val cand = ex.as("a").join(ex.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -86,9 +88,8 @@ object Pipeline {
     // the exact ground truth (same SQL as q44).
     "q45_minhash_lsh" -> ((s, d) => {
       val docs = shingled(s, d).cache()
-      val mh = docs.select(col("doc_id"),
-        transform(sequence(lit(0), lit(MinHashes - 1)),
-          i => array_min(transform(col("sh"), t => xxhash64(i, t)))).as("mh"))
+      val mh = Tables.documents(s, d).select(col("doc_id"),
+        minHashes(lower(col("text")), Shingle, MinHashes).as("mh"))
       val bands = mh.select(col("doc_id"),
           explode(transform(sequence(lit(0), lit(Bands - 1)),
             b => struct(b.as("band"),
@@ -113,14 +114,8 @@ object Pipeline {
     // (chunk index, chunk value). No DuckDB oracle (xxhash64-based) —
     // rows-only check; correctness is covered by PipelineSpec.
     "q46_simhash_pairs" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
-      val sig = toks.select(col("doc_id"),
-        (0 until 64).map { k =>
-          val bitSum = aggregate(col("toks"), lit(0L), (acc, t) =>
-            acc + when(xxhash64(t).bitwiseAND(lit(1L << k)) =!= 0, 1L).otherwise(-1L))
-          when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_)).as("sig")).cache()
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), simHash64(lower(col("text"))).as("sig")).cache()
       val chunks = sig.select(col("doc_id"), col("sig"),
           explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
             shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("cval"))): _*)).as("cc"))
@@ -165,9 +160,12 @@ object Pipeline {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
         .cache()
+      // dimension probe: one metadata-sized lookup so the plane weights
+      // can be precomputed as literals (hyperplaneSignatureFast)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
       val sigs = e.select(col("vec_id"),
           explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
-            hyperplaneSignature(col("embedding"), planes, t).as("sig"))): _*)).as("ts"))
+            hyperplaneSignatureFast(col("embedding"), planes, t, dim).as("sig"))): _*)).as("ts"))
         .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
       val cand = sigs.as("a").join(sigs.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
@@ -235,6 +233,22 @@ object Pipeline {
       Tables.documents(s, d)
         .select(col("doc_id"), minShingleHash(lower(col("text")), Shingle).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // Multimodal columns: binary payloads + typed metadata through the
+    // decode → feature-extract mapPartitions pipeline (stub codec, real
+    // plumbing — see graft.multimodal). Aggregated per modality; the
+    // deterministic stub decode lets DuckDB replicate the numbers.
+    "q53_multimodal_features" -> ((s, d) => {
+      val feats = graft.multimodal.Multimodal.features(
+        graft.multimodal.Multimodal.decode(
+          graft.multimodal.Multimodal.mediaFromDocuments(s, d)))
+      feats.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          avg(col("width")).as("avg_width"),
+          avg(col("height")).as("avg_height"))
+        .orderBy("kind")
     })
   )
 
@@ -326,6 +340,16 @@ object Pipeline {
         |  FROM sc)
         |SELECT lang, predicted, count(*) AS n
         |FROM pred GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q53_multimodal_features" ->
+      """SELECT kind, count(*) AS n, sum(nb) AS total_bytes,
+        |  avg(w) AS avg_width, avg(h) AS avg_height FROM (
+        |  SELECT CASE CAST(doc_id % 3 AS INT)
+        |           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    strlen(text) AS nb,
+        |    16 + (strlen(text) * 31) % 497 AS w,
+        |    16 + (strlen(text) * 73) % 353 AS h
+        |  FROM documents) t
+        |GROUP BY kind ORDER BY kind""".stripMargin,
     "q51_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  sum(len(string_split_regex(text, '\s+'))) AS ws_tokens,
