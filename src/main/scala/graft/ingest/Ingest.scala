@@ -35,6 +35,10 @@ final case class IngestConfig(
     buckets: Int = 32,
     seed: Long = 123L,
     format: String = "orc",
+    // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
+    // synthetic-load sink where compression ratio is not the point
+    // (declared deviation — Hive-side ORC would default zlib)
+    compression: String = "lz4",
     name: String = "culvert")
 
 /** Outcome of one run: committed-rows accounting and the two summary
@@ -64,8 +68,9 @@ final case class IngestResult(
   *  - dynamic routing (`Stream.java:77-80`) → generated year/month
   *    columns + native dynamic partition insert.
   *  - `clustered by (user_id) into 32 buckets` (`README.md:62-63`) →
-  *    `repartition(32, user_id)` ahead of the write, yielding 32
-  *    hash-disjoint files per partition directory.
+  *    repartition on the user_id generator expression BEFORE column
+  *    generation, yielding 32 hash-disjoint files per partition
+  *    directory while shuffling only the 8-byte row index.
   *  - committed-rows-only accounting (`Stream.java:194-197`): rows of a
   *    batch count only after its write completes; rows still in flight
   *    when the timeout fires are never counted — same tail-loss
@@ -78,23 +83,77 @@ final case class IngestResult(
   */
 object Ingest {
 
-  /** The unbounded generated frame: rate source → generator projection →
-    * partition-routing columns. */
-  def streamingFrame(spark: SparkSession, cfg: IngestConfig): DataFrame = {
-    val rate = spark.readStream
+  /** The unbounded raw index frame: rate source emitting (value, __pid).
+    * The stream index (`__pid`, the static-mode month) is captured HERE,
+    * before any exchange moves rows off their source partition. */
+  def rawStream(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    spark.readStream
       .format("rate")
       .option("rowsPerSecond", cfg.eventsPerSecond.toLong * cfg.parallelism)
       .option("numPartitions", cfg.parallelism)
       .load()
-    projected(rate.select(col("value")), cfg)
+      .select(col("value"), spark_partition_id().as("__pid"))
   }
+
+  private def rawBatch(spark: SparkSession, cfg: IngestConfig, numRows: Long): DataFrame =
+    spark.range(0, numRows, 1, cfg.parallelism)
+      .select(col("id").as("value"), spark_partition_id().as("__pid"))
+
+  /** Bucket-route then generate. Because every column is a pure
+    * function of the row index, the bucket exchange shuffles ONLY the
+    * 8-byte index (plus the stream id) — ~20× less shuffle volume than
+    * repartitioning fully generated ~150-byte rows. The bucket id is
+    * `pmod(hash(user_id_expr), buckets)` computed pre-shuffle, so
+    * post-shuffle tasks are hash-disjoint in user_id exactly as if the
+    * generated column itself had been the key (the `clustered by
+    * (user_id) into 32 buckets` contract, `README.md:62-63`; murmur3
+    * bucket hash instead of Hive's — declared deviation).
+    *
+    * Static mode routes with an IDENTITY partitioner on
+    * (streamIdx × buckets + bucket): each task then holds exactly ONE
+    * (partition-dir, bucket) combination, so the file writer streams a
+    * single file with no per-task partition sort and each `month=i`
+    * directory gets exactly `buckets` hash-disjoint files. A plain
+    * `repartition(buckets, key)` leaves every task writing into all p
+    * partition dirs (task-local sort + p open writers + p×buckets
+    * files) — measured ~2.4× slower. Dynamic mode (50×12 possible
+    * dirs) keeps the plain bucket hash exchange. */
+  def routeAndProject(raw: DataFrame, cfg: IngestConfig): DataFrame = {
+    val userExpr = Gen.expr(Gen.defaultColumns.head, cfg.seed, col("value"))
+    if (cfg.buckets <= 0) projected(raw, cfg)
+    else if (cfg.dynamicPartitioning)
+      projected(raw.repartition(cfg.buckets, userExpr), cfg)
+    else {
+      val b = cfg.buckets
+      val spark = raw.sparkSession
+      val keyed = raw.select(
+        (col("__pid").cast("long") * b + pmod(hash(userExpr), lit(b))).as("k"),
+        col("value"))
+      val parts = cfg.parallelism * b
+      val partitioner = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      }
+      val rdd = keyed.rdd
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .partitionBy(partitioner)
+        .map { case (k, v) => org.apache.spark.sql.Row(v, (k / b).toInt) }
+      val indexed = spark.createDataFrame(rdd,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__pid", org.apache.spark.sql.types.IntegerType, nullable = false))))
+      projected(indexed, cfg)
+    }
+  }
+
+  /** Fully generated frame (no bucket routing) — console sink + tests. */
+  def streamingFrame(spark: SparkSession, cfg: IngestConfig): DataFrame =
+    projected(rawStream(spark, cfg), cfg)
 
   /** Bounded batch frame over `spark.range` — same generators, same
     * routing; used by tests and the bench's throughput probe. */
-  def batchFrame(spark: SparkSession, cfg: IngestConfig, numRows: Long): DataFrame = {
-    val idx = spark.range(0, numRows, 1, cfg.parallelism).select(col("id").as("value"))
-    projected(idx, cfg)
-  }
+  def batchFrame(spark: SparkSession, cfg: IngestConfig, numRows: Long): DataFrame =
+    projected(rawBatch(spark, cfg, numRows), cfg)
 
   private def projected(indexed: DataFrame, cfg: IngestConfig): DataFrame = {
     val row = col("value")
@@ -110,32 +169,28 @@ object Ingest {
       // observable layout, `Culvert.java:182`).
       indexed.select(
         Gen.defaultColumns.map(s => Gen.expr(s, cfg.seed, row).as(s.name)) ++
-          Seq(lit(2018).as("year"), spark_partition_id().as("month")): _*)
+          Seq(lit(2018).as("year"), col("__pid").as("month")): _*)
     }
   }
 
-  private def bucketed(df: DataFrame, cfg: IngestConfig): DataFrame =
-    if (cfg.buckets > 0) df.repartition(cfg.buckets, col("user_id")) else df
-
   /** Run the streaming engine for `timeoutMs`, then report. */
   def run(spark: SparkSession, cfg: IngestConfig): IngestResult = {
-    val frame = streamingFrame(spark, cfg)
     val committed = new AtomicLong(0)
     val commits = new AtomicLong(0)
 
     val query = cfg.outputPath match {
       case Some(path) =>
-        frame.writeStream
+        rawStream(spark, cfg).writeStream
           .outputMode("append")
           .trigger(Trigger.ProcessingTime(triggerMs(cfg)))
           .option("checkpointLocation", s"$path/_checkpoint")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            // Batch size, counted up front: under count() Catalyst prunes
-            // every generator expression, so this just counts the rate
-            // micro-batch's range — no second generation pass.
+            // Batch size, counted up front: the raw batch is just the
+            // rate micro-batch's (value, pid) range — nearly free.
             val n = batch.count()
-            bucketed(batch, cfg)
+            routeAndProject(batch, cfg)
               .write.mode("append").format(cfg.format)
+              .option("compression", cfg.compression)
               .partitionBy("year", "month")
               .save(path)
             if (n > 0) {
@@ -149,6 +204,7 @@ object Ingest {
         // Console fallback (`Stream.java:190-191`): rows are printed,
         // nothing is committed — rowsCommitted stays 0, as in the
         // reference where the commit path needs a live connection.
+        val frame = streamingFrame(spark, cfg)
         frame.select(Gen.csvLine(frame.columns.toSeq).as("value"))
           .writeStream.format("console")
           .option("truncate", "false")
@@ -167,8 +223,9 @@ object Ingest {
     val path = cfg.outputPath.getOrElse(
       sys.error("batch ingest requires an output path"))
     val t0 = System.nanoTime()
-    bucketed(batchFrame(spark, cfg, numRows), cfg)
+    routeAndProject(rawBatch(spark, cfg, numRows), cfg)
       .write.mode("append").format(cfg.format)
+      .option("compression", cfg.compression)
       .partitionBy("year", "month")
       .save(path)
     val elapsedMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
