@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline queries — the
+  * plan-level guarantees the scale story depends on: broadcasts where a
+  * side is small, no cartesian products outside the labelled
+  * brute-force baseline, filter/column pushdown reaching the parquet
+  * scans, and no single-partition window exchanges. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q10 multiway join broadcasts dimensions, no product joins") {
+    val p = plan("q10_multiway_join")
+    assert(p.contains("BroadcastHashJoin"))
+    // at sf0.001 every side fits the broadcast threshold; the scale
+    // property asserted here is: all joins are hash equi-joins
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q02 filter/projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "filters should reach the scan")
+    assert(p.toLowerCase.contains("readschema"))
+  }
+
+  test("q23 has no single-partition window exchange") {
+    val p = plan("q23_ntile_percent")
+    assert(!p.contains("SinglePartition"),
+      "global quartiles must not collapse to one partition")
+  }
+
+  test("q45 LSH candidate generation is an equi-join, not a product") {
+    val p = plan("q45_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band join must be a keyed equi-join")
+  }
+
+  test("q48 ANN candidate generation is an equi-join, not a product") {
+    val p = plan("q48_ann_hyperplane")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "signature join must be a keyed equi-join")
+  }
+
+  test("q47 brute-force baseline broadcasts the right side (no shuffle product)") {
+    val p = plan("q47_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs baseline should at least broadcast one side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q44 shingle join is a keyed equi-join with partial aggregation") {
+    val p = plan("q44_near_dup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"), "pair counting should partial-aggregate")
+  }
+}
