@@ -66,7 +66,12 @@ object Pipeline {
     // Keyed shuffle on the shingle; at 100 TB add a stop-shingle document
     // -frequency cap so hot shingles don't fan out quadratically.
     "q44_near_dup_pairs" -> ((s, d) => {
-      val ex = shingled(s, d).select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      // join key = 64-bit hash of the shingle, not the string: the
+      // inverted-index shuffle moves 8-byte longs instead of ~20-byte
+      // strings and compares primitives (hash-collision risk 2^-64 per
+      // pair — immaterial against the exact-count oracle)
+      val ex = shingled(s, d).select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("n"), xxhash64(col("s")).as("tok"))
         .cache() // both sides of the self-join read this
 
       val cand = ex.as("a").join(ex.as("b"),
@@ -235,6 +240,52 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Approximate distinct (HyperLogLog++): the sketch path for
+    // count-distinct at 100 TB (mergeable, fixed memory). Sketch values
+    // differ per implementation, so the oracle checks the CONTRACT:
+    // exact count plus a boolean that the approximation landed within
+    // 3× the configured relative standard deviation.
+    "q54_approx_distinct" -> ((s, d) => {
+      val rsd = 0.05
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), rsd).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 3 * rsd).as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
+    // As-of join: for every 'view' event, the user's most recent
+    // 'purchase' at-or-before it. Built scale-safely as union + keyed
+    // window (last non-null carried forward) — one shuffle on user_id,
+    // NO range-explode or per-row backward scan. DuckDB's native
+    // ASOF JOIN is the oracle.
+    "q55_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(null).cast("long").as("p_id"))
+      // dedupe purchases per (user, ts) — ASOF tie-pick would otherwise
+      // be engine-dependent
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_id"))
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"), col("p_id"))
+      // purchases sort before views at the same ts (sides: 0 < 1) so an
+      // exact-tie purchase is visible to the view — ASOF >= semantics
+      val tagged = views.withColumn("side", lit(1))
+        .unionByName(purchases.withColumn("side", lit(0)))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_purchase", last(col("p_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("event_id"), col("last_purchase"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Multimodal columns: binary payloads + typed metadata through the
     // decode → feature-extract mapPartitions pipeline (stub codec, real
     // plumbing — see graft.multimodal). Aggregated per modality; the
@@ -340,6 +391,19 @@ object Pipeline {
         |  FROM sc)
         |SELECT lang, predicted, count(*) AS n
         |FROM pred GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q54_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q55_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, max(event_id) p_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.user_id, v.event_id, p.p_id AS last_purchase
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.user_id, v.event_id""".stripMargin,
     "q53_multimodal_features" ->
       """SELECT kind, count(*) AS n, sum(nb) AS total_bytes,
         |  avg(w) AS avg_width, avg(h) AS avg_height FROM (
