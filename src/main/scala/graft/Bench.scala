@@ -45,28 +45,32 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Ingest throughput probe: bounded batch through the full generator →
-    // 32-bucket → partitioned-ORC path (same dataflow the streaming
-    // engine commits per micro-batch).
+    // Ingest throughput probes: bounded batch through the full generator
+    // → partitioned-ORC path (the dataflow the streaming engine commits
+    // per micro-batch), with and without the 32-bucket contract — the
+    // bucketed number is the one comparable to BASELINE.md (the
+    // reference's table is clustered into 32 buckets).
     val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000000").toLong
-    val tmp = Files.createTempDirectory("graft-bench-ingest")
-    val ingest = Ingest.runBatch(spark,
-      IngestConfig(outputPath = Some(tmp.toString), parallelism = cpus.toInt),
-      ingestRows)
-    val ingestRate = {
-      // recompute from ms-precision result for reporting
-      ingest.throughputRowsPerSec
-    }
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete()
     }
-    rmrf(tmp.toFile)
+    def probe(buckets: Int): Long = {
+      val tmp = Files.createTempDirectory("graft-bench-ingest")
+      val r = Ingest.runBatch(spark,
+        IngestConfig(outputPath = Some(tmp.toString), parallelism = cpus.toInt,
+          buckets = buckets),
+        ingestRows)
+      rmrf(tmp.toFile)
+      r.throughputRowsPerSec
+    }
+    val ingestRate = probe(32)
+    val ingestRateUnbucketed = probe(0)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed}""")
     spark.stop()
   }
 }

@@ -75,6 +75,12 @@ final case class IngestResult(
   *    batch count only after its write completes; rows still in flight
   *    when the timeout fires are never counted — same tail-loss
   *    semantics as the reference's uncommitted final transaction.
+  *    Retry caveat: on query restart the last in-flight batch replays,
+  *    so a partially written batch can append twice (at-least-once).
+  *    Hive-streaming aborts open transactions instead; an idempotent
+  *    sink (batchId-named staging dirs + atomic publish, or a
+  *    table-format commit log) closes this — out of scope for a load
+  *    generator whose metric is committed throughput.
   *
   * At cluster scale nothing here changes: the rate source partitions
   * spread over executors, generation is codegen'd scalar work, and the
