@@ -74,7 +74,12 @@ object Pipeline {
         .select(col("doc_id"), col("n"), xxhash64(col("s")).as("tok"))
         .cache() // both sides of the self-join read this
 
-      val cand = ex.as("a").join(ex.as("b"),
+      // the exploded index is ~24 B/row — broadcastable far beyond this
+      // fixture, which turns the self-join into a broadcast hash join
+      // (no shuffle of either side; the pair stream partial-aggregates
+      // map-side). At 100 TB swap for the sort-merge join + stop-shingle
+      // cap noted above.
+      val cand = ex.as("a").join(broadcast(ex.as("b")),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"),
