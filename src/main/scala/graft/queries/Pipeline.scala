@@ -79,8 +79,14 @@ object Pipeline {
       // (no shuffle of either side; the pair stream partial-aggregates
       // map-side). At 100 TB swap for the sort-merge join + stop-shingle
       // cap noted above.
+      // length filter (PPJoin-style): J(a,b) <= min(n)/max(n), so
+      // J >= 0.8 needs the shingle-set sizes within 1.25× of each other
+      // — provably no false negatives; prunes incompatible pairs before
+      // the counting aggregation
       val cand = ex.as("a").join(broadcast(ex.as("b")),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") * JaccardThreshold <= col("a.n") &&
+            col("a.n") * JaccardThreshold <= col("b.n"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"),
           first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
@@ -243,6 +249,35 @@ object Pipeline {
       Tables.documents(s, d)
         .select(col("doc_id"), minShingleHash(lower(col("text")), Shingle).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // IVF-style ANN: a coarse k-means quantizer (MLlib, fixed seed)
+    // assigns every vector to a Voronoi cell; search runs within the
+    // cell (nprobe=1). The 100 TB shape: centroids are a tiny broadcast
+    // model, assignment is a narrow map, candidate generation is an
+    // equi-join on cell id. Approximate → rows-only; recall vs the
+    // exact q47 is measured in PipelineSpec alongside the LSH variant.
+    "q57_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        .cache()
+      val feats = e.select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42).setMaxIter(5).fit(feats)
+      val cells = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
+      val withCell = e.join(cells, "vec_id")
+      val a = withCell.select(col("cell"), col("vec_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id", "rank")
     }),
 
     // Approximate distinct (HyperLogLog++): the sketch path for

@@ -42,6 +42,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.3, f"multi-table LSH recall $recall%.3f unexpectedly low")
   }
 
+  test("IVF ANN reports correct cosines with nontrivial recall") {
+    val truthRows = q("q47_cosine_topk").collect()
+    val truth = truthRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truthCos = truthRows.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivfRows = q("q57_ann_ivf").collect()
+    ivfRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      truthCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    val recall = (ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet intersect truth).size.toDouble / truth.size
+    assert(recall > 0.1, f"IVF nprobe=1 recall $recall%.3f unexpectedly low")
+  }
+
   test("exact dedup keeps one doc per fingerprint") {
     val rows = q("q43_exact_dedup").collect()
     val total = rows.map(_.getAs[Long]("dup_count")).sum

@@ -52,6 +52,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q55 as-of join is one keyed window, no range product") {
+    val p = plan("q55_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must be union+window, not a range join product")
+  }
+
   test("q44 shingle join is a keyed equi-join with partial aggregation") {
     val p = plan("q44_near_dup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
