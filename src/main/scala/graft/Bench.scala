@@ -67,10 +67,28 @@ object Bench {
     val ingestRate = probe(32)
     val ingestRateUnbucketed = probe(0)
 
+    // Streaming commit-path probe: a real timed run of the streaming
+    // engine (rate source saturating the sink, foreachBatch commits,
+    // checkpointing) reported with the REFERENCE'S formula — committed
+    // rows ÷ configured timeout seconds (Culvert.java:170-171) — the
+    // number directly comparable to BASELINE.md's.
+    val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "12000").toLong
+    val streamDir = Files.createTempDirectory("graft-bench-stream")
+    val streaming = Ingest.run(spark, IngestConfig(
+      outputPath = Some(streamDir.toString),
+      parallelism = cpus.toInt,
+      // per-stream rate sized so the aggregate sits just above the ORC
+      // write capacity: keeps the sink saturated without letting the
+      // rate source's backlog grow unbounded micro-batches
+      eventsPerSecond = 50000,
+      commitAfterNRows = 500000,
+      timeoutMs = streamMs))
+    rmrf(streamDir.toFile)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":${streaming.rowsCommitted},"ingest_streaming_rows_per_sec":${streaming.throughputRowsPerSec}}""")
     spark.stop()
   }
 }

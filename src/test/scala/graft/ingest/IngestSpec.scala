@@ -49,6 +49,19 @@ class IngestSpec extends AnyFunSuite {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 11)
   }
 
+  test("dynamic partitioning with buckets keeps <= buckets files per dir") {
+    val dir = tmp()
+    Ingest.runBatch(spark, IngestConfig(outputPath = Some(dir), parallelism = 4,
+      dynamicPartitioning = true, buckets = 8), 20000)
+    val dirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("year="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("month="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".orc"))
+      assert(files <= 8, s"${d.getName}: $files files > 8 buckets")
+    }
+  }
+
   test("summary lines match the reference format") {
     val dir = tmp()
     val res = Ingest.runBatch(spark,
