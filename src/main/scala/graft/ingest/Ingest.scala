@@ -181,6 +181,9 @@ object Ingest {
 
   /** Run the streaming engine for `timeoutMs`, then report. */
   def run(spark: SparkSession, cfg: IngestConfig): IngestResult = {
+    // startup log parity (`Culvert.java:102,109`)
+    System.err.println(s"Starting culvert: ${cfg.name}")
+    (0 until cfg.parallelism).foreach(i => System.err.println(s"Starting stream: stream-$i"))
     val committed = new AtomicLong(0)
     val commits = new AtomicLong(0)
 

@@ -1,0 +1,51 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Programmatic builder API parity (reference EP3, `Culvert.java:59-98`
+  * + `Stream.java:90-166`). */
+class BuilderSpec extends AnyFunSuite {
+
+  test("builder defaults mirror the reference StreamBuilder, not the CLI") {
+    val c = CulvertBuilder.newBuilder().config
+    // Stream.java:94-102 defaults
+    assert(c.eventsPerSecond == 10)
+    assert(c.commitAfterNRows == 10000)
+    assert(c.transactionBatchSize == 10)
+    assert(c.timeoutMs == -1L)
+    assert(c.outputPath.isEmpty) // console fallback
+  }
+
+  test("builder methods configure a runnable culvert") {
+    val c = CulvertBuilder.newBuilder()
+      .withName("lib")
+      .withParallelism(3)
+      .withEventsPerSecond(500)
+      .withCommitAfterRows(100)
+      .withTimeout(1234)
+      .withDynamicPartitioning(true)
+      .withBuckets(4)
+      .withSeed(7)
+      .config
+    assert(c.name == "lib" && c.parallelism == 3 && c.eventsPerSecond == 500 &&
+      c.commitAfterNRows == 100 && c.timeoutMs == 1234 && c.dynamicPartitioning &&
+      c.buckets == 4 && c.seed == 7)
+  }
+
+  test("builder run drives a real streaming ingest") {
+    val dir = Files.createTempDirectory("graft-builder").toString
+    val res = CulvertBuilder.newBuilder()
+      .withOutputPath(dir)
+      .withParallelism(2)
+      .withEventsPerSecond(2000)
+      .withCommitAfterRows(400)
+      .withTimeout(10000)
+      .withBuckets(2)
+      .run(TestSpark.spark)
+    assert(res.rowsCommitted > 0)
+    assert(TestSpark.spark.read.orc(dir).count() == res.rowsCommitted)
+  }
+}
