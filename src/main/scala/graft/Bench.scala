@@ -72,15 +72,17 @@ object Bench {
     // checkpointing) reported with the REFERENCE'S formula — committed
     // rows ÷ configured timeout seconds (Culvert.java:170-171) — the
     // number directly comparable to BASELINE.md's.
-    val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "12000").toLong
+    val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "15000").toLong
     val streamDir = Files.createTempDirectory("graft-bench-stream")
     val streaming = Ingest.run(spark, IngestConfig(
       outputPath = Some(streamDir.toString),
-      parallelism = cpus.toInt,
-      // per-stream rate sized so the aggregate sits just above the ORC
-      // write capacity: keeps the sink saturated without letting the
-      // rate source's backlog grow unbounded micro-batches
-      eventsPerSecond = 50000,
+      // every commit writes p×buckets files; at local scale the ORC
+      // per-file fixed cost dominates micro-batch latency, so the probe
+      // caps the stream count (the bucket write still fans out across
+      // all cores) and sizes the aggregate rate just above the sink's
+      // write capacity so batches stay saturated but bounded
+      parallelism = math.min(8, cpus.toInt),
+      eventsPerSecond = 100000,
       commitAfterNRows = 500000,
       timeoutMs = streamMs))
     rmrf(streamDir.toFile)
