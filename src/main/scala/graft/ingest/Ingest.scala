@@ -75,12 +75,11 @@ final case class IngestResult(
   *    batch count only after its write completes; rows still in flight
   *    when the timeout fires are never counted — same tail-loss
   *    semantics as the reference's uncommitted final transaction.
-  *    Retry caveat: on query restart the last in-flight batch replays,
-  *    so a partially written batch can append twice (at-least-once).
-  *    Hive-streaming aborts open transactions instead; an idempotent
-  *    sink (batchId-named staging dirs + atomic publish, or a
-  *    table-format commit log) closes this — out of scope for a load
-  *    generator whose metric is committed throughput.
+  *    Restart semantics: commits are idempotent — each batch stages
+  *    under `_staging/<batchId>`, publishes, then writes a
+  *    `_commits/<batchId>` marker; a replayed batch with a marker is
+  *    skipped (see `commitBatch`), so a restarted query does not
+  *    duplicate rows.
   *
   * At cluster scale nothing here changes: the rate source partitions
   * spread over executors, generation is codegen'd scalar work, and the
@@ -179,6 +178,56 @@ object Ingest {
     }
   }
 
+  /** One transactional commit: stage the batch under
+    * `_staging/<batchId>`, publish files into the final partition
+    * layout with batchId-prefixed names, then write the commit marker
+    * `_commits/<batchId>`. The marker is the commit point:
+    *  - a replayed batch whose marker exists is SKIPPED (idempotent
+    *    restart — no duplicate rows, matching hive-streaming's
+    *    transaction semantics rather than blind at-least-once append);
+    *  - a replay without a marker overwrites its own staging dir and
+    *    publishes again. The only residual window is a crash DURING
+    *    publish (some files moved, marker absent) — the same
+    *    multi-file-publish window every non-atomic filesystem commit
+    *    protocol has; readers honoring markers see committed data only.
+    * Underscore-prefixed dirs (`_staging`, `_commits`, `_checkpoint`)
+    * are hidden from Spark/Hadoop readers.
+    * Returns the rows committed (0 if the batch was already committed). */
+  private[ingest] def commitBatch(
+      cfg: IngestConfig, path: String, batch: DataFrame, batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/_commits/$batchId")
+    if (fs.exists(marker)) return 0L
+    // Batch size, counted up front: the raw batch is just the rate
+    // micro-batch's (value, pid) range — nearly free.
+    val n = batch.count()
+    val staging = new Path(s"$path/_staging/$batchId")
+    routeAndProject(batch, cfg)
+      .write.mode("overwrite").format(cfg.format)
+      .option("compression", cfg.compression)
+      .partitionBy("year", "month")
+      .save(staging.toString)
+    val stagingQualified = fs.makeQualified(staging).toString
+    val files = fs.listFiles(staging, true)
+    while (files.hasNext) {
+      val f = files.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+        // staging/<year=Y/month=M>/part-… → path/<year=Y/month=M>/b<id>-part-…
+        val rel = f.toString.stripPrefix(stagingQualified).stripPrefix("/")
+        val relDir = rel.split('/').dropRight(1).mkString("/")
+        val destDir = if (relDir.isEmpty) new Path(path) else new Path(s"$path/$relDir")
+        fs.mkdirs(destDir)
+        fs.rename(f, new Path(destDir, s"b$batchId-${f.getName}"))
+      }
+    }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker).close()
+    n
+  }
+
   /** Run the streaming engine for `timeoutMs`, then report. */
   def run(spark: SparkSession, cfg: IngestConfig): IngestResult = {
     // startup log parity (`Culvert.java:102,109`)
@@ -193,15 +242,8 @@ object Ingest {
           .outputMode("append")
           .trigger(Trigger.ProcessingTime(triggerMs(cfg)))
           .option("checkpointLocation", s"$path/_checkpoint")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // Batch size, counted up front: the raw batch is just the
-            // rate micro-batch's (value, pid) range — nearly free.
-            val n = batch.count()
-            routeAndProject(batch, cfg)
-              .write.mode("append").format(cfg.format)
-              .option("compression", cfg.compression)
-              .partitionBy("year", "month")
-              .save(path)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val n = commitBatch(cfg, path, batch, batchId)
             if (n > 0) {
               val total = committed.addAndGet(n)
               val k = commits.incrementAndGet()

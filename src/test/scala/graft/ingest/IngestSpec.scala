@@ -70,6 +70,19 @@ class IngestSpec extends AnyFunSuite {
     assert(res.summaryLines(1).matches("Throughput: \\d+ rows/second"))
   }
 
+  test("commitBatch is idempotent: a replayed batch does not duplicate rows") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+    val raw = spark.range(0, 1000, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    val first = Ingest.commitBatch(cfg, dir, raw, batchId = 7)
+    val replay = Ingest.commitBatch(cfg, dir, raw, batchId = 7)
+    assert(first == 1000 && replay == 0)
+    assert(spark.read.orc(dir).count() == 1000)
+    assert(new java.io.File(dir, "_commits/7").exists)
+    assert(!new java.io.File(dir, "_staging/7").exists)
+  }
+
   test("streaming ingest commits batches and accounts committed rows only") {
     val dir = tmp()
     val cfg = IngestConfig(
