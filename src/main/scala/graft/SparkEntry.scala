@@ -19,7 +19,8 @@ object SparkEntry {
       (Analytic.queries, Analytic.oracles),
       (Scalars.queries, Scalars.oracles),
       (Events.queries, Events.oracles),
-      (Pipeline.queries, Pipeline.oracles)
+      (Pipeline.queries, Pipeline.oracles),
+      (Generators.queries, Generators.oracles)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
