@@ -242,6 +242,28 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // TF-IDF-lite (SURVEY §7.1 M5): top-3 terms per document by
+    // tf·idf. Document frequencies come from one keyed aggregation over
+    // (term, doc) pairs; idf joins back by term (broadcastable — vocab
+    // ≪ corpus). ln() is IEEE-identical across engines for these
+    // inputs; scores round to 6 for the oracle.
+    "q61_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
+      val n = Tables.documents(s, d).count()
+      val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "term")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3 && col("doc_id") < 100)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Rolling-hash document sketch: min shingle-hash fingerprint (k-min
     // sketch, k=1) — the cheap near-dup pre-filter key. xxhash64-based,
     // no DuckDB analogue → rows-only; determinism checked in PipelineSpec.
@@ -431,6 +453,23 @@ object Pipeline {
         |  FROM sc)
         |SELECT lang, predicted, count(*) AS n
         |FROM pred GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q61_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term,
+        |    round(tf * ln(n.n * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tfidf FROM r
+        |WHERE rnk <= 3 AND doc_id < 100 ORDER BY doc_id, rnk""".stripMargin,
     "q54_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
