@@ -242,6 +242,54 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Embedding-cosine near-dup: all pairs at-or-above a cosine
+    // threshold — brute-force exact baseline (labelled; the LSH/IVF
+    // variants above are the scale path for candidate generation).
+    "q62_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // The keep-one dedup that closes the near-dup pipeline: connected
+    // components over the verified pair graph (iterative min-label
+    // propagation — the standard large-graph CC: each round one keyed
+    // join + aggregation, converges in O(graph diameter) rounds), then
+    // canonical = component minimum. Output: every doc in a near-dup
+    // component with its canonical survivor.
+    "q63_near_dup_keep_one" -> ((s, d) => {
+      val pairs = Pipeline.queries("q44_near_dup_pairs")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .cache()
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val viaNeighbors = edges
+          .join(labels, edges("doc_b") === labels("node"))
+          .select(col("doc_a").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .union(viaNeighbors)
+          .groupBy("node").agg(min("label").as("label"))
+          .cache()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF-lite (SURVEY §7.1 M5): top-3 terms per document by
     // tf·idf. Document frequencies come from one keyed aggregation over
     // (term, doc) pairs; idf joins back by term (broadcastable — vocab
@@ -453,6 +501,41 @@ object Pipeline {
         |  FROM sc)
         |SELECT lang, predicted, count(*) AS n
         |FROM pred GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q62_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) dot,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END, 6) AS cos
+        |FROM p WHERE (CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q63_near_dup_keep_one" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+        |), prs AS (
+        |  SELECT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*)*1.0/(any_value(a.n)+any_value(b.n)-count(*)) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a a, doc_b b FROM prs UNION SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q61_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
