@@ -70,6 +70,24 @@ class IngestSpec extends AnyFunSuite {
     assert(res.summaryLines(1).matches("Throughput: \\d+ rows/second"))
   }
 
+  test("ingested data round-trips through the query surface") {
+    // the reference user's workflow: culvert writes, Hive queries —
+    // here: batch ingest 60k rows, read the ORC back, and verify the
+    // deterministic round-robin dictionary counts survive the
+    // write+read cycle exactly
+    val dir = tmp()
+    Ingest.runBatch(spark,
+      IngestConfig(outputPath = Some(dir), parallelism = 4, buckets = 4), 60000)
+    val counts = spark.read.orc(dir)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("view" -> 20000L, "click" -> 20000L, "purchase" -> 20000L))
+    val adCounts = spark.read.orc(dir)
+      .groupBy("ad_type").count()
+      .collect().map(r => r.getLong(1)).toSet
+    assert(adCounts == Set(12000L))
+  }
+
   test("commitBatch is idempotent: a replayed batch does not duplicate rows") {
     val dir = tmp()
     val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
