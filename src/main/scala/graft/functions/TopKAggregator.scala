@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Aggregator for grouped top-k by score: keeps a bounded k-entry
+  * buffer per group (insertion + merge both O(k)), instead of sorting
+  * every candidate row under a window — the partial-aggregation form of
+  * top-k, which combines map-side before the shuffle.
+  *
+  * Ordering contract: score DESC, then id ASC on ties — identical to
+  * `row_number over (order by score desc, id)`, so it is a drop-in for
+  * the window formulation. Emits the final top-k sorted.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+  require(k > 0)
+
+  private def best(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    xs.sortBy { case (id, score) => (-score, id) }.take(k)
+
+  override def zero: Seq[(Long, Double)] = Nil
+  override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
+    best(buf :+ x)
+  override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    best(a ++ b)
+  override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+  override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+    ExpressionEncoder[Seq[(Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] = bufferEncoder
+}

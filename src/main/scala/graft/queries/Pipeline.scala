@@ -192,10 +192,20 @@ object Pipeline {
         .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
         .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
         .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      // grouped top-k via the typed TopKByScore Aggregator: bounded
+      // k-entry buffers with map-side partial aggregation, instead of
+      // sorting every candidate pair under a window (same (cos desc,
+      // id asc) order contract — TopKAggregatorSpec)
+      import s.implicits._
+      pairs.select(col("vec_id"), col("neighbor_id"), col("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, nid, c) => (nid, c) }
+        .agg(new graft.functions.TopKByScore(3).toColumn.name("topk"))
+        .toDF("vec_id", "topk")
+        .select(col("vec_id"), posexplode(col("topk")))
+        .select(col("vec_id"), (col("pos") + 1).as("rank"),
+          col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("cos"))
         .orderBy("vec_id", "rank")
     }),
 

@@ -42,7 +42,7 @@ class BuilderSpec extends AnyFunSuite {
       .withParallelism(2)
       .withEventsPerSecond(2000)
       .withCommitAfterRows(400)
-      .withTimeout(10000)
+      .withTimeout(15000) // generous under external machine load
       .withBuckets(2)
       .run(TestSpark.spark)
     assert(res.rowsCommitted > 0)
