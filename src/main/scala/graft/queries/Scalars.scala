@@ -129,6 +129,25 @@ object Scalars {
         .groupBy(col("status"), col("seg_nb"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("status"), col("seg_nb").asc_nulls_first)
+    }),
+
+    "q64_map_funcs" -> ((s, d) => {
+      // map construction + lookup: per priority, aggregate the status
+      // distribution into a map (map_from_entries over collected
+      // structs), then extract scalar lookups — map-typed data never
+      // leaves the query, so the oracle compares plain columns
+      val base = orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      base.groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+        .select(col("o_orderpriority"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"),
+          size(col("m")).as("n_statuses"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -206,6 +225,14 @@ object Scalars {
         |    NULLIF(c_mktsegment, 'BUILDING') AS seg_nb
         |  FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
         |    ON c_custkey = o_custkey) t
-        |GROUP BY status, seg_nb ORDER BY status, seg_nb NULLS FIRST""".stripMargin
+        |GROUP BY status, seg_nb ORDER BY status, seg_nb NULLS FIRST""".stripMargin,
+
+    "q64_map_funcs" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
