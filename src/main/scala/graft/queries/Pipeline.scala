@@ -61,39 +61,36 @@ object Pipeline {
         .orderBy("keep_doc_id")
     }),
 
-    // Ground-truth near-dup pairs: inverted-index join on shingles (any
-    // pair with J >= 0.8 must share many shingles), then exact Jaccard.
-    // Keyed shuffle on the shingle; at 100 TB add a stop-shingle document
-    // -frequency cap so hot shingles don't fan out quadratically.
+    // Ground-truth near-dup pairs via the exact prefix-filtered
+    // similarity join (PPJoin family):
+    //  1. order each doc's shingle hashes globally (the 64-bit hash IS
+    //     the total order) and index only the PREFIX — the ⌊(1-t)·n⌋+1
+    //     smallest — because any pair with J ≥ t must collide inside
+    //     both prefixes (symmetric prefix filter, provably no false
+    //     negatives); candidate volume drops ~25× vs indexing every
+    //     shingle;
+    //  2. length filter in the join (J ≤ min(n)/max(n) ⇒ sizes within
+    //     1.25× of each other at t = 0.8);
+    //  3. verify candidates with the exact Jaccard on full shingle sets.
+    // Every step is a keyed equi-join or aggregation — the 100 TB shape.
+    // The prefix index is ~24 B/row and broadcastable far beyond this
+    // fixture; at larger scale swap for a sort-merge join.
     "q44_near_dup_pairs" -> ((s, d) => {
-      // join key = 64-bit hash of the shingle, not the string: the
-      // inverted-index shuffle moves 8-byte longs instead of ~20-byte
-      // strings and compares primitives (hash-collision risk 2^-64 per
-      // pair — immaterial against the exact-count oracle)
-      val ex = shingled(s, d).select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), col("n"), xxhash64(col("s")).as("tok"))
-        .cache() // both sides of the self-join read this
-
-      // the exploded index is ~24 B/row — broadcastable far beyond this
-      // fixture, which turns the self-join into a broadcast hash join
-      // (no shuffle of either side; the pair stream partial-aggregates
-      // map-side). At 100 TB swap for the sort-merge join + stop-shingle
-      // cap noted above.
-      // length filter (PPJoin-style): J(a,b) <= min(n)/max(n), so
-      // J >= 0.8 needs the shingle-set sizes within 1.25× of each other
-      // — provably no false negatives; prunes incompatible pairs before
-      // the counting aggregation
-      val cand = ex.as("a").join(broadcast(ex.as("b")),
+      val docs = shingled(s, d).cache()
+      val prefixLen = (floor(col("n") * (1 - JaccardThreshold)) + 1).cast("int")
+      val prefix = docs.select(col("doc_id"), col("n"),
+          slice(array_sort(transform(col("sh"), t => xxhash64(t))), lit(1), prefixLen).as("pre"))
+        .select(col("doc_id"), col("n"), explode(col("pre")).as("tok"))
+      val cand = prefix.as("a").join(broadcast(prefix.as("b")),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
             col("b.n") * JaccardThreshold <= col("a.n") &&
             col("a.n") * JaccardThreshold <= col("b.n"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
-        .filter(col("jaccard") >= JaccardThreshold)
-      cand.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      verified(pairs)
     }),
 
     // MinHash-LSH near-dup: 64 min-hashes per doc, banded 16×4; docs
