@@ -57,8 +57,13 @@ object Bench {
     }
     def probe(buckets: Int): Long = {
       val tmp = Files.createTempDirectory("graft-bench-ingest")
+      // stream count capped like the streaming probe: total files =
+      // p × buckets, and per-file ORC fixed cost dominates local-scale
+      // bucketed writes; the bucket exchange still fans out over all
+      // cores (p × buckets tasks), with 4× larger files at p = 8
+      val p = if (buckets > 0) math.min(8, cpus.toInt) else cpus.toInt
       val r = Ingest.runBatch(spark,
-        IngestConfig(outputPath = Some(tmp.toString), parallelism = cpus.toInt,
+        IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
           buckets = buckets),
         ingestRows)
       rmrf(tmp.toFile)
@@ -83,7 +88,9 @@ object Bench {
       // write capacity so batches stay saturated but bounded
       parallelism = math.min(8, cpus.toInt),
       eventsPerSecond = 100000,
-      commitAfterNRows = 500000,
+      // small-ish commits so several land inside the window even when
+      // the box is contended — a zero-commit probe reports nothing
+      commitAfterNRows = 250000,
       timeoutMs = streamMs))
     rmrf(streamDir.toFile)
 

@@ -92,9 +92,14 @@ object Ingest {
     * The stream index (`__pid`, the static-mode month) is captured HERE,
     * before any exchange moves rows off their source partition. */
   def rawStream(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    // stream-launch stagger (`Culvert.java:105-108`: delay × p of ramp
+    // before all streams run) → the rate source's rampUpTime, its
+    // native gradual-start knob
+    val rampSec = cfg.streamLaunchDelayMs * cfg.parallelism / 1000
     spark.readStream
       .format("rate")
       .option("rowsPerSecond", cfg.eventsPerSecond.toLong * cfg.parallelism)
+      .option("rampUpTime", s"${rampSec}s")
       .option("numPartitions", cfg.parallelism)
       .load()
       .select(col("value"), spark_partition_id().as("__pid"))

@@ -55,6 +55,32 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.count() == gotKeys.size)
   }
 
+  test("generator source feeds streaming windowed analytics end to end") {
+    // the two halves joined: the ingest engine's rate+generator stream
+    // (graft.ingest) is itself a streaming analytics input — parse the
+    // generated ISO event_time, window it, and account for every row
+    import graft.ingest.{Ingest, IngestConfig}
+    import org.apache.spark.sql.functions._
+    val cfg = IngestConfig(outputPath = None, parallelism = 2,
+      eventsPerSecond = 3000, timeoutMs = 3000)
+    val frame = Ingest.streamingFrame(spark, cfg)
+      .withColumn("ts", to_timestamp(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "90 days").getField("start").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = frame.writeStream.format("memory").queryName("m_genwin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500))
+      .start()
+    q.awaitTermination(8000)
+    q.stop()
+    val agg = spark.table("m_genwin")
+    val total = agg.agg(sum("n")).collect().head.getLong(0)
+    assert(total > 0, "windowed aggregate over the generated stream is empty")
+    val types = agg.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "purchase")) && types.nonEmpty)
+  }
+
   test("mapGroupsWithState user counts match batch groupBy (stateful op)") {
     val got = EventStreams.runToMemory(spark,
       EventStreams.statefulUserCounts(spark, stream()).toDF("user_id", "n"),
