@@ -186,8 +186,8 @@ object Pipeline {
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
         .distinct()
       val pairs = cand
-        .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
+        .join(broadcast(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))), "vec_id")
+        .join(broadcast(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))), "neighbor_id")
         .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
       // grouped top-k via the typed TopKByScore Aggregator: bounded
       // k-entry buffers with map-side partial aggregation, instead of
@@ -351,7 +351,7 @@ object Pipeline {
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-      val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      val pairs = a.join(broadcast(b), Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
       pairs.withColumn("rank", row_number().over(w))
