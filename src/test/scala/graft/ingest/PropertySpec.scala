@@ -42,6 +42,17 @@ object TextHashProps extends Properties("TextHash") {
       TextHash.foreachShingleHash(s, 1)((h1, h2) => ok &= h2 != 0L)
       ok
     }
+
+  property("degenerate inputs produce exactly one shingle, never zero") =
+    forAll(choose(1, 5)) { n =>
+      // empty text and sub-n token counts fall back to the whole-text
+      // shingle (TextFunctions.wordShingles contract)
+      Seq("", "one", "a b").forall { text =>
+        var count = 0
+        TextHash.foreachShingleHash(text, n)((_, _) => count += 1)
+        count == math.max(1, TextHash.tokens(text).length - n + 1)
+      }
+    }
 }
 
 /** Commit accounting / throughput formula properties. */
