@@ -131,6 +131,44 @@ object Scalars {
         .orderBy(col("status"), col("seg_nb").asc_nulls_first)
     }),
 
+    "q65_bitwise_funcs" -> ((s, d) => {
+      // bitwise ops over integral keys — exact in both engines
+      orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("lo8"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_bit"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("xored"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q66_string_agg" -> ((s, d) => {
+      // ordered string aggregation: nation names per region,
+      // deterministically sorted before concatenation
+      nation(s, d).join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws("|", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q67_median_percentiles" -> ((s, d) => {
+      // EXACT median / percentiles (linear interpolation) — both
+      // engines interpolate identically on DECIMAL-exact inputs
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(dec(col("o_totalprice")), lit(0.5), lit(1000000)).cast(DoubleType).as("p50_approx"),
+          expr("percentile(CAST(o_totalprice AS DECIMAL(12,2)), 0.5)").as("median"),
+          expr("percentile(CAST(o_totalprice AS DECIMAL(12,2)), 0.9)").as("p90"))
+        .select(col("o_orderpriority"), round(col("median"), 4).as("median"),
+          round(col("p90"), 4).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q64_map_funcs" -> ((s, d) => {
       // map construction + lookup: per priority, aggregate the status
       // distribution into a map (map_from_entries over collected
@@ -226,6 +264,28 @@ object Scalars {
         |  FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
         |    ON c_custkey = o_custkey) t
         |GROUP BY status, seg_nb ORDER BY status, seg_nb NULLS FIRST""".stripMargin,
+
+    "q65_bitwise_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo8,
+        |  o_orderkey | 4096 AS with_bit,
+        |  xor(o_orderkey, o_custkey) AS xored,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q66_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q67_median_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5), 4) AS median,
+        |  round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q64_map_funcs" ->
       """SELECT o_orderpriority,
