@@ -131,6 +131,34 @@ object Scalars {
         .orderBy(col("status"), col("seg_nb").asc_nulls_first)
     }),
 
+    "q68_unpivot" -> ((s, d) => {
+      // wide → long melt via Dataset.unpivot: per-returnflag measures
+      // unpivoted into (measure, value) rows
+      val wide = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("price"),
+          count(lit(1)).cast(DoubleType).as("rows"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("rows")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    "q69_keyed_sample" -> ((s, d) => {
+      // deterministic keyed sampling: reproducible 1/8 corpus
+      // downsample keyed on md5(doc_id) — same subset on every engine
+      // and every run (unlike TABLESAMPLE), the standard trick for
+      // train/eval splits of a 100 TB corpus
+      documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     "q65_bitwise_funcs" -> ((s, d) => {
       // bitwise ops over integral keys — exact in both engines
       orders(s, d)
@@ -264,6 +292,26 @@ object Scalars {
         |  FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
         |    ON c_custkey = o_custkey) t
         |GROUP BY status, seg_nb ORDER BY status, seg_nb NULLS FIRST""".stripMargin,
+
+    "q68_unpivot" ->
+      """SELECT l_returnflag, measure, val FROM (
+        |  SELECT l_returnflag, 'qty' AS measure,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS val
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price',
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT l_returnflag, 'rows', CAST(COUNT(*) AS DOUBLE)
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q69_keyed_sample" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q65_bitwise_funcs" ->
       """SELECT o_orderkey,
