@@ -34,15 +34,25 @@ object Bench {
     def materialize(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
 
+    // Per-query cache scope: queries may cache/checkpoint intermediates;
+    // nothing may stay pinned once the query is done (VERDICT r2 #6).
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     // Warmup: touch every base table's scan path + codegen pipeline once.
     Seq("q31_date_funcs", "q01_pricing_summary", "q43_exact_dedup",
       "q47_cosine_topk", "q37_tumbling_window")
       .foreach(q => try materialize(q) catch { case _: Throwable => () })
+    dropCaches()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      name -> t
     }
 
     // Ingest throughput probes: bounded batch through the full generator
@@ -50,54 +60,93 @@ object Bench {
     // per micro-batch), with and without the 32-bucket contract — the
     // bucketed number is the one comparable to BASELINE.md (the
     // reference's table is clustered into 32 buckets).
+    //
+    // Robustness (VERDICT r2 #2): machine load swings single-shot probes
+    // 2-6×, so each probe runs N times and reports the BEST (the number
+    // closest to the engine's capability rather than the neighbor's);
+    // every probe is exception-guarded so a probe failure can never eat
+    // the JSON result line; the JSON carries the 1-min loadavg so a
+    // contaminated run is visible in the record.
     val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000000").toLong
+    val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete()
     }
-    def probe(buckets: Int): Long = {
+    def probeOnce(buckets: Int): Long = {
       val tmp = Files.createTempDirectory("graft-bench-ingest")
       // stream count capped like the streaming probe: total files =
       // p × buckets, and per-file ORC fixed cost dominates local-scale
       // bucketed writes; the bucket exchange still fans out over all
       // cores (p × buckets tasks), with 4× larger files at p = 8
       val p = if (buckets > 0) math.min(8, cpus.toInt) else cpus.toInt
-      val r = Ingest.runBatch(spark,
-        IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
-          buckets = buckets),
-        ingestRows)
-      rmrf(tmp.toFile)
-      r.throughputRowsPerSec
+      try {
+        val r = Ingest.runBatch(spark,
+          IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
+            buckets = buckets),
+          ingestRows)
+        r.throughputRowsPerSec
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] ingest probe (buckets=$buckets) failed: ${t.getMessage}")
+          -1L
+      } finally rmrf(tmp.toFile)
     }
-    val ingestRate = probe(32)
-    val ingestRateUnbucketed = probe(0)
+    def probeBest(buckets: Int): Long =
+      (1 to probeReps).map(_ => probeOnce(buckets)).max
+    val ingestRate = probeBest(32)
+    val ingestRateUnbucketed = probeBest(0)
 
     // Streaming commit-path probe: a real timed run of the streaming
     // engine (rate source saturating the sink, foreachBatch commits,
     // checkpointing) reported with the REFERENCE'S formula — committed
     // rows ÷ configured timeout seconds (Culvert.java:170-171) — the
-    // number directly comparable to BASELINE.md's.
+    // number directly comparable to BASELINE.md's. Best of 2: the first
+    // window absorbs stream startup; a contended box recovers in the
+    // second.
     val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "15000").toLong
-    val streamDir = Files.createTempDirectory("graft-bench-stream")
-    val streaming = Ingest.run(spark, IngestConfig(
-      outputPath = Some(streamDir.toString),
-      // every commit writes p×buckets files; at local scale the ORC
-      // per-file fixed cost dominates micro-batch latency, so the probe
-      // caps the stream count (the bucket write still fans out across
-      // all cores) and sizes the aggregate rate just above the sink's
-      // write capacity so batches stay saturated but bounded
-      parallelism = math.min(8, cpus.toInt),
-      eventsPerSecond = 100000,
-      // small-ish commits so several land inside the window even when
-      // the box is contended — a zero-commit probe reports nothing
-      commitAfterNRows = 250000,
-      timeoutMs = streamMs))
-    rmrf(streamDir.toFile)
+    def streamOnce(): (Long, Long) = {
+      val streamDir = Files.createTempDirectory("graft-bench-stream")
+      try {
+        val r = Ingest.run(spark, IngestConfig(
+          outputPath = Some(streamDir.toString),
+          // every commit writes p×buckets files; at local scale the ORC
+          // per-file fixed cost dominates micro-batch latency, so the
+          // probe caps the stream count (the bucket write still fans out
+          // across all cores) and sizes the aggregate rate just above the
+          // sink's write capacity so batches stay saturated but bounded
+          parallelism = math.min(8, cpus.toInt),
+          eventsPerSecond = 100000,
+          // small-ish commits so several land inside the window even when
+          // the box is contended — a zero-commit probe reports nothing
+          commitAfterNRows = 250000,
+          timeoutMs = streamMs))
+        (r.rowsCommitted, r.throughputRowsPerSec)
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] streaming probe failed: ${t.getMessage}")
+          (-1L, -1L)
+      } finally rmrf(streamDir.toFile)
+    }
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
+    val (streamRows, streamRate) =
+      (1 to streamReps).map(_ => streamOnce()).maxBy(_._2)
+
+    val load1 = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":${streaming.rowsCommitted},"ingest_streaming_rows_per_sec":${streaming.throughputRowsPerSec}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load1":$load1,"probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate}"""
+    // The JSON line is the driver contract: print it BEFORE any shutdown
+    // chatter, flush so no buffering can strand it, and mirror it to a
+    // file so a truncated log capture can't lose the round's numbers.
+    println(json)
+    System.out.flush()
+    try Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -35,4 +35,41 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Committed-only view of an ingest output directory: reads ONLY the
+    * files published by batches whose `_commits/<batchId>` marker exists
+    * — the atomic-visibility half of the staged-commit protocol (the
+    * reference delegates this contract to hive-streaming transactions,
+    * `Culvert.java:213-231`; SURVEY §2.3.1). A crash mid-publish leaves
+    * `b<id>-*` files with no marker; this reader never sees them, and a
+    * replayed commit first scrubs them (Ingest.commitBatch).
+    *
+    * Listing cost is one recursive enumeration of the table directory —
+    * the same listing every Spark file-source scan performs; the marker
+    * set is one extra small-directory listing.
+    */
+  def committedView(spark: SparkSession, path: String, format: String = "orc"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitsDir = new Path(root, "_commits")
+    val committed: Set[String] =
+      if (fs.exists(commitsDir)) fs.listStatus(commitsDir).map(_.getPath.getName).toSet
+      else Set.empty
+    val batchFile = "^b(\\d+)-.*$".r
+    val rootQualified = fs.makeQualified(root).toString
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
+      val hidden = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      f.getName match {
+        case batchFile(id) if !hidden && committed(id) => files += f.toString
+        case _ => ()
+      }
+    }
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.format(format).option("basePath", path).load(files.toSeq: _*)
+  }
 }

@@ -205,6 +205,12 @@ object Ingest {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$path/_commits/$batchId")
     if (fs.exists(marker)) return 0L
+    // A prior attempt may have crashed mid-publish (some files renamed,
+    // marker absent): delete any half-published b<batchId>-* files first
+    // so the replay cannot leave duplicates visible to plain directory
+    // readers. Partition layout is always <year=Y>/<month=M>, two levels.
+    val stale = fs.globStatus(new Path(s"$path/*/*/b$batchId-*"))
+    if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
     // Batch size, counted up front: the raw batch is just the rate
     // micro-batch's (value, pid) range — nearly free.
     val n = batch.count()

@@ -73,18 +73,30 @@ object Pipeline {
     //     1.25× of each other at t = 0.8);
     //  3. verify candidates with the exact Jaccard on full shingle sets.
     // Every step is a keyed equi-join or aggregation — the 100 TB shape.
-    // The prefix index is ~24 B/row and broadcastable far beyond this
-    // fixture; at larger scale swap for a sort-merge join.
+    // The prefix index is corpus-sized (~1 row per doc per prefix token),
+    // so the self-join carries NO broadcast hint: AQE broadcasts it when
+    // it actually fits and shuffles on tok otherwise (PlanShapeSpec pins
+    // the equi-join either way).
     "q44_near_dup_pairs" -> ((s, d) => {
       val docs = shingled(s, d).cache()
       val prefixLen = (floor(col("n") * (1 - JaccardThreshold)) + 1).cast("int")
       val prefix = docs.select(col("doc_id"), col("n"),
           slice(array_sort(transform(col("sh"), t => xxhash64(t))), lit(1), prefixLen).as("pre"))
-        .select(col("doc_id"), col("n"), explode(col("pre")).as("tok"))
-      val cand = prefix.as("a").join(broadcast(prefix.as("b")),
+        .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos", "tok")))
+      val cand = prefix.as("a").join(prefix.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
             col("b.n") * JaccardThreshold <= col("a.n") &&
-            col("a.n") * JaccardThreshold <= col("b.n"))
+            col("a.n") * JaccardThreshold <= col("b.n") &&
+            // PPJoin position filter: common shingles are a subset of
+            // each side's suffix from the FIRST common prefix token, so
+            // overlap ≤ min(n_a - pos_a, n_b - pos_b) (pos is 0-based,
+            // the min counts the matched token itself), while J ≥ t
+            // needs overlap ≥ t/(1+t)·(n_a+n_b). No false negatives:
+            // when J ≥ t the first common token's row always satisfies
+            // both this and the prefix bound (PipelineSpec pins
+            // LSH == exact, which would catch any lost pair).
+            least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+              (col("a.n") + col("b.n")) * lit(JaccardThreshold / (1 + JaccardThreshold)))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val pairs = cand
@@ -185,9 +197,12 @@ object Pipeline {
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
         .distinct()
+      // verify joins are keyed on vec_id with NO broadcast hint — the
+      // embeddings side is corpus-sized, so at scale these must be
+      // shuffle hash joins; AQE picks broadcast only when it truly fits
       val pairs = cand
-        .join(broadcast(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))), "vec_id")
-        .join(broadcast(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))), "neighbor_id")
+        .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
         .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
       // grouped top-k via the typed TopKByScore Aggregator: bounded
       // k-entry buffers with map-side partial aggregation, instead of
@@ -276,26 +291,46 @@ object Pipeline {
       // (PipelineSpec) and ~2× cheaper than recomputing it
       val pairs = Pipeline.queries("q45_minhash_lsh")(s, d)
         .select(col("doc_a"), col("doc_b"))
+      // materialized ONCE and lineage-truncated — every iteration rereads
+      // the checkpointed blocks instead of replaying the LSH join
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .cache()
+        .localCheckpoint()
+      val sc = s.sparkContext
+      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+      var prevIds = Set.empty[Int]
       var labels = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node"))
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      val maxIter = 50
+      while (!converged && iter < maxIter) {
         val viaNeighbors = edges
           .join(labels, edges("doc_b") === labels("node"))
           .select(col("doc_a").as("node"), col("label"))
-        val next = labels.select(col("node"), col("label"))
+        val propagated = labels.select(col("node"), col("label"))
           .union(viaNeighbors)
           .groupBy("node").agg(min("label").as("label"))
-          .cache()
-        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).isEmpty
-        labels = next
+        // carry the old label through the SAME materialization, so the
+        // convergence test below is a scan of checkpointed blocks — one
+        // propagation job per iteration, bounded lineage
+        val before = persistedIds
+        val next = propagated
+          .join(labels.withColumnRenamed("label", "old"), "node")
+          .localCheckpoint()
+        val nextIds = persistedIds -- before
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        // release the superseded iteration's checkpoint blocks
+        prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        prevIds = nextIds
+        labels = next.select("node", "label")
         iter += 1
       }
+      // a silent cap would diverge from the oracle's full transitive
+      // closure — fail loudly instead (diameter > 50 on a near-dup graph
+      // means the threshold, not the algorithm, is wrong)
+      require(converged,
+        s"q63 connected-components did not converge within $maxIter iterations")
       labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
         .orderBy("doc_id")
     }),
@@ -351,7 +386,9 @@ object Pipeline {
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-      val pairs = a.join(broadcast(b), Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      // cell equi-join, un-hinted: b is the full corpus, so broadcast is
+      // left to AQE (shuffle-on-cell is the correct 100 TB shape)
+      val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
       pairs.withColumn("rank", row_number().over(w))
@@ -420,6 +457,68 @@ object Pipeline {
           avg(col("width")).as("avg_width"),
           avg(col("height")).as("avg_height"))
         .orderBy("kind")
+    }),
+
+    // ------------------------------------------------ contract queries
+    // The approximate operators (q46/q48/q52/q57) are hash/seed-based
+    // and have no SQL analogue, so the driver's gate only counts their
+    // rows. These queries turn each one's QUALITY contract into a
+    // constant-row oracle the driver CAN check — same pattern as q54's
+    // HLL contract.
+
+    // ANN quality: recall of the exact top-3 neighbor set (q47) by the
+    // hyperplane-LSH tables (q48) and by IVF nprobe=1 (q57). The
+    // thresholds mirror PipelineSpec's; recall is computed fully
+    // distributed (left join + aggregate — no collects).
+    "q70_ann_recall" -> ((s, d) => {
+      val exact = Pipeline.queries("q47_cosine_topk")(s, d)
+        .select(col("vec_id"), col("neighbor_id"))
+      def recallOf(ann: DataFrame, method: String, thr: Double): DataFrame =
+        exact.join(ann.select(col("vec_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)), Seq("vec_id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
+          .select(lit(method).as("method"), (col("recall") >= thr).as("recall_ok"))
+      recallOf(Pipeline.queries("q48_ann_hyperplane")(s, d), "hyperplane", 0.3)
+        .unionByName(recallOf(Pipeline.queries("q57_ann_ivf")(s, d), "ivf", 0.1))
+        .orderBy("method")
+    }),
+
+    // SimHash contract: the hamming<=3 pair set is nonempty and overlaps
+    // the exact Jaccard>=0.8 ground truth (token-level simhash and
+    // shingle Jaccard are different similarity spaces, so overlap — not
+    // equality — is the honest contract).
+    "q71_simhash_contract" -> ((s, d) => {
+      val sim = Pipeline.queries("q46_simhash_pairs")(s, d).select("doc_a", "doc_b")
+      // q45's LSH pair set is proven equal to the exact shingle-join
+      // ground truth (PipelineSpec) at ~40% of the cost — use it as the
+      // truth side here
+      val truth = Pipeline.queries("q45_minhash_lsh")(s, d).select("doc_a", "doc_b")
+      val nSim = sim.agg(count(lit(1)).as("n_sim"))
+      val nInter = sim.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_inter"))
+      nSim.crossJoin(nInter)
+        .select((col("n_sim") > 0).as("nonempty"),
+          (col("n_inter") > 0).as("overlaps_truth"))
+    }),
+
+    // Fingerprint contract: identical documents (same exact-dedup md5
+    // fingerprint) MUST collide on the min-shingle sketch — sketch
+    // equality is implied by text equality, so a split group is a sketch
+    // bug (vacuously true on a dup-free fixture); and the sketch covers
+    // the corpus: exactly one non-null fp per document.
+    "q72_fingerprint_contract" -> ((s, d) => {
+      val fp = Pipeline.queries("q52_min_shingle_fp")(s, d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5Fingerprint(col("text")).as("f"))
+      val joined = docs.join(fp, "doc_id")
+      val consistent = joined.groupBy("f")
+        .agg(countDistinct(col("fp")).as("nfp"))
+        .agg(coalesce(max(col("nfp")) === 1, lit(true)).as("fp_consistent"))
+      val coverage = joined
+        .agg(count(col("fp")).as("n_fp"))
+        .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+        .select((col("n_fp") === col("n_docs")).as("fp_covers_corpus"))
+      consistent.crossJoin(coverage)
     })
   )
 
@@ -577,7 +676,7 @@ object Pipeline {
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
         |ORDER BY v.user_id, v.event_id""".stripMargin,
     "q53_multimodal_features" ->
-      """SELECT kind, count(*) AS n, sum(nb) AS total_bytes,
+      """SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes,
         |  avg(w) AS avg_width, avg(h) AS avg_height FROM (
         |  SELECT CASE CAST(doc_id % 3 AS INT)
         |           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -588,10 +687,17 @@ object Pipeline {
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "q51_token_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(len(string_split_regex(text, '\s+'))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |  max(len(string_split_regex(text, '\s+'))) AS max_ws,
-        |  sum(length(text)) AS chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q70_ann_recall" ->
+      """SELECT 'hyperplane' AS method, TRUE AS recall_ok
+        |UNION ALL SELECT 'ivf', TRUE ORDER BY method""".stripMargin,
+    "q71_simhash_contract" ->
+      "SELECT TRUE AS nonempty, TRUE AS overlaps_truth",
+    "q72_fingerprint_contract" ->
+      "SELECT TRUE AS fp_consistent, TRUE AS fp_covers_corpus"
   )
 }

@@ -189,7 +189,6 @@ object Scalars {
       orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          percentile_approx(dec(col("o_totalprice")), lit(0.5), lit(1000000)).cast(DoubleType).as("p50_approx"),
           expr("percentile(CAST(o_totalprice AS DECIMAL(12,2)), 0.5)").as("median"),
           expr("percentile(CAST(o_totalprice AS DECIMAL(12,2)), 0.9)").as("p90"))
         .select(col("o_orderpriority"), round(col("median"), 4).as("median"),
@@ -270,7 +269,7 @@ object Scalars {
 
     "q34_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS min_k,
         |  MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -308,7 +307,7 @@ object Scalars {
         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q69_keyed_sample" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY lang ORDER BY lang""".stripMargin,

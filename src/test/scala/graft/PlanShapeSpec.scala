@@ -63,4 +63,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("HashAggregate"), "pair counting should partial-aggregate")
   }
+
+  test("q57 IVF cell join is a keyed equi-join, not a product") {
+    val p = plan("q57_ann_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell join must be a keyed equi-join")
+  }
+
+  // The corpus-sized sides (q44 prefix index, q48 verify joins, q57 cell
+  // join) must NOT carry a user broadcast hint: at 100 TB a forced
+  // broadcast of a corpus-sized side OOMs the build side. AQE may still
+  // CHOOSE broadcast when the side fits — the assertion is on the hint
+  // (analyzed plan), not the strategy.
+  for (q <- Seq("q44_near_dup_pairs", "q48_ann_hyperplane", "q57_ann_ivf"))
+    test(s"$q carries no user broadcast hint on corpus-sized sides") {
+      val analyzed =
+        SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$q must leave join-strategy choice to AQE")
+    }
 }

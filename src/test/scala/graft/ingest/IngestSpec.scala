@@ -101,6 +101,42 @@ class IngestSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_staging/7").exists)
   }
 
+  test("a replay after a crash mid-publish does not duplicate rows") {
+    // crash model: files were renamed into the destination dirs but the
+    // marker was never written; the restarted query re-runs the batch.
+    // Without the pre-publish scrub the old b7-* files and the replay's
+    // fresh-UUID files would BOTH be visible to plain directory readers.
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+    val raw = spark.range(0, 1000, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    assert(Ingest.commitBatch(cfg, dir, raw, batchId = 7) == 1000)
+    // simulate the crash: publish happened, marker lost
+    assert(new java.io.File(dir, "_commits/7").delete())
+    assert(Ingest.commitBatch(cfg, dir, raw, batchId = 7) == 1000)
+    assert(spark.read.orc(dir).count() == 1000,
+      "replay after mid-publish crash must scrub half-published files")
+    assert(new java.io.File(dir, "_commits/7").exists)
+  }
+
+  test("committedView reads only batches whose commit marker exists") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+    def raw(from: Long, until: Long) = spark.range(from, until, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    assert(Ingest.commitBatch(cfg, dir, raw(0, 1000), batchId = 1) == 1000)
+    assert(Ingest.commitBatch(cfg, dir, raw(1000, 1500), batchId = 2) == 500)
+    // crash window: batch 2's files are published but its marker is gone
+    assert(new java.io.File(dir, "_commits/2").delete())
+    // a plain directory reader sees the uncommitted files...
+    assert(spark.read.orc(dir).count() == 1500)
+    // ...the committed view sees exactly the committed batch
+    val cv = graft.core.Tables.committedView(spark, dir)
+    assert(cv.count() == 1000)
+    // partition columns survive path-based loading (basePath)
+    assert(cv.columns.contains("year") && cv.columns.contains("month"))
+  }
+
   test("streaming ingest commits batches and accounts committed rows only") {
     val dir = tmp()
     // generous timeout: under heavy external machine load the first
