@@ -34,16 +34,43 @@ object Probe {
     timed("generate only") {
       Ingest.batchFrame(spark, cfg, rows).queryExecution.toRdd.count()
     }
+    timed("route+generate (no write)") {
+      Ingest.routeAndProject(
+        spark.range(0, rows, 1, cfg.parallelism)
+          .selectExpr("id as value", "cast(id % 8 as int) as __pid"),
+        cfg.copy(buckets = 32)).queryExecution.toRdd.count()
+    }
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    // sweep stream counts for the bucketed path: files written =
+    // p × 32, so p trades writer parallelism against per-file ORC
+    // fixed cost (arg 2 = comma-separated p list)
+    val pList = args.lift(1).map(_.split(',').map(_.toInt).toSeq)
+      .getOrElse(Seq(cpus))
     for (round <- 1 to 2) {
-      for ((tag, b) <- Seq(("unbucketed", 0), ("bucketed-32", 32))) {
+      for ((tag, b, p) <- Seq(("unbucketed", 0, cpus)) ++
+             pList.map(p => (s"bucketed-32 p=$p", 32, p))) {
         val dir = Files.createTempDirectory("probe").toString
         timed(s"[$round] orc lz4 $tag") {
           Ingest.runBatch(spark,
-            cfg.copy(outputPath = Some(dir), buckets = b, format = "orc"), rows)
+            cfg.copy(outputPath = Some(dir), buckets = b, format = "orc",
+              parallelism = p), rows)
         }
         rm(new java.io.File(dir))
       }
+      // small-compress-buffer variant: 256 small files allocate
+      // 10 cols × 2 × orc.compress.size each at default 256 KiB
+      val dir2 = Files.createTempDirectory("probe").toString
+      timed(s"[$round] bucketed-32 csize=32k") {
+        Ingest.routeAndProject(
+          spark.range(0, rows, 1, 8)
+            .selectExpr("id as value", "cast(spark_partition_id() as int) as __pid"),
+          cfg.copy(buckets = 32, parallelism = 8))
+          .write.mode("overwrite").format("orc")
+          .option("compression", "lz4")
+          .option("orc.compress.size", "32768")
+          .partitionBy("year", "month").save(dir2)
+      }
+      rm(new java.io.File(dir2))
     }
     spark.stop()
   }

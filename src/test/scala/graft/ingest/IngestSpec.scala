@@ -101,6 +101,21 @@ class IngestSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_staging/7").exists)
   }
 
+  test("bucketed files are hash-disjoint in user_id (one bucket per file)") {
+    // the `clustered by (user_id) into N buckets` contract: every data
+    // file holds exactly one pmod(hash(user_id), N) value — pins the
+    // salted-exchange identity routing end-to-end on real files
+    val dir = tmp()
+    Ingest.runBatch(spark,
+      IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 4), 20000)
+    val perFile = spark.read.orc(dir)
+      .select(input_file_name().as("file"),
+        pmod(hash(col("user_id")), lit(4)).as("bucket"))
+      .groupBy("file").agg(countDistinct(col("bucket")).as("nb"))
+    assert(perFile.filter(col("nb") > 1).isEmpty,
+      "each file must hold exactly one user_id hash bucket")
+  }
+
   test("a replay after a crash mid-publish does not duplicate rows") {
     // crash model: files were renamed into the destination dirs but the
     // marker was never written; the restarted query re-runs the batch.
