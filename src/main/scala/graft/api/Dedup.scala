@@ -1,0 +1,183 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators as a reusable library surface: every function
+  * is `DataFrame → DataFrame`, takes the id/text column names as
+  * parameters, and makes no assumption about where the corpus came from
+  * (the `graft.queries.Pipeline` fixture queries delegate here — they
+  * are the oracle-checked instantiation, this is the user API).
+  *
+  * Scale shapes (100 TB framing): candidate generation is always a keyed
+  * equi-join (fingerprint / prefix token / band bucket / signature
+  * chunk), never an unkeyed all-pairs product; no UDFs, no collects; no
+  * forced broadcasts of corpus-sized sides (AQE picks the strategy).
+  */
+object Dedup {
+
+  /** Exact dedup on the whitespace-normalized lowercase MD5 fingerprint:
+    * one row per distinct content with the lowest id as survivor.
+    * Output: (fingerprint, keep_<idCol>, dup_count). One keyed shuffle. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), md5Fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as(s"keep_$idCol"), count(lit(1)).as("dup_count"))
+
+  /** id + distinct lowercase word n-shingle set (+ set size) — the
+    * shared representation for the Jaccard-based operators. */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", shingle: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        distinctShingles(lower(col(textCol)), shingle).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  /** Exact Jaccard verification for a candidate pair frame carrying both
+    * shingle arrays (sh_a/n_a, sh_b/n_b). */
+  private[api] def verify(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  private[api] def joinBack(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+
+  /** EXACT near-dup pairs at Jaccard ≥ threshold via the prefix-filtered
+    * similarity join (PPJoin family): index only the ⌊(1-t)·n⌋+1
+    * smallest shingle hashes per doc (symmetric prefix filter — no
+    * false negatives), apply the length filter and the PPJoin position
+    * filter in the join, verify candidates with exact Jaccard.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, unordered. */
+  def nearDupPairsExact(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", threshold: Double = 0.8,
+                        shingle: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
+    val prefixLen = (floor(col("n") * (1 - threshold)) + 1).cast("int")
+    val prefix = sets.select(col("doc_id"), col("n"),
+        slice(array_sort(transform(col("sh"), t => xxhash64(t))), lit(1), prefixLen).as("pre"))
+      .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos", "tok")))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * threshold <= col("a.n") &&
+          col("a.n") * threshold <= col("b.n") &&
+          // PPJoin position filter: overlap ≤ min(n_a - pos_a, n_b - pos_b)
+          // for the first common prefix token (pos 0-based); J ≥ t needs
+          // overlap ≥ t/(1+t)·(n_a+n_b) — provably no false negatives
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verify(joinBack(cand, sets), threshold)
+  }
+
+  /** MinHash-LSH near-dup pairs: k min-hashes per doc, banded; docs
+    * colliding in any band become candidates; candidates are verified
+    * with EXACT Jaccard, so the only error mode is a missed pair
+    * (P(miss | J=0.97) ≈ 1e-15 at the 64/16 defaults). Candidate join
+    * is keyed on (band, band-hash) — cost ∝ collisions, not n². */
+  def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", threshold: Double = 0.8,
+                      shingle: Int = 3, hashes: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    require(hashes % bands == 0, "hashes must divide evenly into bands")
+    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
+    val rowsPerBand = hashes / bands
+    val mh = docs.select(col(idCol).as("doc_id"),
+      minHashes(lower(col(textCol)), shingle, hashes).as("mh"))
+    val bb = mh.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice(col("mh"), b * lit(rowsPerBand) + 1,
+              lit(rowsPerBand))).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verify(joinBack(cand, sets), threshold)
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ maxHamming over the
+    * 64-bit frequency-weighted token signature. Pigeonhole candidate
+    * generation: the signature is split into maxHamming+1 chunks that
+    * partition all 64 bits, so any pair within the distance bound shares
+    * at least one chunk — the candidate join is keyed on (chunk, value).
+    * Output: (doc_a, doc_b, hamming). */
+  def simHashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 64)
+    val chunksN = maxHamming + 1
+    val w = (64 + chunksN - 1) / chunksN
+    val sig = docs.select(col(idCol).as("doc_id"),
+      simHash64(lower(col(textCol))).as("sig")).cache()
+    val chunks = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until chunksN).map { c =>
+          val bits = math.min(w, 64 - c * w)
+          val mask = if (bits >= 64) -1L else (1L << bits) - 1
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("sig"), c * w).bitwiseAND(lit(mask)).as("cval"))
+        }: _*)).as("cc"))
+      .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Keep-one dedup over a near-dup pair graph: connected components by
+    * iterative min-label propagation (one keyed join + aggregation per
+    * round, O(component diameter) rounds), canonical = component min.
+    * Input: (doc_a, doc_b) pairs; output: (doc_id, canonical_id) for
+    * every node that appears in a pair.
+    *
+    * Scale hygiene: the edge set is materialized once via
+    * localCheckpoint; each iteration checkpoints its labels (bounded
+    * lineage), releases the superseded iteration's blocks, and reads
+    * convergence off the SAME materialization (no second propagation
+    * job). Fails loudly if the diameter exceeds maxIter. */
+  def keepOne(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    var prevIds = Set.empty[Int]
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .select(col("doc_a").as("node"), col("label"))
+      val propagated = labels.select(col("node"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+      val before = persistedIds
+      val next = propagated
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .localCheckpoint()
+      val nextIds = persistedIds -- before
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevIds = nextIds
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    require(converged,
+      s"connected-components did not converge within $maxIter iterations")
+    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+}

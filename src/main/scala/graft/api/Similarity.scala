@@ -1,0 +1,129 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity-search operators over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exactness baseline
+  * and two approximate scale paths (multi-table hyperplane LSH, IVF).
+  * Every function is `DataFrame → DataFrame` with column names as
+  * parameters; the fixture queries in `graft.queries.Pipeline` delegate
+  * here and carry the oracle/recall checks.
+  *
+  * Output schema of the top-k functions: (vec_id, rank, neighbor_id,
+  * cos) with cos rounded to 6, rank 1-based in (cos desc, neighbor asc)
+  * order — identical across exact and approximate variants so recall
+  * joins are trivial.
+  */
+object Similarity {
+
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      norm(col(vecCol)).as("nrm"))
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Brute-force cosine top-k — the EXACT baseline, O(n²) by
+    * construction (labelled as such; use the ANN variants at scale).
+    * Norms are hoisted before the join so each is computed n times,
+    * not n²; the right side is broadcast so the product never
+    * shuffles. */
+  def cosineTopKExact(emb: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", k: Int = 3): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+    topK(pairs, k)
+  }
+
+  /** Multi-table hyperplane-LSH ANN top-k: `tables` independent salted
+    * signature tables of `planes` hyperplanes each; a pair is a
+    * candidate if it collides in ANY table; candidates get exact
+    * cosines; grouped top-k via the typed TopKByScore Aggregator
+    * (bounded k-entry buffers, map-side partial aggregation). Candidate
+    * generation is an equi-join on (table, signature) — cost ∝
+    * collisions, not n²; verify joins are keyed on vec_id with NO
+    * broadcast hint (corpus-sized side — AQE decides). */
+  def hyperplaneAnnTopK(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding", k: Int = 3,
+                        tables: Int = 16, planes: Int = 6): DataFrame = {
+    val s = emb.sparkSession
+    val e = withNorm(emb, idCol, vecCol).cache()
+    // dimension probe: one metadata-sized lookup so the plane weights
+    // can be precomputed as literals (hyperplaneSignatureFast)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val sigs = e.select(col("vec_id"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+          hyperplaneSignatureFast(col("embedding"), planes, t, dim).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val pairs = cand
+      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+    import s.implicits._
+    pairs.select(col("vec_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, c) => (nid, c) }
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("vec_id", "topk")
+      .select(col("vec_id"), posexplode(col("topk")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("cos"))
+  }
+
+  /** IVF-style ANN top-k: a coarse k-means quantizer (seeded, few
+    * iterations) assigns every vector to a Voronoi cell; search runs
+    * within the cell (nprobe = 1). Centroids are a tiny broadcast
+    * model, assignment a narrow map, candidate generation an equi-join
+    * on the cell id (un-hinted — the corpus side must shuffle at
+    * scale). */
+  def ivfAnnTopK(emb: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding", k: Int = 3,
+                 cells: Int = 16, seed: Long = 42, maxIter: Int = 5): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol).cache()
+    val feats = e.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    val cellOf = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
+    val withCell = e.join(cellOf, "vec_id")
+    val a = withCell.select(col("cell"), col("vec_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+    topK(pairs, k)
+  }
+
+  /** All embedding pairs at-or-above a cosine threshold — brute-force
+    * exact baseline (labelled; candidate generation at scale belongs to
+    * the LSH/IVF paths). Output: (vec_a, vec_b, cos), vec_a < vec_b. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            minCosine: Double = 0.45): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+}

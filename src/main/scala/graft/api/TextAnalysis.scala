@@ -1,0 +1,94 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline: quality
+  * profiling, language ID, token accounting, tf-idf, document
+  * fingerprinting, deterministic sampling. All `DataFrame → DataFrame`,
+  * column names as parameters; the per-document features are native
+  * codegen'd expressions (no UDFs); double aggregates route through
+  * DECIMAL(18,6) sums so partial-aggregation order cannot change the
+  * result.
+  */
+object TextAnalysis {
+
+  /** Per-group quality profile: doc counts, average whitespace/BPE-ish
+    * token counts, average punctuation ratio and composite quality
+    * score. */
+  def qualityProfile(docs: DataFrame, textCol: String = "text",
+                     groupCol: String = "lang"): DataFrame = {
+    val en = langMarkers("en")
+    docs.select(col(groupCol),
+        tokenCount(col(textCol)).as("ws_toks"),
+        bpeishTokenCount(col(textCol)).as("bpe_toks"),
+        round(punctRatio(col(textCol)), 6).cast("decimal(18,6)").as("punct"),
+        qualityScore(col(textCol), en).cast("decimal(18,6)").as("quality"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("ws_toks")).as("avg_ws_tokens"),
+        avg(col("bpe_toks")).as("avg_bpe_tokens"),
+        round(sum(col("punct")).cast("double") / count(lit(1)), 6).as("avg_punct"),
+        round(sum(col("quality")).cast("double") / count(lit(1)), 6).as("avg_quality"))
+  }
+
+  /** Marker-word language ID (ties → language code asc, no hits →
+    * 'und') added as a `predicted` column. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("predicted", langId(lower(col(textCol))))
+
+  /** Per-group token accounting: whitespace tokens and the BPE-ish
+    * pre-tokenizer count (word pieces / numbers / punctuation runs). */
+  def tokenStats(docs: DataFrame, textCol: String = "text",
+                 groupCol: String = "source"): DataFrame =
+    docs.select(col(groupCol),
+        tokenCount(col(textCol)).as("ws"), bpeishTokenCount(col(textCol)).as("bpe"),
+        length(col(textCol)).as("len"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"),
+        max("ws").as("max_ws"), sum("len").as("chars"))
+
+  /** Top-k terms per document by tf·idf (whitespace tokens, natural-log
+    * idf). The document-frequency side is vocabulary-sized — a
+    * legitimate broadcast. Output: (doc_id, rnk, term, tfidf). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(wsTokens(lower(col(textCol)))).as("term"))
+    val n = docs.count()
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+  }
+
+  /** Min-shingle-hash document fingerprint (k-min sketch, k = 1) — the
+    * cheap near-dup pre-filter key. Output: (doc_id, fp). */
+  def minShingleFingerprint(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            shingle: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      minShingleHash(lower(col(textCol)), shingle).as("fp"))
+
+  /** Deterministic keyed sample: keeps rows whose md5(key) hex digest
+    * starts with one of `hexPrefixes` — the same subset on every
+    * engine and every run (unlike TABLESAMPLE), the standard trick for
+    * reproducible train/eval splits. Each single hex character keeps
+    * ~1/16 of the corpus. */
+  def keyedSample(df: DataFrame, keyCol: String,
+                  hexPrefixes: Seq[String] = Seq("0", "1")): DataFrame = {
+    require(hexPrefixes.nonEmpty)
+    val len = hexPrefixes.head.length
+    require(hexPrefixes.forall(_.length == len), "prefixes must share a length")
+    df.filter(substring(md5(col(keyCol).cast("string").cast("binary")), 1, len)
+      .isin(hexPrefixes: _*))
+  }
+}

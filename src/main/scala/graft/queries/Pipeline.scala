@@ -1,17 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions._
 
-/** LLM-training-data pipeline operators over the `documents` and
+/** LLM-training-data pipeline queries over the `documents` and
   * `embeddings` fixtures: exact + near dedup (shingle-verified and
   * MinHash-LSH), SimHash, cosine top-k similarity (brute force and
   * hyperplane-bucketed ANN), text quality, language ID, token stats.
+  * The operator implementations live in `graft.api.{Dedup, Similarity,
+  * TextAnalysis}` — this module instantiates them on the driver
+  * fixtures and adds the total orders the oracle compare requires.
   *
   * Scale notes (100 TB framing):
   *  - every candidate-generation step is a keyed equi-join (fingerprint,
@@ -25,259 +27,91 @@ import graft.functions.VectorFunctions._
   */
 object Pipeline {
 
-  private val Shingle = 3
-  private val MinHashes = 64
-  private val Bands = 16 // 4 rows per band
-  private val JaccardThreshold = 0.8
-
-  /** doc_id + distinct lowercase word 3-shingles (+ set size). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), distinctShingles(lower(col("text")), Shingle).as("sh"))
-      .withColumn("n", size(col("sh")))
-
-  /** Exact Jaccard for a candidate pair set carrying both shingle arrays. */
-  private def verified(pairs: DataFrame): DataFrame =
-    pairs
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-
   // ---------------------------------------------------------------- queries
+  //
+  // Each query instantiates the corresponding `graft.api` operator on
+  // the driver fixtures and adds the total ORDER BY the oracle compare
+  // requires. The operator logic itself lives in graft.api.{Dedup,
+  // Similarity, TextAnalysis} — the reusable corpus-agnostic library
+  // surface.
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group on the normalized-text MD5 fingerprint; keep the
     // lowest doc_id as the canonical survivor. One keyed shuffle on the
     // fingerprint — the 100 TB-safe exact-dedup shape.
-    "q43_exact_dedup" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5Fingerprint(col("text")).as("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
-        .orderBy("keep_doc_id")
-    }),
+    "q43_exact_dedup" -> ((s, d) =>
+      graft.api.Dedup.exact(Tables.documents(s, d))
+        .orderBy("keep_doc_id")),
 
     // Ground-truth near-dup pairs via the exact prefix-filtered
-    // similarity join (PPJoin family):
-    //  1. order each doc's shingle hashes globally (the 64-bit hash IS
-    //     the total order) and index only the PREFIX — the ⌊(1-t)·n⌋+1
-    //     smallest — because any pair with J ≥ t must collide inside
-    //     both prefixes (symmetric prefix filter, provably no false
-    //     negatives); candidate volume drops ~25× vs indexing every
-    //     shingle;
-    //  2. length filter in the join (J ≤ min(n)/max(n) ⇒ sizes within
-    //     1.25× of each other at t = 0.8);
-    //  3. verify candidates with the exact Jaccard on full shingle sets.
-    // Every step is a keyed equi-join or aggregation — the 100 TB shape.
-    // The prefix index is corpus-sized (~1 row per doc per prefix token),
-    // so the self-join carries NO broadcast hint: AQE broadcasts it when
-    // it actually fits and shuffles on tok otherwise (PlanShapeSpec pins
-    // the equi-join either way).
-    "q44_near_dup_pairs" -> ((s, d) => {
-      val docs = shingled(s, d).cache()
-      val prefixLen = (floor(col("n") * (1 - JaccardThreshold)) + 1).cast("int")
-      val prefix = docs.select(col("doc_id"), col("n"),
-          slice(array_sort(transform(col("sh"), t => xxhash64(t))), lit(1), prefixLen).as("pre"))
-        .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos", "tok")))
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") * JaccardThreshold <= col("a.n") &&
-            col("a.n") * JaccardThreshold <= col("b.n") &&
-            // PPJoin position filter: common shingles are a subset of
-            // each side's suffix from the FIRST common prefix token, so
-            // overlap ≤ min(n_a - pos_a, n_b - pos_b) (pos is 0-based,
-            // the min counts the matched token itself), while J ≥ t
-            // needs overlap ≥ t/(1+t)·(n_a+n_b). No false negatives:
-            // when J ≥ t the first common token's row always satisfies
-            // both this and the prefix bound (PipelineSpec pins
-            // LSH == exact, which would catch any lost pair).
-            least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-              (col("a.n") + col("b.n")) * lit(JaccardThreshold / (1 + JaccardThreshold)))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val pairs = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
-      verified(pairs)
-    }),
+    // similarity join (PPJoin family: symmetric prefix filter + length
+    // filter + position filter, then exact-Jaccard verification). Every
+    // step is a keyed equi-join or aggregation — the 100 TB shape; see
+    // api.Dedup.nearDupPairsExact for the bounds.
+    "q44_near_dup_pairs" -> ((s, d) =>
+      graft.api.Dedup.nearDupPairsExact(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
 
-    // MinHash-LSH near-dup: 64 min-hashes per doc, banded 16×4; docs
-    // colliding in any band become candidates; candidates are verified
-    // with exact Jaccard. This is the scale path: candidate generation
-    // is an equi-join on (band, band-hash) — cost is proportional to
-    // collisions, not to n². P(miss | J=0.97) ≈ 1e-15, so the oracle is
+    // MinHash-LSH near-dup: 64 min-hashes, banded 16×4, band-collision
+    // candidates, exact-Jaccard verify. The scale path: candidate cost ∝
+    // collisions, not n². P(miss | J=0.97) ≈ 1e-15, so the oracle is
     // the exact ground truth (same SQL as q44).
-    "q45_minhash_lsh" -> ((s, d) => {
-      val docs = shingled(s, d).cache()
-      val mh = Tables.documents(s, d).select(col("doc_id"),
-        minHashes(lower(col("text")), Shingle, MinHashes).as("mh"))
-      val bands = mh.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(Bands - 1)),
-            b => struct(b.as("band"),
-              xxhash64(b, slice(col("mh"), b * lit(MinHashes / Bands) + 1,
-                lit(MinHashes / Bands))).as("bkey")))).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val pairs = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
-      verified(pairs)
-    }),
+    "q45_minhash_lsh" -> ((s, d) =>
+      graft.api.Dedup.minHashLshPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
 
-    // SimHash near-dup: 64-bit signature = sign of per-bit sums of ±1
-    // token-hash contributions; candidates must share one of four 16-bit
-    // signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal);
-    // report pairs at hamming distance ≤ 3. Candidate join is keyed on
-    // (chunk index, chunk value). No DuckDB oracle (xxhash64-based) —
-    // rows-only check; correctness is covered by PipelineSpec.
-    "q46_simhash_pairs" -> ((s, d) => {
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), simHash64(lower(col("text"))).as("sig")).cache()
-      val chunks = sig.select(col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("cval"))): _*)).as("cc"))
-        .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // SimHash near-dup at hamming ≤ 3 with pigeonhole chunk candidate
+    // generation. No DuckDB oracle (xxhash64-based) — rows-only check
+    // plus the q71 contract; correctness covered by PipelineSpec.
+    "q46_simhash_pairs" -> ((s, d) =>
+      graft.api.Dedup.simHashPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
 
     // Brute-force cosine top-3 neighbors per vector — the exactness
-    // baseline. All-pairs by construction (O(n²)): right side broadcast,
-    // norms hoisted before the join so each is computed n times, not n².
-    // The scale path is q48; this one is the oracle-checked ground truth.
-    "q47_cosine_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
-      val pairs = a.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
-        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
-        .orderBy("vec_id", "rank")
-    }),
+    // baseline, O(n²) by construction and labelled as such. The scale
+    // path is q48/q57; this one is the oracle-checked ground truth.
+    "q47_cosine_topk" -> ((s, d) =>
+      graft.api.Similarity.cosineTopKExact(Tables.embeddings(s, d))
+        .orderBy("vec_id", "rank")),
 
-    // Multi-table hyperplane-LSH ANN: 16 independent salted tables of
-    // 6-plane signatures; a pair is a candidate if it collides in ANY
-    // table; candidates get exact cosines; top-3 per query vector.
-    // Candidate generation is an equi-join on (table, signature) — the
-    // shape that survives 100 TB (cost ∝ collisions, not n²). Recall vs
-    // the exact q47 is measured in PipelineSpec. Rows-only check.
-    "q48_ann_hyperplane" -> ((s, d) => {
-      val tables = 16
-      val planes = 6
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        .cache()
-      // dimension probe: one metadata-sized lookup so the plane weights
-      // can be precomputed as literals (hyperplaneSignatureFast)
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
-      val sigs = e.select(col("vec_id"),
-          explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
-            hyperplaneSignatureFast(col("embedding"), planes, t, dim).as("sig"))): _*)).as("ts"))
-        .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-      val cand = sigs.as("a").join(sigs.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
-        .distinct()
-      // verify joins are keyed on vec_id with NO broadcast hint — the
-      // embeddings side is corpus-sized, so at scale these must be
-      // shuffle hash joins; AQE picks broadcast only when it truly fits
-      val pairs = cand
-        .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
-        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-      // grouped top-k via the typed TopKByScore Aggregator: bounded
-      // k-entry buffers with map-side partial aggregation, instead of
-      // sorting every candidate pair under a window (same (cos desc,
-      // id asc) order contract — TopKAggregatorSpec)
-      import s.implicits._
-      pairs.select(col("vec_id"), col("neighbor_id"), col("cos"))
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues { case (_, nid, c) => (nid, c) }
-        .agg(new graft.functions.TopKByScore(3).toColumn.name("topk"))
-        .toDF("vec_id", "topk")
-        .select(col("vec_id"), posexplode(col("topk")))
-        .select(col("vec_id"), (col("pos") + 1).as("rank"),
-          col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("cos"))
-        .orderBy("vec_id", "rank")
-    }),
+    // Multi-table hyperplane-LSH ANN: candidate generation is an
+    // equi-join on (table, signature) — the shape that survives 100 TB
+    // (cost ∝ collisions, not n²); un-hinted keyed verify joins; typed
+    // top-k Aggregator. Recall vs exact q47 is measured in PipelineSpec
+    // and gated by the q70 contract.
+    "q48_ann_hyperplane" -> ((s, d) =>
+      graft.api.Similarity.hyperplaneAnnTopK(Tables.embeddings(s, d))
+        .orderBy("vec_id", "rank")),
 
     // Per-language text-quality profile. Integer sums (token counts) are
     // exact; double metrics go through DECIMAL(18,6) sums so aggregation
     // order is irrelevant, then one double division.
-    "q49_text_quality" -> ((s, d) => {
-      val en = langMarkers("en")
-      val docs = Tables.documents(s, d).select(col("lang"),
-        tokenCount(col("text")).as("ws_toks"),
-        bpeishTokenCount(col("text")).as("bpe_toks"),
-        round(punctRatio(col("text")), 6).cast("decimal(18,6)").as("punct"),
-        qualityScore(col("text"), en).cast("decimal(18,6)").as("quality"))
-      docs.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          avg(col("ws_toks")).as("avg_ws_tokens"),
-          avg(col("bpe_toks")).as("avg_bpe_tokens"),
-          round(sum(col("punct")).cast("double") / count(lit(1)), 6).as("avg_punct"),
-          round(sum(col("quality")).cast("double") / count(lit(1)), 6).as("avg_quality"))
-        .orderBy("lang")
-    }),
+    "q49_text_quality" -> ((s, d) =>
+      graft.api.TextAnalysis.qualityProfile(Tables.documents(s, d))
+        .orderBy("lang")),
 
     // Language ID via marker-word argmax (ties → language code asc,
     // no hits → 'und'), confusion-matrix style output against the
     // labelled lang column.
-    "q50_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("lang"), langId(lower(col("text"))).as("predicted"))
+    "q50_lang_id" -> ((s, d) =>
+      graft.api.TextAnalysis.withLangId(Tables.documents(s, d))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
+        .orderBy("lang", "predicted")),
 
     // Token accounting per source: whitespace tokens and the BPE-ish
     // pre-tokenizer count (word pieces / numbers / punctuation runs).
-    "q51_token_stats" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("source"), col("text"),
-          tokenCount(col("text")).as("ws"), bpeishTokenCount(col("text")).as("bpe"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"),
-          max("ws").as("max_ws"), sum(length(col("text"))).as("chars"))
-        .orderBy("source")
-    }),
+    "q51_token_stats" -> ((s, d) =>
+      graft.api.TextAnalysis.tokenStats(Tables.documents(s, d))
+        .orderBy("source")),
 
     // Embedding-cosine near-dup: all pairs at-or-above a cosine
     // threshold — brute-force exact baseline (labelled; the LSH/IVF
     // variants above are the scale path for candidate generation).
-    "q62_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-        .filter(col("cos") >= 0.45)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("vec_a", "vec_b")
-    }),
+    "q62_embedding_neardup" -> ((s, d) =>
+      graft.api.Similarity.embeddingNearDupPairs(Tables.embeddings(s, d))
+        .orderBy("vec_a", "vec_b")),
 
     // The keep-one dedup that closes the near-dup pipeline: connected
     // components over the verified pair graph (iterative min-label
@@ -285,117 +119,43 @@ object Pipeline {
     // join + aggregation, converges in O(graph diameter) rounds), then
     // canonical = component minimum. Output: every doc in a near-dup
     // component with its canonical survivor.
-    "q63_near_dup_keep_one" -> ((s, d) => {
+    "q63_near_dup_keep_one" -> ((s, d) =>
       // candidate pairs come from the MinHash-LSH path (q45) — the
       // scale-path generator, proven equal to the exact shingle join
-      // (PipelineSpec) and ~2× cheaper than recomputing it
-      val pairs = Pipeline.queries("q45_minhash_lsh")(s, d)
-        .select(col("doc_a"), col("doc_b"))
-      // materialized ONCE and lineage-truncated — every iteration rereads
-      // the checkpointed blocks instead of replaying the LSH join
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
-      val sc = s.sparkContext
-      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-      var prevIds = Set.empty[Int]
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("label", col("node"))
-      var converged = false
-      var iter = 0
-      val maxIter = 50
-      while (!converged && iter < maxIter) {
-        val viaNeighbors = edges
-          .join(labels, edges("doc_b") === labels("node"))
-          .select(col("doc_a").as("node"), col("label"))
-        val propagated = labels.select(col("node"), col("label"))
-          .union(viaNeighbors)
-          .groupBy("node").agg(min("label").as("label"))
-        // carry the old label through the SAME materialization, so the
-        // convergence test below is a scan of checkpointed blocks — one
-        // propagation job per iteration, bounded lineage
-        val before = persistedIds
-        val next = propagated
-          .join(labels.withColumnRenamed("label", "old"), "node")
-          .localCheckpoint()
-        val nextIds = persistedIds -- before
-        converged = next.filter(col("label") =!= col("old")).isEmpty
-        // release the superseded iteration's checkpoint blocks
-        prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        prevIds = nextIds
-        labels = next.select("node", "label")
-        iter += 1
-      }
-      // a silent cap would diverge from the oracle's full transitive
-      // closure — fail loudly instead (diameter > 50 on a near-dup graph
-      // means the threshold, not the algorithm, is wrong)
-      require(converged,
-        s"q63 connected-components did not converge within $maxIter iterations")
-      labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
-        .orderBy("doc_id")
-    }),
+      // (PipelineSpec) and ~2× cheaper than recomputing it; the CC loop
+      // (checkpointed, cache-released, loud on non-convergence) lives in
+      // api.Dedup.keepOne
+      graft.api.Dedup.keepOne(
+        Pipeline.queries("q45_minhash_lsh")(s, d).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
 
     // TF-IDF-lite (SURVEY §7.1 M5): top-3 terms per document by
     // tf·idf. Document frequencies come from one keyed aggregation over
     // (term, doc) pairs; idf joins back by term (broadcastable — vocab
     // ≪ corpus). ln() is IEEE-identical across engines for these
-    // inputs; scores round to 6 for the oracle.
-    "q61_tfidf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
-      val n = Tables.documents(s, d).count()
-      val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), "term")
-        .withColumn("tfidf",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3 && col("doc_id") < 100)
-        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
-        .orderBy("doc_id", "rnk")
-    }),
+    // inputs; scores round to 6 for the oracle. The doc_id < 100 output
+    // trim keeps the oracle compare small.
+    "q61_tfidf" -> ((s, d) =>
+      graft.api.TextAnalysis.tfidfTopTerms(Tables.documents(s, d))
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "rnk")),
 
     // Rolling-hash document sketch: min shingle-hash fingerprint (k-min
     // sketch, k=1) — the cheap near-dup pre-filter key. xxhash64-based,
     // no DuckDB analogue → rows-only; determinism checked in PipelineSpec.
-    "q52_min_shingle_fp" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), minShingleHash(lower(col("text")), Shingle).as("fp"))
-        .orderBy("doc_id")
-    }),
+    "q52_min_shingle_fp" -> ((s, d) =>
+      graft.api.TextAnalysis.minShingleFingerprint(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // IVF-style ANN: a coarse k-means quantizer (MLlib, fixed seed)
     // assigns every vector to a Voronoi cell; search runs within the
     // cell (nprobe=1). The 100 TB shape: centroids are a tiny broadcast
     // model, assignment is a narrow map, candidate generation is an
-    // equi-join on cell id. Approximate → rows-only; recall vs the
-    // exact q47 is measured in PipelineSpec alongside the LSH variant.
-    "q57_ann_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        .cache()
-      val feats = e.select(col("vec_id"),
-        org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(16).setSeed(42).setMaxIter(5).fit(feats)
-      val cells = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
-      val withCell = e.join(cells, "vec_id")
-      val a = withCell.select(col("cell"), col("vec_id"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      // cell equi-join, un-hinted: b is the full corpus, so broadcast is
-      // left to AQE (shuffle-on-cell is the correct 100 TB shape)
-      val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
-        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
-        .orderBy("vec_id", "rank")
-    }),
+    // un-hinted equi-join on cell id. Approximate → rows-only plus the
+    // q70 recall contract.
+    "q57_ann_ivf" -> ((s, d) =>
+      graft.api.Similarity.ivfAnnTopK(Tables.embeddings(s, d))
+        .orderBy("vec_id", "rank")),
 
     // Approximate distinct (HyperLogLog++): the sketch path for
     // count-distinct at 100 TB (mergeable, fixed memory). Sketch values

@@ -150,10 +150,8 @@ object Scalars {
       // deterministic keyed sampling: reproducible 1/8 corpus
       // downsample keyed on md5(doc_id) — same subset on every engine
       // and every run (unlike TABLESAMPLE), the standard trick for
-      // train/eval splits of a 100 TB corpus
-      documents(s, d)
-        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-          .isin("0", "1"))
+      // train/eval splits of a 100 TB corpus (api.TextAnalysis.keyedSample)
+      graft.api.TextAnalysis.keyedSample(documents(s, d), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))

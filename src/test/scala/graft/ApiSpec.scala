@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{Dedup, Similarity, TextAnalysis}
+
+/** The `graft.api` operators must work on ANY DataFrame with the right
+  * column types — not just the driver fixtures the oracle-checked
+  * queries instantiate them on. These tests run them on small synthetic
+  * frames with NON-default column names. */
+class ApiSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"),
+    (11L, "the quick brown fox jumps over the lazy cat"),
+    (12L, "the quick brown fox jumps over the lazy dog"), // exact dup of 10
+    (13L, "entirely different content about spark engines"),
+    (14L, "entirely different content about spark engines and scale"))
+
+  test("Dedup.exact groups identical texts under custom column names") {
+    val df = corpus.toDF("id", "body")
+    val out = Dedup.exact(df, idCol = "id", textCol = "body").collect()
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2L)
+    assert(dupGroup.isDefined, "docs 10 and 12 are byte-identical")
+    assert(dupGroup.get.getAs[Long]("keep_id") == 10L, "survivor is the min id")
+    assert(out.map(_.getAs[Long]("dup_count")).sum == corpus.size)
+  }
+
+  test("Dedup exact pair join and MinHash-LSH agree on a synthetic corpus") {
+    val df = corpus.toDF("id", "body")
+    def pairSet(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val exact = pairSet(Dedup.nearDupPairsExact(df, "id", "body", threshold = 0.5).collect())
+    val lsh = pairSet(Dedup.minHashLshPairs(df, "id", "body", threshold = 0.5).collect())
+    assert(exact.nonEmpty, "near-identical docs must pair")
+    assert(exact == lsh)
+    assert(exact.exists { case (a, b, j) => a == 10L && b == 12L && j == 1.0 })
+  }
+
+  test("Dedup.simHashPairs finds identical docs at hamming 0") {
+    val pairs = Dedup.simHashPairs(corpus.toDF("id", "body"), "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 10L && b == 12L && h == 0 })
+  }
+
+  test("Dedup.keepOne labels a chain and an isolated pair with component minima") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.keepOne(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("Similarity.cosineTopKExact ranks an obvious neighbor first") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val top = Similarity.cosineTopKExact(emb, idCol = "id", vecCol = "vec", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top(1L) == 2L && top(2L) == 1L)
+    // 3 is orthogonal to 1, so its nearest is 2 (cos > 0)
+    assert(top(3L) == 2L)
+  }
+
+  test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
+    val df = (1L to 500L).toDF("k")
+    val all = "0123456789abcdef".map(_.toString)
+    val counts = all.map(p => TextAnalysis.keyedSample(df, "k", Seq(p)).count())
+    assert(counts.sum == 500L, "single-hex prefixes partition the corpus")
+    val twice = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
+    val again = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
+    assert(twice.sameElements(again))
+  }
+
+  test("TextAnalysis.tfidfTopTerms ranks a document's distinctive term first") {
+    val df = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta")).toDF("id", "body")
+    val top1 = TextAnalysis.tfidfTopTerms(df, "id", "body", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'alpha' appears everywhere (idf = 0); the distinctive term wins
+    assert(top1 == Map(1L -> "beta", 2L -> "gamma", 3L -> "delta"))
+  }
+}
