@@ -37,14 +37,27 @@ object Multimodal {
       media_id: Long, kind: String, width: Int, height: Int,
       n_frames: Int, n_bytes: Int, mean_byte: Double)
 
+  /** The codec injection point: a real implementation (JavaCV, libvips,
+    * ffmpeg bindings) implements this one trait; `newPartitionInstance`
+    * runs once per partition inside mapPartitions, which is where a
+    * real codec allocates its native contexts. Must be Serializable —
+    * the instance is shipped to executors in the task closure. */
+  trait MediaCodec extends Serializable {
+    /** (width, height, n_frames) of a payload of the given kind. */
+    def decode(kind: String, content: Array[Byte]): (Int, Int, Int)
+    /** Per-partition setup hook (native contexts, thread-local state). */
+    def newPartitionInstance(): MediaCodec = this
+  }
+
   /** Deterministic stand-in for a real decoder: "parses" dimensions and
-    * frame count from payload length. Replace with a real codec
-    * (initialized once per partition in the mapPartitions below) to go
-    * to production. */
-  object FakeCodec {
+    * frame count from payload length (this container has no media
+    * libraries). The q53 oracle replicates exactly these formulas. */
+  object FakeCodec extends MediaCodec {
     def width(content: Array[Byte]): Int = 16 + (content.length * 31) % 497
     def height(content: Array[Byte]): Int = 16 + (content.length * 73) % 353
     def frames(content: Array[Byte]): Int = content.length % 24 + 1
+    override def decode(kind: String, content: Array[Byte]): (Int, Int, Int) =
+      (width(content), height(content), frames(content))
   }
 
   /** Build a media table from the documents fixture: text bytes as the
@@ -62,14 +75,14 @@ object Multimodal {
 
   /** Decode stage: one codec instance per partition, streamed over the
     * row iterator (the mapInPandas batch shape). */
-  def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
+  def decode(media: Dataset[MediaRow],
+             codec: MediaCodec = FakeCodec): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition codec init would happen here
+      val c = codec.newPartitionInstance()
       rows.map { m =>
-        Decoded(m.media_id, m.kind,
-          FakeCodec.width(m.content), FakeCodec.height(m.content),
-          FakeCodec.frames(m.content), m.content)
+        val (w, h, f) = c.decode(m.kind, m.content)
+        Decoded(m.media_id, m.kind, w, h, f, m.content)
       }
     }
   }

@@ -24,6 +24,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.features(Multimodal.decode(m)).rdd.getNumPartitions == 7)
   }
 
+  test("a custom MediaCodec is injectable through the decode stage") {
+    // the production path: swap FakeCodec for a real (JavaCV/libvips)
+    // implementation of the one-method trait — verify the injection
+    // point actually routes every row through the supplied codec
+    object ConstCodec extends Multimodal.MediaCodec {
+      override def decode(kind: String, content: Array[Byte]): (Int, Int, Int) =
+        (640, 480, 42)
+    }
+    val out = Multimodal.decode(media(), ConstCodec).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(d => d.width == 640 && d.height == 480 && d.n_frames == 42))
+  }
+
   test("stub decode is deterministic and within domain") {
     val a = Multimodal.features(Multimodal.decode(media())).collect()
       .map(f => (f.media_id, f.width, f.height, f.n_frames, f.n_bytes, f.mean_byte))
