@@ -69,10 +69,16 @@ object Bench {
     // contaminated run is visible in the record.
     val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000000").toLong
     val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+    // null-safe and exception-safe: a stopped streaming query's own
+    // async task cleanup can race this walk (listFiles → null mid-walk),
+    // and a cleanup failure must never kill the bench
     def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmrf)
       f.delete()
     }
+    def rmrfQuiet(f: java.io.File): Unit =
+      try rmrf(f) catch { case _: Throwable => () }
     def probeOnce(buckets: Int): Long = {
       val tmp = Files.createTempDirectory("graft-bench-ingest")
       // stream count capped like the streaming probe: total files =
@@ -90,7 +96,7 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] ingest probe (buckets=$buckets) failed: ${t.getMessage}")
           -1L
-      } finally rmrf(tmp.toFile)
+      } finally rmrfQuiet(tmp.toFile)
     }
     def probeBest(buckets: Int): Long =
       (1 to probeReps).map(_ => probeOnce(buckets)).max
@@ -126,7 +132,7 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] streaming probe failed: ${t.getMessage}")
           (-1L, -1L)
-      } finally rmrf(streamDir.toFile)
+      } finally rmrfQuiet(streamDir.toFile)
     }
     // warmup window: stream startup (checkpoint init, first ORC writers,
     // state-store classes) costs seconds under load and the reference's

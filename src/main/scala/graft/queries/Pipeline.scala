@@ -182,24 +182,14 @@ object Pipeline {
     "q55_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(null).cast("long").as("p_id"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       // dedupe purchases per (user, ts) — ASOF tie-pick would otherwise
       // be engine-dependent
       val purchases = ev.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("p_id"))
-        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"), col("p_id"))
-      // purchases sort before views at the same ts (sides: 0 < 1) so an
-      // exact-tie purchase is visible to the view — ASOF >= semantics
-      val tagged = views.withColumn("side", lit(1))
-        .unionByName(purchases.withColumn("side", lit(0)))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("last_purchase", last(col("p_id"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
-        .select(col("user_id"), col("event_id"), col("last_purchase"))
+      graft.api.Joins.asOf(views, purchases, keyCol = "user_id", tsCol = "ts")
+        .select(col("user_id"), col("event_id"), col("p_id").as("last_purchase"))
         .orderBy("user_id", "event_id")
     }),
 

@@ -222,8 +222,7 @@ object Relational {
         ("C_large", 150000.0, 300000.0),
         ("D_jumbo", 300000.0, 1e9)
       )).toDF("band", "lo", "hi")
-      orders(s, d).join(broadcast(bands),
-          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      graft.api.Joins.bandedRange(orders(s, d), bands, "o_totalprice")
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.api.{Dedup, Similarity, TextAnalysis}
+import graft.api.{Dedup, Joins, Similarity, TextAnalysis}
 
 /** The `graft.api` operators must work on ANY DataFrame with the right
   * column types — not just the driver fixtures the oracle-checked
@@ -73,6 +73,20 @@ class ApiSpec extends AnyFunSuite {
     val twice = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
     val again = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
     assert(twice.sameElements(again))
+  }
+
+  test("Joins.asOf picks the latest right row at-or-before each left ts") {
+    val trades = Seq(("A", 10L, 100), ("A", 20L, 200), ("B", 15L, 300))
+      .toDF("sym", "t", "qty")
+    val quotes = Seq(("A", 5L, 1.0), ("A", 10L, 1.5), ("A", 18L, 2.0), ("B", 99L, 9.9))
+      .toDF("sym", "t", "px")
+    val out = Joins.asOf(trades, quotes, keyCol = "sym", tsCol = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(out == Set(
+      ("A", 10L, 100, 1.5),  // exact tie visible (>= semantics)
+      ("A", 20L, 200, 2.0),  // latest at-or-before 20 is ts=18
+      ("B", 15L, 300, null)))// no quote at-or-before 15
   }
 
   test("TextAnalysis.tfidfTopTerms ranks a document's distinctive term first") {
