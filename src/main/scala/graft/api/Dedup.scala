@@ -27,6 +27,20 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(idCol).as(s"keep_$idCol"), count(lit(1)).as("dup_count"))
 
+  /** Streaming form of exact dedup for dedup-at-ingest: the FIRST
+    * arrival per content fingerprint survives (state-store semantics).
+    * State is keyed by the 128-bit fingerprint — high cardinality, so
+    * it shards evenly across executors; content dedup has no time
+    * dimension, so state is deliberately unwatermarked (bound it
+    * upstream by partitioning the corpus if needed). Works on both
+    * streaming and batch frames; parity with `exact` is on the
+    * fingerprint set (ApiSpec). */
+  def exactStreaming(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", md5Fingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
+      .select(col(idCol).as(s"keep_$idCol"), col("fingerprint"))
+
   /** id + distinct lowercase word n-shingle set (+ set size) — the
     * shared representation for the Jaccard-based operators. */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id",

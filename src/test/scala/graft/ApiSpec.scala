@@ -75,6 +75,20 @@ class ApiSpec extends AnyFunSuite {
     assert(twice.sameElements(again))
   }
 
+  test("Dedup.exactStreaming over a file stream matches batch exact's fingerprint set") {
+    val dir = TestSpark.sf
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val out = graft.streaming.EventStreams.runToMemory(
+      spark, Dedup.exactStreaming(stream), "api_dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = out.select("fingerprint").collect().map(_.getString(0)).toSet
+    val batch = Dedup.exact(graft.core.Tables.documents(spark, dir))
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    assert(streamed == batch, "streaming dedup must keep exactly one row per fingerprint")
+  }
+
   test("Joins.asOf picks the latest right row at-or-before each left ts") {
     val trades = Seq(("A", 10L, 100), ("A", 20L, 200), ("B", 15L, 300))
       .toDF("sym", "t", "qty")
@@ -87,6 +101,27 @@ class ApiSpec extends AnyFunSuite {
       ("A", 10L, 100, 1.5),  // exact tie visible (>= semantics)
       ("A", 20L, 200, 2.0),  // latest at-or-before 20 is ts=18
       ("B", 15L, 300, null)))// no quote at-or-before 15
+  }
+
+  test("Joins.asOf agrees with a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right0 = (1 to 100).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, 1000L + i))
+    // contract: right deduped per (key, ts)
+    val right = right0.groupBy(t => (t._1, t._2))
+      .map { case ((k, ts), vs) => (k, ts, vs.map(_._3).max) }.toSeq
+    val out = Joins.asOf(left.toDF("k", "t", "lv"), right.toDF("k", "t", "rv"),
+        keyCol = "k", tsCol = "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    val expected = left.map { case (k, t, lv) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      (k, t, lv, if (cands.isEmpty) -1L else cands.maxBy(_._2)._3)
+    }.sorted
+    assert(out == expected)
   }
 
   test("TextAnalysis.tfidfTopTerms ranks a document's distinctive term first") {
