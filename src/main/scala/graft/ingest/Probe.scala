@@ -57,10 +57,11 @@ object Probe {
         }
         rm(new java.io.File(dir))
       }
-      // small-compress-buffer variant: 256 small files allocate
-      // 10 cols × 2 × orc.compress.size each at default 256 KiB
+      // no-dictionary variant: 5 of the 10 columns draw from 1M-value
+      // pools, so per-stripe dictionary attempts hash every value and
+      // then abandon (threshold 0.8) — pure wasted CPU on this data
       val dir2 = Files.createTempDirectory("probe").toString
-      timed(s"[$round] bucketed-32 csize=32k") {
+      timed(s"[$round] bucketed-32 nodict") {
         Ingest.routeAndProject(
           spark.range(0, rows, 1, 8)
             .selectExpr("id as value", "cast(spark_partition_id() as int) as __pid"),
@@ -68,6 +69,7 @@ object Probe {
           .write.mode("overwrite").format("orc")
           .option("compression", "lz4")
           .option("orc.compress.size", "32768")
+          .option("orc.dictionary.key.threshold", "0")
           .partitionBy("year", "month").save(dir2)
       }
       rm(new java.io.File(dir2))
