@@ -159,7 +159,7 @@ class IngestSpec extends AnyFunSuite {
     // test flaky on a contended box
     val cfg = IngestConfig(
       outputPath = Some(dir), parallelism = 2, eventsPerSecond = 2000,
-      commitAfterNRows = 500, timeoutMs = 12000, buckets = 2)
+      commitAfterNRows = 500, timeoutMs = 15000, buckets = 2)
     val res = Ingest.run(spark, cfg)
     assert(res.rowsCommitted > 0, "no rows committed within timeout")
     assert(res.commits > 0)
