@@ -21,7 +21,7 @@ import graft.ingest.{Ingest, IngestConfig}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,11 +81,11 @@ object Bench {
       try rmrf(f) catch { case _: Throwable => () }
     def probeOnce(buckets: Int): Long = {
       val tmp = Files.createTempDirectory("graft-bench-ingest")
-      // stream count capped like the streaming probe: total files =
-      // p × buckets, and per-file ORC fixed cost dominates local-scale
-      // bucketed writes; the bucket exchange still fans out over all
-      // cores (p × buckets tasks), with 4× larger files at p = 8
-      val p = if (buckets > 0) math.min(8, cpus.toInt) else cpus.toInt
+      // stream count capped: total files = p × buckets, so p trades
+      // writer parallelism against per-file ORC fixed cost — p = 16
+      // measured best at local[32] (1.6-1.9M rows/s bucketed, 10M-row
+      // probe), p = 8 best on 8 cores
+      val p = if (buckets > 0) math.min(16, cpus.toInt) else cpus.toInt
       try {
         val r = Ingest.runBatch(spark,
           IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
@@ -122,10 +122,13 @@ object Bench {
           // across all cores) and sizes the aggregate rate just above the
           // sink's write capacity so batches stay saturated but bounded
           parallelism = math.min(8, cpus.toInt),
-          eventsPerSecond = 100000,
-          // small-ish commits so several land inside the window even when
-          // the box is contended — a zero-commit probe reports nothing
-          commitAfterNRows = 250000,
+          // feed ≈ 1.6M rows/s — above the sink's sequential-commit
+          // ceiling, so the probe measures the sink, not the source
+          eventsPerSecond = 200000,
+          // 1M-row commits amortize the per-commit fixed cost (job
+          // scheduling + rename + checkpoint) while still landing
+          // several commits per window
+          commitAfterNRows = 1000000,
           timeoutMs = streamMs))
         (r.rowsCommitted, r.throughputRowsPerSec)
       } catch {

@@ -118,7 +118,7 @@ object Cli {
       case Right(Parsed(_, _, true)) =>
         println(usage)
       case Right(Parsed(cfg, _, _)) =>
-        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
         val spark = SparkSession.builder()
           .master(s"local[$cpus]")
           .appName(cfg.name)

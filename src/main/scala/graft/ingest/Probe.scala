@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +47,7 @@ object Probe {
     val pList = args.lift(1).map(_.split(',').map(_.toInt).toSeq)
       .getOrElse(Seq(cpus))
     for (round <- 1 to 2) {
-      for ((tag, b, p) <- Seq(("unbucketed", 0, cpus)) ++
+      for ((tag, b, p) <- pList.map(p => (s"unbucketed p=$p", 0, p)) ++
              pList.map(p => (s"bucketed-32 p=$p", 32, p))) {
         val dir = Files.createTempDirectory("probe").toString
         timed(s"[$round] orc lz4 $tag") {
