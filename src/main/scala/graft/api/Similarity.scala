@@ -24,11 +24,38 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       norm(col(vecCol)).as("nrm"))
 
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+  /** Window-sort top-k: stays in Tungsten rows end-to-end (radix sort,
+    * no per-row object allocation) — measured FASTER than the typed
+    * aggregator when the pair set is huge and dense (the O(n²)
+    * brute-force path), slower when pairs are sparse candidates. */
+  private def topKWindow(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Grouped top-k via the typed TopKByScore Aggregator: bounded
+    * k-entry buffers with MAP-SIDE partial aggregation, so the shuffle
+    * carries ≤ k rows per (vec_id, partition) instead of every scored
+    * pair under a window sort. Pays per-row typed deserialization, so
+    * it wins on SPARSE candidate pair sets (the ANN paths) and loses
+    * to topKWindow on the dense brute-force product. Order contract
+    * identical to row_number() over (cos desc, neighbor_id asc) —
+    * TopKAggregatorSpec pins it, and the oracles re-prove it on every
+    * gate run. */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("vec_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, c) => (nid, c) }
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("vec_id", "topk")
+      .select(col("vec_id"), posexplode(col("topk")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("cos"))
   }
 
   /** Brute-force cosine top-k — the EXACT baseline, O(n²) by
@@ -43,7 +70,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-    topK(pairs, k)
+    topKWindow(pairs, k)
   }
 
   /** Multi-table hyperplane-LSH ANN top-k: `tables` independent salted
@@ -57,7 +84,6 @@ object Similarity {
   def hyperplaneAnnTopK(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding", k: Int = 3,
                         tables: Int = 16, planes: Int = 6): DataFrame = {
-    val s = emb.sparkSession
     val e = withNorm(emb, idCol, vecCol).cache()
     // dimension probe: one metadata-sized lookup so the plane weights
     // can be precomputed as literals (hyperplaneSignatureFast)
@@ -75,16 +101,7 @@ object Similarity {
       .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-    import s.implicits._
-    pairs.select(col("vec_id"), col("neighbor_id"), col("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, nid, c) => (nid, c) }
-      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
-      .toDF("vec_id", "topk")
-      .select(col("vec_id"), posexplode(col("topk")))
-      .select(col("vec_id"), (col("pos") + 1).as("rank"),
-        col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("cos"))
+    topK(pairs, k)
   }
 
   /** IVF-style ANN top-k: a coarse k-means quantizer (seeded, few
