@@ -105,14 +105,19 @@ object Similarity {
   }
 
   /** IVF-style ANN top-k: a coarse k-means quantizer (seeded, few
-    * iterations) assigns every vector to a Voronoi cell; search runs
-    * within the cell (nprobe = 1). Centroids are a tiny broadcast
-    * model, assignment a narrow map, candidate generation an equi-join
-    * on the cell id (un-hinted — the corpus side must shuffle at
-    * scale). */
+    * iterations) assigns every vector to a Voronoi cell; each QUERY
+    * vector probes its `nprobe` nearest cells (the real IVF search —
+    * nprobe trades candidate volume for recall), while the index side
+    * stays in its home cell. Centroids are a tiny local model (the
+    * probe ranking is a per-row expression over centroid literals, no
+    * extra job), assignment a narrow map, candidate generation an
+    * equi-join on the cell id (un-hinted — the corpus side must
+    * shuffle at scale; cost ∝ nprobe × cell size). */
   def ivfAnnTopK(emb: DataFrame, idCol: String = "vec_id",
                  vecCol: String = "embedding", k: Int = 3,
-                 cells: Int = 16, seed: Long = 42, maxIter: Int = 5): DataFrame = {
+                 cells: Int = 16, nprobe: Int = 1,
+                 seed: Long = 42, maxIter: Int = 5): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells)
     val e = withNorm(emb, idCol, vecCol).cache()
     val feats = e.select(col("vec_id"),
       org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
@@ -120,11 +125,31 @@ object Similarity {
       .setK(cells).setSeed(seed).setMaxIter(maxIter).fit(feats)
     val cellOf = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
     val withCell = e.join(cellOf, "vec_id")
-    val a = withCell.select(col("cell"), col("vec_id"),
-      col("embedding").as("ea"), col("nrm").as("na"))
+    // query side: nprobe nearest cells by squared euclidean distance to
+    // each centroid — computed inline from centroid literals (model is
+    // KB-sized; at cluster scale this is the standard broadcast model)
+    val probeSide =
+      if (nprobe == 1)
+        withCell.select(col("cell"), col("vec_id"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+      else {
+        val centroids = km.clusterCenters.map(_.toArray.map(_.toFloat))
+        val dists = array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(
+            aggregate(
+              zip_with(col("embedding"), lit(c), (x, y) => (x - y) * (x - y)),
+              lit(0.0d), (acc, d) => acc + d).as("dist"),
+            lit(i).as("cell"))
+        }: _*)
+        withCell.select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(slice(array_sort(dists), 1, nprobe)).as("pc"))
+          .select(col("pc.cell").as("cell"), col("vec_id"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+      }
     val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+    val pairs = probeSide.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
     topK(pairs, k)
   }

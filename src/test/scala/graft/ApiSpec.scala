@@ -65,6 +65,19 @@ class ApiSpec extends AnyFunSuite {
     assert(top(3L) == 2L)
   }
 
+  test("Similarity.ivfAnnTopK recall does not drop when probing more cells") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.cosineTopKExact(emb))
+    val r1 = pairs(Similarity.ivfAnnTopK(emb, nprobe = 1))
+    val r2 = pairs(Similarity.ivfAnnTopK(emb, nprobe = 2))
+    def recall(s: Set[(Long, Long)]) = (s intersect exact).size.toDouble / exact.size
+    assert(recall(r2) >= recall(r1),
+      f"nprobe=2 recall ${recall(r2)}%.3f < nprobe=1 ${recall(r1)}%.3f")
+    assert(recall(r2) > 0.0)
+  }
+
   test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
     val df = (1L to 500L).toDF("k")
     val all = "0123456789abcdef".map(_.toString)
