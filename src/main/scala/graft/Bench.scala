@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 
@@ -17,6 +18,13 @@ import graft.ingest.{Ingest, IngestConfig}
   * projections included) without collecting to the driver — `.count()`
   * on the Dataset would let Catalyst prune exactly the operators being
   * measured.
+  *
+  * Log-capture contract (r2/r3 `parsed: null` post-mortem): the driver
+  * records only the LAST 2000 chars of the log, so the result line must
+  * (a) be the final line printed and (b) fit the window with room for
+  * sbt's own `[success]` trailer. The stdout line therefore uses short
+  * query keys (`qNN`) and millisecond precision (~1.4 KB total); the
+  * full-name, full-precision record is mirrored to `bench_result.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,20 +49,6 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
-    // Warmup: touch every base table's scan path + codegen pipeline once.
-    Seq("q31_date_funcs", "q01_pricing_summary", "q43_exact_dedup",
-      "q47_cosine_topk", "q37_tumbling_window")
-      .foreach(q => try materialize(q) catch { case _: Throwable => () })
-    dropCaches()
-
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      dropCaches()
-      name -> t
-    }
-
     // Ingest throughput probes: bounded batch through the full generator
     // → partitioned-ORC path (the dataflow the streaming engine commits
     // per micro-batch), with and without the 32-bucket contract — the
@@ -62,8 +56,8 @@ object Bench {
     // reference's table is clustered into 32 buckets).
     //
     // Robustness (VERDICT r2 #2): machine load swings single-shot probes
-    // 2-6×, so each probe runs N times and reports the BEST (the number
-    // closest to the engine's capability rather than the neighbor's);
+    // 2-6×, so probes run in TWO sets — before the query suite (fresh
+    // JVM, machine usually quietest) and after — and report the best;
     // every probe is exception-guarded so a probe failure can never eat
     // the JSON result line; the JSON carries the 1-min loadavg so a
     // contaminated run is visible in the record.
@@ -79,7 +73,7 @@ object Bench {
     }
     def rmrfQuiet(f: java.io.File): Unit =
       try rmrf(f) catch { case _: Throwable => () }
-    def probeOnce(buckets: Int): Long = {
+    def probeOnce(buckets: Int, rows: Long = ingestRows): Long = {
       val tmp = Files.createTempDirectory("graft-bench-ingest")
       // stream count capped: total files = p × buckets, so p trades
       // writer parallelism against per-file ORC fixed cost — p = 16
@@ -90,7 +84,7 @@ object Bench {
         val r = Ingest.runBatch(spark,
           IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
             buckets = buckets),
-          ingestRows)
+          rows)
         r.throughputRowsPerSec
       } catch {
         case t: Throwable =>
@@ -98,18 +92,42 @@ object Bench {
           -1L
       } finally rmrfQuiet(tmp.toFile)
     }
-    def probeBest(buckets: Int): Long =
-      (1 to probeReps).map(_ => probeOnce(buckets)).max
-    val ingestRate = probeBest(32)
-    val ingestRateUnbucketed = probeBest(0)
+    def probeBest(buckets: Int, reps: Int): Long =
+      (1 to reps).map(_ => probeOnce(buckets)).max
+
+    // Warmup the write path (codegen, ORC writer classes, shuffle
+    // machinery) with a small throwaway run, then take the first probe
+    // set while the machine is at its quietest.
+    probeOnce(32, rows = 512 * 1024)
+    var ingestRate = probeBest(32, probeReps)
+    var ingestRateUnbucketed = probeBest(0, probeReps)
+
+    // Warmup: touch every base table's scan path + codegen pipeline once.
+    Seq("q31_date_funcs", "q01_pricing_summary", "q43_exact_dedup",
+      "q47_cosine_topk", "q37_tumbling_window")
+      .foreach(q => try materialize(q) catch { case _: Throwable => () })
+    dropCaches()
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val t0 = System.nanoTime()
+      try materialize(name) catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      name -> t
+    }
+
+    // Second probe set: the load profile an hour into a driver session
+    // differs from the first minute — keep whichever window was quieter.
+    ingestRate = math.max(ingestRate, probeBest(32, math.max(1, probeReps - 1)))
+    ingestRateUnbucketed =
+      math.max(ingestRateUnbucketed, probeBest(0, math.max(1, probeReps - 1)))
 
     // Streaming commit-path probe: a real timed run of the streaming
     // engine (rate source saturating the sink, foreachBatch commits,
     // checkpointing) reported with the REFERENCE'S formula — committed
     // rows ÷ configured timeout seconds (Culvert.java:170-171) — the
-    // number directly comparable to BASELINE.md's. Best of 2: the first
-    // window absorbs stream startup; a contended box recovers in the
-    // second.
+    // number directly comparable to BASELINE.md's. Best of N: the first
+    // window absorbs stream startup; a contended box recovers later.
     val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "20000").toLong
     def streamOnce(timeoutMs: Long = streamMs): (Long, Long) = {
       val streamDir = Files.createTempDirectory("graft-bench-stream")
@@ -129,7 +147,7 @@ object Bench {
           // scheduling + rename + checkpoint) while still landing
           // several commits per window
           commitAfterNRows = 1000000,
-          timeoutMs = streamMs))
+          timeoutMs = timeoutMs))
         (r.rowsCommitted, r.throughputRowsPerSec)
       } catch {
         case t: Throwable =>
@@ -150,17 +168,30 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load1":$load1,"probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate}"""
-    // The JSON line is the driver contract: print it BEFORE any shutdown
-    // chatter, flush so no buffering can strand it, and mirror it to a
-    // file so a truncated log capture can't lose the round's numbers.
-    println(json)
-    System.out.flush()
-    try Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    def jsonLine(perQuery: Seq[(String, String)]): String = {
+      val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = f3(results.map(_._2).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load1":${f3(load1)},"probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate}"""
+    }
+    // Full-name, full-precision record → file (never truncated there).
+    val full = jsonLine(results.map { case (k, v) => k -> v.toString })
+    try Files.writeString(java.nio.file.Paths.get("bench_result.json"), full + "\n")
     catch { case _: Throwable => () }
+    // Compact line for the log: `q44_near_dup_pairs` → `q44`, ms
+    // precision. ~1.4 KB — fits the 2000-char tail window with sbt's
+    // `[success]` trailer behind it.
+    val compact = jsonLine(results.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> f3(v)
+    })
+    println(compact)
+    System.out.flush()
     spark.stop()
+    // Print again as the ABSOLUTE last output: spark.stop() can emit
+    // shutdown chatter, and only the final 2000 chars of the log are
+    // kept — the last occurrence is the one the driver parses.
+    println(compact)
+    System.out.flush()
   }
 }

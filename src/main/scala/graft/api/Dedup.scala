@@ -125,10 +125,17 @@ object Dedup {
     * generation: the signature is split into maxHamming+1 chunks that
     * partition all 64 bits, so any pair within the distance bound shares
     * at least one chunk — the candidate join is keyed on (chunk, value).
-    * Output: (doc_a, doc_b, hamming). */
+    * Output: (doc_a, doc_b, hamming).
+    *
+    * maxHamming is capped below 32: with ceil-width chunks over 64 bits,
+    * 33+ chunks would leave trailing chunks with zero bits (mask 0 —
+    * every pair collides there and candidate generation silently
+    * degenerates to all-pairs, ADVICE r3); and a 64-bit signature past
+    * hamming ~16 is not a similarity signal anyway. */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < 64)
+    require(maxHamming >= 1 && maxHamming < 32,
+      s"maxHamming must be in [1, 31], got $maxHamming")
     val chunksN = maxHamming + 1
     val w = (64 + chunksN - 1) / chunksN
     val sig = docs.select(col(idCol).as("doc_id"),

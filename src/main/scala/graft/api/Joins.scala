@@ -23,6 +23,11 @@ object Joins {
     * collide with left column names. If `right` can hold several rows
     * per (key, ts), dedupe it first — which of the tied rows wins is
     * otherwise unspecified.
+    *
+    * The right row's value columns are carried forward as ONE struct,
+    * so the output row is always the intact latest right row — never a
+    * per-column mix of different right rows when the latest one holds
+    * NULLs in some value columns (ADVICE r3).
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
@@ -31,23 +36,61 @@ object Joins {
     require(rightVals.nonEmpty, "right side needs at least one value column")
     require(rightVals.intersect(leftCols).isEmpty,
       s"right value columns ${rightVals.mkString(",")} must not collide with left columns")
-    // align schemas: each side carries nulls for the other side's columns
-    val leftTagged = rightVals.foldLeft(left)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    // align schemas: the right row travels as a single non-null struct
+    // of its value columns (atomic carry-forward); left rows carry a
+    // null struct of the same type
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
+    val leftTagged = left
+      .withColumn("__rv", lit(null).cast(rvType))
       .withColumn("__side", lit(1))
-    val rightTagged = leftCols.filterNot(c => c == keyCol || c == tsCol)
-      .foldLeft(right)((df, c) =>
-        df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val rightTagged = right
+      .select(col(keyCol), col(tsCol),
+        struct(rightVals.map(col): _*).as("__rv"))
       .withColumn("__side", lit(0))
+    val leftOnly = leftCols.filterNot(c => c == keyCol || c == tsCol)
+    val rightAligned = leftOnly.foldLeft(rightTagged)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     // right rows sort before left rows at the same ts (0 < 1), so an
     // exact-tie right row is visible to the left row — ASOF >= semantics
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(leftTagged.unionByName(rightTagged))(
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = leftTagged.unionByName(rightAligned)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((leftCols ++ rightVals).map(col): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__rv").getField(c).as(c)): _*)
+  }
+
+  /** Salted inner equi-join for a SKEWED join key: the big side gets a
+    * per-row salt in [0, salts); the other side is replicated once per
+    * salt value; the join runs on (key, salt), so one hot key's rows
+    * spread over `salts` shuffle partitions instead of hammering one
+    * reducer. The result is exactly the plain equi-join (every big row
+    * meets every matching small row exactly once — at its own salt).
+    *
+    * When to reach for it: the right side is too big to broadcast, the
+    * big side's key distribution is heavy-tailed, and AQE's post-shuffle
+    * skew split isn't available or isn't enough (it re-splits oversized
+    * shuffle partitions after the fact; a single hot KEY still lands in
+    * one partition of any downstream agg keyed the same way — the salt
+    * here spreads it before the shuffle). Cost: `salts ×` replication of the
+    * right side — keep `right` the smaller input and `salts` modest.
+    * The salt is derived from the big side's physical row position
+    * (partition id + local id), so it needs no extra columns, costs no
+    * shuffle of its own, and spreads rows uniformly whatever the key
+    * distribution. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, keyCol: String,
+                     salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(big.columns.intersect(small.columns).toSeq == Seq(keyCol),
+      s"sides must share exactly the join column '$keyCol'")
+    val salted = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
   }
 
   /** Banded range join of a fact frame against a SMALL bands dimension

@@ -47,8 +47,17 @@ object Tables {
     * Listing cost is one recursive enumeration of the table directory —
     * the same listing every Spark file-source scan performs; the marker
     * set is one extra small-directory listing.
+    *
+    * Zero-committed-batches behavior (ADVICE r3): the frame is still
+    * TYPED — schema comes from `schema` if given, else is inferred from
+    * any data file already present (staged or uncommitted files have
+    * the sink's schema even before their commit lands), so downstream
+    * column references behave identically on the empty and populated
+    * paths. Only a sink with no files at all and no declared schema
+    * degrades to `spark.emptyDataFrame` (nothing to infer from).
     */
-  def committedView(spark: SparkSession, path: String, format: String = "orc"): DataFrame = {
+  def committedView(spark: SparkSession, path: String, format: String = "orc",
+                    schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,17 +68,41 @@ object Tables {
     val batchFile = "^b(\\d+)-.*$".r
     val rootQualified = fs.makeQualified(root).toString
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (file, basePath) of some data file to borrow a schema from when no
+    // batch is committed: a half-published b<id>-* file sits in the real
+    // partition layout (basePath = table root); a staged file sits under
+    // _staging/<id>/<partition dirs> (basePath = the staging batch dir)
+    var schemaDonor: Option[(String, String)] = None
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next().getPath
       val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
-      val hidden = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      val segs = rel.split('/')
+      val visible = !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
       f.getName match {
-        case batchFile(id) if !hidden && committed(id) => files += f.toString
+        case batchFile(id) if visible && committed(id) => files += f.toString
         case _ => ()
       }
+      if (schemaDonor.isEmpty && !f.getName.startsWith(".") && !f.getName.startsWith("_")) {
+        if (visible && batchFile.pattern.matcher(f.getName).matches())
+          schemaDonor = Some((f.toString, path))
+        else if (segs.headOption.contains("_staging") && segs.length > 2 &&
+          !segs.drop(2).exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+          schemaDonor = Some((f.toString, s"$path/_staging/${segs(1)}"))
+      }
     }
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.format(format).option("basePath", path).load(files.toSeq: _*)
+    if (files.nonEmpty)
+      spark.read.format(format).option("basePath", path).load(files.toSeq: _*)
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => schemaDonor match {
+        case Some((donor, base)) =>
+          // borrow the schema (incl. partition columns via basePath)
+          // from a file the sink has written — zero rows read
+          spark.read.format(format).option("basePath", base).load(donor).limit(0)
+        case None => spark.emptyDataFrame
+      }
+    }
   }
 }

@@ -160,8 +160,19 @@ object Ingest {
         (col("__pid").cast("long") * b + pmod(hash(userExpr), lit(b)))
           .cast("int").as("k"),
         col("value"))
+      // Out-of-range k (a caller-supplied frame with __pid outside
+      // [0, parallelism)) would make element_at yield NULL (non-ANSI)
+      // and silently hash-route the row to an arbitrary partition,
+      // quietly breaking the one-bucket-per-file layout — fail loudly
+      // instead, like the custom Partitioner this exchange replaced
+      // (ADVICE r3).
+      val saltOrFail = when(col("k").between(0, parts - 1),
+          element_at(lit(salt), col("k") + 1))
+        .otherwise(raise_error(concat(
+          lit(s"bucket route key out of [0, $parts): __pid exceeds parallelism=${cfg.parallelism}, k="),
+          col("k"))).cast("int"))
       val indexed = keyed
-        .withColumn("__salt", element_at(lit(salt), col("k") + 1))
+        .withColumn("__salt", saltOrFail)
         .repartition(parts, col("__salt"))
         .select(col("value"), expr(s"k div $b").cast("int").as("__pid"))
       projected(indexed, cfg)

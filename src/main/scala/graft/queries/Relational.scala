@@ -153,6 +153,24 @@ object Relational {
         .orderBy(col("p_brand"))
     }),
 
+    "q73_salted_skew_join" -> ((s, d) => {
+      // Skew-resilient fact⨝fact: the join runs salted — big side salted
+      // by physical row position, orders replicated ×8, equi-join on
+      // (orderkey, salt) — so one hot orderkey would spread over 8
+      // reducers instead of one. Result provably identical to the plain
+      // equi-join (the oracle IS the plain join).
+      val li = lineitem(s, d).select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ord = orders(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      graft.api.Joins.saltedEquiJoin(li, ord, "okey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // --- aggregation variants -----------------------------------------
     "q12_distinct_counts" -> ((s, d) => {
       orders(s, d)
@@ -311,6 +329,14 @@ object Relational {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the salted join is semantically the plain equi-join — that's the
+    // contract this oracle pins
+    "q73_salted_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q12_distinct_counts" ->
       """SELECT c_mktsegment,

@@ -137,6 +137,46 @@ class ApiSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("Joins.asOf carries multi-column right rows atomically (NULLs included)") {
+    // The latest quote for the trade at t=20 is (px=null, sz=7): the
+    // output must be that intact row — NOT px=1.5 resurrected from the
+    // earlier quote with sz=7 from the later one (ADVICE r3).
+    val trades = Seq(("A", 20L, 200)).toDF("sym", "t", "qty")
+    val quotes = Seq(
+      ("A", 10L, Some(1.5), Some(3)),
+      ("A", 18L, None, Some(7))).toDF("sym", "t", "px", "sz")
+    val out = Joins.asOf(trades, quotes, keyCol = "sym", tsCol = "t").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("px")), "px of the LATEST right row is null")
+    assert(r.getInt(r.fieldIndex("sz")) == 7)
+  }
+
+  test("Joins.saltedEquiJoin equals the plain equi-join on a skewed key") {
+    // 90% of the big side hits one hot key — the salting must spread it
+    // without changing the result multiset
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold"), (2000L, "unmatched"))
+      .toDF("k", "tag")
+    val salted = Joins.saltedEquiJoin(big, small, "k", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val plain = big.join(small, "k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(salted.length == 901)
+    assert(salted.sameElements(plain))
+  }
+
+  test("Dedup.simHashPairs rejects maxHamming values that degenerate a chunk") {
+    val df = corpus.toDF("id", "body")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "id", "body", maxHamming = 32)
+    }
+    // boundary value stays legal: 32 chunks × 2 bits cover all 64 bits
+    assert(Dedup.simHashPairs(df, "id", "body", maxHamming = 31).columns
+      .sameElements(Array("doc_a", "doc_b", "hamming")))
+  }
+
   test("TextAnalysis.tfidfTopTerms ranks a document's distinctive term first") {
     val df = Seq(
       (1L, "alpha beta beta"),

@@ -70,6 +70,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "cell join must be a keyed equi-join")
   }
 
+  test("q73 salted join stays a hash equi-join on (key, salt)") {
+    val p = plan("q73_salted_skew_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "salted join must remain a keyed equi-join")
+  }
+
   // The corpus-sized sides (q44 prefix index, q48 verify joins, q57 cell
   // join) must NOT carry a user broadcast hint: at 100 TB a forced
   // broadcast of a corpus-sized side OOMs the build side. AQE may still

@@ -152,6 +152,26 @@ class IngestSpec extends AnyFunSuite {
     assert(cv.columns.contains("year") && cv.columns.contains("month"))
   }
 
+  test("committedView with zero committed batches still returns a typed frame") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+    val raw = spark.range(0, 100, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    assert(Ingest.commitBatch(cfg, dir, raw, batchId = 1) == 100)
+    // crash window: published files, marker lost — nothing is committed
+    assert(new java.io.File(dir, "_commits/1").delete())
+    val cv = graft.core.Tables.committedView(spark, dir)
+    assert(cv.count() == 0, "uncommitted files must stay invisible")
+    // downstream column references behave like the populated path
+    assert(cv.columns.contains("user_id") && cv.columns.contains("year"))
+    assert(cv.filter(org.apache.spark.sql.functions.col("year") === 2018).count() == 0)
+    // declared-schema variant on a sink with no files at all
+    val empty = tmp()
+    val schema = cv.schema
+    val cv2 = graft.core.Tables.committedView(spark, empty, schema = Some(schema))
+    assert(cv2.count() == 0 && cv2.schema == schema)
+  }
+
   test("streaming ingest commits batches and accounts committed rows only") {
     val dir = tmp()
     // generous timeout: under heavy external machine load the first
