@@ -65,7 +65,9 @@ object Tables {
     val committed: Set[String] =
       if (fs.exists(commitsDir)) fs.listStatus(commitsDir).map(_.getPath.getName).toSet
       else Set.empty
-    val batchFile = "^b(\\d+)-.*$".r
+    // batch token is `<batchId>` (single-query sink) or `g<i>-<batchId>`
+    // (concurrent commit groups, Ingest.commitGroups > 1)
+    val batchFile = "^b((?:g\\d+-)?\\d+)-.*$".r
     val rootQualified = fs.makeQualified(root).toString
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     // (file, basePath) of some data file to borrow a schema from when no

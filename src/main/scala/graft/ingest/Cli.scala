@@ -35,6 +35,7 @@ object Cli {
     var streamLaunchDelayMs = 0L
     var enableAutoFlush = true
     var outputDir = defaultWarehouse
+    var commitGroups = 1
     var help = false
 
     def num[T](raw: String, f: String => T): Either[String, T] =
@@ -60,6 +61,7 @@ object Cli {
         case "-l" | "--stream-launch-delay"    => arg().flatMap(num(_, _.toLong)).map(streamLaunchDelayMs = _)
         case "-f" | "--disable-auto-flush"     => enableAutoFlush = false; Right(())
         case "-o" | "--output-dir"             => arg().map(outputDir = _)
+        case "-g" | "--commit-groups"          => arg().flatMap(num(_, _.toInt)).map(commitGroups = _)
         case "-h" | "--help"                   => help = true; Right(())
         case other                             => Left("Invalid parameter.")
       }
@@ -84,7 +86,8 @@ object Cli {
         eventsPerSecond = eventsPerSecond,
         parallelism = numParallelStreams,
         streamLaunchDelayMs = streamLaunchDelayMs,
-        autoFlush = enableAutoFlush),
+        autoFlush = enableAutoFlush,
+        commitGroups = commitGroups),
       metastoreUrl, help))
   }
 
@@ -107,6 +110,7 @@ object Cli {
       | -db <arg>                             destination database. default = default
       | -table <arg>                          destination table. default = culvert
       | -o,--output-dir <arg>                 warehouse directory for the file sink ('console' = console sink). default = ./culvert-warehouse
+ -g,--commit-groups <arg>              extension: split the run into g concurrently-committing query groups (must divide -p). default = 1
       | -h,--help                             usage help
       |""".stripMargin
 

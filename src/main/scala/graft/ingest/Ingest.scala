@@ -33,6 +33,20 @@ final case class IngestConfig(
     streamLaunchDelayMs: Long = 0,
     autoFlush: Boolean = true,
     buckets: Int = 32,
+    // Concurrent commit groups: the reference's p streams each hold an
+    // independent Hive transaction and COMMIT CONCURRENTLY
+    // (`Culvert.java:100-117` thread pool); one Structured Streaming
+    // query serializes commits behind a single foreachBatch. With
+    // commitGroups = g > 1 the run is split into g parallel queries of
+    // p/g streams each — per-group checkpoints, group-tagged batch
+    // files/markers (`bg<i>-<batch>-*`), disjoint static month ranges —
+    // so write jobs and publish phases overlap like the reference's
+    // threads. 1 = the single-query path.
+    commitGroups: Int = 1,
+    // First stream index of this run's streams (static-mode month =
+    // streamIndexOffset + source partition id) — how a commit group
+    // keeps the reference's month=streamIdx layout globally disjoint.
+    streamIndexOffset: Int = 0,
     seed: Long = 123L,
     format: String = "orc",
     // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
@@ -199,10 +213,12 @@ object Ingest {
     } else {
       // static: every stream i writes (year=2018, month=i) — month is
       // the stream index 0..p-1, NOT a calendar month (the reference's
-      // observable layout, `Culvert.java:182`).
+      // observable layout, `Culvert.java:182`). A commit group offsets
+      // its local partition ids into the global stream-index space.
       indexed.select(
         Gen.defaultColumns.map(s => Gen.expr(s, cfg.seed, row).as(s.name)) ++
-          Seq(lit(2018).as("year"), col("__pid").as("month")): _*)
+          Seq(lit(2018).as("year"),
+            (col("__pid") + lit(cfg.streamIndexOffset)).as("month")): _*)
     }
   }
 
@@ -222,22 +238,27 @@ object Ingest {
     * are hidden from Spark/Hadoop readers.
     * Returns the rows committed (0 if the batch was already committed). */
   private[ingest] def commitBatch(
-      cfg: IngestConfig, path: String, batch: DataFrame, batchId: Long): Long = {
+      cfg: IngestConfig, path: String, batch: DataFrame, batchId: Long,
+      groupTag: Option[String] = None): Long = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
+    // A commit group tags its batches (`g1-42`) so ids from parallel
+    // queries — each with its own 0-based micro-batch counter — can
+    // never collide in file names or markers.
+    val token = groupTag.fold(batchId.toString)(g => s"$g-$batchId")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$path/_commits/$batchId")
+    val marker = new Path(s"$path/_commits/$token")
     if (fs.exists(marker)) return 0L
     // A prior attempt may have crashed mid-publish (some files renamed,
-    // marker absent): delete any half-published b<batchId>-* files first
+    // marker absent): delete any half-published b<token>-* files first
     // so the replay cannot leave duplicates visible to plain directory
     // readers. Partition layout is always <year=Y>/<month=M>, two levels.
-    val stale = fs.globStatus(new Path(s"$path/*/*/b$batchId-*"))
+    val stale = fs.globStatus(new Path(s"$path/*/*/b$token-*"))
     if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
     // Batch size, counted up front: the raw batch is just the rate
     // micro-batch's (value, pid) range — nearly free.
     val n = batch.count()
-    val staging = new Path(s"$path/_staging/$batchId")
+    val staging = new Path(s"$path/_staging/$token")
     routeAndProject(batch, cfg)
       .write.mode("overwrite").format(cfg.format)
       .option("compression", cfg.compression)
@@ -254,7 +275,7 @@ object Ingest {
         val relDir = rel.split('/').dropRight(1).mkString("/")
         val destDir = if (relDir.isEmpty) new Path(path) else new Path(s"$path/$relDir")
         fs.mkdirs(destDir)
-        fs.rename(f, new Path(destDir, s"b$batchId-${f.getName}"))
+        fs.rename(f, new Path(destDir, s"b$token-${f.getName}"))
       }
     }
     fs.delete(staging, true)
@@ -271,34 +292,55 @@ object Ingest {
     val committed = new AtomicLong(0)
     val commits = new AtomicLong(0)
 
-    val query = cfg.outputPath match {
+    val queries = cfg.outputPath match {
       case Some(path) =>
-        rawStream(spark, cfg).writeStream
-          .outputMode("append")
-          .trigger(Trigger.ProcessingTime(triggerMs(cfg)))
-          .option("checkpointLocation", s"$path/_checkpoint")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val n = commitBatch(cfg, path, batch, batchId)
-            if (n > 0) {
-              val total = committed.addAndGet(n)
-              val k = commits.incrementAndGet()
-              println(s"Stream [${cfg.name}] committed $k transactions [rows: $total]..")
+        // g parallel queries of p/g streams each: commits (write job +
+        // publish + checkpoint) from different groups overlap, like the
+        // reference's p independently-committing stream threads. g = 1
+        // is the plain single-query path (no group tag, same layout as
+        // ever).
+        val g = math.max(1, cfg.commitGroups)
+        require(cfg.parallelism % g == 0,
+          s"commitGroups=$g must divide parallelism=${cfg.parallelism}")
+        val perGroup = cfg.parallelism / g
+        (0 until g).toList.map { i =>
+          val tag = if (g == 1) None else Some(s"g$i")
+          val gcfg = cfg.copy(parallelism = perGroup,
+            streamIndexOffset = cfg.streamIndexOffset + i * perGroup)
+          rawStream(spark, gcfg).writeStream
+            .outputMode("append")
+            .trigger(Trigger.ProcessingTime(triggerMs(gcfg)))
+            .option("checkpointLocation",
+              tag.fold(s"$path/_checkpoint")(t => s"$path/_checkpoint/$t"))
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val n = commitBatch(gcfg, path, batch, batchId, tag)
+              if (n > 0) {
+                val total = committed.addAndGet(n)
+                val k = commits.incrementAndGet()
+                println(s"Stream [${cfg.name}] committed $k transactions [rows: $total]..")
+              }
             }
-          }
-          .start()
+            .start()
+        }
       case None =>
         // Console fallback (`Stream.java:190-191`): rows are printed,
         // nothing is committed — rowsCommitted stays 0, as in the
         // reference where the commit path needs a live connection.
         val frame = streamingFrame(spark, cfg)
-        frame.select(Gen.csvLine(frame.columns.toSeq).as("value"))
+        List(frame.select(Gen.csvLine(frame.columns.toSeq).as("value"))
           .writeStream.format("console")
           .option("truncate", "false")
           .trigger(Trigger.ProcessingTime(triggerMs(cfg)))
-          .start()
+          .start())
     }
-    query.awaitTermination(cfg.timeoutMs)
-    query.stop()
+    // one shared wall-clock deadline for all groups (the reference's
+    // single timeout thread covers all streams)
+    val deadline = System.nanoTime() + cfg.timeoutMs * 1000000
+    queries.foreach { q =>
+      val leftMs = math.max(1L, (deadline - System.nanoTime()) / 1000000)
+      q.awaitTermination(leftMs)
+    }
+    queries.foreach(_.stop())
     report(committed.get, commits.get, cfg.timeoutMs)
   }
 

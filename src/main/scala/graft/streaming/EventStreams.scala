@@ -89,6 +89,63 @@ object EventStreams {
       }
   }
 
+  /** Custom-state operator with MULTI-ROW emission and event-time
+    * timeout: gap-based sessionization via `flatMapGroupsWithState` —
+    * the fully-general stateful API (mapGroupsWithState is its
+    * one-row-per-group restriction). Each user's open session lives in
+    * the state store; an event within `gap` of the session's end extends
+    * it, a later event closes it and opens a new one; on event-time
+    * timeout (watermark passed the open session's end + gap) the final
+    * session is flushed. Emits one row per CLOSED session — zero, one,
+    * or many per group per batch, which is exactly why this needs
+    * flatMap. State is keyed by user_id (high cardinality — shards
+    * evenly) and bounded by the watermark.
+    *
+    * Batch form of the same semantics: q39's `session_window`; parity
+    * on the session set is asserted in StreamingParitySpec. */
+  def flatSessionize(s: SparkSession, df: DataFrame,
+                     gapMinutes: Int = 30): Dataset[(Long, Long, Long, Long)] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    // the watermark both drives the event-time timeout and bounds
+    // state; the watermarked `ts` column itself must flow into the
+    // stateful operator (projecting it away drops the event-time tag),
+    // so the row carries (user, ts, ts µs) and the function reads µs
+    df.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, events: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap — flush it
+            val (st, en, n) = state.get
+            state.remove()
+            Iterator((uid, st, en, n))
+          } else {
+            val sorted = events.map(_._3).toArray.sorted
+            var closed = List.empty[(Long, Long, Long, Long)]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open = open match {
+                case Some((st, en, n)) if t - en <= gapUs => Some((st, t, n + 1))
+                case Some((st, en, n)) =>
+                  closed ::= ((uid, st, en, n)); Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // close the session when event time passes its end + gap
+              state.setTimeoutTimestamp((o._2 + gapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Drain a streaming frame into an in-memory table with
     * `Trigger.AvailableNow` (process everything currently in the
     * source, then stop) and return the result. */

@@ -81,6 +81,39 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(types.subsetOf(Set("view", "click", "purchase")) && types.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization matches batch session_window") {
+    import org.apache.spark.sql.functions._
+    val gapMin = 30
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.flatSessionize(spark, stream(), gapMin)
+        .toDF("user_id", "s_start_us", "s_end_us", "n_events"),
+      "m_flatsession", OutputMode.Append())
+    // Expected: the batch session set, restricted to sessions the
+    // stream can CLOSE — an open session flushes only when the final
+    // watermark (max ts - 1h) passes its last event + gap; later
+    // sessions legitimately stay in state.
+    val ev = graft.core.Tables.events(spark, sf)
+    val batch = ev
+      .groupBy(session_window(col("ts"), s"$gapMin minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        // session_window.end = last event + gap; the operator reports
+        // the last event itself
+        (unix_micros(col("session_window.end")) - gapMin * 60L * 1000000).as("s_end_us"),
+        col("n_events"))
+    val maxTsUs = ev.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val watermarkUs = maxTsUs - 3600L * 1000000
+    val want = batch
+      .filter(col("s_end_us") + gapMin * 60L * 1000000 <= watermarkUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "fixture should close at least one session")
+    assert(gotSet == want,
+      s"closed-session sets differ: extra=${gotSet -- want} missing=${want -- gotSet}")
+  }
+
   test("mapGroupsWithState user counts match batch groupBy (stateful op)") {
     val got = EventStreams.runToMemory(spark,
       EventStreams.statefulUserCounts(spark, stream()).toDF("user_id", "n"),

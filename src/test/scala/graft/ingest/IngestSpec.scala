@@ -172,6 +172,30 @@ class IngestSpec extends AnyFunSuite {
     assert(cv2.count() == 0 && cv2.schema == schema)
   }
 
+  test("concurrent commit groups keep accounting, layout, and committed view") {
+    val dir = tmp()
+    // 2 groups × 2 streams: group queries commit in parallel with
+    // group-tagged files/markers and disjoint static month ranges
+    val cfg = IngestConfig(
+      outputPath = Some(dir), parallelism = 4, commitGroups = 2,
+      eventsPerSecond = 2000, commitAfterNRows = 500, timeoutMs = 15000,
+      buckets = 2)
+    val res = Ingest.run(spark, cfg)
+    assert(res.rowsCommitted > 0, "no rows committed within timeout")
+    val back = spark.read.orc(dir)
+    assert(back.count() == res.rowsCommitted,
+      "rowsCommitted must equal rows visible in the sink")
+    // global stream-index space: group 0 → months {0,1}, group 1 → {2,3}
+    val months = back.select("month").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(months.subsetOf(Set(0, 1, 2, 3)), s"unexpected months $months")
+    assert(months.exists(_ >= 2), "offset group must write its own month range")
+    // group-tagged markers exist and the committed view honors them
+    val markers = new java.io.File(dir, "_commits").list().toSeq
+    assert(markers.exists(_.startsWith("g0-")) && markers.exists(_.startsWith("g1-")))
+    assert(graft.core.Tables.committedView(spark, dir).count() == res.rowsCommitted)
+  }
+
   test("streaming ingest commits batches and accounts committed rows only") {
     val dir = tmp()
     // generous timeout: under heavy external machine load the first
