@@ -42,11 +42,18 @@ object Dedup {
       .select(col(idCol).as(s"keep_$idCol"), col("fingerprint"))
 
   /** id + distinct lowercase word n-shingle set (+ set size) — the
-    * shared representation for the Jaccard-based operators. */
+    * shared representation for the Jaccard-based operators. Shingles
+    * are stored as their sorted xxhash64 values, not strings: set sizes
+    * and intersections (hence Jaccard) are unchanged, while every
+    * downstream compare/shuffle moves 8-byte longs instead of n-word
+    * strings, and the PPJoin prefix is a plain slice of the
+    * already-sorted array. (A 64-bit collision would need ~2^32
+    * distinct shingles per doc to matter.) */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", shingle: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        distinctShingles(lower(col(textCol)), shingle).as("sh"))
+        array_sort(transform(distinctShingles(lower(col(textCol)), shingle),
+          t => xxhash64(t))).as("sh"))
       .withColumn("n", size(col("sh")))
 
   /** Exact Jaccard verification for a candidate pair frame carrying both
@@ -75,8 +82,9 @@ object Dedup {
                         shingle: Int = 3): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, shingle).cache()
     val prefixLen = (floor(col("n") * (1 - threshold)) + 1).cast("int")
+    // sh is already the sorted hash set — the prefix is a plain slice
     val prefix = sets.select(col("doc_id"), col("n"),
-        slice(array_sort(transform(col("sh"), t => xxhash64(t))), lit(1), prefixLen).as("pre"))
+        slice(col("sh"), lit(1), prefixLen).as("pre"))
       .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos", "tok")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&

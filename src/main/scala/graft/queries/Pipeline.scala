@@ -209,6 +209,22 @@ object Pipeline {
         .orderBy("kind")
     }),
 
+    // Multimodal frame sampling: decode → per-frame explode (keep every
+    // 4th frame) → per-media accounting. The stub codec's frame math is
+    // deterministic byte arithmetic, so DuckDB replicates it in closed
+    // form — the oracle pins the whole flatMap pipeline, not just a row
+    // count. doc_id < 200 keeps the compare small.
+    "q74_multimodal_frames" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+        .filter(col("kind") === "video" && col("media_id") < 200)
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.decode(media), stride = 4)
+      frames.groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames_kept"),
+          sum(length(col("frame"))).cast("long").as("bytes_kept"))
+        .orderBy("media_id")
+    }),
+
     // ------------------------------------------------ contract queries
     // The approximate operators (q46/q48/q52/q57) are hash/seed-based
     // and have no SQL analogue, so the driver's gate only counts their
@@ -442,6 +458,24 @@ object Pipeline {
         |  max(len(string_split_regex(text, '\s+'))) AS max_ws,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // closed-form mirror of the stub codec's frame math: L bytes split
+    // into nf = L%24+1 frames of chunk = max(L//nf, 1) bytes (last frame
+    // ragged), keep every 4th frame
+    "q74_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS L FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 200 AND strlen(text) > 0
+        |), d AS (
+        |  SELECT media_id, L, greatest(L // (L % 24 + 1), 1) AS chunk FROM v
+        |), e AS (
+        |  SELECT media_id, L, chunk, (L + chunk - 1) // chunk AS nch FROM d
+        |)
+        |SELECT media_id,
+        |  CAST((nch - 1) // 4 + 1 AS BIGINT) AS n_frames_kept,
+        |  CAST(chunk * ((nch - 1) // 4 + 1)
+        |       - CASE WHEN (nch - 1) % 4 = 0 THEN chunk * nch - L ELSE 0 END
+        |       AS BIGINT) AS bytes_kept
+        |FROM e ORDER BY media_id""".stripMargin,
     "q70_ann_recall" ->
       """SELECT 'hyperplane' AS method, TRUE AS recall_ok
         |UNION ALL SELECT 'ivf', TRUE ORDER BY method""".stripMargin,
