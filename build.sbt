@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST lines of the captured log:
+// pipe the forked JVM's stdout straight through (no "[info] " logger
+// prefix) and drop sbt's "[success] Total time" trailer so the bench's
+// final JSON result line really is the last line of output.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

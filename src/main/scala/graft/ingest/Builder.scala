@@ -34,6 +34,9 @@ final class CulvertBuilder private () {
   def withStreamingOptimizations(on: Boolean): CulvertBuilder = { cfg = cfg.copy(streamingOptimizations = on); this }
   def withBuckets(b: Int): CulvertBuilder = { cfg = cfg.copy(buckets = b); this }
   def withSeed(seed: Long): CulvertBuilder = { cfg = cfg.copy(seed = seed); this }
+  /** Extension (no reference analogue): split the run into g
+    * concurrently-committing query groups — see IngestConfig.commitGroups. */
+  def withCommitGroups(g: Int): CulvertBuilder = { cfg = cfg.copy(commitGroups = g); this }
 
   def config: IngestConfig = cfg
 

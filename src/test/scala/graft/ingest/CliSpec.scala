@@ -44,6 +44,15 @@ class CliSpec extends AnyFunSuite {
     assert(c.outputPath.contains("/tmp/w/test/cv"))
   }
 
+  test("commit-groups extension flag parses and defaults to 1") {
+    assert(Cli.parse(Array.empty).toOption.get.cfg.commitGroups == 1)
+    val Right(p) = Cli.parse(Array("-p", "8", "-g", "4")): @unchecked
+    assert(p.cfg.commitGroups == 4)
+    val Right(l) = Cli.parse(Array("--commit-groups", "2")): @unchecked
+    assert(l.cfg.commitGroups == 2)
+    assert(Cli.parse(Array("-g", "x")).isLeft)
+  }
+
   test("long forms parse") {
     val Right(p) = Cli.parse(Array(
       "--commit-after-n-rows", "7", "--timeout", "9",
