@@ -43,17 +43,18 @@ object Dedup {
 
   /** id + distinct lowercase word n-shingle set (+ set size) — the
     * shared representation for the Jaccard-based operators. Shingles
-    * are stored as their sorted xxhash64 values, not strings: set sizes
+    * are stored as their sorted 64-bit hashes, not strings: set sizes
     * and intersections (hence Jaccard) are unchanged, while every
     * downstream compare/shuffle moves 8-byte longs instead of n-word
     * strings, and the PPJoin prefix is a plain slice of the
     * already-sorted array. (A 64-bit collision would need ~2^32
-    * distinct shingles per doc to matter.) */
+    * distinct shingles per doc to matter.) Computed by a native
+    * one-pass expression — the HOF formulation is interpreted and
+    * allocates an SQL array per intermediate. */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", shingle: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        array_sort(transform(distinctShingles(lower(col(textCol)), shingle),
-          t => xxhash64(t))).as("sh"))
+        distinctShingleHashes(lower(col(textCol)), shingle).as("sh"))
       .withColumn("n", size(col("sh")))
 
   /** Exact Jaccard verification for a candidate pair frame carrying both

@@ -110,6 +110,14 @@ object TextFunctions {
       graft.functions.expr.MinShingleHash(
         org.apache.spark.sql.GraftExprBridge.expression(text), n))
 
+  /** Sorted distinct word-n-shingle hash set in one pass (native
+    * expression) — the array<long> set representation the Jaccard
+    * operators intersect. */
+  def distinctShingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.DistinctShingleHashes(
+        org.apache.spark.sql.GraftExprBridge.expression(text), n))
+
   /** k MinHash values over word n-shingles in one pass (native
     * expression; double-hashing family h_i = h1 + i·h2). */
   def minHashes(text: Column, n: Int, k: Int): Column =

@@ -121,6 +121,43 @@ case class MinHashes(child: Expression, n: Int, k: Int)
   override def prettyName: String = "minhashes"
 }
 
+/** Sorted distinct word-n-shingle hashes: `array<long>`, one pass with
+  * primitive sort+dedupe — the set representation behind the
+  * Jaccard-based dedup operators (set size and pairwise intersections
+  * equal the distinct-string-shingle set's, modulo 64-bit collisions).
+  * Replaces an interpreted HOF chain (transform + concat_ws + slice +
+  * array_distinct + array_sort) that allocated an SQL array per
+  * intermediate. */
+case class DistinctShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"distinct_shingle_hashes needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    var buf = new Array[Long](64)
+    var m = 0
+    TextHash.foreachShingleHash(input.asInstanceOf[UTF8String].toString, n) {
+      (h1, _) =>
+        if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+        buf(m) = h1
+        m += 1
+    }
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0
+    var i = 0
+    while (i < m) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, w))
+  }
+  override protected def withNewChildInternal(c: Expression): DistinctShingleHashes = copy(child = c)
+  override def prettyName: String = "distinct_shingle_hashes"
+}
+
 /** 64-bit SimHash over whitespace tokens (frequency-weighted ±1 per
   * bit): `long`, one pass with a primitive counter array. */
 case class SimHash64(child: Expression)
