@@ -154,6 +154,69 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Build a PERSISTENT IVF index under `path`: fit the coarse
+    * quantizer once, then write `centroids` (cells × array<float>, a
+    * KB-sized model) and `vectors/` — every vector with its
+    * precomputed norm, PARTITIONED BY CELL on disk. The point at
+    * scale: clustering and norm computation are paid once at build
+    * time; every subsequent search is a partition-pruned read + one
+    * keyed join — no refit, no rescan of the full corpus.
+    */
+  def buildIvfIndex(emb: DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    cells: Int = 16, seed: Long = 42, maxIter: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb, idCol, vecCol)
+    val feats = e.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    km.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cellOf = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
+    e.join(cellOf, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Search a persisted IVF index: each query row ranks the stored
+    * centroids inline (literal expressions — no extra job), probes its
+    * `nprobe` nearest cells, and equi-joins the index on the cell id.
+    * `cell` is the index's DISK partition column, so a selective query
+    * side prunes index partitions (dynamic partition pruning) instead
+    * of scanning the corpus. Output: (vec_id, rank, neighbor_id, cos) —
+    * same contract as the other top-k operators. */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding", k: Int = 3,
+                     nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    val dists = array(centroids.map { case (i, c) =>
+      struct(
+        aggregate(
+          zip_with(col("embedding"), lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, d) => acc + d).as("dist"),
+        lit(i).as("cell"))
+    }: _*)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(slice(array_sort(dists), 1, nprobe)).as("pc"))
+      .select(col("pc.cell").as("cell"), col("vec_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val index = spark.read.parquet(s"$path/vectors")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = q.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+    topK(pairs, k)
+  }
+
   /** All embedding pairs at-or-above a cosine threshold — brute-force
     * exact baseline (labelled; candidate generation at scale belongs to
     * the LSH/IVF paths). Output: (vec_a, vec_b, cos), vec_a < vec_b. */

@@ -78,6 +78,24 @@ class ApiSpec extends AnyFunSuite {
     assert(recall(r2) > 0.0)
   }
 
+  test("persistent IVF index: build once, search without refitting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    Similarity.buildIvfIndex(emb, dir)
+    // the index is cell-partitioned on disk — the partition-pruning unit
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+    assert(cellDirs != null && cellDirs.exists(_.getName.startsWith("cell=")))
+    val got = Similarity.ivfSearchIndex(spark, dir, emb, k = 3, nprobe = 2)
+    assert(got.columns.sameElements(Array("vec_id", "rank", "neighbor_id", "cos")))
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rank") <= 3))
+    val exact = Similarity.cosineTopKExact(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotPairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (gotPairs intersect exact).size.toDouble / exact.size
+    assert(recall > 0.1, f"indexed IVF recall $recall%.3f too low")
+  }
+
   test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
     val df = (1L to 500L).toDF("k")
     val all = "0123456789abcdef".map(_.toString)
