@@ -225,6 +225,21 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // Multimodal resize: decode → downsample (keep every 3rd byte) →
+    // re-decode dimensions of the resized payload. The stub's byte
+    // arithmetic is closed-form on the resized length ⌈L/3⌉, so the
+    // oracle pins the binary-in/binary-out resize stage exactly.
+    "q75_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+        .filter(col("kind") === "image" && col("media_id") < 200)
+      graft.multimodal.Multimodal.resize(
+          graft.multimodal.Multimodal.decode(media), factor = 3)
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .orderBy("media_id")
+    }),
+
     // ------------------------------------------------ contract queries
     // The approximate operators (q46/q48/q52/q57) are hash/seed-based
     // and have no SQL analogue, so the driver's gate only counts their
@@ -458,6 +473,15 @@ object Pipeline {
         |  max(len(string_split_regex(text, '\s+'))) AS max_ws,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // resized payload = every 3rd byte → length ⌈L/3⌉; stub dimension
+    // formulas applied to the resized length
+    "q75_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + (((strlen(text)+2)//3) * 31) % 497 AS INT) AS width,
+        |  CAST(16 + (((strlen(text)+2)//3) * 73) % 353 AS INT) AS height,
+        |  CAST((strlen(text)+2)//3 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 200
+        |ORDER BY media_id""".stripMargin,
     // closed-form mirror of the stub codec's frame math: L bytes split
     // into nf = L%24+1 frames of chunk = max(L//nf, 1) bytes (last frame
     // ragged), keep every 4th frame
