@@ -37,6 +37,14 @@ final class CulvertBuilder private () {
   /** Extension (no reference analogue): split the run into g
     * concurrently-committing query groups — see IngestConfig.commitGroups. */
   def withCommitGroups(g: Int): CulvertBuilder = { cfg = cfg.copy(commitGroups = g); this }
+  /** Schema override — the reference's `withColumns`
+    * (`Culvert.java:81-84`, `Stream.java:73-75`): replace the default
+    * Yahoo-benchmark column list. The first column becomes the bucket
+    * key (the reference clusters on user_id, its first column). */
+  def withColumns(specs: Seq[Gen.ColSpec]): CulvertBuilder = {
+    require(specs.nonEmpty, "column override needs at least one column")
+    cfg = cfg.copy(columns = Some(specs)); this
+  }
 
   def config: IngestConfig = cfg
 

@@ -47,6 +47,12 @@ final case class IngestConfig(
     // streamIndexOffset + source partition id) — how a commit group
     // keeps the reference's month=streamIdx layout globally disjoint.
     streamIndexOffset: Int = 0,
+    // Schema override (reference EP3: `Culvert.java:46-50,81-84` /
+    // `Stream.java:73-75` let callers replace the default column list).
+    // None = the default Yahoo-benchmark schema. The bucket key is the
+    // FIRST column — mirroring the reference table's `clustered by
+    // (user_id)` where user_id is the first default column.
+    columns: Option[Seq[Gen.ColSpec]] = None,
     seed: Long = 123L,
     format: String = "orc",
     // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
@@ -102,6 +108,11 @@ final case class IngestResult(
   */
 object Ingest {
 
+  /** The run's generated schema: the caller's override or the default
+    * Yahoo-benchmark columns (`Stream.java:151-165`). */
+  private def dataColumns(cfg: IngestConfig): Seq[Gen.ColSpec] =
+    cfg.columns.getOrElse(Gen.defaultColumns)
+
   /** The unbounded raw index frame: rate source emitting (value, __pid).
     * The stream index (`__pid`, the static-mode month) is captured HERE,
     * before any exchange moves rows off their source partition. */
@@ -143,7 +154,7 @@ object Ingest {
     * files) — measured ~2.4× slower. Dynamic mode (50×12 possible
     * dirs) keeps the plain bucket hash exchange. */
   def routeAndProject(raw: DataFrame, cfg: IngestConfig): DataFrame = {
-    val userExpr = Gen.expr(Gen.defaultColumns.head, cfg.seed, col("value"))
+    val userExpr = Gen.expr(dataColumns(cfg).head, cfg.seed, col("value"))
     if (cfg.buckets <= 0) projected(raw, cfg)
     else if (cfg.dynamicPartitioning)
       projected(raw.repartition(cfg.buckets, userExpr), cfg)
@@ -208,7 +219,7 @@ object Ingest {
       // dynamic: year/month are generator columns over the same row
       // index, appended to the schema (`Stream.java:77-80`); the sink
       // routes rows by value.
-      val specs = Gen.defaultColumns ++ Gen.partitionColumns
+      val specs = dataColumns(cfg) ++ Gen.partitionColumns
       indexed.select(specs.map(s => Gen.expr(s, cfg.seed, row).as(s.name)): _*)
     } else {
       // static: every stream i writes (year=2018, month=i) — month is
@@ -216,7 +227,7 @@ object Ingest {
       // observable layout, `Culvert.java:182`). A commit group offsets
       // its local partition ids into the global stream-index space.
       indexed.select(
-        Gen.defaultColumns.map(s => Gen.expr(s, cfg.seed, row).as(s.name)) ++
+        dataColumns(cfg).map(s => Gen.expr(s, cfg.seed, row).as(s.name)) ++
           Seq(lit(2018).as("year"),
             (col("__pid") + lit(cfg.streamIndexOffset)).as("month")): _*)
     }

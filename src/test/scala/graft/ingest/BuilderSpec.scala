@@ -35,6 +35,33 @@ class BuilderSpec extends AnyFunSuite {
       c.buckets == 4 && c.seed == 7)
   }
 
+  test("withColumns overrides the generated schema end to end") {
+    val dir = Files.createTempDirectory("graft-builder-cols").toString
+    val specs = Seq(
+      Gen.ColSpec("device_id", Gen.ColType.StringUuidPool),
+      Gen.ColSpec("kind", Gen.ColType.StringDict, Seq("a", "b")),
+      Gen.ColSpec("score", Gen.ColType.DoubleT))
+    val cfg = CulvertBuilder.newBuilder()
+      .withOutputPath(dir)
+      .withParallelism(2)
+      .withBuckets(2)
+      .withColumns(specs)
+      .config
+    Ingest.runBatch(TestSpark.spark, cfg, 1000)
+    val back = TestSpark.spark.read.orc(dir)
+    assert(back.columns.sorted.sameElements(
+      Array("device_id", "kind", "month", "score", "year")))
+    assert(back.count() == 1000)
+    // bucket contract holds for the override's FIRST column: the two
+    // files of a partition dir are hash-disjoint in device_id
+    import org.apache.spark.sql.functions._
+    val perFile = back
+      .withColumn("f", input_file_name())
+      .select(col("f"), pmod(hash(col("device_id")), lit(2)).as("bkt"))
+      .distinct().groupBy("f").count().collect()
+    assert(perFile.forall(_.getLong(1) == 1L), "each file must hold one bucket")
+  }
+
   test("builder run drives a real streaming ingest") {
     val dir = Files.createTempDirectory("graft-builder").toString
     val res = CulvertBuilder.newBuilder()
