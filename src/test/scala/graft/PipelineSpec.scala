@@ -63,6 +63,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("fingerprint")).distinct.length == rows.length)
   }
 
+  test("native shingle-hash sets match the HOF formulation's set structure") {
+    // The native one-pass DistinctShingleHashes replaced the interpreted
+    // transform/array_distinct/array_sort chain; the Jaccard operators
+    // only need set SIZES and pairwise INTERSECTIONS preserved. Pin both
+    // against the HOF ground truth on the real corpus, plus the
+    // min-of-set identity with the independent MinShingleHash expr.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docs = graft.core.Tables.documents(TestSpark.spark, TestSpark.sf).limit(200)
+    val both = docs.select(col("doc_id"),
+        distinctShingleHashes(lower(col("text")), 3).as("nat"),
+        array_distinct(wordShingles(lower(col("text")), 3)).as("hof"),
+        minShingleHash(lower(col("text")), 3).as("minh"))
+      .select(col("doc_id"), size(col("nat")).as("n_nat"), size(col("hof")).as("n_hof"),
+        (element_at(col("nat"), 1) === col("minh")).as("min_ok"),
+        (col("nat") === array_sort(array_distinct(col("nat")))).as("sorted_ok"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Int]("n_nat") == r.getAs[Int]("n_hof"),
+        s"doc ${r.get(0)}: native set size differs from HOF distinct-string count")
+      assert(r.getAs[Boolean]("min_ok"), s"doc ${r.get(0)}: head != min_shingle_hash")
+      assert(r.getAs[Boolean]("sorted_ok"), s"doc ${r.get(0)}: not sorted-distinct")
+    }
+  }
+
   test("min-shingle fingerprint is deterministic") {
     val a = q("q52_min_shingle_fp").collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = q("q52_min_shingle_fp").collect().map(r => (r.getLong(0), r.getLong(1)))
