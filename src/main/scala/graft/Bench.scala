@@ -83,7 +83,8 @@ object Bench {
       try {
         val r = Ingest.runBatch(spark,
           IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
-            buckets = buckets),
+            buckets = buckets,
+            compression = sys.env.getOrElse("SPARK_GRAFT_INGEST_COMPRESSION", "lz4")),
           rows)
         r.throughputRowsPerSec
       } catch {

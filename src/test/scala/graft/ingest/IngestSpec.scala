@@ -196,6 +196,32 @@ class IngestSpec extends AnyFunSuite {
     assert(graft.core.Tables.committedView(spark, dir).count() == res.rowsCommitted)
   }
 
+  test("group-tagged commits compose with dynamic partitioning (shared dirs, no collisions)") {
+    // dynamic mode routes BOTH groups into the same year=/month= dirs by
+    // generated value — only the group-tagged file names keep their
+    // batches apart. Drive commitBatch directly (deterministic; a
+    // streaming run would spend the whole test window exploding each
+    // micro-batch into the ~600 dynamic dirs).
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      dynamicPartitioning = true, buckets = 2)
+    def raw(from: Long, until: Long) = spark.range(from, until, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    // same batchId=0 in both groups — the collision case a shared
+    // 0-based micro-batch counter produces
+    assert(Ingest.commitBatch(cfg, dir, raw(0, 400), 0, Some("g0")) == 400)
+    assert(Ingest.commitBatch(cfg, dir, raw(0, 400), 0, Some("g1")) == 400)
+    // identical row ranges → identical dynamic dirs; both batches visible
+    val back = spark.read.orc(dir)
+    assert(back.count() == 800)
+    val months = back.select("month").distinct().collect().map(_.getInt(0))
+    assert(months.forall(m => m >= 0 && m <= 11))
+    assert(graft.core.Tables.committedView(spark, dir).count() == 800)
+    // replay of one group's batch stays idempotent, the other untouched
+    assert(Ingest.commitBatch(cfg, dir, raw(0, 400), 0, Some("g0")) == 0)
+    assert(spark.read.orc(dir).count() == 800)
+  }
+
   test("streaming ingest commits batches and accounts committed rows only") {
     val dir = tmp()
     // generous timeout: under heavy external machine load the first
