@@ -183,12 +183,16 @@ object Similarity {
   }
 
   /** Search a persisted IVF index: each query row ranks the stored
-    * centroids inline (literal expressions — no extra job), probes its
-    * `nprobe` nearest cells, and equi-joins the index on the cell id.
-    * `cell` is the index's DISK partition column, so a selective query
-    * side prunes index partitions (dynamic partition pruning) instead
-    * of scanning the corpus. Output: (vec_id, rank, neighbor_id, cos) —
-    * same contract as the other top-k operators. */
+    * centroids inline (literal expressions), probes its `nprobe`
+    * nearest cells, and equi-joins the index on the cell id. The set of
+    * probed cells is bounded by the cell count (a handful of ints), so
+    * it is collected first and pushed as a PARTITION FILTER on the
+    * index read — cells no query probes are never read from disk. The
+    * price is one extra pass over the query side (ranking centroids is
+    * a narrow map); at service scale the query side is orders of
+    * magnitude smaller than the index, which is the point of an index.
+    * Output: (vec_id, rank, neighbor_id, cos) — same contract as the
+    * other top-k operators. */
   def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding", k: Int = 3,
@@ -208,7 +212,10 @@ object Similarity {
         explode(slice(array_sort(dists), 1, nprobe)).as("pc"))
       .select(col("pc.cell").as("cell"), col("vec_id"),
         col("embedding").as("ea"), col("nrm").as("na"))
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = q.join(index, Seq("cell"))

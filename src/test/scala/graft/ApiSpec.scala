@@ -94,6 +94,16 @@ class ApiSpec extends AnyFunSuite {
     val gotPairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (gotPairs intersect exact).size.toDouble / exact.size
     assert(recall > 0.1, f"indexed IVF recall $recall%.3f too low")
+    // a selective query side must PRUNE index partitions: one query
+    // vector at nprobe=1 probes exactly one cell, and the index scan's
+    // partition filter keeps every other cell= directory unread
+    val one = emb.limit(1)
+    val narrow = Similarity.ivfSearchIndex(spark, dir, one, k = 3, nprobe = 1)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN") ||
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"index scan must carry a cell partition filter:\n$plan")
+    assert(narrow.select("vec_id").distinct().count() == 1)
   }
 
   test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
