@@ -92,11 +92,15 @@ object Similarity {
         explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
           hyperplaneSignatureFast(col("embedding"), planes, t, dim).as("sig"))): _*)).as("ts"))
       .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    // no distinct() on the candidate pairs: a pair colliding in t tables
+    // appears t times with the SAME deterministic cosine, and the top-k
+    // aggregator dedupes ids inside its bounded buffers — skipping a
+    // full exchange of the multi-million-row pair set at the price of
+    // re-scoring duplicates (one codegen'd dot each)
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
-      .distinct()
     val pairs = cand
       .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")

@@ -12,13 +12,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering contract: score DESC, then id ASC on ties — identical to
   * `row_number over (order by score desc, id)`, so it is a drop-in for
   * the window formulation. Emits the final top-k sorted.
+  *
+  * Duplicate ids are kept once (a multi-table LSH candidate stream
+  * yields the same (id, score) from every colliding table) — callers
+  * need no distinct() exchange ahead of the aggregation; the buffer IS
+  * the dedup, at map-side-combine cost.
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
   require(k > 0)
 
   private def best(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    xs.sortBy { case (id, score) => (-score, id) }.take(k)
+    xs.sortBy { case (id, score) => (-score, id) }.distinctBy(_._1).take(k)
 
   override def zero: Seq[(Long, Double)] = Nil
   override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
