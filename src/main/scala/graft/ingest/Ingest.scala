@@ -314,11 +314,15 @@ object Ingest {
         require(cfg.parallelism % g == 0,
           s"commitGroups=$g must divide parallelism=${cfg.parallelism}")
         val perGroup = cfg.parallelism / g
-        (0 until g).toList.map { i =>
+        (0 until g).toList.flatMap { i =>
           val tag = if (g == 1) None else Some(s"g$i")
           val gcfg = cfg.copy(parallelism = perGroup,
             streamIndexOffset = cfg.streamIndexOffset + i * perGroup)
-          rawStream(spark, gcfg).writeStream
+          // start failures are isolated per group, like a reference
+          // stream thread dying on connect — the remaining streams run
+          // and the report counts whatever was committed. A single-query
+          // run (g == 1) rethrows: there is nothing left to salvage.
+          try List(rawStream(spark, gcfg).writeStream
             .outputMode("append")
             .trigger(Trigger.ProcessingTime(triggerMs(gcfg)))
             .option("checkpointLocation",
@@ -331,7 +335,13 @@ object Ingest {
                 println(s"Stream [${cfg.name}] committed $k transactions [rows: $total]..")
               }
             }
-            .start()
+            .start())
+          catch {
+            case e: Throwable if g > 1 =>
+              System.err.println(
+                s"Stream group ${tag.getOrElse("")} failed to start: ${e.getMessage}")
+              Nil
+          }
         }
       case None =>
         // Console fallback (`Stream.java:190-191`): rows are printed,
@@ -345,13 +355,22 @@ object Ingest {
           .start())
     }
     // one shared wall-clock deadline for all groups (the reference's
-    // single timeout thread covers all streams)
+    // single timeout thread covers all streams). A failed group must
+    // not take down the run: the reference's thread just dies while the
+    // others keep streaming, and the throughput report still counts
+    // every committed row (`Culvert.java:165-171`) — so swallow the
+    // per-query failure, keep waiting on the rest, and ALWAYS stop all
+    // queries (an unstopped query would leak past the run).
     val deadline = System.nanoTime() + cfg.timeoutMs * 1000000
-    queries.foreach { q =>
-      val leftMs = math.max(1L, (deadline - System.nanoTime()) / 1000000)
-      q.awaitTermination(leftMs)
-    }
-    queries.foreach(_.stop())
+    try {
+      queries.foreach { q =>
+        val leftMs = math.max(1L, (deadline - System.nanoTime()) / 1000000)
+        try q.awaitTermination(leftMs)
+        catch { case e: Throwable =>
+          System.err.println(s"Stream group failed: ${e.getMessage}")
+        }
+      }
+    } finally queries.foreach(q => try q.stop() catch { case _: Throwable => () })
     report(committed.get, commits.get, cfg.timeoutMs)
   }
 

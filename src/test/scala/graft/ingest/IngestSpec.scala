@@ -222,6 +222,25 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.orc(dir).count() == 800)
   }
 
+  test("a failed commit group does not take down the healthy groups") {
+    val dir = tmp()
+    // sabotage group 1: a plain FILE where its checkpoint dir must go —
+    // that query dies; group 0 must keep committing and the run must
+    // report group 0's rows (reference semantics: a dead stream thread
+    // leaves the others streaming, Culvert.java:100-171)
+    new java.io.File(dir, "_checkpoint").mkdirs()
+    assert(new java.io.File(dir, "_checkpoint/g1").createNewFile())
+    val cfg = IngestConfig(
+      outputPath = Some(dir), parallelism = 2, commitGroups = 2,
+      eventsPerSecond = 2000, commitAfterNRows = 500, timeoutMs = 15000,
+      buckets = 2)
+    val res = Ingest.run(spark, cfg)
+    assert(res.rowsCommitted > 0, "healthy group must keep committing")
+    assert(spark.read.orc(dir).count() == res.rowsCommitted)
+    // no leaked queries after the run
+    assert(spark.streams.active.isEmpty, "all queries must be stopped")
+  }
+
   test("streaming ingest commits batches and accounts committed rows only") {
     val dir = tmp()
     // generous timeout: under heavy external machine load the first
