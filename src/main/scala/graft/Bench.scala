@@ -3,7 +3,6 @@ package graft
 import java.nio.file.Files
 import java.util.Locale
 
-import org.apache.spark.sql.SparkSession
 
 import graft.ingest.{Ingest, IngestConfig}
 
@@ -30,14 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local("graft-bench")
 
     def materialize(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
@@ -129,8 +121,14 @@ object Bench {
           // independently-committing stream threads — A/B on a loaded
           // box: 240k (g=1) → 560k (g=2) → 880k rows/s (g=4); g=8
           // starves each group's rate feed, higher eps backlogs the
-          // trigger and grows the uncommitted tail
-          commitGroups = if (cpus.toInt >= 16) 4 else 2,
+          // trigger and grows the uncommitted tail. Must divide the
+          // probe's parallelism (min(8, cpus)) — a 1/3/5/7-cpu box
+          // would otherwise fail the run's divisibility require on
+          // every probe
+          commitGroups = {
+            val p = math.min(8, cpus.toInt)
+            if (p % 4 == 0) 4 else if (p % 2 == 0) 2 else 1
+          },
           // feed ≈ 1.6M rows/s — above the sink's sequential-commit
           // ceiling, so the probe measures the sink, not the source
           eventsPerSecond = 200000,

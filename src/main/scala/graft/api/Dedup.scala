@@ -129,32 +129,43 @@ object Dedup {
     verify(joinBack(cand, sets), threshold)
   }
 
+  /** Pigeonhole chunk layout: 64 bits partitioned into `chunksN`
+    * NONEMPTY contiguous chunks, as (shift, mask) pairs. Bits are
+    * distributed evenly (64/n or 64/n+1 per chunk) — a ceil-width
+    * layout would leave trailing chunks with zero or even negative bits
+    * for many n (e.g. n=12: 11×6 bits = 66 > 64), silently breaking
+    * the pigeonhole guarantee with FALSE NEGATIVES. Every chunk
+    * nonempty ⇒ any pair within hamming ≤ n-1 shares at least one
+    * intact chunk. Valid for n in [1, 64]; ApiSpec pins exact bit
+    * coverage for every n. */
+  private[graft] def chunkLayout(chunksN: Int): Seq[(Int, Long)] = {
+    require(chunksN >= 1 && chunksN <= 64)
+    val base = 64 / chunksN
+    val rem = 64 % chunksN
+    val widths = Seq.tabulate(chunksN)(c => base + (if (c < rem) 1 else 0))
+    val shifts = widths.scanLeft(0)(_ + _).dropRight(1)
+    shifts.zip(widths).map { case (shift, bits) =>
+      (shift, if (bits >= 64) -1L else (1L << bits) - 1)
+    }
+  }
+
   /** SimHash near-dup pairs at hamming distance ≤ maxHamming over the
     * 64-bit frequency-weighted token signature. Pigeonhole candidate
     * generation: the signature is split into maxHamming+1 chunks that
     * partition all 64 bits, so any pair within the distance bound shares
     * at least one chunk — the candidate join is keyed on (chunk, value).
-    * Output: (doc_a, doc_b, hamming).
-    *
-    * maxHamming is capped below 32: with ceil-width chunks over 64 bits,
-    * 33+ chunks would leave trailing chunks with zero bits (mask 0 —
-    * every pair collides there and candidate generation silently
-    * degenerates to all-pairs, ADVICE r3); and a 64-bit signature past
-    * hamming ~16 is not a similarity signal anyway. */
+    * Output: (doc_a, doc_b, hamming). */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < 32,
-      s"maxHamming must be in [1, 31], got $maxHamming")
-    val chunksN = maxHamming + 1
-    val w = (64 + chunksN - 1) / chunksN
+    require(maxHamming >= 1 && maxHamming < 64,
+      s"maxHamming must be in [1, 63], got $maxHamming")
     val sig = docs.select(col(idCol).as("doc_id"),
       simHash64(lower(col(textCol))).as("sig")).cache()
     val chunks = sig.select(col("doc_id"), col("sig"),
-        explode(array((0 until chunksN).map { c =>
-          val bits = math.min(w, 64 - c * w)
-          val mask = if (bits >= 64) -1L else (1L << bits) - 1
-          struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("sig"), c * w).bitwiseAND(lit(mask)).as("cval"))
+        explode(array(chunkLayout(maxHamming + 1).zipWithIndex.map {
+          case ((shift, mask), c) =>
+            struct(lit(c).as("chunk"),
+              shiftrightunsigned(col("sig"), shift).bitwiseAND(lit(mask)).as("cval"))
         }: _*)).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
     chunks.as("a").join(chunks.as("b"),

@@ -1,6 +1,5 @@
 package graft.ingest
 
-import org.apache.spark.sql.SparkSession
 
 /** Command-line front end, option-for-option compatible with the
   * reference CLI (reference `core/CulvertCLI.java:115-139`; defaults
@@ -71,6 +70,12 @@ object Cli {
       }
     }
 
+    // -g is validated HERE (after the loop — -p may appear after -g on
+    // the command line) so a bad combination gets the CLI's error path,
+    // not a runtime stack trace from Ingest.run's require
+    if (commitGroups < 1 || numParallelStreams % commitGroups != 0)
+      return Left("Invalid parameter.")
+
     val outputPath =
       if (outputDir == "console") None else Some(s"$outputDir/$db/$table")
     Right(Parsed(
@@ -110,7 +115,7 @@ object Cli {
       | -db <arg>                             destination database. default = default
       | -table <arg>                          destination table. default = culvert
       | -o,--output-dir <arg>                 warehouse directory for the file sink ('console' = console sink). default = ./culvert-warehouse
- -g,--commit-groups <arg>              extension: split the run into g concurrently-committing query groups (must divide -p). default = 1
+      | -g,--commit-groups <arg>              extension: split the run into g concurrently-committing query groups (must divide -p). default = 1
       | -h,--help                             usage help
       |""".stripMargin
 
@@ -122,16 +127,7 @@ object Cli {
       case Right(Parsed(_, _, true)) =>
         println(usage)
       case Right(Parsed(cfg, _, _)) =>
-        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-        val spark = SparkSession.builder()
-          .master(s"local[$cpus]")
-          .appName(cfg.name)
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
+        val spark = graft.core.Sessions.local(cfg.name)
         try Ingest.run(spark, cfg)
         finally spark.stop()
     }

@@ -366,8 +366,12 @@ object Ingest {
       queries.foreach { q =>
         val leftMs = math.max(1L, (deadline - System.nanoTime()) / 1000000)
         try q.awaitTermination(leftMs)
-        catch { case e: Throwable =>
-          System.err.println(s"Stream group failed: ${e.getMessage}")
+        catch {
+          // single-query run: nothing to salvage — propagate, mirroring
+          // the pre-commit-groups behavior (after the finally stops it)
+          case e: Throwable if queries.lengthCompare(1) == 0 => throw e
+          case e: Throwable =>
+            System.err.println(s"Stream group failed: ${e.getMessage}")
         }
       }
     } finally queries.foreach(q => try q.stop() catch { case _: Throwable => () })

@@ -2,7 +2,6 @@ package graft.ingest
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
 
 /** Throughput breakdown probe for the ingest path: generation only,
   * unbucketed write, bucketed write — isolates where the time goes so
@@ -12,13 +11,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local("graft-probe")
 
     def timed(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -102,7 +102,13 @@ object EventStreams {
     * evenly) and bounded by the watermark.
     *
     * Batch form of the same semantics: q39's `session_window`; parity
-    * on the session set is asserted in StreamingParitySpec. */
+    * on the session set is asserted in StreamingParitySpec.
+    *
+    * Late-data caveat: events inside the watermark but earlier than the
+    * open session's start − gap are emitted as singleton sessions (the
+    * single-open-session state cannot retro-merge history); within
+    * [start − gap, end + gap] late events widen the open session
+    * exactly like `session_window`'s merge. */
   def flatSessionize(s: SparkSession, df: DataFrame,
                      gapMinutes: Int = 30): Dataset[(Long, Long, Long, Long)] = {
     import s.implicits._
@@ -130,9 +136,21 @@ object EventStreams {
             var open = state.getOption
             sorted.foreach { t =>
               open = open match {
-                case Some((st, en, n)) if t - en <= gapUs => Some((st, t, n + 1))
-                case Some((st, en, n)) =>
+                // extend with min/max, not blind assignment: a LATE
+                // cross-batch event inside the gap (t < en, or even
+                // t < st when st - t <= gap) must widen the session the
+                // way session_window merges overlapping windows, never
+                // regress its end below its start
+                case Some((st, en, n)) if t - en <= gapUs && st - t <= gapUs =>
+                  Some((math.min(st, t), math.max(en, t), n + 1))
+                case Some((st, en, n)) if t > en =>
                   closed ::= ((uid, st, en, n)); Some((t, t, 1L))
+                case Some((st, en, n)) =>
+                  // t < st - gap: a late event belonging BEFORE the open
+                  // session; an incremental single-session state cannot
+                  // retro-merge it, so emit it as its own closed
+                  // singleton (bounded by the watermark — see scaladoc)
+                  closed ::= ((uid, t, t, 1L)); Some((st, en, n))
                 case None => Some((t, t, 1L))
               }
             }

@@ -195,14 +195,34 @@ class ApiSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
-  test("Dedup.simHashPairs rejects maxHamming values that degenerate a chunk") {
-    val df = corpus.toDF("id", "body")
-    intercept[IllegalArgumentException] {
-      Dedup.simHashPairs(df, "id", "body", maxHamming = 32)
+  test("simhash chunk layout partitions all 64 bits with no empty chunk, any n") {
+    // the pigeonhole guarantee needs every bit covered exactly once and
+    // every chunk nonempty — for EVERY chunk count, including the ones
+    // where a ceil-width layout under- or over-shoots 64 (n=12 → 66)
+    for (n <- 1 to 64) {
+      val layout = Dedup.chunkLayout(n)
+      assert(layout.size == n)
+      var covered = 0L
+      layout.foreach { case (shift, mask) =>
+        assert(mask != 0L, s"n=$n: empty chunk at shift $shift")
+        val placed = mask << shift
+        assert((covered & placed) == 0L, s"n=$n: overlapping chunks")
+        covered |= placed
+      }
+      assert(covered == -1L, s"n=$n: bits not fully covered")
     }
-    // boundary value stays legal: 32 chunks × 2 bits cover all 64 bits
-    assert(Dedup.simHashPairs(df, "id", "body", maxHamming = 31).columns
-      .sameElements(Array("doc_a", "doc_b", "hamming")))
+    // previously-broken values now work end to end (n=12 had a negative
+    // -width chunk; n=9 a zero-bit chunk)
+    val df = corpus.toDF("id", "body")
+    for (mh <- Seq(8, 11, 31, 63)) {
+      val pairs = Dedup.simHashPairs(df, "id", "body", maxHamming = mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.exists { case (a, b, h) => a == 10L && b == 12L && h == 0 },
+        s"maxHamming=$mh: identical docs must collide")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "id", "body", maxHamming = 64)
+    }
   }
 
   test("TextAnalysis.tfidfTopTerms ranks a document's distinctive term first") {

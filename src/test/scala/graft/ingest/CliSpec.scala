@@ -44,13 +44,19 @@ class CliSpec extends AnyFunSuite {
     assert(c.outputPath.contains("/tmp/w/test/cv"))
   }
 
-  test("commit-groups extension flag parses and defaults to 1") {
+  test("commit-groups extension flag parses, validates, defaults to 1") {
     assert(Cli.parse(Array.empty).toOption.get.cfg.commitGroups == 1)
     val Right(p) = Cli.parse(Array("-p", "8", "-g", "4")): @unchecked
     assert(p.cfg.commitGroups == 4)
-    val Right(l) = Cli.parse(Array("--commit-groups", "2")): @unchecked
+    // -p after -g on the command line still validates
+    val Right(l) = Cli.parse(Array("--commit-groups", "2", "-p", "6")): @unchecked
     assert(l.cfg.commitGroups == 2)
     assert(Cli.parse(Array("-g", "x")).isLeft)
+    // groups must be positive and divide parallelism — CLI error path,
+    // not a runtime stack trace
+    assert(Cli.parse(Array("-g", "3")).isLeft)        // default -p 1
+    assert(Cli.parse(Array("-p", "8", "-g", "3")).isLeft)
+    assert(Cli.parse(Array("-p", "8", "-g", "0")).isLeft)
   }
 
   test("long forms parse") {
