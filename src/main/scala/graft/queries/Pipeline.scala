@@ -230,7 +230,6 @@ object Pipeline {
     // arithmetic is closed-form on the resized length ⌈L/3⌉, so the
     // oracle pins the binary-in/binary-out resize stage exactly.
     "q75_multimodal_resize" -> ((s, d) => {
-      import s.implicits._
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
         .filter(col("kind") === "image" && col("media_id") < 200)
       graft.multimodal.Multimodal.resize(

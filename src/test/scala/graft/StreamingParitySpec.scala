@@ -89,10 +89,15 @@ class StreamingParitySpec extends AnyFunSuite {
         .toDF("user_id", "s_start_us", "s_end_us", "n_events"),
       "m_flatsession", OutputMode.Append())
     // Expected: the batch session set, restricted to sessions the
-    // stream can CLOSE — an open session flushes only when the final
-    // watermark (max ts - 1h) passes its last event + gap; later
-    // sessions legitimately stay in state.
+    // stream can CLOSE. Two close paths, modelled exactly:
+    //  - EVENT-closed: every session except a user's LAST one — the next
+    //    event (> gap later, all in one AvailableNow batch) closes it
+    //    immediately, watermark-independent;
+    //  - TIMEOUT-closed: a user's last session flushes only if its
+    //    ms-floored (end + gap) is STRICTLY below the ms watermark
+    //    (Spark fires event-time timeouts on timeoutMs < watermarkMs).
     val ev = graft.core.Tables.events(spark, sf)
+    val gapUs = gapMin * 60L * 1000000
     val batch = ev
       .groupBy(session_window(col("ts"), s"$gapMin minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -100,12 +105,19 @@ class StreamingParitySpec extends AnyFunSuite {
         unix_micros(col("session_window.start")).as("s_start_us"),
         // session_window.end = last event + gap; the operator reports
         // the last event itself
-        (unix_micros(col("session_window.end")) - gapMin * 60L * 1000000).as("s_end_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("s_end_us"),
         col("n_events"))
     val maxTsUs = ev.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
-    val watermarkUs = maxTsUs - 3600L * 1000000
+    val watermarkMs = maxTsUs / 1000 - 3600L * 1000
+    val lastOfUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("s_start_us").desc)
     val want = batch
-      .filter(col("s_end_us") + gapMin * 60L * 1000000 <= watermarkUs)
+      .withColumn("rn", row_number().over(lastOfUser))
+      .filter(col("rn") > 1 ||
+        // integer division: Spark's `/` on longs is double division,
+        // and the engine compares ms-FLOORED timestamps
+        expr(s"(s_end_us + $gapUs) div 1000") < watermarkMs)
+      .drop("rn")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val gotSet = got.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
