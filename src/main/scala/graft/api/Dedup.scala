@@ -58,14 +58,17 @@ object Dedup {
       .withColumn("n", size(col("sh")))
 
   /** Exact Jaccard verification for a candidate pair frame carrying both
-    * shingle arrays (sh_a/n_a, sh_b/n_b). */
+    * shingle arrays (sh_a/n_a, sh_b/n_b). The threshold applies to the
+    * UNROUNDED Jaccard (rounding first would admit boundary pairs
+    * strictly below the threshold — e.g. 0.7999996 rounds to 0.8);
+    * the output column is rounded for presentation/oracle parity only. */
   private[api] def verify(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("jx",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jx") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jx"), 6).as("jaccard"))
 
   private[api] def joinBack(cand: DataFrame, docs: DataFrame): DataFrame =
     cand
@@ -190,11 +193,19 @@ object Dedup {
     * job). Fails loudly if the diameter exceeds maxIter. */
   def keepOne(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // The checkpointed RDD behind a localCheckpoint()'d frame, read off
+    // its own plan (LogicalRDD) — unpersisting by a global
+    // getPersistentRDDs diff would race concurrent threads caching on
+    // the same session and could truncate THEIR only copy of a
+    // checkpointed lineage.
+    def ownRddId(df: DataFrame): Option[Int] =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    var prevIds = Set.empty[Int]
+    var prevId: Option[Int] = None
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
     var converged = false
@@ -206,14 +217,12 @@ object Dedup {
       val propagated = labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-      val before = persistedIds
       val next = propagated
         .join(labels.withColumnRenamed("label", "old"), "node")
         .localCheckpoint()
-      val nextIds = persistedIds -- before
       converged = next.filter(col("label") =!= col("old")).isEmpty
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = nextIds
+      prevId.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevId = ownRddId(next)
       labels = next.select("node", "label")
       iter += 1
     }

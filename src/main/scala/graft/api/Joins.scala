@@ -44,7 +44,13 @@ object Joins {
     val leftTagged = left
       .withColumn("__rv", lit(null).cast(rvType))
       .withColumn("__side", lit(1))
+    // a right row with a NULL timestamp can never be "as of" anything,
+    // but ascending sort would place it FIRST and its values would leak
+    // into every left row before the first real right row — drop them.
+    // (A NULL-ts left row likewise sorts first and correctly gets no
+    // match.)
     val rightTagged = right
+      .filter(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol),
         struct(rightVals.map(col): _*).as("__rv"))
       .withColumn("__side", lit(0))

@@ -24,6 +24,17 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       norm(col(vecCol)).as("nrm"))
 
+  /** Empty result with the top-k output schema (id types preserved). */
+  private def emptyTopK(s: org.apache.spark.sql.SparkSession, e: DataFrame): DataFrame = {
+    val idType = e.schema("vec_id").dataType
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", idType),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("neighbor_id", idType),
+        org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Window-sort top-k: stays in Tungsten rows end-to-end (radix sort,
     * no per-row object allocation) — measured FASTER than the typed
     * aggregator when the pair set is huge and dense (the O(n²)
@@ -43,11 +54,21 @@ object Similarity {
     * to topKWindow on the dense brute-force product. Order contract
     * identical to row_number() over (cos desc, neighbor_id asc) —
     * TopKAggregatorSpec pins it, and the oracles re-prove it on every
-    * gate run. */
+    * gate run.
+    *
+    * The typed path needs integral ids (the aggregator's encoder);
+    * any other id type (UUID strings etc.) transparently falls back to
+    * the generic window formulation — same results, no type
+    * restriction on the library surface. */
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    pairs.select(col("vec_id"), col("neighbor_id"), col("cos"))
+    val integral = Seq(pairs.schema("vec_id").dataType,
+        pairs.schema("neighbor_id").dataType)
+      .forall(t => t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType)
+    if (!integral) topKWindow(pairs, k)
+    else pairs.select(col("vec_id").cast("long"), col("neighbor_id").cast("long"), col("cos"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, nid, c) => (nid, c) }
@@ -86,8 +107,12 @@ object Similarity {
                         tables: Int = 16, planes: Int = 6): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).cache()
     // dimension probe: one metadata-sized lookup so the plane weights
-    // can be precomputed as literals (hyperplaneSignatureFast)
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // can be precomputed as literals (hyperplaneSignatureFast). An
+    // empty corpus short-circuits to an empty result with the standard
+    // schema — head() on nothing would throw, unlike the exact baseline
+    val probe = e.select(size(col("embedding"))).head(1)
+    if (probe.isEmpty) return emptyTopK(emb.sparkSession, e)
+    val dim = probe.head.getInt(0)
     val sigs = e.select(col("vec_id"),
         explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
           hyperplaneSignatureFast(col("embedding"), planes, t, dim).as("sig"))): _*)).as("ts"))
@@ -123,6 +148,8 @@ object Similarity {
                  seed: Long = 42, maxIter: Int = 5): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells)
     val e = withNorm(emb, idCol, vecCol).cache()
+    // empty corpus → empty result (KMeans.fit would throw)
+    if (e.head(1).isEmpty) return emptyTopK(emb.sparkSession, e)
     val feats = e.select(col("vec_id"),
       org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
     val km = new org.apache.spark.ml.clustering.KMeans()
@@ -172,6 +199,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = withNorm(emb, idCol, vecCol)
+    require(e.head(1).nonEmpty, "cannot build an IVF index over an empty corpus")
     val feats = e.select(col("vec_id"),
       org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
     val km = new org.apache.spark.ml.clustering.KMeans()

@@ -57,8 +57,12 @@ object TextAnalysis {
     * legitimate broadcast. Output: (doc_id, rnk, term, tfidf). */
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
+    // leading/trailing whitespace makes split() emit empty tokens —
+    // a phantom '' term would otherwise score and sort ahead of real
+    // terms on ties
     val terms = docs.select(col(idCol).as("doc_id"),
-      explode(wsTokens(lower(col(textCol)))).as("term"))
+        explode(wsTokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
     val n = docs.count()
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

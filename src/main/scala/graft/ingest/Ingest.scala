@@ -286,7 +286,13 @@ object Ingest {
         val relDir = rel.split('/').dropRight(1).mkString("/")
         val destDir = if (relDir.isEmpty) new Path(path) else new Path(s"$path/$relDir")
         fs.mkdirs(destDir)
-        fs.rename(f, new Path(destDir, s"b$token-${f.getName}"))
+        val dest = new Path(destDir, s"b$token-${f.getName}")
+        // rename reports failure by RETURN VALUE on many filesystems;
+        // ignoring it would delete staging, write the marker, and count
+        // rows that never reached the table — fail the commit instead
+        // (the replay protocol scrubs and re-publishes)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"publish rename failed: $f -> $dest")
       }
     }
     fs.delete(staging, true)
@@ -412,11 +418,19 @@ object Ingest {
     else Map.empty
 
   /** Trigger sized so one micro-batch ≈ commitAfterNRows rows at the
-    * configured rate, clamped to a sane range for local runs. */
+    * configured rate, clamped to a sane range for local runs. When the
+    * clamp bites (ideal trigger outside [100 ms, 10 s]) actual commit
+    * sizes deviate from commitAfterNRows — say so rather than silently
+    * overriding the user's -n. */
   private def triggerMs(cfg: IngestConfig): Long = {
     val rowsPerSec = math.max(1L, cfg.eventsPerSecond.toLong * cfg.parallelism)
     val ms = cfg.commitAfterNRows.toLong * 1000 / rowsPerSec
-    math.min(10000L, math.max(100L, ms))
+    val clamped = math.min(10000L, math.max(100L, ms))
+    if (clamped != ms)
+      System.err.println(
+        s"[ingest] trigger clamped ${ms}ms -> ${clamped}ms: micro-batches will " +
+          s"carry ~${rowsPerSec * clamped / 1000} rows, not commitAfterNRows=${cfg.commitAfterNRows}")
+    clamped
   }
 
   /** The two summary lines, format-identical to `Culvert.java:169-171`;

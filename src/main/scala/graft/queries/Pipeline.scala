@@ -427,8 +427,9 @@ object Pipeline {
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q61_tfidf" ->
       """WITH terms AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-        |  FROM documents),
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
         |tf AS (SELECT doc_id, term, count(*) tf FROM terms GROUP BY 1, 2),
         |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) n FROM documents),

@@ -106,6 +106,35 @@ class ApiSpec extends AnyFunSuite {
     assert(narrow.select("vec_id").distinct().count() == 1)
   }
 
+  test("Joins.asOf ignores right rows with NULL timestamps") {
+    // a null-ts right row sorts FIRST under ascending order — without
+    // the filter its values would leak into every left row before the
+    // first real right row
+    val trades = Seq(("A", 5L, 100), ("A", 20L, 200)).toDF("sym", "t", "qty")
+    val quotes = Seq((Some("A"), None: Option[Long], Some(9.9)),
+        (Some("A"), Some(10L), Some(1.5)))
+      .toDF("sym", "t", "px")
+    val out = Joins.asOf(trades, quotes, keyCol = "sym", tsCol = "t")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(5L) == null, "no real quote at-or-before t=5")
+    assert(out(20L) == 1.5)
+  }
+
+  test("ANN top-k accepts non-integral ids and empty inputs") {
+    val emb = Seq(("u-a", Array(1.0f, 0.0f)), ("u-b", Array(0.9f, 0.1f)),
+      ("u-c", Array(0.0f, 1.0f))).toDF("id", "vec")
+    // string ids route through the window fallback — same contract
+    val top = Similarity.hyperplaneAnnTopK(emb, "id", "vec", k = 1,
+      tables = 4, planes = 2)
+    assert(top.columns.sameElements(Array("vec_id", "rank", "neighbor_id", "cos")))
+    assert(top.collect().forall(_.getInt(1) == 1))
+    // empty corpus: empty typed result, not a crash
+    val none = emb.filter(col("id") === "zzz")
+    assert(Similarity.hyperplaneAnnTopK(none, "id", "vec").count() == 0)
+    assert(Similarity.ivfAnnTopK(none, "id", "vec").count() == 0)
+  }
+
   test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
     val df = (1L to 500L).toDF("k")
     val all = "0123456789abcdef".map(_.toString)
