@@ -99,6 +99,22 @@ object Joins {
     salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Hot-key-scoped form of [[saltedEquiJoin]]: only rows whose key is
+    * in `hotKeys` (a handful of known-skewed values — from profiling or
+    * an approx top-k pass) take the salted path; everything else runs
+    * the plain equi-join. This keeps the `salts ×` replication bill
+    * proportional to the HOT subset of `small`, not the whole side —
+    * the shape to use when `small` is itself large. The result is
+    * exactly the plain equi-join. */
+  def saltedEquiJoinHotKeys(big: DataFrame, small: DataFrame,
+                            keyCol: String, hotKeys: Seq[Any],
+                            salts: Int = 8): DataFrame = {
+    require(hotKeys.nonEmpty, "provide at least one hot key (or use the plain join)")
+    val hot = col(keyCol).isin(hotKeys: _*)
+    saltedEquiJoin(big.filter(hot), small.filter(hot), keyCol, salts)
+      .unionByName(big.filter(!hot).join(small.filter(!hot), keyCol))
+  }
+
   /** Banded range join of a fact frame against a SMALL bands dimension
     * (lo ≤ value < hi): broadcast-nested-loop with the tiny side
     * broadcast — each fact row scans a handful of in-memory bands, the

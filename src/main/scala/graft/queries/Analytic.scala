@@ -30,14 +30,25 @@ object Analytic {
 
   val queries: Map[String, Q] = Map(
     "q18_topk_per_group" -> ((s, d) => {
-      // top-3 orders per market segment (row_number + filter)
-      val joined = orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      joined.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      // top-3 orders per market segment. NOT a window: 5 segments would
+      // funnel the whole join through 5 reducer sorts — the typed
+      // TopKByScore aggregator keeps bounded 3-entry buffers with
+      // map-side combine (≤ 3 rows per segment per partition shuffle),
+      // the shape that survives any segment cardinality. Ordering
+      // contract (score desc, id asc) is identical to the row_number
+      // formulation. customer is un-hinted (SF-scaling side).
+      import s.implicits._
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, k, p) => (k, p) }
+        .agg(new graft.functions.TopKByScore(3).toColumn.name("topk"))
+        .toDF("c_mktsegment", "topk")
+        .select(col("c_mktsegment"), posexplode(col("topk")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col._1").as("o_orderkey"), col("col._2").as("o_totalprice"))
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
 
@@ -70,6 +81,7 @@ object Analytic {
         .filter(col("prev_price").isNotNull)
         .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("next_key"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+        .limit(10000) // bounded output — see q19 note
     }),
 
     "q21_moving_window_frame" -> ((s, d) => {
@@ -86,14 +98,23 @@ object Analytic {
     }),
 
     "q22_rank_dense" -> ((s, d) => {
-      // rank vs dense_rank over integral quantity within returnflag
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
-      lineitem(s, d)
+      // rank vs dense_rank over integral quantity within returnflag.
+      // Aggregate FIRST (partial+final hash agg over the raw rows), then
+      // derive the rank arithmetic on the tiny grouped frame: rank of a
+      // tie group = rows strictly above it + 1, dense_rank = its ordinal
+      // — bit-identical to rank()/dense_rank() over the raw rows, but
+      // the window touches ≤ |distinct quantities| rows per flag instead
+      // of sorting the whole filtered fact in |flags| reducer tasks.
+      val g = lineitem(s, d)
         .filter(col("l_quantity") >= 49.0)
-        .withColumn("rnk", rank().over(w))
-        .withColumn("drnk", dense_rank().over(w))
-        .groupBy(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"))
+        .groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      g.withColumn("rnk",
+          (coalesce(sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1).cast("int"))
+        .withColumn("drnk", row_number().over(w))
+        .select(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"), col("n"))
         .orderBy(col("l_returnflag"), col("l_quantity").desc)
     }),
 
@@ -106,7 +127,10 @@ object Analytic {
       // then rank with a PER-PARTITION window and add the offset.
       // Quartile ids then follow from NTILE's arithmetic over (rank, N),
       // reproducing NTILE(4) bit-for-bit.
-      val parts = 8
+      // one range partition per shuffle slot: the per-partition sorts
+      // scale with the cluster instead of a hardcoded constant
+      val parts = math.max(8,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       val ranged = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
         .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
         .withColumn("pid", spark_partition_id())
@@ -197,6 +221,7 @@ object Analytic {
         .groupBy(col("o_custkey"), col("first_key"), col("last_key"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_custkey"))
+        .limit(10000) // bounded output — see q19 note
     })
   )
 
@@ -228,7 +253,7 @@ object Analytic {
         |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
         |  FROM orders) t
         |WHERE prev_price IS NOT NULL
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+        |ORDER BY o_custkey, o_orderkey LIMIT 10000""".stripMargin,
 
     "q21_moving_window_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -300,6 +325,6 @@ object Analytic {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
         |  FROM orders) t
         |GROUP BY o_custkey, first_key, last_key
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey LIMIT 10000""".stripMargin
   )
 }

@@ -52,6 +52,8 @@ object Events {
                 col("session_window").getField("start").as("s_start"),
                 col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("s_start"))
+        // deterministic bounded output — sessions scale with the stream
+        .limit(10000)
     }),
 
     "q40_event_dedup" -> ((s, d) => {
@@ -64,6 +66,7 @@ object Events {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
         .orderBy(col("user_id"), col("event_type"))
+        .limit(10000) // bounded output — keys scale with users
     }),
 
     "q41_hourly_rate" -> ((s, d) => {
@@ -84,6 +87,7 @@ object Events {
              sum(dec(col("value"))).cast(DoubleType).as("total_value"),
              countDistinct(col("event_type")).as("n_types"))
         .orderBy(col("user_id"))
+        .limit(10000) // bounded output — one row per user
     })
   )
 
@@ -118,7 +122,7 @@ object Events {
         |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin,
+        |ORDER BY user_id, s_start LIMIT 10000""".stripMargin,
 
     "q40_event_dedup" ->
       """SELECT user_id, event_type, event_id FROM (
@@ -126,7 +130,7 @@ object Events {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+        |WHERE rn = 1 ORDER BY user_id, event_type LIMIT 10000""".stripMargin,
 
     "q41_hourly_rate" ->
       """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS n,
@@ -138,6 +142,6 @@ object Events {
         |  CAST(MIN(ts) AS TIMESTAMP) AS first_ts, CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
         |  COUNT(DISTINCT event_type) AS n_types
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 10000""".stripMargin
   )
 }

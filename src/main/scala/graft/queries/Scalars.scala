@@ -181,6 +181,20 @@ object Scalars {
         .orderBy(col("r_name"))
     }),
 
+        // The sketch path for percentiles at 100 TB: q67's exact
+    // percentile() buffers per-group value maps (memory ∝ group size);
+    // percentile_approx is the fixed-memory mergeable sketch. Values are
+    // implementation-specific, so — like q54's HLL and q70's recall —
+    // the driver-checkable contract is a constant-row bound: the sketch
+    // lands within 1% of the exact answer (the exact side is the
+    // fixture-scale anchor only).
+    "q76_approx_percentile_contract" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("ex"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"))
+        .agg((max(abs(col("ap") - col("ex")) / col("ex")) <= 0.01).as("approx_ok"))),
+
     "q67_median_percentiles" -> ((s, d) => {
       // EXACT median / percentiles (linear interpolation) — both
       // engines interpolate identically on DECIMAL-exact inputs
@@ -326,6 +340,8 @@ object Scalars {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
+    "q76_approx_percentile_contract" ->
+      "SELECT TRUE AS approx_ok",
     "q67_median_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5), 4) AS median,

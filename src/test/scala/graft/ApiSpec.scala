@@ -224,6 +224,18 @@ class ApiSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("Joins.saltedEquiJoinHotKeys salts only the hot subset, same result") {
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold"), (2000L, "unmatched"))
+      .toDF("k", "tag")
+    val scoped = Joins.saltedEquiJoinHotKeys(big, small, "k", hotKeys = Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val plain = big.join(small, "k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(scoped.sameElements(plain))
+  }
+
   test("simhash chunk layout partitions all 64 bits with no empty chunk, any n") {
     // the pigeonhole guarantee needs every bit covered exactly once and
     // every chunk nonempty — for EVERY chunk count, including the ones
