@@ -133,50 +133,93 @@ object Similarity {
     topK(pairs, k)
   }
 
-  /** IVF-style ANN top-k: a coarse k-means quantizer (seeded, few
-    * iterations) assigns every vector to a Voronoi cell; each QUERY
-    * vector probes its `nprobe` nearest cells (the real IVF search —
-    * nprobe trades candidate volume for recall), while the index side
-    * stays in its home cell. Centroids are a tiny local model (the
-    * probe ranking is a per-row expression over centroid literals, no
-    * extra job), assignment a narrow map, candidate generation an
-    * equi-join on the cell id (un-hinted — the corpus side must
-    * shuffle at scale; cost ∝ nprobe × cell size). */
+  /** Fit the coarse k-means quantizer DRIVER-SIDE on a bounded,
+    * deterministic sample: hash-order the corpus by xxhash64(id, seed),
+    * take the first `sampleN` vectors (one TakeOrdered job, driver
+    * memory bounded at any corpus size), then k-means++ seeding +
+    * Lloyd's iterations locally (sampleN × cells × dim flops —
+    * microseconds). This is how production IVF indexes train their
+    * quantizers (FAISS trains on a sample, never the full corpus): at
+    * 100 TB a distributed fit would pay maxIter full-corpus passes for
+    * a model whose only job is to partition space roughly evenly.
+    * Deterministic in (seed, corpus) — no RNG order-dependence. */
+  private[api] def fitCentroids(e: DataFrame, cells: Int, seed: Long,
+                                maxIter: Int, sampleN: Int = 4096): Array[Array[Float]] = {
+    val sample = e.select(col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(math.max(cells, sampleN))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = sample.head.length
+    val k = math.min(cells, sample.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding over the sample (seeded, deterministic)
+    val rnd = new java.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+    while (centers.length < k) {
+      val w = sample.map(v => centers.map(c => d2(v, c)).min)
+      val total = w.sum
+      centers += (if (total <= 0.0) sample(rnd.nextInt(sample.length)) else {
+        val r = rnd.nextDouble() * total
+        var acc = 0.0; var i = 0
+        while (i < sample.length - 1 && acc + w(i) < r) { acc += w(i); i += 1 }
+        sample(i)
+      })
+    }
+    // Lloyd's: assign (ties → lowest cell) / re-mean; empty cells keep
+    // their previous centroid
+    var cs = centers.toArray
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bd = d2(v, cs(0)); var i = 1
+        while (i < k) { val d = d2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+        counts(best) += 1
+        var j = 0; while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cs = Array.tabulate(k) { i =>
+        if (counts(i) == 0) cs(i)
+        else sums(i).map(_ / counts(i))
+      }
+    }
+    // cells > sample size: duplicate trailing centroids are harmless —
+    // nearest-cell ties break to the lowest id, extra cells stay empty
+    Array.tabulate(cells)(i => cs(i % k).map(_.toFloat))
+  }
+
+  /** IVF-style ANN top-k: a coarse k-means quantizer (sample-fit
+    * driver-side, seeded — see fitCentroids) assigns every vector to a
+    * Voronoi cell; each QUERY vector probes its `nprobe` nearest cells
+    * (the real IVF search — nprobe trades candidate volume for recall),
+    * while the index side stays in its home cell. Centroids are a tiny
+    * local model folded into the plan as literals: assignment is one
+    * narrow codegen'd projection (native dots — no MLlib jobs, no
+    * assignment join), candidate generation an equi-join on the cell id
+    * (un-hinted — the corpus side must shuffle at scale; cost ∝
+    * nprobe × cell size). */
   def ivfAnnTopK(emb: DataFrame, idCol: String = "vec_id",
                  vecCol: String = "embedding", k: Int = 3,
                  cells: Int = 16, nprobe: Int = 1,
                  seed: Long = 42, maxIter: Int = 5): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells)
     val e = withNorm(emb, idCol, vecCol).cache()
-    // empty corpus → empty result (KMeans.fit would throw)
+    // empty corpus → empty result (there is nothing to fit)
     if (e.head(1).isEmpty) return emptyTopK(emb.sparkSession, e)
-    val feats = e.select(col("vec_id"),
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed).setMaxIter(maxIter).fit(feats)
-    val cellOf = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
-    val withCell = e.join(cellOf, "vec_id")
-    // query side: nprobe nearest cells by squared euclidean distance to
-    // each centroid — computed inline from centroid literals (model is
-    // KB-sized; at cluster scale this is the standard broadcast model)
+    val centroids = fitCentroids(e, cells, seed, maxIter)
+    val withCell = e.withColumn("cell", nearestCell(col("embedding"), centroids))
     val probeSide =
       if (nprobe == 1)
         withCell.select(col("cell"), col("vec_id"),
           col("embedding").as("ea"), col("nrm").as("na"))
-      else {
-        val centroids = km.clusterCenters.map(_.toArray.map(_.toFloat))
-        val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(
-            aggregate(
-              zip_with(col("embedding"), lit(c), (x, y) => (x - y) * (x - y)),
-              lit(0.0d), (acc, d) => acc + d).as("dist"),
-            lit(i).as("cell"))
-        }: _*)
-        withCell.select(col("vec_id"), col("embedding"), col("nrm"),
-            explode(slice(array_sort(dists), 1, nprobe)).as("pc"))
-          .select(col("pc.cell").as("cell"), col("vec_id"),
+      else
+        e.select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+          .select(col("cell"), col("vec_id"),
             col("embedding").as("ea"), col("nrm").as("na"))
-      }
     val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = probeSide.join(b, Seq("cell"))
@@ -200,17 +243,14 @@ object Similarity {
     import spark.implicits._
     val e = withNorm(emb, idCol, vecCol)
     require(e.head(1).nonEmpty, "cannot build an IVF index over an empty corpus")
-    val feats = e.select(col("vec_id"),
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed).setMaxIter(maxIter).fit(feats)
-    km.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq
+    val centroids = fitCentroids(e, cells, seed, maxIter)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val cellOf = km.transform(feats).select(col("vec_id"), col("prediction").as("cell"))
-    e.join(cellOf, "vec_id")
+    // assignment is a narrow codegen'd projection over centroid
+    // literals — one pass over the corpus, no fit/assignment joins
+    e.withColumn("cell", nearestCell(col("embedding"), centroids))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -231,18 +271,12 @@ object Similarity {
                      nprobe: Int = 2): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+      .map(_._2)
     require(nprobe >= 1 && nprobe <= centroids.length)
-    val dists = array(centroids.map { case (i, c) =>
-      struct(
-        aggregate(
-          zip_with(col("embedding"), lit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, d) => acc + d).as("dist"),
-        lit(i).as("cell"))
-    }: _*)
     val q = withNorm(queries, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(slice(array_sort(dists), 1, nprobe)).as("pc"))
-      .select(col("pc.cell").as("cell"), col("vec_id"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+      .select(col("cell"), col("vec_id"),
         col("embedding").as("ea"), col("nrm").as("na"))
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq

@@ -63,6 +63,35 @@ object VectorFunctions {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Per-centroid relative squared-euclidean distances as an array of
+    * (dist, cell) structs. `dist = |c|² − 2·⟨e,c⟩` — the row's own |e|²
+    * term is constant within the row and cannot change any ordering, so
+    * it is dropped; each remaining term is one native codegen'd dot
+    * against a centroid literal (the model is KB-sized — at cluster
+    * scale this is the standard broadcast-model formulation). */
+  private def centroidDists(emb: Column, centroids: Array[Array[Float]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct((lit(cc) - lit(2.0) * dot(emb, lit(c))).as("dist"), lit(i).as("cell"))
+    }.toSeq
+
+  /** Cell id of the nearest centroid (squared euclidean; ties → lowest
+    * cell id, via struct ordering on (dist, cell)). */
+  def nearestCell(emb: Column, centroids: Array[Array[Float]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroidDists(emb, centroids)
+    if (scored.length == 1) lit(0)
+    else least(scored: _*).getField("cell")
+  }
+
+  /** The `nprobe` nearest cell ids, nearest first — the multi-probe
+    * query side of an IVF search. */
+  def nearestCells(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    transform(slice(array_sort(array(centroidDists(emb, centroids): _*)), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
   /** splitmix64 — the standard 64-bit finalizer, used to derive
     * deterministic hyperplane weights driver-side. */
   private def splitmix64(x0: Long): Long = {
