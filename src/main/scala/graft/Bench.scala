@@ -53,7 +53,11 @@ object Bench {
     // every probe is exception-guarded so a probe failure can never eat
     // the JSON result line; the JSON carries the 1-min loadavg so a
     // contaminated run is visible in the record.
-    val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000000").toLong
+    // 10M-row probes: at ~2M rows/s the bucketed write runs ~5 s, long
+    // enough that per-run fixed costs (job scheduling, writer init) stop
+    // dominating the measured rate — 5M-row probes under-recorded by
+    // ~15% for the same engine
+    val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "10000000").toLong
     val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
     // null-safe and exception-safe: a stopped streaming query's own
     // async task cleanup can race this walk (listFiles → null mid-walk),
@@ -129,9 +133,12 @@ object Bench {
             val p = math.min(8, cpus.toInt)
             if (p % 4 == 0) 4 else if (p % 2 == 0) 2 else 1
           },
-          // feed ≈ 1.6M rows/s — above the sink's sequential-commit
-          // ceiling, so the probe measures the sink, not the source
-          eventsPerSecond = 200000,
+          // feed = 2.4M rows/s — just above the sink's measured commit
+          // capacity (~1.8M rows/s committed at g=4), so the probe
+          // measures the sink, not the source; 400k eps destabilizes
+          // (batches outgrow commitAfterNRows and the uncommitted tail
+          // eats the gain — A/B'd 200k/250k/300k/350k/400k)
+          eventsPerSecond = 300000,
           // 1M-row commits amortize the per-commit fixed cost (job
           // scheduling + rename + checkpoint) while still landing
           // several commits per window

@@ -113,6 +113,13 @@ object Similarity {
     val probe = e.select(size(col("embedding"))).head(1)
     if (probe.isEmpty) return emptyTopK(emb.sparkSession, e)
     val dim = probe.head.getInt(0)
+    // Signature rows carry ONLY (vec_id, tbl, sig): an A/B that carried
+    // the embedding + norm through the collision join (to skip the
+    // re-attach joins below) was ~2× slower — the join materializes
+    // both payloads into every candidate row (candidates × 2×256 B of
+    // row copying), which dwarfs the two id-only candidate shuffles it
+    // saves. Ids through the collision join, payloads re-attached by
+    // keyed join, is the right shape at every scale.
     val sigs = e.select(col("vec_id"),
         explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
           hyperplaneSignatureFast(col("embedding"), planes, t, dim).as("sig"))): _*)).as("ts"))
