@@ -88,6 +88,28 @@ object Events {
              countDistinct(col("event_type")).as("n_types"))
         .orderBy(col("user_id"))
         .limit(10000) // bounded output — one row per user
+    }),
+
+    "q77_view_attribution" -> ((s, d) => {
+      // interval join: each purchase attributed to the same user's views
+      // in the preceding hour — the batch form of the stream-stream
+      // time-bound join (EventStreams.viewAttribution; parity asserted
+      // in StreamingParitySpec). The join is a keyed equi-join on
+      // user_id with the time bound as a residual predicate — the shape
+      // that scales (state/shuffle keyed by user, never a time-range
+      // explode).
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      p.join(v, Seq("user_id"))
+        .filter(col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+                col("v_ts") <= col("p_ts"))
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), max(col("view_id")).as("last_view_id"))
+        .orderBy(col("user_id"), col("purchase_id"))
+        .limit(10000) // bounded output — one row per attributed purchase
     })
   )
 
@@ -142,6 +164,19 @@ object Events {
         |  CAST(MIN(ts) AS TIMESTAMP) AS first_ts, CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
         |  COUNT(DISTINCT event_type) AS n_types
-        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 10000""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 10000""".stripMargin,
+
+    "q77_view_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) v_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) p_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, COUNT(*) AS n_views,
+        |  MAX(v.view_id) AS last_view_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.v_ts >= p.p_ts - INTERVAL '1 hour' AND v.v_ts <= p.p_ts
+        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10000""".stripMargin
   )
 }

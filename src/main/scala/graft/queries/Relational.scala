@@ -255,6 +255,38 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
         .orderBy(col("band"))
+    }),
+
+    // --- file formats beyond parquet/ORC -----------------------------
+    // Round-trips pin the source/sink pair end to end: writer quoting/
+    // serialization, reader schema application, and type fidelity
+    // (doubles survive text round-trips via shortest-round-trip
+    // rendering on write). The oracle aggregates the original parquet —
+    // equality proves the round-trip was lossless. Temp output is
+    // per-sf-dir and overwritten each run (deterministic, re-entrant).
+
+    "q78_csv_roundtrip" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-csv-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val sup = supplier(s, d)
+      // header on, explicit schema on read (CSV carries no types);
+      // s_comment contains commas — exercises quoting
+      sup.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(sup.schema).option("header", "true").csv(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "q79_json_roundtrip" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-json-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val p = part(s, d)
+      p.write.mode("overwrite").json(out)
+      s.read.schema(p.schema).json(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total_price"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -396,6 +428,19 @@ object Relational {
         |SELECT band, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-        |GROUP BY band ORDER BY band""".stripMargin
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    // the round-trip queries aggregate data that passed through a
+    // CSV/JSON write+read; the oracle aggregates the ORIGINAL parquet —
+    // equality proves the text round-trip lost nothing
+    "q78_csv_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q79_json_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

@@ -164,6 +164,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join (q77's streaming form): purchases
+    * joined to the same user's views in the preceding hour. Both sides
+    * are watermarked and the join condition carries the event-time
+    * bound, so Spark can size the join state: a buffered view is
+    * dropped once the watermark passes `v_ts + 1 hour` (no purchase
+    * can match it anymore), a buffered purchase once the watermark
+    * passes `p_ts`. State is keyed by user_id — high cardinality,
+    * shards evenly; the time bound is a residual predicate, never a
+    * range explode. Emits one row per (purchase, view) match in append
+    * mode; the batch aggregation over the same pairs is
+    * `q77_view_attribution`. */
+  def viewAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(v, expr(
+        "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** Drain a streaming frame into an in-memory table with
     * `Trigger.AvailableNow` (process everything currently in the
     * source, then stop) and return the result. */

@@ -126,6 +126,30 @@ class StreamingParitySpec extends AnyFunSuite {
       s"closed-session sets differ: extra=${gotSet -- want} missing=${want -- gotSet}")
   }
 
+  test("stream-stream interval join emits exactly the batch pair set (q77)") {
+    import org.apache.spark.sql.functions._
+    // two independent source instances of the same directory — a
+    // stream-stream join needs two streaming relations
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.viewAttribution(stream(), stream()),
+      "m_ssjoin", OutputMode.Append())
+    val ev = graft.core.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val want = p.join(v, Seq("user_id"))
+      .filter(col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture should attribute at least one purchase")
+    assert(gotSet == want,
+      s"pair sets differ: extra=${(gotSet -- want).take(5)} missing=${(want -- gotSet).take(5)}")
+  }
+
   test("mapGroupsWithState user counts match batch groupBy (stateful op)") {
     val got = EventStreams.runToMemory(spark,
       EventStreams.statefulUserCounts(spark, stream()).toDF("user_id", "n"),
