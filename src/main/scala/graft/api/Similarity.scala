@@ -89,6 +89,11 @@ object Similarity {
     val e = withNorm(emb, idCol, vecCol)
     val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    // the full ordered product, scored directly: an A/B that scored
+    // each unordered pair once (`<` join) and mirrored via explode was
+    // ~40% SLOWER — the struct/explode materialization of every pair
+    // costs more than the halved codegen'd dots save, and the BNLJ
+    // enumerates n² predicate evaluations either way
     val pairs = a.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
     topKWindow(pairs, k)
@@ -151,11 +156,26 @@ object Similarity {
     * a model whose only job is to partition space roughly evenly.
     * Deterministic in (seed, corpus) — no RNG order-dependence. */
   private[api] def fitCentroids(e: DataFrame, cells: Int, seed: Long,
-                                maxIter: Int, sampleN: Int = 4096): Array[Array[Float]] = {
-    val sample = e.select(col("embedding"))
+                                maxIter: Int, sampleN: Int = 4096): Array[Array[Float]] =
+    lloyds(sampleVectors(e, cells, seed, sampleN), cells, seed, maxIter)
+
+  /** Bounded deterministic sample of the embedding column: hash-order
+    * by xxhash64(id, seed), take the first `sampleN` — one TakeOrdered
+    * job, driver memory bounded at any corpus size. */
+  private[api] def sampleVectors(e: DataFrame, atLeast: Int, seed: Long,
+                                 sampleN: Int): Array[Array[Double]] =
+    e.select(col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)))
-      .limit(math.max(cells, sampleN))
+      .limit(math.max(atLeast, sampleN))
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  /** k-means++ seeding + Lloyd's iterations over a local sample —
+    * deterministic in (seed, sample). Empty cells keep their previous
+    * centroid; if the sample is smaller than `cells` the trailing
+    * centroids repeat (ties break to the lowest cell id, extras stay
+    * empty). */
+  private def lloyds(sample: Array[Array[Double]], cells: Int, seed: Long,
+                     maxIter: Int): Array[Array[Float]] = {
     val dim = sample.head.length
     val k = math.min(cells, sample.length)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -296,6 +316,57 @@ object Similarity {
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
     topK(pairs, k)
   }
+
+  /** Train product-quantization codebooks DRIVER-SIDE on the same
+    * bounded deterministic sample the IVF quantizer uses: the embedding
+    * is split into `m` contiguous subspaces and each gets its own
+    * `k`-centroid Lloyd's codebook (seeded per subspace). Returns
+    * codebooks(i)(c) = the c-th codeword of subspace i. PQ is the
+    * standard way to hold corpus-scale embedding sets in memory: m
+    * small codes per vector instead of dim floats (m=8, k=16 over
+    * dim=64 float32 → 4 bytes/vector vs 256 — 64×), with the codebooks
+    * a KB-sized model shipped as literals. */
+  def pqTrain(emb: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding", m: Int = 8, k: Int = 16,
+              seed: Long = 42, maxIter: Int = 5,
+              sampleN: Int = 4096): Array[Array[Array[Float]]] = {
+    val e = withNorm(emb, idCol, vecCol)
+    require(e.head(1).nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val sample = sampleVectors(e, k, seed, sampleN)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { i =>
+      lloyds(sample.map(v => java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)),
+        k, seed + i, maxIter)
+    }
+  }
+
+  /** PQ-encode every vector: (id, codes) where codes(i) is the nearest
+    * codeword of subspace i — one narrow codegen'd projection over
+    * codebook literals (native dot per codeword), no joins, no
+    * shuffles. `dim` must match the training dimension. */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codes = array((0 until m).map { i =>
+      // slice() is 1-based; each subspace ranks its own codebook
+      nearestCell(slice(col(vecCol), i * sub + 1, sub), codebooks(i))
+    }: _*)
+    emb.select(col(idCol).as("vec_id"), codes.as("codes"))
+  }
+
+  /** Reconstruction of a codes column: the concatenation of each
+    * subspace's codeword — the decoded approximation PQ search scores
+    * against. Codebooks ride along as array literals; element_at is a
+    * constant-time lookup. */
+  def pqReconstruct(codes: org.apache.spark.sql.Column,
+                    codebooks: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cb, i) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq),
+        element_at(codes, i + 1) + 1)
+    }: _*))
 
   /** All embedding pairs at-or-above a cosine threshold — brute-force
     * exact baseline (labelled; candidate generation at scale belongs to

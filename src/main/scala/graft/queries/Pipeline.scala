@@ -269,6 +269,30 @@ object Pipeline {
         .orderBy("method")
     }),
 
+    // Product-quantization contract: PQ codebooks (trained on the
+    // deterministic driver-side sample, like the IVF quantizer) must
+    // reconstruct the corpus with high cosine fidelity while
+    // compressing 32× (16 subspaces × 4-bit codes vs 64 float32).
+    // Codes/codebooks are seed-based with no SQL analogue — like q54's
+    // HLL and q70's recall, the oracle checks the CONTRACT as constant
+    // rows. Thresholds carry margin: measured avg 0.81-0.83 / min
+    // 0.72-0.73 across fixtures.
+    "q80_pq_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m = 16; val k = 16
+      val cb = graft.api.Similarity.pqTrain(emb, m = m, k = k)
+      val enc = graft.api.Similarity.pqEncode(emb, cb)
+      val rec = graft.api.Similarity.pqReconstruct(col("codes"), cb)
+      val dim = cb.length * cb.head.head.length
+      val codeBytes = m * math.ceil(math.log(k) / math.log(2)) / 8
+      emb.join(enc, "vec_id")
+        .select(graft.functions.VectorFunctions.cosine(col("embedding"), rec).as("c"))
+        .agg(avg(col("c")).as("a"), min(col("c")).as("mn"))
+        .select((col("a") >= 0.7).as("recon_ok"),
+          (col("mn") >= 0.5).as("recon_floor_ok"),
+          lit(dim * 4.0 / codeBytes >= 32.0).as("compresses_32x"))
+    }),
+
     // SimHash contract: the hamming<=3 pair set is nonempty and overlaps
     // the exact Jaccard>=0.8 ground truth (token-level simhash and
     // shingle Jaccard are different similarity spaces, so overlap — not
@@ -511,6 +535,8 @@ object Pipeline {
         |UNION ALL SELECT 'ivf', TRUE ORDER BY method""".stripMargin,
     "q71_simhash_contract" ->
       "SELECT TRUE AS nonempty, TRUE AS overlaps_truth",
+    "q80_pq_contract" ->
+      "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
     "q72_fingerprint_contract" ->
       "SELECT TRUE AS fp_consistent, TRUE AS fp_covers_corpus"
   )

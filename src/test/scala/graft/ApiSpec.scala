@@ -135,6 +135,32 @@ class ApiSpec extends AnyFunSuite {
     assert(Similarity.ivfAnnTopK(none, "id", "vec").count() == 0)
   }
 
+  test("PQ round-trip: codes are in range, deterministic, and faithful on a clustered corpus") {
+    // two tight clusters: reconstructions must stay near their source vector
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val emb = (0 until 40).map { i =>
+      val b = base(i % 2)
+      (i.toLong, b.map(x => x + (i / 2 % 5) * 0.01f))
+    }.toDF("id", "vec")
+    val cb = Similarity.pqTrain(emb, "id", "vec", m = 2, k = 4, sampleN = 64)
+    assert(cb.length == 2 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 2)), "m=2 subspaces x k=4 codewords of dim 2")
+    val enc = Similarity.pqEncode(emb, cb, "id", "vec")
+    val codes = enc.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    // deterministic: same seed, same codes
+    val again = Similarity.pqEncode(emb, Similarity.pqTrain(emb, "id", "vec", m = 2, k = 4, sampleN = 64), "id", "vec")
+      .select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.toSeq == again.toSeq)
+    // faithful: a 2x4 codebook over two tight clusters reconstructs
+    // with near-perfect cosine
+    val rec = Similarity.pqReconstruct(col("codes"), cb)
+    val minCos = emb.join(enc.withColumnRenamed("vec_id", "id"), "id")
+      .select(graft.functions.VectorFunctions.cosine(col("vec"), rec).as("c"))
+      .agg(min("c")).collect().head.getDouble(0)
+    assert(minCos > 0.99, s"reconstruction cosine floor $minCos")
+  }
+
   test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
     val df = (1L to 500L).toDF("k")
     val all = "0123456789abcdef".map(_.toString)
