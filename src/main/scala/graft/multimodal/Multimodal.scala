@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * library state — a real codec — would be initialized once per
   * partition, not once per row).
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): `FakeCodec` derives deterministic dimensions and frames
-  * from the byte payload itself. Everything around the stub — schema,
+  * Codecs: `HeaderCodec` REALLY parses formats whose structure needs
+  * no native library (BMP dimension headers, WAV RIFF chunk walks);
+  * compressed bitstreams (JPEG, H.264, ...) would need JavaCV/libvips —
+  * absent from this container — so payloads matching no known magic
+  * fall back to `FakeCodec`, which derives deterministic dimensions
+  * from the byte payload itself (the fixture queries use it for
+  * closed-form DuckDB oracles). Everything around the codec — schema,
   * binary transport, partition-preserving batch shape, metadata structs
-  * — is real and tested; swapping `FakeCodec` for JavaCV/libvips is a
-  * one-object change.
+  * — is real and tested; a native-lib codec is a one-object change.
   *
   * Scale notes: payloads never leave executors (no collect), every
   * stage is a narrow mapPartitions (no shuffle), and feature columns
@@ -58,6 +61,54 @@ object Multimodal {
     def frames(content: Array[Byte]): Int = content.length % 24 + 1
     override def decode(kind: String, content: Array[Byte]): (Int, Int, Int) =
       (width(content), height(content), frames(content))
+  }
+
+  /** REAL pure-JVM decoder for container formats whose structure is
+    * parseable without native libraries: BMP (DIB-header dimensions)
+    * and WAV (RIFF `fmt `/`data` chunk walk → sample rate, channels,
+    * sample-frame count, mapped onto the (width, height, n_frames)
+    * triple). Kinds with compressed bitstreams (JPEG, H.264, ...) still
+    * need a native codec; payloads matching no known magic fall back to
+    * the deterministic stub so a mixed corpus decodes end-to-end
+    * instead of dying on the first exotic file. */
+  object HeaderCodec extends MediaCodec {
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    def isBmp(c: Array[Byte]): Boolean =
+      c.length >= 26 && c(0) == 'B'.toByte && c(1) == 'M'.toByte
+    def isWav(c: Array[Byte]): Boolean =
+      c.length >= 36 &&
+        c(0) == 'R'.toByte && c(1) == 'I'.toByte && c(2) == 'F'.toByte &&
+        c(3) == 'F'.toByte && c(8) == 'W'.toByte && c(9) == 'A'.toByte &&
+        c(10) == 'V'.toByte && c(11) == 'E'.toByte
+
+    override def decode(kind: String, content: Array[Byte]): (Int, Int, Int) =
+      if (isBmp(content)) {
+        // BITMAPINFOHEADER: int32 width at 18, int32 height at 22
+        // (height may be negative for top-down rows — magnitude is the
+        // pixel height); single still frame
+        (leInt(content, 18), math.abs(leInt(content, 22)), 1)
+      } else if (isWav(content)) {
+        // chunk walk after the 12-byte RIFF header; chunks are
+        // word-aligned (odd lengths padded by one)
+        var off = 12; var channels = 1; var blockAlign = 0
+        var rate = 0; var dataLen = 0
+        while (off + 8 <= content.length) {
+          val id = new String(content, off, 4, "US-ASCII")
+          val len = leInt(content, off + 4)
+          if (id == "fmt " && off + 22 <= content.length) {
+            channels = leShort(content, off + 10)
+            rate = leInt(content, off + 12)
+            blockAlign = leShort(content, off + 20)
+          } else if (id == "data") dataLen = len
+          off += 8 + len + (len & 1)
+        }
+        (rate, channels, if (blockAlign <= 0) 0 else dataLen / blockAlign)
+      } else FakeCodec.decode(kind, content)
   }
 
   /** Build a media table from the documents fixture: text bytes as the

@@ -61,6 +61,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("HeaderCodec parses real BMP and WAV structure, stub-falls-back otherwise") {
+    import graft.multimodal.Multimodal.{HeaderCodec, MediaRow}
+    // canonical little-endian writers
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    // minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    def bmp(w: Int, h: Int): Array[Byte] =
+      "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        Array.fill(24)(0.toByte)
+    // canonical 44-byte PCM WAV header + data
+    def wav(rate: Int, channels: Int, samples: Int, bytesPerSample: Int): Array[Byte] = {
+      val blockAlign = channels * bytesPerSample
+      val dataLen = samples * blockAlign
+      "RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++
+        le16(8 * bytesPerSample) ++
+        "data".getBytes ++ le32(dataLen) ++ Array.fill(dataLen)(7.toByte)
+    }
+    // direct parses
+    assert(HeaderCodec.decode("image", bmp(640, 480)) == ((640, 480, 1)))
+    assert(HeaderCodec.decode("image", bmp(33, -17)) == ((33, 17, 1)),
+      "negative height = top-down BMP, magnitude is the pixel height")
+    assert(HeaderCodec.decode("audio", wav(44100, 2, 1000, 2)) == ((44100, 2, 1000)))
+    // unknown magic → deterministic stub fallback, not a crash
+    val junk = Array.tabulate(100)(_.toByte)
+    assert(HeaderCodec.decode("video", junk) ==
+      Multimodal.FakeCodec.decode("video", junk))
+    // and through the distributed decode stage
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", bmp(320, 200)),
+      MediaRow(2L, "audio", wav(16000, 1, 160, 2)),
+      MediaRow(3L, "video", junk)).toDS()
+    val out = Multimodal.decode(rows, HeaderCodec).collect()
+      .map(d => d.media_id -> ((d.width, d.height, d.n_frames))).toMap
+    assert(out(1L) == ((320, 200, 1)))
+    assert(out(2L) == ((16000, 1, 160)))
+    assert(out(3L) == Multimodal.FakeCodec.decode("video", junk))
+  }
+
   test("frame sampling emits every stride-th chunk per video") {
     val d = Multimodal.decode(media()).filter(_.kind == "video")
     val frames = Multimodal.sampleFrames(d, 2)
