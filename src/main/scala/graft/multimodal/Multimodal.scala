@@ -97,15 +97,21 @@ object Multimodal {
         // word-aligned (odd lengths padded by one)
         var off = 12; var channels = 1; var blockAlign = 0
         var rate = 0; var dataLen = 0
-        while (off + 8 <= content.length) {
+        var ok = true
+        while (ok && off + 8 <= content.length) {
           val id = new String(content, off, 4, "US-ASCII")
           val len = leInt(content, off + 4)
-          if (id == "fmt " && off + 22 <= content.length) {
-            channels = leShort(content, off + 10)
-            rate = leInt(content, off + 12)
-            blockAlign = leShort(content, off + 20)
-          } else if (id == "data") dataLen = len
-          off += 8 + len + (len & 1)
+          // a corrupt negative chunk length would walk backwards (or
+          // stall) — stop parsing, keep whatever was already read
+          if (len < 0) ok = false
+          else {
+            if (id == "fmt " && off + 22 <= content.length) {
+              channels = leShort(content, off + 10)
+              rate = leInt(content, off + 12)
+              blockAlign = leShort(content, off + 20)
+            } else if (id == "data") dataLen = len
+            off += 8 + len + (len & 1)
+          }
         }
         (rate, channels, if (blockAlign <= 0) 0 else dataLen / blockAlign)
       } else FakeCodec.decode(kind, content)

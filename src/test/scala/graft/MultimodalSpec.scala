@@ -87,6 +87,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(HeaderCodec.decode("image", bmp(33, -17)) == ((33, 17, 1)),
       "negative height = top-down BMP, magnitude is the pixel height")
     assert(HeaderCodec.decode("audio", wav(44100, 2, 1000, 2)) == ((44100, 2, 1000)))
+    // corrupt negative chunk length must not hang the chunk walk
+    val evil = wav(8000, 1, 4, 2)
+    System.arraycopy(le32(-8), 0, evil, 16, 4) // fmt chunk len := -8
+    val (_, _, evilFrames) = HeaderCodec.decode("audio", evil)
+    assert(evilFrames == 0, "parse stops at the corrupt chunk")
     // unknown magic → deterministic stub fallback, not a crash
     val junk = Array.tabulate(100)(_.toByte)
     assert(HeaderCodec.decode("video", junk) ==
