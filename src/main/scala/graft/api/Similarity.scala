@@ -109,7 +109,11 @@ object Similarity {
     * broadcast hint (corpus-sized side — AQE decides). */
   def hyperplaneAnnTopK(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding", k: Int = 3,
-                        tables: Int = 16, planes: Int = 6): DataFrame = {
+                        // candidate volume ∝ tables; measured on the
+                        // sf0.1 fixture: 16 tables → recall 0.64,
+                        // 12 → 0.53 at ~60% of the cost, 8 → 0.39 —
+                        // 12 is the knee (q70 contracts recall ≥ 0.3)
+                        tables: Int = 12, planes: Int = 6): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).cache()
     // dimension probe: one metadata-sized lookup so the plane weights
     // can be precomputed as literals (hyperplaneSignatureFast). An
