@@ -64,19 +64,27 @@ object Multimodal {
   }
 
   /** REAL pure-JVM decoder for container formats whose structure is
-    * parseable without native libraries: BMP (DIB-header dimensions)
-    * and WAV (RIFF `fmt `/`data` chunk walk → sample rate, channels,
+    * parseable without native libraries: BMP (DIB-header dimensions),
+    * WAV (RIFF `fmt `/`data` chunk walk → sample rate, channels,
     * sample-frame count, mapped onto the (width, height, n_frames)
-    * triple). Kinds with compressed bitstreams (JPEG, H.264, ...) still
-    * need a native codec; payloads matching no known magic fall back to
-    * the deterministic stub so a mixed corpus decodes end-to-end
-    * instead of dying on the first exotic file. */
+    * triple), PNG (IHDR chunk), JPEG (SOF marker walk — dimensions sit
+    * in an uncompressed segment header, no bitstream decode needed) and
+    * GIF (logical screen descriptor). Pixel/sample DECODE of the
+    * compressed bitstreams would still need a native codec; payloads
+    * matching no known magic fall back to the deterministic stub so a
+    * mixed corpus decodes end-to-end instead of dying on the first
+    * exotic file. */
   object HeaderCodec extends MediaCodec {
     private def leInt(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
     private def leShort(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    private def beShort(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
     def isBmp(c: Array[Byte]): Boolean =
       c.length >= 26 && c(0) == 'B'.toByte && c(1) == 'M'.toByte
@@ -85,6 +93,52 @@ object Multimodal {
         c(0) == 'R'.toByte && c(1) == 'I'.toByte && c(2) == 'F'.toByte &&
         c(3) == 'F'.toByte && c(8) == 'W'.toByte && c(9) == 'A'.toByte &&
         c(10) == 'V'.toByte && c(11) == 'E'.toByte
+    // 8-byte PNG signature; the IHDR chunk is REQUIRED to come first
+    // (PNG spec §5.6), so width/height sit at fixed offsets 16/20
+    def isPng(c: Array[Byte]): Boolean =
+      c.length >= 24 && c(0) == 0x89.toByte && c(1) == 'P'.toByte &&
+        c(2) == 'N'.toByte && c(3) == 'G'.toByte && c(4) == 0x0d.toByte &&
+        c(5) == 0x0a.toByte && c(6) == 0x1a.toByte && c(7) == 0x0a.toByte &&
+        c(12) == 'I'.toByte && c(13) == 'H'.toByte && c(14) == 'D'.toByte &&
+        c(15) == 'R'.toByte
+    def isJpeg(c: Array[Byte]): Boolean =
+      c.length >= 4 && c(0) == 0xff.toByte && c(1) == 0xd8.toByte
+    def isGif(c: Array[Byte]): Boolean =
+      c.length >= 10 && c(0) == 'G'.toByte && c(1) == 'I'.toByte &&
+        c(2) == 'F'.toByte && c(3) == '8'.toByte &&
+        (c(4) == '7'.toByte || c(4) == '9'.toByte) && c(5) == 'a'.toByte
+
+    /** JPEG segment walk to the first SOFn marker (C0-CF minus C4 DHT,
+      * C8 JPG-extension, CC DAC): height/width are big-endian shorts at
+      * +5/+7 of the SOF segment. Every non-SOF segment is skipped by its
+      * own declared length; a corrupt length (< 2) or a truncated
+      * segment ends the walk with no dimensions (→ (0, 0, 1)) rather
+      * than scanning garbage. */
+    private def jpegDims(c: Array[Byte]): (Int, Int) = {
+      var off = 2
+      while (off + 4 <= c.length) {
+        if (c(off) != 0xff.toByte) return (0, 0) // desynced — not a marker
+        // fill bytes: consecutive 0xFF padding before a marker is legal
+        var mOff = off
+        while (mOff + 1 < c.length && c(mOff + 1) == 0xff.toByte) mOff += 1
+        val marker = c(mOff + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (mOff + 9 <= c.length)
+            (beShort(c, mOff + 7), beShort(c, mOff + 5)) // (width, height)
+          else (0, 0)
+        }
+        if (marker == 0xd9 || marker == 0xda) return (0, 0) // EOI / SOS: no SOF seen
+        if (marker >= 0xd0 && marker <= 0xd7 || marker == 0x01) off = mOff + 2 // RSTn/TEM: no length field
+        else {
+          if (mOff + 4 > c.length) return (0, 0)
+          val len = beShort(c, mOff + 2)
+          if (len < 2) return (0, 0) // corrupt length would loop forever
+          off = mOff + 2 + len
+        }
+      }
+      (0, 0)
+    }
 
     override def decode(kind: String, content: Array[Byte]): (Int, Int, Int) =
       if (isBmp(content)) {
@@ -92,6 +146,19 @@ object Multimodal {
         // (height may be negative for top-down rows — magnitude is the
         // pixel height); single still frame
         (leInt(content, 18), math.abs(leInt(content, 22)), 1)
+      } else if (isPng(content)) {
+        // IHDR: uint32 width at 16, uint32 height at 20; a still image
+        // (APNG frame counts live in acTL — out of header-parse scope)
+        (beInt(content, 16), beInt(content, 20), 1)
+      } else if (isGif(content)) {
+        // logical screen descriptor: uint16le width at 6, height at 8.
+        // Animated-GIF frame counts need the full data-block walk
+        // (sub-block chains of arbitrary length) — out of header scope,
+        // reported as a single frame like the other stills.
+        (leShort(content, 6), leShort(content, 8), 1)
+      } else if (isJpeg(content)) {
+        val (w, h) = jpegDims(content)
+        (w, h, 1)
       } else if (isWav(content)) {
         // chunk walk after the 12-byte RIFF header; chunks are
         // word-aligned (odd lengths padded by one)

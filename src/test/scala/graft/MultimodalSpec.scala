@@ -109,6 +109,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == Multimodal.FakeCodec.decode("video", junk))
   }
 
+  test("HeaderCodec parses PNG, JPEG and GIF headers (r5 verdict #2)") {
+    import graft.multimodal.Multimodal.HeaderCodec
+    def be32(v: Int): Array[Byte] =
+      Array(v >> 24, v >> 16, v >> 8, v).map(_.toByte)
+    def be16(v: Int): Array[Byte] = Array(v >> 8, v).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    // PNG: 8-byte signature + IHDR chunk (len=13, type, w, h, 5 flag
+    // bytes, crc) — exactly what `file`/ImageIO read for dimensions
+    def png(w: Int, h: Int): Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    // GIF: header + logical screen descriptor (w/h little-endian)
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+    // JPEG: SOI, APP0 (JFIF), a comment segment, DQT stub, then SOF0 —
+    // the walk must skip the variable-length segments to find SOF
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes ++ Array.fill(10)(0.toByte)
+      val com = Array(0xff, 0xfe).map(_.toByte) ++ be16(9) ++ "comment".getBytes
+      val dqt = Array(0xff, 0xdb).map(_.toByte) ++ be16(67) ++ Array.fill(65)(1.toByte)
+      // len 11 = len(2) + precision(1) + h(2) + w(2) + ncomp(1) + comp(3)
+      val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++
+        Array(8.toByte) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 1, 0x11, 0)
+      Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ com ++ dqt ++ sof0
+    }
+    assert(HeaderCodec.decode("image", png(800, 600)) == ((800, 600, 1)))
+    assert(HeaderCodec.decode("image", gif(101, 57)) == ((101, 57, 1)))
+    assert(HeaderCodec.decode("image", jpeg(1920, 1080)) == ((1920, 1080, 1)))
+    // progressive JPEG (SOF2) parses identically
+    val prog = jpeg(640, 360)
+    prog(prog.length - 12) = 0xc2.toByte // the C0 byte of the FF C0 marker (13-byte SOF segment)
+    assert(HeaderCodec.decode("image", prog) == ((640, 360, 1)))
+    // truncated JPEG (SOS before any SOF) and a corrupt segment length
+    // end the walk with zero dims instead of hanging
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0, 4, 0, 0).map(_.toByte)
+    assert(HeaderCodec.decode("image", noSof) == ((0, 0, 1)))
+    val badLen = Array(0xff, 0xd8, 0xff, 0xe0, 0, 1).map(_.toByte)
+    assert(HeaderCodec.decode("image", badLen) == ((0, 0, 1)))
+    // a payload with none of the five magics still stub-falls-back
+    val junk = "GIF9 not actually a gif".getBytes
+    assert(HeaderCodec.decode("image", junk) ==
+      Multimodal.FakeCodec.decode("image", junk))
+  }
+
   test("frame sampling emits every stride-th chunk per video") {
     val d = Multimodal.decode(media()).filter(_.kind == "video")
     val frames = Multimodal.sampleFrames(d, 2)
