@@ -146,14 +146,15 @@ object Pipeline {
       graft.api.TextAnalysis.minShingleFingerprint(Tables.documents(s, d))
         .orderBy("doc_id")),
 
-    // IVF-style ANN: a coarse k-means quantizer (MLlib, fixed seed)
-    // assigns every vector to a Voronoi cell; search runs within the
-    // cell (nprobe=1). The 100 TB shape: centroids are a tiny broadcast
-    // model, assignment is a narrow map, candidate generation is an
-    // un-hinted equi-join on cell id. Approximate → rows-only plus the
-    // q70 recall contract.
+    // IVF-style ANN: a coarse k-means quantizer (sample-fit driver-side,
+    // fixed seed) assigns every vector to a Voronoi cell; each query
+    // probes its 2 nearest cells (nprobe=2 — the multi-probe search
+    // path, r5 verdict #4: nprobe=1 left the q70 contract soft). The
+    // 100 TB shape: centroids are a tiny broadcast model, assignment is
+    // a narrow map, candidate generation is an un-hinted equi-join on
+    // cell id. Approximate → rows-only plus the q70 recall contract.
     "q57_ann_ivf" -> ((s, d) =>
-      graft.api.Similarity.ivfAnnTopK(Tables.embeddings(s, d))
+      graft.api.Similarity.ivfAnnTopK(Tables.embeddings(s, d), nprobe = 2)
         .orderBy("vec_id", "rank")),
 
     // Approximate distinct (HyperLogLog++): the sketch path for
@@ -247,7 +248,7 @@ object Pipeline {
     // HLL contract.
 
     // ANN quality: recall of the exact top-3 neighbor set (q47) by the
-    // hyperplane-LSH tables (q48) and by IVF nprobe=1 (q57). The
+    // hyperplane-LSH tables (q48) and by IVF nprobe=2 (q57). The
     // thresholds mirror PipelineSpec's; recall is computed fully
     // distributed (left join + aggregate — no collects).
     "q70_ann_recall" -> ((s, d) => {
@@ -265,7 +266,7 @@ object Pipeline {
           .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
           .select(lit(method).as("method"), (col("recall") >= thr).as("recall_ok"))
       recallOf(Pipeline.queries("q48_ann_hyperplane")(s, d), "hyperplane", 0.3)
-        .unionByName(recallOf(Pipeline.queries("q57_ann_ivf")(s, d), "ivf", 0.1))
+        .unionByName(recallOf(Pipeline.queries("q57_ann_ivf")(s, d), "ivf", 0.3))
         .orderBy("method")
     }),
 
@@ -291,6 +292,40 @@ object Pipeline {
         .select((col("a") >= 0.7).as("recon_ok"),
           (col("mn") >= 0.5).as("recon_floor_ok"),
           lit(dim * 4.0 / codeBytes >= 32.0).as("compresses_32x"))
+    }),
+
+    // IVF+PQ contract (r5 verdict #3): build the persistent IVF+PQ index
+    // (residual codebooks, cell-partitioned codes + raw vectors), then
+    // search it twice — raw ADC (asymmetric distance over the per-query
+    // lookup table) and ADC + exact rescore of the bounded survivor set.
+    // Codes are seed-based with no SQL analogue → the oracle checks the
+    // CONTRACT as constant rows, like q70/q80. Thresholds carry margin:
+    // measured ADC recall 0.26-0.28 and rescore-15 recall 0.41-0.42
+    // across fixtures (exact-resident IVF at the same nprobe: 0.42-0.43).
+    // The temp index dir is a few MB and lives until /tmp is cleaned —
+    // the build must precede the (lazy) search frames, so the query
+    // cannot delete it itself.
+    "q81_ivfpq_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-q81-ivfpq").toString
+      graft.api.Similarity.buildIvfPqIndex(emb, idx)
+      def hits(ann: DataFrame, name: String): DataFrame =
+        ann.select(col("vec_id"), col("neighbor_id")).withColumn(name, lit(1))
+      // ONE exact subtree: both recalls aggregate off the same left join
+      // chain (q70's union shape would evaluate the O(n²) exact branch
+      // twice), emitted as a single constant row
+      Pipeline.queries("q47_cosine_topk")(s, d)
+        .select(col("vec_id"), col("neighbor_id"))
+        .join(hits(graft.api.Similarity.ivfPqSearchIndex(s, idx, emb, nprobe = 2),
+          "adc_hit"), Seq("vec_id", "neighbor_id"), "left")
+        .join(hits(graft.api.Similarity.ivfPqSearchIndex(s, idx, emb,
+            nprobe = 2, rescoreDepth = 15),
+          "rescored_hit"), Seq("vec_id", "neighbor_id"), "left")
+        .agg(
+          (sum(coalesce(col("adc_hit"), lit(0))).cast("double") / count(lit(1))).as("r_adc"),
+          (sum(coalesce(col("rescored_hit"), lit(0))).cast("double") / count(lit(1))).as("r_res"))
+        .select((col("r_adc") >= 0.15).as("pq_adc_ok"),
+          (col("r_res") >= 0.3).as("pq_rescored_ok"))
     }),
 
     // SimHash contract: the hamming<=3 pair set is nonempty and overlaps
@@ -537,6 +572,8 @@ object Pipeline {
       "SELECT TRUE AS nonempty, TRUE AS overlaps_truth",
     "q80_pq_contract" ->
       "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
+    "q81_ivfpq_contract" ->
+      "SELECT TRUE AS pq_adc_ok, TRUE AS pq_rescored_ok",
     "q72_fingerprint_contract" ->
       "SELECT TRUE AS fp_consistent, TRUE AS fp_covers_corpus"
   )
