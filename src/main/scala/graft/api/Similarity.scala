@@ -372,6 +372,190 @@ object Similarity {
         element_at(codes, i + 1) + 1)
     }: _*))
 
+  /** Train RESIDUAL PQ codebooks for an IVF+PQ index, driver-side over
+    * the same bounded deterministic sample as the coarse quantizer:
+    * each sample vector is assigned to its nearest centroid locally,
+    * the residual (v − centroid) is split into `m` subspaces, and each
+    * subspace gets a `ksub`-codeword Lloyd's codebook. Residual
+    * encoding (vs raw-vector PQ) is the classic IVF+PQ composition:
+    * the coarse cell absorbs the vector's location, so the codebooks
+    * only model the much smaller within-cell spread — materially
+    * better reconstruction at the same code budget. */
+  private[api] def fitResidualCodebooks(
+      sample: Array[Array[Double]], centroids: Array[Array[Float]],
+      m: Int, ksub: Int, seed: Long, maxIter: Int): Array[Array[Array[Float]]] = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < centroids.length) {
+        var s = 0.0; var j = 0
+        while (j < dim) { val d = v(j) - centroids(i)(j); s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = i }
+        i += 1
+      }
+      best
+    }
+    val residuals = sample.map { v =>
+      val c = centroids(nearest(v))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    Array.tabulate(m) { i =>
+      lloyds(residuals.map(r => java.util.Arrays.copyOfRange(r, i * sub, (i + 1) * sub)),
+        ksub, seed + i, maxIter)
+    }
+  }
+
+  /** Build a persistent IVF+PQ index under `path` — the memory-bounded
+    * 100 TB ANN serving shape: `centroids` + raw `vectors/` (the
+    * buildIvfIndex layout, kept for exact rescoring), plus `codebooks`
+    * (m × ksub residual codewords, a KB-sized model) and `codes/` —
+    * every vector as m small codes + its reconstruction norm,
+    * PARTITIONED BY CELL. At serving time the searcher holds codes in
+    * memory (m bytes/vector instead of dim floats — 16× at the
+    * defaults) and touches raw vectors only for the bounded rescore
+    * set. Everything distributed is a narrow codegen'd projection over
+    * centroid/codebook literals — no fit jobs, no shuffles beyond the
+    * partitioned write. */
+  def buildIvfPqIndex(emb: DataFrame, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      // m=16 over m=8: measured ADC recall 0.26-0.28 vs
+                      // 0.18-0.19 and rescore-9 recall within 0.05 of the
+                      // exact-resident search on the fixtures — finer
+                      // subspaces halve the residual the codebook must
+                      // model, at the same 16x memory claim
+                      cells: Int = 16, m: Int = 16, ksub: Int = 16,
+                      seed: Long = 42, maxIter: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb, idCol, vecCol)
+    require(e.head(1).nonEmpty, "cannot build an IVF+PQ index over an empty corpus")
+    // ONE bounded sample feeds both the coarse quantizer and the
+    // residual codebooks (identical to what buildIvfIndex would fit —
+    // deterministic in (seed, corpus) — without re-running the
+    // TakeOrdered sample job per model)
+    val sample = sampleVectors(e, math.max(cells, ksub), seed, 4096)
+    val centroids = lloyds(sample, cells, seed, maxIter)
+    val codebooks = fitResidualCodebooks(sample, centroids, m, ksub, seed, maxIter)
+    // centroids + raw vectors: the buildIvfIndex layout, byte-for-byte —
+    // ivfSearchIndex and the exact-rescore path read this half
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    codebooks.zipWithIndex.flatMap { case (cb, i) =>
+      cb.zipWithIndex.map { case (w, c) => (i, c, w.toSeq) }
+    }.toSeq.toDF("subspace", "codeword", "weights")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val dim = centroids.head.length
+    val sub = dim / m
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val withCell = e
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .withColumn("resid",
+        zip_with(col("embedding"), element_at(cLit, col("cell") + 1), (x, c) => x - c))
+    val codes = array((0 until m).map(i =>
+      nearestCell(slice(col("resid"), i * sub + 1, sub), codebooks(i))): _*)
+    // recon = centroid + concatenated codewords; its norm is stored so
+    // ADC cosines need no per-candidate norm arithmetic at search time
+    val recon = zip_with(element_at(cLit, col("cell") + 1),
+      pqReconstruct(col("codes"), codebooks), (a, b) => a + b)
+    withCell
+      .withColumn("codes", codes)
+      .withColumn("rnorm", sqrt(graft.functions.VectorFunctions.dot(recon, recon)))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("rnorm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Search a persistent IVF+PQ index by ASYMMETRIC DISTANCE: the query
+    * side stays exact, residents are their PQ codes. Per QUERY row a
+    * lookup table of m × ksub codeword dots is computed once (codegen'd
+    * dots over codebook literals — the classic ADC table); each
+    * candidate is then scored with m array lookups + adds instead of a
+    * dim-float dot:
+    *   ⟨q, recon⟩ = ⟨q, centroid(cell)⟩ + Σᵢ lut(i)(codeᵢ)
+    * and the cosine divides by the STORED reconstruction norm. Probed
+    * cells are pushed as a partition filter on the codes read (same
+    * pruning as ivfSearchIndex). With `rescoreDepth` > 0 the PQ ranking
+    * keeps that many candidates per query and re-scores them EXACTLY
+    * against the raw `vectors/` half of the index (keyed join on the
+    * bounded survivor set) — the production serve shape: PQ prunes,
+    * exact rescoring ranks. Output: (vec_id, rank, neighbor_id, cos). */
+  def ivfPqSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", k: Int = 3,
+                       nprobe: Int = 2, rescoreDepth: Int = 0): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+      .map(_._2)
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val q0 = withNorm(queries, idCol, vecCol)
+    // per-query ADC table — m×ksub small dots per query row. FLAT
+    // (one array<double>, offset-addressed) rather than nested: one
+    // element_at per subspace with no per-access inner-array views.
+    val lut = array((0 until m).flatMap { i =>
+      (0 until ksub).map { c =>
+        dot(slice(col("embedding"), i * sub + 1, sub), lit(codebooks(i)(c)))
+      }
+    }: _*)
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val q = q0.select(col("vec_id"), col("embedding"), col("nrm"), lut.as("lut"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+      .withColumn("qdotc", dot(col("embedding"), element_at(cLit, col("cell") + 1)))
+      // the raw query vector is spent (lut + qdotc carry everything ADC
+      // needs) — don't ship 256 B/row through the exchange below
+      .drop("embedding")
+      // MATERIALIZATION BARRIER, load-bearing: without an exchange,
+      // whole-stage codegen fuses this projection into the join stage
+      // and DEFERS the lut evaluation into the join's match loop — the
+      // full m×ksub dot table recomputed PER CANDIDATE PAIR (measured
+      // 69 s vs 2.9 s at sf0.1, a 24× cliff). The exchange pins lut to
+      // once per probe row; routing queries to their probed cells'
+      // shards is also exactly how a sharded IVF service fans out.
+      .repartition(col("cell"))
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (probed.isEmpty) return emptyTopK(spark, q0)
+    val index = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed: _*))
+    val adc = (0 until m).map(i =>
+        element_at(col("lut"), lit(i * ksub + 1) + element_at(col("codes"), i + 1)))
+      .reduce(_ + _) + col("qdotc")
+    val pairs = q.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", when(col("nrm") * col("rnorm") === 0.0, 0.0)
+        .otherwise(adc / (col("nrm") * col("rnorm"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+    val ranked = topK(pairs, math.max(k, rescoreDepth))
+    if (rescoreDepth <= 0) ranked
+    else {
+      // exact rescore of the bounded PQ-survivor set: raw vectors come
+      // from the index (partition-pruned to the probed cells), queries
+      // re-attach by keyed join — both joins keyed, no broadcast hints
+      val raw = spark.read.parquet(s"$path/vectors")
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      val qraw = q0.select(col("vec_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      topK(ranked.select(col("vec_id"), col("neighbor_id"))
+        .join(qraw, "vec_id").join(raw, "neighbor_id")
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+        .select(col("vec_id"), col("neighbor_id"), col("cos")), k)
+    }
+  }
+
   /** All embedding pairs at-or-above a cosine threshold — brute-force
     * exact baseline (labelled; candidate generation at scale belongs to
     * the LSH/IVF paths). Output: (vec_a, vec_b, cos), vec_a < vec_b. */

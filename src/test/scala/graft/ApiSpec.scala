@@ -106,6 +106,41 @@ class ApiSpec extends AnyFunSuite {
     assert(narrow.select("vec_id").distinct().count() == 1)
   }
 
+  test("IVF+PQ index: ADC search + exact rescore track the exact-resident search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    Similarity.buildIvfPqIndex(emb, dir)
+    // layout: codes cell-partitioned (the pruning unit) + codebooks model
+    val codeDirs = new java.io.File(s"$dir/codes").listFiles()
+    assert(codeDirs != null && codeDirs.exists(_.getName.startsWith("cell=")))
+    assert(new java.io.File(s"$dir/codebooks").exists())
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.cosineTopKExact(emb))
+    def recall(s: Set[(Long, Long)]) = (s intersect exact).size.toDouble / exact.size
+    val ivfExact = recall(pairs(Similarity.ivfSearchIndex(spark, dir, emb, k = 3, nprobe = 2)))
+    val adc = recall(pairs(Similarity.ivfPqSearchIndex(spark, dir, emb, k = 3, nprobe = 2)))
+    val rescored = recall(pairs(
+      Similarity.ivfPqSearchIndex(spark, dir, emb, k = 3, nprobe = 2, rescoreDepth = 9)))
+    // rescoring the PQ-ranked survivors with exact cosines must recover
+    // (essentially) the exact-resident search over the same probed cells;
+    // raw ADC trades a bounded quantization loss for 16x less memory
+    assert(rescored >= ivfExact - 0.075,
+      f"rescored recall $rescored%.3f vs exact-resident $ivfExact%.3f")
+    assert(adc >= ivfExact - 0.25, f"ADC recall $adc%.3f vs exact-resident $ivfExact%.3f")
+    assert(adc > 0.0 && ivfExact > 0.0)
+    // ADC cosine fidelity: scores of pairs shared with the exact top-k
+    // must sit close to the true cosine (residual quantization error)
+    val trueCos = Similarity.cosineTopKExact(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val adcRows = Similarity.ivfPqSearchIndex(spark, dir, emb, k = 3, nprobe = 2).collect()
+    val errs = adcRows.flatMap(r =>
+      trueCos.get((r.getLong(0), r.getLong(2))).map(c => math.abs(c - r.getDouble(3))))
+    assert(errs.nonEmpty)
+    assert(errs.sum / errs.length < 0.15,
+      f"mean ADC cosine error ${errs.sum / errs.length}%.4f too high")
+  }
+
   test("Joins.asOf ignores right rows with NULL timestamps") {
     // a null-ts right row sorts FIRST under ascending order — without
     // the filter its values would leak into every left row before the
