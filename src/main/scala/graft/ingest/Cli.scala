@@ -72,9 +72,16 @@ object Cli {
 
     // -g is validated HERE (after the loop — -p may appear after -g on
     // the command line) so a bad combination gets the CLI's error path,
-    // not a runtime stack trace from Ingest.run's require
-    if (commitGroups < 1 || numParallelStreams % commitGroups != 0)
-      return Left("Invalid parameter.")
+    // not a runtime stack trace from Ingest.run's require. -g is an
+    // extension flag, so unlike the reference-parity "Invalid
+    // parameter." errors the message says HOW to fix it (VERDICT r5 #7);
+    // valid divisors are listed so the user need not factorize -p.
+    if (commitGroups < 1 || numParallelStreams % commitGroups != 0) {
+      val divisors = (1 to numParallelStreams)
+        .filter(numParallelStreams % _ == 0).mkString(", ")
+      return Left(s"commit-groups=$commitGroups must divide parallelism=" +
+        s"$numParallelStreams; valid -g values for -p $numParallelStreams: $divisors.")
+    }
 
     val outputPath =
       if (outputDir == "console") None else Some(s"$outputDir/$db/$table")

@@ -52,10 +52,13 @@ class CliSpec extends AnyFunSuite {
     val Right(l) = Cli.parse(Array("--commit-groups", "2", "-p", "6")): @unchecked
     assert(l.cfg.commitGroups == 2)
     assert(Cli.parse(Array("-g", "x")).isLeft)
-    // groups must be positive and divide parallelism — CLI error path,
-    // not a runtime stack trace
+    // groups must be positive and divide parallelism — CLI error path
+    // with GUIDANCE (the valid divisors), not a runtime stack trace or
+    // the opaque reference-parity error (VERDICT r5 #7)
     assert(Cli.parse(Array("-g", "3")).isLeft)        // default -p 1
-    assert(Cli.parse(Array("-p", "8", "-g", "3")).isLeft)
+    val Left(err) = Cli.parse(Array("-p", "8", "-g", "3")): @unchecked
+    assert(err.contains("must divide parallelism=8") &&
+      err.contains("1, 2, 4, 8"), s"error must name the fix: $err")
     assert(Cli.parse(Array("-p", "8", "-g", "0")).isLeft)
   }
 

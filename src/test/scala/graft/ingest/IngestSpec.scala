@@ -152,6 +152,30 @@ class IngestSpec extends AnyFunSuite {
     assert(cv.columns.contains("year") && cv.columns.contains("month"))
   }
 
+  test("committedView across a crash-and-replay cycle sees exactly the committed rows") {
+    // the full protocol round trip (VERDICT r5 #6): two committed
+    // batches, a crash window that leaves batch 2 half-published (files
+    // renamed, marker lost), the reader-side negative case, then the
+    // replay — which must scrub the orphans, republish, and re-commit —
+    // and the reader-side positive case, with no duplicate files left
+    // for even a plain directory reader
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+    def raw(from: Long, until: Long) = spark.range(from, until, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    assert(Ingest.commitBatch(cfg, dir, raw(0, 1000), batchId = 1) == 1000)
+    assert(Ingest.commitBatch(cfg, dir, raw(1000, 1500), batchId = 2) == 500)
+    assert(new java.io.File(dir, "_commits/2").delete())
+    assert(graft.core.Tables.committedView(spark, dir).count() == 1000,
+      "half-published batch must stay invisible to the committed view")
+    assert(Ingest.commitBatch(cfg, dir, raw(1000, 1500), batchId = 2) == 500,
+      "replay of the crashed batch must republish, not skip")
+    assert(graft.core.Tables.committedView(spark, dir).count() == 1500)
+    assert(spark.read.orc(dir).count() == 1500,
+      "replay must scrub orphaned b2-* files — no duplicates for plain readers")
+    assert(new java.io.File(dir, "_commits/2").exists)
+  }
+
   test("committedView with zero committed batches still returns a typed frame") {
     val dir = tmp()
     val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
