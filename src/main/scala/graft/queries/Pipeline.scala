@@ -252,21 +252,28 @@ object Pipeline {
     // thresholds mirror PipelineSpec's; recall is computed fully
     // distributed (left join + aggregate — no collects).
     "q70_ann_recall" -> ((s, d) => {
-      // the exact subtree feeds BOTH union branches UNCACHED on purpose:
-      // with spare cores the two branches execute their copies in
-      // parallel inside one job, and an A/B showed persist()'s
-      // materialization barrier costs more wall-clock here (10.8s vs
-      // 14.9s cached at sf0.1); on a saturated cluster, persist() the
-      // exact side to halve total work instead
-      val exact = Pipeline.queries("q47_cosine_topk")(s, d)
+      // ONE exact subtree: both recalls hang off the same left-join
+      // chain, then the single aggregate row is reshaped into the
+      // 2-row (method, recall_ok) contract the oracle pins. The r2-r5
+      // union shape evaluated the O(n²) exact branch once PER METHOD —
+      // this halves TOTAL work (what a saturated cluster pays); local
+      // wall-clock is similar because the spare-core parallelism that
+      // ran the two copies concurrently now runs the ANN subtrees.
+      def hits(ann: DataFrame, name: String): DataFrame =
+        ann.select(col("vec_id"), col("neighbor_id")).withColumn(name, lit(1))
+      Pipeline.queries("q47_cosine_topk")(s, d)
         .select(col("vec_id"), col("neighbor_id"))
-      def recallOf(ann: DataFrame, method: String, thr: Double): DataFrame =
-        exact.join(ann.select(col("vec_id"), col("neighbor_id"))
-            .withColumn("hit", lit(1)), Seq("vec_id", "neighbor_id"), "left")
-          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
-          .select(lit(method).as("method"), (col("recall") >= thr).as("recall_ok"))
-      recallOf(Pipeline.queries("q48_ann_hyperplane")(s, d), "hyperplane", 0.3)
-        .unionByName(recallOf(Pipeline.queries("q57_ann_ivf")(s, d), "ivf", 0.3))
+        .join(hits(Pipeline.queries("q48_ann_hyperplane")(s, d), "hp_hit"),
+          Seq("vec_id", "neighbor_id"), "left")
+        .join(hits(Pipeline.queries("q57_ann_ivf")(s, d), "ivf_hit"),
+          Seq("vec_id", "neighbor_id"), "left")
+        .agg(
+          (sum(coalesce(col("hp_hit"), lit(0))).cast("double") / count(lit(1))).as("r_hp"),
+          (sum(coalesce(col("ivf_hit"), lit(0))).cast("double") / count(lit(1))).as("r_ivf"))
+        .select(explode(array(
+          struct(lit("hyperplane").as("method"), (col("r_hp") >= 0.3).as("recall_ok")),
+          struct(lit("ivf").as("method"), (col("r_ivf") >= 0.3).as("recall_ok")))).as("r"))
+        .select(col("r.method"), col("r.recall_ok"))
         .orderBy("method")
     }),
 

@@ -88,4 +88,23 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!analyzed.contains("ResolvedHint"),
         s"$q must leave join-strategy choice to AQE")
     }
+
+  test("ivfPqSearchIndex prunes code partitions and stays a keyed equi-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-ivfpq").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    graft.api.Similarity.buildIvfPqIndex(emb, dir)
+    // one query at nprobe=1 probes exactly one cell — the codes scan
+    // must carry a cell partition filter (unprobed cell= dirs unread)
+    val narrow = graft.api.Similarity.ivfPqSearchIndex(
+      spark, dir, emb.limit(1), k = 3, nprobe = 1)
+    val p = narrow.queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"codes scan must carry a cell partition filter:\n${p.take(4000)}")
+    val full = graft.api.Similarity.ivfPqSearchIndex(spark, dir, emb, nprobe = 2)
+    val fp = full.queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoopJoin"),
+      "ADC candidate join must be a keyed equi-join")
+    assert(!full.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no user broadcast hints — AQE chooses the strategy")
+  }
 }
