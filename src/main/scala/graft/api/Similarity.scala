@@ -453,21 +453,68 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     val dim = centroids.head.length
     val sub = dim / m
-    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
-    val withCell = e
+    // Encode pass: residual codes + reconstruction norm per vector.
+    // This is the one operator in the package written as mapPartitions
+    // rather than Catalyst expressions, deliberately: the expression
+    // formulation (m × ksub nearest-codeword distances as least(struct)
+    // trees over codebook literals) generates more Java than janino's
+    // 64 KB method limit and silently drops the whole projection to
+    // interpreted evaluation — the expression compiler is the wrong
+    // tool for a fixed KB-sized model applied as dense per-row math.
+    // The closure ships centroids+codebooks (a few KB); per row it runs
+    // the same m·ksub·sub flops a codegen'd projection would, in one
+    // tight loop with zero allocation beyond the output arrays.
+    // The cell repartition pre-clusters rows so the partitionBy write
+    // emits one file per (task, cell) instead of every task writing
+    // into all `cells` directories.
+    val inRows = e
       .withColumn("cell", nearestCell(col("embedding"), centroids))
-      .withColumn("resid",
-        zip_with(col("embedding"), element_at(cLit, col("cell") + 1), (x, c) => x - c))
-    val codes = array((0 until m).map(i =>
-      nearestCell(slice(col("resid"), i * sub + 1, sub), codebooks(i))): _*)
-    // recon = centroid + concatenated codewords; its norm is stored so
-    // ADC cosines need no per-candidate norm arithmetic at search time
-    val recon = zip_with(element_at(cLit, col("cell") + 1),
-      pqReconstruct(col("codes"), codebooks), (a, b) => a + b)
-    withCell
-      .withColumn("codes", codes)
-      .withColumn("rnorm", sqrt(graft.functions.VectorFunctions.dot(recon, recon)))
-      .select(col("vec_id").as("neighbor_id"), col("codes"), col("rnorm"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartition(col("cell"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        inRows.schema("vec_id").dataType),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("rnorm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+    val (cents, cbs, mm, kk, ss, dd) = (centroids, codebooks, m, ksub, sub, dim)
+    inRows.mapPartitions { rows =>
+      rows.map { r =>
+        val emb = r.getSeq[Float](1)
+        val cell = r.getInt(2)
+        val cent = cents(cell)
+        val codes = new Array[Int](mm)
+        val recon = new Array[Double](dd)
+        var i = 0
+        while (i < mm) {
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < kk) {
+            val w = cbs(i)(c)
+            var s = 0.0; var j = 0
+            while (j < ss) {
+              val d = (emb(i * ss + j) - cent(i * ss + j)).toDouble - w(j)
+              s += d * d; j += 1
+            }
+            if (s < bd) { bd = s; best = c } // strict < : ties keep the lowest code
+            c += 1
+          }
+          codes(i) = best
+          var j = 0
+          while (j < ss) {
+            recon(i * ss + j) = cent(i * ss + j).toDouble + cbs(i)(best)(j)
+            j += 1
+          }
+          i += 1
+        }
+        var rn = 0.0; var j = 0
+        while (j < dd) { rn += recon(j) * recon(j); j += 1 }
+        org.apache.spark.sql.Row(r.get(0), codes.toSeq, math.sqrt(rn), cell)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
