@@ -196,6 +196,26 @@ class ApiSpec extends AnyFunSuite {
     assert(minCos > 0.99, s"reconstruction cosine floor $minCos")
   }
 
+  test("IVF+PQ search accepts non-integral ids and empty query frames") {
+    val emb = Seq(("u-a", Array(1.0f, 0.0f)), ("u-b", Array(0.9f, 0.1f)),
+      ("u-c", Array(0.0f, 1.0f)), ("u-d", Array(0.1f, 0.95f))).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-str").toString
+    // dim=2 → m must divide it; tiny corpus exercises the sample<cells path
+    Similarity.buildIvfPqIndex(emb, dir, "id", "vec", cells = 2, m = 2, ksub = 2)
+    val top = Similarity.ivfPqSearchIndex(spark, dir, emb, "id", "vec",
+      k = 1, nprobe = 1, rescoreDepth = 2)
+    assert(top.columns.sameElements(Array("vec_id", "rank", "neighbor_id", "cos")))
+    val rows = top.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rank") == 1))
+    // string ids survive both the ADC ranking and the exact rescore join
+    assert(rows.forall(r => r.getString(0).startsWith("u-")))
+    // empty query frame → empty typed result, not a crash
+    val none = Similarity.ivfPqSearchIndex(spark, dir,
+      emb.filter(col("id") === "zzz"), "id", "vec")
+    assert(none.count() == 0)
+    assert(none.columns.sameElements(Array("vec_id", "rank", "neighbor_id", "cos")))
+  }
+
   test("TextAnalysis.keyedSample is a deterministic partition of the corpus") {
     val df = (1L to 500L).toDF("k")
     val all = "0123456789abcdef".map(_.toString)
