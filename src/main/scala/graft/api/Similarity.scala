@@ -309,6 +309,11 @@ object Similarity {
         explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
       .select(col("cell"), col("vec_id"),
         col("embedding").as("ea"), col("nrm").as("na"))
+      // materialization barrier (see ivfPqSearchIndex): fused codegen
+      // would defer the na dot into the join's match loop — recomputed
+      // per candidate; the exchange pins it to once per probe row and
+      // routes queries to their probed cells' shards
+      .repartition(col("cell"))
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(s"$path/vectors")
