@@ -82,8 +82,10 @@ object Similarity {
   /** Brute-force cosine top-k — the EXACT baseline, O(n²) by
     * construction (labelled as such; use the ANN variants at scale).
     * Norms are hoisted before the join so each is computed n times,
-    * not n²; the right side is broadcast so the product never
-    * shuffles. */
+    * not n². The product is UN-HINTED: below the broadcast threshold
+    * the planner picks the broadcast nested-loop itself; above it a
+    * forced broadcast would OOM before the product even starts, while
+    * the planner's shuffled product degrades gracefully. */
   def cosineTopKExact(emb: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", k: Int = 3): DataFrame = {
     val e = withNorm(emb, idCol, vecCol)
@@ -94,7 +96,7 @@ object Similarity {
     // ~40% SLOWER — the struct/explode materialization of every pair
     // costs more than the halved codegen'd dots save, and the BNLJ
     // enumerates n² predicate evaluations either way
-    val pairs = a.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
+    val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
     topKWindow(pairs, k)
   }
@@ -617,7 +619,9 @@ object Similarity {
     val e = withNorm(emb, idCol, vecCol)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+    // un-hinted like cosineTopKExact: the planner broadcasts while the
+    // side fits and falls back to a shuffled product when it doesn't
+    a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))

@@ -77,11 +77,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   // The corpus-sized sides (q44 prefix index, q48 verify joins, q57 cell
-  // join) must NOT carry a user broadcast hint: at 100 TB a forced
-  // broadcast of a corpus-sized side OOMs the build side. AQE may still
-  // CHOOSE broadcast when the side fits — the assertion is on the hint
-  // (analyzed plan), not the strategy.
-  for (q <- Seq("q44_near_dup_pairs", "q48_ann_hyperplane", "q57_ann_ivf"))
+  // join, and the q47/q62 brute-force products) must NOT carry a user
+  // broadcast hint: at 100 TB a forced broadcast of a corpus-sized side
+  // OOMs the build side. AQE may still CHOOSE broadcast when the side
+  // fits — the assertion is on the hint (analyzed plan), not the
+  // strategy.
+  for (q <- Seq("q44_near_dup_pairs", "q48_ann_hyperplane", "q57_ann_ivf",
+      "q47_cosine_topk", "q62_embedding_neardup"))
     test(s"$q carries no user broadcast hint on corpus-sized sides") {
       val analyzed =
         SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.toString
