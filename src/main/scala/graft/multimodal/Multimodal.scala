@@ -184,6 +184,38 @@ object Multimodal {
       } else FakeCodec.decode(kind, content)
   }
 
+  /** Read a directory of raw media files through Spark's built-in
+    * `binaryFile` source — the ingest path for loose image/audio
+    * corpora (one row per file). The read is fully distributed: file
+    * listing and splitting happen in the source, `pathGlobFilter` is
+    * pushed into listing (non-matching files are never opened), and
+    * payload bytes go straight to executor tasks — the driver sees only
+    * file statuses. `kind` is inferred from the extension; `media_id`
+    * is xxhash64 of the full path, so re-reads key the same file
+    * consistently. Columns: (name, media_id, kind, content). */
+  def readBinaryDir(s: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    val raw = s.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+    val name = element_at(split(col("path"), "/"), -1)
+    raw.select(
+      name.as("name"),
+      xxhash64(col("path")).as("media_id"),
+      when(lower(name).rlike("\\.(bmp|png|gif|jpe?g|tiff?|webp)$"), "image")
+        .when(lower(name).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+        .when(lower(name).rlike("\\.(mp4|avi|mkv|webm|mov)$"), "video")
+        .otherwise("binary").as("kind"),
+      col("content"))
+  }
+
+  /** The binaryFile directory as a decodable media Dataset — plugs the
+    * raw-file ingest path straight into decode/features/resize. */
+  def mediaFromBinaryDir(s: SparkSession, dir: String,
+                         glob: String = "*"): Dataset[MediaRow] = {
+    import s.implicits._
+    readBinaryDir(s, dir, glob)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRow]
+  }
+
   /** Build a media table from the documents fixture: text bytes as the
     * payload, kind round-robined over the three modalities. Purely a
     * fixture adapter — real deployments read binary parquet/files. */

@@ -155,6 +155,39 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.FakeCodec.decode("image", junk))
   }
 
+  test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binspec").toFile
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("x.bmp", "BM".getBytes ++ Array.fill[Byte](24)(1))
+    put("y.WAV", "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](24)(0))
+    put("z.mp4", Array.fill[Byte](8)(7))
+    put("notes.txt", "hello".getBytes)
+
+    val all = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+    assert(all.schema("content").dataType.typeName == "binary")
+    val kinds = all.collect().map(r => r.getAs[String]("name") -> r.getAs[String]("kind")).toMap
+    assert(kinds == Map("x.bmp" -> "image", "y.WAV" -> "audio",
+      "z.mp4" -> "video", "notes.txt" -> "binary"))
+
+    // pathGlobFilter prunes at listing time — non-matching files are
+    // never opened, so the frame only ever sees the one name
+    val only = Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.bmp")
+    assert(only.select("name").collect().map(_.getString(0)).toSeq == Seq("x.bmp"))
+
+    // ids are a pure function of the path: re-reads key consistently
+    val a = all.select("name", "media_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+      .select("name", "media_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.values.toSet.size == 4)
+
+    // and the Dataset adapter feeds decode directly
+    val dec = Multimodal.decode(
+      Multimodal.mediaFromBinaryDir(spark, dir.getAbsolutePath, "*.bmp"),
+      Multimodal.HeaderCodec).collect()
+    assert(dec.length == 1 && dec.head.kind == "image")
+  }
+
   test("frame sampling emits every stride-th chunk per video") {
     val d = Multimodal.decode(media()).filter(_.kind == "video")
     val frames = Multimodal.sampleFrames(d, 2)
