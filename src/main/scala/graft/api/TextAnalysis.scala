@@ -82,6 +82,52 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       minShingleHash(lower(col(textCol)), shingle).as("fp"))
 
+  /** Pack documents into fixed token-budget TRAINING BINS (sequence
+    * packing — the step that turns a curated corpus into fixed-length
+    * training rows): each partition greedily fills bins to `maxTokens`
+    * BPE-ish tokens in next-fit-decreasing order — O(n) per partition
+    * with no cross-partition coordination, the only packing shape that
+    * scales (a globally optimal packing would serialize the corpus
+    * through one task for a few percent better fill). Oversized
+    * documents (> maxTokens) get a bin of their own rather than being
+    * silently dropped. The exchange routes (id, token-count) pairs
+    * only — text never shuffles; callers re-attach payloads by id when
+    * materializing the packed sequences. Deterministic for a fixed
+    * `partitions`: ids are hash-routed, bins fill in (tokens desc, id)
+    * order. Output: (<idCol>, n_tokens, bin_id) with bin_id =
+    * partition << 32 | local bin index.
+    *
+    * Fill bound: next-fit closes a bin only because the next document
+    * does not fit, so adjacent closed bins sum past the budget — at
+    * most 2·total/maxTokens + `partitions` bins overall (q83 contracts
+    * exactly this). */
+  def packSequences(docs: DataFrame, maxTokens: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    partitions: Int = 32): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(partitions > 0, "partitions must be positive")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      docs.schema(idCol).copy(name = idCol),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val mt = maxTokens
+    docs.select(col(idCol), bpeishTokenCount(col(textCol)).as("n_tokens"))
+      .repartition(partitions, col(idCol))
+      .sortWithinPartitions(col("n_tokens").desc, col(idCol))
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L; var fill = 0; var open = false
+        rows.map { r =>
+          val n = r.getInt(1)
+          if (open && fill + n > mt) { bin += 1; fill = 0 }
+          open = true; fill += n
+          org.apache.spark.sql.Row(r.get(0), n, (pid << 32) | bin)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Deterministic keyed sample: keeps rows whose md5(key) hex digest
     * starts with one of `hexPrefixes` — the same subset on every
     * engine and every run (unlike TABLESAMPLE), the standard trick for
