@@ -298,13 +298,30 @@ object Similarity {
     * magnitude smaller than the index, which is the point of an index.
     * Output: (vec_id, rank, neighbor_id, cos) — same contract as the
     * other top-k operators. */
+  /** Load a persisted index's coarse quantizer — a KB-sized model. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Float]] = {
+    val c = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+      .map(_._2)
+    require(c.nonEmpty, s"no IVF index at $path")
+    c
+  }
+
+  /** Load a persisted index's PQ codebooks: codebooks(i)(c) = codeword
+    * c of subspace i. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
   def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding", k: Int = 3,
                      nprobe: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
-      .map(_._2)
+    val centroids = readCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= centroids.length)
     val q = withNorm(queries, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -458,22 +475,34 @@ object Similarity {
     }.toSeq.toDF("subspace", "codeword", "weights")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCodes(e, centroids, codebooks, path, "overwrite")
+  }
+
+  /** The IVF+PQ encode pass: residual codes + reconstruction norm per
+    * vector, written partitionBy(cell) under `path`/codes with the
+    * given save mode ("overwrite" on build, "append" on incremental
+    * add).
+    *
+    * This is the one operator in the package written as mapPartitions
+    * rather than Catalyst expressions, deliberately: the expression
+    * formulation (m × ksub nearest-codeword distances as least(struct)
+    * trees over codebook literals) generates more Java than janino's
+    * 64 KB method limit and silently drops the whole projection to
+    * interpreted evaluation — the expression compiler is the wrong
+    * tool for a fixed KB-sized model applied as dense per-row math.
+    * The closure ships centroids+codebooks (a few KB); per row it runs
+    * the same m·ksub·sub flops a codegen'd projection would, in one
+    * tight loop with zero allocation beyond the output arrays.
+    * The cell repartition pre-clusters rows so the partitionBy write
+    * emits one file per (task, cell) instead of every task writing
+    * into all `cells` directories. */
+  private def writeCodes(e: DataFrame, centroids: Array[Array[Float]],
+                         codebooks: Array[Array[Array[Float]]],
+                         path: String, mode: String): Unit = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
     val dim = centroids.head.length
     val sub = dim / m
-    // Encode pass: residual codes + reconstruction norm per vector.
-    // This is the one operator in the package written as mapPartitions
-    // rather than Catalyst expressions, deliberately: the expression
-    // formulation (m × ksub nearest-codeword distances as least(struct)
-    // trees over codebook literals) generates more Java than janino's
-    // 64 KB method limit and silently drops the whole projection to
-    // interpreted evaluation — the expression compiler is the wrong
-    // tool for a fixed KB-sized model applied as dense per-row math.
-    // The closure ships centroids+codebooks (a few KB); per row it runs
-    // the same m·ksub·sub flops a codegen'd projection would, in one
-    // tight loop with zero allocation beyond the output arrays.
-    // The cell repartition pre-clusters rows so the partitionBy write
-    // emits one file per (task, cell) instead of every task writing
-    // into all `cells` directories.
     val inRows = e
       .withColumn("cell", nearestCell(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -522,7 +551,54 @@ object Similarity {
         org.apache.spark.sql.Row(r.get(0), codes.toSeq, math.sqrt(rn), cell)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Append vectors to a persisted IVF index WITHOUT refitting: the
+    * stored centroids define cell assignment for the life of the index
+    * (the standard add() contract — a quantizer is fit once, adding
+    * re-trains nothing), so an append is one narrow codegen'd
+    * assignment pass plus an append-mode partitioned write. Searches
+    * see the new vectors on their next run; cell partition pruning
+    * keeps working because the on-disk layout is unchanged. When the
+    * corpus drifts far enough that the fixed cells skew, rebuild —
+    * that trade (cheap adds, periodic rebuild) is how every production
+    * IVF deployment runs. */
+  def appendToIvfIndex(emb: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val centroids = readCentroids(spark, path)
+    val e = withNorm(emb, idCol, vecCol)
+    e.head(1).foreach { r =>
+      val d = r.getSeq[Float](1).length
+      require(d == centroids.head.length,
+        s"appended dim $d != index dim ${centroids.head.length}")
+    }
+    e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Append vectors to a persisted IVF+PQ index: raw vectors land in
+    * `vectors/` (exact-rescore half) and their residual codes in
+    * `codes/` (ADC half), both under the index's FROZEN quantizer and
+    * codebooks — same add-don't-refit contract as [[appendToIvfIndex]],
+    * same narrow encode pass as the build. */
+  def appendToIvfPqIndex(emb: DataFrame, path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val centroids = readCentroids(spark, path)
+    val codebooks = readCodebooks(spark, path)
+    val e = withNorm(emb, idCol, vecCol)
+    e.head(1).foreach { r =>
+      val d = r.getSeq[Float](1).length
+      require(d == centroids.head.length,
+        s"appended dim $d != index dim ${centroids.head.length}")
+    }
+    e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    writeCodes(e, centroids, codebooks, path, "append")
   }
 
   /** Search a persistent IVF+PQ index by ASYMMETRIC DISTANCE: the query
@@ -543,14 +619,9 @@ object Similarity {
                        queries: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", k: Int = 3,
                        nprobe: Int = 2, rescoreDepth: Int = 0): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
-      .map(_._2)
+    val centroids = readCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= centroids.length)
-    val codebooks = spark.read.parquet(s"$path/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    val codebooks = readCodebooks(spark, path)
     val m = codebooks.length
     val ksub = codebooks.head.length
     val sub = codebooks.head.head.length
