@@ -240,6 +240,56 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // Raw-file multimodal ingest: five crafted payloads (real BMP / PNG /
+    // GIF / JPEG / WAV headers) written to a temp dir, read back through
+    // Spark's distributed `binaryFile` source, extension-classified, and
+    // header-decoded — the loose-file ingest path exercised end-to-end.
+    // Every dimension is fixed by the written header bytes, so the
+    // oracle is a closed-form VALUES table.
+    "q82_binary_ingest" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bin-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.mkdirs()
+      dir.listFiles().foreach(_.delete()) // stale fixtures from older runs
+      def ascii(t: String) = t.getBytes("US-ASCII")
+      def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+      def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+      def be16(v: Int) = Array(v >> 8, v).map(_.toByte)
+      def be32(v: Int) = Array(v >> 24, v >> 16, v >> 8, v).map(_.toByte)
+      val payloads: Seq[(String, Array[Byte])] = Seq(
+        // BITMAPINFOHEADER: int32le dims at 18/22
+        "a.bmp" -> (ascii("BM") ++ Array.fill[Byte](16)(0) ++
+          le32(640) ++ le32(480)),
+        // PNG signature + IHDR (required first chunk): uint32be at 16/20
+        "b.png" -> (Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte) ++ be32(13) ++ ascii("IHDR") ++
+          be32(800) ++ be32(600)),
+        // logical screen descriptor: uint16le at 6/8
+        "c.gif" -> (ascii("GIF89a") ++ le16(320) ++ le16(200)),
+        // SOI + SOF0 segment: height/width as uint16be at +5/+7
+        "d.jpg" -> (Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08)
+          .map(_.toByte) ++ be16(1080) ++ be16(1920)),
+        // RIFF/WAVE: fmt (stereo, 44.1 kHz, block align 4) + 400B data
+        "e.wav" -> (ascii("RIFF") ++ le32(36 + 400) ++ ascii("WAVE") ++
+          ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+          le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+          ascii("data") ++ le32(400) ++ Array.fill[Byte](400)(0)))
+      payloads.foreach { case (n, bytes) =>
+        java.nio.file.Files.write(new java.io.File(dir, n).toPath, bytes)
+      }
+      val path = dir.getAbsolutePath
+      val dec = graft.multimodal.Multimodal.decode(
+        graft.multimodal.Multimodal.mediaFromBinaryDir(s, path),
+        graft.multimodal.Multimodal.HeaderCodec)
+      graft.multimodal.Multimodal.readBinaryDir(s, path)
+        .select(col("name"), col("media_id"))
+        .join(dec.toDF().select(col("media_id"), col("kind"), col("width"),
+          col("height"), col("n_frames")), Seq("media_id"))
+        .select(col("name"), col("kind"), col("width"), col("height"),
+          col("n_frames"))
+        .orderBy("name")
+    }),
+
     // ------------------------------------------------ contract queries
     // The approximate operators (q46/q48/q52/q57) are hash/seed-based
     // and have no SQL analogue, so the driver's gate only counts their
@@ -371,6 +421,34 @@ object Pipeline {
         .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
         .select((col("n_fp") === col("n_docs")).as("fp_covers_corpus"))
       consistent.crossJoin(coverage)
+    }),
+
+    // Sequence-packing contract: every bin respects the token budget
+    // (or is a single oversized document), every document lands in
+    // exactly one bin, and the packing meets next-fit-decreasing's
+    // provable fill bound (≤ 2·total/budget + partitions bins). Bin
+    // assignment depends on hash partitioning, so — like the other
+    // sketches — the oracle checks the CONTRACT as constant rows.
+    "q83_sequence_packing" -> ((s, d) => {
+      val budget = 512
+      val parts = 32
+      val packed = graft.api.TextAnalysis.packSequences(
+        Tables.documents(s, d), maxTokens = budget, partitions = parts)
+      val bins = packed.groupBy("bin_id")
+        .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
+      val binsOk = bins.agg(
+        (min(when(col("fill") <= budget || col("n_docs") === 1, 1)
+          .otherwise(0)) === 1).as("bins_within_budget"),
+        count(lit(1)).as("n_bins"), sum(col("fill")).as("total_tokens"))
+      val coverage = packed.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_ids"))
+      val src = Tables.documents(s, d).agg(count(lit(1)).as("n_src"))
+      binsOk.crossJoin(coverage).crossJoin(src)
+        .select(col("bins_within_budget"),
+          (col("n_rows") === col("n_src") && col("n_ids") === col("n_src"))
+            .as("docs_covered_once"),
+          (col("n_bins") <= lit(2.0) * col("total_tokens") / budget + parts)
+            .as("packing_efficient"))
     })
   )
 
@@ -554,6 +632,23 @@ object Pipeline {
         |  CAST((strlen(text)+2)//3 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 200
         |ORDER BY media_id""".stripMargin,
+
+    // q83's bin layout is hash-partitioning-dependent; the contract
+    // booleans are the oracle (same pattern as q70/q71/q72/q80/q81)
+    "q83_sequence_packing" ->
+      """SELECT true AS bins_within_budget, true AS docs_covered_once,
+        |       true AS packing_efficient""".stripMargin,
+
+    // q82 writes its own header-exact fixtures, so the expected rows are
+    // closed-form constants
+    "q82_binary_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('a.bmp', 'image',   640,  480,   1),
+        |  ('b.png', 'image',   800,  600,   1),
+        |  ('c.gif', 'image',   320,  200,   1),
+        |  ('d.jpg', 'image',  1920, 1080,   1),
+        |  ('e.wav', 'audio', 44100,    2, 100))
+        |AS t(name, kind, width, height, n_frames) ORDER BY name""".stripMargin,
     // closed-form mirror of the stub codec's frame math: L bytes split
     // into nf = L%24+1 frames of chunk = max(L//nf, 1) bytes (last frame
     // ragged), keep every 4th frame

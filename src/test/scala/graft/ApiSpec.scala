@@ -141,6 +141,50 @@ class ApiSpec extends AnyFunSuite {
       f"mean ADC cosine error ${errs.sum / errs.length}%.4f too high")
   }
 
+  test("IVF and IVF+PQ appends add vectors under the frozen quantizer (no refit)") {
+    import org.apache.spark.sql.functions.{col, not}
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    val held = emb.filter(col("vec_id") % 5 === 0)
+    val base = emb.filter(not(col("vec_id") % 5 === 0))
+
+    val ivf = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.buildIvfIndex(base, ivf)
+    val centroidsBefore = spark.read.parquet(s"$ivf/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    Similarity.appendToIvfIndex(held, ivf)
+    // quantizer frozen, index grown to the full corpus
+    val centroidsAfter = spark.read.parquet(s"$ivf/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(centroidsAfter == centroidsBefore, "append must not refit the quantizer")
+    assert(spark.read.parquet(s"$ivf/vectors").count() == emb.count())
+    // searching with a held-out vector as the query now finds appended
+    // residents: its top neighbors may legally be other held-out rows
+    val got = Similarity.ivfSearchIndex(spark, ivf, emb, k = 3, nprobe = 2)
+    val heldIds = held.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.collect().exists(r => heldIds.contains(r.getLong(2))),
+      "appended vectors must be searchable")
+
+    val pq = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Similarity.buildIvfPqIndex(base, pq)
+    Similarity.appendToIvfPqIndex(held, pq)
+    // both halves grow in lockstep: ADC codes and exact-rescore vectors
+    assert(spark.read.parquet(s"$pq/vectors").count() == emb.count())
+    assert(spark.read.parquet(s"$pq/codes").count() == emb.count())
+    val adc = Similarity.ivfPqSearchIndex(spark, pq, emb, k = 3, nprobe = 2)
+    assert(adc.collect().exists(r => heldIds.contains(r.getLong(2))),
+      "appended vectors must surface through ADC search")
+    val res = Similarity.ivfPqSearchIndex(spark, pq, emb, k = 3, nprobe = 2,
+      rescoreDepth = 9)
+    assert(res.collect().exists(r => heldIds.contains(r.getLong(2))),
+      "appended vectors must survive exact rescoring")
+    // a mismatched dimension fails loudly instead of silently mis-assigning
+    import spark.implicits._
+    val bad = Seq((9999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(bad, ivf)
+    }
+  }
+
   test("Joins.asOf ignores right rows with NULL timestamps") {
     // a null-ts right row sorts FIRST under ascending order — without
     // the filter its values would leak into every left row before the
@@ -224,6 +268,41 @@ class ApiSpec extends AnyFunSuite {
     val twice = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
     val again = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
     assert(twice.sameElements(again))
+  }
+
+  test("TextAnalysis.packSequences respects the budget, covers every doc, and is deterministic") {
+    // mixed sizes incl. one oversized doc (a 2000-char word-soup blows
+    // any 64-token budget) and several that only fit alone or in pairs
+    val docs = (1L to 200L).map { i =>
+      val words = if (i == 7L) 500 else (i % 40 + 1).toInt
+      (i, (1 to words).map(w => s"w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, maxTokens = 64, partitions = 8)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 200L).toSeq,
+      "every doc packed exactly once")
+    val byBin = rows.groupBy(_._3).values
+    assert(byBin.forall(b => b.map(_._2).sum <= 64 || b.size == 1),
+      "over-budget bins must be single oversized docs")
+    assert(byBin.exists(b => b.size == 1 && b.head._2 > 64),
+      "the oversized doc gets its own bin")
+    assert(byBin.exists(_.size > 1), "small docs actually share bins")
+    // next-fit-decreasing's fill bound, the q83 contract
+    val total = rows.map(_._2.toLong).sum
+    assert(byBin.size <= 2.0 * total / 64 + 8)
+    val again = TextAnalysis.packSequences(docs, maxTokens = 64, partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)), "bin layout is deterministic")
+    // the exchange that routes docs to packers carries (id, count) only —
+    // the text payload must be pruned BELOW the shuffle (AQE hides the
+    // physical exchange pre-execution, so pin the optimized plan's
+    // repartition input instead)
+    val shuffled = packed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.child.schema.fieldNames.toSet
+    }
+    assert(shuffled.nonEmpty && shuffled.forall(!_.contains("text")),
+      s"text must not shuffle: $shuffled")
   }
 
   test("Dedup.exactStreaming over a file stream matches batch exact's fingerprint set") {
