@@ -41,6 +41,32 @@ object Dedup {
       .dropDuplicates("fingerprint")
       .select(col(idCol).as(s"keep_$idCol"), col("fingerprint"))
 
+  /** Streaming NEAR-dup pre-filter for dedup-at-ingest: the first
+    * arrival per min-shingle sketch fingerprint survives. The sketch
+    * collides for identical and boilerplate-identical text (the cheap
+    * end of the near-dup spectrum — run the batch MinHash/PPJoin pass
+    * for threshold-exact dedup), and gives each document exactly ONE
+    * 64-bit state key, which is what makes streaming state tractable:
+    * band/chunk schemes key each doc 16+ ways and need cross-key
+    * consensus to drop a row, which `dropDuplicates` state cannot
+    * express. With `watermarkedOn` set (event-time column, delay), the
+    * dedup uses `dropDuplicatesWithinWatermark` so state ages out at
+    * the horizon — the unbounded-stream shape; duplicates separated by
+    * more than the horizon then re-admit, the standard
+    * state-size/completeness trade. */
+  def fingerprintStreaming(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", shingle: Int = 3,
+                           watermarkedOn: Option[(String, String)] = None)
+      : DataFrame = {
+    val keyed = docs.withColumn("fp", minShingleHash(lower(col(textCol)), shingle))
+    val kept = watermarkedOn match {
+      case Some((tsCol, delay)) =>
+        keyed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("fp")
+      case None => keyed.dropDuplicates("fp")
+    }
+    kept.select(col(idCol).as(s"keep_$idCol"), col("fp"))
+  }
+
   /** id + distinct lowercase word n-shingle set (+ set size) — the
     * shared representation for the Jaccard-based operators. Shingles
     * are stored as their sorted 64-bit hashes, not strings: set sizes

@@ -319,6 +319,31 @@ class ApiSpec extends AnyFunSuite {
     assert(streamed == batch, "streaming dedup must keep exactly one row per fingerprint")
   }
 
+  test("Dedup.fingerprintStreaming matches the batch sketch set, watermarked or not") {
+    val dir = TestSpark.sf
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val batch = TextAnalysis.minShingleFingerprint(
+        graft.core.Tables.documents(spark, dir))
+      .select("fp").distinct().collect().map(_.getLong(0)).toSet
+
+    val plain = graft.streaming.EventStreams.runToMemory(
+      spark, Dedup.fingerprintStreaming(stream()), "api_fp_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(plain.select("fp").collect().map(_.getLong(0)).toSet == batch,
+      "one survivor per distinct sketch fingerprint")
+
+    // the bounded-state variant: same result while the horizon holds
+    val ts = stream().withColumn("ts",
+      org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp"))
+    val wm = graft.streaming.EventStreams.runToMemory(
+      spark, Dedup.fingerprintStreaming(ts, watermarkedOn = Some(("ts", "1 hour"))),
+      "api_fp_stream_wm", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(wm.select("fp").collect().map(_.getLong(0)).toSet == batch,
+      "watermarked dedup agrees within the horizon")
+  }
+
   test("Joins.asOf picks the latest right row at-or-before each left ts") {
     val trades = Seq(("A", 10L, 100), ("A", 20L, 200), ("B", 15L, 300))
       .toDF("sym", "t", "qty")
