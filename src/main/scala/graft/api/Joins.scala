@@ -115,6 +115,30 @@ object Joins {
       .unionByName(big.filter(!hot).join(small.filter(!hot), keyCol))
   }
 
+  /** Skew diagnostic for a join/groupBy key: the `topN` heaviest keys
+    * with their row counts, corpus share, and a salt recommendation —
+    * the profiling pass that decides between the plain join,
+    * [[saltedEquiJoinHotKeys]] (feed it these keys), and a full
+    * [[saltedEquiJoin]]. `salt_hint` is how many partitions-worth of
+    * rows the key occupies at `partitions` shuffle partitions
+    * (⌈n·partitions/total⌉, floored at 1): a key with hint s hammers
+    * one reducer with s partitions of work, so salting it by s levels
+    * the stage. One keyed agg + a single-row broadcast — runs on the
+    * full corpus, output is topN rows. */
+  def skewProfile(df: DataFrame, keyCol: String, topN: Int = 5,
+                  partitions: Int = 32): DataFrame = {
+    require(topN >= 1 && partitions >= 1)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(total)
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("__total"), 6).as("share"),
+        greatest(lit(1), ceil(col("n") * partitions / col("__total")))
+          .cast("int").as("salt_hint"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
+
   /** Banded range join of a fact frame against a SMALL bands dimension
     * (lo ≤ value < hi): broadcast-nested-loop with the tiny side
     * broadcast — each fact row scans a handful of in-memory bands, the

@@ -181,6 +181,16 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Skew profiling: the diagnostic pass that picks between the plain
+    // join, the hot-key-scoped salted join (feed it these keys) and the
+    // fully salted join. event_type is a 5-value key — each value owns
+    // ~1/5 of the corpus, so at 32 shuffle partitions each is a
+    // ~7-partition hot key; the oracle replicates the closed-form math.
+    "q84_skew_profile" -> ((s, d) =>
+      graft.api.Joins.skewProfile(
+        events(s, d).select(col("event_type")), "event_type",
+        topN = 5, partitions = 32)),
+
     // --- aggregation variants -----------------------------------------
     "q12_distinct_counts" -> ((s, d) => {
       orders(s, d)
@@ -379,6 +389,13 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q84_skew_profile" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT event_type, n, round(n / total, 6) AS share,
+        |  greatest(1, CAST(ceil(n * 32 / total) AS INT)) AS salt_hint
+        |FROM c, t ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
 
     "q12_distinct_counts" ->
       """SELECT c_mktsegment,
