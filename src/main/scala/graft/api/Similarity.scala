@@ -579,6 +579,31 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Maintain a persisted IVF index FROM A STREAM — index maintenance
+    * at ingest: each micro-batch runs [[appendToIvfIndex]] (narrow
+    * assignment under the frozen quantizer, append-mode partitioned
+    * write), so searches see a batch as soon as its files land and
+    * cell pruning never breaks. Returns the started query; the caller
+    * owns its lifecycle. Delivery is the standard foreachBatch
+    * contract: at-least-once on crash-replay (a replayed batch
+    * re-appends its rows) — dedupe by id at read time or rebuild
+    * periodically if exact-once matters; the batch ingest path's
+    * staged-publish protocol is the heavier alternative. */
+  def appendStreamToIvfIndex(stream: DataFrame, path: String,
+                             checkpoint: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             trigger: org.apache.spark.sql.streaming.Trigger =
+                               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.head(1).nonEmpty) appendToIvfIndex(batch, path, idCol, vecCol)
+      }
+      .start()
+
   /** Append vectors to a persisted IVF+PQ index: raw vectors land in
     * `vectors/` (exact-rescore half) and their residual codes in
     * `codes/` (ADC half), both under the index's FROZEN quantizer and

@@ -185,6 +185,45 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Joins.skewProfile surfaces the hot keys with a leveling salt hint") {
+    // 100 rows of 'hot' (half the corpus), 50 'warm', 50 spread thin
+    val df = ((1 to 100).map(_ => "hot") ++ (1 to 50).map(_ => "warm") ++
+      (1 to 50).map(i => s"k$i")).toDF("k")
+    val prof = Joins.skewProfile(df, "k", topN = 3, partitions = 8).collect()
+    assert(prof.map(_.getString(0)).take(2).toSeq == Seq("hot", "warm"))
+    val hot = prof.head
+    assert(hot.getLong(1) == 100L)
+    assert(hot.getDouble(2) == 0.5)
+    // half the corpus at 8 partitions = 4 partitions-worth of rows
+    assert(hot.getInt(3) == 4)
+    assert(prof.last.getInt(3) == 1, "thin keys need no salt")
+    // the hint feeds straight into the hot-key-scoped salted join
+    val small = Seq(("hot", 1), ("warm", 2), ("k1", 3)).toDF("k", "v")
+    val salted = Joins.saltedEquiJoinHotKeys(df, small, "k",
+      hotKeys = prof.filter(_.getInt(3) > 1).map(_.getString(0)).toSeq,
+      salts = hot.getInt(3))
+    assert(salted.count() == df.join(small, "k").count())
+  }
+
+  test("Similarity.appendStreamToIvfIndex grows the index per micro-batch") {
+    val dir = TestSpark.sf
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    Similarity.buildIvfIndex(emb.limit(200), idx)
+    val before = spark.read.parquet(s"$idx/vectors").count()
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val q = Similarity.appendStreamToIvfIndex(stream, idx, ckpt)
+    q.awaitTermination()
+    val after = spark.read.parquet(s"$idx/vectors").count()
+    assert(after == before + emb.count(), "every streamed vector appended once")
+    // appended vectors are immediately searchable through the same index
+    val got = Similarity.ivfSearchIndex(spark, idx, emb.limit(5), k = 3, nprobe = 2)
+    assert(got.count() > 0)
+  }
+
   test("Joins.asOf ignores right rows with NULL timestamps") {
     // a null-ts right row sorts FIRST under ascending order — without
     // the filter its values would leak into every left row before the
