@@ -141,4 +141,19 @@ object TextAnalysis {
     df.filter(substring(md5(col(keyCol).cast("string").cast("binary")), 1, len)
       .isin(hexPrefixes: _*))
   }
+
+  /** Labeled form of [[keyedSample]]: adds a `split` column — 'eval'
+    * for rows whose md5(key) digest starts with one of `evalPrefixes`
+    * (default 2/16, a deterministic 1/8 holdout), 'train' otherwise.
+    * Same reproducibility contract: the split is a pure function of
+    * the key, stable across engines, runs, and corpus growth. */
+  def trainEvalSplit(df: DataFrame, keyCol: String,
+                     evalPrefixes: Seq[String] = Seq("0", "1")): DataFrame = {
+    require(evalPrefixes.nonEmpty)
+    val len = evalPrefixes.head.length
+    require(evalPrefixes.forall(_.length == len), "prefixes must share a length")
+    df.withColumn("split",
+      when(substring(md5(col(keyCol).cast("string").cast("binary")), 1, len)
+        .isin(evalPrefixes: _*), "eval").otherwise("train"))
+  }
 }

@@ -423,6 +423,31 @@ object Pipeline {
       consistent.crossJoin(coverage)
     }),
 
+    // The curation pass a training corpus actually runs, END-TO-END in
+    // one plan: per-doc quality floor → predicted-language filter →
+    // exact dedup (keep-min survivor) → deterministic train/eval split
+    // → per-split token accounting. Every stage is an api operator
+    // with its own oracled query (q49/q50/q43/q69); this composes them
+    // so the gate checks the INTEGRATION — the DuckDB oracle replays
+    // the identical stage chain as one CTE pipeline.
+    "q85_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.withColumn("q",
+          qualityScore(col("text"), langMarkers("en")).cast("decimal(18,6)"))
+        .filter(col("q") >= 0.4)
+      val en = graft.api.TextAnalysis.withLangId(scored)
+        .filter(col("predicted") === "en")
+      val keepIds = graft.api.Dedup.exact(en)
+        .select(col("keep_doc_id").as("doc_id"))
+      val survivors = en.join(keepIds, Seq("doc_id"), "left_semi")
+      graft.api.TextAnalysis.trainEvalSplit(survivors, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpeishTokenCount(col("text"))).cast("long").as("bpe_tokens"),
+          round(sum(col("q")).cast("double") / count(lit(1)), 6).as("avg_quality"))
+        .orderBy(col("split"))
+    }),
+
     // Sequence-packing contract: every bin respects the token budget
     // (or is a single oversized document), every document lands in
     // exactly one bin, and the packing meets next-fit-decreasing's
@@ -632,6 +657,50 @@ object Pipeline {
         |  CAST((strlen(text)+2)//3 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 200
         |ORDER BY media_id""".stripMargin,
+
+    // q85 replays the Spark-side stage chain as one CTE pipeline: the
+    // q49 quality formula, the q50 language CASE, the q43 fingerprint
+    // and the q69 split key, composed in the same order
+    "q85_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(round(
+        |      least(len(string_split_regex(text, '\s+')) / 20.0, 1.0) * 0.4
+        |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |            / length(text) END) * 4.0, 1.0)) * 0.3
+        |      + (1.0 - (CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0 ELSE
+        |          len(list_filter(string_split_regex(text, '\s+'),
+        |            x -> x IN ('the','a','of','and','to','in','is','that')))*1.0
+        |            / len(string_split_regex(text, '\s+')) END)) * 0.3, 6) AS DECIMAL(18,6)) AS q
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE q >= 0.4),
+        |sc AS (SELECT *, string_split_regex(lower(text), '\s+') AS t FROM f),
+        |pred AS (
+        |  SELECT doc_id, text, q,
+        |    CASE WHEN greatest(
+        |        len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','zu','den'))),
+        |        len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))),
+        |        len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))),
+        |        len(list_filter(t, x -> x IN ('le','la','de','et','un','est','que','des'))),
+        |        len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不')))) <= 0 THEN 'und'
+        |      ELSE substr(least(
+        |        printf('%04d|de', 9999-len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','zu','den')))),
+        |        printf('%04d|en', 9999-len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that')))),
+        |        printf('%04d|es', 9999-len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es')))),
+        |        printf('%04d|fr', 9999-len(list_filter(t, x -> x IN ('le','la','de','et','un','est','que','des')))),
+        |        printf('%04d|zh', 9999-len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不'))))), 6) END AS predicted
+        |  FROM sc),
+        |en AS (SELECT * FROM pred WHERE predicted = 'en'),
+        |keep AS (SELECT min(doc_id) AS kid FROM en
+        |         GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+        |surv AS (SELECT e.* FROM en e WHERE e.doc_id IN (SELECT kid FROM keep)),
+        |sp AS (SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        |         THEN 'eval' ELSE 'train' END AS split FROM surv)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     // q83's bin layout is hash-partitioning-dependent; the contract
     // booleans are the oracle (same pattern as q70/q71/q72/q80/q81)

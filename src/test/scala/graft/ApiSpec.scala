@@ -307,6 +307,12 @@ class ApiSpec extends AnyFunSuite {
     val twice = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
     val again = TextAnalysis.keyedSample(df, "k").collect().map(_.getLong(0)).sorted
     assert(twice.sameElements(again))
+    // the labeled split marks 'eval' exactly the keyedSample subset
+    val split = TextAnalysis.trainEvalSplit(df, "k")
+    val evalIds = split.filter(org.apache.spark.sql.functions.col("split") === "eval")
+      .collect().map(_.getLong(0)).toSet
+    assert(evalIds == twice.toSet)
+    assert(split.count() == 500L, "every row gets a split label")
   }
 
   test("TextAnalysis.packSequences respects the budget, covers every doc, and is deterministic") {
