@@ -142,6 +142,36 @@ object TextAnalysis {
       .isin(hexPrefixes: _*))
   }
 
+  /** Split documents into token-bounded chunks with overlap — the
+    * LONG-document half of sequence prep ([[packSequences]] bins the
+    * short ones; a real pipeline chunks first, packs second). Chunk i
+    * covers whitespace tokens [i·stride, i·stride + maxTokens) with
+    * stride = maxTokens − overlap, so consecutive chunks share
+    * `overlap` tokens of context; every token lands in at least one
+    * chunk, and documents at-or-under budget stay whole as chunk 0.
+    * One narrow per-row flatMap built from codegen'd array expressions
+    * (sequence → explode → slice → array_join) — no shuffle, no UDF.
+    * Output: (<idCol>, chunk_idx, n_tokens, chunk_text — token-joined
+    * with single spaces). */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    docs.select(col(idCol), wsTokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__nc", greatest(lit(1),
+        ceil((col("__n") - overlap) / lit(stride.toDouble)).cast("int")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("__nc") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(maxTokens), col("__n") - col("chunk_idx") * stride)
+          .cast("int").as("n_tokens"),
+        array_join(slice(col("__t"), col("chunk_idx") * stride + 1,
+          lit(maxTokens)), " ").as("chunk_text"))
+  }
+
   /** Labeled form of [[keyedSample]]: adds a `split` column — 'eval'
     * for rows whose md5(key) digest starts with one of `evalPrefixes`
     * (default 2/16, a deterministic 1/8 holdout), 'train' otherwise.

@@ -448,6 +448,17 @@ object Pipeline {
         .orderBy(col("split"))
     }),
 
+    // Overlapping token-window chunking — the long-document half of
+    // sequence prep (chunk first, pack q83-style second). Chunk content
+    // crosses the oracle as md5 so the gate pins every token of every
+    // chunk without shipping the text twice.
+    "q86_chunk_documents" -> ((s, d) =>
+      graft.api.TextAnalysis.chunkDocuments(
+          Tables.documents(s, d), maxTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Sequence-packing contract: every bin respects the token budget
     // (or is a single oversized document), every document lands in
     // exactly one bin, and the packing meets next-fit-decreasing's
@@ -701,6 +712,22 @@ object Pipeline {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    // q86: stride 56 = 64 - 8; DuckDB list slices are 1-based inclusive
+    "q86_chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    greatest(1, CAST(ceil((len(t) - 8) * 1.0 / 56) AS INT)) AS nc
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    CAST(least(64, n - i * 56) AS INT) AS n_tokens,
+        |    md5(array_to_string(t[i*56+1 : i*56+64], ' ')) AS chunk_md5
+        |  FROM n, unnest(range(0, nc)) AS u(i))
+        |SELECT doc_id, chunk_idx, n_tokens, chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q83's bin layout is hash-partitioning-dependent; the contract
     // booleans are the oracle (same pattern as q70/q71/q72/q80/q81)

@@ -315,6 +315,32 @@ class ApiSpec extends AnyFunSuite {
     assert(split.count() == 500L, "every row gets a split label")
   }
 
+  test("TextAnalysis.chunkDocuments windows every token with the requested overlap") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 3 chunks at 40/10
+      (2L, "just a short one"),                        // under budget -> whole, chunk 0
+      (3L, (1 to 40).map(i => s"u$i").mkString(" "))   // exactly maxTokens -> one chunk
+    ).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkDocuments(docs, maxTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(c => (c._1, c._2))
+    assert(ch.count(_._1 == 1L) == 3 && ch.count(_._2 == 0) == 3)
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 0, 4, "just a short one")))
+    assert(ch.count(_._1 == 3L) == 1)
+    val c1 = ch.filter(_._1 == 1L).map(_._4.split(" ").toSeq)
+    // stride 30: chunks start at tokens 1, 31, 61; consecutive chunks
+    // share exactly the 10-token overlap; the tail chunk is short
+    assert(c1(0).head == "t1" && c1(1).head == "t31" && c1(2).head == "t61")
+    assert(c1(0).takeRight(10) == c1(1).take(10))
+    assert(c1(2).size == 40 && ch.filter(_._1 == 1L).map(_._3).toSeq == Seq(40, 40, 40))
+    // every source token appears in some chunk
+    assert(c1.flatten.toSet == (1 to 100).map(i => s"t$i").toSet)
+    // invalid overlap fails loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, maxTokens = 10, overlap = 10)
+    }
+  }
+
   test("TextAnalysis.packSequences respects the budget, covers every doc, and is deterministic") {
     // mixed sizes incl. one oversized doc (a 2000-char word-soup blows
     // any 64-token budget) and several that only fit alone or in pairs
