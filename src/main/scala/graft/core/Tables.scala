@@ -56,18 +56,47 @@ object Tables {
     * paths. Only a sink with no files at all and no declared schema
     * degrades to `spark.emptyDataFrame` (nothing to infer from).
     */
+  /** Data files carry their batch token in the name: `<batchId>`
+    * (single-query sink), `g<i>-<batchId>` (concurrent commit groups),
+    * or `c<stamp>` (a compaction batch, Compact.compact). */
+  private[graft] val batchFileRe = "^b((?:g\\d+-)?\\d+|c\\d+)-.*$".r
+
+  /** Resolve the LIVE batch-token set of an ingest directory: every
+    * plain commit marker, minus tokens superseded by compactions. A
+    * compaction marker `_commits/c<stamp>` lists the tokens its
+    * rewrite replaced (its file CONTENT — written atomically via
+    * temp+rename, so a reader sees either the old tokens or the
+    * compacted one, never both); markers apply in stamp order so
+    * compactions chain (a later compaction supersedes an earlier
+    * compaction's token like any other). */
+  private[graft] def liveTokens(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val commitsDir = new Path(root, "_commits")
+    if (!fs.exists(commitsDir)) return Set.empty
+    val names = fs.listStatus(commitsDir).map(_.getPath.getName)
+    var live = names.filter(_.matches("(?:g\\d+-)?\\d+")).toSet
+    val compactions = names.collect {
+      case n if n.matches("c\\d+") => (n.stripPrefix("c").toLong, n)
+    }.sortBy(_._1)
+    compactions.foreach { case (_, name) =>
+      val in = fs.open(new Path(commitsDir, name))
+      val superseded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toSet
+        finally in.close()
+      live = live -- superseded + name
+    }
+    live
+  }
+
   def committedView(spark: SparkSession, path: String, format: String = "orc",
                     schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val commitsDir = new Path(root, "_commits")
-    val committed: Set[String] =
-      if (fs.exists(commitsDir)) fs.listStatus(commitsDir).map(_.getPath.getName).toSet
-      else Set.empty
-    // batch token is `<batchId>` (single-query sink) or `g<i>-<batchId>`
-    // (concurrent commit groups, Ingest.commitGroups > 1)
-    val batchFile = "^b((?:g\\d+-)?\\d+)-.*$".r
+    val committed = liveTokens(fs, root)
+    val batchFile = batchFileRe
     val rootQualified = fs.makeQualified(root).toString
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     // (file, basePath) of some data file to borrow a schema from when no

@@ -1,0 +1,155 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.core.Tables
+
+/** Small-file maintenance for the staged-commit ingest layout
+  * (reference behavior delegated to Hive ACID compactor,
+  * `hive-site`-side in the reference deployment; SURVEY §2.3.1 —
+  * re-expressed here on the marker protocol `Ingest.commitBatch`
+  * writes and `Tables.committedView` reads).
+  *
+  * A streaming sink committing every N rows accumulates one file set
+  * per micro-batch per partition directory; at scale the file COUNT,
+  * not the byte volume, becomes the bottleneck (listing cost, name-node
+  * pressure, per-file task overhead on read). `compact` rewrites the
+  * currently-committed rows into one file per partition directory and
+  * publishes the rewrite as a superseding commit:
+  *
+  *  1. snapshot the live token set T and its data files (the same
+  *     resolution `committedView` uses);
+  *  2. scrub unmarked `bc<stamp>-*` leftovers of a previously CRASHED
+  *     compaction (no replay ever re-runs a compaction stamp, so
+  *     nothing else would — plain unmarked `b<id>-*` files are left to
+  *     commitBatch's own replay scrub);
+  *  3. rewrite the snapshot through `_staging/c<stamp>` and publish
+  *     the files as `bc<stamp>-*` renames — invisible so far, no
+  *     marker exists;
+  *  4. write marker `_commits/c<stamp>` whose CONTENT is T, via
+  *     temp-file + atomic rename. This single rename is the commit
+  *     point: a reader resolves either {T live} or {T superseded,
+  *     c<stamp> live} — never both, never neither.
+  *
+  * Crash before step 4 leaves only invisible files (step 2 of the next
+  * run scrubs them); crash after is a completed compaction. Batches
+  * committed CONCURRENTLY with the rewrite are not in T, so they stay
+  * live alongside the compacted token — compaction never loses a
+  * commit. Superseded files stay on disk (readers mid-listing may
+  * still touch them) until [[vacuum]].
+  *
+  * Single-compactor assumption: run one `compact` at a time per
+  * directory (concurrent compactions would supersede overlapping
+  * token sets).
+  */
+object Compact {
+
+  final case class CompactResult(token: String, rows: Long,
+                                 filesBefore: Int, filesAfter: Int)
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path): Seq[(Path, String)] = {
+    val rootQualified = fs.makeQualified(root).toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
+      val visible = !rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      f.getName match {
+        case Tables.batchFileRe(token) if visible => out += ((f, token))
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Rewrite the committed rows into one file per partition directory
+    * and publish the rewrite as a superseding commit (see object doc).
+    * No-op (None) when nothing is committed. `partitionCols` must be
+    * the sink's partition layout (the ingest default `year, month`). */
+  def compact(spark: SparkSession, path: String, format: String = "orc",
+              compression: String = "zlib",
+              partitionCols: Seq[String] = Seq("year", "month")): Option[CompactResult] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = Tables.liveTokens(fs, root)
+    if (live.isEmpty) return None
+    val files = listDataFiles(fs, root)
+    // step 2: scrub a crashed compaction's unmarked leftovers
+    files.filter { case (_, t) => t.startsWith("c") && !live.contains(t) }
+      .foreach { case (f, _) => fs.delete(f, false) }
+    val liveFiles = files.collect { case (f, t) if live.contains(t) => f.toString }
+    if (liveFiles.isEmpty) return None
+    var stamp = System.currentTimeMillis()
+    while (fs.exists(new Path(root, s"_commits/c$stamp"))) stamp += 1
+    val token = s"c$stamp"
+    val df = spark.read.format(format).option("basePath", path)
+      .load(liveFiles: _*)
+    // one task per partition-column value vector => exactly one file
+    // per partition directory out of the partitionBy writer
+    val staging = new Path(root, s"_staging/$token")
+    val rows = df.count()
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").format(format)
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .save(staging.toString)
+    // step 3: publish (same rename walk as Ingest.commitBatch)
+    val stagingQualified = fs.makeQualified(staging).toString
+    var published = 0
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+        val rel = f.toString.stripPrefix(stagingQualified).stripPrefix("/")
+        val relDir = rel.split('/').dropRight(1).mkString("/")
+        val destDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, s"b$token-${f.getName}")
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"compaction publish failed: $f -> $dest")
+        published += 1
+      }
+    }
+    fs.delete(staging, true)
+    // step 4: the atomic commit point — marker content = superseded set
+    val marker = new Path(root, s"_commits/$token")
+    val tmp = new Path(root, s"_commits/.$token.tmp")
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(live.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"compaction marker rename failed: $marker")
+    Some(CompactResult(token, rows, liveFiles.size, published))
+  }
+
+  /** Delete data files whose token is SUPERSEDED (its marker exists but
+    * a compaction replaced it) — safe any time after the compaction
+    * marker landed, with the usual vacuum caveat that a reader holding
+    * a pre-compaction file listing may still want them; run it after
+    * in-flight readers drain. Unmarked files are NOT touched: a plain
+    * `b<id>-*` orphan belongs to a possibly in-flight or replayable
+    * commit (commitBatch scrubs it), and crashed-compaction leftovers
+    * are scrubbed by the next compact run. Returns deleted count. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = Tables.liveTokens(fs, root)
+    val commitsDir = new Path(root, "_commits")
+    val marked: Set[String] =
+      if (fs.exists(commitsDir))
+        fs.listStatus(commitsDir).map(_.getPath.getName)
+          .filter(n => n.matches("(?:g\\d+-)?\\d+") || n.matches("c\\d+")).toSet
+      else Set.empty
+    val superseded = listDataFiles(fs, root).filter { case (_, t) =>
+      marked.contains(t) && !live.contains(t)
+    }
+    superseded.foreach { case (f, _) => fs.delete(f, false) }
+    superseded.size
+  }
+}

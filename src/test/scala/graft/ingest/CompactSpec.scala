@@ -1,0 +1,85 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.core.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The compaction half of the commit protocol: rewrites are published
+  * as superseding commits, the marker content swap is the atomic
+  * point, concurrent commits survive, vacuum only touches superseded
+  * files. */
+class CompactSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("graft-compact").toString
+
+  private def cfg(dir: String) =
+    IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+
+  private def batch(n: Int) =
+    spark.range(0, n, 1, 2).selectExpr("id as value", "cast(0 as int) as __pid")
+
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.startsWith("b") && !f.getPath.contains("/_")) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir))
+  }
+
+  test("compact merges committed batches into one file per partition dir") {
+    val dir = tmp()
+    (0 until 4).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(500), i))
+    val before = Tables.committedView(spark, dir).count()
+    assert(before == 2000 && dataFiles(dir).size >= 8, "4 batches x 2 buckets")
+    val res = Compact.compact(spark, dir).get
+    assert(res.rows == 2000 && res.filesBefore >= 8 && res.filesAfter == 1)
+    assert(Tables.committedView(spark, dir).count() == 2000,
+      "compaction must not change the committed row set")
+    // superseded files still on disk until vacuum, but invisible
+    val view = Tables.committedView(spark, dir)
+    import org.apache.spark.sql.functions.input_file_name
+    val readFrom = view.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(readFrom.length == 1 && readFrom.head.contains(s"b${res.token}-"),
+      "the view must read only the compacted file")
+  }
+
+  test("a commit landing after the snapshot survives compaction; compactions chain") {
+    val dir = tmp()
+    (0 until 3).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(300), i))
+    val first = Compact.compact(spark, dir).get
+    // a batch committed AFTER the compaction stays live alongside it
+    Ingest.commitBatch(cfg(dir), dir, batch(111), 99)
+    assert(Tables.committedView(spark, dir).count() == 900 + 111)
+    // the second compaction supersedes both the first's token and the
+    // late batch
+    val second = Compact.compact(spark, dir).get
+    assert(second.rows == 1011 && second.token != first.token)
+    assert(Tables.committedView(spark, dir).count() == 1011)
+    // vacuum drops every superseded file; the view is unchanged and
+    // now equals the plain directory read (nothing stale left)
+    val deleted = Compact.vacuum(spark, dir)
+    assert(deleted > 0)
+    assert(Tables.committedView(spark, dir).count() == 1011)
+    assert(spark.read.orc(dir).count() == 1011,
+      "after vacuum the plain reader agrees with the committed view")
+    assert(Compact.vacuum(spark, dir) == 0, "vacuum is idempotent")
+  }
+
+  test("a crashed compaction is invisible and scrubbed by the next run") {
+    val dir = tmp()
+    (0 until 2).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(200), i))
+    // crash model: compacted files published, marker never written
+    val orphanDir = new java.io.File(dir, "year=2018/month=0")
+    val donor = orphanDir.listFiles().filter(_.getName.startsWith("b")).head
+    val orphan = new java.io.File(orphanDir, "bc111-crashed.orc")
+    Files.copy(donor.toPath, orphan.toPath)
+    assert(Tables.committedView(spark, dir).count() == 400,
+      "unmarked compaction files must stay invisible")
+    val res = Compact.compact(spark, dir).get
+    assert(!orphan.exists, "the next compaction scrubs the crashed leftovers")
+    assert(res.rows == 400 && Tables.committedView(spark, dir).count() == 400)
+  }
+}
