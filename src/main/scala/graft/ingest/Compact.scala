@@ -152,4 +152,27 @@ object Compact {
     superseded.foreach { case (f, _) => fs.delete(f, false) }
     superseded.size
   }
+
+  /** Operational entry point: `runMain graft.ingest.Compact <dir>
+    * [--vacuum] [--format orc|parquet]` — compact the directory, then
+    * optionally vacuum the superseded files it just replaced. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: Compact <dir> [--vacuum] [--format orc|parquet]")
+    val dir = args(0)
+    val doVacuum = args.contains("--vacuum")
+    val format = args.sliding(2).collectFirst {
+      case Array("--format", f) => f
+    }.getOrElse("orc")
+    val spark = graft.core.Sessions.local("graft-compact")
+    try {
+      compact(spark, dir, format) match {
+        case Some(r) => println(
+          s"compacted ${r.rows} rows: ${r.filesBefore} files -> " +
+            s"${r.filesAfter} (token ${r.token})")
+        case None => println("nothing committed - no compaction")
+      }
+      if (doVacuum) println(s"vacuumed ${vacuum(spark, dir)} superseded files")
+    } finally spark.stop()
+  }
 }
