@@ -4,10 +4,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg (local iteration only; the driver passes two):
+    // comma-separated query names to restrict the dump to
+    val (sfDir, outDir, only) = args match {
+      case Array(sf, out)         => (sf, out, None)
+      case Array(sf, out, filter) => (sf, out, Some(filter.split(',').toSet))
+    }
     val spark = graft.core.Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

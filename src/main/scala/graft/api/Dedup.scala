@@ -206,6 +206,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark-contamination profile: for every corpus document, how
+    * many of its distinct lowercase word n-shingles also occur anywhere
+    * in `benchmark` (the eval/test set a training corpus must not
+    * leak). Returns (doc_id, overlap) for documents at or above
+    * `minOverlap` — the candidates [[decontaminate]] removes. The
+    * GPT-3-style n-gram decontamination pass: at real scale n is 8–13;
+    * the fixture uses the corpus-wide shingle width.
+    *
+    * Shape: benchmark collapses to its distinct shingle-hash set (eval
+    * sets are tiny next to the corpus — AQE broadcasts it unhinted);
+    * the corpus side is one explode + keyed equi-join + keyed count.
+    * Corpus text never moves — only 8-byte shingle hashes shuffle. */
+  def contaminationProfile(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           shingle: Int = 3, minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val benchShingles = benchmark
+      .select(explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
+      .join(benchShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Remove benchmark-contaminated documents from a corpus: drops every
+    * document sharing at least `minOverlap` distinct n-shingles with
+    * the benchmark set (per [[contaminationProfile]]); all other rows
+    * pass through unchanged. One anti-join on the id — the corpus is
+    * never widened or re-encoded. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingle: Int = 3, minOverlap: Int = 1): DataFrame =
+    corpus.join(
+      contaminationProfile(corpus, benchmark, idCol, textCol, shingle, minOverlap)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Keep-one dedup over a near-dup pair graph: connected components by
     * iterative min-label propagation (one keyed join + aggregation per
     * round, O(component diameter) rounds), canonical = component min.

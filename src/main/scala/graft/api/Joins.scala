@@ -139,6 +139,38 @@ object Joins {
       .limit(topN)
   }
 
+  /** Bloom-prefiltered equi-join: build a Bloom filter over the dim
+    * side's join keys (distributed treeAggregate; only the sketch —
+    * KBs to a few MB — reaches the driver), then filter the big side
+    * with a codegen'd `might_contain` BEFORE its shuffle, then run the
+    * plain equi-join. With a selective dim side this drops most of the
+    * big side's shuffle I/O — the manual form of the runtime filter
+    * Spark injects when statistics allow, for when they don't (freshly
+    * computed dims, non-catalog sources). Bloom filters have no false
+    * negatives and the join re-checks survivors, so the result is
+    * EXACTLY the plain join (q90's oracle). Keys are hashed to 64 bits
+    * on both sides (xxhash64) so any key type works and the filter
+    * stores fixed-width longs; `expectedItems` should bound the dim
+    * side's distinct keys — oversizing costs bits, undersizing costs
+    * false-positive rate (never correctness). */
+  def bloomPrefilteredJoin(big: DataFrame, dim: DataFrame, bigKeyCol: String,
+                           dimKeyCol: String, expectedItems: Long = 1000000L,
+                           fpp: Double = 0.03,
+                           joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bf = dim.stat.bloomFilter(xxhash64(col(dimKeyCol)), expectedItems, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val mightContain = GraftExprBridge.column(BloomFilterMightContain(
+      GraftExprBridge.expression(lit(bytes)),
+      GraftExprBridge.expression(xxhash64(col(bigKeyCol)))))
+    big.filter(mightContain).join(dim, col(bigKeyCol) === col(dimKeyCol), joinType)
+  }
+
   /** Banded range join of a fact frame against a SMALL bands dimension
     * (lo ≤ value < hi): broadcast-nested-loop with the tiny side
     * broadcast — each fact row scans a handful of in-memory bands, the

@@ -172,6 +172,112 @@ object TextAnalysis {
           lit(maxTokens)), " ").as("chunk_text"))
   }
 
+  /** Repetition profile per document — the Gopher-style quality signals
+    * that catch boilerplate and degenerate generations: `n_tokens`
+    * (non-empty whitespace tokens), `distinct_ratio` (distinct tokens /
+    * tokens; low = word-level repetition) and `top_bigram_share` (most
+    * frequent bigram's share of all bigrams; high = phrase loops).
+    * Thresholding is the caller's policy — typical filters drop
+    * distinct_ratio < 0.2 or top_bigram_share > 0.2.
+    *
+    * Shape: token features are codegen'd array expressions; the bigram
+    * mode needs a per-(doc, bigram) count — two keyed aggregations,
+    * never a window over the corpus. Documents with fewer than two
+    * tokens have no bigrams and report share 0. */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        filter(wsTokens(lower(col(textCol))), t => t =!= "").as("__t"))
+      .withColumn("n_tokens", size(col("__t")))
+      .withColumn("distinct_ratio",
+        when(col("n_tokens") > 0,
+          round(size(array_distinct(col("__t"))).cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+    val bigrams = base.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n_tokens") - 1),
+          i => concat(element_at(col("__t"), i), lit(" "),
+            element_at(col("__t"), i + 1)))).as("bg"))
+    val share = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("__share"))
+    base.join(share, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+        coalesce(col("__share"), lit(0.0)).as("top_bigram_share"))
+  }
+
+  /** Deterministic stratified sample: per-stratum keep fractions, with
+    * the keep decision a pure function of the KEY (md5 prefix compared
+    * against a per-stratum hex threshold) — reproducible across
+    * engines, runs, and corpus growth, unlike `sampleBy`. Strata
+    * missing from `fractions` keep `defaultFraction`. A fraction ≥ 1
+    * keeps the stratum whole; ≤ 0 drops it. Granularity is 1/16^6
+    * (~6e-8). One codegen'd filter — no shuffle, no sampling state:
+    * the mixture-rebalancing step of a training-data pipeline. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    def thresholdHex(f: Double): String =
+      "%06x".format(math.min(math.max((f * 0x1000000L).toLong, 0L), 0xffffffL))
+    val prefix = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6)
+    def keep(f: Double): org.apache.spark.sql.Column =
+      if (f >= 1.0) lit(true)
+      else if (f <= 0.0) lit(false)
+      else prefix < lit(thresholdHex(f))
+    val byStratum = fractions.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, keep(f))
+    }
+    df.filter(byStratum.otherwise(keep(defaultFraction)))
+  }
+
+  /** Cap documents per key (the domain-diversity cap of a web-corpus
+    * pipeline: at most `cap` documents per source/domain). Survivors
+    * are the `cap` smallest by (md5(id), id) — a deterministic
+    * pseudo-random choice, a pure function of the id. Runs on a
+    * bounded typed aggregator (k-entry buffer per key, map-side
+    * combine) rather than a window rank, so a hot key costs O(cap)
+    * buffer instead of sorting its whole extent in one reducer; only
+    * (key, digest, id-string) triples shuffle — payloads rejoin by id.
+    * Output: the input rows of the survivors, unchanged. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                cap: Int = 1000): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keptIds = df
+      .select(col(keyCol).cast("string").as("__k"),
+        md5(col(idCol).cast("string").cast("binary")).as("__sort"),
+        col(idCol).cast("string").as("__id"))
+      .as[(String, String, String)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sortKey, id) => (sortKey, id) }
+      .agg(new graft.functions.FirstKBySortKey(cap).toColumn.name("__ids"))
+      .toDF("__k", "__ids")
+      .select(explode(col("__ids")).as("__id"))
+    df.join(keptIds, df(idCol).cast("string") === keptIds("__id"), "left_semi")
+  }
+
+  /** PII redaction: replaces e-mail addresses with `<EMAIL>`, IPv4
+    * addresses with `<IP>`, and standalone runs of 8+ digits (account
+    * numbers, phone numbers, card numbers) with `<ID>`, in that order,
+    * as a `redacted` column. Pure codegen'd `regexp_replace` chain
+    * (RE2-compatible patterns — no backtracking blowup on adversarial
+    * text), one narrow pass, no shuffle. The pattern set is the
+    * conservative core every corpus release pass runs; extend by
+    * composing further replacements over the output column. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    val idRun = "\\b\\d{8,}\\b"
+    docs.withColumn("redacted",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        idRun, "<ID>"))
+  }
+
   /** Labeled form of [[keyedSample]]: adds a `split` column — 'eval'
     * for rows whose md5(key) digest starts with one of `evalPrefixes`
     * (default 2/16, a deterministic 1/8 holdout), 'train' otherwise.

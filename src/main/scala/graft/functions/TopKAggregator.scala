@@ -35,3 +35,29 @@ class TopKByScore(k: Int)
     ExpressionEncoder[Seq[(Long, Double)]]()
   override def outputEncoder: Encoder[Seq[(Long, Double)]] = bufferEncoder
 }
+
+/** String-keyed sibling of [[TopKByScore]] for bounded FIRST-k-by-sort-key
+  * per group: keeps the k entries with the SMALLEST (sortKey, id) per
+  * group in a bounded buffer (insertion + merge O(k log k)), combining
+  * map-side before the shuffle — the scale shape for per-key caps where
+  * a hot key would otherwise sort its entire extent under one window
+  * reducer. Ids travel as strings so any id type can ride through
+  * (callers cast and join back). Emits the surviving ids sorted by
+  * (sortKey, id). Duplicate ids are kept once. */
+class FirstKBySortKey(k: Int)
+    extends Aggregator[(String, String), Seq[(String, String)], Seq[String]] {
+  require(k > 0)
+
+  private def best(xs: Seq[(String, String)]): Seq[(String, String)] =
+    xs.sortBy { case (sortKey, id) => (sortKey, id) }.distinctBy(_._2).take(k)
+
+  override def zero: Seq[(String, String)] = Nil
+  override def reduce(buf: Seq[(String, String)], x: (String, String)): Seq[(String, String)] =
+    best(buf :+ x)
+  override def merge(a: Seq[(String, String)], b: Seq[(String, String)]): Seq[(String, String)] =
+    best(a ++ b)
+  override def finish(buf: Seq[(String, String)]): Seq[String] = buf.map(_._2)
+  override def bufferEncoder: Encoder[Seq[(String, String)]] =
+    ExpressionEncoder[Seq[(String, String)]]()
+  override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+}

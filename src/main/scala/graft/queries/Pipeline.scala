@@ -459,6 +459,101 @@ object Pipeline {
           md5(col("chunk_text").cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Benchmark decontamination: hold out a deterministic md5-keyed
+    // slice of the corpus as the "benchmark" (the eval set a training
+    // corpus must not leak) and profile the rest for distinct-shingle
+    // overlap against it — the GPT-3-style n-gram decontamination
+    // pass. Only 8-byte shingle hashes shuffle; the benchmark side
+    // collapses to one distinct-hash set AQE broadcasts unhinted.
+    "q87_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = graft.api.TextAnalysis.keyedSample(docs, "doc_id", Seq("0"))
+      val corpus = docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      graft.api.Dedup.contaminationProfile(corpus, bench, minOverlap = 20)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition profile: distinct-token ratio (word-level
+    // repetition) and top-bigram share (phrase loops) per document; the
+    // 20 most bigram-repetitive documents surface. Array features are
+    // codegen'd; the bigram mode is two keyed aggregations, never a
+    // corpus-wide window.
+    "q88_repetition_profile" -> ((s, d) =>
+      graft.api.TextAnalysis.repetitionProfile(Tables.documents(s, d))
+        .orderBy(col("top_bigram_share").desc, col("doc_id"))
+        .limit(20)),
+
+    // Count-min-sketch contract (the q54 pattern for frequency instead
+    // of cardinality): single-pass mergeable key-count estimates with
+    // CMS's two-sided guarantee — never an underestimate, over by at
+    // most ε·N with probability ≥ the configured confidence. Only the
+    // sketch (w×d longs) reaches the driver; exact counts come from the
+    // keyed aggregation the sketch would replace at scale.
+    "q89_cms_contract" -> ((s, d) => {
+      val eps = 0.0005
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
+      val total = ev.count()
+      val estimates = exact.collect().map(_.getString(0)).sorted.map { k =>
+        (k, cms.estimateCount(k))
+      }.toSeq
+      import s.implicits._
+      estimates.toDF("event_type", "est").join(exact, "event_type")
+        .agg(count(lit(1)).as("n_keys"),
+          (min(when(col("est") >= col("n"), 1).otherwise(0)) === 1)
+            .as("no_underestimates"),
+          (min(when(col("est") <= col("n") + lit(eps * total), 1).otherwise(0)) === 1)
+            .as("within_eps"))
+    }),
+
+    // Deterministic stratified sample — the mixture-rebalancing step of
+    // a training pipeline (keep 1/2 of en, 1/4 of de/es, 1/8 of the
+    // rest), with the keep decision a pure function of the doc id: one
+    // codegen'd filter, no shuffle, reproducible across engines and
+    // corpus growth. The oracle replays the same md5-threshold rule, so
+    // the gate pins the exact kept set.
+    "q91_stratified_sample" -> ((s, d) =>
+      graft.api.TextAnalysis.stratifiedSample(Tables.documents(s, d),
+          "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25),
+          defaultFraction = 0.125)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
+
+    // PII redaction: plant a deterministic e-mail + IP + account number
+    // in every document (the fixture corpus has none), redact, and pin
+    // every byte of the redacted text via md5 — both engines construct
+    // and scrub the identical string with the identical RE2-safe
+    // patterns.
+    "q92_redact_pii" -> ((s, d) => {
+      val salted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.7 acct 4111111111111111.")).as("text"))
+      graft.api.TextAnalysis.redactPii(salted)
+        .select(col("doc_id"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"),
+          (col("redacted").contains("<EMAIL>") &&
+            col("redacted").contains("<IP>") &&
+            col("redacted").contains("<ID>")).as("all_redacted"))
+        .orderBy("doc_id")
+        .limit(100)
+    }),
+
+    // Per-source document cap — the domain-diversity cap of a web
+    // corpus. Survivors are the 10 smallest by (md5(id), id) per
+    // source: deterministic, and computed on a bounded typed aggregator
+    // (k-entry buffer, map-side combine) instead of a window rank, so a
+    // hot domain costs O(cap) buffer, not a full sort of its extent.
+    "q93_cap_per_source" -> ((s, d) =>
+      graft.api.TextAnalysis.capPerKey(
+          Tables.documents(s, d), "source", "doc_id", cap = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")),
+
     // Sequence-packing contract: every bin respects the token budget
     // (or is a single oversized document), every document lands in
     // exactly one bin, and the packing meets next-fit-decreasing's
@@ -773,6 +868,90 @@ object Pipeline {
     "q81_ivfpq_contract" ->
       "SELECT TRUE AS pq_adc_ok, TRUE AS pq_rescored_ok",
     "q72_fingerprint_contract" ->
-      "SELECT TRUE AS fp_consistent, TRUE AS fp_covers_corpus"
+      "SELECT TRUE AS fp_consistent, TRUE AS fp_covers_corpus",
+
+    // same deterministic md5-keyed benchmark split + the q44 shingle
+    // CTE on each side; overlap = distinct shared shingles per doc
+    "q87_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT * FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+        |), corpus AS (
+        |  SELECT * FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0'
+        |), bt AS (
+        |  SELECT string_split_regex(lower(text), '\s+') t FROM bench
+        |), bsh AS (
+        |  SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) s FROM bt
+        |), ct AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM corpus
+        |), csh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)])) s FROM ct
+        |)
+        |SELECT doc_id, count(*) AS overlap
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY doc_id HAVING count(*) >= 20 ORDER BY doc_id""".stripMargin,
+
+    "q88_repetition_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') t
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(t) n, len(list_distinct(t)) nd FROM toks
+        |), bg AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) b
+        |  FROM toks WHERE len(t) >= 2
+        |), bgc AS (
+        |  SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2
+        |), share AS (
+        |  SELECT doc_id, max(c)*1.0/sum(c) sh FROM bgc GROUP BY 1
+        |)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE nd*1.0/n END, 6) AS distinct_ratio,
+        |  round(coalesce(sh, 0.0), 6) AS top_bigram_share
+        |FROM base LEFT JOIN share USING (doc_id)
+        |ORDER BY top_bigram_share DESC, doc_id LIMIT 20""".stripMargin,
+
+    // CMS guarantees hold by construction; n_keys comes from the data
+    "q89_cms_contract" ->
+      """SELECT count(DISTINCT event_type) AS n_keys,
+        |  TRUE AS no_underestimates, TRUE AS within_eps FROM events""".stripMargin,
+
+    "q91_stratified_sample" ->
+      """SELECT lang, doc_id FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 6) <
+        |  CASE WHEN lang = 'en' THEN '800000'
+        |       WHEN lang IN ('de', 'es') THEN '400000'
+        |       ELSE '200000' END
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q92_redact_pii" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id
+        |    || '@mail.example.com from 10.' || (doc_id % 256)
+        |    || '.0.7 acct 4111111111111111.' AS text
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |    '\b\d{8,}\b', '<ID>', 'g') r
+        |  FROM salted
+        |)
+        |SELECT doc_id, md5(r) AS redacted_md5,
+        |  (r LIKE '%<EMAIL>%' AND r LIKE '%<IP>%' AND r LIKE '%<ID>%')
+        |    AS all_redacted
+        |FROM red ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q93_cap_per_source" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) rn
+        |  FROM documents
+        |)
+        |SELECT source, doc_id FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -191,6 +191,24 @@ object Relational {
         events(s, d).select(col("event_type")), "event_type",
         topN = 5, partitions = 32)),
 
+    // Bloom-prefiltered join: the dim side (one brand's parts) builds a
+    // Bloom filter over its join keys that prunes lineitem BEFORE the
+    // shuffle — the manual form of the runtime filter Spark injects
+    // when catalog statistics allow, for freshly-derived dims where
+    // they don't. No false negatives + the join re-checks survivors ⇒
+    // the result is EXACTLY the plain join, which is the oracle.
+    "q90_bloom_prefilter_join" -> ((s, d) => {
+      val dim = part(s, d).filter(col("p_brand") === "Brand#19")
+        .select(col("p_partkey"), col("p_brand"))
+      graft.api.Joins.bloomPrefilteredJoin(
+          lineitem(s, d).select(col("l_partkey"), col("l_quantity")),
+          dim, "l_partkey", "p_partkey", expectedItems = 10000L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // --- aggregation variants -----------------------------------------
     "q12_distinct_counts" -> ((s, d) => {
       orders(s, d)
@@ -396,6 +414,15 @@ object Relational {
         |SELECT event_type, n, round(n / total, 6) AS share,
         |  greatest(1, CAST(ceil(n * 32 / total) AS INT)) AS salt_hint
         |FROM c, t ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
+
+    // the bloom prefilter never drops a matching row — the contract is
+    // exact equality with the plain join
+    "q90_bloom_prefilter_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#19'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q12_distinct_counts" ->
       """SELECT c_mktsegment,

@@ -532,4 +532,104 @@ class ApiSpec extends AnyFunSuite {
     // 'alpha' appears everywhere (idf = 0); the distinctive term wins
     assert(top1 == Map(1L -> "beta", 2L -> "gamma", 3L -> "delta"))
   }
+
+  test("Dedup.decontaminate drops exactly the benchmark-overlapping docs") {
+    val bench = Seq((100L, "the secret eval question about spark engines")).toDF("id", "body")
+    val corp = Seq(
+      (1L, "a training document with the secret eval question about spark inside"),
+      (2L, "completely unrelated words nothing shared here at all"),
+      (3L, "another clean document speaking of other things entirely")).toDF("id", "body")
+    // doc 1 shares several 3-shingles ("the secret eval", "secret eval
+    // question", ...) with the benchmark; docs 2 and 3 share none
+    val profile = Dedup.contaminationProfile(corp, bench, "id", "body", minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(profile.keySet == Set(1L))
+    assert(profile(1L) >= 3L)
+    val clean = Dedup.decontaminate(corp, bench, "id", "body", minOverlap = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L), "decontaminate keeps the complement, unchanged")
+  }
+
+  test("TextAnalysis.repetitionProfile flags word- and phrase-level repetition") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),                        // one token repeated
+      (2L, "buy now buy now buy now"),                    // one bigram loops
+      (3L, "all tokens here are fully distinct words"),   // no repetition
+      (4L, "single")).toDF("id", "body")                  // no bigrams at all
+    val out = TextAnalysis.repetitionProfile(df, "id", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4, 0.25, 1.0)), "spam^4: ratio 1/4, bigram 'spam spam' = 3/3")
+    assert(out(2L)._3 == 0.6, "'now buy' appears 2/5 but 'buy now' 3/5")
+    assert(out(3L)._2 == 1.0 && out(3L)._3 < 0.2)
+    assert(out(4L) == ((1, 1.0, 0.0)), "a 1-token doc has no bigrams, share 0")
+  }
+
+  test("TextAnalysis.stratifiedSample keeps per-stratum fractions, deterministically") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "big" else "small"))
+      .toDF("id", "grp")
+    val kept = TextAnalysis.stratifiedSample(df, "grp", "id",
+      Map("big" -> 0.5), defaultFraction = 0.1)
+    val counts = kept.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 is uniform: 1000 keys per stratum land within a loose binomial band
+    assert(counts("big") > 400 && counts("big") < 600, s"got ${counts("big")}")
+    assert(counts("small") > 50 && counts("small") < 160, s"got ${counts("small")}")
+    // pure function of the key: same subset every run, and a subset of df
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.stratifiedSample(df, "grp", "id",
+      Map("big" -> 0.5), defaultFraction = 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // fraction 1 keeps everything; fraction 0 drops the stratum
+    val all = TextAnalysis.stratifiedSample(df, "grp", "id",
+      Map("big" -> 1.0, "small" -> 0.0))
+    assert(all.filter(col("grp") === "big").count() == 1000)
+    assert(all.filter(col("grp") === "small").count() == 0)
+  }
+
+  test("TextAnalysis.capPerKey keeps at most cap rows per key, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"k${i % 3}", s"payload-$i"))
+      .toDF("id", "grp", "payload")
+    val capped = TextAnalysis.capPerKey(df, "grp", "id", cap = 7)
+    val counts = capped.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(7L), "every key is capped at exactly 7")
+    assert(capped.columns.toSeq == df.columns.toSeq, "rows pass through unchanged")
+    val ids1 = capped.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.capPerKey(df, "grp", "id", cap = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "survivor choice is a pure function of the ids")
+    // a cap above the key's extent keeps the key whole
+    assert(TextAnalysis.capPerKey(df, "grp", "id", cap = 1000).count() == 300)
+  }
+
+  test("TextAnalysis.redactPii scrubs emails, IPs and digit runs — and only those") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk or 10.0.255.7 acct 12345678901 ref 1234567"),
+      (2L, "no pii in this one 1.2.3 v2.0 year 2026")).toDF("id", "body")
+    val out = TextAnalysis.redactPii(df, "body")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "mail <EMAIL> or <IP> acct <ID> ref 1234567",
+      s"got: ${out(1L)}")
+    assert(out(2L) == "no pii in this one 1.2.3 v2.0 year 2026",
+      "short digit runs, versions and partial dotted numbers pass through")
+  }
+
+  test("Joins.bloomPrefilteredJoin equals the plain join and actually prunes") {
+    val big = (0L until 10000L).map(i => (i % 1000, i)).toDF("k", "payload")
+    val dim = Seq((7L, "seven"), (13L, "thirteen"), (999L, "big"))
+      .toDF("dk", "name")
+    val got = Joins.bloomPrefilteredJoin(big, dim, "k", "dk",
+        expectedItems = 100L, fpp = 0.01)
+      .select("k", "payload", "name")
+    val want = big.join(dim, col("k") === col("dk")).select("k", "payload", "name")
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.count() == 30, "10 rows per matching key")
+    // the prefilter itself keeps ~fpp of non-matching keys: measure the
+    // pruned big side via a contradiction-free probe (semi shape)
+    val survivors = Joins.bloomPrefilteredJoin(big, dim, "k", "dk",
+      expectedItems = 100L, fpp = 0.01, joinType = "left_semi").count()
+    assert(survivors == 30, "semi join sees only true matches")
+  }
 }
