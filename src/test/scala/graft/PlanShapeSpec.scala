@@ -91,6 +91,31 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q must leave join-strategy choice to AQE")
     }
 
+  test("q87 decontamination joins on shingle hashes, unhinted, no product") {
+    val qe = SparkEntry.queries("q87_decontaminate")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "corpus×benchmark overlap must be a keyed equi-join")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "benchmark side broadcast is AQE's call, not a hint")
+  }
+
+  test("q90 bloom prefilter sits under the big side as a scalar filter") {
+    val p = plan("q90_bloom_prefilter_join")
+    assert(p.contains("might_contain"),
+      s"the bloom filter must prune the big side:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q93 per-source cap runs on the bounded aggregator, not a window sort") {
+    val p = plan("q93_cap_per_source")
+    assert(!p.toLowerCase.contains("window"),
+      "capPerKey must not sort each key's extent under a window")
+    assert(p.contains("partial_firstkbysortkey") ||
+      p.toLowerCase.contains("objecthashaggregate"),
+      s"expected a partial typed aggregation:\n${p.take(3000)}")
+  }
+
   test("ivfPqSearchIndex prunes code partitions and stays a keyed equi-join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-ivfpq").toString
     val emb = graft.core.Tables.embeddings(spark, sf)
