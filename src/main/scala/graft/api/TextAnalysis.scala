@@ -258,6 +258,45 @@ object TextAnalysis {
     df.join(keptIds, df(idCol).cast("string") === keptIds("__id"), "left_semi")
   }
 
+  /** Deterministic weighted upsampling — the epoch-mixture step that
+    * turns per-source weights ("Wikipedia ×3.5, web ×1") into a
+    * materialized training mix: every row reappears ⌊w⌋ times, plus
+    * once more for the deterministic md5-keyed fraction of rows that
+    * realizes the fractional part, so each stratum's expected copy
+    * count is exactly its weight and the choice of which rows get the
+    * extra copy is a pure function of the key (reproducible, unlike
+    * rand()-based sampling). Output adds a `copy_idx` column (0-based)
+    * so downstream shuffles can decorrelate the copies. Weight 0 drops
+    * the stratum; strata missing from `weights` keep `defaultWeight`.
+    * One codegen'd explode — no shuffle, no state. The md5 input is
+    * salted ("up|" + key) so the extra-copy choice is independent of
+    * [[stratifiedSample]]/[[trainEvalSplit]] decisions on the same
+    * keys. */
+  def upsampleByStratum(df: DataFrame, strataCol: String, keyCol: String,
+                        weights: Map[String, Double],
+                        defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1000),
+      "weights must be in [0, 1000]")
+    def thresholdHex(f: Double): String =
+      "%06x".format(math.min(math.max((f * 0x1000000L).toLong, 0L), 0xffffffL))
+    val prefix = substring(
+      md5(concat(lit("up|"), col(keyCol).cast("string")).cast("binary")), 1, 6)
+    def copies(w: Double): org.apache.spark.sql.Column = {
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      if (frac == 0.0) lit(whole)
+      else lit(whole) + when(prefix < lit(thresholdHex(frac)), 1L).otherwise(0L)
+    }
+    val byStratum = weights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, w)) => acc.when(col(strataCol) === stratum, copies(w))
+    }.otherwise(copies(defaultWeight))
+    // sequence(0, -1) would DESCEND ([0, -1]), not yield [] — route the
+    // zero-copy case through an empty array so explode drops the row
+    df.withColumn("copy_idx",
+      explode(when(byStratum > 0, sequence(lit(0L), byStratum - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** PII redaction: replaces e-mail addresses with `<EMAIL>`, IPv4
     * addresses with `<IP>`, and standalone runs of 8+ digits (account
     * numbers, phone numbers, card numbers) with `<ID>`, in that order,

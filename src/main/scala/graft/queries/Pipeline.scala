@@ -554,6 +554,18 @@ object Pipeline {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // Deterministic epoch-mixture upsampling: en ×2.5 (every doc twice,
+    // a deterministic md5-keyed half a third time), es ×0.25
+    // (deterministic quarter kept once), zh dropped, everything else ×1.
+    // One codegen'd explode, no shuffle; the oracle replays the same
+    // copy-count rule, so the gate pins the exact materialized mix.
+    "q94_upsample_mixture" -> ((s, d) =>
+      graft.api.TextAnalysis.upsampleByStratum(Tables.documents(s, d),
+          "lang", "doc_id",
+          Map("en" -> 2.5, "es" -> 0.25, "zh" -> 0.0))
+        .select(col("lang"), col("doc_id"), col("copy_idx"))
+        .orderBy("lang", "doc_id", "copy_idx")),
+
     // Sequence-packing contract: every bin respects the token budget
     // (or is a single oversized document), every document lands in
     // exactly one bin, and the packing meets next-fit-decreasing's
@@ -952,6 +964,23 @@ object Pipeline {
         |  FROM documents
         |)
         |SELECT source, doc_id FROM r WHERE rn <= 10
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q94_upsample_mixture" ->
+      """WITH n AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN lang = 'en' THEN
+        |           2 + CASE WHEN substr(md5('up|' || doc_id), 1, 6) < '800000'
+        |               THEN 1 ELSE 0 END
+        |         WHEN lang = 'es' THEN
+        |           CASE WHEN substr(md5('up|' || doc_id), 1, 6) < '400000'
+        |               THEN 1 ELSE 0 END
+        |         WHEN lang = 'zh' THEN 0
+        |         ELSE 1 END AS nc
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, unnest(range(nc)) AS copy_idx
+        |FROM n WHERE nc > 0
+        |ORDER BY lang, doc_id, copy_idx""".stripMargin
   )
 }

@@ -616,6 +616,32 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("TextAnalysis.upsampleByStratum realizes weights exactly and deterministically") {
+    val df = (0L until 1200L).map(i => (i, i % 3 match {
+      case 0 => "wiki"; case 1 => "web"; case 2 => "junk"
+    })).toDF("id", "src")
+    val mixed = TextAnalysis.upsampleByStratum(df, "src", "id",
+      Map("wiki" -> 2.5, "junk" -> 0.0), defaultWeight = 1.0)
+    val counts = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("junk"), "weight 0 drops the stratum")
+    assert(counts("web") == 400L, "weight 1 is the identity")
+    // 400 wiki keys at w=2.5: 800 guaranteed + binomial(400, 0.5) extras
+    assert(counts("wiki") > 950 && counts("wiki") < 1050, s"got ${counts("wiki")}")
+    // every key appears a whole number of times, ⌊w⌋ or ⌈w⌉, with
+    // contiguous 0-based copy indexes
+    val perKey = mixed.filter(col("src") === "wiki").groupBy("id")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"), min("copy_idx").as("mn"))
+      .collect()
+    assert(perKey.forall(r => r.getLong(1) == 2L || r.getLong(1) == 3L))
+    assert(perKey.forall(r => r.getLong(2) == r.getLong(1) - 1 && r.getLong(3) == 0L))
+    // pure function of the key
+    val again = TextAnalysis.upsampleByStratum(df, "src", "id",
+      Map("wiki" -> 2.5, "junk" -> 0.0), defaultWeight = 1.0)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("Joins.bloomPrefilteredJoin equals the plain join and actually prunes") {
     val big = (0L until 10000L).map(i => (i % 1000, i)).toDF("k", "payload")
     val dim = Seq((7L, "seven"), (13L, "thirteen"), (999L, "big"))
