@@ -234,6 +234,44 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Cross-document duplicated n-gram profile — the exact-substring
+    * duplication signal of the "deduplicating training data" line of
+    * work, at n-gram granularity: for every document, how many of its
+    * token n-gram POSITIONS carry a gram that also occurs in at least
+    * one other document, and the resulting duplicated fraction.
+    * Boilerplate, licenses, and templated spans light up long before
+    * whole-document dedup would pair them. Output: (doc_id, n_grams,
+    * n_dup_grams, dup_ratio).
+    *
+    * Shape: grams travel as 64-bit hashes (8 bytes/gram through both
+    * keyed aggregations — document frequency, then per-doc counts);
+    * short documents (< n tokens) carry zero grams and ratio 0. */
+  def duplicatedNgramProfile(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = filter(wsTokens(lower(col(textCol))), t => t =!= "")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .withColumn("n_grams", greatest(size(col("__t")) - (n - 1), lit(0)))
+    val grams = base.select(col("doc_id"),
+      explode(when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))).as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val dupCounts = grams.join(dupGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("__dup"))
+    base.select(col("doc_id"), col("n_grams"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_grams"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("__dup"), lit(0L)).cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
   /** Remove benchmark-contaminated documents from a corpus: drops every
     * document sharing at least `minOverlap` distinct n-shingles with
     * the benchmark set (per [[contaminationProfile]]); all other rows

@@ -554,6 +554,16 @@ object Pipeline {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // Cross-document duplicated n-gram profile: the fraction of each
+    // document's 5-gram positions whose gram recurs in another document
+    // — the exact-substring duplication signal that catches boilerplate
+    // and templated spans whole-document dedup misses. Grams travel as
+    // 64-bit hashes through two keyed aggregations.
+    "q95_dup_ngram_profile" -> ((s, d) =>
+      graft.api.Dedup.duplicatedNgramProfile(Tables.documents(s, d), n = 5)
+        .orderBy(col("dup_ratio").desc, col("doc_id"))
+        .limit(20)),
+
     // Deterministic epoch-mixture upsampling: en ×2.5 (every doc twice,
     // a deterministic md5-keyed half a third time), es ×0.25
     // (deterministic quarter kept once), zh dropped, everything else ×1.
@@ -965,6 +975,27 @@ object Pipeline {
         |)
         |SELECT source, doc_id FROM r WHERE rn <= 10
         |ORDER BY source, doc_id""".stripMargin,
+
+    "q95_dup_ngram_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
+        |    FOR i IN range(1, greatest(len(t)-4, 0)+1)]) gram FROM toks
+        |), df AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), dup AS (
+        |  SELECT g.doc_id, count(*) c FROM g JOIN df USING (gram) GROUP BY 1
+        |), tot AS (
+        |  SELECT doc_id, greatest(len(t)-4, 0) n_grams FROM toks
+        |)
+        |SELECT doc_id, n_grams, coalesce(c, 0) AS n_dup_grams,
+        |  round(CASE WHEN n_grams = 0 THEN 0.0
+        |        ELSE coalesce(c, 0)*1.0/n_grams END, 6) AS dup_ratio
+        |FROM tot LEFT JOIN dup USING (doc_id)
+        |ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin,
 
     "q94_upsample_mixture" ->
       """WITH n AS (

@@ -616,6 +616,30 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("Dedup.duplicatedNgramProfile measures cross-doc gram duplication positionally") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // shares a 3-gram span with 2
+      (2L, "alpha beta gamma something else entirely here"),
+      (3L, "nothing in common with the others at all"),
+      (4L, "tiny")).toDF("id", "body")               // < n tokens: zero grams
+    val out = Dedup.duplicatedNgramProfile(df, "id", "body", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1/2 share exactly one 3-gram ("alpha beta gamma") at one position each
+    assert(out(1L) == ((4, 1L, 0.25)), s"got ${out(1L)}")
+    assert(out(2L) == ((5, 1L, 0.2)), s"got ${out(2L)}")
+    assert(out(3L) == ((6, 0L, 0.0)))
+    assert(out(4L) == ((0, 0L, 0.0)), "sub-n docs carry zero grams, ratio 0")
+    // positional counting: a gram repeated WITHIN one doc but nowhere
+    // else is not cross-doc duplication
+    val within = Seq(
+      (1L, "x y x y x y"),    // "x y x" and "y x y" repeat within the doc only
+      (2L, "totally different words")).toDF("id", "body")
+    val w = Dedup.duplicatedNgramProfile(within, "id", "body", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(1L) == 0L, "within-doc repetition is q88's job, not cross-doc dup")
+  }
+
   test("TextAnalysis.upsampleByStratum realizes weights exactly and deterministically") {
     val df = (0L until 1200L).map(i => (i, i % 3 match {
       case 0 => "wiki"; case 1 => "web"; case 2 => "junk"
