@@ -554,6 +554,31 @@ object Pipeline {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // The RELEASE-PREP pass over the round-6 operators, end-to-end in
+    // one plan (the q85 pattern, integration-checked by the gate):
+    // deterministic benchmark holdout → quality floor → exact dedup →
+    // benchmark decontamination → per-source diversity cap → per-source
+    // accounting. Every stage is an api operator with its own oracled
+    // query (q87/q49/q43/q93); the DuckDB oracle replays the identical
+    // stage chain, so the gate checks how they COMPOSE.
+    "q96_release_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = graft.api.TextAnalysis.keyedSample(docs, "doc_id", Seq("0"))
+      val corpus = docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      val scored = corpus.withColumn("q",
+          qualityScore(col("text"), langMarkers("en")).cast("decimal(18,6)"))
+        .filter(col("q") >= 0.4)
+      val keepIds = graft.api.Dedup.exact(scored)
+        .select(col("keep_doc_id").as("doc_id"))
+      val deduped = scored.join(keepIds, Seq("doc_id"), "left_semi")
+      val clean = graft.api.Dedup.decontaminate(deduped, bench, minOverlap = 20)
+      val capped = graft.api.TextAnalysis.capPerKey(clean, "source", "doc_id", cap = 15)
+      capped.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpeishTokenCount(col("text"))).cast("long").as("bpe_tokens"))
+        .orderBy("source")
+    }),
+
     // Cross-document duplicated n-gram profile: the fraction of each
     // document's 5-gram positions whose gram recurs in another document
     // — the exact-substring duplication signal that catches boilerplate
@@ -975,6 +1000,49 @@ object Pipeline {
         |)
         |SELECT source, doc_id FROM r WHERE rn <= 10
         |ORDER BY source, doc_id""".stripMargin,
+
+    // the q85 pattern: one CTE chain replaying the identical stage
+    // order — holdout, quality floor, keep-min dedup, decontamination,
+    // per-source cap, accounting
+    "q96_release_pipeline" ->
+      """WITH bench AS (
+        |  SELECT * FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+        |), corpus AS (
+        |  SELECT * FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0'
+        |), q AS (
+        |  SELECT doc_id, text, source,
+        |    CAST(round(
+        |      least(len(string_split_regex(text, '\s+')) / 20.0, 1.0) * 0.4
+        |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |            / length(text) END) * 4.0, 1.0)) * 0.3
+        |      + (1.0 - (CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0 ELSE
+        |          len(list_filter(string_split_regex(text, '\s+'),
+        |            x -> x IN ('the','a','of','and','to','in','is','that')))*1.0
+        |            / len(string_split_regex(text, '\s+')) END)) * 0.3, 6)
+        |      AS DECIMAL(18,6)) AS qq
+        |  FROM corpus
+        |), f AS (SELECT * FROM q WHERE qq >= 0.4),
+        |keep AS (SELECT min(doc_id) AS kid FROM f
+        |         GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+        |dd AS (SELECT f.* FROM f WHERE doc_id IN (SELECT kid FROM keep)),
+        |bt AS (SELECT string_split_regex(lower(text), '\s+') t FROM bench),
+        |bsh AS (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+        |  FOR i IN range(1, greatest(len(t)-2,0)+1)]) s FROM bt),
+        |ct AS (SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM dd),
+        |csh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |  FOR i IN range(1, greatest(len(t)-2,0)+1)])) s FROM ct),
+        |contam AS (SELECT doc_id FROM csh JOIN bsh USING (s)
+        |           GROUP BY doc_id HAVING count(*) >= 20),
+        |clean AS (SELECT * FROM dd
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |capped AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) rn FROM clean)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM capped WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
 
     "q95_dup_ngram_profile" ->
       """WITH toks AS (
