@@ -666,6 +666,36 @@ class ApiSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("stateless curation ops run unchanged on streaming frames") {
+    // stratifiedSample / redactPii / upsampleByStratum are narrow,
+    // stateless transformations — the dedup-at-ingest pipeline applies
+    // them per micro-batch with no state store; parity with the batch
+    // form is exact equality on the same input
+    val dir = TestSpark.sf
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = graft.core.Tables.documents(spark, dir)
+
+    val sampledStream = graft.streaming.EventStreams.runToMemory(
+      spark, TextAnalysis.stratifiedSample(stream(), "lang", "doc_id",
+        Map("en" -> 0.5), defaultFraction = 0.25), "api_strat_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val sampledBatch = TextAnalysis.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultFraction = 0.25)
+    assert(sampledStream.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      sampledBatch.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    val redactedStream = graft.streaming.EventStreams.runToMemory(
+      spark, TextAnalysis.redactPii(stream()), "api_redact_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val redactedBatch = TextAnalysis.redactPii(docs)
+    assert(redactedStream.agg(count(lit(1)), sum(length(col("redacted"))))
+        .collect()(0).toSeq ==
+      redactedBatch.agg(count(lit(1)), sum(length(col("redacted"))))
+        .collect()(0).toSeq)
+  }
+
   test("Joins.bloomPrefilteredJoin equals the plain join and actually prunes") {
     val big = (0L until 10000L).map(i => (i % 1000, i)).toDF("k", "payload")
     val dim = Seq((7L, "seven"), (13L, "thirteen"), (999L, "big"))
