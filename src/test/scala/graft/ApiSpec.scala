@@ -666,6 +666,26 @@ class ApiSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("curation ops degrade sanely on empty inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "body")
+    val docs = Seq((1L, "some ordinary words in here")).toDF("id", "body")
+    // empty benchmark = nothing to leak: profile empty, corpus unchanged
+    assert(Dedup.contaminationProfile(docs, empty, "id", "body").isEmpty)
+    assert(Dedup.decontaminate(docs, empty, "id", "body").count() == 1)
+    // empty corpus: every profile/dedup/sampling op yields an empty frame
+    assert(Dedup.duplicatedNgramProfile(empty, "id", "body", n = 3).isEmpty)
+    assert(TextAnalysis.repetitionProfile(empty, "id", "body").isEmpty)
+    assert(TextAnalysis.capPerKey(empty, "body", "id", cap = 5).isEmpty)
+    assert(TextAnalysis.upsampleByStratum(empty, "body", "id",
+      Map("x" -> 2.0)).isEmpty)
+    // empty-text documents: zero tokens, zero grams, ratio 0 — not a crash
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "body")
+    val rp = TextAnalysis.repetitionProfile(blank, "id", "body").collect()
+    assert(rp.forall(r => r.getInt(1) == 0 && r.getDouble(3) == 0.0))
+    val dg = Dedup.duplicatedNgramProfile(blank, "id", "body", n = 3).collect()
+    assert(dg.forall(r => r.getInt(1) == 0 && r.getDouble(3) == 0.0))
+  }
+
   test("stateless curation ops run unchanged on streaming frames") {
     // stratifiedSample / redactPii / upsampleByStratum are narrow,
     // stateless transformations — the dedup-at-ingest pipeline applies
