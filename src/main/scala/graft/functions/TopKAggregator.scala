@@ -26,8 +26,18 @@ class TopKByScore(k: Int)
     xs.sortBy { case (id, score) => (-score, id) }.distinctBy(_._1).take(k)
 
   override def zero: Seq[(Long, Double)] = Nil
+  // `best` keeps the buffer sorted (score desc, id asc), so once it is
+  // full the last entry is the worst kept — a row sorting at-or-after
+  // it can never enter and rejects in O(1) instead of re-sorting the
+  // buffer (the dominant case on long candidate streams). An equal-id
+  // row sorting at-or-after the worst is also safely dropped: its
+  // existing entry is at least as good.
   override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
-    best(buf :+ x)
+    if (buf.size >= k) {
+      val (lastId, lastScore) = buf.last
+      if (x._2 < lastScore || (x._2 == lastScore && x._1 >= lastId)) buf
+      else best(buf :+ x)
+    } else best(buf :+ x)
   override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
     best(a ++ b)
   override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
@@ -52,8 +62,12 @@ class FirstKBySortKey(k: Int)
     xs.sortBy { case (sortKey, id) => (sortKey, id) }.distinctBy(_._2).take(k)
 
   override def zero: Seq[(String, String)] = Nil
+  // same O(1) full-buffer rejection as TopKByScore: the buffer stays
+  // sorted ascending, so anything at-or-after the last kept entry can
+  // never enter
   override def reduce(buf: Seq[(String, String)], x: (String, String)): Seq[(String, String)] =
-    best(buf :+ x)
+    if (buf.size >= k && Ordering[(String, String)].gteq(x, buf.last)) buf
+    else best(buf :+ x)
   override def merge(a: Seq[(String, String)], b: Seq[(String, String)]): Seq[(String, String)] =
     best(a ++ b)
   override def finish(buf: Seq[(String, String)]): Seq[String] = buf.map(_._2)
