@@ -116,6 +116,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a partial typed aggregation:\n${p.take(3000)}")
   }
 
+  test("q95 dup-gram profile is keyed aggregation + equi-joins, no product, no hint") {
+    val qe = SparkEntry.queries("q95_dup_ngram_profile")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q96 release pipeline composes into one plan of keyed joins, unhinted") {
+    val qe = SparkEntry.queries("q96_release_pipeline")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every stage boundary must be a keyed semi/anti/equi join")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("ivfPqSearchIndex prunes code partitions and stays a keyed equi-join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-ivfpq").toString
     val emb = graft.core.Tables.embeddings(spark, sf)
