@@ -90,6 +90,71 @@ object Tables {
     live
   }
 
+  /** Snapshot (time-travel) read: the table as of ingest batch
+    * `upToBatch` — the files of every plain or commit-group batch with
+    * id ≤ `upToBatch`, resolved against the ORIGINAL batch files.
+    * Compaction rewrites never participate: a compacted file merges the
+    * table state at compaction time and cannot represent an earlier
+    * batch boundary. Until `Compact.vacuum`, superseded originals stay
+    * on disk, so every historical snapshot remains reconstructible
+    * after a compaction; once vacuum has deleted a needed original the
+    * snapshot is gone and this FAILS LOUDLY (the VACUUM-breaks-
+    * time-travel contract every log-structured table format shares)
+    * rather than silently returning a partial snapshot. The
+    * reproducibility primitive for "train on the corpus exactly as it
+    * stood at commit N". */
+  def committedViewAsOf(spark: SparkSession, path: String, upToBatch: Long,
+                        format: String = "orc",
+                        schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitsDir = new Path(root, "_commits")
+    val batchToken = "(?:g\\d+-)?(\\d+)".r
+    val names =
+      if (fs.exists(commitsDir)) fs.listStatus(commitsDir).map(_.getPath.getName)
+      else Array.empty[String]
+    val wanted = names.collect {
+      case t @ batchToken(id) if id.toLong <= upToBatch => t
+    }.toSet
+    // every token any compaction has (transitively) superseded — its
+    // files are vacuum candidates, so absence means "destroyed", not
+    // "empty commit"
+    val superseded = names.collect {
+      case n if n.matches("c\\d+") => (n.stripPrefix("c").toLong, n)
+    }.sortBy(_._1).flatMap { case (_, name) =>
+      val in = fs.open(new Path(commitsDir, name))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSeq
+      finally in.close()
+    }.toSet
+    val rootQualified = fs.makeQualified(root).toString
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tokensSeen = scala.collection.mutable.Set.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
+      val segs = rel.split('/')
+      val visible = !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      f.getName match {
+        case batchFileRe(id) if visible && wanted(id) =>
+          files += f.toString; tokensSeen += id
+        case _ => ()
+      }
+    }
+    val destroyed = (wanted -- tokensSeen).filter(superseded)
+    if (destroyed.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot as of batch $upToBatch is unreconstructible: batch file(s) " +
+          s"${destroyed.toSeq.sorted.mkString(", ")} were compacted away and " +
+          "vacuumed — historical reads survive compaction only until vacuum")
+    if (files.nonEmpty)
+      spark.read.format(format).option("basePath", path).load(files.toSeq: _*)
+    else committedView(spark, path, format, schema).limit(0)
+  }
+
   def committedView(spark: SparkSession, path: String, format: String = "orc",
                     schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import org.apache.hadoop.fs.Path

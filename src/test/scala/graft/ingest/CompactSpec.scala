@@ -68,6 +68,34 @@ class CompactSpec extends AnyFunSuite {
     assert(Compact.vacuum(spark, dir) == 0, "vacuum is idempotent")
   }
 
+  test("committedViewAsOf reconstructs earlier snapshots until vacuum destroys them") {
+    val dir = tmp()
+    (0 until 3).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(100 * (i + 1)), i))
+    // snapshots at each batch boundary: 100, 100+200, 100+200+300
+    assert(Tables.committedViewAsOf(spark, dir, 0).count() == 100)
+    assert(Tables.committedViewAsOf(spark, dir, 1).count() == 300)
+    assert(Tables.committedViewAsOf(spark, dir, 2).count() == 600)
+    // beyond-head pins to head; before-first is empty but typed
+    assert(Tables.committedViewAsOf(spark, dir, 99).count() == 600)
+    // (commitBatch generates the event schema from the input row index)
+    val pre = Tables.committedViewAsOf(spark, dir, -1)
+    assert(pre.isEmpty && pre.columns.contains("user_id"))
+    // compaction leaves the originals on disk — history still readable
+    Compact.compact(spark, dir).get
+    assert(Tables.committedViewAsOf(spark, dir, 1).count() == 300,
+      "snapshots must survive compaction until vacuum")
+    assert(Tables.committedView(spark, dir).count() == 600)
+    // vacuum destroys the superseded originals: the snapshot fails
+    // LOUDLY instead of returning a silently partial table
+    Compact.vacuum(spark, dir)
+    val e = intercept[IllegalStateException] {
+      Tables.committedViewAsOf(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(Tables.committedView(spark, dir).count() == 600,
+      "the head view is unaffected by lost history")
+  }
+
   test("a crashed compaction is invisible and scrubbed by the next run") {
     val dir = tmp()
     (0 until 2).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(200), i))
