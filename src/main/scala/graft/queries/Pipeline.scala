@@ -494,8 +494,12 @@ object Pipeline {
       val ev = Tables.events(s, d)
       val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
-      val total = ev.count()
-      val estimates = exact.collect().map(_.getString(0)).sorted.map { k =>
+      // key list AND corpus total both come off the one collected
+      // aggregate (keys-sized, 5 rows) — two scans of events total
+      // (sketch + aggregate), not three
+      val exactRows = exact.collect()
+      val total = exactRows.map(_.getLong(1)).sum
+      val estimates = exactRows.map(_.getString(0)).sorted.map { k =>
         (k, cms.estimateCount(k))
       }.toSeq
       import s.implicits._
