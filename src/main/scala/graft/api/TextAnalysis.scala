@@ -128,6 +128,28 @@ object TextAnalysis {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Materialize [[packSequences]] bins into actual training rows: the
+    * documents of each bin concatenated in the fill order (token count
+    * desc, id asc) with `sep` between them. This is where text finally
+    * moves — ONE keyed join (payloads re-attach by id) and one keyed
+    * aggregation whose per-group state is bounded by the bin's token
+    * budget, so a group never outgrows a training row. Joining with
+    * a single space preserves the BPE-ish token count exactly (the
+    * pre-tokenizer never merges across whitespace), which q97
+    * contracts. Output: (bin_id, n_docs, n_tokens, <textCol>). */
+  def materializePackedBins(packed: DataFrame, docs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            sep: String = " "): DataFrame =
+    packed.join(docs.select(col(idCol), col(textCol)), idCol)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("int").as("n_tokens"),
+        array_join(transform(
+          // struct sort = lexicographic by field: (-tokens, id) ==
+          // the packer's (tokens desc, id asc) fill order
+          array_sort(collect_list(struct(-col("n_tokens"), col(idCol), col(textCol)))),
+          m => m.getField(textCol)), sep).as(textCol))
+
   /** Deterministic keyed sample: keeps rows whose md5(key) hex digest
     * starts with one of `hexPrefixes` — the same subset on every
     * engine and every run (unlike TABLESAMPLE), the standard trick for

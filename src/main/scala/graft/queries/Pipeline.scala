@@ -558,6 +558,26 @@ object Pipeline {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // Packed-bin materialization contract: concatenating each bin's
+    // documents in fill order with a single-space separator preserves
+    // the BPE-ish token count EXACTLY (the pre-tokenizer never merges
+    // across whitespace), and every q83 bin materializes to exactly
+    // one training row. Bin ids are hash-partitioning-dependent, so —
+    // like q83 — the contract booleans are the oracle.
+    "q97_pack_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val packed = graft.api.TextAnalysis.packSequences(docs, maxTokens = 512)
+      val mat = graft.api.TextAnalysis.materializePackedBins(packed, docs)
+      mat.select(col("bin_id"), col("n_tokens"),
+          bpeishTokenCount(col("text")).as("actual"))
+        .agg((min(when(col("actual") === col("n_tokens"), 1).otherwise(0)) === 1)
+            .as("tokens_preserved"),
+          count(lit(1)).as("__n_mat"))
+        .crossJoin(packed.agg(countDistinct(col("bin_id")).as("__n_bins")))
+        .select(col("tokens_preserved"),
+          (col("__n_mat") === col("__n_bins")).as("bins_match"))
+    }),
+
     // The RELEASE-PREP pass over the round-6 operators, end-to-end in
     // one plan (the q85 pattern, integration-checked by the gate):
     // deterministic benchmark holdout → quality floor → exact dedup →
@@ -880,6 +900,9 @@ object Pipeline {
     "q83_sequence_packing" ->
       """SELECT true AS bins_within_budget, true AS docs_covered_once,
         |       true AS packing_efficient""".stripMargin,
+
+    "q97_pack_materialize" ->
+      "SELECT TRUE AS tokens_preserved, TRUE AS bins_match",
 
     // q82 writes its own header-exact fixtures, so the expected rows are
     // closed-form constants

@@ -666,6 +666,31 @@ class ApiSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("TextAnalysis.materializePackedBins concatenates each bin in fill order") {
+    val docs = Seq(
+      (1L, "bb bb bb bb"),   // 4 tokens
+      (2L, "aaa aaa aaa"),   // 3 tokens
+      (3L, "c c"),           // 2 tokens
+      (4L, "dd")             // 1 token
+    ).toDF("id", "body")
+    // budget 10, one partition: fill order is (tokens desc, id asc) —
+    // 1(4) + 2(3) + 3(2) + 4(1) = 10 tokens, exactly one bin
+    val packed = TextAnalysis.packSequences(docs, maxTokens = 10,
+      idCol = "id", textCol = "body", partitions = 1)
+    val mat = TextAnalysis.materializePackedBins(packed, docs,
+      idCol = "id", textCol = "body")
+    val rows = mat.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Int]("n_tokens") == 10)
+    assert(r.getAs[String]("body") == "bb bb bb bb aaa aaa aaa c c dd",
+      s"fill order is (tokens desc, id asc): got '${r.getAs[String]("body")}'")
+    // a custom separator rides through; every doc lands in exactly one bin
+    val sep = TextAnalysis.materializePackedBins(packed, docs, "id", "body",
+      sep = "<|sep|>").collect().head.getAs[String]("body")
+    assert(sep.split(java.util.regex.Pattern.quote("<|sep|>")).length == 4)
+  }
+
   test("curation ops degrade sanely on empty inputs") {
     val empty = Seq.empty[(Long, String)].toDF("id", "body")
     val docs = Seq((1L, "some ordinary words in here")).toDF("id", "body")
