@@ -588,6 +588,31 @@ class ApiSpec extends AnyFunSuite {
     assert(all.filter(col("grp") === "small").count() == 0)
   }
 
+  test("deterministic samplers are monotone in their fractions and weights") {
+    // the reproducibility property remixes rely on: raising a stratum's
+    // fraction/weight only ADDS rows — everything kept at the lower
+    // setting stays kept (md5-prefix < threshold is monotone in the
+    // threshold), so a remixed corpus is a superset, never a reshuffle
+    val df = (0L until 2000L).map(i => (i, "s")).toDF("id", "grp")
+    def kept(f: Double): Set[Long] =
+      TextAnalysis.stratifiedSample(df, "grp", "id", Map("s" -> f))
+        .select("id").collect().map(_.getLong(0)).toSet
+    val fractions = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    fractions.zip(fractions.tail).foreach { case (lo, hi) =>
+      assert(kept(lo).subsetOf(kept(hi)), s"kept($lo) must be ⊆ kept($hi)")
+    }
+    def copies(w: Double): Map[Long, Long] =
+      TextAnalysis.upsampleByStratum(df, "grp", "id", Map("s" -> w))
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val weights = Seq(0.5, 1.0, 1.5, 2.5)
+    weights.zip(weights.tail).foreach { case (lo, hi) =>
+      val (cLo, cHi) = (copies(lo), copies(hi))
+      assert((0L until 2000L).forall(id => cLo(id) <= cHi(id)),
+        s"copy counts at w=$lo must not exceed those at w=$hi")
+    }
+  }
+
   test("TextAnalysis.capPerKey keeps at most cap rows per key, deterministically") {
     val df = (0L until 300L).map(i => (i, s"k${i % 3}", s"payload-$i"))
       .toDF("id", "grp", "payload")
