@@ -53,8 +53,14 @@ object TextAnalysis {
         max("ws").as("max_ws"), sum("len").as("chars"))
 
   /** Top-k terms per document by tf·idf (whitespace tokens, natural-log
-    * idf). The document-frequency side is vocabulary-sized — a
-    * legitimate broadcast. Output: (doc_id, rnk, term, tfidf). */
+    * idf). Unhinted: the document-frequency side is vocabulary-sized
+    * and USUALLY broadcastable, but at web-corpus scale a vocabulary
+    * (every distinct typo/URL/number) outgrows a driver hint — the
+    * planner/AQE picks broadcast while df fits and degrades to a
+    * shuffled hash join instead of OOMing when it doesn't. The corpus
+    * size N rides along as a one-row aggregate cross-joined into the
+    * same plan (no separate count() action/pass over the corpus).
+    * Output: (doc_id, rnk, term, tfidf). */
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
     // leading/trailing whitespace makes split() emit empty tokens —
@@ -63,11 +69,12 @@ object TextAnalysis {
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(wsTokens(lower(col(textCol)))).as("term"))
       .filter(col("term") =!= "")
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).as("n"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val scored = tf.join(df, "term").crossJoin(nDf)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -83,7 +83,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // fits — the assertion is on the hint (analyzed plan), not the
   // strategy.
   for (q <- Seq("q44_near_dup_pairs", "q48_ann_hyperplane", "q57_ann_ivf",
-      "q47_cosine_topk", "q62_embedding_neardup"))
+      "q47_cosine_topk", "q62_embedding_neardup", "q61_tfidf"))
     test(s"$q carries no user broadcast hint on corpus-sized sides") {
       val analyzed =
         SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.toString
