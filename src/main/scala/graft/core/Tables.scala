@@ -90,6 +90,30 @@ object Tables {
     live
   }
 
+  /** Recursive listing of the data files belonging to a given set of
+    * batch tokens (the `b<token>-*` naming contract), hidden dirs
+    * skipped — the resolution step shared by snapshot reads and the
+    * commit-log stream. One directory walk per call, same cost as any
+    * file-source listing. */
+  private[graft] def tokenDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: org.apache.hadoop.fs.Path,
+                                    tokens: Set[String]): Seq[String] = {
+    val rootQualified = fs.makeQualified(root).toString
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
+      val segs = rel.split('/')
+      val visible = !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      f.getName match {
+        case batchFileRe(id) if visible && tokens(id) => files += f.toString
+        case _ => ()
+      }
+    }
+    files.toSeq
+  }
+
   /** Snapshot (time-travel) read: the table as of ingest batch
     * `upToBatch` — the files of every plain or commit-group batch with
     * id ≤ `upToBatch`, resolved against the ORIGINAL batch files.
