@@ -321,7 +321,8 @@ object Similarity {
                      queries: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding", k: Int = 3,
                      nprobe: Int = 2): DataFrame = {
-    val centroids = readCentroids(spark, path)
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
     require(nprobe >= 1 && nprobe <= centroids.length)
     val q = withNorm(queries, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -335,7 +336,7 @@ object Similarity {
       .repartition(col("cell"))
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(s"$path/vectors")
+    val index = spark.read.parquet(s"$root/vectors")
       .filter(col("cell").isin(probed: _*))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("eb"), col("nrm").as("nb"))
@@ -568,7 +569,8 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    val centroids = readCentroids(spark, path)
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
     val e = withNorm(emb, idCol, vecCol)
     e.head(1).foreach { r =>
       val d = r.getSeq[Float](1).length
@@ -576,7 +578,7 @@ object Similarity {
         s"appended dim $d != index dim ${centroids.head.length}")
     }
     e.withColumn("cell", nearestCell(col("embedding"), centroids))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
   }
 
   /** Maintain a persisted IVF index FROM A STREAM — index maintenance
@@ -613,8 +615,9 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    val centroids = readCentroids(spark, path)
-    val codebooks = readCodebooks(spark, path)
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
+    val codebooks = readCodebooks(spark, root)
     val e = withNorm(emb, idCol, vecCol)
     e.head(1).foreach { r =>
       val d = r.getSeq[Float](1).length
@@ -622,8 +625,8 @@ object Similarity {
         s"appended dim $d != index dim ${centroids.head.length}")
     }
     e.withColumn("cell", nearestCell(col("embedding"), centroids))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
-    writeCodes(e, centroids, codebooks, path, "append")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+    writeCodes(e, centroids, codebooks, root, "append")
   }
 
   /** Search a persistent IVF+PQ index by ASYMMETRIC DISTANCE: the query
@@ -644,9 +647,10 @@ object Similarity {
                        queries: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", k: Int = 3,
                        nprobe: Int = 2, rescoreDepth: Int = 0): DataFrame = {
-    val centroids = readCentroids(spark, path)
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
     require(nprobe >= 1 && nprobe <= centroids.length)
-    val codebooks = readCodebooks(spark, path)
+    val codebooks = readCodebooks(spark, root)
     val m = codebooks.length
     val ksub = codebooks.head.length
     val sub = codebooks.head.head.length
@@ -677,7 +681,7 @@ object Similarity {
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (probed.isEmpty) return emptyTopK(spark, q0)
-    val index = spark.read.parquet(s"$path/codes")
+    val index = spark.read.parquet(s"$root/codes")
       .filter(col("cell").isin(probed: _*))
     val adc = (0 until m).map(i =>
         element_at(col("lut"), lit(i * ksub + 1) + element_at(col("codes"), i + 1)))
@@ -693,7 +697,7 @@ object Similarity {
       // exact rescore of the bounded PQ-survivor set: raw vectors come
       // from the index (partition-pruned to the probed cells), queries
       // re-attach by keyed join — both joins keyed, no broadcast hints
-      val raw = spark.read.parquet(s"$path/vectors")
+      val raw = spark.read.parquet(s"$root/vectors")
         .filter(col("cell").isin(probed: _*))
         .select(col("vec_id").as("neighbor_id"),
           col("embedding").as("eb"), col("nrm").as("nb"))
@@ -704,6 +708,137 @@ object Similarity {
         .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
         .select(col("vec_id"), col("neighbor_id"), col("cos")), k)
     }
+  }
+
+  // ---- index lifecycle: version resolution, drift profiling, reindex ----
+
+  /** Resolve the CURRENT root of a possibly-versioned index. A freshly
+    * built index lives at `path` itself (legacy/simple layout); after
+    * the first [[reindex]] the live version is `path/v<N>` and
+    * `path/_current` (written by atomic rename) names it. Every reader
+    * and appender in this package resolves through here, so a reindex
+    * becomes visible to them at exactly one commit point. */
+  def resolveIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(root, "_current")
+    if (!fs.exists(cur)) path
+    else {
+      val in = fs.open(cur)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(v.matches("v\\d+"), s"corrupt _current pointer at $path: '$v'")
+      s"$path/$v"
+    }
+  }
+
+  /** Per-cell health of a persistent IVF(+PQ) index — the signal that
+    * says WHEN to [[reindex]]: appends under the frozen quantizer
+    * ([[appendToIvfIndex]]) skew cell occupancy and grow quantization
+    * error as the corpus drifts away from the centroids it was built
+    * on. Skewed occupancy breaks search cost (a probe of a hot cell
+    * scans far more than corpus/cells candidates); high quantization
+    * error breaks recall (vectors sit far from every centroid, so the
+    * right cell is probed less often).
+    *
+    * One column-pruned scan of `vectors/`, two keyed aggregations;
+    * the per-row error term is a codegen'd dot against the row's own
+    * centroid (KB-sized literals). Output, one row per NON-EMPTY cell:
+    * (cell, n, share of corpus, occupancy = share × cells — 1.0 is
+    * perfectly balanced, max(occupancy) is the skew factor — mean_err,
+    * max_err) where err = 1 − cos(vector, its centroid). */
+  def ivfDriftProfile(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
+    val cells = centroids.length
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val cNorms = lit(centroids.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+    val per = spark.read.parquet(s"$root/vectors")
+      .withColumn("err", lit(1.0) - cosinePrenormed(
+        dot(col("embedding"), element_at(cLit, col("cell") + 1)),
+        col("nrm"), element_at(cNorms, col("cell") + 1)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        avg(col("err")).as("mean_err"), max(col("err")).as("max_err"))
+    // the aggregated frame is cells-sized — a single-partition window
+    // over it is metadata-scale, not a data shuffle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    per.withColumn("share", col("n") / sum(col("n")).over(w))
+      .select(col("cell"), col("n"), round(col("share"), 6).as("share"),
+        round(col("share") * cells, 6).as("occupancy"),
+        round(col("mean_err"), 6).as("mean_err"),
+        round(col("max_err"), 6).as("max_err"))
+      .orderBy("cell")
+  }
+
+  /** Rebuild a drifted index from its CURRENT live vectors into a new
+    * version directory, then swap the `_current` pointer by ATOMIC
+    * rename — concurrent searchers resolve either the old version or
+    * the new one, never a half-built tree (the old version's files are
+    * untouched until [[vacuumIndexVersions]]). Refits the coarse
+    * quantizer (and, for an IVF+PQ index — detected by the presence of
+    * codebooks — the residual codebooks, preserving m/ksub) on the
+    * current corpus. `cells` = 0 keeps the current cell count.
+    * Returns the new version name. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, path: String,
+              cells: Int = 0, seed: Long = 42, maxIter: Int = 5): String = {
+    import org.apache.hadoop.fs.Path
+    val root = resolveIndexRoot(spark, path)
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nCells = if (cells > 0) cells else readCentroids(spark, root).length
+    val live = spark.read.parquet(s"$root/vectors")
+      .select(col("vec_id"), col("embedding"))
+    val next = {
+      val existing: Seq[Long] =
+        if (!fs.exists(base)) Seq.empty
+        else fs.listStatus(base).map(_.getPath.getName).toSeq
+          .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toLong }
+      s"v${(0L +: existing).max + 1}"
+    }
+    if (fs.exists(new Path(root, "codebooks"))) {
+      val cb = readCodebooks(spark, root)
+      buildIvfPqIndex(live, s"$path/$next", cells = nCells,
+        m = cb.length, ksub = cb.head.length, seed = seed, maxIter = maxIter)
+    } else
+      buildIvfIndex(live, s"$path/$next", cells = nCells,
+        seed = seed, maxIter = maxIter)
+    // commit point: temp file + rename-with-overwrite (atomic on local
+    // FS and HDFS) — a crash before this line leaves the old version
+    // live and the half-built v<N+1> dir invisible (the next reindex
+    // skips past it)
+    val tmp = new Path(base, s"._current.$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(base, "_current"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    next
+  }
+
+  /** Delete every superseded index version (and the legacy root-layout
+    * halves, once a `_current` pointer exists) — run only when no
+    * searcher may still hold a pre-swap resolution. Returns what was
+    * deleted. */
+  def vacuumIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = resolveIndexRoot(spark, path)
+    if (current == path) return Seq.empty // unversioned: nothing superseded
+    val currentName = current.stripPrefix(s"$path/")
+    val doomed = fs.listStatus(base).map(_.getPath.getName).filter { n =>
+      (n.matches("v\\d+") && n != currentName) ||
+        Seq("centroids", "vectors", "codebooks", "codes").contains(n)
+    }.toSeq
+    doomed.foreach(n => fs.delete(new Path(base, n), true))
+    doomed.sorted
   }
 
   /** All embedding pairs at-or-above a cosine threshold — brute-force
