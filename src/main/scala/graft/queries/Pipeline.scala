@@ -385,6 +385,40 @@ object Pipeline {
           (col("r_res") >= 0.3).as("pq_rescored_ok"))
     }),
 
+    // SQL-surface parity contract: the native expressions registered as
+    // SQL functions (GraftSparkExtensions) return bit-identical results
+    // to their Column-API forms — they ARE the same Catalyst expression
+    // classes, and this pins the registration (arity, literal-parameter
+    // extraction, resolution) end-to-end through the SQL parser.
+    "q98_sql_parity" -> ((s, d) => {
+      import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+      Tables.documents(s, d).createOrReplaceTempView("graft_q98_docs")
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_q98_emb")
+      val textSql = s.sql(
+        """SELECT doc_id, simhash64(lower(text)) AS sh,
+          |       min_shingle_hash(lower(text), 3) AS fp,
+          |       minhashes(lower(text), 3, 8) AS mh
+          |FROM graft_q98_docs""".stripMargin)
+      val textCol = Tables.documents(s, d).select(col("doc_id"),
+        TF.simHash64(lower(col("text"))).as("sh2"),
+        TF.minShingleHash(lower(col("text")), 3).as("fp2"),
+        TF.minHashes(lower(col("text")), 3, 8).as("mh2"))
+      val textEq = textSql.join(textCol, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sh") === col("sh2") && col("fp") === col("fp2") &&
+            col("mh") === col("mh2"), 0).otherwise(1)).as("neq"))
+      val vecSql = s.sql(
+        "SELECT vec_id, vec_dot(embedding, embedding) AS dd FROM graft_q98_emb")
+      val vecCol = Tables.embeddings(s, d).select(col("vec_id"),
+        VF.dot(col("embedding"), col("embedding")).as("dd2"))
+      val vecEq = vecSql.join(vecCol, "vec_id")
+        .agg(count(lit(1)).as("vn"),
+          sum(when(col("dd") === col("dd2"), 0).otherwise(1)).as("vneq"))
+      textEq.crossJoin(vecEq).select(
+        (col("n") > 0 && col("neq") === 0).as("text_fns_match"),
+        (col("vn") > 0 && col("vneq") === 0).as("vec_dot_matches"))
+    }),
+
     // SimHash contract: the hamming<=3 pair set is nonempty and overlaps
     // the exact Jaccard>=0.8 ground truth (token-level simhash and
     // shingle Jaccard are different similarity spaces, so overlap — not
@@ -937,6 +971,8 @@ object Pipeline {
         |UNION ALL SELECT 'ivf', TRUE ORDER BY method""".stripMargin,
     "q71_simhash_contract" ->
       "SELECT TRUE AS nonempty, TRUE AS overlaps_truth",
+    "q98_sql_parity" ->
+      "SELECT TRUE AS text_fns_match, TRUE AS vec_dot_matches",
     "q80_pq_contract" ->
       "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
     "q81_ivfpq_contract" ->

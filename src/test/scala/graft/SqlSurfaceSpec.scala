@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL face of the native expressions (GraftSparkExtensions):
+  * every registered function is callable from `spark.sql`, produces
+  * results bit-identical to its Column-API form (they are the same
+  * Catalyst expressions), and rejects bad arity / non-literal
+  * parameters at analysis time. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = {
+    val d = graft.core.Tables.documents(spark, sf)
+    d.createOrReplaceTempView("docs_sql")
+    d
+  }
+  private lazy val emb = {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    e.createOrReplaceTempView("emb_sql")
+    e
+  }
+
+  test("vec_dot from SQL matches the Column API bit-exactly") {
+    emb
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, vec_dot(a.embedding, a.embedding) AS d
+        |FROM emb_sql a ORDER BY vec_id LIMIT 50""".stripMargin).collect()
+    val viaCol = {
+      import org.apache.spark.sql.functions._
+      emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+        .orderBy("vec_id").limit(50).collect()
+    }
+    assert(viaSql.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      viaCol.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("text sketch functions from SQL match the Column API") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(lower(text)) AS sh,
+        |       min_shingle_hash(lower(text), 3) AS fp,
+        |       minhashes(lower(text), 3, 4) AS mh,
+        |       size(distinct_shingle_hashes(lower(text), 3)) AS ns
+        |FROM docs_sql ORDER BY doc_id LIMIT 30""".stripMargin).collect()
+    val viaCol = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      docs.select(col("doc_id"),
+          simHash64(lower(col("text"))).as("sh"),
+          minShingleHash(lower(col("text")), 3).as("fp"),
+          minHashes(lower(col("text")), 3, 4).as("mh"),
+          size(distinctShingleHashes(lower(col("text")), 3)).as("ns"))
+        .orderBy("doc_id").limit(30).collect()
+    }
+    assert(viaSql.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getInt(4))).toSeq ==
+      viaCol.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getInt(4))).toSeq)
+  }
+
+  test("a pure-SQL near-dup pipeline runs on the registered functions") {
+    docs
+    // LSH-style banding written entirely in SQL — the engine surface a
+    // SQL-only user gets
+    val pairs = spark.sql(
+      """WITH sk AS (
+        |  SELECT doc_id, minhashes(lower(text), 3, 8) AS mh FROM docs_sql),
+        |bands AS (
+        |  SELECT doc_id, b, hash(mh[b*2], mh[b*2+1]) AS bkey
+        |  FROM sk LATERAL VIEW explode(sequence(0, 3)) AS b)
+        |SELECT a.doc_id AS da, c.doc_id AS db
+        |FROM bands a JOIN bands c
+        |  ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+        |GROUP BY 1, 2""".stripMargin)
+    assert(pairs.count() > 0, "fixture corpus contains planted near-dups")
+  }
+
+  test("bad arity and non-literal parameters fail at analysis time") {
+    docs
+    intercept[Exception](spark.sql("SELECT vec_dot(embedding) FROM emb_sql"))
+    intercept[Exception](
+      spark.sql("SELECT min_shingle_hash(text, doc_id) FROM docs_sql"))
+  }
+
+  test("functions survive into a fresh session of the same builder config") {
+    // newSession() shares the extensions-injected registry
+    val s2 = spark.newSession()
+    graft.core.Tables.documents(s2, sf).createOrReplaceTempView("d2")
+    assert(s2.sql("SELECT simhash64(text) AS h FROM d2 LIMIT 1").count() == 1)
+  }
+}
