@@ -184,6 +184,119 @@ object Multimodal {
       } else FakeCodec.decode(kind, content)
   }
 
+  /** REAL pixel decode via the JDK's own image codecs (`javax.imageio`
+    * — PNG, JPEG, GIF, BMP, WBMP, TIFF readers ship in `java.desktop`,
+    * pure JVM, no native libraries): dimensions come from the DECODED
+    * image, and [[imagePixelStats]] / [[resizeImages]] below operate on
+    * actual pixels. Non-image kinds and payloads ImageIO cannot parse
+    * fall back to the header walk (WAV stays real) and then the stub,
+    * so a mixed corpus still decodes end-to-end.
+    *
+    * Executor hygiene: headless mode is forced before any AWT class
+    * loads, and ImageIO's disk cache is off (decode stays in-memory —
+    * an executor must not scratch temp files per row). Codec instances
+    * are created per partition (newPartitionInstance), the mapInPandas
+    * batch shape. */
+  object ImageIoCodec extends MediaCodec {
+    private def ensureHeadless(): Unit =
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+
+    /** Decoded pixels, or None if no JDK reader claims the payload. */
+    def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      ensureHeadless()
+      javax.imageio.ImageIO.setUseCache(false)
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+    }
+
+    override def decode(kind: String, content: Array[Byte]): (Int, Int, Int) =
+      decodeImage(content) match {
+        case Some(img) => (img.getWidth, img.getHeight, 1)
+        case None => HeaderCodec.decode(kind, content)
+      }
+
+    override def newPartitionInstance(): MediaCodec = { ensureHeadless(); this }
+  }
+
+  /** Per-channel pixel statistics over REAL decoded pixels — the
+    * feature-extraction stage on actual image content (mean R/G/B is
+    * the stand-in for an embedding/perceptual-hash model; the decode
+    * and traversal shape is what matters). Rows whose payload no JDK
+    * codec claims are passed through with null stats rather than
+    * dropped — a mixed corpus keeps its accounting. Narrow
+    * mapPartitions; payloads never shuffle. */
+  def imagePixelStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = ImageIoCodec.newPartitionInstance()
+        .asInstanceOf[ImageIoCodec.type]
+      rows.map { m =>
+        codec.decodeImage(m.content) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            (m.media_id, w, h,
+              Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n))
+          case None => (m.media_id, 0, 0, None, None, None)
+        }
+      }
+    }.toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL image resize: decode, scale so the longer edge fits
+    * `maxEdge` (never upscale), re-encode as PNG (lossless, always
+    * writable by the JDK). Payloads no codec claims pass through
+    * unchanged — same mixed-corpus contract as [[imagePixelStats]].
+    * The workhorse preprocessing step of a vision-training pipeline,
+    * shaped for scale: narrow mapPartitions, per-partition codec
+    * state, payload bytes never leave the executor. */
+  def resizeImages(media: Dataset[MediaRow], maxEdge: Int): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    require(maxEdge > 0)
+    media.mapPartitions { rows =>
+      val codec = ImageIoCodec.newPartitionInstance()
+        .asInstanceOf[ImageIoCodec.type]
+      rows.map { m =>
+        codec.decodeImage(m.content) match {
+          case Some(img) =>
+            val scale = maxEdge.toDouble / math.max(img.getWidth, img.getHeight)
+            if (scale >= 1.0) Decoded(m.media_id, m.kind,
+              img.getWidth, img.getHeight, 1, m.content)
+            else {
+              val (w, h) = (math.max(1, (img.getWidth * scale).round.toInt),
+                math.max(1, (img.getHeight * scale).round.toInt))
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Decoded(m.media_id, m.kind, w, h, 1, bos.toByteArray)
+            }
+          case None =>
+            val (w, h, f) = HeaderCodec.decode(m.kind, m.content)
+            Decoded(m.media_id, m.kind, w, h, f, m.content)
+        }
+      }
+    }
+  }
+
   /** Read a directory of raw media files through Spark's built-in
     * `binaryFile` source — the ingest path for loose image/audio
     * corpora (one row per file). The read is fully distributed: file

@@ -246,6 +246,47 @@ object Pipeline {
     // header-decoded — the loose-file ingest path exercised end-to-end.
     // Every dimension is fixed by the written header bytes, so the
     // oracle is a closed-form VALUES table.
+    // REAL pixel decode through the JDK's own image codecs: encoded
+    // PNG/GIF/BMP/JPEG fixtures (written with ImageIO, decoded by
+    // ImageIoCodec — two independent codepaths meeting at the pixel
+    // values) are read back through the distributed binaryFile source;
+    // dimensions AND per-channel means are pinned closed-form for the
+    // lossless formats (JPEG is lossy by design: dims only, means
+    // sentineled to -1).
+    "q99_imageio_decode" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-img-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.mkdirs()
+      dir.listFiles().foreach(_.delete())
+      def solid(w: Int, h: Int, rgb: Int) = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics(); g.setColor(new java.awt.Color(rgb))
+        g.fillRect(0, 0, w, h); g.dispose(); img
+      }
+      Seq(("a.png", solid(8, 6, 0x0a141e), "png"),
+          ("b.gif", solid(4, 4, 0xff0080), "gif"),
+          ("c.bmp", solid(5, 7, 0xc86432), "bmp"),
+          ("d.jpg", solid(16, 12, 0x808080), "jpg"))
+        .foreach { case (n, img, fmt) =>
+          javax.imageio.ImageIO.write(img, fmt, new java.io.File(dir, n))
+        }
+      val path = dir.getAbsolutePath
+      val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+      val stats = graft.multimodal.Multimodal.imagePixelStats(media)
+      graft.multimodal.Multimodal.readBinaryDir(s, path)
+        .select(col("name"), col("media_id"))
+        .join(stats, Seq("media_id"))
+        .select(col("name"), col("width"), col("height"),
+          when(col("name").endsWith(".jpg"), lit(-1))
+            .otherwise(round(col("mean_r"), 0).cast("int")).as("mr"),
+          when(col("name").endsWith(".jpg"), lit(-1))
+            .otherwise(round(col("mean_g"), 0).cast("int")).as("mg"),
+          when(col("name").endsWith(".jpg"), lit(-1))
+            .otherwise(round(col("mean_b"), 0).cast("int")).as("mb"))
+        .orderBy("name")
+    }),
+
     "q82_binary_ingest" -> ((s, d) => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-bin-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -940,6 +981,13 @@ object Pipeline {
 
     // q82 writes its own header-exact fixtures, so the expected rows are
     // closed-form constants
+    "q99_imageio_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('a.png',  8,  6,  10,  20,  30),
+        |  ('b.gif',  4,  4, 255,   0, 128),
+        |  ('c.bmp',  5,  7, 200, 100,  50),
+        |  ('d.jpg', 16, 12,  -1,  -1,  -1))
+        |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
     "q82_binary_ingest" ->
       """SELECT * FROM (VALUES
         |  ('a.bmp', 'image',   640,  480,   1),

@@ -200,4 +200,81 @@ class MultimodalSpec extends AnyFunSuite {
     }.toMap
     assert(counts == expected)
   }
+
+  // ---- ImageIoCodec: REAL pixel decode via the JDK's own codecs ----
+
+  private def solidImage(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics(); g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h); g.dispose(); img
+  }
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+  private def mediaOf(rows: Seq[(Long, String, Array[Byte])]) = {
+    import org.apache.spark.sql.functions.col
+    val s = spark; import s.implicits._
+    rows.toDF("media_id", "kind", "content")
+      .as[Multimodal.MediaRow]
+  }
+
+  test("ImageIoCodec decodes real PNG/JPEG/GIF/BMP pixels for dimensions") {
+    val rows = mediaOf(Seq(
+      (1L, "image", encode(solidImage(8, 6, 0x0a141e), "png")),
+      (2L, "image", encode(solidImage(16, 12, 0x808080), "jpg")),
+      (3L, "image", encode(solidImage(4, 4, 0xff0080), "gif")),
+      (4L, "image", encode(solidImage(5, 7, 0xc86432), "bmp"))))
+    val dims = Multimodal.decode(rows, Multimodal.ImageIoCodec)
+      .collect().map(d => d.media_id -> ((d.width, d.height, d.n_frames))).toMap
+    assert(dims(1L) == ((8, 6, 1)) && dims(2L) == ((16, 12, 1)))
+    assert(dims(3L) == ((4, 4, 1)) && dims(4L) == ((5, 7, 1)))
+  }
+
+  test("ImageIoCodec falls back to the header walk (WAV) and stub (garbage)") {
+    def ascii(t: String) = t.getBytes("US-ASCII")
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val wav = ascii("RIFF") ++ le32(36 + 400) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++ ascii("data") ++ le32(400) ++
+      Array.fill[Byte](400)(0)
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    assert(Multimodal.ImageIoCodec.decode("audio", wav) == ((44100, 2, 100)))
+    assert(Multimodal.ImageIoCodec.decode("image", junk) ==
+      Multimodal.FakeCodec.decode("image", junk))
+  }
+
+  test("imagePixelStats reads exact means off lossless payloads, nulls off junk") {
+    val rows = mediaOf(Seq(
+      (1L, "image", encode(solidImage(8, 6, 0x0a141e), "png")),   // (10,20,30)
+      (2L, "image", encode(solidImage(4, 4, 0xff0080), "gif")),   // (255,0,128)
+      (3L, "image", encode(solidImage(5, 7, 0xc86432), "bmp")),   // (200,100,50)
+      (4L, "image", Array.tabulate[Byte](64)(_.toByte))))
+    val got = Multimodal.imagePixelStats(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rgb(id: Long) = (got(id).getDouble(3), got(id).getDouble(4), got(id).getDouble(5))
+    assert(rgb(1L) == ((10.0, 20.0, 30.0)))
+    assert(rgb(2L) == ((255.0, 0.0, 128.0)))
+    assert(rgb(3L) == ((200.0, 100.0, 50.0)))
+    assert(got(4L).isNullAt(3) && got(4L).isNullAt(5), "junk rows keep null stats")
+  }
+
+  test("resizeImages scales the longer edge down, never up, and re-encodes decodably") {
+    val rows = mediaOf(Seq(
+      (1L, "image", encode(solidImage(64, 32, 0x336699), "png")),
+      (2L, "image", encode(solidImage(8, 6, 0x336699), "png"))))
+    val out = Multimodal.resizeImages(rows, maxEdge = 16)
+      .collect().map(d => d.media_id -> d).toMap
+    assert((out(1L).width, out(1L).height) == ((16, 8)))
+    // the re-encoded payload is a real PNG of the new size
+    val back = Multimodal.ImageIoCodec.decodeImage(out(1L).content).get
+    assert((back.getWidth, back.getHeight) == ((16, 8)))
+    assert((back.getRGB(3, 3) & 0xffffff) == 0x336699, "bilinear of a solid stays solid")
+    // smaller than maxEdge: payload passes through untouched
+    assert((out(2L).width, out(2L).height) == ((8, 6)))
+    assert(out(2L).content.sameElements(encode(solidImage(8, 6, 0x336699), "png")))
+  }
 }
