@@ -360,4 +360,40 @@ object TextAnalysis {
       when(substring(md5(col(keyCol).cast("string").cast("binary")), 1, len)
         .isin(evalPrefixes: _*), "eval").otherwise("train"))
   }
+
+  /** Fit a char-bigram language model DRIVER-SIDE on a bounded,
+    * deterministic sample of the corpus — the quality-model analogue of
+    * the IVF quantizer fit (Similarity.fitCentroids): md5-order the
+    * documents, take the first `sampleN` texts (one TakeOrdered job,
+    * driver memory bounded by sampleN × doc size), accumulate
+    * Laplace-smoothed 27-symbol bigram counts locally. The returned
+    * model is 27² log-probs (~6 KB) — foldable into a scoring plan as
+    * a literal. This is the CCNet shape: the LM that scores a 100 TB
+    * corpus is trained once on a bounded sample of reference text, not
+    * distributed-fit over the corpus. Train on a CLEAN reference corpus
+    * and low [[lmScore]]s flag gibberish/boilerplate for filtering. */
+  def fitCharBigramLm(docs: DataFrame, textCol: String = "text",
+                      sampleN: Int = 2048, seed: Long = 42): Array[Double] = {
+    import graft.functions.expr.CharLm
+    val sample = docs.select(col(textCol))
+      .where(col(textCol).isNotNull)
+      .orderBy(md5(concat(col(textCol), lit(seed.toString))))
+      .limit(sampleN)
+      .collect().map(_.getString(0))
+    require(sample.nonEmpty, "cannot fit a language model on an empty corpus")
+    val counts = Array.fill(CharLm.Symbols * CharLm.Symbols)(1L) // Laplace
+    sample.foreach(CharLm.accumulate(_, counts))
+    CharLm.logProbs(counts)
+  }
+
+  /** Score every document under a fitted char-bigram model: adds
+    * `scoreCol` = mean transition log-probability (higher = more like
+    * the training text; gibberish scores sharply lower). One narrow
+    * pass — the model rides in the expression, so there is no join and
+    * nothing to broadcast. Filter on the score for CCNet-style
+    * perplexity curation. */
+  def lmScore(docs: DataFrame, model: Array[Double],
+              textCol: String = "text",
+              scoreCol: String = "lm_score"): DataFrame =
+    docs.withColumn(scoreCol, charBigramScore(col(textCol), model))
 }

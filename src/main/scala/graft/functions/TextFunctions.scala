@@ -131,4 +131,13 @@ object TextFunctions {
     org.apache.spark.sql.GraftExprBridge.column(
       graft.functions.expr.SimHash64(
         org.apache.spark.sql.GraftExprBridge.expression(text)))
+
+  /** Mean char-bigram log-probability under a trained 27-symbol model
+    * (TextAnalysis.fitCharBigramLm) — the KenLM-perplexity stand-in for
+    * CCNet-style quality filtering. Native expression, one pass, model
+    * folded into the plan. */
+  def charBigramScore(text: Column, model: Array[Double]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.CharBigramScore(
+        org.apache.spark.sql.GraftExprBridge.expression(text), model))
 }

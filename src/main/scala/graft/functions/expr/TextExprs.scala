@@ -191,3 +191,91 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "simhash64"
 }
+
+/** Shared char-bigram language-model kernel (27 symbols: space + a-z,
+  * case-folded, with space-run collapse so punctuation/whitespace salvos
+  * count once). Training and scoring use the SAME normalization, so a
+  * model is valid for any text the scorer sees. */
+object CharLm {
+  val Symbols = 27
+
+  @inline private def symbol(c: Char): Int = {
+    val lower = Character.toLowerCase(c)
+    if (lower >= 'a' && lower <= 'z') lower - 'a' + 1 else 0
+  }
+
+  /** Fold a document's bigram transitions into `counts` (length 27²,
+    * row-major prev×next). Space→space transitions are skipped. */
+  def accumulate(s: String, counts: Array[Long]): Unit = {
+    var prev = 0
+    var i = 0
+    while (i < s.length) {
+      val idx = symbol(s.charAt(i))
+      if (idx != 0 || prev != 0) {
+        counts(prev * Symbols + idx) += 1
+        prev = idx
+      }
+      i += 1
+    }
+  }
+
+  /** Row-conditional log-probabilities of a (Laplace-smoothed) count
+    * table: model[p*27+n] = ln P(next=n | prev=p). */
+  def logProbs(counts: Array[Long]): Array[Double] = {
+    val model = new Array[Double](Symbols * Symbols)
+    var p = 0
+    while (p < Symbols) {
+      var total = 0L
+      var n = 0
+      while (n < Symbols) { total += counts(p * Symbols + n); n += 1 }
+      n = 0
+      while (n < Symbols) {
+        model(p * Symbols + n) = math.log(counts(p * Symbols + n).toDouble / total)
+        n += 1
+      }
+      p += 1
+    }
+    model
+  }
+
+  /** Mean transition log-probability of a document (0.0 for documents
+    * with no transitions) — the per-doc score. */
+  def score(s: String, model: Array[Double]): Double = {
+    var prev = 0
+    var i = 0
+    var n = 0
+    var sum = 0.0
+    while (i < s.length) {
+      val idx = symbol(s.charAt(i))
+      if (idx != 0 || prev != 0) {
+        sum += model(prev * Symbols + idx)
+        n += 1
+        prev = idx
+      }
+      i += 1
+    }
+    if (n == 0) 0.0 else sum / n
+  }
+}
+
+/** Mean char-bigram log-probability of a text column under a trained
+  * 27-symbol model (TextAnalysis.fitCharBigramLm) — the cheap stand-in
+  * for KenLM perplexity in a CCNet-style quality-filter stage. The
+  * model (27² doubles, ~6 KB) rides in the expression tree, so scoring
+  * is one pass per document with zero per-row allocation and no join
+  * against a model table. */
+case class CharBigramScore(child: Expression, model: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  require(model.length == CharLm.Symbols * CharLm.Symbols,
+    s"model must be ${CharLm.Symbols}x${CharLm.Symbols} log-probs")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_bigram_score needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    CharLm.score(input.asInstanceOf[UTF8String].toString, model)
+  override protected def withNewChildInternal(c: Expression): CharBigramScore =
+    copy(child = c)
+  override def prettyName: String = "char_bigram_score"
+}

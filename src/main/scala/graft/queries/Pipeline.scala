@@ -460,6 +460,37 @@ object Pipeline {
         (col("vn") > 0 && col("vneq") === 0).as("vec_dot_matches"))
     }),
 
+    // Char-bigram LM quality contract (the CCNet perplexity-filter
+    // stage, Spark-first: bounded driver-side model fit + one-pass
+    // scoring with the model folded into the plan). The model trained
+    // on the corpus must (a) score a natural-word probe above a
+    // planted rare-bigram gibberish probe, (b) place the corpus mean
+    // above the gibberish probe, and (c) produce genuine
+    // log-probabilities (negative).
+    "q100_lm_quality" -> ((s, d) => {
+      import graft.api.TextAnalysis
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.fitCharBigramLm(docs)
+      val corpus = TextAnalysis.lmScore(docs, model)
+        .agg(avg(col("lm_score")).as("corpus_avg"))
+      val probes = {
+        import s.implicits._
+        Seq(("natural", "the whole team read the small report and found " +
+              "the result was good for the market and the people"),
+            ("gibberish", "zq xvq jzx qkv zzq xjq vqz kxq jqz vxk qzj xqv"))
+          .toDF("label", "text")
+      }
+      val scored = TextAnalysis.lmScore(probes, model)
+      val nat = scored.filter(col("label") === "natural")
+        .select(col("lm_score").as("s_nat"))
+      val gib = scored.filter(col("label") === "gibberish")
+        .select(col("lm_score").as("s_gib"))
+      corpus.crossJoin(nat).crossJoin(gib).select(
+        (col("s_nat") > col("s_gib")).as("natural_beats_gibberish"),
+        (col("corpus_avg") > col("s_gib")).as("corpus_beats_gibberish"),
+        (col("s_nat") < 0.0 && col("s_gib") < 0.0).as("scores_are_log_probs"))
+    }),
+
     // SimHash contract: the hamming<=3 pair set is nonempty and overlaps
     // the exact Jaccard>=0.8 ground truth (token-level simhash and
     // shingle Jaccard are different similarity spaces, so overlap — not
@@ -1021,6 +1052,9 @@ object Pipeline {
       "SELECT TRUE AS nonempty, TRUE AS overlaps_truth",
     "q98_sql_parity" ->
       "SELECT TRUE AS text_fns_match, TRUE AS vec_dot_matches",
+    "q100_lm_quality" ->
+      ("SELECT TRUE AS natural_beats_gibberish, TRUE AS corpus_beats_gibberish, " +
+        "TRUE AS scores_are_log_probs"),
     "q80_pq_contract" ->
       "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
     "q81_ivfpq_contract" ->

@@ -782,4 +782,26 @@ class ApiSpec extends AnyFunSuite {
       expectedItems = 100L, fpp = 0.01, joinType = "left_semi").count()
     assert(survivors == 30, "semi join sees only true matches")
   }
+
+  test("char-bigram LM: deterministic fit, gibberish scores low, one-pass scoring") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+    val m1 = TextAnalysis.fitCharBigramLm(docs)
+    val m2 = TextAnalysis.fitCharBigramLm(docs)
+    assert(m1.sameElements(m2), "fit must be deterministic in (seed, corpus)")
+    assert(m1.length == 27 * 27 && m1.forall(v => v < 0.0 && !v.isInfinite),
+      "Laplace smoothing keeps every log-prob finite and negative")
+
+    import spark.implicits._
+    val probes = Seq(
+      (1L, "the report and the market were good for the people"),
+      (2L, "zq xvq jzx qkv zzq xjq vqz kxq jqz vxk"),
+      (3L, "")).toDF("id", "text")
+    val scored = TextAnalysis.lmScore(probes, m1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(2L), s"natural ${scored(1L)} <= gibberish ${scored(2L)}")
+    assert(scored(3L) == 0.0, "no transitions -> score 0")
+    // scoring is a narrow stage: no exchange in the plan
+    val plan = TextAnalysis.lmScore(probes, m1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "model-in-plan scoring must not shuffle")
+  }
 }
