@@ -409,6 +409,42 @@ object Ingest {
     IngestResult(numRows, 1, throughput, lines)
   }
 
+  /** TRANSACTIONAL batch ingest: `batches` staged-publish commits
+    * through the SAME protocol as the streaming path (commitBatch:
+    * scrub → stage → rename-publish → marker), so batch-loaded rows get
+    * atomic visibility, idempotent replay, and committedView/snapshot/
+    * commit-log-stream semantics — [[runBatch]]'s plain append has none
+    * of those (its rows are visible to directory readers mid-write and
+    * carry no batch token). Rows split evenly across batch ids
+    * 0..batches-1 (last batch takes the remainder). */
+  def runBatchCommitted(spark: SparkSession, cfg: IngestConfig,
+                        numRows: Long, batches: Int = 1): IngestResult = {
+    val path = cfg.outputPath.getOrElse(
+      sys.error("batch ingest requires an output path"))
+    require(batches > 0 && numRows >= 0)
+    val t0 = System.nanoTime()
+    val per = math.max(1L, numRows / batches)
+    var committed = 0L
+    var nCommits = 0L
+    (0 until batches).foreach { i =>
+      val from = math.min(i * per, numRows)
+      val until = if (i == batches - 1) numRows else math.min((i + 1) * per, numRows)
+      if (until > from) {
+        val raw = spark.range(from, until, 1, cfg.parallelism)
+          .select(col("id").as("value"), spark_partition_id().as("__pid"))
+        committed += commitBatch(cfg, path, raw, i)
+        nCommits += 1
+      }
+    }
+    val elapsedMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
+    val throughput = committed * 1000 / elapsedMs
+    val lines = Seq(
+      s"Total rows committed: $committed",
+      s"Throughput: $throughput rows/second")
+    lines.foreach(println)
+    IngestResult(committed, nCommits, throughput, lines)
+  }
+
   /** ORC write tuning for the synthetic-load sink (no-ops for parquet):
     *  - 32 KiB compress buffer: bucketed commits write p×buckets
     *    smallish files, and the default 256 KiB buffer is allocated per

@@ -287,6 +287,37 @@ object Pipeline {
         .orderBy("name")
     }),
 
+    // Commit-log contract: transactional batch ingest (3 staged-publish
+    // commits) + a compaction, then the marker log read back through
+    // the custom graft-commits DSv2 source (built-in file sources
+    // cannot see _-prefixed dirs) and the rows through committedView —
+    // the full write-side protocol and both read sides of it in one
+    // closed-form gate.
+    "q101_commit_log" -> ((s, d) => {
+      import graft.ingest.{Compact, Ingest, IngestConfig}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-clog-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
+      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+      Compact.compact(s, path)
+      val markers = s.read.format("graft-commits").load(s"$path/_commits")
+        .agg(sum(when(col("token").rlike("^(g\\d+-)?\\d+$"), 1).otherwise(0))
+            .as("n_commits"),
+          sum(when(col("token").rlike("^c\\d+$"), 1).otherwise(0))
+            .as("n_compactions"))
+      val rows = graft.core.Tables.committedView(s, path)
+        .agg(count(lit(1)).as("committed_rows"))
+      markers.crossJoin(rows)
+        .select(col("n_commits").cast("int").as("n_commits"),
+          col("n_compactions").cast("int").as("n_compactions"),
+          col("committed_rows"))
+    }),
+
     "q82_binary_ingest" -> ((s, d) => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-bin-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -1012,6 +1043,9 @@ object Pipeline {
 
     // q82 writes its own header-exact fixtures, so the expected rows are
     // closed-form constants
+    "q101_commit_log" ->
+      ("SELECT CAST(3 AS INT) AS n_commits, CAST(1 AS INT) AS n_compactions, " +
+        "CAST(6000 AS BIGINT) AS committed_rows"),
     "q99_imageio_decode" ->
       """SELECT * FROM (VALUES
         |  ('a.png',  8,  6,  10,  20,  30),

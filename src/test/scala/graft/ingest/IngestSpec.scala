@@ -285,4 +285,19 @@ class IngestSpec extends AnyFunSuite {
     // throughput formula: committed rows / configured timeout seconds
     assert(res.throughputRowsPerSec == res.rowsCommitted / (cfg.timeoutMs / 1000))
   }
+
+  test("runBatchCommitted publishes through the commit protocol, replay-safe") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
+    val res = Ingest.runBatchCommitted(spark, cfg, 5000, batches = 2)
+    assert(res.rowsCommitted == 5000)
+    assert(new java.io.File(dir, "_commits/0").exists)
+    assert(new java.io.File(dir, "_commits/1").exists)
+    assert(graft.core.Tables.committedView(spark, dir).count() == 5000)
+    // a re-run is an idempotent replay: markers exist, nothing re-publishes
+    val replay = Ingest.runBatchCommitted(spark, cfg, 5000, batches = 2)
+    assert(replay.rowsCommitted == 0)
+    assert(graft.core.Tables.committedView(spark, dir).count() == 5000)
+    assert(spark.read.orc(dir).count() == 5000, "no duplicate files either")
+  }
 }
