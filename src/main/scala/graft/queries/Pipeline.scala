@@ -287,6 +287,30 @@ object Pipeline {
         .orderBy("name")
     }),
 
+    // Z-order layout contract: events z-ordered by (user_id, value)
+    // into a fresh dir must preserve every row and cluster BOTH
+    // columns' per-file spans below 0.6 of the global span (a linear
+    // sort leaves the non-leading column at ~1.0 — no skipping) — the
+    // multi-column data-skipping property, checked off the real written
+    // files.
+    "q102_zorder_layout" -> ((s, d) => {
+      import graft.core.Layout
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-zord-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      Layout.zorderWrite(ev, dir, Seq("user_id", "value"), numFiles = 16)
+      val back = s.read.parquet(dir)
+      val counts = ev.agg(count(lit(1)).as("n0"), sum(col("event_id")).as("s0"))
+        .crossJoin(back.agg(count(lit(1)).as("n1"), sum(col("event_id")).as("s1")))
+      val cf = Layout.clusteringFactor(s, dir, Seq("user_id", "value"))
+        .groupBy().pivot("column", Seq("user_id", "value"))
+        .agg(first("clustering_factor"))
+      counts.crossJoin(cf).select(
+        (col("n0") === col("n1") && col("s0") === col("s1")).as("rows_preserved"),
+        (col("user_id") < 0.6).as("user_id_clusters"),
+        (col("value") < 0.6).as("value_clusters"))
+    }),
+
     // Commit-log contract: transactional batch ingest (3 staged-publish
     // commits) + a compaction, then the marker log read back through
     // the custom graft-commits DSv2 source (built-in file sources
@@ -1046,6 +1070,9 @@ object Pipeline {
     "q101_commit_log" ->
       ("SELECT CAST(3 AS INT) AS n_commits, CAST(1 AS INT) AS n_compactions, " +
         "CAST(6000 AS BIGINT) AS committed_rows"),
+    "q102_zorder_layout" ->
+      ("SELECT TRUE AS rows_preserved, TRUE AS user_id_clusters, " +
+        "TRUE AS value_clusters"),
     "q99_imageio_decode" ->
       """SELECT * FROM (VALUES
         |  ('a.png',  8,  6,  10,  20,  30),
