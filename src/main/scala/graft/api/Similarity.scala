@@ -39,11 +39,13 @@ object Similarity {
     * no per-row object allocation) — measured FASTER than the typed
     * aggregator when the pair set is huge and dense (the O(n²)
     * brute-force path), slower when pairs are sparse candidates. */
-  private def topKWindow(pairs: DataFrame, k: Int): DataFrame = {
+  private def topKWindow(pairs: DataFrame, k: Int,
+                         roundCos: Boolean = true): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (if (roundCos) round(col("cos"), 6) else col("cos")).as("cos"))
   }
 
   /** Grouped top-k via the typed TopKByScore Aggregator: bounded
@@ -60,14 +62,15 @@ object Similarity {
     * any other id type (UUID strings etc.) transparently falls back to
     * the generic window formulation — same results, no type
     * restriction on the library surface. */
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+  private def topK(pairs: DataFrame, k: Int,
+                   roundCos: Boolean = true): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val integral = Seq(pairs.schema("vec_id").dataType,
         pairs.schema("neighbor_id").dataType)
       .forall(t => t == org.apache.spark.sql.types.LongType ||
         t == org.apache.spark.sql.types.IntegerType)
-    if (!integral) topKWindow(pairs, k)
+    if (!integral) topKWindow(pairs, k, roundCos)
     else pairs.select(col("vec_id").cast("long"), col("neighbor_id").cast("long"), col("cos"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -76,7 +79,8 @@ object Similarity {
       .toDF("vec_id", "topk")
       .select(col("vec_id"), posexplode(col("topk")))
       .select(col("vec_id"), (col("pos") + 1).as("rank"),
-        col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("cos"))
+        col("col._1").as("neighbor_id"),
+        (if (roundCos) round(col("col._2"), 6) else col("col._2")).as("cos"))
   }
 
   /** Brute-force cosine top-k — the EXACT baseline, O(n²) by
@@ -647,6 +651,56 @@ object Similarity {
                        queries: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", k: Int = 3,
                        nprobe: Int = 2, rescoreDepth: Int = 0): DataFrame = {
+    val (rankedRaw, probed, q0, root) =
+      pqAdcRanked(spark, path, queries, idCol, vecCol,
+        math.max(k, rescoreDepth), nprobe)
+    rankedRaw match {
+      case None => emptyTopK(spark, q0)
+      case Some(ranked) =>
+        if (rescoreDepth <= 0)
+          ranked.withColumn("cos", round(col("cos"), 6))
+        else pqRescoreTopK(spark, root,
+          ranked.select(col("vec_id"), col("neighbor_id")), q0, probed, k)
+    }
+  }
+
+  /** One index probe, BOTH rankings: returns (adcTopK, rescoredTopK).
+    * The raw-ADC top-k is the head of the same depth ranking the
+    * rescore pass starts from, so deriving both from one probe halves
+    * the search work vs two [[ivfPqSearchIndex]] calls. The two
+    * returned frames share the ranking SUBTREE, not a cache: when both
+    * are consumed in one action, ReuseExchange dedupes the probe and
+    * ranking exchanges (A/B'd: an explicit persist barrier here LOST
+    * ~1 s at sf0.1 by serializing against concurrent subtrees, while
+    * plan-level reuse kept full stage overlap). */
+  def ivfPqSearchIndexBoth(spark: org.apache.spark.sql.SparkSession, path: String,
+                           queries: DataFrame, idCol: String = "vec_id",
+                           vecCol: String = "embedding", k: Int = 3,
+                           nprobe: Int = 2, rescoreDepth: Int = 10): (DataFrame, DataFrame) = {
+    require(rescoreDepth >= k, s"rescoreDepth=$rescoreDepth must be >= k=$k")
+    val (rankedRaw, probed, q0, root) =
+      pqAdcRanked(spark, path, queries, idCol, vecCol, rescoreDepth, nprobe)
+    rankedRaw match {
+      case None => (emptyTopK(spark, q0), emptyTopK(spark, q0))
+      case Some(ranked) =>
+        val shared = ranked
+        val adc = shared.filter(col("rank") <= k)
+          .withColumn("cos", round(col("cos"), 6))
+        val rescored = pqRescoreTopK(spark, root,
+          shared.select(col("vec_id"), col("neighbor_id")), q0, probed, k)
+        (adc, rescored)
+    }
+  }
+
+  /** Shared ADC candidate stage of the IVF+PQ search: per-query lookup
+    * table + probed-cell join + bounded top-`depth` ranking, cos left
+    * UNROUNDED so callers derive either output from it. Returns
+    * (ranked (None when the query side is empty), probed cells, normed
+    * queries, resolved index root). */
+  private def pqAdcRanked(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          depth: Int, nprobe: Int)
+      : (Option[DataFrame], Seq[Int], DataFrame, String) = {
     val root = resolveIndexRoot(spark, path)
     val centroids = readCentroids(spark, root)
     require(nprobe >= 1 && nprobe <= centroids.length)
@@ -680,7 +734,7 @@ object Similarity {
       .repartition(col("cell"))
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (probed.isEmpty) return emptyTopK(spark, q0)
+    if (probed.isEmpty) return (None, probed, q0, root)
     val index = spark.read.parquet(s"$root/codes")
       .filter(col("cell").isin(probed: _*))
     val adc = (0 until m).map(i =>
@@ -691,23 +745,25 @@ object Similarity {
       .withColumn("cos", when(col("nrm") * col("rnorm") === 0.0, 0.0)
         .otherwise(adc / (col("nrm") * col("rnorm"))))
       .select(col("vec_id"), col("neighbor_id"), col("cos"))
-    val ranked = topK(pairs, math.max(k, rescoreDepth))
-    if (rescoreDepth <= 0) ranked
-    else {
-      // exact rescore of the bounded PQ-survivor set: raw vectors come
-      // from the index (partition-pruned to the probed cells), queries
-      // re-attach by keyed join — both joins keyed, no broadcast hints
-      val raw = spark.read.parquet(s"$root/vectors")
-        .filter(col("cell").isin(probed: _*))
-        .select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
-      val qraw = q0.select(col("vec_id"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      topK(ranked.select(col("vec_id"), col("neighbor_id"))
-        .join(qraw, "vec_id").join(raw, "neighbor_id")
-        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-        .select(col("vec_id"), col("neighbor_id"), col("cos")), k)
-    }
+    (Some(topK(pairs, depth, roundCos = false)), probed, q0, root)
+  }
+
+  /** Exact rescore of the bounded PQ-survivor set: raw vectors come
+    * from the index (partition-pruned to the probed cells), queries
+    * re-attach by keyed join — both joins keyed, no broadcast hints. */
+  private def pqRescoreTopK(spark: org.apache.spark.sql.SparkSession, root: String,
+                            rankedIds: DataFrame, q0: DataFrame,
+                            probed: Seq[Int], k: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$root/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    val qraw = q0.select(col("vec_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    topK(rankedIds
+      .join(qraw, "vec_id").join(raw, "neighbor_id")
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .select(col("vec_id"), col("neighbor_id"), col("cos")), k)
   }
 
   // ---- index lifecycle: version resolution, drift profiling, reindex ----

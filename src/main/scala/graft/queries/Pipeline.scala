@@ -466,14 +466,16 @@ object Pipeline {
         ann.select(col("vec_id"), col("neighbor_id")).withColumn(name, lit(1))
       // ONE exact subtree: both recalls aggregate off the same left join
       // chain (q70's union shape would evaluate the O(n²) exact branch
-      // twice), emitted as a single constant row
+      // twice), emitted as a single constant row. ONE index probe: the
+      // Both form derives the raw-ADC top-k from the head of the same
+      // depth-15 ranking the rescore starts from (r6: two independent
+      // searches repeated the LUT/probe/join work — measured 7.9 s).
+      val (adcTopK, rescoredTopK) = graft.api.Similarity.ivfPqSearchIndexBoth(
+        s, idx, emb, nprobe = 2, rescoreDepth = 15)
       Pipeline.queries("q47_cosine_topk")(s, d)
         .select(col("vec_id"), col("neighbor_id"))
-        .join(hits(graft.api.Similarity.ivfPqSearchIndex(s, idx, emb, nprobe = 2),
-          "adc_hit"), Seq("vec_id", "neighbor_id"), "left")
-        .join(hits(graft.api.Similarity.ivfPqSearchIndex(s, idx, emb,
-            nprobe = 2, rescoreDepth = 15),
-          "rescored_hit"), Seq("vec_id", "neighbor_id"), "left")
+        .join(hits(adcTopK, "adc_hit"), Seq("vec_id", "neighbor_id"), "left")
+        .join(hits(rescoredTopK, "rescored_hit"), Seq("vec_id", "neighbor_id"), "left")
         .agg(
           (sum(coalesce(col("adc_hit"), lit(0))).cast("double") / count(lit(1))).as("r_adc"),
           (sum(coalesce(col("rescored_hit"), lit(0))).cast("double") / count(lit(1))).as("r_res"))

@@ -141,6 +141,31 @@ class ApiSpec extends AnyFunSuite {
       f"mean ADC cosine error ${errs.sum / errs.length}%.4f too high")
   }
 
+  test("ivfPqSearchIndexBoth == the two independent searches, from one probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-both").toString
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    Similarity.buildIvfPqIndex(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val (adcB, resB) = Similarity.ivfPqSearchIndexBoth(
+      spark, dir, emb, k = 3, nprobe = 2, rescoreDepth = 9)
+    // bit-exact against the single-purpose searches: same ranks, same
+    // neighbors, same rounded cosines — the Both form is a pure
+    // work-sharing rewrite, never a semantic variant
+    assert(rows(adcB) == rows(
+      Similarity.ivfPqSearchIndex(spark, dir, emb, k = 3, nprobe = 2)))
+    assert(rows(resB) == rows(Similarity.ivfPqSearchIndex(
+      spark, dir, emb, k = 3, nprobe = 2, rescoreDepth = 9)))
+    spark.catalog.clearCache()
+    // empty query side: both frames empty, correctly typed
+    val (ea, er) = Similarity.ivfPqSearchIndexBoth(
+      spark, dir, emb.limit(0), k = 3, nprobe = 2, rescoreDepth = 9)
+    assert(ea.count() == 0 && er.count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchIndexBoth(spark, dir, emb, k = 5, nprobe = 2, rescoreDepth = 3)
+    }
+  }
+
   test("IVF and IVF+PQ appends add vectors under the frozen quantizer (no refit)") {
     import org.apache.spark.sql.functions.{col, not}
     val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
