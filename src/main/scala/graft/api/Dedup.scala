@@ -285,6 +285,43 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Paragraph-level exact dedup — the CCNet line-dedup stage: split
+    * every document on `sep`, keep only the globally FIRST occurrence
+    * of each distinct non-empty paragraph (first = smallest
+    * (document id, position) pair), and reassemble documents from
+    * their surviving paragraphs in original order. Documents whose
+    * every paragraph occurred earlier disappear from the output —
+    * that is the point: boilerplate headers/footers shared by
+    * thousands of pages survive exactly once, corpus-wide.
+    *
+    * Scale shape: paragraphs shuffle by a 128-bit md5 key twice — one
+    * keyed aggregate electing each paragraph's winner (a min-struct,
+    * partially aggregated map-side) and one keyed equi-join carrying
+    * the paragraph text back to its winning slot — then one keyed
+    * regroup by document rebuilds the survivors. No window over the
+    * corpus, no driver-side state; the dedup key is the hash, so two
+    * md5-colliding distinct paragraphs would merge (the standard
+    * accepted risk, same as [[exact]]). Output: (idCol, textCol) with
+    * only surviving documents. */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .filter(col("para") =!= "")
+      .withColumn("ph", md5(col("para").cast("binary")))
+    val winners = paras.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    paras.join(winners, "ph")
+      .filter(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")),
+        sep).as(textCol))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Keep-one dedup over a near-dup pair graph: connected components by
     * iterative min-label propagation (one keyed join + aggregation per
     * round, O(component diameter) rounds), canonical = component min.

@@ -396,4 +396,145 @@ object TextAnalysis {
               textCol: String = "text",
               scoreCol: String = "lm_score"): DataFrame =
     docs.withColumn(scoreCol, charBigramScore(col(textCol), model))
+
+  /** BM25 top-k document retrieval for a literal query string — the
+    * classic probabilistic ranking (Robertson/Spärck Jones, the
+    * Lucene-default scoring shape with the (k1+1) numerator):
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + ½)/(df_t + ½))
+    *              · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))
+    *
+    * Spark-first plan, no inverted index needed for one-shot scoring:
+    * ONE corpus scan computes per-document (dl, tf per query term) off
+    * a single tokens array (whitespace tokens, lowercased, empties
+    * dropped — the q51/q61 tokenizer); the corpus statistics
+    * (N, avgdl, per-term df) ride as a ONE-ROW aggregate cross-joined
+    * into the same plan (the q61 pattern — no separate count() pass);
+    * non-matching documents are filtered before anything shuffles; the
+    * final top-k is a bounded TakeOrdered, never a global sort. At
+    * 100 TB that is: one narrow pass, a metadata-sized aggregate
+    * exchange, and a k-row result. Query terms are deduplicated and
+    * sorted, so scoring order — and therefore the float sum — is a
+    * pure function of the query SET. Scores are rounded to 6 decimals
+    * BEFORE ranking so the ordering is reproducible across engines.
+    * Output: (rank, doc_id, dl, score), rank 1 = best. */
+  /** Feature row for the quality classifier: fixed, deterministic,
+    * codegen'd text statistics (bias, damped log-length, punctuation
+    * ratio, English stopword ratio, damped mean token length, token
+    * density). Scaling keeps every feature O(1) so plain gradient
+    * descent converges without per-corpus standardization — the model
+    * must be a pure function of (sample, hyperparameters) to refit
+    * reproducibly. */
+  private def qcFeatures(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    lit(1.0),
+    log(lit(1.0) + length(text)) / 10.0,
+    punctRatio(text),
+    stopwordRatio(text, langMarkers("en")),
+    meanTokenLen(text) / 10.0,
+    tokenCount(text).cast("double") / (length(text) + lit(1.0)) * 5.0)
+
+  /** Fit a logistic-regression text-quality classifier DRIVER-SIDE on
+    * a bounded, deterministic sample of a labeled corpus — the
+    * fastText-style quality-filter stage (label 1 = reference-quality,
+    * 0 = junk), in the same shape as the IVF quantizer and char-bigram
+    * LM fits: features are computed IN the plan (one narrow pass), the
+    * sample is md5-ordered and bounded (`sampleN` rows × 6 doubles of
+    * driver memory), and batch gradient descent with a fixed iteration
+    * count is exactly reproducible — same corpus, same seed, same
+    * weights, bit for bit. The md5 sample key covers (text, label,
+    * seed) so boundary and ordering ties are identical rows and cannot
+    * perturb the float gradient sums. Returns the 6 weights. */
+  def fitQualityClassifier(labeled: DataFrame, labelCol: String = "label",
+                           textCol: String = "text", sampleN: Int = 4096,
+                           seed: Long = 42, iters: Int = 200,
+                           lr: Double = 0.5): Array[Double] = {
+    val feats = qcFeatures(col(textCol))
+    val data = labeled
+      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(md5(concat(col(textCol).cast("binary"),
+          col(labelCol).cast("string").cast("binary"),
+          lit(seed.toString).cast("binary"))).as("k") +:
+        col(labelCol).cast("double").as("y") +:
+        feats.zipWithIndex.map { case (f, i) => f.as(s"f$i") }: _*)
+      .orderBy(col("k")).limit(sampleN)
+      .collect()
+      .map(r => (r.getDouble(1), Array.tabulate(feats.length)(j => r.getDouble(2 + j))))
+    require(data.nonEmpty, "cannot fit a classifier on an empty sample")
+    require(data.exists(_._1 > 0.5) && data.exists(_._1 < 0.5),
+      "sample must contain both classes")
+    val d = feats.length
+    val w = new Array[Double](d)
+    var it = 0
+    while (it < iters) {
+      val g = new Array[Double](d)
+      data.foreach { case (y, x) =>
+        var z = 0.0; var j = 0
+        while (j < d) { z += w(j) * x(j); j += 1 }
+        val e = 1.0 / (1.0 + math.exp(-z)) - y
+        j = 0
+        while (j < d) { g(j) += e * x(j); j += 1 }
+      }
+      var j = 0
+      while (j < d) { w(j) -= lr * g(j) / data.length; j += 1 }
+      it += 1
+    }
+    w
+  }
+
+  /** Score documents under a fitted quality classifier: adds
+    * `scoreCol` = σ(w·features) ∈ (0, 1), higher = more like the
+    * positive (reference-quality) class. The weights ride in the
+    * expression — one narrow codegen'd pass, no join, no broadcast,
+    * nothing driver-side. Filter on the score for classifier-based
+    * quality curation. */
+  def classifierScore(docs: DataFrame, weights: Array[Double],
+                      textCol: String = "text",
+                      scoreCol: String = "qc_score"): DataFrame = {
+    val feats = qcFeatures(col(textCol))
+    require(weights.length == feats.length,
+      s"expected ${feats.length} weights, got ${weights.length}")
+    val z = feats.zip(weights).map { case (f, wt) => f * lit(wt) }.reduce(_ + _)
+    docs.withColumn(scoreCol, lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  def searchBm25(docs: DataFrame, query: String, idCol: String = "doc_id",
+                 textCol: String = "text", k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one term")
+    require(k > 0, "k must be positive")
+    // tokens materialized once in their own projection: CollapseProject
+    // keeps the split out of the per-term filters because the alias is
+    // referenced |terms|+1 times and split() is not collapse-cheap
+    val withToks = docs.select(col(idCol).as("doc_id"),
+      filter(wsTokens(lower(col(textCol))), t => t =!= "").as("ts"))
+    val perDoc = withToks.select(
+      col("doc_id") +: size(col("ts")).as("dl") +:
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ts"), x => x === lit(t))).as(s"tf_$i")
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        qTerms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("double").as(s"df_$i")): _*)
+    val matched = perDoc.filter(
+      qTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+    val score = qTerms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val top = matched.crossJoin(stats)
+      .withColumn("score", round(score, 6))
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank assignment runs AFTER the bounded top-k, over ≤ k rows —
+    // the single-partition window never sees the corpus
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
 }

@@ -129,7 +129,8 @@ object Tables {
     * stood at commit N". */
   def committedViewAsOf(spark: SparkSession, path: String, upToBatch: Long,
                         format: String = "orc",
-                        schema: Option[org.apache.spark.sql.types.StructType] = None)
+                        schema: Option[org.apache.spark.sql.types.StructType] = None,
+                        mergeSchemas: Boolean = false)
       : DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
@@ -175,12 +176,28 @@ object Tables {
           s"${destroyed.toSeq.sorted.mkString(", ")} were compacted away and " +
           "vacuumed — historical reads survive compaction only until vacuum")
     if (files.nonEmpty)
-      spark.read.format(format).option("basePath", path).load(files.toSeq: _*)
-    else committedView(spark, path, format, schema).limit(0)
+      batchReader(spark, path, format, mergeSchemas).load(files.toSeq: _*)
+    else committedView(spark, path, format, schema, mergeSchemas).limit(0)
+  }
+
+  /** Shared reader for committed batch files. With `mergeSchemas` the
+    * view is the UNION-BY-NAME of every committed batch's schema —
+    * schema evolution: a column added in a later commit reads as null
+    * for earlier batches, and an INCOMPATIBLE redefinition (the same
+    * column at a different type) fails loudly at load time (the
+    * source's schema-merge rejects it) instead of silently winning by
+    * whichever file the sampler picked. Off by default: merging reads
+    * every file's footer up front, which a fixed-schema table need
+    * not pay. */
+  private def batchReader(spark: SparkSession, path: String, format: String,
+                          mergeSchemas: Boolean): org.apache.spark.sql.DataFrameReader = {
+    val r = spark.read.format(format).option("basePath", path)
+    if (mergeSchemas) r.option("mergeSchema", "true") else r
   }
 
   def committedView(spark: SparkSession, path: String, format: String = "orc",
-                    schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+                    schema: Option[org.apache.spark.sql.types.StructType] = None,
+                    mergeSchemas: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -212,7 +229,7 @@ object Tables {
       }
     }
     if (files.nonEmpty)
-      spark.read.format(format).option("basePath", path).load(files.toSeq: _*)
+      batchReader(spark, path, format, mergeSchemas).load(files.toSeq: _*)
     else schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)

@@ -248,7 +248,7 @@ object Ingest {
     * Underscore-prefixed dirs (`_staging`, `_commits`, `_checkpoint`)
     * are hidden from Spark/Hadoop readers.
     * Returns the rows committed (0 if the batch was already committed). */
-  private[ingest] def commitBatch(
+  private[graft] def commitBatch(
       cfg: IngestConfig, path: String, batch: DataFrame, batchId: Long,
       groupTag: Option[String] = None): Long = {
     import org.apache.hadoop.fs.Path

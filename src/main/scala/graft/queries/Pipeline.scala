@@ -311,12 +311,98 @@ object Pipeline {
         (col("value") < 0.6).as("value_clusters"))
     }),
 
+    // BM25 top-k retrieval over the documents corpus — the classic
+    // probabilistic ranking as one corpus scan + a one-row stats
+    // aggregate riding in the same plan + a bounded TakeOrdered.
+    // Fully SQL-expressible, so the oracle recomputes the whole
+    // formula (ln idf and all) in DuckDB and the compare is exact.
+    "q103_bm25_search" -> ((s, d) =>
+      graft.api.TextAnalysis.searchBm25(
+        Tables.documents(s, d), "spark join window", k = 10)),
+
+    // Paragraph-level exact dedup (the CCNet line-dedup stage). The
+    // fixture corpus has no newlines, so the query derives a
+    // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
+    // ring-built with N riding as a one-row aggregate — in which every
+    // paragraph occurs exactly twice. Keep-first then provably leaves
+    // doc 0 whole, docs 1..N-2 with only their second paragraph, and
+    // doc N-1 gone; the oracle recomputes all of it in SQL.
+    "q104_paragraph_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val derived = docs.crossJoin(n)
+        .join(b, col("b_id") === (col("doc_id") + 1) % col("n"))
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("b_text")).as("text"))
+      graft.api.Dedup.dedupParagraphs(derived).orderBy("doc_id")
+    }),
+
+    // Classifier-based quality filtering (the fastText-filter stage):
+    // label the fixture docs positive and a deterministic in-plan
+    // corruption of the SAME docs negative (vowels/spaces stripped +
+    // punct/digit splice), fit the logistic model driver-side on the
+    // even-id half, score the held-out odd-id half. Contract: held-out
+    // positives average well above held-out negatives and scores are
+    // genuine probabilities. Training is seed/sample-based with no SQL
+    // analogue → constant-row oracle, like q70/q80/q100.
+    "q105_quality_classifier" -> ((s, d) => {
+      import graft.api.TextAnalysis
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pos = docs.withColumn("label", lit(1.0))
+      val neg = docs.select(col("doc_id"),
+          concat(regexp_replace(col("text"), "[aeiou ]", ""),
+            lit("!!##4242@@!!##4242@@")).as("text"))
+        .withColumn("label", lit(0.0))
+      val even = (f: DataFrame) => f.filter(col("doc_id") % 2 === 0)
+      val odd = (f: DataFrame) => f.filter(col("doc_id") % 2 === 1)
+      val w = TextAnalysis.fitQualityClassifier(even(pos).union(even(neg)))
+      TextAnalysis.classifierScore(odd(pos).union(odd(neg)), w)
+        .groupBy(col("label"))
+        .agg(avg(col("qc_score")).as("m"),
+          min(col("qc_score")).as("lo"), max(col("qc_score")).as("hi"))
+        .agg(
+          (max(when(col("label") === 1.0, col("m"))) >
+            max(when(col("label") === 0.0, col("m"))) + 0.2).as("separates_heldout"),
+          (min(col("lo")) >= 0.0 && max(col("hi")) <= 1.0).as("proper_probabilities"))
+    }),
+
     // Commit-log contract: transactional batch ingest (3 staged-publish
     // commits) + a compaction, then the marker log read back through
     // the custom graft-commits DSv2 source (built-in file sources
     // cannot see _-prefixed dirs) and the rows through committedView —
     // the full write-side protocol and both read sides of it in one
     // closed-form gate.
+    // Schema-evolution contract: two transactional commits with
+    // different schemas (the second ADDS a column), read back through
+    // the merged committed view — union-by-name, nulls for the rows
+    // that predate the column. Closed-form counts, like q101.
+    "q106_schema_evolution" -> ((s, d) => {
+      import graft.ingest.{Gen, Ingest, IngestConfig}
+      import Gen.ColType._
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-sevo-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      def raw(n: Long) = s.range(0, n, 1, 2)
+        .select(col("id").as("value"), lit(0).as("__pid"))
+      val v1 = IngestConfig(outputPath = Some(path), parallelism = 1, buckets = 2,
+        columns = Some(Seq(Gen.ColSpec("user_id", StringUuidPool),
+          Gen.ColSpec("amount", LongT))))
+      val v2 = v1.copy(columns = Some(Seq(Gen.ColSpec("user_id", StringUuidPool),
+        Gen.ColSpec("amount", LongT),
+        Gen.ColSpec("channel", StringDict, Seq("web", "app")))))
+      Ingest.commitBatch(v1, path, raw(100), batchId = 1)
+      Ingest.commitBatch(v2, path, raw(50), batchId = 2)
+      graft.core.Tables.committedView(s, path, mergeSchemas = true)
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("channel").isNull, 1).otherwise(0)).as("pre_evolution_rows"),
+          sum(when(col("channel").isNotNull, 1).otherwise(0)).as("evolved_rows"))
+    }),
+
     "q101_commit_log" -> ((s, d) => {
       import graft.ingest.{Compact, Ingest, IngestConfig}
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1072,9 +1158,68 @@ object Pipeline {
     "q101_commit_log" ->
       ("SELECT CAST(3 AS INT) AS n_commits, CAST(1 AS INT) AS n_compactions, " +
         "CAST(6000 AS BIGINT) AS committed_rows"),
+    "q106_schema_evolution" ->
+      ("SELECT CAST(150 AS BIGINT) AS total, " +
+        "CAST(100 AS BIGINT) AS pre_evolution_rows, " +
+        "CAST(50 AS BIGINT) AS evolved_rows"),
     "q102_zorder_layout" ->
       ("SELECT TRUE AS rows_preserved, TRUE AS user_id_clusters, " +
         "TRUE AS value_clusters"),
+    // full keep-first recomputation: same derived ring corpus, same
+    // winner rule (min (doc_id, pos)), same reassembly order
+    "q104_paragraph_dedup" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |derived AS (
+        |  SELECT a.doc_id, a.text || chr(10) || b.text AS text
+        |  FROM documents a CROSS JOIN n
+        |  JOIN documents b ON b.doc_id = (a.doc_id + 1) % n.n),
+        |paras AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM derived)),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras WHERE para <> '')
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full BM25 recomputation: same tokenizer (\s+ split, lowercased,
+    // empties dropped), same term order (sorted: join, spark, window),
+    // same float expression shapes — contributions summed left to
+    // right, score rounded to 6 BEFORE ranking
+    "q103_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, len(ts) AS dl,
+        |    len(list_filter(ts, x -> x = 'join'))   AS tf_0,
+        |    len(list_filter(ts, x -> x = 'spark'))  AS tf_1,
+        |    len(list_filter(ts, x -> x = 'window')) AS tf_2
+        |  FROM toks),
+        |stats AS (
+        |  SELECT count(*) * 1.0 AS n,
+        |    (sum(dl) * 1.0) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) * 1.0 AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) * 1.0 AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) * 1.0 AS df_2
+        |  FROM per),
+        |scored AS (
+        |  SELECT doc_id, dl, round(
+        |      ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+        |        * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+        |        * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+        |        * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+        |    6) AS score
+        |  FROM per CROSS JOIN stats
+        |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |       doc_id, CAST(dl AS INT) AS dl, score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q99_imageio_decode" ->
       """SELECT * FROM (VALUES
         |  ('a.png',  8,  6,  10,  20,  30),
@@ -1118,6 +1263,8 @@ object Pipeline {
     "q100_lm_quality" ->
       ("SELECT TRUE AS natural_beats_gibberish, TRUE AS corpus_beats_gibberish, " +
         "TRUE AS scores_are_log_probs"),
+    "q105_quality_classifier" ->
+      "SELECT TRUE AS separates_heldout, TRUE AS proper_probabilities",
     "q80_pq_contract" ->
       "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
     "q81_ivfpq_contract" ->

@@ -558,6 +558,52 @@ class ApiSpec extends AnyFunSuite {
     assert(top1 == Map(1L -> "beta", 2L -> "gamma", 3L -> "delta"))
   }
 
+  test("TextAnalysis.searchBm25 ranks by term coverage and respects k") {
+    val df = Seq(
+      (1L, "spark join window spark join window"),  // all terms, twice
+      (2L, "spark join window"),                    // all terms once
+      (3L, "spark spark spark spark"),              // one term, high tf
+      (4L, "filter scan sort"),                     // no terms
+      (5L, "join window other words here")).toDF("id", "body")
+    val top = TextAnalysis.searchBm25(df, "spark join window", "id", "body", k = 3)
+      .collect()
+    assert(top.map(_.getInt(0)).toSeq == Seq(1, 2, 3), s"ranks: ${top.mkString(",")}")
+    // broad term coverage beats repeating one term (saturating tf)
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 5L),
+      s"order: ${top.mkString(",")}")
+    // doc 4 matches nothing: even with k > matches it never appears
+    val all = TextAnalysis.searchBm25(df, "spark join window", "id", "body", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(1L, 2L, 3L, 5L))
+    // query terms dedupe + case-fold: same ranking for a shouty query
+    val loud = TextAnalysis.searchBm25(df, "SPARK Spark JOIN window window", "id", "body", k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(loud == top.map(_.getLong(1)).toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.searchBm25(df, "   ", "id", "body")
+    }
+  }
+
+  test("Dedup.dedupParagraphs keeps only each paragraph's first occurrence") {
+    val df = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "header\nfooter"),            // nothing survives → doc vanishes
+      (4L, "unique four\n\nheader")      // empty paragraph dropped, order kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "header\nunique one\nfooter",
+      2L -> "unique two",
+      4L -> "unique four"))
+    // custom separator + id/text column names
+    val out2 = Dedup.dedupParagraphs(
+      Seq((10L, "a|b"), (11L, "b|c")).toDF("id", "body"), "id", "body", "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(10L -> "a|b", 11L -> "c"))
+  }
+
   test("Dedup.decontaminate drops exactly the benchmark-overlapping docs") {
     val bench = Seq((100L, "the secret eval question about spark engines")).toDF("id", "body")
     val corp = Seq(
@@ -789,6 +835,30 @@ class ApiSpec extends AnyFunSuite {
         .collect()(0).toSeq ==
       redactedBatch.agg(count(lit(1)), sum(length(col("redacted"))))
         .collect()(0).toSeq)
+  }
+
+  test("quality classifier: deterministic refit, separation, probability range") {
+    val clean = (1L to 40L).map(i =>
+      (i, s"the small team read the report and found the result number $i was good", 1.0))
+    val junk = (41L to 80L).map(i =>
+      (i, s"zxqv!!##kjw$i@@@qqpzz###xx!!9999$i##", 0.0))
+    val df = (clean ++ junk).toDF("doc_id", "text", "label")
+    val w1 = TextAnalysis.fitQualityClassifier(df)
+    val w2 = TextAnalysis.fitQualityClassifier(df)
+    assert(w1.toSeq == w2.toSeq, "refit must be bit-identical")
+    val scored = TextAnalysis.classifierScore(df, w1)
+      .select(col("label"), col("qc_score")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1))
+    assert(scored.forall { case (_, s) => s > 0.0 && s < 1.0 })
+    val posAvg = scored.filter(_._1 == 1.0).map(_._2).sum / 40
+    val negAvg = scored.filter(_._1 == 0.0).map(_._2).sum / 40
+    assert(posAvg > negAvg + 0.3, f"separation too weak: $posAvg%.3f vs $negAvg%.3f")
+    intercept[IllegalArgumentException] { // single-class sample refused
+      TextAnalysis.fitQualityClassifier(df.filter(col("label") === 1.0))
+    }
+    intercept[IllegalArgumentException] { // wrong weight arity refused
+      TextAnalysis.classifierScore(df, Array(1.0, 2.0))
+    }
   }
 
   test("Joins.bloomPrefilteredJoin equals the plain join and actually prunes") {
