@@ -913,4 +913,53 @@ object Similarity {
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Semantic deduplication (the SemDeDup stage — Abbas et al. 2023):
+    * cluster the embedding space with the bounded driver-side
+    * quantizer fit, find near-duplicate pairs ONLY within each cell
+    * (a cell-keyed self-join — never an all-pairs product), resolve
+    * transitive groups to one canonical survivor via connected
+    * components ([[Dedup.keepOne]], min id wins), and return the input
+    * minus the dropped rows (all original columns preserved).
+    *
+    * Scale shape: one keyed shuffle on cell for the pair join, with
+    * per-cell cost n_c² — `cells` is the knob that bounds it (SemDeDup
+    * runs k-means with k large enough that clusters stay pairwise-
+    * joinable; at 100 TB size `cells` so corpus/cells² pairs fit a
+    * task, and reuse a persisted IVF index's assignment when one
+    * exists). The component resolution touches only ids of vectors
+    * that actually pair — at a sane threshold a small fraction of the
+    * corpus. Caveat shared with every clustered dedup: a near-dup pair
+    * STRADDLING a cell boundary is not seen (the paper accepts the
+    * same miss); lower `cells` or raise nprobe-style assignment
+    * multiplicity if recall of the dedup itself matters more than
+    * cost. */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", cells: Int = 16,
+                    threshold: Double = 0.9, seed: Long = 42,
+                    maxIter: Int = 5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val e = withNorm(emb, idCol, vecCol)
+    val centroids = fitCentroids(e, cells, seed, maxIter)
+    val assigned = e.withColumn("cell", nearestCell(col("embedding"), centroids))
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    // edges materialized ONCE (id pairs only — bounded by the actual
+    // near-dup count, not the corpus): the emptiness probe and the
+    // component resolution would otherwise each evaluate the cell
+    // self-join; blocks are freed when the frame is GC'd (the keepOne
+    // pattern, api cache contract)
+    val pairs = a.join(b, Seq("cell")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    if (pairs.isEmpty) return emb
+    val dropped = graft.api.Dedup.keepOne(pairs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    emb.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -373,6 +373,35 @@ object Pipeline {
     // cannot see _-prefixed dirs) and the rows through committedView —
     // the full write-side protocol and both read sides of it in one
     // closed-form gate.
+    // SemDeDup contract (semantic dedup over the embedding space):
+    // plant exact-copy twins of the first 20 vectors (new ids +100000 —
+    // same cell by construction, cosine exactly 1), dedup the union,
+    // and pin: every planted twin pair lost exactly one member, at
+    // least the 20 twins were dropped, survivors nonempty. The
+    // no-residual-within-cell property is pinned by ApiSpec (needs the
+    // internal cell assignment). Quantizer assignment is seed/sample-
+    // based with no SQL analogue → constant-row oracle, like q70/q105.
+    "q107_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val all = emb.union(planted)
+      val kept = graft.api.Similarity.semanticDedup(all, threshold = 0.45)
+      val keptLow = kept.filter(col("vec_id") < 100000)
+        .select(col("vec_id").as("low_id"))
+      val bothSurvive = kept.filter(col("vec_id") >= 100000)
+        .select((col("vec_id") - 100000).as("low_id"))
+        .join(keptLow, "low_id")
+      val nIn = all.agg(count(lit(1)).as("n_in"))
+      val nKept = kept.agg(count(lit(1)).as("n_kept"))
+      nIn.crossJoin(nKept)
+        .crossJoin(bothSurvive.agg(count(lit(1)).as("n_both")))
+        .select(
+          (col("n_both") === 0).as("planted_twins_deduped"),
+          (col("n_kept") <= col("n_in") - 20).as("dropped_at_least_twins"),
+          (col("n_kept") > 0).as("survivors_nonempty"))
+    }),
+
     // Schema-evolution contract: two transactional commits with
     // different schemas (the second ADDS a column), read back through
     // the merged committed view — union-by-name, nulls for the rows
@@ -1265,6 +1294,9 @@ object Pipeline {
         "TRUE AS scores_are_log_probs"),
     "q105_quality_classifier" ->
       "SELECT TRUE AS separates_heldout, TRUE AS proper_probabilities",
+    "q107_semantic_dedup" ->
+      ("SELECT TRUE AS planted_twins_deduped, TRUE AS dropped_at_least_twins, " +
+        "TRUE AS survivors_nonempty"),
     "q80_pq_contract" ->
       "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
     "q81_ivfpq_contract" ->

@@ -141,6 +141,32 @@ class ApiSpec extends AnyFunSuite {
       f"mean ADC cosine error ${errs.sum / errs.length}%.4f too high")
   }
 
+  test("Similarity.semanticDedup keeps one survivor per near-dup group") {
+    // two tight direction-groups + isolated vectors; threshold 0.9
+    // separates groups from strangers at any clustering
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0.01, 0, 0)), (3L, v(1, 0, 0.01, 0)), // group A
+      (10L, v(0, 1, 0, 0)), (11L, v(0, 1, 0.01, 0)),                       // group B
+      (20L, v(0, 0, 1, 0)), (21L, v(0, 0, 0, 1))                           // isolated
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, cells = 2, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // min id of each connected group survives; isolated vectors survive
+    assert(kept == Set(1L, 10L, 20L, 21L), s"kept: $kept")
+    // no survivors are near-dups of each other at the threshold — the
+    // residual property, checked with the exact pair scan
+    assert(Similarity.embeddingNearDupPairs(
+      Similarity.semanticDedup(emb, cells = 2, threshold = 0.9),
+      minCosine = 0.9).isEmpty)
+    // nothing at/above threshold → input unchanged (cheap-path guard)
+    assert(Similarity.semanticDedup(emb, cells = 2, threshold = 0.9999999)
+      .count() == 7)
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, threshold = 0.0)
+    }
+  }
+
   test("ivfPqSearchIndexBoth == the two independent searches, from one probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-both").toString
     val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)

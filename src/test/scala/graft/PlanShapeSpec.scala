@@ -131,6 +131,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!qe.analyzed.toString.contains("ResolvedHint"))
   }
 
+  test("q103 BM25 ends in a bounded TakeOrdered, stats ride as a one-row join") {
+    val p = plan("q103_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be bounded, not a global sort:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the one-row stats frame joining the
+    // matched docs — a corpus-sized product would be a regression
+    assert(p.contains("HashAggregate"), "corpus stats must partially aggregate")
+  }
+
+  test("q104 paragraph dedup is keyed hash joins + aggregates, no product") {
+    val qe = SparkEntry.queries("q104_paragraph_dedup")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "winner election and reassembly must stay keyed")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "winner election must partially aggregate map-side")
+  }
+
+  test("q107 semantic dedup pairs only within cells — a keyed equi-join") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // probe the operator's pair subtree shape via the public API: the
+    // full query materializes edges eagerly, so assert on a small run
+    val kept = graft.api.Similarity.semanticDedup(emb, cells = 4, threshold = 0.45)
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"anti-join of survivors must be keyed:\n${p.take(2000)}")
+  }
+
   test("ivfPqSearchIndex prunes code partitions and stays a keyed equi-join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-ivfpq").toString
     val emb = graft.core.Tables.embeddings(spark, sf)
