@@ -861,6 +861,21 @@ class ApiSpec extends AnyFunSuite {
         .collect()(0).toSeq ==
       redactedBatch.agg(count(lit(1)), sum(length(col("redacted"))))
         .collect()(0).toSeq)
+
+    // classifier scoring is a narrow in-plan sigmoid — model weights
+    // fit once (batch), then the SAME frozen weights score a stream
+    // per micro-batch with bit-exact parity
+    val labeled = docs.limit(60).withColumn("label",
+      (col("doc_id") % 2).cast("double"))
+    val weights = TextAnalysis.fitQualityClassifier(labeled)
+    val scoredStream = graft.streaming.EventStreams.runToMemory(
+      spark, TextAnalysis.classifierScore(stream(), weights),
+      "api_qc_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val scoredBatch = TextAnalysis.classifierScore(docs, weights)
+    assert(scoredStream.select("doc_id", "qc_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      scoredBatch.select("doc_id", "qc_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet)
   }
 
   test("quality classifier: deterministic refit, separation, probability range") {
