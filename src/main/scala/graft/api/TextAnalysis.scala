@@ -537,4 +537,60 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
   }
+
+  /** Batch BM25: top-k retrieval for a whole QUERY TABLE — the
+    * inverted-index join shape, which is how retrieval actually runs
+    * at corpus scale (one literal query is [[searchBm25]]'s one-scan
+    * special case; a million queries are not a million scans):
+    *
+    *   postings  = explode docs    → (doc_id, term, tf)   [one keyed agg]
+    *   qterms    = explode queries → (query_id, term)     [distinct]
+    *   matched   = qterms ⋈ postings ON term              [THE IR join]
+    *   score     = Σ_term idf·sat(tf, dl)  per (query, doc)
+    *
+    * Every join is a keyed equi-join (term, doc_id); df/avgdl/N ride
+    * as a term-keyed frame and a one-row aggregate — nothing is
+    * hinted, so AQE broadcasts the query/df sides while they fit and
+    * degrades to shuffled joins when they don't. Per-term
+    * contributions are rounded to 6 decimals and summed as
+    * DECIMAL(18,6) — partial-aggregation ORDER cannot change the
+    * score (the package's decimal-sum rule), which is what makes a
+    * float ranking reproducible across engines and cluster layouts.
+    * Top-k per query is a query-keyed window over only the matched
+    * candidates. Output: (query_id, rank, doc_id, score). */
+  def searchBm25All(docs: DataFrame, queries: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryIdCol: String = "query_id", queryTextCol: String = "query",
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = filter(wsTokens(lower(col(textCol))), t => t =!= "")
+    val docToks = docs.select(col(idCol).as("doc_id"), toks.as("ts"))
+    val dls = docToks.select(col("doc_id"), size(col("ts")).as("dl"))
+    val postings = docToks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dls.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(filter(wsTokens(lower(col(queryTextCol))), t => t =!= "")).as("term"))
+      .distinct()
+    val contrib = round(
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+      6).cast("decimal(18,6)")
+    val scored = qterms
+      .join(postings, "term")
+      .join(dfs, "term")
+      .join(dls, "doc_id")
+      .crossJoin(corpus)
+      .withColumn("c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }

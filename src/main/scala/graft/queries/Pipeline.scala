@@ -320,6 +320,19 @@ object Pipeline {
       graft.api.TextAnalysis.searchBm25(
         Tables.documents(s, d), "spark join window", k = 10)),
 
+    // Batch BM25 over a query TABLE — the inverted-index join shape
+    // (postings ⋈ query-terms ON term, every join keyed), per-term
+    // contributions decimal-summed so aggregation order cannot move
+    // the score. Fully SQL-expressible → exact oracle.
+    "q108_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "spark join window"), (2, "hash merge"),
+        (3, "customer order data"), (4, "vector stream"))
+        .toDF("query_id", "query")
+      graft.api.TextAnalysis.searchBm25All(Tables.documents(s, d), qs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1211,6 +1224,50 @@ object Pipeline {
         |  FROM paras WHERE para <> '')
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
         |FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full batch-BM25 recomputation: same postings/df/corpus CTEs,
+    // same per-term rounding and DECIMAL(18,6) sums (order-exact)
+    "q108_bm25_batch" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl FROM docs),
+        |postings AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM docs) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        |corpus AS (
+        |  SELECT count(*) * 1.0 AS n, (sum(dl) * 1.0) / count(*) AS avgdl
+        |  FROM dls),
+        |queries(query_id, query) AS (VALUES
+        |  (1, 'spark join window'), (2, 'hash merge'),
+        |  (3, 'customer order data'), (4, 'vector stream')),
+        |qterms AS (
+        |  SELECT DISTINCT query_id, t AS term
+        |  FROM (SELECT query_id,
+        |          unnest(list_filter(string_split_regex(lower(query), '\s+'),
+        |                 x -> x <> '')) AS t
+        |        FROM queries)),
+        |scored AS (
+        |  SELECT query_id, p.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+        |      6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM qterms q JOIN postings p ON q.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dls ON p.doc_id = dls.doc_id
+        |  CROSS JOIN corpus
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // full BM25 recomputation: same tokenizer (\s+ split, lowercased,
     // empties dropped), same term order (sorted: join, spark, window),

@@ -608,6 +608,14 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.searchBm25(df, "   ", "id", "body")
     }
+    // the batch (query-table) form ranks each query independently and
+    // agrees with the single-query scan on ordering
+    val qs = Seq((7, "spark join window"), (8, "filter scan")).toDF("query_id", "query")
+    val batch = TextAnalysis.searchBm25All(df, qs, "id", "body", k = 3)
+      .collect().groupBy(_.getInt(0))
+    assert(batch(7).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq ==
+      top.map(_.getLong(1)).toSeq)
+    assert(batch(8).map(_.getLong(2)).toSet == Set(4L))
   }
 
   test("Dedup.dedupParagraphs keeps only each paragraph's first occurrence") {

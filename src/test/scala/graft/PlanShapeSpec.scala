@@ -151,6 +151,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "winner election must partially aggregate map-side")
   }
 
+  test("q108 batch BM25 is keyed posting joins, query-partitioned window, unhinted") {
+    val qe = SparkEntry.queries("q108_bm25_batch")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "postings x query-terms must join keyed on term")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+    assert(p.contains("row_number"), "per-query ranking is a keyed window")
+  }
+
   test("q107 semantic dedup pairs only within cells — a keyed equi-join") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     // probe the operator's pair subtree shape via the public API: the
