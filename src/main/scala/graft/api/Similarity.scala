@@ -938,9 +938,30 @@ object Similarity {
                     vecCol: String = "embedding", cells: Int = 16,
                     threshold: Double = 0.9, seed: Long = 42,
                     maxIter: Int = 5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val e = withNorm(emb, idCol, vecCol)
-    val centroids = fitCentroids(e, cells, seed, maxIter)
+    semanticDedupAssigned(emb, e, fitCentroids(e, cells, seed, maxIter),
+      idCol, threshold)
+  }
+
+  /** [[semanticDedup]] under a PERSISTED index's frozen quantizer:
+    * cell assignment comes from the index at `path` (resolved through
+    * `_current` like every other reader), so dedup geometry matches
+    * the serving index exactly — dedup, search and drift profiling
+    * all speak the same cells, and no second quantizer is fit. */
+  def semanticDedupWithIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, emb: DataFrame,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             threshold: Double = 0.9): DataFrame = {
+    val centroids = readCentroids(spark, resolveIndexRoot(spark, path))
+    semanticDedupAssigned(emb, withNorm(emb, idCol, vecCol), centroids,
+      idCol, threshold)
+  }
+
+  private def semanticDedupAssigned(emb: DataFrame, e: DataFrame,
+                                    centroids: Array[Array[Float]],
+                                    idCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val assigned = e.withColumn("cell", nearestCell(col("embedding"), centroids))
     val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
       col("embedding").as("ea"), col("nrm").as("na"))

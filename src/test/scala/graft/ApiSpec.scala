@@ -165,6 +165,15 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.semanticDedup(emb, threshold = 0.0)
     }
+    // frozen-quantizer form: an index built from the same corpus with
+    // the same (cells, seed) has identical centroids, so dedup under
+    // the index reproduces the fresh-fit result exactly — dedup and
+    // serving speak the same cells
+    val idx = java.nio.file.Files.createTempDirectory("graft-semdedup-idx").toString
+    Similarity.buildIvfIndex(emb, idx, cells = 2)
+    val keptIdx = Similarity.semanticDedupWithIndex(spark, idx, emb, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIdx == kept, s"index-quantizer dedup diverged: $keptIdx vs $kept")
   }
 
   test("ivfPqSearchIndexBoth == the two independent searches, from one probe") {
