@@ -25,7 +25,8 @@ import graft.functions.expr._
   *
   * Registered: vec_dot(array<float>, array<float>),
   * min_shingle_hash(text, n), minhashes(text, n, k),
-  * distinct_shingle_hashes(text, n), simhash64(text). Arity and
+  * distinct_shingle_hashes(text, n), simhash64(text),
+  * nfc_normalize(text). Arity and
   * literal-ness of the n/k parameters are checked at resolution time
   * (they parameterize one-pass primitive loops — a per-row value would
   * force re-planning per row, which no engine supports).
@@ -79,6 +80,10 @@ object GraftSparkExtensions {
     fd("simhash64", "simhash64(text) - 64-bit frequency-weighted simhash") { args =>
       arity("simhash64", 1, args)
       SimHash64(args(0))
+    },
+    fd("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization") { args =>
+      arity("nfc_normalize", 1, args)
+      NfcNormalize(args(0))
     })
 
   def register(ext: SparkSessionExtensions): Unit =

@@ -346,6 +346,34 @@ object TextAnalysis {
         idRun, "<ID>"))
   }
 
+  /** Canonical text normalization — the first stage of every curation
+    * pass, so downstream hashing/dedup/fingerprinting see one spelling
+    * of each document. Adds `outCol` with, in order:
+    *
+    *  1. Unicode NFC composition (native codegen'd expression;
+    *     ASCII short-circuits with zero allocation);
+    *  2. CRLF / bare-CR line endings → LF;
+    *  3. control characters stripped (C0 minus `\n`/`\t`, plus DEL);
+    *  4. zero-width characters removed (ZWSP/ZWNJ/ZWJ/BOM);
+    *  5. horizontal-whitespace runs (spaces, tabs) → one space;
+    *  6. 3+ consecutive newlines → exactly two (paragraph break);
+    *  7. leading/trailing spaces and newlines trimmed.
+    *
+    * One narrow codegen'd pass — no shuffle, no UDF; the regexes are
+    * RE2-compatible (no backtracking blowup), and the step order is a
+    * CONTRACT (the DuckDB oracle mirrors it verbatim). Idempotent:
+    * normalizing already-normal text is the identity. */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+                    outCol: String = "norm_text"): DataFrame = {
+    val nfc = nfcNormalize(col(textCol))
+    val lf = regexp_replace(nfc, "\\r\\n?", "\n")
+    val ctrl = regexp_replace(lf, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val zw = regexp_replace(ctrl, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    val hws = regexp_replace(zw, "[ \\t]+", " ")
+    val para = regexp_replace(hws, "\\n{3,}", "\n\n")
+    docs.withColumn(outCol, trim(para, " \n"))
+  }
+
   /** Labeled form of [[keyedSample]]: adds a `split` column — 'eval'
     * for rows whose md5(key) digest starts with one of `evalPrefixes`
     * (default 2/16, a deterministic 1/8 holdout), 'train' otherwise.

@@ -140,4 +140,11 @@ object TextFunctions {
     org.apache.spark.sql.GraftExprBridge.column(
       graft.functions.expr.CharBigramScore(
         org.apache.spark.sql.GraftExprBridge.expression(text), model))
+
+  /** Unicode NFC normalization (native expression, codegen'd; ASCII /
+    * already-composed text short-circuits with zero allocation). */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.NfcNormalize(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
 }

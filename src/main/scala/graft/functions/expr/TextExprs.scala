@@ -3,7 +3,7 @@ package graft.functions.expr
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -278,4 +278,38 @@ case class CharBigramScore(child: Expression, model: Array[Double])
   override protected def withNewChildInternal(c: Expression): CharBigramScore =
     copy(child = c)
   override def prettyName: String = "char_bigram_score"
+}
+
+/** Static entry point for [[NfcNormalize]]'s generated code. */
+object TextNormal {
+  /** Unicode NFC normalization of a UTF8String. The `isNormalized`
+    * probe short-circuits the common case (ASCII / already-composed
+    * text) with zero allocation — only genuinely decomposed input pays
+    * the String round-trip. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization: `string → string`. Unlike the sketch
+  * expressions above (CodegenFallback — their one-pass primitive loops
+  * don't benefit from inlining), this participates in whole-stage
+  * codegen so the normalize → regexp_replace chain in
+  * `TextAnalysis.normalizeText` stays one fused stage. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc_normalize needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextNormal.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.TextNormal.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
 }

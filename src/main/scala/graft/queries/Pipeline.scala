@@ -333,6 +333,30 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Canonical text normalization (the first curation stage). The
+    // fixture docs are clean ASCII, so messy rows are planted IN-PLAN —
+    // combining accents (NFC), zero-widths, CRLF/CR endings, control
+    // chars, tab/space runs, newline stacks, edge whitespace, empty —
+    // and the DuckDB oracle replays the 7-step chain verbatim
+    // (nfc_normalize + the same RE2-compatible regexes), so every step
+    // is pinned bit-exact, not just the no-op path.
+    "q109_normalize_text" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 50)
+      val planted = Seq(
+        (100000L, "Cafe\u0301  du\tparc"),
+        (100001L, "a\u200Bb  c\td\u200D"),
+        (100002L, "line1\r\nline2\rline3"),
+        (100003L, "\u0001boom\n\n\n\n\ngaps  "),
+        (100004L, "  already clean\n"),
+        (100005L, "")).toDF("doc_id", "text")
+      graft.api.TextAnalysis.normalizeText(base.union(planted))
+        .select(col("doc_id"), col("norm_text"),
+          (col("norm_text") =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -623,16 +647,19 @@ object Pipeline {
       val textSql = s.sql(
         """SELECT doc_id, simhash64(lower(text)) AS sh,
           |       min_shingle_hash(lower(text), 3) AS fp,
-          |       minhashes(lower(text), 3, 8) AS mh
+          |       minhashes(lower(text), 3, 8) AS mh,
+          |       nfc_normalize(text) AS nt
           |FROM graft_q98_docs""".stripMargin)
       val textCol = Tables.documents(s, d).select(col("doc_id"),
         TF.simHash64(lower(col("text"))).as("sh2"),
         TF.minShingleHash(lower(col("text")), 3).as("fp2"),
-        TF.minHashes(lower(col("text")), 3, 8).as("mh2"))
+        TF.minHashes(lower(col("text")), 3, 8).as("mh2"),
+        TF.nfcNormalize(col("text")).as("nt2"))
       val textEq = textSql.join(textCol, "doc_id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("sh") === col("sh2") && col("fp") === col("fp2") &&
-            col("mh") === col("mh2"), 0).otherwise(1)).as("neq"))
+            col("mh") === col("mh2") && col("nt") === col("nt2"), 0)
+            .otherwise(1)).as("neq"))
       val vecSql = s.sql(
         "SELECT vec_id, vec_dot(embedding, embedding) AS dd FROM graft_q98_emb")
       val vecCol = Tables.embeddings(s, d).select(col("vec_id"),
@@ -1268,6 +1295,40 @@ object Pipeline {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the same 7-step normalization chain, step for step:
+    // nfc_normalize, then the identical RE2 regexes in the identical
+    // order, then the same trim set. Planted literals are built with
+    // chr() so the SQL file stays pure ASCII.
+    "q109_normalize_text" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (100000, 'Cafe' || chr(769) || '  du' || chr(9) || 'parc'),
+        |    (100001, 'a' || chr(8203) || 'b  c' || chr(9) || 'd' || chr(8205)),
+        |    (100002, 'line1' || chr(13) || chr(10) || 'line2' || chr(13) || 'line3'),
+        |    (100003, chr(1) || 'boom' || repeat(chr(10), 5) || 'gaps  '),
+        |    (100004, '  already clean' || chr(10)),
+        |    (100005, '')) t(doc_id, text)
+        |), n AS (
+        |  SELECT doc_id, text,
+        |    trim(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(nfc_normalize(text),
+        |                '\r\n?', chr(10), 'g'),
+        |              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |            '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |          '[ ' || chr(9) || ']+', ' ', 'g'),
+        |        '\n{3,}', chr(10) || chr(10), 'g'),
+        |      ' ' || chr(10)) AS norm_text
+        |  FROM base
+        |)
+        |SELECT doc_id, norm_text, (norm_text <> text) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // full BM25 recomputation: same tokenizer (\s+ split, lowercased,
     // empties dropped), same term order (sorted: join, spark, window),

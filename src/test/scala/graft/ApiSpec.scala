@@ -755,6 +755,30 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("TextAnalysis.normalizeText: every step lands, and the op is idempotent") {
+    val df = Seq(
+      (1L, "Cafe\u0301  du\tparc"),            // NFC compose + ws collapse
+      (2L, "a\u200Bb  c\td\u200D"),            // zero-widths out
+      (3L, "line1\r\nline2\rline3"),           // CRLF / CR → LF
+      (4L, "\u0001boom\n\n\n\n\ngaps  "),      // ctrl strip, ≤2 newlines, trim
+      (5L, "  already clean\n"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(df)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "Café du parc", s"got: ${out(1L)}")
+    assert(out(2L) == "ab c d", s"got: ${out(2L)}")
+    assert(out(3L) == "line1\nline2\nline3", s"got: ${out(3L)}")
+    assert(out(4L) == "boom\n\ngaps", s"got: ${out(4L)}")
+    assert(out(5L) == "already clean")
+    assert(out(6L) == "")
+    // idempotent: normalizing the normalized column is the identity
+    val again = TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText(df).select(col("doc_id"),
+        col("norm_text").as("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == out)
+  }
+
   test("Dedup.duplicatedNgramProfile measures cross-doc gram duplication positionally") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),  // shares a 3-gram span with 2
@@ -893,6 +917,17 @@ class ApiSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
       scoredBatch.select("doc_id", "qc_score").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet)
+
+    // normalizeText is a narrow codegen'd expression chain — per
+    // micro-batch application is bit-exact batch parity
+    val normStream = graft.streaming.EventStreams.runToMemory(
+      spark, TextAnalysis.normalizeText(stream()), "api_norm_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val normBatch = TextAnalysis.normalizeText(docs)
+    assert(normStream.select("doc_id", "norm_text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      normBatch.select("doc_id", "norm_text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
   test("quality classifier: deterministic refit, separation, probability range") {
