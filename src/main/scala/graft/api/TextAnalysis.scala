@@ -346,6 +346,39 @@ object TextAnalysis {
         idRun, "<ID>"))
   }
 
+  /** One-pass corpus report — the summary a release pass prints before
+    * and after curation: per-language doc counts, distinct sources,
+    * char/byte/whitespace-token totals, mean and p50/p90/p99 document
+    * length, plus an `ALL` rollup row. ONE aggregation (ROLLUP = one
+    * shuffle, map-side partial aggregation); the exact length
+    * percentiles are linear-interpolated order statistics — identical
+    * definition to DuckDB's `quantile_cont`, rounded to 6 so the last
+    * ulp of the interpolation cannot flip the oracle. At 100 TB the
+    * only non-mergeable piece is the exact percentile (it buffers the
+    * per-group length multiset); swap in approx_percentile when groups
+    * outgrow executor memory — the report contract is the same. */
+  def corpusProfile(docs: DataFrame, textCol: String = "text",
+                    langCol: String = "lang",
+                    srcCol: String = "source"): DataFrame =
+    docs.select(col(langCol).as("lang"), col(srcCol).as("source"),
+        length(col(textCol)).cast("long").as("chars"),
+        octet_length(col(textCol)).cast("long").as("bytes"),
+        tokenCount(col(textCol)).cast("long").as("toks"))
+      .rollup("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("chars").as("total_chars"),
+        sum("bytes").as("total_bytes"),
+        sum("toks").as("ws_tokens"),
+        round(sum("chars").cast("double") / count(lit(1)), 6).as("avg_chars"),
+        round(percentile(col("chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("chars"), lit(0.9)), 6).as("p90_chars"),
+        round(percentile(col("chars"), lit(0.99)), 6).as("p99_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
+        col("n_sources"), col("total_chars"), col("total_bytes"),
+        col("ws_tokens"), col("avg_chars"), col("p50_chars"),
+        col("p90_chars"), col("p99_chars"))
+
   /** Canonical text normalization — the first stage of every curation
     * pass, so downstream hashing/dedup/fingerprinting see one spelling
     * of each document. Adds `outCol` with, in order:

@@ -357,6 +357,16 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // One-pass corpus report: per-language + ALL-rollup doc counts,
+    // source cardinality, char/byte/token totals and exact length
+    // percentiles — ONE ROLLUP aggregation, no second scan. Fully
+    // SQL-expressible → exact oracle (quantile_cont is the same
+    // interpolated order statistic as Spark's percentile; round-6 on
+    // both sides absorbs the last ulp of the interpolation).
+    "q110_corpus_profile" -> ((s, d) =>
+      graft.api.TextAnalysis.corpusProfile(Tables.documents(s, d))
+        .orderBy("lang")),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1329,6 +1339,21 @@ object Pipeline {
         |)
         |SELECT doc_id, norm_text, (norm_text <> text) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // the same one-pass ROLLUP report: length() = chars, strlen() =
+    // bytes, the q51 token formula, quantile_cont percentiles
+    "q110_corpus_profile" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS ws_tokens,
+        |  round(sum(length(text)) * 1.0 / count(*), 6) AS avg_chars,
+        |  round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(length(text), 0.9), 6) AS p90_chars,
+        |  round(quantile_cont(length(text), 0.99), 6) AS p99_chars
+        |FROM documents GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
 
     // full BM25 recomputation: same tokenizer (\s+ split, lowercased,
     // empties dropped), same term order (sorted: join, spark, window),

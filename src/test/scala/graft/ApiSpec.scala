@@ -755,6 +755,29 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("TextAnalysis.corpusProfile: counts, totals and interpolated percentiles") {
+    val df = Seq(
+      (1L, "en", "web", "aa"),          // chars 2
+      (2L, "en", "web", "bbbb"),        // chars 4
+      (3L, "en", "book", "cccccc"),     // chars 6
+      (4L, "de", "web", "ddd dd"))      // chars 6, 2 ws tokens
+      .toDF("doc_id", "lang", "source", "text")
+    val out = TextAnalysis.corpusProfile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("en", "de", "ALL"))
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 3 && en.getAs[Long]("n_sources") == 2)
+    assert(en.getAs[Long]("total_chars") == 12)
+    // p50 of {2,4,6} = 4; p90: h = 0.9*2 = 1.8 -> 4 + 0.8*(6-4) = 5.6
+    assert(en.getAs[Double]("p50_chars") == 4.0)
+    assert(en.getAs[Double]("p90_chars") == 5.6)
+    val all = out("ALL")
+    assert(all.getAs[Long]("n_docs") == 4 && all.getAs[Long]("total_chars") == 18)
+    assert(all.getAs[Long]("ws_tokens") == 5)
+    val de = out("de")
+    assert(de.getAs[Long]("ws_tokens") == 2 && de.getAs[Long]("total_bytes") == 6)
+  }
+
   test("TextAnalysis.normalizeText: every step lands, and the op is idempotent") {
     val df = Seq(
       (1L, "Cafe\u0301  du\tparc"),            // NFC compose + ws collapse
