@@ -367,6 +367,43 @@ object Pipeline {
       graft.api.TextAnalysis.corpusProfile(Tables.documents(s, d))
         .orderBy("lang")),
 
+    // Snapshot-diff contract: 3 committed batches (2000 rows each),
+    // then the delta reader must (a) return exactly the rows batches
+    // 1–2 added, (b) equal the exceptAll of the two snapshots it
+    // spans (the O(delta) file read vs the O(2·table) anti-join it
+    // replaces), (c) read an empty window as empty, and (d) survive a
+    // compaction (originals stay until vacuum). Closed-form counts,
+    // like q101.
+    "q111_snapshot_delta" -> ((s, d) => {
+      import graft.ingest.{Compact, Ingest, IngestConfig}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-sdelta-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
+      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+      val delta = graft.core.Tables.committedViewDelta(s, path, 0, 2)
+      val viaExcept = graft.core.Tables.committedViewAsOf(s, path, 2)
+        .exceptAll(graft.core.Tables.committedViewAsOf(s, path, 0))
+      val diffAsym = delta.exceptAll(viaExcept)
+        .union(viaExcept.exceptAll(delta))
+        .agg(count(lit(1)).as("n_asym"))
+      val emptyWin = graft.core.Tables.committedViewDelta(s, path, 2, 2)
+        .agg(count(lit(1)).as("n_empty"))
+      Compact.compact(s, path)
+      val afterCompact = graft.core.Tables.committedViewDelta(s, path, 0, 2)
+        .agg(count(lit(1)).as("n_after"))
+      delta.agg(count(lit(1)).as("delta_rows"))
+        .crossJoin(diffAsym).crossJoin(emptyWin).crossJoin(afterCompact)
+        .select(col("delta_rows"),
+          (col("n_asym") === 0).as("equals_snapshot_diff"),
+          (col("n_empty") === 0).as("empty_window_is_empty"),
+          (col("n_after") === col("delta_rows")).as("survives_compaction"))
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1237,6 +1274,10 @@ object Pipeline {
     "q101_commit_log" ->
       ("SELECT CAST(3 AS INT) AS n_commits, CAST(1 AS INT) AS n_compactions, " +
         "CAST(6000 AS BIGINT) AS committed_rows"),
+    "q111_snapshot_delta" ->
+      ("SELECT CAST(4000 AS BIGINT) AS delta_rows, " +
+        "TRUE AS equals_snapshot_diff, TRUE AS empty_window_is_empty, " +
+        "TRUE AS survives_compaction"),
     "q106_schema_evolution" ->
       ("SELECT CAST(150 AS BIGINT) AS total, " +
         "CAST(100 AS BIGINT) AS pre_evolution_rows, " +

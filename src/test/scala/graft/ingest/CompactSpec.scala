@@ -96,6 +96,40 @@ class CompactSpec extends AnyFunSuite {
       "the head view is unaffected by lost history")
   }
 
+  test("committedViewDelta reads exactly the batches between two snapshots") {
+    val dir = tmp()
+    (0 until 3).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(100 * (i + 1)), i))
+    // delta (0, 2] = batches 1 and 2 = 200 + 300 rows — and it must
+    // read ONLY those batches' files (O(delta), not O(snapshot))
+    val delta = Tables.committedViewDelta(spark, dir, 0, 2)
+    assert(delta.count() == 500)
+    import org.apache.spark.sql.functions.input_file_name
+    val readFrom = delta.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(readFrom.forall(f => f.contains("/b1-") || f.contains("/b2-")),
+      s"delta must touch only batch 1/2 files, read: ${readFrom.mkString(", ")}")
+    // boundary semantics: (from, to] — empty and full windows
+    assert(Tables.committedViewDelta(spark, dir, 2, 2).isEmpty)
+    assert(Tables.committedViewDelta(spark, dir, -1, 2).count() == 600)
+    assert(Tables.committedViewDelta(spark, dir, 1, 99).count() == 300,
+      "beyond-head upper bound pins to head")
+    intercept[IllegalArgumentException] {
+      Tables.committedViewDelta(spark, dir, 3, 1)
+    }
+    // diff IS the set difference of the two snapshots (append-only log)
+    val viaExcept = Tables.committedViewAsOf(spark, dir, 2)
+      .exceptAll(Tables.committedViewAsOf(spark, dir, 0))
+    assert(delta.exceptAll(viaExcept).isEmpty && viaExcept.exceptAll(delta).isEmpty)
+    // compaction leaves originals: delta still readable; vacuum kills it
+    Compact.compact(spark, dir).get
+    assert(Tables.committedViewDelta(spark, dir, 0, 2).count() == 500)
+    Compact.vacuum(spark, dir)
+    val e = intercept[IllegalStateException] {
+      Tables.committedViewDelta(spark, dir, 0, 2)
+    }
+    assert(e.getMessage.contains("delta (0, 2]"))
+  }
+
   test("a crashed compaction is invisible and scrubbed by the next run") {
     val dir = tmp()
     (0 until 2).foreach(i => Ingest.commitBatch(cfg(dir), dir, batch(200), i))
