@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -40,6 +41,32 @@ object Dedup {
     docs.withColumn("fingerprint", md5Fingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
       .select(col(idCol).as(s"keep_$idCol"), col("fingerprint"))
+
+  /** Incremental exact dedup: the fresh batch's survivors against an
+    * ALREADY-CURATED corpus — drop every fresh doc whose content
+    * fingerprint exists in the corpus, then keep min-id per
+    * fingerprint within the batch itself. The corpus side collapses
+    * to its distinct fingerprint set before the LEFT ANTI join (both
+    * steps keyed on the 128-bit fingerprint, map-side combined), so
+    * each increment costs O(batch + corpus fingerprints) — the shape
+    * that lets a 100 TB corpus grow by daily batches without ever
+    * re-deduping itself. Composes with
+    * [[graft.core.Tables.committedViewDelta]]: `fresh` = the rows a
+    * commit range added, `corpus` = the snapshot the last curation
+    * pass ran on. Output: the surviving fresh rows, original columns
+    * intact. */
+  def exactAgainstCorpus(corpus: DataFrame, fresh: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val corpusFps = corpus
+      .select(md5Fingerprint(col(textCol)).as("fingerprint")).distinct()
+    val freshFp = fresh.withColumn("fingerprint", md5Fingerprint(col(textCol)))
+    val novel = freshFp.join(corpusFps, Seq("fingerprint"), "left_anti")
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
+    novel.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "fingerprint")
+  }
 
   /** Streaming NEAR-dup pre-filter for dedup-at-ingest: the first
     * arrival per min-shingle sketch fingerprint survives. The sketch

@@ -139,6 +139,34 @@ object Joins {
       .limit(topN)
   }
 
+  /** Referential-integrity profile of a parent/child key pair — the
+    * data-quality gate a pipeline runs before joining two corpus
+    * tables (documents ↔ embeddings, orders ↔ lineitem): one row with
+    * row/key counts per side, orphan child rows and keys (no matching
+    * parent), childless parent keys, and duplicate parent keys (a
+    * "primary key" that isn't). Each side collapses to its key
+    * profile FIRST (map-side-combined aggregation), then ONE
+    * full-outer join of the two key sets — the tables' rows are never
+    * row-joined, so cost after the two aggs is O(distinct keys), not
+    * O(rows), and no side needs to fit anywhere. */
+  def integrityProfile(parent: DataFrame, child: DataFrame,
+                       parentKey: String, childKey: String): DataFrame = {
+    val p = parent.groupBy(col(parentKey).as("k")).agg(count(lit(1)).as("pc"))
+    val c = child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("cc"))
+    p.join(c, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("pc"), lit(0L))).as("parent_rows"),
+        sum(coalesce(col("cc"), lit(0L))).as("child_rows"),
+        count(col("pc")).as("parent_keys"),
+        count(col("cc")).as("child_keys"),
+        sum(when(col("pc").isNull, col("cc")).otherwise(0L))
+          .as("orphan_child_rows"),
+        count(when(col("pc").isNull, lit(1))).as("orphan_child_keys"),
+        count(when(col("pc").isNotNull && col("cc").isNull, lit(1)))
+          .as("childless_parent_keys"),
+        count(when(col("pc") > 1, lit(1))).as("dup_parent_keys"))
+  }
+
   /** Bloom-prefiltered equi-join: build a Bloom filter over the dim
     * side's join keys (distributed treeAggregate; only the sketch —
     * KBs to a few MB — reaches the driver), then filter the big side

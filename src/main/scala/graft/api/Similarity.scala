@@ -943,6 +943,34 @@ object Similarity {
       idCol, threshold)
   }
 
+  /** Corpus-health report for an embedding column — the gate a
+    * pipeline runs before building indexes or training on the
+    * vectors: one row with vector count, dimension min/max (a mixed-
+    * dimension corpus breaks every ANN structure), zero vectors
+    * (cosine-undefined), vectors with non-finite components
+    * (NaN/±Inf poison every distance), and norm statistics over the
+    * HEALTHY vectors only (mean via order-exact DECIMAL sums;
+    * p50/p99 as interpolated order statistics over the round-6 norm,
+    * so cross-engine ulp wiggle in the float math cannot reorder the
+    * percentile input). One narrow codegen'd pass + one aggregation. */
+  def embeddingHealthProfile(emb: DataFrame, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = col(vecCol)
+    val nonfinite = exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))
+    val rows = emb.select(size(v).as("dims"), nonfinite.as("bad"),
+      when(!nonfinite, round(VectorFunctions.norm(v), 6)).as("nrm"))
+    rows.agg(
+      count(lit(1)).as("n_vecs"),
+      min("dims").as("min_dims"), max("dims").as("max_dims"),
+      sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+      round(sum(col("nrm").cast("decimal(18,6)")).cast("double")
+        / count(col("nrm")), 6).as("avg_norm"),
+      round(percentile(col("nrm"), lit(0.5)), 6).as("p50_norm"),
+      round(percentile(col("nrm"), lit(0.99)), 6).as("p99_norm"))
+  }
+
   /** [[semanticDedup]] under a PERSISTED index's frozen quantizer:
     * cell assignment comes from the index at `path` (resolved through
     * `_current` like every other reader), so dedup geometry matches

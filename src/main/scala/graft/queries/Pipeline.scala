@@ -367,6 +367,50 @@ object Pipeline {
       graft.api.TextAnalysis.corpusProfile(Tables.documents(s, d))
         .orderBy("lang")),
 
+    // Referential-integrity profile (orders ⟷ lineitem, the natural
+    // parent/child pair) with ONE planted orphan lineitem key so the
+    // orphan counters are exercised, not just zero. Fully
+    // SQL-expressible → exact oracle.
+    "q112_integrity_profile" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .union(Seq(-1L).toDF("l_orderkey"))
+      graft.api.Joins.integrityProfile(
+        Tables.orders(s, d), li, "o_orderkey", "l_orderkey")
+    }),
+
+    // Embedding corpus-health report, with planted pathology so every
+    // counter fires: a zero vector (cosine-undefined), a NaN vector
+    // and an Inf vector (excluded from the norm statistics), and
+    // mismatched dimensions. Fully SQL-expressible → exact oracle.
+    "q113_embedding_health" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = Seq(
+        (200000L, Array(0f, 0f)),
+        (200001L, Array(Float.NaN, 1f)),
+        (200002L, Array(Float.PositiveInfinity, 0.5f)))
+        .toDF("vec_id", "embedding")
+      graft.api.Similarity.embeddingHealthProfile(emb.union(planted))
+    }),
+
+    // Incremental exact dedup: curate a FRESH batch against the
+    // already-curated corpus (docs ≥ 100), with a planted corpus
+    // clone (must be dropped by the anti-join) and a planted
+    // batch-internal dup (must lose to the min id). The composition
+    // partner of q111's snapshot delta: fresh = what a commit range
+    // added. Fully SQL-expressible → exact oracle.
+    "q114_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val clone = docs.filter(col("doc_id") === 150)
+        .select(lit(900000L).as("doc_id"), col("text"))
+      val innerDup = docs.filter(col("doc_id") === 10)
+        .select(lit(900001L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") < 100).union(clone).union(innerDup)
+      graft.api.Dedup.exactAgainstCorpus(corpus, fresh).orderBy("doc_id")
+    }),
+
     // Snapshot-diff contract: 3 committed batches (2000 rows each),
     // then the delta reader must (a) return exactly the rows batches
     // 1–2 added, (b) equal the exceptAll of the two snapshots it
@@ -1278,6 +1322,84 @@ object Pipeline {
       ("SELECT CAST(4000 AS BIGINT) AS delta_rows, " +
         "TRUE AS equals_snapshot_diff, TRUE AS empty_window_is_empty, " +
         "TRUE AS survives_compaction"),
+
+    // the same key-profile full-outer join over orders/lineitem with
+    // the planted orphan key
+    "q112_integrity_profile" ->
+      """WITH p AS (
+        |  SELECT o_orderkey AS k, count(*) AS pc FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT l_orderkey AS k, count(*) AS cc
+        |  FROM (SELECT l_orderkey FROM lineitem UNION ALL SELECT -1)
+        |  GROUP BY 1),
+        |j AS (SELECT p.pc, c.cc FROM p FULL OUTER JOIN c ON p.k = c.k)
+        |SELECT CAST(sum(coalesce(pc, 0)) AS BIGINT) AS parent_rows,
+        |  CAST(sum(coalesce(cc, 0)) AS BIGINT) AS child_rows,
+        |  CAST(count(pc) AS BIGINT) AS parent_keys,
+        |  CAST(count(cc) AS BIGINT) AS child_keys,
+        |  CAST(sum(CASE WHEN pc IS NULL THEN cc ELSE 0 END) AS BIGINT)
+        |    AS orphan_child_rows,
+        |  CAST(count(CASE WHEN pc IS NULL THEN 1 END) AS BIGINT)
+        |    AS orphan_child_keys,
+        |  CAST(count(CASE WHEN pc IS NOT NULL AND cc IS NULL THEN 1 END)
+        |    AS BIGINT) AS childless_parent_keys,
+        |  CAST(count(CASE WHEN pc > 1 THEN 1 END) AS BIGINT)
+        |    AS dup_parent_keys
+        |FROM j""".stripMargin,
+
+    // the same health report: norms via the q47 double-cast idiom,
+    // non-finite vectors excluded from norm stats, planted pathology
+    "q113_embedding_health" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT 200000, [0.0, 0.0]::FLOAT[]
+        |  UNION ALL SELECT 200001, ['NaN'::FLOAT, 1.0::FLOAT]
+        |  UNION ALL SELECT 200002, ['Infinity'::FLOAT, 0.5::FLOAT]
+        |), r AS (
+        |  SELECT len(embedding) AS dims,
+        |    len(list_filter(embedding,
+        |      x -> isnan(x) OR NOT isfinite(x))) > 0 AS bad,
+        |    CASE WHEN len(list_filter(embedding,
+        |        x -> isnan(x) OR NOT isfinite(x))) = 0
+        |      THEN round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) END AS nrm
+        |  FROM base
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dims) AS INT) AS min_dims,
+        |  CAST(max(dims) AS INT) AS max_dims,
+        |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(nrm), 6) AS avg_norm,
+        |  round(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+        |  round(quantile_cont(nrm, 0.99), 6) AS p99_norm
+        |FROM r""".stripMargin,
+
+    // the same anti-join + min-id-per-fingerprint over the q43
+    // fingerprint formula
+    "q114_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+        |fresh AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL SELECT 900000, text FROM documents WHERE doc_id = 150
+        |  UNION ALL SELECT 900001, text FROM documents WHERE doc_id = 10
+        |), cf AS (
+        |  SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM corpus),
+        |ff AS (
+        |  SELECT doc_id, text,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM fresh),
+        |novel AS (
+        |  SELECT doc_id, text, fp FROM ff
+        |  WHERE fp NOT IN (SELECT fp FROM cf)),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM novel)
+        |SELECT doc_id, text FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q106_schema_evolution" ->
       ("SELECT CAST(150 AS BIGINT) AS total, " +
         "CAST(100 AS BIGINT) AS pre_evolution_rows, " +

@@ -755,6 +755,49 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("Joins.integrityProfile counts orphans, childless and dup keys") {
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 4L).toDF("fk")
+    val r = Joins.integrityProfile(parent, child, "pk", "fk").collect()(0)
+    assert(r.getAs[Long]("parent_rows") == 4 && r.getAs[Long]("child_rows") == 3)
+    assert(r.getAs[Long]("parent_keys") == 3 && r.getAs[Long]("child_keys") == 2)
+    assert(r.getAs[Long]("orphan_child_rows") == 1,
+      "key 4 has one child row and no parent")
+    assert(r.getAs[Long]("orphan_child_keys") == 1)
+    assert(r.getAs[Long]("childless_parent_keys") == 2, "keys 2 and 3")
+    assert(r.getAs[Long]("dup_parent_keys") == 1, "key 2 appears twice")
+  }
+
+  test("Similarity.embeddingHealthProfile flags pathology, stats skip it") {
+    val emb = Seq(
+      (1L, Array(3f, 4f)),                 // norm 5
+      (2L, Array(0f, 0f)),                 // zero vector
+      (3L, Array(Float.NaN)),              // non-finite, dim 1
+      (4L, Array(Float.NegativeInfinity, 1f)))
+      .toDF("id", "vec")
+    val r = Similarity.embeddingHealthProfile(emb, "id", "vec").collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 4)
+    assert(r.getAs[Int]("min_dims") == 1 && r.getAs[Int]("max_dims") == 2)
+    assert(r.getAs[Long]("n_zero") == 1 && r.getAs[Long]("n_nonfinite") == 2)
+    // norm stats over the two finite vectors only: {0, 5}
+    assert(r.getAs[Double]("avg_norm") == 2.5)
+    assert(r.getAs[Double]("p50_norm") == 2.5)
+    assert(r.getAs[Double]("p99_norm") == 4.95)
+  }
+
+  test("Dedup.exactAgainstCorpus drops corpus clones and batch-internal dups") {
+    val corpus = Seq((100L, "alpha text"), (101L, "beta text")).toDF("id", "body")
+    val fresh = Seq(
+      (1L, "alpha  text"),   // ws-normalized clone of corpus 100 — dropped
+      (2L, "gamma text"),    // novel — survives
+      (3L, "gamma text"),    // batch-internal dup — loses to id 2
+      (4L, "delta text"))    // novel — survives
+      .toDF("id", "body")
+    val out = Dedup.exactAgainstCorpus(corpus, fresh, "id", "body")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L), s"got $out")
+  }
+
   test("TextAnalysis.corpusProfile: counts, totals and interpolated percentiles") {
     val df = Seq(
       (1L, "en", "web", "aa"),          // chars 2
