@@ -407,6 +407,36 @@ object TextAnalysis {
     docs.withColumn(outCol, trim(para, " \n"))
   }
 
+  /** Deterministic training-order shuffle: a reproducible global
+    * permutation of the corpus — same (data, seed) → same order across
+    * runs, engines and cluster sizes, the property that makes a
+    * training run repeatable and an ablation comparable. The order key
+    * is `md5(seed | id)` (engine-portable, unlike builtin hash
+    * functions), so the permutation is a pure function of the data.
+    *
+    * Adds a 1-based `shuffle_rank`. The global rank is the classic
+    * two-pass distributed shape — range-partitioned sort on the key,
+    * then `zipWithIndex` (a partition-count pass + per-partition
+    * offsets) — NOT `row_number()` over an unpartitioned window,
+    * which would funnel the corpus through one task. The one RDD hop
+    * exits codegen for the final rank attach only; everything before
+    * it is a plain range exchange. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: Long = 42): DataFrame = {
+    val s = df.sparkSession
+    val keyed = df.withColumn("__k",
+      md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string"))))
+    val sorted = keyed
+      .repartitionByRange(col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+    val out = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+    s.createDataFrame(ranked, out).drop("__k")
+  }
+
   /** Labeled form of [[keyedSample]]: adds a `split` column — 'eval'
     * for rows whose md5(key) digest starts with one of `evalPrefixes`
     * (default 2/16, a deterministic 1/8 holdout), 'train' otherwise.

@@ -411,6 +411,16 @@ object Pipeline {
       graft.api.Dedup.exactAgainstCorpus(corpus, fresh).orderBy("doc_id")
     }),
 
+    // Deterministic training-order shuffle: the md5-keyed global
+    // permutation with its distributed rank. The oracle replays the
+    // same order key in SQL, so the EXACT permutation is pinned —
+    // engine-portable reproducible training order, not "some shuffle".
+    "q115_deterministic_shuffle" -> ((s, d) =>
+      graft.api.TextAnalysis.deterministicShuffle(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", seed = 42)
+        .filter(col("doc_id") < 500)
+        .orderBy("shuffle_rank")),
+
     // Snapshot-diff contract: 3 committed batches (2000 rows each),
     // then the delta reader must (a) return exactly the rows batches
     // 1–2 added, (b) equal the exceptAll of the two snapshots it
@@ -1322,6 +1332,17 @@ object Pipeline {
       ("SELECT CAST(4000 AS BIGINT) AS delta_rows, " +
         "TRUE AS equals_snapshot_diff, TRUE AS empty_window_is_empty, " +
         "TRUE AS survives_compaction"),
+
+    // the same md5 order key; row_number is DuckDB's (single-node)
+    // rank — the operator's two-pass rank must match it exactly
+    "q115_deterministic_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('42|' || doc_id::VARCHAR),
+        |                       doc_id) AS shuffle_rank
+        |  FROM documents)
+        |SELECT doc_id, shuffle_rank FROM r WHERE doc_id < 500
+        |ORDER BY shuffle_rank""".stripMargin,
 
     // the same key-profile full-outer join over orders/lineitem with
     // the planted orphan key

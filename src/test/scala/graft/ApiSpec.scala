@@ -755,6 +755,24 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("TextAnalysis.deterministicShuffle is a reproducible permutation") {
+    val df = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "body")
+    val a = TextAnalysis.deterministicShuffle(df, "id", seed = 7)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank"))
+    // a permutation: every rank 1..n exactly once, all rows kept
+    assert(a.map(_._2).sorted.sameElements(1L to 100L))
+    // deterministic: an independent second run is identical
+    val b = TextAnalysis.deterministicShuffle(df, "id", seed = 7)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank"))
+    assert(a.toMap == b.toMap)
+    // the seed matters: a different seed yields a different order
+    val c = TextAnalysis.deterministicShuffle(df, "id", seed = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank"))
+    assert(a.toMap != c.toMap)
+    // and it actually shuffles: not the identity order
+    assert(a.toMap.exists { case (id, rank) => id != rank })
+  }
+
   test("Joins.integrityProfile counts orphans, childless and dup keys") {
     val parent = Seq(1L, 2L, 2L, 3L).toDF("pk")
     val child = Seq(1L, 1L, 4L).toDF("fk")
