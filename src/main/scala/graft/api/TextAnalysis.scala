@@ -477,6 +477,44 @@ object TextAnalysis {
     CharLm.logProbs(counts)
   }
 
+  /** Train a subword (BPE) vocabulary on the corpus — the real-
+    * tokenizer upgrade over [[tokenStats]]' regex approximation, so
+    * token budgeting, packing and cost accounting can run under an
+    * actual subword vocab. Word frequencies come from ONE distributed
+    * aggregation; only the top `maxWords` (word, count) pairs — KBs —
+    * reach the driver, where the BPE merge loop runs to `vocabSize`
+    * symbols (ties break lexicographically: the vocabulary is a pure
+    * function of the corpus). The standard fit-bounded / apply-
+    * distributed shape: at 100 TB the aggregation is the only
+    * corpus-sized step and it's map-side combined. */
+  def fitSubwordVocab(docs: DataFrame, textCol: String = "text",
+                      vocabSize: Int = 512,
+                      maxWords: Int = 4096): Array[String] = {
+    import graft.functions.expr.Subword
+    val counts = docs
+      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(counts.nonEmpty, "cannot fit a vocabulary on an empty corpus")
+    Subword.fit(counts, vocabSize)
+  }
+
+  /** Tokenize every document under a fitted subword vocabulary: adds
+    * `tokCol` (the `array<string>` pieces, `##`-prefixed
+    * continuations, `[UNK]` for unsegmentable words) and
+    * `n_subwords`. One narrow pass; the vocabulary rides in the
+    * expression. */
+  def subwordTokenize(docs: DataFrame, vocab: Array[String],
+                      textCol: String = "text",
+                      tokCol: String = "subword_tokens"): DataFrame = {
+    val toks = subwordTokens(lower(col(textCol)), vocab)
+    docs.withColumn(tokCol, toks)
+      .withColumn("n_subwords", size(col(tokCol)).cast("long"))
+  }
+
   /** Score every document under a fitted char-bigram model: adds
     * `scoreCol` = mean transition log-probability (higher = more like
     * the training text; gibberish scores sharply lower). One narrow

@@ -147,4 +147,12 @@ object TextFunctions {
     org.apache.spark.sql.GraftExprBridge.column(
       graft.functions.expr.NfcNormalize(
         org.apache.spark.sql.GraftExprBridge.expression(text)))
+
+  /** WordPiece-style greedy subword tokens under a trained vocabulary
+    * (TextAnalysis.fitSubwordVocab) — `array<string>`, one pass, the
+    * vocabulary folded into the plan. */
+  def subwordTokens(text: Column, vocab: Array[String]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.SubwordTokens(
+        org.apache.spark.sql.GraftExprBridge.expression(text), vocab))
 }

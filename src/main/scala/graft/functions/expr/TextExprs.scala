@@ -280,6 +280,126 @@ case class CharBigramScore(child: Expression, model: Array[Double])
   override def prettyName: String = "char_bigram_score"
 }
 
+/** Subword tokenization: deterministic BPE vocabulary training over a
+  * word-frequency table (driver-side, bounded input — the FAISS-style
+  * "fit on a bounded sample, apply distributed" pattern every model-ish
+  * operator here uses) plus WordPiece-style greedy longest-match
+  * inference as a one-pass expression. Continuation pieces carry the
+  * `##` prefix; a word with no viable segmentation becomes `[UNK]`.
+  * cites prasanthj/culvert: no tokenizer exists in the reference —
+  * this is part of the training-pipeline surface the build adds. */
+object Subword {
+  val Unk = "[UNK]"
+
+  /** Split a word into its initial symbol sequence: first char bare,
+    * rest `##`-prefixed. */
+  private def symbols(word: String): Vector[String] =
+    word.iterator.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c.toString else "##" + c
+    }.toVector
+
+  /** Train a BPE vocabulary from (word, count) pairs: start from the
+    * observed characters (both word-start and continuation form, so
+    * any in-alphabet word always segments without `[UNK]`), then
+    * repeatedly merge the most frequent adjacent symbol pair until
+    * `vocabSize` symbols exist or no pair repeats. Ties break to the
+    * lexicographically smallest pair — training is a pure function of
+    * the word counts. */
+  def fit(wordCounts: Seq[(String, Long)], vocabSize: Int): Array[String] = {
+    require(vocabSize > 0)
+    val words = wordCounts.filter(_._1.nonEmpty)
+      .map { case (w, n) => (scala.collection.mutable.ArrayBuffer(
+        symbols(w): _*), n) }
+    val vocab = scala.collection.mutable.LinkedHashSet.empty[String]
+    words.foreach(_._1.foreach { s =>
+      vocab += s
+      vocab += (if (s.startsWith("##")) s.stripPrefix("##") else "##" + s)
+    })
+    while (vocab.size < vocabSize) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      val candidates = pairCounts.filter(_._2 >= 2)
+      if (candidates.isEmpty) return vocab.toArray
+      val ((a, b), _) = candidates.minBy { case ((x, y), n) => (-n, x, y) }
+      val merged = a + b.stripPrefix("##")
+      vocab += merged
+      words.foreach { case (syms, _) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == a && syms(i + 1) == b) {
+            syms(i) = merged
+            syms.remove(i + 1)
+          } else i += 1
+        }
+      }
+    }
+    vocab.toArray
+  }
+
+  /** Greedy longest-match segmentation of one word. */
+  def tokenizeWord(word: String, vocab: java.util.HashSet[String],
+                   out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    if (word.isEmpty) return
+    var start = 0
+    val mark = out.length
+    while (start < word.length) {
+      var end = word.length
+      var piece: String = null
+      while (end > start && piece == null) {
+        val cand = (if (start > 0) "##" else "") + word.substring(start, end)
+        if (vocab.contains(cand)) piece = cand else end -= 1
+      }
+      if (piece == null) { // no viable segmentation: the whole word is UNK
+        out.dropRightInPlace(out.length - mark)
+        out += Unk
+        return
+      }
+      out += piece
+      start = end
+    }
+  }
+
+  def tokenize(text: String, vocab: java.util.HashSet[String]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    TextHash.tokens(text).foreach(w => if (w.nonEmpty) tokenizeWord(w, vocab, out))
+    out.toArray
+  }
+}
+
+/** WordPiece-style greedy subword tokens over a trained vocabulary:
+  * `string → array<string>`. The vocabulary rides in the expression
+  * tree (like [[CharBigramScore]]'s model), so tokenization is one
+  * pass per document with no join and nothing to broadcast. */
+case class SubwordTokens(child: Expression, vocab: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  require(vocab.nonEmpty, "vocabulary must be non-empty")
+  @transient private lazy val vocabSet = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"subword_tokens needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Subword.tokenize(
+      input.asInstanceOf[UTF8String].toString, vocabSet)
+      .map(UTF8String.fromString(_)))
+  override protected def withNewChildInternal(c: Expression): SubwordTokens =
+    copy(child = c)
+  override def prettyName: String = "subword_tokens"
+}
+
 /** Static entry point for [[NfcNormalize]]'s generated code. */
 object TextNormal {
   /** Unicode NFC normalization of a UTF8String. The `isNormalized`

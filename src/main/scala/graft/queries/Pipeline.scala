@@ -421,6 +421,36 @@ object Pipeline {
         .filter(col("doc_id") < 500)
         .orderBy("shuffle_rank")),
 
+    // Subword-tokenizer contract: fit a BPE vocab on the corpus
+    // (bounded driver-side merge loop over ONE word-count
+    // aggregation), tokenize every document, and pin the properties
+    // that make it a real tokenizer: the corpus segments with zero
+    // [UNK] (the vocab covers its own alphabet by construction),
+    // pieces reconstruct every document exactly (## stripped, ws
+    // removed), and the piece count sits strictly between the word
+    // count (≥1 piece per word) and the character count (merges
+    // actually compress). Vocab and pieces are fit-dependent with no
+    // SQL analogue → constant-row oracle, like q105/q107.
+    "q116_subword_contract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val vocab = graft.api.TextAnalysis.fitSubwordVocab(docs, vocabSize = 512)
+      val t = graft.api.TextAnalysis.subwordTokenize(docs, vocab)
+      val squeezed = regexp_replace(lower(col("text")), "\\s+", "")
+      val m = t.select(col("n_subwords"),
+        size(filter(wsTokens(lower(col("text"))), w => w =!= ""))
+          .cast("long").as("n_words"),
+        length(squeezed).cast("long").as("n_chars"),
+        array_contains(col("subword_tokens"), "[UNK]").as("has_unk"),
+        (concat_ws("", transform(col("subword_tokens"),
+          x => regexp_replace(x, "^##", ""))) === squeezed).as("reconstructs"))
+      m.agg(
+        (sum(when(col("has_unk"), 1).otherwise(0)) === 0).as("no_unk"),
+        (sum(when(col("reconstructs"), 1).otherwise(0)) === count(lit(1)))
+          .as("all_reconstruct"),
+        (sum("n_subwords") >= sum("n_words")).as("at_least_one_piece_per_word"),
+        (sum("n_subwords") < sum("n_chars")).as("merges_compress"))
+    }),
+
     // Snapshot-diff contract: 3 committed batches (2000 rows each),
     // then the delta reader must (a) return exactly the rows batches
     // 1–2 added, (b) equal the exceptAll of the two snapshots it
@@ -1624,6 +1654,9 @@ object Pipeline {
     "q107_semantic_dedup" ->
       ("SELECT TRUE AS planted_twins_deduped, TRUE AS dropped_at_least_twins, " +
         "TRUE AS survivors_nonempty"),
+    "q116_subword_contract" ->
+      ("SELECT TRUE AS no_unk, TRUE AS all_reconstruct, " +
+        "TRUE AS at_least_one_piece_per_word, TRUE AS merges_compress"),
     "q80_pq_contract" ->
       "SELECT TRUE AS recon_ok, TRUE AS recon_floor_ok, TRUE AS compresses_32x",
     "q81_ivfpq_contract" ->

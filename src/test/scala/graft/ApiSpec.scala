@@ -755,6 +755,38 @@ class ApiSpec extends AnyFunSuite {
       "short digit runs, versions and partial dotted numbers pass through")
   }
 
+  test("subword tokenizer: greedy longest match, UNK fallback, deterministic fit") {
+    import graft.functions.expr.Subword
+    // explicit vocab: greedy longest-match semantics are checkable
+    val vocab = new java.util.HashSet[String]()
+    Seq("a", "##a", "b", "##b", "ab", "##ab").foreach(vocab.add)
+    assert(Subword.tokenize("abab", vocab).toSeq == Seq("ab", "##ab"))
+    assert(Subword.tokenize("ab ab", vocab).toSeq == Seq("ab", "ab"))
+    assert(Subword.tokenize("abc", vocab).toSeq == Seq("[UNK]"),
+      "no viable segmentation collapses the whole word to [UNK]")
+    assert(Subword.tokenize("b a", vocab).toSeq == Seq("b", "a"))
+    // fit: pure function of the word counts (two fits agree), covers
+    // its alphabet (no [UNK] on training words), and actually merges
+    val counts = Seq(("spark", 10L), ("sparse", 5L), ("park", 3L), ("spa", 2L))
+    val v1 = Subword.fit(counts, vocabSize = 40)
+    val v2 = Subword.fit(counts, vocabSize = 40)
+    assert(v1.sameElements(v2), "fit must be deterministic")
+    assert(v1.exists(_.length > 3), "frequent pairs must merge into longer pieces")
+    val vs = new java.util.HashSet[String]()
+    v1.foreach(vs.add)
+    counts.foreach { case (w, _) =>
+      val pieces = Subword.tokenize(w, vs)
+      assert(!pieces.contains("[UNK]"), s"$w must segment under its own vocab")
+      assert(pieces.map(_.stripPrefix("##")).mkString == w,
+        s"$w pieces must reconstruct it: ${pieces.toSeq}")
+    }
+    // operator form over a frame: counts and columns
+    val df = Seq((1L, "spark park"), (2L, "sparse spa")).toDF("id", "body")
+    val out = TextAnalysis.subwordTokenize(df, v1, "body")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_subwords")).toMap
+    assert(out.values.forall(_ >= 2), "two words of at least one piece each")
+  }
+
   test("TextAnalysis.deterministicShuffle is a reproducible permutation") {
     val df = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "body")
     val a = TextAnalysis.deterministicShuffle(df, "id", seed = 7)
