@@ -107,10 +107,17 @@ object TextAnalysis {
     * Fill bound: next-fit closes a bin only because the next document
     * does not fit, so adjacent closed bins sum past the budget — at
     * most 2·total/maxTokens + `partitions` bins overall (q83 contracts
-    * exactly this). */
+    * exactly this).
+    *
+    * `tokenCounter` sets the budget's unit: the default is the
+    * BPE-ish regex count; pass
+    * `t => size(subwordTokens(lower(t), vocab))` to pack under a real
+    * fitted subword vocabulary (ApiSpec proves the budget holds). */
   def packSequences(docs: DataFrame, maxTokens: Int,
                     idCol: String = "doc_id", textCol: String = "text",
-                    partitions: Int = 32): DataFrame = {
+                    partitions: Int = 32,
+                    tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      bpeishTokenCount): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(partitions > 0, "partitions must be positive")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -120,7 +127,7 @@ object TextAnalysis {
       org.apache.spark.sql.types.StructField("bin_id",
         org.apache.spark.sql.types.LongType, nullable = false)))
     val mt = maxTokens
-    docs.select(col(idCol), bpeishTokenCount(col(textCol)).as("n_tokens"))
+    docs.select(col(idCol), tokenCounter(col(textCol)).cast("int").as("n_tokens"))
       .repartition(partitions, col(idCol))
       .sortWithinPartitions(col("n_tokens").desc, col(idCol))
       .mapPartitions { rows =>

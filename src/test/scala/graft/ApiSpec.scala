@@ -785,6 +785,22 @@ class ApiSpec extends AnyFunSuite {
     val out = TextAnalysis.subwordTokenize(df, v1, "body")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_subwords")).toMap
     assert(out.values.forall(_ >= 2), "two words of at least one piece each")
+
+    // composition: packSequences under the REAL subword budget — every
+    // bin's piece total respects maxTokens, every doc packs once
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).limit(200)
+    val fitVocab = TextAnalysis.fitSubwordVocab(docs, vocabSize = 256)
+    val packed = TextAnalysis.packSequences(docs, maxTokens = 64,
+      tokenCounter = t => size(graft.functions.TextFunctions
+        .subwordTokens(lower(t), fitVocab)))
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .collect()
+    assert(packed.count() == docs.count(), "every doc packs exactly once")
+    assert(bins.forall(b => b.getAs[Long]("fill") <= 64 ||
+      b.getAs[Long]("n") == 1), "bins respect the subword budget " +
+      "(oversized single docs get their own bin)")
   }
 
   test("TextAnalysis.deterministicShuffle is a reproducible permutation") {
