@@ -188,4 +188,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!full.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "no user broadcast hints — AQE chooses the strategy")
   }
+
+  test("q109 normalization is one fused projection — no shuffle, no UDF") {
+    val qe = SparkEntry.queries("q109_normalize_text")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "the normalize chain must stay native expressions")
+    // the only exchange allowed is the final orderBy's range exchange
+    assert(!p.contains("hashpartitioning"),
+      s"a narrow per-row op must not hash-shuffle:\n${p.take(2000)}")
+  }
+
+  test("q110 corpus profile is ONE rollup aggregation over one scan") {
+    val qe = SparkEntry.queries("q110_corpus_profile")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("Expand"), "rollup rides the expand operator")
+    assert(!p.contains("Join"), "a one-pass report must not join")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      "one scan of documents only")
+  }
+
+  test("q112 integrity profile joins KEY PROFILES, never the raw tables") {
+    val qe = SparkEntry.queries("q112_integrity_profile")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // both sides aggregate to key counts BEFORE the single outer join:
+    // the join's inputs are HashAggregates, not table scans
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "the key-profile join is an equi-join")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q114 incremental dedup anti-joins on the fingerprint, keyed") {
+    val qe = SparkEntry.queries("q114_incremental_dedup")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftAnti"), "corpus exclusion must be an anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q115 shuffle rank never funnels through a single-partition window") {
+    val qe = SparkEntry.queries("q115_deterministic_shuffle")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      "the permutation sorts via a range exchange")
+    assert(!p.contains("Window"),
+      "the global rank must come from the two-pass zipWithIndex, not a window")
+  }
 }
