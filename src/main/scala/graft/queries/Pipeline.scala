@@ -469,9 +469,12 @@ object Pipeline {
       val path = dir.getAbsolutePath
       val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
       Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
-      val delta = graft.core.Tables.committedViewDelta(s, path, 0, 2)
+      // both compared frames are delta-sized and consumed 2-3 times
+      // (count, both exceptAll directions) — cache per the api package
+      // contract (Verify/Bench clearCache between queries)
+      val delta = graft.core.Tables.committedViewDelta(s, path, 0, 2).cache()
       val viaExcept = graft.core.Tables.committedViewAsOf(s, path, 2)
-        .exceptAll(graft.core.Tables.committedViewAsOf(s, path, 0))
+        .exceptAll(graft.core.Tables.committedViewAsOf(s, path, 0)).cache()
       val diffAsym = delta.exceptAll(viaExcept)
         .union(viaExcept.exceptAll(delta))
         .agg(count(lit(1)).as("n_asym"))
