@@ -154,12 +154,12 @@ object Joins {
     val p = parent.groupBy(col(parentKey).as("k")).agg(count(lit(1)).as("pc"))
     val c = child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("cc"))
     p.join(c, Seq("k"), "full_outer")
-      .agg(
-        sum(coalesce(col("pc"), lit(0L))).as("parent_rows"),
-        sum(coalesce(col("cc"), lit(0L))).as("child_rows"),
+      .agg( // sums coalesce so two EMPTY tables profile as zeros, not nulls
+        coalesce(sum(col("pc")), lit(0L)).as("parent_rows"),
+        coalesce(sum(col("cc")), lit(0L)).as("child_rows"),
         count(col("pc")).as("parent_keys"),
         count(col("cc")).as("child_keys"),
-        sum(when(col("pc").isNull, col("cc")).otherwise(0L))
+        coalesce(sum(when(col("pc").isNull, col("cc")).otherwise(0L)), lit(0L))
           .as("orphan_child_rows"),
         count(when(col("pc").isNull, lit(1))).as("orphan_child_keys"),
         count(when(col("pc").isNotNull && col("cc").isNull, lit(1)))

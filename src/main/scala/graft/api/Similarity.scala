@@ -960,11 +960,14 @@ object Similarity {
     val nonfinite = exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))
     val rows = emb.select(size(v).as("dims"), nonfinite.as("bad"),
       when(!nonfinite, round(VectorFunctions.norm(v), 6)).as("nrm"))
-    rows.agg(
+    rows.agg( // counters coalesce so an EMPTY corpus reports zeros;
+      // dims/norm stats stay null (there is nothing to describe)
       count(lit(1)).as("n_vecs"),
       min("dims").as("min_dims"), max("dims").as("max_dims"),
-      sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-      sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+      coalesce(sum(when(col("nrm") === 0.0, 1L).otherwise(0L)), lit(0L))
+        .as("n_zero"),
+      coalesce(sum(when(col("bad"), 1L).otherwise(0L)), lit(0L))
+        .as("n_nonfinite"),
       round(sum(col("nrm").cast("decimal(18,6)")).cast("double")
         / count(col("nrm")), 6).as("avg_norm"),
       round(percentile(col("nrm"), lit(0.5)), 6).as("p50_norm"),

@@ -998,6 +998,32 @@ class ApiSpec extends AnyFunSuite {
     assert(TextAnalysis.capPerKey(empty, "body", "id", cap = 5).isEmpty)
     assert(TextAnalysis.upsampleByStratum(empty, "body", "id",
       Map("x" -> 2.0)).isEmpty)
+    // round-7 ops: profiles report zeros (not nulls) on empty inputs,
+    // transforms yield empty frames
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(TextAnalysis.corpusProfile(emptyDocs).isEmpty,
+      "empty corpus, empty report")
+    val ip = Joins.integrityProfile(emptyDocs, emptyDocs, "doc_id", "doc_id")
+      .collect()(0)
+    assert(Seq("parent_rows", "child_rows", "parent_keys", "child_keys",
+      "orphan_child_rows", "orphan_child_keys", "childless_parent_keys",
+      "dup_parent_keys").forall(c => ip.getAs[Long](c) == 0L),
+      s"empty integrity profile must be all zeros: $ip")
+    val hp = Similarity.embeddingHealthProfile(emptyEmb).collect()(0)
+    assert(hp.getAs[Long]("n_vecs") == 0 && hp.getAs[Long]("n_zero") == 0 &&
+      hp.getAs[Long]("n_nonfinite") == 0)
+    assert(hp.isNullAt(hp.fieldIndex("min_dims")) &&
+      hp.isNullAt(hp.fieldIndex("avg_norm")),
+      "nothing to describe stays null, counters stay zero")
+    assert(TextAnalysis.deterministicShuffle(emptyDocs, "doc_id").isEmpty)
+    assert(Dedup.exactAgainstCorpus(emptyDocs, emptyDocs).isEmpty)
+    val oneDoc = Seq((1L, "en", "web", "hello")).toDF("doc_id", "lang", "source", "text")
+    assert(Dedup.exactAgainstCorpus(emptyDocs, oneDoc).count() == 1,
+      "an empty corpus excludes nothing")
+    assert(TextAnalysis.normalizeText(emptyDocs).isEmpty)
+
     // empty-text documents: zero tokens, zero grams, ratio 0 — not a crash
     val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "body")
     val rp = TextAnalysis.repetitionProfile(blank, "id", "body").collect()
