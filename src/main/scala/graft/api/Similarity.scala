@@ -938,6 +938,7 @@ object Similarity {
                     vecCol: String = "embedding", cells: Int = 16,
                     threshold: Double = 0.9, seed: Long = 42,
                     maxIter: Int = 5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val e = withNorm(emb, idCol, vecCol)
     semanticDedupAssigned(emb, e, fitCentroids(e, cells, seed, maxIter),
       idCol, threshold)
@@ -952,14 +953,19 @@ object Similarity {
     * HEALTHY vectors only (mean via order-exact DECIMAL sums;
     * p50/p99 as interpolated order statistics over the round-6 norm,
     * so cross-engine ulp wiggle in the float math cannot reorder the
-    * percentile input). One narrow codegen'd pass + one aggregation. */
-  def embeddingHealthProfile(emb: DataFrame, idCol: String = "vec_id",
+    * percentile input). NULL embeddings — the most broken state the
+    * column can be in — get their own `n_null` counter and stay out
+    * of every other statistic. One narrow codegen'd pass + one
+    * aggregation. */
+  def embeddingHealthProfile(emb: DataFrame,
                              vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions
     val v = col(vecCol)
     val nonfinite = exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))
-    val rows = emb.select(size(v).as("dims"), nonfinite.as("bad"),
-      when(!nonfinite, round(VectorFunctions.norm(v), 6)).as("nrm"))
+    val rows = emb.select(when(v.isNotNull, size(v)).as("dims"),
+      (v.isNotNull && nonfinite).as("bad"), v.isNull.as("is_null"),
+      when(v.isNotNull && !nonfinite, round(VectorFunctions.norm(v), 6))
+        .as("nrm"))
     rows.agg( // counters coalesce so an EMPTY corpus reports zeros;
       // dims/norm stats stay null (there is nothing to describe)
       count(lit(1)).as("n_vecs"),
@@ -968,6 +974,8 @@ object Similarity {
         .as("n_zero"),
       coalesce(sum(when(col("bad"), 1L).otherwise(0L)), lit(0L))
         .as("n_nonfinite"),
+      coalesce(sum(when(col("is_null"), 1L).otherwise(0L)), lit(0L))
+        .as("n_null"),
       round(sum(col("nrm").cast("decimal(18,6)")).cast("double")
         / count(col("nrm")), 6).as("avg_norm"),
       round(percentile(col("nrm"), lit(0.5)), 6).as("p50_norm"),
@@ -984,6 +992,7 @@ object Similarity {
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
                              threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val centroids = readCentroids(spark, resolveIndexRoot(spark, path))
     semanticDedupAssigned(emb, withNorm(emb, idCol, vecCol), centroids,
       idCol, threshold)

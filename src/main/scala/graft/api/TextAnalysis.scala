@@ -372,7 +372,12 @@ object TextAnalysis {
         octet_length(col(textCol)).cast("long").as("bytes"),
         tokenCount(col(textCol)).cast("long").as("toks"))
       .rollup("lang")
-      .agg(count(lit(1)).as("n_docs"),
+      // grouping() — not NULL-ness — marks the rollup total (it must
+      // ride inside the agg, where the grouping id still exists): a
+      // corpus with a genuine NULL language keeps its own '(null)'
+      // group instead of colliding with the 'ALL' row
+      .agg(grouping(col("lang")).as("__total_row"),
+        count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum("chars").as("total_chars"),
         sum("bytes").as("total_bytes"),
@@ -381,7 +386,9 @@ object TextAnalysis {
         round(percentile(col("chars"), lit(0.5)), 6).as("p50_chars"),
         round(percentile(col("chars"), lit(0.9)), 6).as("p90_chars"),
         round(percentile(col("chars"), lit(0.99)), 6).as("p99_chars"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
+      .select(when(col("__total_row") === 1, lit("ALL"))
+          .otherwise(coalesce(col("lang"), lit("(null)"))).as("lang"),
+        col("n_docs"),
         col("n_sources"), col("total_chars"), col("total_bytes"),
         col("ws_tokens"), col("avg_chars"), col("p50_chars"),
         col("p90_chars"), col("p99_chars"))

@@ -389,7 +389,8 @@ object Pipeline {
       val planted = Seq(
         (200000L, Array(0f, 0f)),
         (200001L, Array(Float.NaN, 1f)),
-        (200002L, Array(Float.PositiveInfinity, 0.5f)))
+        (200002L, Array(Float.PositiveInfinity, 0.5f)),
+        (200003L, null: Array[Float]))
         .toDF("vec_id", "embedding")
       graft.api.Similarity.embeddingHealthProfile(emb.union(planted))
     }),
@@ -1409,11 +1410,13 @@ object Pipeline {
         |  UNION ALL SELECT 200000, [0.0, 0.0]::FLOAT[]
         |  UNION ALL SELECT 200001, ['NaN'::FLOAT, 1.0::FLOAT]
         |  UNION ALL SELECT 200002, ['Infinity'::FLOAT, 0.5::FLOAT]
+        |  UNION ALL SELECT 200003, NULL::FLOAT[]
         |), r AS (
         |  SELECT len(embedding) AS dims,
-        |    len(list_filter(embedding,
+        |    embedding IS NOT NULL AND len(list_filter(embedding,
         |      x -> isnan(x) OR NOT isfinite(x))) > 0 AS bad,
-        |    CASE WHEN len(list_filter(embedding,
+        |    embedding IS NULL AS is_null,
+        |    CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
         |        x -> isnan(x) OR NOT isfinite(x))) = 0
         |      THEN round(sqrt(list_sum(list_transform(embedding,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) END AS nrm
@@ -1424,6 +1427,7 @@ object Pipeline {
         |  CAST(max(dims) AS INT) AS max_dims,
         |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(nrm), 6) AS avg_norm,
         |  round(quantile_cont(nrm, 0.5), 6) AS p50_norm,
@@ -1560,7 +1564,8 @@ object Pipeline {
     // the same one-pass ROLLUP report: length() = chars, strlen() =
     // bytes, the q51 token formula, quantile_cont percentiles
     "q110_corpus_profile" ->
-      """SELECT coalesce(lang, 'ALL') AS lang,
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+        |            ELSE coalesce(lang, '(null)') END AS lang,
         |  count(*) AS n_docs,
         |  count(DISTINCT source) AS n_sources,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -839,12 +839,15 @@ class ApiSpec extends AnyFunSuite {
       (1L, Array(3f, 4f)),                 // norm 5
       (2L, Array(0f, 0f)),                 // zero vector
       (3L, Array(Float.NaN)),              // non-finite, dim 1
-      (4L, Array(Float.NegativeInfinity, 1f)))
+      (4L, Array(Float.NegativeInfinity, 1f)),
+      (5L, null: Array[Float]))            // NULL embedding
       .toDF("id", "vec")
-    val r = Similarity.embeddingHealthProfile(emb, "id", "vec").collect()(0)
-    assert(r.getAs[Long]("n_vecs") == 4)
+    val r = Similarity.embeddingHealthProfile(emb, "vec").collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 5)
     assert(r.getAs[Int]("min_dims") == 1 && r.getAs[Int]("max_dims") == 2)
     assert(r.getAs[Long]("n_zero") == 1 && r.getAs[Long]("n_nonfinite") == 2)
+    assert(r.getAs[Long]("n_null") == 1,
+      "a NULL embedding is counted, not silently healthy")
     // norm stats over the two finite vectors only: {0, 5}
     assert(r.getAs[Double]("avg_norm") == 2.5)
     assert(r.getAs[Double]("p50_norm") == 2.5)
@@ -885,6 +888,16 @@ class ApiSpec extends AnyFunSuite {
     assert(all.getAs[Long]("ws_tokens") == 5)
     val de = out("de")
     assert(de.getAs[Long]("ws_tokens") == 2 && de.getAs[Long]("total_bytes") == 6)
+    // a genuine NULL language is its own group — it must NOT collide
+    // with the rollup total
+    val withNull = df.union(Seq((5L, null: String, "web", "xyz"))
+      .toDF("doc_id", "lang", "source", "text"))
+    val out2 = TextAnalysis.corpusProfile(withNull)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out2.keySet == Set("en", "de", "ALL", "(null)"))
+    assert(out2("(null)").getAs[Long]("n_docs") == 1)
+    assert(out2("ALL").getAs[Long]("n_docs") == 5,
+      "the total row covers every doc including the null-lang one")
   }
 
   test("TextAnalysis.normalizeText: every step lands, and the op is idempotent") {
