@@ -49,8 +49,8 @@ object Compact {
   final case class CompactResult(token: String, rows: Long,
                                  filesBefore: Int, filesAfter: Int)
 
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                            root: Path): Seq[(Path, String)] = {
+  private[ingest] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: Path): Seq[(Path, String)] = {
     val rootQualified = fs.makeQualified(root).toString
     val out = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
     val it = fs.listFiles(root, true)
@@ -91,14 +91,33 @@ object Compact {
       .load(liveFiles: _*)
     // one task per partition-column value vector => exactly one file
     // per partition directory out of the partitionBy writer
-    val staging = new Path(root, s"_staging/$token")
     val rows = df.count()
-    df.repartition(partitionCols.map(col): _*)
-      .write.mode("overwrite").format(format)
+    val published = publishRewrite(spark, fs, root, token,
+      df.repartition(partitionCols.map(col): _*),
+      partitionCols, format, compression, live)
+    Some(CompactResult(token, rows, liveFiles.size, published))
+  }
+
+  /** Shared rewrite-commit publisher (steps 3–4 of the object doc):
+    * write `df` through `_staging/<token>`, publish the files as
+    * `b<token>-*` renames (invisible — no marker yet), then land marker
+    * `_commits/<token>` whose CONTENT is `superseded` via temp-file +
+    * atomic rename — the single commit point. Used by [[compact]] and
+    * by [[Mutate]]'s row-level rewrites (a mutation is a compaction of
+    * the affected tokens that drops/replaces rows on the way through).
+    * Returns the published file count. */
+  private[ingest] def publishRewrite(spark: SparkSession,
+                                     fs: org.apache.hadoop.fs.FileSystem,
+                                     root: Path, token: String,
+                                     df: org.apache.spark.sql.DataFrame,
+                                     partitionCols: Seq[String], format: String,
+                                     compression: String,
+                                     superseded: Set[String]): Int = {
+    val staging = new Path(root, s"_staging/$token")
+    df.write.mode("overwrite").format(format)
       .option("compression", compression)
       .partitionBy(partitionCols: _*)
       .save(staging.toString)
-    // step 3: publish (same rename walk as Ingest.commitBatch)
     val stagingQualified = fs.makeQualified(staging).toString
     var published = 0
     val it = fs.listFiles(staging, true)
@@ -111,21 +130,20 @@ object Compact {
         fs.mkdirs(destDir)
         val dest = new Path(destDir, s"b$token-${f.getName}")
         if (!fs.rename(f, dest))
-          throw new java.io.IOException(s"compaction publish failed: $f -> $dest")
+          throw new java.io.IOException(s"rewrite publish failed: $f -> $dest")
         published += 1
       }
     }
     fs.delete(staging, true)
-    // step 4: the atomic commit point — marker content = superseded set
     val marker = new Path(root, s"_commits/$token")
     val tmp = new Path(root, s"_commits/.$token.tmp")
     fs.mkdirs(marker.getParent)
     val out = fs.create(tmp, true)
-    try out.write(live.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(superseded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"compaction marker rename failed: $marker")
-    Some(CompactResult(token, rows, liveFiles.size, published))
+      throw new java.io.IOException(s"rewrite marker rename failed: $marker")
+    published
   }
 
   /** Delete data files whose token is SUPERSEDED (its marker exists but

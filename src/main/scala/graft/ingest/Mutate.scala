@@ -1,0 +1,197 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Row-level DELETE and MERGE (upsert) on the staged-commit table —
+  * the copy-on-write half of the lakehouse contract (the reference
+  * delegates row-level ACID to Hive's delete deltas inside
+  * `hive-streaming:3.1.1`, `Culvert.java:213-231` / `README.md:65`;
+  * re-expressed here on the marker protocol, not reproduced on-disk,
+  * per SURVEY §7.3).
+  *
+  * Both operations publish through [[Compact.publishRewrite]] as a
+  * `c<stamp>` rewrite-class commit whose marker CONTENT lists the
+  * tokens it supersedes — so every existing reader already resolves
+  * them: `Tables.liveTokens` chains the marker, `committedView` sees
+  * post-mutation rows atomically at the marker rename, `Compact.vacuum`
+  * reclaims the replaced files, a crashed mutation's unmarked
+  * `bc<stamp>-*` leftovers are scrubbed by the next compaction, and the
+  * commit-log stream — an append-only feed of INGEST batches — skips
+  * mutation commits exactly as it skips compactions.
+  *
+  * Copy-on-write granularity is the COMMIT TOKEN (the protocol's unit
+  * of supersession): only tokens whose files contain a matching row are
+  * rewritten; every other token's files are untouched bytes. Ingest
+  * tokens are micro-batch-sized, so at 100 TB the rewrite cost tracks
+  * the data that actually changed — but a post-compaction table is ONE
+  * token, so mutations run cheapest before compaction (or accept the
+  * full rewrite, which is then itself a compaction).
+  *
+  * Semantics shared with compaction (documented, tested):
+  *  - batch snapshots (`committedViewAsOf`/`committedViewDelta`)
+  *    reconstruct INGEST history from original batch files — they show
+  *    the pre-mutation rows, and survive the mutation until `vacuum`
+  *    destroys a needed original (then they fail loudly);
+  *  - single-writer assumption per directory, like `compact`: run one
+  *    rewrite at a time (concurrent rewrites could supersede
+  *    overlapping token sets). Ingest commits landing CONCURRENTLY are
+  *    safe — they are not in the superseded set and stay live, though
+  *    their rows are by construction not visited by this mutation.
+  */
+object Mutate {
+
+  final case class MutateResult(token: String, tokensRewritten: Seq[String],
+                                matchedRows: Long, insertedRows: Long,
+                                rewrittenRows: Long)
+
+  /** Delete every committed row for which `predicate` is TRUE (rows
+    * where it is false or NULL survive — SQL DELETE semantics). Returns
+    * None (no commit written) when the table is empty or nothing
+    * matches. One full-scan to find the affected tokens (predicate
+    * pushdown applies), then a rewrite of ONLY those tokens' surviving
+    * rows. */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  format: String = "orc", compression: String = "zlib",
+                  partitionCols: Seq[String] = Seq("year", "month")): Option[MutateResult] = {
+    val st = affectedState(spark, path, format) { df =>
+      df.filter(predicate)
+    }
+    st.map { case (fs, root, affectedTokens, affectedDf) =>
+      val survivors = affectedDf.filter(!(predicate <=> lit(true)))
+      val affectedRows = affectedDf.count()
+      val rewrittenRows = survivors.count()
+      publish(spark, fs, root, survivors, partitionCols, format, compression,
+        affectedTokens, matched = affectedRows - rewrittenRows,
+        inserted = 0L, rewrittenRows = rewrittenRows)
+    }
+  }
+
+  /** Upsert `source` into the table by `keyCols`: committed rows whose
+    * key appears in `source` are REPLACED by the source row, source
+    * rows with unmatched keys are INSERTED — one atomic commit.
+    * `source` must be key-unique (checked, fails loudly: two source
+    * rows for one key have no deterministic winner) and must carry the
+    * table's columns, including the partition columns. A source with
+    * no matched keys publishes a pure-insert rewrite commit (empty
+    * supersede set). */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keyCols: Seq[String],
+            format: String = "orc", compression: String = "zlib",
+            partitionCols: Seq[String] = Seq("year", "month")): MutateResult = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    if (dupKeys.limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "merge source is not key-unique on (" + keyCols.mkString(", ") +
+          ") - two source rows for one key have no deterministic winner")
+    // cache per the api package contract: the key set drives the
+    // affected-file probe, the anti-join, and the insert count
+    val src = source.cache()
+    val keys = src.select(keyCols.map(col): _*).distinct()
+    val st = affectedState(spark, path, format) { df =>
+      df.join(keys, keyCols, "left_semi")
+    }
+    st match {
+      case Some((fs, root, affectedTokens, affectedDf)) =>
+        val survivors = affectedDf.join(keys, keyCols, "left_anti")
+        val survCount = survivors.count()
+        val srcCount = src.count()
+        val matched = affectedDf.count() - survCount
+        val rewrite = survivors.unionByName(src.select(affectedDf.columns.map(col): _*))
+        publish(spark, fs, root, rewrite, partitionCols, format, compression,
+          affectedTokens, matched, inserted = srcCount - matched,
+          rewrittenRows = survCount + srcCount)
+      case None =>
+        // empty table or no matches anywhere: pure insert (still a
+        // rewrite-class commit - empty supersede set chains trivially)
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val inserted = src.count()
+        publish(spark, fs, root, src, partitionCols, format, compression,
+          Set.empty, matched = 0L, inserted = inserted,
+          rewrittenRows = inserted)
+    }
+  }
+
+  /** Resolve the live state and the AFFECTED token subset: tokens with
+    * at least one row selected by `probe` (evaluated over a scan that
+    * projects the file path — metadata-sized result, bounded by the
+    * file count). Returns None when the table is empty or no token is
+    * affected. */
+  private def affectedState(spark: SparkSession, path: String, format: String)(
+      probe: DataFrame => DataFrame)
+      : Option[(org.apache.hadoop.fs.FileSystem, Path, Set[String], DataFrame)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = Tables.liveTokens(fs, root)
+    if (live.isEmpty) return None
+    val files = Compact.listDataFiles(fs, root)
+      .collect { case (f, t) if live.contains(t) => (f.toString, t) }
+    if (files.isEmpty) return None
+    // bind the file-path pseudo-column BEFORE the probe runs: _metadata
+    // exists only on the scan relation, and a probe that joins (merge)
+    // would drop it from its output otherwise
+    val full = spark.read.format(format).option("basePath", path)
+      .load(files.map(_._1): _*)
+      .withColumn("__fp", col("_metadata.file_path"))
+    val affectedFiles = probe(full)
+      .select(col("__fp")).distinct()
+      .collect().map(_.getString(0))
+    // qualification of _metadata.file_path varies by filesystem; the
+    // BASENAME carries the token (the b<token>-* naming contract), so
+    // resolve through it instead of comparing full URIs
+    val affectedTokens = affectedFiles.flatMap { fp =>
+      new Path(fp).getName match {
+        case Tables.batchFileRe(t) => Some(t)
+        case _ => None
+      }
+    }.toSet
+    if (affectedTokens.isEmpty) None
+    else {
+      val affectedPaths = files.collect {
+        case (f, t) if affectedTokens.contains(t) => f
+      }
+      val affectedDf = spark.read.format(format).option("basePath", path)
+        .load(affectedPaths: _*)
+      Some((fs, root, affectedTokens, affectedDf))
+    }
+  }
+
+  private def publish(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                      root: Path, df: DataFrame, partitionCols: Seq[String],
+                      format: String, compression: String,
+                      superseded: Set[String], matched: Long, inserted: Long,
+                      rewrittenRows: Long): MutateResult = {
+    var stamp = System.currentTimeMillis()
+    while (fs.exists(new Path(root, s"_commits/c$stamp"))) stamp += 1
+    val token = s"c$stamp"
+    Compact.publishRewrite(spark, fs, root, token,
+      df.repartition(partitionCols.map(col): _*),
+      partitionCols, format, compression, superseded)
+    MutateResult(token, superseded.toSeq.sorted, matched, inserted,
+      rewrittenRows)
+  }
+
+  /** Operational entry point:
+    * `runMain graft.ingest.Mutate <dir> delete "<sql predicate>"
+    *  [--format orc|parquet]` */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3 && args(1) == "delete",
+      "usage: Mutate <dir> delete \"<sql predicate>\" [--format orc|parquet]")
+    val format = args.sliding(2).collectFirst {
+      case Array("--format", f) => f
+    }.getOrElse("orc")
+    val spark = graft.core.Sessions.local("graft-mutate")
+    try deleteWhere(spark, args(0), expr(args(2)), format) match {
+      case Some(r) => println(
+        s"deleted ${r.matchedRows} rows (rewrote ${r.tokensRewritten.size} " +
+          s"commit(s) as ${r.token}, ${r.rewrittenRows} surviving rows)")
+      case None => println("no rows matched - nothing rewritten")
+    } finally spark.stop()
+  }
+}

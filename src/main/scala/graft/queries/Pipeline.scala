@@ -492,6 +492,57 @@ object Pipeline {
           (col("n_after") === col("delta_rows")).as("survives_compaction"))
     }),
 
+    // Row-level DELETE + MERGE on the committed table (Mutate):
+    // 3 ingest batches of 2000, then (a) a single-key delete whose
+    // victim lives only in batch 1 — must rewrite ONLY that token
+    // (copy-on-write scoped to the affected commit), (b) a bulk delete
+    // of every 'view' row (round-robin dict → exactly 1999 left after
+    // (a) removed one view), (c) an upsert that updates 5 rows in
+    // place and inserts 2 fresh keys. Closed-form row accounting,
+    // like q101/q111.
+    "q117_row_mutation" -> ((s, d) => {
+      import graft.ingest.{Ingest, IngestConfig, Mutate}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-mutq-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
+      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+      // (a) token-scoped: the lexicographically first 'view' key of
+      // batch 1 (committedViewDelta reads exactly that batch's files)
+      val victim = graft.core.Tables.committedViewDelta(s, path, 0, 1)
+        .filter(col("event_type") === "view")
+        .orderBy("user_id").select("user_id").head.getString(0)
+      val del1 = Mutate.deleteWhere(s, path, col("user_id") === victim).get
+      // (b) bulk: delete every remaining view
+      val del2 = Mutate.deleteWhere(s, path, col("event_type") === "view").get
+      // (c) upsert: 5 in-place updates + 2 fresh keys, one atomic commit
+      val base = graft.core.Tables.committedView(s, path)
+        .orderBy("user_id").limit(5).cache()
+      val source = base.withColumn("ad_type", lit("upserted"))
+        .union(base.limit(2)
+          .withColumn("user_id", concat(lit("ins-"), col("user_id")))
+          .withColumn("ad_type", lit("inserted")))
+      val m = Mutate.merge(s, path, source, Seq("user_id"))
+      graft.core.Tables.committedView(s, path).agg(
+          count(lit(1)).as("n_end"),
+          sum(when(col("ad_type") === "upserted", 1).otherwise(0)).as("n_upd"),
+          sum(when(col("ad_type") === "inserted", 1).otherwise(0)).as("n_ins"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"))
+        .select(
+          lit(del1.matchedRows).as("scoped_deleted"),
+          lit(del1.tokensRewritten == Seq("1")).as("delete_scoped_to_token"),
+          lit(del2.matchedRows).as("views_deleted"),
+          // 6000 − 1 − 1999 + 2 inserts; updates preserve the count
+          (col("n_end") === 4002).as("row_accounting"),
+          (lit(m.matchedRows) === 5 && lit(m.insertedRows) === 2 &&
+            col("n_upd") === 5 && col("n_ins") === 2).as("merge_applied"),
+          (col("n_view") === 0).as("delete_survives_merge"))
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1366,6 +1417,13 @@ object Pipeline {
       ("SELECT CAST(4000 AS BIGINT) AS delta_rows, " +
         "TRUE AS equals_snapshot_diff, TRUE AS empty_window_is_empty, " +
         "TRUE AS survives_compaction"),
+
+    // q117 builds its own 6000-row fixture; accounting is closed-form
+    "q117_row_mutation" ->
+      ("SELECT CAST(1 AS BIGINT) AS scoped_deleted, " +
+        "TRUE AS delete_scoped_to_token, " +
+        "CAST(1999 AS BIGINT) AS views_deleted, TRUE AS row_accounting, " +
+        "TRUE AS merge_applied, TRUE AS delete_survives_merge"),
 
     // the same md5 order key; row_number is DuckDB's (single-node)
     // rank — the operator's two-pass rank must match it exactly
