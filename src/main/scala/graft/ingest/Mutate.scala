@@ -170,8 +170,12 @@ object Mutate {
     var stamp = System.currentTimeMillis()
     while (fs.exists(new Path(root, s"_commits/c$stamp"))) stamp += 1
     val token = s"c$stamp"
-    Compact.publishRewrite(spark, fs, root, token,
-      df.repartition(partitionCols.map(col): _*),
+    // partitioned layout: one task per partition-value vector, like
+    // compact; unpartitioned: keep the source's partitioning (and with
+    // it any value locality the caller arranged for file skipping)
+    val arranged = if (partitionCols.nonEmpty)
+      df.repartition(partitionCols.map(col): _*) else df
+    Compact.publishRewrite(spark, fs, root, token, arranged,
       partitionCols, format, compression, superseded)
     MutateResult(token, superseded.toSeq.sorted, matched, inserted,
       rewrittenRows)

@@ -543,6 +543,54 @@ object Pipeline {
           (col("n_view") === 0).as("delete_survives_merge"))
     }),
 
+    // File-level stats + data skipping (Stats): two commits with
+    // contiguous per-file value ranges (4 files each), manifests via
+    // refresh, then a range read must (a) return exactly the rows the
+    // unpruned filter returns, (b) list ONE file of 8 in its scan
+    // (df.inputFiles — the pre-filter list), and (c) never skip a
+    // commit that has no manifest yet (safety: stats prune only what
+    // they can prove). Closed-form accounting, like q101/q111/q117.
+    "q118_stats_pruning" -> ((s, d) => {
+      import graft.ingest.{Mutate, Stats}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-statsq-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      def frame(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1, parts)
+          .select(col("id").as("k"), col("id").as("v"))
+      Mutate.merge(s, path, frame(0, 1000, 4), Seq("k"),
+        partitionCols = Seq.empty)
+      Mutate.merge(s, path, frame(1000, 2000, 4), Seq("k"),
+        partitionCols = Seq.empty)
+      val manifests = Stats.refresh(s, path, Seq("v"))
+      // inputFiles BEFORE cache(): a cached plan resolves to
+      // InMemoryRelation, which has no file leaves to list
+      val prunedRaw = Stats.prunedCommittedView(s, path, "v", 100, 199)
+      val filesOk = prunedRaw.inputFiles.length == 1 &&
+        graft.core.Tables.committedView(s, path).inputFiles.length == 8
+      val pruned = prunedRaw.cache()
+      val unpruned = graft.core.Tables.committedView(s, path)
+        .filter(col("v").between(100, 199)).cache()
+      // an unprofiled commit is read, never wrongly skipped
+      Mutate.merge(s, path, frame(2000, 3000, 1), Seq("k"),
+        partitionCols = Seq.empty)
+      val safety = Stats.prunedCommittedView(s, path, "v", 2040, 2050)
+      val asym = pruned.exceptAll(unpruned).union(unpruned.exceptAll(pruned))
+        .agg(count(lit(1)).as("n_asym"))
+      pruned.agg(count(lit(1)).as("pruned_rows"))
+        .crossJoin(asym)
+        .crossJoin(safety.agg(count(lit(1)).as("n_safety")))
+        .select(col("pruned_rows"),
+          (col("n_asym") === 0).as("equals_unpruned_filter"),
+          lit(manifests == 2).as("manifest_per_token"),
+          lit(filesOk).as("files_skipped"),
+          (col("n_safety") === 11).as("unprofiled_commit_read"))
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1424,6 +1472,12 @@ object Pipeline {
         "TRUE AS delete_scoped_to_token, " +
         "CAST(1999 AS BIGINT) AS views_deleted, TRUE AS row_accounting, " +
         "TRUE AS merge_applied, TRUE AS delete_survives_merge"),
+
+    // q118 builds its own fixture; the skip contract is closed-form
+    "q118_stats_pruning" ->
+      ("SELECT CAST(100 AS BIGINT) AS pruned_rows, " +
+        "TRUE AS equals_unpruned_filter, TRUE AS manifest_per_token, " +
+        "TRUE AS files_skipped, TRUE AS unprofiled_commit_read"),
 
     // the same md5 order key; row_number is DuckDB's (single-node)
     // rank — the operator's two-pass rank must match it exactly

@@ -1,0 +1,106 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level stats manifests + reader-side skipping: pruning must be
+  * provably safe (files without usable stats are read), exact (the
+  * pruned result equals the unpruned filter), and effective (provably
+  * disjoint files never enter the scan's file list — measured with
+  * `df.inputFiles`, the pre-filter list). */
+class StatsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stats").toString
+
+  /** Commit a frame through the marker protocol, unpartitioned, keeping
+    * the source's file layout (range partitions = contiguous values). */
+  private def commit(dir: String, from: Long, until: Long, parts: Int): Unit = {
+    val df = spark.range(from, until, 1, parts)
+      .select(col("id").as("k"), col("id").as("v"))
+    Mutate.merge(spark, dir, df, Seq("k"), partitionCols = Seq.empty)
+  }
+
+  test("pruning scans only files whose range can match; result equals the unpruned filter") {
+    val dir = tmp()
+    commit(dir, 0, 1000, 4)    // token A: 4 files, 250-wide ranges
+    commit(dir, 1000, 2000, 4) // token B: 4 files
+    assert(Stats.refresh(spark, dir, Seq("v")) == 2, "one manifest per token")
+    assert(Stats.refresh(spark, dir, Seq("v")) == 0, "refresh is incremental")
+    val pruned = Stats.prunedCommittedView(spark, dir, "v", 100, 199)
+    val oracle = Tables.committedView(spark, dir)
+      .filter(col("v").between(100, 199))
+    assert(pruned.exceptAll(oracle).isEmpty && oracle.exceptAll(pruned).isEmpty,
+      "pruned result must equal the unpruned filter")
+    assert(oracle.inputFiles.length == 8, "the unpruned scan lists every file")
+    assert(pruned.inputFiles.length == 1,
+      s"[100, 199] fits one 250-wide file; listed ${pruned.inputFiles.toSeq}")
+    // a window spanning the token boundary keeps one file per side
+    val span = Stats.prunedCommittedView(spark, dir, "v", 900, 1100)
+    assert(span.count() == 201 && span.inputFiles.length == 2)
+    // a disjoint window lists nothing and stays correctly typed
+    val none = Stats.prunedCommittedView(spark, dir, "v", 5000, 6000)
+    assert(none.isEmpty && none.columns.sameElements(Seq("k", "v")))
+  }
+
+  test("files without stats are never pruned; all-null columns are; string types never prune") {
+    val dir = tmp()
+    commit(dir, 0, 100, 1)
+    // an all-null token: BETWEEN can't match NULL, so stats may skip it
+    Mutate.merge(spark, dir,
+      spark.range(100, 200, 1, 1)
+        .select(col("id").as("k"), lit(null).cast("long").as("v")),
+      Seq("k"), partitionCols = Seq.empty)
+    assert(Stats.refresh(spark, dir, Seq("v", "k")) == 2)
+    // a token committed AFTER the refresh has no manifest: must be read
+    commit(dir, 200, 300, 1)
+    val pruned = Stats.prunedCommittedView(spark, dir, "v", 0, 50)
+    assert(pruned.count() == 51, "0..50 from the first token")
+    assert(pruned.inputFiles.length == 2,
+      "the unprofiled file is read (safety), the all-null file is skipped")
+    // string column: lexicographic min/max of {"9", "10"} is ["10", "9"],
+    // which parses numerically as the FALSE interval [10, 9] — the type
+    // gate must keep the file so the lexicographic match "10" survives
+    val strDir = tmp()
+    Mutate.merge(spark, strDir,
+      Seq(("a", "9"), ("b", "10")).toDF("k", "s").repartition(1),
+      Seq("k"), partitionCols = Seq.empty)
+    Stats.refresh(spark, strDir, Seq("s"))
+    val sPruned = Stats.prunedCommittedView(spark, strDir, "s", "1", "2")
+    val sOracle = Tables.committedView(spark, strDir)
+      .filter(col("s").between("1", "2"))
+    assert(sOracle.count() == 1, "lexicographically only \"10\" is in [1, 2]")
+    assert(sPruned.exceptAll(sOracle).isEmpty && sOracle.exceptAll(sPruned).isEmpty,
+      "a string column must never be pruned numerically")
+  }
+
+  test("manifests compose with mutation: rewrites get fresh tokens, safety then tightening") {
+    val dir = tmp()
+    commit(dir, 0, 1000, 4)
+    assert(Stats.refresh(spark, dir, Seq("v")) == 1)
+    // a mutation rewrites the token; its new files have NO manifest yet,
+    // so they are read (safety), and the result is still exact
+    Mutate.deleteWhere(spark, dir, col("v") === 500, partitionCols = Seq.empty)
+    val afterMutate = Stats.prunedCommittedView(spark, dir, "v", 400, 600)
+    assert(afterMutate.count() == 200, "400..600 minus the deleted 500")
+    // refresh covers the rewrite; a fresh disjoint commit prunes away
+    assert(Stats.refresh(spark, dir, Seq("v")) == 1)
+    commit(dir, 1000, 2000, 2)
+    assert(Stats.refresh(spark, dir, Seq("v")) == 1)
+    val tight = Stats.prunedCommittedView(spark, dir, "v", 0, 10)
+    assert(tight.count() == 11)
+    val full = Tables.committedView(spark, dir)
+    assert(tight.inputFiles.length < full.inputFiles.length,
+      s"pruning must list fewer files (${tight.inputFiles.length}) than the " +
+        s"full scan (${full.inputFiles.length})")
+    // none of token B's files (values >= 1000) may be listed
+    val tokenBFiles = Stats.prunedCommittedView(spark, dir, "v", 1500, 1500)
+      .inputFiles.toSet
+    assert(tight.inputFiles.toSet.intersect(tokenBFiles).isEmpty)
+  }
+}
