@@ -109,13 +109,48 @@ object Mutate {
       case None =>
         // empty table or no matches anywhere: pure insert (still a
         // rewrite-class commit - empty supersede set chains trivially)
-        val root = new Path(path)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val inserted = src.count()
-        publish(spark, fs, root, src, partitionCols, format, compression,
-          Set.empty, matched = 0L, inserted = inserted,
-          rewrittenRows = inserted)
+        append(spark, path, src, partitionCols, format, compression)
     }
+  }
+
+  /** Append `df` to the table as ONE atomic commit — the arbitrary-frame
+    * counterpart of `Ingest.runBatchCommitted` (which generates the
+    * synthetic event schema): publishes a rewrite-class commit with an
+    * EMPTY supersede set, so nothing existing is touched and readers see
+    * all of `df` or none of it. With empty `partitionCols` the source's
+    * partitioning (and any value locality it arranged) lands in the
+    * files as-is. */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             partitionCols: Seq[String] = Seq("year", "month"),
+             format: String = "orc",
+             compression: String = "zlib"): MutateResult = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = df.count()
+    publish(spark, fs, root, df, partitionCols, format, compression,
+      Set.empty, matched = 0L, inserted = n, rewrittenRows = n)
+  }
+
+  /** Append `df` as one commit whose files are Z-ORDERED on `zCols`
+    * (Layout.withZValue: Morton-interleaved equi-width buckets, a
+    * codegen'd projection + one range exchange): each output file
+    * covers a small hyper-rectangle of the value space, so a
+    * subsequent `Stats.refresh` + `prunedCommittedView` skips files
+    * for range predicates on ANY z column — the write-side half of
+    * data skipping, composed with the commit protocol (gated end-to-
+    * end by q119). `numFiles` <= 0 uses spark.sql.shuffle.partitions. */
+  def appendZOrdered(spark: SparkSession, path: String, df: DataFrame,
+                     zCols: Seq[String], bits: Int = 8, numFiles: Int = 0,
+                     format: String = "orc",
+                     compression: String = "zlib"): MutateResult = {
+    val n = if (numFiles > 0) numFiles
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val arranged = graft.core.Layout.withZValue(df, zCols, bits)
+      .repartitionByRange(n, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    append(spark, path, arranged, partitionCols = Seq.empty, format,
+      compression)
   }
 
   /** Resolve the live state and the AFFECTED token subset: tokens with

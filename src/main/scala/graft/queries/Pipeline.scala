@@ -591,6 +591,46 @@ object Pipeline {
           (col("n_safety") === 11).as("unprofiled_commit_read"))
     }),
 
+    // The full data-skipping loop in one plan: a Z-ORDERED commit
+    // (Mutate.appendZOrdered — Morton-bucketed range-exchange through
+    // the marker protocol) over a 64x64 uniform grid, stats manifests,
+    // then quarter-range predicates on EACH z dimension must skip at
+    // least half the 16 files while returning exactly the unpruned
+    // filter's rows. A linear sort clusters only its leading column
+    // (LayoutSpec proves the distinction); this gates the composed
+    // write->manifest->skip path the way q85/q96 gate curation chains.
+    "q119_zorder_pruning" -> ((s, d) => {
+      import graft.ingest.{Mutate, Stats}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-zstatq-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      val grid = s.range(0, 4096)
+        .selectExpr("id % 64 as x", "id div 64 as y", "id as k")
+      Mutate.appendZOrdered(s, path, grid, Seq("x", "y"),
+        bits = 6, numFiles = 16)
+      val manifests = Stats.refresh(s, path, Seq("x", "y"))
+      val full = graft.core.Tables.committedView(s, path)
+      val pxRaw = Stats.prunedCommittedView(s, path, "x", 0, 15)
+      val pyRaw = Stats.prunedCommittedView(s, path, "y", 0, 15)
+      val filesOk = full.inputFiles.length == 16 &&
+        pxRaw.inputFiles.length <= 8 && pyRaw.inputFiles.length <= 8
+      val px = pxRaw.cache()
+      val ox = full.filter(col("x").between(0, 15)).cache()
+      val asym = px.exceptAll(ox).union(ox.exceptAll(px))
+        .agg(count(lit(1)).as("n_asym"))
+      px.agg(count(lit(1)).as("x_rows"))
+        .crossJoin(pyRaw.agg(count(lit(1)).as("y_rows")))
+        .crossJoin(asym)
+        .select(col("x_rows"), col("y_rows"),
+          (col("n_asym") === 0).as("equals_unpruned_filter"),
+          lit(manifests == 1).as("manifest_written"),
+          lit(filesOk).as("both_columns_skip"))
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1478,6 +1518,12 @@ object Pipeline {
       ("SELECT CAST(100 AS BIGINT) AS pruned_rows, " +
         "TRUE AS equals_unpruned_filter, TRUE AS manifest_per_token, " +
         "TRUE AS files_skipped, TRUE AS unprofiled_commit_read"),
+
+    // q119's 64x64 grid: a quarter-range on either dim is 1024 rows
+    "q119_zorder_pruning" ->
+      ("SELECT CAST(1024 AS BIGINT) AS x_rows, " +
+        "CAST(1024 AS BIGINT) AS y_rows, TRUE AS equals_unpruned_filter, " +
+        "TRUE AS manifest_written, TRUE AS both_columns_skip"),
 
     // the same md5 order key; row_number is DuckDB's (single-node)
     // rank — the operator's two-pass rank must match it exactly

@@ -103,4 +103,28 @@ class StatsSpec extends AnyFunSuite {
       .inputFiles.toSet
     assert(tight.inputFiles.toSet.intersect(tokenBFiles).isEmpty)
   }
+
+  test("a z-ordered commit skips files on EVERY z column") {
+    val dir = tmp()
+    // 64x64 uniform grid: both dimensions high-cardinality
+    val grid = spark.range(0, 4096)
+      .selectExpr("id % 64 as x", "id div 64 as y", "id as k")
+    Mutate.appendZOrdered(spark, dir, grid, Seq("x", "y"),
+      bits = 6, numFiles = 16)
+    assert(Stats.refresh(spark, dir, Seq("x", "y")) == 1)
+    val full = Tables.committedView(spark, dir)
+    assert(full.inputFiles.length == 16 && full.count() == 4096)
+    // a quarter-range predicate on EITHER dimension must skip at least
+    // half the files (a linear sort would skip only on its leading
+    // column — LayoutSpec proves that distinction; here the point is
+    // the protocol-integrated loop: z-write -> manifest -> skip)
+    val px = Stats.prunedCommittedView(spark, dir, "x", 0, 15)
+    val py = Stats.prunedCommittedView(spark, dir, "y", 0, 15)
+    assert(px.count() == 1024 && py.count() == 1024,
+      "pruned results stay exact")
+    assert(px.inputFiles.length <= 8 && py.inputFiles.length <= 8,
+      s"x listed ${px.inputFiles.length}, y listed ${py.inputFiles.length} of 16")
+    val ox = full.filter(col("x").between(0, 15))
+    assert(px.exceptAll(ox).isEmpty && ox.exceptAll(px).isEmpty)
+  }
 }
