@@ -113,6 +113,47 @@ object Mutate {
     }
   }
 
+  /** Continuously apply a change stream to the committed table: each
+    * micro-batch lands as ONE atomic [[merge]] commit — the CDC-apply
+    * shape (`foreachBatch` + merge, the documented Structured
+    * Streaming idiom for upsert sinks). With `versionCol` set, a batch
+    * carrying several changes for one key keeps the highest version
+    * (last-wins over a per-key window — CDC feeds are rarely
+    * key-unique per batch); the version column is dropped before the
+    * merge, so the stream carries table columns + version. Versions
+    * must be strictly monotone per key — equal versions have no
+    * deterministic winner. At-least-once composes safely: merge is
+    * convergent (re-applying a batch matches the same keys to the same
+    * values), so a checkpoint replay rewrites but never duplicates.
+    * Single-writer rule of the object doc applies: this query must be
+    * the only rewriter of `path` while it runs. */
+  def mergeStream(stream: DataFrame, path: String, keyCols: Seq[String],
+                  checkpoint: String, versionCol: Option[String] = None,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                  partitionCols: Seq[String] = Seq("year", "month"),
+                  format: String = "orc", compression: String = "zlib")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.head(1).nonEmpty) {
+          val deduped = versionCol match {
+            case Some(v) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCols.map(col): _*).orderBy(col(v).desc)
+              batch.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn", v)
+            case None => batch
+          }
+          merge(batch.sparkSession, path, deduped, keyCols, format,
+            compression, partitionCols)
+          ()
+        }
+      }
+      .start()
+
   /** Append `df` to the table as ONE atomic commit — the arbitrary-frame
     * counterpart of `Ingest.runBatchCommitted` (which generates the
     * synthetic event schema): publishes a rewrite-class commit with an

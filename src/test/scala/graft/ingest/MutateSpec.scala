@@ -130,6 +130,41 @@ class MutateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key-unique"))
   }
 
+  test("mergeStream applies each micro-batch as one atomic last-wins upsert") {
+    val dir = tmp()
+    val srcDir = tmp()
+    val ckpt = tmp()
+    import spark.implicits._
+    // seed: keys 0..99, v = k
+    Mutate.append(spark, dir,
+      spark.range(0, 100, 1, 2).selectExpr("id as k", "id as v"),
+      partitionCols = Seq.empty)
+    val schema = Seq((0L, 0L, 0L)).toDF("k", "v", "ver").schema
+    def applyFile(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+      rows.toDF("k", "v", "ver").coalesce(1)
+        .write.parquet(s"$srcDir/$name")
+      val q = Mutate.mergeStream(
+        spark.readStream.schema(schema).parquet(s"$srcDir/*"),
+        dir, Seq("k"), ckpt, versionCol = Some("ver"),
+        partitionCols = Seq.empty)
+      q.awaitTermination()
+    }
+    // batch 1: two versions of k=50 (last wins) + an insert
+    applyFile(Seq((50L, 111L, 1L), (50L, 222L, 2L), (200L, 1L, 1L)), "b1")
+    val after1 = Tables.committedView(spark, dir)
+    assert(after1.count() == 101)
+    assert(after1.filter($"k" === 50).select("v").head.getLong(0) == 222,
+      "the higher version must win within the batch")
+    // batch 2 (same checkpoint, new files only): update + another insert
+    applyFile(Seq((50L, 333L, 3L), (300L, 7L, 1L)), "b2")
+    val after2 = Tables.committedView(spark, dir)
+    assert(after2.count() == 102)
+    assert(after2.filter($"k" === 50).select("v").head.getLong(0) == 333)
+    assert(after2.filter($"k" === 300).select("v").head.getLong(0) == 7)
+    assert(after2.columns.sorted.sameElements(Array("k", "v")),
+      "the version column must not leak into the table")
+  }
+
   test("mutations compose with compaction: chain resolves, vacuum reclaims, view stable") {
     val dir = tmp()
     threeBatches(dir)
