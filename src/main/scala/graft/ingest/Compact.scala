@@ -70,10 +70,21 @@ object Compact {
   /** Rewrite the committed rows into one file per partition directory
     * and publish the rewrite as a superseding commit (see object doc).
     * No-op (None) when nothing is committed. `partitionCols` must be
-    * the sink's partition layout (the ingest default `year, month`). */
+    * the sink's partition layout (the ingest default `year, month`).
+    *
+    * With `zorderCols` set, the rewrite RE-CLUSTERS while it compacts
+    * (the OPTIMIZE-ZORDER maintenance shape every lakehouse format
+    * converges on): rows are range-exchanged on (partitionCols,
+    * z-value) into `zorderFiles` contiguous runs (default
+    * spark.sql.shuffle.partitions), so a table whose ingest order had
+    * no locality gains multi-dimensional file skipping post-hoc —
+    * compose with `Stats.refresh` (the compaction token is fresh, so
+    * its manifest is rebuilt) and `Stats.prunedCommittedView`. */
   def compact(spark: SparkSession, path: String, format: String = "orc",
               compression: String = "zlib",
-              partitionCols: Seq[String] = Seq("year", "month")): Option[CompactResult] = {
+              partitionCols: Seq[String] = Seq("year", "month"),
+              zorderCols: Seq[String] = Nil, zorderBits: Int = 8,
+              zorderFiles: Int = 0): Option[CompactResult] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = Tables.liveTokens(fs, root)
@@ -92,8 +103,17 @@ object Compact {
     // one task per partition-column value vector => exactly one file
     // per partition directory out of the partitionBy writer
     val rows = df.count()
-    val published = publishRewrite(spark, fs, root, token,
-      df.repartition(partitionCols.map(col): _*),
+    val arranged =
+      if (zorderCols.nonEmpty) {
+        val n = if (zorderFiles > 0) zorderFiles
+          else spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val keys = partitionCols.map(col) :+ col("_z")
+        graft.core.Layout.withZValue(df, zorderCols, zorderBits)
+          .repartitionByRange(n, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("_z")
+      } else df.repartition(partitionCols.map(col): _*)
+    val published = publishRewrite(spark, fs, root, token, arranged,
       partitionCols, format, compression, live)
     Some(CompactResult(token, rows, liveFiles.size, published))
   }

@@ -104,6 +104,33 @@ class StatsSpec extends AnyFunSuite {
     assert(tight.inputFiles.toSet.intersect(tokenBFiles).isEmpty)
   }
 
+  test("OPTIMIZE-ZORDER compaction gives a randomly-ingested table skipping post-hoc") {
+    val dir = tmp()
+    // two commits whose rows carry NO locality: x/y scattered by hash
+    val scattered = spark.range(0, 4096)
+      .selectExpr("id % 64 as x", "id div 64 as y", "id as k")
+      .repartition(8) // round-robin: every file spans the full range
+    Mutate.append(spark, dir, scattered, partitionCols = Seq.empty)
+    assert(Stats.refresh(spark, dir, Seq("x")) == 1)
+    val before = Stats.prunedCommittedView(spark, dir, "x", 0, 15)
+    assert(before.count() == 1024 &&
+      before.inputFiles.length == Tables.committedView(spark, dir).inputFiles.length,
+      "no locality -> stats cannot skip anything")
+    // compact with re-clustering; the fresh token needs a fresh manifest
+    val res = Compact.compact(spark, dir, partitionCols = Seq.empty,
+      zorderCols = Seq("x", "y"), zorderBits = 6, zorderFiles = 16).get
+    assert(res.rows == 4096)
+    assert(Stats.refresh(spark, dir, Seq("x", "y")) == 1)
+    val px = Stats.prunedCommittedView(spark, dir, "x", 0, 15)
+    val py = Stats.prunedCommittedView(spark, dir, "y", 0, 15)
+    assert(px.count() == 1024 && py.count() == 1024, "still exact")
+    val total = Tables.committedView(spark, dir).inputFiles.length
+    assert(px.inputFiles.length <= total / 2 &&
+      py.inputFiles.length <= total / 2,
+      s"post-optimize skip: x ${px.inputFiles.length}, y " +
+        s"${py.inputFiles.length} of $total")
+  }
+
   test("a z-ordered commit skips files on EVERY z column") {
     val dir = tmp()
     // 64x64 uniform grid: both dimensions high-cardinality
