@@ -243,6 +243,60 @@ object TextAnalysis {
         coalesce(col("__share"), lit(0.0)).as("top_bigram_share"))
   }
 
+  /** The Gopher/MassiveText heuristic rule battery (the published rule
+    * set most large-corpus curation pipelines start from), one boolean
+    * column per rule plus the conjunction `keep` — rules stay visible
+    * so downstream can report WHICH rule dropped a document, not just
+    * that one did. Every threshold comparison is cross-multiplied into
+    * INTEGER arithmetic (e.g. symbol ratio <= 0.1 becomes
+    * `10*symbols <= words`), so the flags are exactly reproducible in
+    * any engine — no float-division boundary cases. One fused
+    * codegen'd projection over the text column: no UDF, no shuffle, no
+    * join.
+    *
+    * Rules (defaults = the published thresholds):
+    *  - `ok_words`: word count in [minWords, maxWords]
+    *  - `ok_mean_word_len`: mean word length in [3, 10] chars
+    *  - `ok_symbols`: (# + ellipsis) per word <= 0.1
+    *  - `ok_bullets`: <= 90% of non-blank lines start with a bullet
+    *  - `ok_ellipsis`: <= 30% of non-blank lines end with an ellipsis
+    *  - `ok_alpha`: >= 80% of words contain an alphabetic character
+    *  - `ok_stopwords`: >= 2 DISTINCT English stop words present
+    */
+  def gopherQualityFlags(docs: DataFrame, textCol: String = "text",
+                         minWords: Int = 50,
+                         maxWords: Int = 100000): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(wsTokens(col(textCol)), w => w =!= "")
+    val nW = size(words).cast("long")
+    // total word chars == length with ALL whitespace stripped
+    val chars = length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+    val symbols = regexp_count(col(textCol), lit("#|\\.{3}|…"))
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val nL = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("long")
+    val ellipsis = size(filter(lines, l => l.rlike("(\\.{3}|…)\\s*$")))
+      .cast("long")
+    val alphaW = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      transform(words, w => lower(w)),
+      array(stop.map(lit): _*)))
+    docs
+      .withColumn("ok_words", nW >= minWords && nW <= maxWords)
+      .withColumn("ok_mean_word_len",
+        nW > 0 && lit(3) * nW <= chars && chars <= lit(10) * nW)
+      .withColumn("ok_symbols", lit(10) * symbols.cast("long") <= nW)
+      .withColumn("ok_bullets", lit(10) * bullets <= lit(9) * nL)
+      .withColumn("ok_ellipsis", lit(10) * ellipsis <= lit(3) * nL)
+      .withColumn("ok_alpha", lit(5) * alphaW >= lit(4) * nW)
+      .withColumn("ok_stopwords", stopHits >= 2)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_word_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions, with
     * the keep decision a pure function of the KEY (md5 prefix compared
     * against a per-stratum hex threshold) — reproducible across

@@ -631,6 +631,38 @@ object Pipeline {
           lit(filesOk).as("both_columns_skip"))
     }),
 
+    // The Gopher/MassiveText rule battery over the corpus plus one
+    // planted violator per rule (and one planted keeper), reported as
+    // per-rule drop counts. Every rule is integer cross-multiplied
+    // arithmetic, so the DuckDB oracle replays the whole battery
+    // bit-exactly — the gate checks each rule's firing set, not just
+    // the keep count.
+    "q120_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (900001L, "tiny doc"),                               // too few words
+        (900002L, Seq.fill(60)("#").mkString(" ")),          // symbols+alpha+len
+        (900003L, Seq.fill(60)("- item listed here").mkString("\n")), // bullets
+        (900004L, Seq.fill(60)("the trailing thought goes on...").mkString("\n")), // ellipsis
+        (900005L, (1 to 60).map(_.toString).mkString(" ")),  // no alphabetic words
+        (900006L, Seq.fill(5)(
+          "the cat and the dog have fun with all of that stuff now"
+        ).mkString(" ")))                                    // passes everything
+        .toDF("doc_id", "text")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .union(planted)
+      graft.api.TextAnalysis.gopherQualityFlags(docs)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("ok_words"), 1).otherwise(0)).as("drop_words"),
+          sum(when(!col("ok_mean_word_len"), 1).otherwise(0)).as("drop_mean_len"),
+          sum(when(!col("ok_symbols"), 1).otherwise(0)).as("drop_symbols"),
+          sum(when(!col("ok_bullets"), 1).otherwise(0)).as("drop_bullets"),
+          sum(when(!col("ok_ellipsis"), 1).otherwise(0)).as("drop_ellipsis"),
+          sum(when(!col("ok_alpha"), 1).otherwise(0)).as("drop_alpha"),
+          sum(when(!col("ok_stopwords"), 1).otherwise(0)).as("drop_stopwords"),
+          sum(when(col("keep"), 1).otherwise(0)).as("kept"))
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1524,6 +1556,60 @@ object Pipeline {
       ("SELECT CAST(1024 AS BIGINT) AS x_rows, " +
         "CAST(1024 AS BIGINT) AS y_rows, TRUE AS equals_unpruned_filter, " +
         "TRUE AS manifest_written, TRUE AS both_columns_skip"),
+
+    // q120 replays the whole rule battery: integer cross-multiplied
+    // thresholds make every rule engine-portable; list_intersect is
+    // wrapped in list_distinct to match Spark's array_intersect
+    "q120_gopher_rules" ->
+      ("""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'tiny doc'),
+        |    (900002, repeat('# ', 59) || '#'),
+        |    (900003, repeat('- item listed here' || chr(10), 59) || '- item listed here'),
+        |    (900004, repeat('the trailing thought goes on...' || chr(10), 59) || 'the trailing thought goes on...'),
+        |    (900005, '""".stripMargin + (1 to 60).mkString(" ") + """'),
+        |    (900006, trim(repeat('the cat and the dog have fun with all of that stuff now ', 5)))
+        |  ) AS v(doc_id, text)),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+        |    CAST(len(regexp_extract_all(text, '#|\.{3}|…')) AS BIGINT) AS symbols,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM all_docs),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS nw, chars, symbols,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.{3}|…)\s*$'))) AS BIGINT) AS ellps,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alphaw,
+        |    CAST(len(list_distinct(list_intersect(list_transform(words, w -> lower(w)),
+        |      ['the','be','to','of','and','that','have','with']))) AS BIGINT) AS stopw
+        |  FROM f),
+        |r AS (
+        |  SELECT
+        |    nw BETWEEN 50 AND 100000 AS ok_words,
+        |    nw > 0 AND 3 * nw <= chars AND chars <= 10 * nw AS ok_mean,
+        |    10 * symbols <= nw AS ok_symbols,
+        |    10 * bullets <= 9 * nl AS ok_bullets,
+        |    10 * ellps <= 3 * nl AS ok_ellipsis,
+        |    5 * alphaw >= 4 * nw AS ok_alpha,
+        |    stopw >= 2 AS ok_stop
+        |  FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS drop_words,
+        |  CAST(sum(CASE WHEN NOT ok_mean THEN 1 ELSE 0 END) AS BIGINT) AS drop_mean_len,
+        |  CAST(sum(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS drop_symbols,
+        |  CAST(sum(CASE WHEN NOT ok_bullets THEN 1 ELSE 0 END) AS BIGINT) AS drop_bullets,
+        |  CAST(sum(CASE WHEN NOT ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS drop_ellipsis,
+        |  CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS drop_alpha,
+        |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS drop_stopwords,
+        |  CAST(sum(CASE WHEN ok_words AND ok_mean AND ok_symbols AND ok_bullets
+        |    AND ok_ellipsis AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM r""".stripMargin),
 
     // the same md5 order key; row_number is DuckDB's (single-node)
     // rank — the operator's two-pass rank must match it exactly

@@ -375,6 +375,38 @@ class ApiSpec extends AnyFunSuite {
     assert(split.count() == 500L, "every row gets a split label")
   }
 
+  test("TextAnalysis.gopherQualityFlags: each rule fires on its violator, the keeper passes") {
+    val filler = Seq.fill(5)(
+      "the cat and the dog have fun with all of that stuff now").mkString(" ")
+    val docs = Seq(
+      ("keeper", filler),
+      ("short", "tiny doc"),
+      ("symbols", filler + " " + Seq.fill(20)("#").mkString(" ")),
+      ("bullets", Seq.fill(60)("- " + filler).mkString("\n")),
+      ("ellipsis", Seq.fill(60)(filler + "...").mkString("\n")),
+      ("numeric", filler + " " + (1 to 70).mkString(" ")),
+      ("nostop", Seq.fill(60)("lorem ipsum dolor sit amet").mkString(" ")))
+      .toDF("id", "text")
+    val flags = TextAnalysis.gopherQualityFlags(docs)
+      .select("id", "ok_words", "ok_symbols", "ok_bullets", "ok_ellipsis",
+        "ok_alpha", "ok_stopwords", "keep")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(flags("keeper") == (true, true, true, true, true, true, true))
+    assert(!flags("short")._1 && !flags("short")._7)
+    assert(!flags("symbols")._2, "20 symbols over 80 words exceeds 0.1/word")
+    assert(!flags("bullets")._3 && flags("bullets")._4,
+      "every line bulleted, none ellipsed")
+    assert(!flags("ellipsis")._4 && flags("ellipsis")._3)
+    assert(!flags("numeric")._5, "70 of 130 words lack an alphabetic char")
+    assert(!flags("nostop")._6, "no Gopher stop word present")
+    // bounds are parameters: the keeper fails a tighter word cap
+    val strict = TextAnalysis.gopherQualityFlags(docs, maxWords = 10)
+      .filter(col("id") === "keeper").select("ok_words").head.getBoolean(0)
+    assert(!strict)
+  }
+
   test("TextAnalysis.chunkDocuments windows every token with the requested overlap") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 3 chunks at 40/10
