@@ -81,18 +81,43 @@ object Mutate {
   def merge(spark: SparkSession, path: String, source: DataFrame,
             keyCols: Seq[String],
             format: String = "orc", compression: String = "zlib",
-            partitionCols: Seq[String] = Seq("year", "month")): MutateResult = {
-    require(keyCols.nonEmpty, "merge requires at least one key column")
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
+            partitionCols: Seq[String] = Seq("year", "month")): MutateResult =
+    applyChanges(spark, path, source, None, keyCols, format, compression,
+      partitionCols)
+
+  /** Apply a change set — upserts AND key deletions — as ONE atomic
+    * commit (the CDC-apply generalization of [[merge]]): affected
+    * tokens are those holding any changed key, their surviving rows
+    * are the ones matching NO change key, and the rewrite is
+    * survivors + upsert rows — deleted keys simply don't reappear.
+    * `deletes` carries just the key columns. A key in both frames is
+    * rejected with the key-uniqueness error (no deterministic order
+    * between its delete and its upsert).
+    *
+    * Result accounting: `matchedRows` = old rows removed (updated or
+    * deleted), `insertedRows` = upsert rows minus matched upserts
+    * (net new keys; negative never). */
+  def applyChanges(spark: SparkSession, path: String, upserts: DataFrame,
+                   deletes: Option[DataFrame], keyCols: Seq[String],
+                   format: String = "orc", compression: String = "zlib",
+                   partitionCols: Seq[String] = Seq("year", "month")): MutateResult = {
+    require(keyCols.nonEmpty, "applyChanges requires at least one key column")
+    val delKeys = deletes.map(_.select(keyCols.map(col): _*).distinct())
+    val changeKeys = delKeys match {
+      case Some(dk) => upserts.select(keyCols.map(col): _*).union(dk)
+      case None => upserts.select(keyCols.map(col): _*)
+    }
+    val dupKeys = changeKeys.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
     if (dupKeys.limit(1).count() > 0)
       throw new IllegalArgumentException(
-        "merge source is not key-unique on (" + keyCols.mkString(", ") +
-          ") - two source rows for one key have no deterministic winner")
+        "change set is not key-unique on (" + keyCols.mkString(", ") +
+          ") - duplicate upsert keys, or a key both upserted and deleted, " +
+          "have no deterministic outcome")
     // cache per the api package contract: the key set drives the
-    // affected-file probe, the anti-join, and the insert count
-    val src = source.cache()
-    val keys = src.select(keyCols.map(col): _*).distinct()
+    // affected-file probe, the anti-join, and the accounting counts
+    val src = upserts.cache()
+    val keys = changeKeys.distinct().cache()
     val st = affectedState(spark, path, format) { df =>
       df.join(keys, keyCols, "left_semi")
     }
@@ -102,14 +127,28 @@ object Mutate {
         val survCount = survivors.count()
         val srcCount = src.count()
         val matched = affectedDf.count() - survCount
+        // net-new keys = upsert rows whose key matched nothing old.
+        // `matched` counts DELETED rows too, so with a delete set the
+        // upsert keys must be matched specifically (cheap: the probe
+        // already narrowed affectedDf to the changed tokens); without
+        // one every matched row IS a matched upsert
+        val matchedUpserts = if (deletes.isEmpty) matched
+          else affectedDf.join(src.select(keyCols.map(col): _*),
+            keyCols, "left_semi").count()
         val rewrite = survivors.unionByName(src.select(affectedDf.columns.map(col): _*))
         publish(spark, fs, root, rewrite, partitionCols, format, compression,
-          affectedTokens, matched, inserted = srcCount - matched,
+          affectedTokens, matched,
+          inserted = math.max(0L, srcCount - matchedUpserts),
           rewrittenRows = survCount + srcCount)
       case None =>
-        // empty table or no matches anywhere: pure insert (still a
-        // rewrite-class commit - empty supersede set chains trivially)
-        append(spark, path, src, partitionCols, format, compression)
+        // empty table or no matches anywhere: deletes are no-ops and
+        // the upserts are a pure insert (still a rewrite-class commit -
+        // empty supersede set chains trivially). Nothing to insert ->
+        // nothing to commit (a delete of absent keys must not litter
+        // the log with empty markers).
+        if (src.limit(1).count() == 0)
+          MutateResult("", Seq.empty, 0L, 0L, 0L)
+        else append(spark, path, src, partitionCols, format, compression)
     }
   }
 
@@ -125,10 +164,15 @@ object Mutate {
     * deterministic winner. At-least-once composes safely: merge is
     * convergent (re-applying a batch matches the same keys to the same
     * values), so a checkpoint replay rewrites but never duplicates.
-    * Single-writer rule of the object doc applies: this query must be
-    * the only rewriter of `path` while it runs. */
+    * With `opCol` set the feed is full CDC (the Debezium-sink shape):
+    * after version dedup, a key whose last state is `deleteOp` is
+    * REMOVED and every other row upserts — applied together as one
+    * atomic [[applyChanges]] commit per batch. Single-writer rule of
+    * the object doc applies: this query must be the only rewriter of
+    * `path` while it runs. */
   def mergeStream(stream: DataFrame, path: String, keyCols: Seq[String],
                   checkpoint: String, versionCol: Option[String] = None,
+                  opCol: Option[String] = None, deleteOp: String = "delete",
                   trigger: org.apache.spark.sql.streaming.Trigger =
                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                   partitionCols: Seq[String] = Seq("year", "month"),
@@ -147,8 +191,18 @@ object Mutate {
                 .filter(col("__rn") === 1).drop("__rn", v)
             case None => batch
           }
-          merge(batch.sparkSession, path, deduped, keyCols, format,
-            compression, partitionCols)
+          // with an op column the feed is full CDC: the key's LAST
+          // state (post version-dedup) decides — a delete row removes
+          // the key, anything else upserts; both land in ONE commit
+          val (ups, dels) = opCol match {
+            case Some(oc) =>
+              (deduped.filter(!(col(oc) <=> lit(deleteOp))).drop(oc),
+                Some(deduped.filter(col(oc) === deleteOp)
+                  .select(keyCols.map(col): _*)))
+            case None => (deduped, None)
+          }
+          applyChanges(batch.sparkSession, path, ups, dels, keyCols,
+            format, compression, partitionCols)
           ()
         }
       }

@@ -663,6 +663,77 @@ object Pipeline {
           sum(when(col("keep"), 1).otherwise(0)).as("kept"))
     }),
 
+    // CDC apply (Mutate.applyChanges + mergeStream opCol — the
+    // Debezium-sink shape): a 100-key table, then (a) one change set
+    // mixing an update, an insert, a delete, and an absent-key delete
+    // applied DIRECTLY as one atomic commit with net-new insert
+    // accounting; (b) a versioned op-column batch through mergeStream
+    // in which a key's later delete must beat its earlier upsert —
+    // also one commit; (c) an all-absent delete set that must commit
+    // NOTHING. Closed-form accounting, like q117.
+    "q121_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      import graft.ingest.Mutate
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-cdcq-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) { // recursive stale-fixture cleanup
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      def markers() = {
+        val c = new java.io.File(dir, "_commits")
+        if (!c.exists()) 0
+        else c.listFiles().count(f =>
+          !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+      }
+      Mutate.append(s, path,
+        s.range(0, 100, 1, 2).selectExpr("id as k", "id as v"),
+        partitionCols = Seq.empty)
+      val m0 = markers()
+      // (a) direct: update k10, insert k200, delete k20 + absent k4000
+      val r1 = Mutate.applyChanges(s, path,
+        Seq((10L, 999L), (200L, 1L)).toDF("k", "v"),
+        Some(Seq(Tuple1(20L), Tuple1(4000L)).toDF("k")), Seq("k"),
+        partitionCols = Seq.empty)
+      val m1 = markers()
+      // (b) CDC stream: k30's versioned delete beats its upsert,
+      // k40 upserts — one commit for the batch
+      val srcDir = new java.io.File(dir, "_cdc_src")
+      val feed = Seq((30L, 555L, 1L, "upsert"), (30L, 0L, 2L, "delete"),
+        (40L, 555L, 1L, "upsert"))
+        .toDF("k", "v", "ver", "op")
+      feed.coalesce(1).write.parquet(srcDir.getAbsolutePath + "/b1")
+      Mutate.mergeStream(
+        s.readStream.schema(feed.schema)
+          .parquet(srcDir.getAbsolutePath + "/*"),
+        path, Seq("k"), new java.io.File(dir, "_cdc_ckpt").getAbsolutePath,
+        versionCol = Some("ver"), opCol = Some("op"),
+        partitionCols = Seq.empty).awaitTermination()
+      val m2 = markers()
+      // (c) an all-absent delete set is a no-op, not an empty commit
+      val r3 = Mutate.applyChanges(s, path,
+        Seq((10L, 999L)).toDF("k", "v").limit(0),
+        Some(Seq(Tuple1(7777L)).toDF("k")), Seq("k"),
+        partitionCols = Seq.empty)
+      val m3 = markers()
+      graft.core.Tables.committedView(s, path).agg(
+          count(lit(1)).as("n_end"),
+          max(when(col("k") === 10, col("v"))).as("v10"),
+          max(when(col("k") === 40, col("v"))).as("v40"),
+          max(when(col("k") === 200, col("v"))).as("v200"),
+          sum(when(col("k").isin(20, 30), 1).otherwise(0)).as("n_dead"))
+        .select(col("n_end"),
+          (col("v10") === 999 && col("v40") === 555 &&
+            col("v200") === 1).as("upserts_applied"),
+          (col("n_dead") === 0).as("deletes_applied"),
+          (lit(r1.matchedRows) === 2 && lit(r1.insertedRows) === 1)
+            .as("net_new_accounting"),
+          (lit(m1) === m0 + 1 && lit(m2) === m1 + 1)
+            .as("one_commit_per_change_set"),
+          (lit(m3) === m2 && lit(r3.token) === "").as("absent_delete_noop"))
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1556,6 +1627,12 @@ object Pipeline {
       ("SELECT CAST(1024 AS BIGINT) AS x_rows, " +
         "CAST(1024 AS BIGINT) AS y_rows, TRUE AS equals_unpruned_filter, " +
         "TRUE AS manifest_written, TRUE AS both_columns_skip"),
+
+    // q121 builds its own 100-key fixture; 100 - k20 - k30 + k200 = 99
+    "q121_cdc_apply" ->
+      ("SELECT CAST(99 AS BIGINT) AS n_end, TRUE AS upserts_applied, " +
+        "TRUE AS deletes_applied, TRUE AS net_new_accounting, " +
+        "TRUE AS one_commit_per_change_set, TRUE AS absent_delete_noop"),
 
     // q120 replays the whole rule battery: integer cross-multiplied
     // thresholds make every rule engine-portable; list_intersect is

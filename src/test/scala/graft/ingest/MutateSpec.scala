@@ -165,6 +165,76 @@ class MutateSpec extends AnyFunSuite {
       "the version column must not leak into the table")
   }
 
+  test("applyChanges lands update+insert+delete atomically with net-new insert accounting") {
+    val dir = tmp()
+    import spark.implicits._
+    Mutate.append(spark, dir,
+      spark.range(0, 100, 1, 2).selectExpr("id as k", "id as v"),
+      partitionCols = Seq.empty)
+    // one change set: update k10, insert k200, delete k20 and an
+    // absent k4000 — matched = 2 (the update + the delete), inserted
+    // = 1 (the delete must NOT cancel the insert in the accounting)
+    val ups = Seq((10L, 999L), (200L, 1L)).toDF("k", "v")
+    val dels = Seq(Tuple1(20L), Tuple1(4000L)).toDF("k")
+    val r = Mutate.applyChanges(spark, dir, ups, Some(dels), Seq("k"),
+      partitionCols = Seq.empty)
+    assert(r.matchedRows == 2 && r.insertedRows == 1,
+      s"matched=${r.matchedRows} inserted=${r.insertedRows}")
+    val after = Tables.committedView(spark, dir)
+    assert(after.count() == 100, "100 - 1 deleted + 1 inserted")
+    assert(after.filter($"k" === 10).select("v").head.getLong(0) == 999)
+    assert(after.filter($"k" === 200).select("v").head.getLong(0) == 1)
+    assert(after.filter($"k" === 20).isEmpty)
+    // a key both upserted and deleted has no deterministic outcome
+    val boom = intercept[IllegalArgumentException] {
+      Mutate.applyChanges(spark, dir, ups,
+        Some(Seq(Tuple1(10L)).toDF("k")), Seq("k"),
+        partitionCols = Seq.empty)
+    }
+    assert(boom.getMessage.contains("key-unique"))
+    // an all-absent delete set commits NOTHING (no marker litter)
+    val noop = Mutate.applyChanges(spark, dir,
+      ups.limit(0), Some(Seq(Tuple1(7777L)).toDF("k")), Seq("k"),
+      partitionCols = Seq.empty)
+    assert(noop.token == "" && noop.rewrittenRows == 0)
+  }
+
+  test("mergeStream with an op column applies upserts and deletes as one CDC commit") {
+    val dir = tmp()
+    val srcDir = tmp()
+    val ckpt = tmp()
+    import spark.implicits._
+    Mutate.append(spark, dir,
+      spark.range(0, 100, 1, 2).selectExpr("id as k", "id as v"),
+      partitionCols = Seq.empty)
+    val schema = Seq((0L, 0L, 0L, "")).toDF("k", "v", "ver", "op").schema
+    // one batch: an upsert, a plain delete, a key whose LAST state is a
+    // delete (version dedup must let the delete win), and a delete of
+    // an absent key (no-op)
+    Seq((10L, 999L, 1L, "upsert"),
+      (20L, 0L, 1L, "delete"),
+      (30L, 555L, 1L, "upsert"), (30L, 0L, 2L, "delete"),
+      (4000L, 0L, 1L, "delete"))
+      .toDF("k", "v", "ver", "op").coalesce(1)
+      .write.parquet(s"$srcDir/b1")
+    def markers() = new java.io.File(dir, "_commits").listFiles()
+      .count(f => !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+    val markersBefore = markers()
+    Mutate.mergeStream(
+      spark.readStream.schema(schema).parquet(s"$srcDir/*"),
+      dir, Seq("k"), ckpt, versionCol = Some("ver"), opCol = Some("op"),
+      partitionCols = Seq.empty).awaitTermination()
+    val after = Tables.committedView(spark, dir)
+    assert(after.count() == 98, "100 - k20 - k30 (k10 updated in place)")
+    assert(after.filter($"k" === 10).select("v").head.getLong(0) == 999)
+    assert(after.filter($"k" === 20 || $"k" === 30).isEmpty,
+      "deleted keys must be gone; the versioned delete must beat its upsert")
+    assert(after.filter($"k" === 4000).isEmpty)
+    val markersAfter = markers()
+    assert(markersAfter == markersBefore + 1,
+      "upserts and deletes land as ONE commit")
+  }
+
   test("mutations compose with compaction: chain resolves, vacuum reclaims, view stable") {
     val dir = tmp()
     threeBatches(dir)
