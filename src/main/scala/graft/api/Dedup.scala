@@ -299,6 +299,76 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
+  /** Exact-substring span REMOVAL — the ExactSubstr half of the
+    * "deduplicating training data" line of work, at token granularity:
+    * every token n-gram occurring at least `minCount` times corpus-wide
+    * (across documents OR repeated within one) marks its span, spans
+    * are merged per document, and the covered tokens are CUT — the
+    * surgical alternative to dropping whole near-dup documents when the
+    * duplication is boilerplate, licenses, or templated fragments
+    * embedded in otherwise-unique text. All occurrences are removed
+    * (the reference method's default — a span that exists elsewhere
+    * carries no unique signal). Matching is case-insensitive; output
+    * text is whitespace-normalized (tokens rejoined with single
+    * spaces), with original token case preserved. Documents shorter
+    * than n tokens pass through (normalized) untouched; a fully-covered
+    * document survives as an empty string so the caller decides whether
+    * to drop it. Output: (idCol, textCol, n_tokens, n_removed).
+    *
+    * Shape: grams travel as 8-byte hashes through one keyed count; the
+    * interval merge windows ONLY over marked gram starts (the
+    * duplicated subset — never the corpus), so the cover never blows up
+    * n-fold; per-doc spans ride back as one small array on a keyed
+    * join, and the cut itself is a narrow codegen'd projection inside
+    * the document row — text never explodes token-wise. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", n: Int = 50,
+                            minCount: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minCount >= 2, s"minCount below 2 would cut everything, got $minCount")
+    val toks = filter(wsTokens(col(textCol)), t => t =!= "")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+    val grams = base.select(col("doc_id"),
+      posexplode(when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => xxhash64(lower(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy("g")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("g")
+    // classic running-max interval merge of the marked [pos, pos+n-1]
+    // spans: a span that starts past every previous end opens a group
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = grams.join(dupGrams, "g")
+      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"))
+    val noSpans = array().cast("array<struct<s:int,e:int>>")
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("__spans"), noSpans).as("__spans"), col("__t"))
+      .withColumn("__keep",
+        // guard: sequence(0, -1) would count DOWN, not come back empty
+        filter(when(size(col("__t")) > 0,
+            sequence(lit(0), size(col("__t")) - 1))
+          .otherwise(array().cast("array<int>")),
+          i => !exists(col("__spans"),
+            sp => i >= sp.getField("s") && i <= sp.getField("e"))))
+      .select(col(idCol),
+        array_join(transform(col("__keep"),
+          i => element_at(col("__t"), i + 1)), " ").as(textCol),
+        size(col("__t")).as("n_tokens"),
+        (size(col("__t")) - size(col("__keep"))).as("n_removed"))
+  }
+
   /** Remove benchmark-contaminated documents from a corpus: drops every
     * document sharing at least `minOverlap` distinct n-shingles with
     * the benchmark set (per [[contaminationProfile]]); all other rows

@@ -734,6 +734,25 @@ object Pipeline {
           (lit(m3) === m2 && lit(r3.token) === "").as("absent_delete_noop"))
     }),
 
+    // Exact-substring span removal (the ExactSubstr stage — cut every
+    // duplicated n-token run, not drop whole documents): plant a
+    // 12-token boilerplate at the tail of every doc_id % 7 == 0
+    // document, cut at n=8, and compare the ENTIRE per-doc outcome
+    // (token count, removed count, md5 of the cut text) against the
+    // oracle's SQL replay. Natural cross-doc duplicate 8-grams are
+    // replayed identically, so the gate is bit-for-bit per document.
+    "q122_span_removal" -> ((s, d) => {
+      val boiler = "lorem ipsum shared boiler plate sentence " +
+        "repeated across many documents for removal"
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")).as("text"))
+      graft.api.Dedup.removeDuplicatedSpans(corpus, n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1627,6 +1646,45 @@ object Pipeline {
       ("SELECT CAST(1024 AS BIGINT) AS x_rows, " +
         "CAST(1024 AS BIGINT) AS y_rows, TRUE AS equals_unpruned_filter, " +
         "TRUE AS manifest_written, TRUE AS both_columns_skip"),
+
+    // q122 replays the whole span cut in SQL: same tokenization as q95,
+    // grams carry start positions, covered = union of [pos, pos+7] over
+    // duplicated grams (equivalent to the engine's interval merge), and
+    // the kept tokens reassemble with single spaces for the md5
+    "q122_span_removal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
+        |      ' lorem ipsum shared boiler plate sentence repeated across many documents for removal'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') t
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |      'gram': array_to_string(list_transform(t[i:i+7], x -> lower(x)), ' ')}
+        |    FOR i IN range(1, greatest(len(t) - 7, 0) + 1)], recursive := true)
+        |  FROM toks
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), covered AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + r.off AS cp
+        |  FROM g JOIN dup USING (gram)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS off) r
+        |), cov AS (
+        |  SELECT doc_id, list(cp) cps FROM covered GROUP BY doc_id
+        |), k AS (
+        |  SELECT t.doc_id, len(t.t) AS n_tokens,
+        |    [t.t[i] FOR i IN range(1, len(t.t) + 1)
+        |      IF NOT list_contains(coalesce(c.cps, CAST([] AS BIGINT[])), i - 1)] AS keep
+        |  FROM toks t LEFT JOIN cov c USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_tokens - len(keep) AS INT) AS n_removed,
+        |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+        |  md5(coalesce(array_to_string(keep, ' '), '')) AS text_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // q121 builds its own 100-key fixture; 100 - k20 - k30 + k200 = 99
     "q121_cdc_apply" ->

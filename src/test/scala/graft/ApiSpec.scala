@@ -679,6 +679,26 @@ class ApiSpec extends AnyFunSuite {
     assert(out2 == Map(10L -> "a|b", 11L -> "c"))
   }
 
+  test("Dedup.removeDuplicatedSpans cuts merged duplicate spans, all occurrences") {
+    val df = Seq(
+      (1L, "u1 u2 u3 Shared One Two Three t1 t2"), // dup run mid-doc, mixed case
+      (2L, "shared one two three v1 v2 v3"),       // same run at the start
+      (3L, "w1  w2"),                              // shorter than n → normalized only
+      (4L, "r r r r r"),                           // self-repetition → fully covered
+      (5L, "")                                     // empty text edge
+    ).toDF("id", "body")
+    val out = Dedup.removeDuplicatedSpans(df, "id", "body", n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // the two overlapping dup trigrams of doc 1 merge into ONE span
+    // [3,6]; matching is case-insensitive, output keeps original case
+    assert(out(1L) == (("u1 u2 u3 t1 t2", 9, 4)))
+    assert(out(2L) == (("v1 v2 v3", 7, 4)), "all occurrences cut, not all-but-one")
+    assert(out(3L) == (("w1 w2", 2, 0)), "short doc passes, whitespace-normalized")
+    assert(out(4L) == (("", 5, 5)), "a fully-covered doc survives as empty text")
+    assert(out(5L) == (("", 0, 0)))
+  }
+
   test("Dedup.decontaminate drops exactly the benchmark-overlapping docs") {
     val bench = Seq((100L, "the secret eval question about spark engines")).toDF("id", "body")
     val corp = Seq(
