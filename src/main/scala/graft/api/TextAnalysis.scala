@@ -790,4 +790,113 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Hashed n-gram features for importance weighting: unigrams +
+    * bigrams of the q51/q61 tokenizer, each folded into a 2³²-bucket
+    * hashed feature space. The bucket key is the first 8 hex chars of
+    * md5 — a STRING key, deliberately: it is engine-portable (no
+    * hex→int arithmetic to replicate) and collision-folding is part of
+    * the method's contract, not an accident. */
+  private def hashedNgramFeatures(text: org.apache.spark.sql.Column) = {
+    val toks = filter(wsTokens(lower(text)), t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "),
+                      element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams),
+      g => substring(md5(g.cast("binary")), 1, 8))
+  }
+
+  /** Per-feature counts over a corpus: one explode + one map-side-
+    * combined aggregation; output is at most one row per DISTINCT
+    * hashed feature (≤ 2³²), not per occurrence. */
+  private def hashedFeatureCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(hashedNgramFeatures(col(textCol))).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("c"))
+
+  /** DSIR-style importance weights (data selection via importance
+    * resampling): score every raw-corpus document by how much more
+    * likely its hashed n-gram features are under the TARGET corpus'
+    * feature distribution than under the raw corpus' own —
+    *
+    *   logw(d) = Σ_f∈d [ ln p̂_tgt(f) − ln p̂_raw(f) ]
+    *
+    * with add-α smoothing over the 2³² hashed buckets, so features the
+    * target never saw still get a (heavily penalized) finite weight.
+    * High logw ⇒ the document "sounds like" the target domain; select
+    * with [[dsirSelect]]. Per-feature log-ratios round to 6 decimals
+    * and sum through DECIMAL(18,6) (the file-wide contract), so the
+    * weight is a pure function of the two corpora — partial-aggregation
+    * order, engine, and run cannot change it.
+    *
+    * Shape at 100 TB: the two distribution fits are single map-side-
+    * combined aggregations (the target is typically a bounded reference
+    * sample — its count table broadcasts; the raw count table is
+    * feature-keyed and joins shuffle-to-shuffle); the scoring pass is
+    * one explode + two keyed equi-joins + one per-doc aggregation. No
+    * driver-side model, no collects, nothing corpus-sized on one node.
+    * Output: every raw column + (dsir_logw, n_features); featureless
+    * documents (empty/whitespace text) get logw 0 and n_features 0. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive for smoothing, got $alpha")
+    val buckets = math.pow(2.0, 32) // 16^8 hashed feature space
+    val tgtCounts = hashedFeatureCounts(target, textCol)
+      .withColumnRenamed("c", "ct")
+    val rawCounts = hashedFeatureCounts(raw, textCol)
+      .withColumnRenamed("c", "cr")
+    val totals = tgtCounts.agg(sum(col("ct")).as("nt"))
+      .crossJoin(rawCounts.agg(sum(col("cr")).as("nr")))
+    val grams = raw.select(col(idCol).as("__id"),
+      explode(hashedNgramFeatures(col(textCol))).as("f"))
+    val term = round(
+      log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + alpha * buckets))
+        - log((col("cr") + alpha) / (col("nr") + alpha * buckets)),
+      6).cast("decimal(18,6)")
+    val scored = grams
+      .join(tgtCounts, Seq("f"), "left")
+      .join(rawCounts, Seq("f")) // inner: a raw gram is always counted
+      .crossJoin(totals)
+      .withColumn("__w", term)
+      .groupBy("__id")
+      .agg(sum(col("__w")).cast("double").as("dsir_logw"),
+           count(lit(1)).as("n_features"))
+    raw.join(scored, raw(idCol) === scored("__id"), "left")
+      .drop("__id")
+      .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
+      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+  }
+
+  /** Importance RESAMPLING over [[importanceWeights]]: keep the k
+    * raw-corpus documents ranked by perturbed weight. With
+    * `gumbelSeed` set this is the paper's Gumbel-top-k — equivalent to
+    * sampling k documents without replacement with probability ∝ the
+    * importance weights — with the Gumbel noise derived from
+    * md5(seed|id), so the "random" draw is a pure function of
+    * (corpus, seed): reruns and engines agree. Without a seed it is
+    * deterministic head-of-ranking selection (temperature → 0). Either
+    * way the selection is a bounded TakeOrdered (ties break on id) —
+    * never a global sort — so k rows, not the corpus, is what moves. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 alpha: Double = 1.0,
+                 gumbelSeed: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val weighted = importanceWeights(raw, target, idCol, textCol, alpha)
+    val key = gumbelSeed match {
+      case Some(seed) =>
+        // u ∈ (0,1) from 48 md5 bits of (seed|id); g = −ln(−ln u)
+        val u = (conv(substring(md5(concat(lit(seed.toString), lit("|"),
+            col(idCol).cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("double") + lit(0.5)) / lit(math.pow(16.0, 12))
+        col("dsir_logw") - log(-log(u))
+      case None => col("dsir_logw")
+    }
+    weighted.withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
 }

@@ -753,6 +753,21 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (data selection via importance
+    // resampling): target = the doc_id % 11 == 3 slice as the
+    // "reference domain" sample, raw = the whole corpus; the gate
+    // replays the ENTIRE hashed-ngram scoring pipeline — md5-bucketed
+    // unigram+bigram features, add-1 smoothing over 2^32 buckets,
+    // per-feature log-ratios rounded to 6dp and summed through
+    // DECIMAL(18,6) — per document, bit for bit.
+    "q123_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(col("doc_id") % 11 === 3)
+      graft.api.TextAnalysis.importanceWeights(docs, target)
+        .select(col("doc_id"), col("n_features"), col("dsir_logw"))
+        .orderBy("doc_id")
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1685,6 +1700,45 @@ object Pipeline {
         |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
         |  md5(coalesce(array_to_string(keep, ' '), '')) AS text_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // q123 replays DSIR end-to-end: identical tokenizer, identical
+    // md5-prefix feature hashing, identical add-1 smoothing over the
+    // 2^32-bucket space, 6dp-rounded log-ratio terms summed as
+    // DECIMAL(18,6). Totals cast to DOUBLE before the ln so DuckDB's
+    // HUGEINT sums cannot change the arithmetic type.
+    "q123_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') t
+        |  FROM documents
+        |), rg AS (
+        |  SELECT doc_id, substr(md5(g), 1, 8) AS f FROM (
+        |    SELECT doc_id,
+        |      unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+        |    FROM toks)
+        |), tg AS (
+        |  SELECT f FROM rg WHERE doc_id % 11 = 3
+        |), tgtc AS (
+        |  SELECT f, count(*) ct FROM tg GROUP BY f
+        |), rawc AS (
+        |  SELECT f, count(*) cr FROM rg GROUP BY f
+        |), tot AS (
+        |  SELECT CAST((SELECT sum(ct) FROM tgtc) AS DOUBLE) nt,
+        |         CAST((SELECT sum(cr) FROM rawc) AS DOUBLE) nr
+        |), terms AS (
+        |  SELECT rg.doc_id,
+        |    CAST(round(
+        |      ln((coalesce(ct, 0) + 1.0) / (nt + 4294967296.0))
+        |      - ln((cr + 1.0) / (nr + 4294967296.0)), 6) AS DECIMAL(18,6)) w
+        |  FROM rg LEFT JOIN tgtc USING (f) JOIN rawc USING (f) CROSS JOIN tot
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(sum(w) AS DOUBLE) logw, count(*) nf
+        |  FROM terms GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(nf, 0) AS BIGINT) AS n_features,
+        |  coalesce(logw, 0.0) AS dsir_logw
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q121 builds its own 100-key fixture; 100 - k20 - k30 + k200 = 99
     "q121_cdc_apply" ->

@@ -699,6 +699,46 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L) == (("", 0, 0)))
   }
 
+  test("TextAnalysis.importanceWeights ranks target-like docs above off-domain") {
+    val raw = Seq(
+      (1L, "spark engine shuffles data across the cluster"),
+      (2L, "spark engine scales the query across the cluster"),
+      (3L, "slow roasted garlic butter chicken with rosemary"),
+      (4L, "caramelized onion soup with toasted gruyere bread"),
+      (5L, "")).toDF("id", "body")
+    val target = Seq((100L, "the spark engine runs the query across the cluster"))
+      .toDF("id", "body")
+    val w = TextAnalysis.importanceWeights(raw, target, "id", "body").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("dsir_logw"),
+        r.getAs[Long]("n_features")))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L), "every raw row survives, weighted")
+    assert(w(5L) == ((0.0, 0L)), "featureless doc gets zero weight, not null")
+    val sparkMin = math.min(w(1L)._1, w(2L)._1)
+    val foodMax = math.max(w(3L)._1, w(4L)._1)
+    assert(sparkMin > foodMax, s"target-domain docs must outrank: $w")
+    // n_features = unigrams + bigrams = 2·len − 1
+    assert(w(1L)._2 == 13L && w(3L)._2 == 13L)
+  }
+
+  test("TextAnalysis.dsirSelect takes top-k; Gumbel draw is seed-deterministic") {
+    val raw = Seq(
+      (1L, "spark engine shuffles data across the cluster"),
+      (2L, "spark engine scales the query across the cluster"),
+      (3L, "slow roasted garlic butter chicken with rosemary"),
+      (4L, "caramelized onion soup with toasted gruyere bread")).toDF("id", "body")
+    val target = Seq((100L, "the spark engine runs the query across the cluster"))
+      .toDF("id", "body")
+    val top = TextAnalysis.dsirSelect(raw, target, k = 2, "id", "body")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L), "temperature-0 selection is the weight head")
+    val g1 = TextAnalysis.dsirSelect(raw, target, k = 2, "id", "body",
+      gumbelSeed = Some(7L)).select("id").collect().map(_.getLong(0)).toSet
+    val g2 = TextAnalysis.dsirSelect(raw, target, k = 2, "id", "body",
+      gumbelSeed = Some(7L)).select("id").collect().map(_.getLong(0)).toSet
+    assert(g1 == g2, "same seed, same corpus => same draw")
+    assert(g1.size == 2 && g1.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("Dedup.decontaminate drops exactly the benchmark-overlapping docs") {
     val bench = Seq((100L, "the secret eval question about spark engines")).toDF("id", "body")
     val corp = Seq(
