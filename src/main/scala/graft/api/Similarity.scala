@@ -1023,4 +1023,49 @@ object Similarity {
       .select(col("doc_id").as(idCol))
     emb.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-balanced sampling over the embedding space — the
+    * prototypes/diversity selection stage of embedding-based curation:
+    * fit the coarse k-means quantizer (the bounded driver-side sample
+    * fit shared with IVF), assign every vector to its cell in one
+    * narrow codegen'd projection, and keep at most `perCell` vectors
+    * per cell — the CLOSEST to the centroid when `prototypes` (the
+    * most representative of each region), the FARTHEST otherwise
+    * (boundary/outlier mining). Selecting evenly ACROSS cells instead
+    * of globally is what prevents the dominant mode of the corpus from
+    * monopolizing a subset — the usual failure of naive top-k
+    * selection over any single score.
+    *
+    * Deterministic: the fit is a pure function of (corpus, seed) and
+    * the intra-cell ranking breaks distance ties on id. Output: every
+    * input column + (cell, d2), at most perCell × cells rows.
+    *
+    * Shape at 100 TB: one bounded TakeOrdered sample fit, one narrow
+    * assignment pass, one keyed shuffle on the cell id with a
+    * rank-filter window. Per-cell sort cost tracks the largest cell —
+    * size `cells` so cells stay executor-sized (more, smaller cells
+    * also sharpens the sample itself). */
+  def clusterBalancedSample(emb: DataFrame, perCell: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            cells: Int = 16, prototypes: Boolean = true,
+                            seed: Long = 42, maxIter: Int = 5): DataFrame = {
+    require(perCell >= 1, s"perCell must be positive, got $perCell")
+    if (emb.head(1).isEmpty)
+      return emb.withColumn("cell", lit(0)).withColumn("d2", lit(0.0))
+    val fitFrame = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"))
+    val centroids = fitCentroids(fitFrame, cells, seed, maxIter)
+    val assigned = emb
+      .withColumn("__cd", nearestCellDist(col(vecCol), centroids))
+      .withColumn("cell", col("__cd").getField("cell"))
+      .withColumn("d2", col("__cd").getField("d2"))
+      .drop("__cd")
+    val ord =
+      if (prototypes) Seq(col("d2").asc, col(idCol).asc)
+      else Seq(col("d2").desc, col(idCol).asc)
+    val w = Window.partitionBy("cell").orderBy(ord: _*)
+    assigned.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= perCell).drop("__r")
+  }
 }

@@ -84,6 +84,19 @@ object VectorFunctions {
     else least(scored: _*).getField("cell")
   }
 
+  /** (cell, d2) of the nearest centroid: the cell id plus the TRUE
+    * squared euclidean distance — the row's own |e|² term (dropped by
+    * [[nearestCell]] because it cannot affect the per-row argmin) is
+    * restored here, so distances are comparable ACROSS rows, which is
+    * what intra-cell prototype/outlier ranking needs. */
+  def nearestCellDist(emb: Column, centroids: Array[Array[Float]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroidDists(emb, centroids)
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    struct(best.getField("cell").as("cell"),
+      (best.getField("dist") + normSq(emb)).as("d2"))
+  }
+
   /** The `nprobe` nearest cell ids, nearest first — the multi-probe
     * query side of an IVF search. */
   def nearestCells(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column = {

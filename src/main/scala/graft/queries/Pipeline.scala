@@ -768,6 +768,44 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Cluster-balanced sampling contract: the quantizer fit is
+    // seed-based with no SQL analogue, so — like q70's recall and
+    // q80's PQ fidelity — the oracle pins CONSTANT-ROW invariants,
+    // each computed from the operator's actual output: per-cell caps
+    // hold, the total equals Σ min(cap, cell size), every kept vector
+    // is at least as close to its centroid as every dropped cell-mate
+    // (ties allowed — id breaks them), and a refit reproduces the
+    // selection exactly. Three invocations = three driver-side sample
+    // fits, deliberately: determinism ACROSS fits is the contract.
+    "q124_cluster_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cap = 5; val cells = 16
+      val sel = graft.api.Similarity.clusterBalancedSample(emb, cap, cells = cells)
+      val sel2 = graft.api.Similarity.clusterBalancedSample(emb, cap, cells = cells)
+      val full = graft.api.Similarity.clusterBalancedSample(emb, 1 << 30, cells = cells)
+      val capL = lit(cap.toLong)
+      val perSel = sel.groupBy("cell")
+        .agg(count(lit(1)).as("n_sel"), max(col("d2")).as("mx"))
+      val perAll = full.groupBy("cell").agg(count(lit(1)).as("n_all"))
+      val unsel = full.join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .groupBy("cell").agg(min(col("d2")).as("mn_un"))
+      val cellChecks = perSel.join(perAll, Seq("cell"))
+        .join(unsel, Seq("cell"), "left")
+        .agg((max(col("n_sel")) <= capL).as("caps_respected"),
+          (sum(least(col("n_all"), capL)) === sum(col("n_sel")))
+            .as("counts_match_expected"),
+          (sum(when(col("mn_un").isNotNull && col("mx") > col("mn_un"), 1)
+            .otherwise(0)) === 0).as("prototypes_are_closest"))
+      val det = sel.select(col("vec_id")).withColumn("a", lit(1))
+        .join(sel2.select(col("vec_id")).withColumn("b", lit(1)),
+          Seq("vec_id"), "full")
+        .agg((sum(when(col("a").isNull || col("b").isNull, 1).otherwise(0)) === 0)
+          .as("deterministic_refit"))
+      val bounds = sel.agg((count(lit(1)) > 0 &&
+        count(lit(1)) <= capL * cells).as("within_bounds"))
+      cellChecks.crossJoin(det).crossJoin(bounds)
+    }),
+
     // Paragraph-level exact dedup (the CCNet line-dedup stage). The
     // fixture corpus has no newlines, so the query derives a
     // paragraph-ful corpus IN-PLAN — doc i = text_i \n text_{(i+1) % N},
@@ -1739,6 +1777,13 @@ object Pipeline {
         |  coalesce(logw, 0.0) AS dsir_logw
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q124: every column is an invariant the fixture computes from the
+    // operator's own output — the oracle pins them all TRUE
+    "q124_cluster_sample" ->
+      ("SELECT TRUE AS caps_respected, TRUE AS counts_match_expected, " +
+        "TRUE AS prototypes_are_closest, TRUE AS deterministic_refit, " +
+        "TRUE AS within_bounds"),
 
     // q121 builds its own 100-key fixture; 100 - k20 - k30 + k200 = 99
     "q121_cdc_apply" ->

@@ -739,6 +739,37 @@ class ApiSpec extends AnyFunSuite {
     assert(g1.size == 2 && g1.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("Similarity.clusterBalancedSample keeps per-cell prototypes or outliers") {
+    // two well-separated blobs; within each, distance-to-mean ordering
+    // is unambiguous
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.3f, 0.0f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.1f, 10.0f)), (6L, Array(10.5f, 10.0f)))
+      .toDF("vid", "v")
+    val proto = Similarity.clusterBalancedSample(vecs, perCell = 2,
+      idCol = "vid", vecCol = "v", cells = 2).collect()
+    assert(proto.length == 4, "2 cells x cap 2")
+    assert(proto.map(_.getAs[Int]("cell")).distinct.length == 2,
+      "selection is balanced across both blobs")
+    val protoIds = proto.map(_.getAs[Long]("vid")).toSet
+    // blob means are (0.133,0) and (10.2,10): the far points 3 and 6
+    // are each their blob's outlier and must NOT be prototypes
+    assert(protoIds == Set(1L, 2L, 4L, 5L), s"got $protoIds")
+    val outl = Similarity.clusterBalancedSample(vecs, perCell = 1,
+      idCol = "vid", vecCol = "v", cells = 2, prototypes = false)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    assert(outl == Set(3L, 6L), s"farthest-from-centroid mining, got $outl")
+    // cap above cell size: everything survives, with (cell, d2) attached
+    val all = Similarity.clusterBalancedSample(vecs, perCell = 100,
+      idCol = "vid", vecCol = "v", cells = 2)
+    assert(all.count() == 6 &&
+      all.columns.toSeq == Seq("vid", "v", "cell", "d2"))
+    // empty input: schema intact, zero rows
+    val empty = Similarity.clusterBalancedSample(vecs.limit(0), perCell = 2,
+      idCol = "vid", vecCol = "v", cells = 2)
+    assert(empty.count() == 0 && empty.columns.contains("cell"))
+  }
+
   test("Dedup.decontaminate drops exactly the benchmark-overlapping docs") {
     val bench = Seq((100L, "the secret eval question about spark engines")).toDF("id", "body")
     val corp = Seq(
