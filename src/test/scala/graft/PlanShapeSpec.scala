@@ -235,4 +235,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       "the global rank must come from the two-pass zipWithIndex, not a window")
   }
+
+  test("q122 span removal: keyed gram joins, per-doc windows, no products") {
+    val qe = SparkEntry.queries("q122_span_removal")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dup-gram marking and span re-attach must be keyed equi-joins")
+    assert(!p.contains("SinglePartition"),
+      "the interval merge windows partition by doc_id, never globally")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q123 DSIR scoring: keyed feature joins; only the 1-row totals cross") {
+    val qe = SparkEntry.queries("q123_dsir_weights")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "no shuffled product anywhere — the totals ride a 1-row broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "count-table joins are equi-joins")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "feature hashing stays native codegen'd expressions")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q124 cluster sample: codegen'd assignment, per-cell windows only") {
+    val qe = SparkEntry.queries("q124_cluster_sample")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "invariant stitching crosses only 1-row aggregates (broadcast)")
+    assert(!p.contains("ScalaUDF"), "centroid distances are native vec_dot")
+    // the contract's 1-row aggregates legitimately exchange to a single
+    // partition; the WINDOWS must not — their exchange is keyed on cell
+    assert(p.contains("hashpartitioning(cell"),
+      "intra-cell ranking partitions by cell")
+    assert(!p.matches("(?s).*Exchange SinglePartition[^\\n]*\\n[^\\n]*Window.*"),
+      "no window rides a single-partition exchange")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
 }
