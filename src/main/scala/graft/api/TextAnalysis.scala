@@ -869,6 +869,89 @@ object TextAnalysis {
       .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
   }
 
+  /** Freeze the DSIR model: per-feature 6dp-rounded log-ratio terms as
+    * a (f, w) table plus the constant for features NEITHER corpus ever
+    * saw — ln((0+α)/(Nt+αB)) − ln((0+α)/(Nr+αB)) collapses to
+    * ln((Nr+αB)/(Nt+αB)), independent of the feature. Fit once on a
+    * corpus snapshot, then score every future shard with
+    * [[scoreImportance]] — one left join against a static table — the
+    * same frozen-model discipline as the quality classifier and the
+    * persisted IVF quantizer: selection thresholds stay comparable
+    * across shards because the model cannot drift under them. The
+    * model table has one row per distinct feature of the UNION of both
+    * corpora (the raw side outer-joins the target side so
+    * target-only features keep their strong positive weights). */
+  def fitImportanceModel(raw: DataFrame, target: DataFrame,
+                         textCol: String = "text",
+                         alpha: Double = 1.0): (DataFrame, Double) = {
+    require(alpha > 0, s"alpha must be positive for smoothing, got $alpha")
+    val buckets = math.pow(2.0, 32)
+    val tgtCounts = hashedFeatureCounts(target, textCol)
+      .withColumnRenamed("c", "ct")
+    val rawCounts = hashedFeatureCounts(raw, textCol)
+      .withColumnRenamed("c", "cr")
+    val totals = tgtCounts.agg(sum(col("ct")).as("nt"))
+      .crossJoin(rawCounts.agg(sum(col("cr")).as("nr")))
+    val trow = totals.head()
+    require(!trow.isNullAt(0) && !trow.isNullAt(1),
+      "cannot fit an importance model on a featureless corpus")
+    val nt = trow.getLong(0).toDouble
+    val nr = trow.getLong(1).toDouble
+    val model = rawCounts.join(tgtCounts, Seq("f"), "full")
+      .select(col("f"), round(
+        log((coalesce(col("ct"), lit(0L)) + alpha) / (nt + alpha * buckets))
+          - log((coalesce(col("cr"), lit(0L)) + alpha) / (nr + alpha * buckets)),
+        6).as("w"))
+    val default = BigDecimal(
+      math.log((nr + alpha * buckets) / (nt + alpha * buckets)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (model, default)
+  }
+
+  /** Score ANY document frame — batch or streaming — under a frozen
+    * [[fitImportanceModel]]: explode hashed features, left-join the
+    * model table (a stream-static equi-join under Structured
+    * Streaming), take `default` for unseen features, and sum through
+    * DECIMAL(18,6). On the corpus the model was fitted on this is
+    * bit-identical to [[importanceWeights]] (same per-feature rounded
+    * terms, same order-insensitive decimal sum) — proven by the q125
+    * contract; on new shards it is the only correct form, because
+    * refitting per shard would re-anchor the weight scale. */
+  def scoreImportance(docs: DataFrame, model: DataFrame, default: Double,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = scoreImportanceCore(docs, model, default, idCol, textCol)
+      .withColumnRenamed(idCol, "__id")
+    docs.join(scored, docs(idCol) === scored("__id"), "left")
+      .drop("__id")
+      .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
+      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+  }
+
+  /** Streaming form of [[scoreImportance]]: the model join is a
+    * stream-STATIC equi-join and the per-doc sum a streaming
+    * aggregation (run it Complete, or Append under a watermark), but
+    * the batch form's join-back of the original columns would be a
+    * join-after-aggregation — unsupported in Structured Streaming — so
+    * this form returns only (id, dsir_logw, n_features) and
+    * featureless documents are ABSENT rather than zero-scored.
+    * Weights are bit-identical to the batch form (same rounded terms,
+    * same decimal sum). */
+  def scoreImportanceStreaming(docs: DataFrame, model: DataFrame, default: Double,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    scoreImportanceCore(docs, model, default, idCol, textCol)
+
+  private def scoreImportanceCore(docs: DataFrame, model: DataFrame,
+                                  default: Double, idCol: String,
+                                  textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(hashedNgramFeatures(col(textCol))).as("f"))
+      .join(model, Seq("f"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("w"), lit(default)).cast("decimal(18,6)"))
+        .cast("double").as("dsir_logw"),
+        count(lit(1)).as("n_features"))
+
   /** Importance RESAMPLING over [[importanceWeights]]: keep the k
     * raw-corpus documents ranked by perturbed weight. With
     * `gumbelSeed` set this is the paper's Gumbel-top-k — equivalent to

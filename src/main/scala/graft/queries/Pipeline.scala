@@ -768,6 +768,42 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Frozen-DSIR contract: scoring under the persisted per-feature
+    // model must be BIT-identical to the direct two-corpus computation
+    // on the fit corpus (same rounded terms, same decimal sum), every
+    // document must be scored, and a shard of never-seen tokens must
+    // score exactly n_features x the closed-form unseen-feature
+    // default — the three properties that make fit-once/score-shards
+    // selection sound. Constant-row oracle, like q70/q80/q124.
+    "q125_dsir_frozen" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(col("doc_id") % 11 === 3)
+      val (model, default) = graft.api.TextAnalysis.fitImportanceModel(docs, target)
+      val frozen = graft.api.TextAnalysis.scoreImportance(docs, model, default)
+        .select(col("doc_id"), col("dsir_logw").as("fz"),
+          col("n_features").as("nf_f"))
+      val direct = graft.api.TextAnalysis.importanceWeights(docs, target)
+        .select(col("doc_id"), col("dsir_logw").as("dr"),
+          col("n_features").as("nf_d"))
+      val parity = frozen.join(direct, Seq("doc_id"))
+        .agg((sum(when(col("fz") === col("dr") &&
+            col("nf_f") === col("nf_d"), 0).otherwise(1)) === 0)
+          .as("frozen_matches_refit"),
+          count(lit(1)).as("n_joined"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // five features (3 unigrams + 2 bigrams), none in either corpus
+      val novel = Seq((999999L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+      val unseen = graft.api.TextAnalysis.scoreImportance(novel, model, default)
+        .select((col("dsir_logw") ===
+            (lit(default).cast("decimal(18,6)") * 5).cast("double") &&
+          col("n_features") === 5L).as("unseen_uses_default"))
+      parity.crossJoin(nDocs).crossJoin(unseen)
+        .select(col("frozen_matches_refit"),
+          (col("n_joined") === col("n_docs")).as("all_docs_scored"),
+          col("unseen_uses_default"))
+    }),
+
     // Cluster-balanced sampling contract: the quantizer fit is
     // seed-based with no SQL analogue, so — like q70's recall and
     // q80's PQ fidelity — the oracle pins CONSTANT-ROW invariants,
@@ -1777,6 +1813,12 @@ object Pipeline {
         |  coalesce(logw, 0.0) AS dsir_logw
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q125: all three invariants computed from the operators' real
+    // output — the oracle pins them TRUE
+    "q125_dsir_frozen" ->
+      ("SELECT TRUE AS frozen_matches_refit, TRUE AS all_docs_scored, " +
+        "TRUE AS unseen_uses_default"),
 
     // q124: every column is an invariant the fixture computes from the
     // operator's own output — the oracle pins them all TRUE

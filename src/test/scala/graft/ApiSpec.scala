@@ -739,6 +739,28 @@ class ApiSpec extends AnyFunSuite {
     assert(g1.size == 2 && g1.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("TextAnalysis.scoreImportanceStreaming matches batch frozen scoring bit-exactly") {
+    val dir = TestSpark.sf
+    val docs = graft.core.Tables.documents(spark, dir)
+    val target = docs.filter(col("doc_id") % 11 === 3)
+    val (model, default) = TextAnalysis.fitImportanceModel(docs, target)
+    val batch = TextAnalysis.scoreImportance(docs, model, default)
+      .filter(col("n_features") > 0)
+      .select("doc_id", "dsir_logw", "n_features").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val out = graft.streaming.EventStreams.runToMemory(
+      spark, TextAnalysis.scoreImportanceStreaming(stream, model, default),
+      "api_dsir_stream", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val streamed = out.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "the stream-static model join must reproduce batch weights exactly")
+  }
+
   test("Similarity.clusterBalancedSample keeps per-cell prototypes or outliers") {
     // two well-separated blobs; within each, distance-to-mean ordering
     // is unambiguous
