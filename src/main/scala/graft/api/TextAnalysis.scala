@@ -348,6 +348,38 @@ object TextAnalysis {
     df.join(keptIds, df(idCol).cast("string") === keptIds("__id"), "left_semi")
   }
 
+  /** Per-key TOKEN budget — [[capPerKey]]'s unit of account changed to
+    * what a model actually trains on: keep each key's deterministic
+    * md5-order PREFIX of documents until the cumulative whitespace-
+    * token count would exceed `maxTokens` (the first overflowing
+    * document stops the key — identical to
+    * `sum(cost) over (partition by key order by md5(id), id) <=
+    * maxTokens`). A document costs max(1, tokens) so empty documents
+    * cannot ride in free (and the aggregation state stays bounded).
+    * Same scale shape as [[capPerKey]]: a bounded typed aggregator
+    * ([[graft.functions.FirstWithinTokenBudget]]) with map-side
+    * combine — a hot source never sorts its full extent under one
+    * window reducer; only surviving ids travel. */
+  def capTokensPerKey(df: DataFrame, keyCol: String, idCol: String,
+                      textCol: String = "text",
+                      maxTokens: Long = 1000000L): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keptIds = df
+      .select(col(keyCol).cast("string").as("__k"),
+        md5(col(idCol).cast("string").cast("binary")).as("__sort"),
+        col(idCol).cast("string").as("__id"),
+        size(filter(wsTokens(col(textCol)), t => t =!= "")).cast("long").as("__t"))
+      .as[(String, String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sortKey, id, t) => (sortKey, id, t) }
+      .agg(new graft.functions.FirstWithinTokenBudget(maxTokens).toColumn.name("__ids"))
+      .toDF("__k", "__ids")
+      .select(explode(col("__ids")).as("__id"))
+    df.join(keptIds, df(idCol).cast("string") === keptIds("__id"), "left_semi")
+  }
+
   /** Deterministic weighted upsampling — the epoch-mixture step that
     * turns per-source weights ("Wikipedia ×3.5, web ×1") into a
     * materialized training mix: every row reappears ⌊w⌋ times, plus

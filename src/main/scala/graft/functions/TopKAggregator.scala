@@ -75,3 +75,63 @@ class FirstKBySortKey(k: Int)
     ExpressionEncoder[Seq[(String, String)]]()
   override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
 }
+
+/** Budgeted sibling of [[FirstKBySortKey]]: keeps the PREFIX of the
+  * per-group (sortKey, id) order whose cumulative token cost fits
+  * `budget` — the per-source TOKEN cap, where the unit of account is
+  * what the model trains on rather than document count. Prefix
+  * semantics: the first row to overflow the budget stops the group
+  * (matching `sum(...) over (order by sortKey, id) <= budget`), so the
+  * kept set is a pure function of the group's contents. A row costs
+  * max(1, tokens): a zero-cost row would never consume budget, making
+  * the cap meaningless and this buffer unbounded.
+  *
+  * Merge safety: the buffer holds the sorted budget-prefix PLUS the
+  * first overflowing row as a SENTINEL. The sentinel is load-bearing:
+  * dropping an overflowing row outright would erase its cost from the
+  * running sum and let later rows ride in past the true stop point.
+  * With it, the invariants hold pointwise: partial cumulative cost
+  * never exceeds global cumulative cost, so (a) the global stop point
+  * sorts at-or-before every partial's sentinel, (b) any row a partial
+  * drops sorts after that partial's sentinel and is therefore globally
+  * past the stop point, and (c) every row at-or-before the global stop
+  * point — contributor or survivor — is retained by every partial that
+  * saw it, so merged cumulative sums equal global ones exactly. State
+  * stays bounded at `budget` tokens + one sentinel row. */
+class FirstWithinTokenBudget(budget: Long)
+    extends Aggregator[(String, String, Long), Seq[(String, String, Long)], Seq[String]] {
+  require(budget > 0)
+
+  private def cost(t: Long): Long = math.max(1L, t)
+
+  // sorted budget-prefix + the first overflowing row (the sentinel)
+  private def best(xs: Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
+    val sorted = xs.sortBy { case (sortKey, id, _) => (sortKey, id) }.distinctBy(_._2)
+    var acc = 0L
+    val prefix = sorted.takeWhile { case (_, _, t) => acc += cost(t); acc <= budget }
+    prefix ++ sorted.drop(prefix.length).take(1)
+  }
+
+  override def zero: Seq[(String, String, Long)] = Nil
+  // fast path: once a sentinel is present (total buffered cost exceeds
+  // the budget), any row sorting at-or-after the buffer's last entry is
+  // past the stop point — reject without re-sorting. The dominant case
+  // on long per-key streams.
+  override def reduce(buf: Seq[(String, String, Long)],
+                      x: (String, String, Long)): Seq[(String, String, Long)] =
+    if (buf.nonEmpty &&
+        Ordering[(String, String)].gteq((x._1, x._2), (buf.last._1, buf.last._2)) &&
+        buf.iterator.map(e => cost(e._3)).sum > budget) buf
+    else best(buf :+ x)
+  override def merge(a: Seq[(String, String, Long)],
+                     b: Seq[(String, String, Long)]): Seq[(String, String, Long)] =
+    best(a ++ b)
+  // the sentinel is bookkeeping, not a survivor: re-truncate without it
+  override def finish(buf: Seq[(String, String, Long)]): Seq[String] = {
+    var acc = 0L
+    buf.takeWhile { case (_, _, t) => acc += cost(t); acc <= budget }.map(_._2)
+  }
+  override def bufferEncoder: Encoder[Seq[(String, String, Long)]] =
+    ExpressionEncoder[Seq[(String, String, Long)]]()
+  override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+}

@@ -768,6 +768,18 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Per-source TOKEN budget (the mixture-recipe cap in the unit a
+    // model trains on): 800 tokens per source, deterministic
+    // md5-order prefix, first overflow stops the source. The oracle
+    // replays the whole selection as a window running-sum — exact,
+    // per document.
+    "q126_token_budget" -> ((s, d) => {
+      graft.api.TextAnalysis.capTokensPerKey(
+          Tables.documents(s, d), "source", "doc_id", maxTokens = 800L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Frozen-DSIR contract: scoring under the persisted per-feature
     // model must be BIT-identical to the direct two-corpus computation
     // on the fit corpus (same rounded terms, same decimal sum), every
@@ -1813,6 +1825,26 @@ object Pipeline {
         |  coalesce(logw, 0.0) AS dsir_logw
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q126 replays the token-budget prefix as a running window sum:
+    // identical tokenizer, identical max(1, tokens) cost, identical
+    // (md5(id), id) order, inclusive cumulative <= budget
+    "q126_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    greatest(1, len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> ''))) AS cost,
+        |    md5(CAST(doc_id AS VARCHAR)) AS srt
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    sum(cost) OVER (PARTITION BY source
+        |      ORDER BY srt, CAST(doc_id AS VARCHAR)
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source FROM c WHERE cum <= 800
+        |ORDER BY doc_id""".stripMargin,
 
     // q125: all three invariants computed from the operators' real
     // output — the oracle pins them TRUE

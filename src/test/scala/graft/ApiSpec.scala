@@ -739,6 +739,46 @@ class ApiSpec extends AnyFunSuite {
     assert(g1.size == 2 && g1.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("TextAnalysis.capTokensPerKey keeps the md5-order prefix within the budget") {
+    // mirror the operator's order/cost rules locally to build the
+    // expected set, so the test pins semantics rather than one fixture
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Seq(
+      (1L, "a", "t1 t2 t3"), (2L, "a", "t1 t2"), (3L, "a", "t1"),
+      (4L, "a", ""), (5L, "a", "t1 t2 t3 t4"),
+      (6L, "b", "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      // md5("7") < md5("8"): the heavy doc sorts FIRST — its overflow
+      // must STOP source c, not silently vanish from the running sum
+      // and let the light doc ride in (the sentinel regression)
+      (7L, "c", "h1 h2 h3 h4 h5"), (8L, "c", "l1"))
+    assert(md5hex("7") < md5hex("8"), "fixture premise: heavy sorts first")
+    def expected(budget: Long): Set[Long] =
+      rows.groupBy(_._2).values.flatMap { grp =>
+        val ordered = grp.map { case (id, _, txt) =>
+          (md5hex(id.toString), id.toString,
+            math.max(1L, txt.split("\\s+").count(_.nonEmpty).toLong), id)
+        }.sortBy { case (srt, ids, _, _) => (srt, ids) }
+        var acc = 0L
+        ordered.takeWhile { case (_, _, c, _) => acc += c; acc <= budget }.map(_._4)
+      }.toSet
+    val df = rows.toDF("id", "src", "body")
+    for (budget <- Seq(1L, 3L, 4L, 7L, 100L)) {
+      val got = TextAnalysis.capTokensPerKey(df, "src", "id", "body", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected(budget), s"budget=$budget")
+    }
+    // the sentinel regression, pinned explicitly: at budget 3 source c
+    // keeps NOTHING — the 5-token doc overflows first and stops the key
+    assert(!expected(3L).contains(8L), "fixture premise: stop, not skip")
+    // the 10-token doc alone overflows budget 7: source b keeps nothing
+    assert(!TextAnalysis.capTokensPerKey(df, "src", "id", "body", 7L)
+      .collect().map(_.getAs[String]("src")).contains("b"))
+    // huge budget keeps everything, empty doc included (cost 1, not 0)
+    assert(expected(100L) == rows.map(_._1).toSet)
+  }
+
   test("TextAnalysis.scoreImportanceStreaming matches batch frozen scoring bit-exactly") {
     val dir = TestSpark.sf
     val docs = graft.core.Tables.documents(spark, dir)
