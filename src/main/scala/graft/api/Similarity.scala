@@ -610,6 +610,64 @@ object Similarity {
       }
       .start()
 
+  /** Delete vectors from a persisted IVF index by id — the lifecycle
+    * step between append and rebuild. Touches ONLY the cells that
+    * actually hold deleted ids: an id-column-pruned scan finds the
+    * affected cells (a handful of ints — no embedding bytes read),
+    * the rewrite reads just those cells back partition-pruned,
+    * anti-joins the delete set, and lands via DYNAMIC partition
+    * overwrite, so untouched cells' files are never listed, read, or
+    * replaced. A cell emptied by the delete is removed explicitly:
+    * dynamic overwrite cannot clear a partition it writes no rows for
+    * — without this, a fully-deleted cell would keep serving its old
+    * vectors (the silent-resurrection failure; IndexLifecycleSpec pins
+    * it). Searches stay correct throughout because the quantizer is
+    * frozen: pruning never routes a query to a cell that could hold a
+    * surviving copy of a deleted id. Returns the number of vectors
+    * deleted. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Long = {
+    val root = resolveIndexRoot(spark, path)
+    val del = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val affected = vectors.select(col("vec_id"), col("cell"))
+      .join(del, Seq("vec_id"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (affected.isEmpty) return 0L
+    val cells = affected.keys.toSeq
+    // localCheckpoint truncates lineage off the index files: the
+    // rewrite overwrites the very partitions it reads (Spark rejects a
+    // file-source self-overwrite), and it bounds what materializes to
+    // the affected cells' survivors only. Released by own-RDD id
+    // (the keepOne discipline — a global diff would race).
+    val survivors = vectors.filter(col("cell").isin(cells: _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val survRdd = survivors.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    try {
+      val present = survivors.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (present.nonEmpty)
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$root/vectors")
+      val emptied = cells.filterNot(present)
+      if (emptied.nonEmpty) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        emptied.foreach { c =>
+          val p = new org.apache.hadoop.fs.Path(s"$root/vectors/cell=$c")
+          p.getFileSystem(conf).delete(p, true)
+        }
+      }
+    } finally survRdd.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    affected.values.sum
+  }
+
   /** Append vectors to a persisted IVF+PQ index: raw vectors land in
     * `vectors/` (exact-rescore half) and their residual codes in
     * `codes/` (ADC half), both under the index's FROZEN quantizer and

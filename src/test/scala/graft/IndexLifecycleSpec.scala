@@ -110,4 +110,47 @@ class IndexLifecycleSpec extends AnyFunSuite {
       k = 3, nprobe = 2, rescoreDepth = 9)
     assert(got.count() > 0)
   }
+
+  test("deleteFromIvfIndex rewrites only affected cells; emptied cells vanish") {
+    import org.apache.spark.sql.functions._
+    val (dir, emb) = freshIndex()
+    val all = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val byCell = all.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byCell.size >= 3, "fixture needs several occupied cells")
+    val cellsSorted = byCell.keys.toSeq.sorted
+    val wipeCell = cellsSorted.head            // delete EVERY vector here
+    val partialCell = cellsSorted(1)           // delete one vector here
+    val untouchedCell = cellsSorted(2)         // delete nothing here
+    val untouchedFiles = new java.io.File(s"$dir/vectors/cell=$untouchedCell")
+      .listFiles().map(f => f.getName -> f.lastModified).toSet
+    val doomed = byCell(wipeCell) ++ byCell(partialCell).take(1)
+    val s = spark
+    import s.implicits._
+    // + one id the index never held: deletes must count actual hits
+    val n = Similarity.deleteFromIvfIndex(spark, dir,
+      (doomed.toSeq :+ 999999999L).toDF("vec_id"))
+    assert(n == doomed.length, "returns vectors actually deleted")
+    val after = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(after.length == all.length - doomed.length)
+    assert(after.map(_._1).toSet.intersect(doomed.toSet).isEmpty,
+      "no deleted id survives")
+    // the emptied cell's directory is GONE — dynamic overwrite alone
+    // would have silently resurrected its old files
+    assert(!new java.io.File(s"$dir/vectors/cell=$wipeCell").exists(),
+      "a fully-deleted cell must not keep serving old vectors")
+    // untouched cells: same files, same mtimes — never rewritten
+    val untouchedAfter = new java.io.File(s"$dir/vectors/cell=$untouchedCell")
+      .listFiles().map(f => f.getName -> f.lastModified).toSet
+    assert(untouchedAfter == untouchedFiles, "untouched cells are not rewritten")
+    // searches keep working against the pruned index
+    val q = emb.filter(col("vec_id").isin(after.take(3).map(_._1): _*))
+    assert(Similarity.ivfSearchIndex(spark, dir, q, k = 2, nprobe = 2).count() > 0)
+    // deleting nothing is a no-op
+    assert(Similarity.deleteFromIvfIndex(spark, dir,
+      Seq(999999999L).toDF("vec_id")) == 0L)
+  }
 }
