@@ -629,21 +629,48 @@ object Similarity {
                          path: String, ids: DataFrame,
                          idCol: String = "vec_id"): Long = {
     val root = resolveIndexRoot(spark, path)
-    val del = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-    val vectors = spark.read.parquet(s"$root/vectors")
-    val affected = vectors.select(col("vec_id"), col("cell"))
-      .join(del, Seq("vec_id"))
+    val del = ids.select(col(idCol).cast("long").as("__del_id")).distinct()
+    deleteByIdFromCellStore(spark, s"$root/vectors", del, "vec_id")
+  }
+
+  /** [[deleteFromIvfIndex]] for the IVF+PQ form: both halves of the
+    * index — the exact-rescore `vectors/` and the ADC `codes/` — drop
+    * the ids, each rewriting only its affected cells. Returns the
+    * vector-half count (the halves hold the same ids by construction;
+    * a discrepancy would mean an interrupted earlier maintenance op,
+    * and the delete converges them for the given ids either way). */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, ids: DataFrame,
+                           idCol: String = "vec_id"): Long = {
+    val root = resolveIndexRoot(spark, path)
+    val del = ids.select(col(idCol).cast("long").as("__del_id")).distinct()
+    val n = deleteByIdFromCellStore(spark, s"$root/vectors", del, "vec_id")
+    deleteByIdFromCellStore(spark, s"$root/codes", del, "neighbor_id")
+    n
+  }
+
+  /** Delete-by-id inside one cell-partitioned parquet store: find the
+    * affected cells off an id-column-pruned scan, rewrite ONLY those
+    * cells (anti-join + dynamic partition overwrite), and explicitly
+    * remove cells the delete empties — dynamic overwrite writes no
+    * rows for them, and a leftover directory would keep serving the
+    * old rows. The survivor frame is localCheckpoint'd: the rewrite
+    * overwrites the very partitions it reads (Spark rejects a
+    * file-source self-overwrite) and materialization stays bounded at
+    * the affected cells; released by own-RDD id (the keepOne
+    * discipline — a global diff would race). */
+  private def deleteByIdFromCellStore(spark: org.apache.spark.sql.SparkSession,
+                                      store: String, del: DataFrame,
+                                      idName: String): Long = {
+    val rows = spark.read.parquet(store)
+    val affected = rows.select(col(idName), col("cell"))
+      .join(del, col(idName) === del("__del_id"))
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (affected.isEmpty) return 0L
     val cells = affected.keys.toSeq
-    // localCheckpoint truncates lineage off the index files: the
-    // rewrite overwrites the very partitions it reads (Spark rejects a
-    // file-source self-overwrite), and it bounds what materializes to
-    // the affected cells' survivors only. Released by own-RDD id
-    // (the keepOne discipline — a global diff would race).
-    val survivors = vectors.filter(col("cell").isin(cells: _*))
-      .join(del, Seq("vec_id"), "left_anti")
+    val survivors = rows.filter(col("cell").isin(cells: _*))
+      .join(del, col(idName) === del("__del_id"), "left_anti")
       .localCheckpoint()
     val survRdd = survivors.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
@@ -654,12 +681,12 @@ object Similarity {
       if (present.nonEmpty)
         survivors.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(s"$root/vectors")
+          .partitionBy("cell").parquet(store)
       val emptied = cells.filterNot(present)
       if (emptied.nonEmpty) {
         val conf = spark.sparkContext.hadoopConfiguration
         emptied.foreach { c =>
-          val p = new org.apache.hadoop.fs.Path(s"$root/vectors/cell=$c")
+          val p = new org.apache.hadoop.fs.Path(s"$store/cell=$c")
           p.getFileSystem(conf).delete(p, true)
         }
       }

@@ -153,4 +153,30 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(Similarity.deleteFromIvfIndex(spark, dir,
       Seq(999999999L).toDF("vec_id")) == 0L)
   }
+
+  test("deleteFromIvfPqIndex prunes both the vectors and the codes half") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    Similarity.buildIvfPqIndex(emb, dir, m = 8, ksub = 8)
+    val doomed = emb.orderBy("vec_id").limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val s = spark
+    import s.implicits._
+    val n = Similarity.deleteFromIvfPqIndex(spark, dir, doomed.toDF("vec_id"))
+    assert(n == doomed.length)
+    val liveVec = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val liveCodes = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(liveVec.intersect(doomed.toSet).isEmpty, "vectors half pruned")
+    assert(liveCodes.intersect(doomed.toSet).isEmpty, "codes half pruned")
+    assert(liveVec == liveCodes, "the two halves stay id-consistent")
+    // ADC search (with and without rescore) never returns a deleted id
+    val q = emb.filter(!col("vec_id").isin(doomed: _*)).limit(5)
+    val hits = Similarity.ivfPqSearchIndex(spark, dir, q,
+      k = 3, nprobe = 2, rescoreDepth = 9)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.intersect(doomed.toSet).isEmpty)
+  }
 }
