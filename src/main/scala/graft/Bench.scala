@@ -18,12 +18,14 @@ import graft.ingest.{Ingest, IngestConfig}
   * on the Dataset would let Catalyst prune exactly the operators being
   * measured.
   *
-  * Log-capture contract (r2/r3 `parsed: null` post-mortem): the driver
-  * records only the LAST 2000 chars of the log, so the result line must
-  * (a) be the final line printed and (b) fit the window with room for
-  * sbt's own `[success]` trailer. The stdout line therefore uses short
-  * query keys (`qNN`) and millisecond precision (~1.4 KB total); the
-  * full-name, full-precision record is mirrored to `bench_result.json`.
+  * Log-capture contract (r2/r3/r6 `parsed: null` post-mortems): the
+  * driver records only the LAST 2000 chars of the log, so the result
+  * line must (a) be the final line printed and (b) fit the window
+  * ENTIRELY — r6's line ran ~2048 chars (126 queries + per-rep sample
+  * arrays) and lost its opening brace. The stdout line therefore uses
+  * short query keys (`qNN`), 10 ms precision, and no sample arrays,
+  * with a length guard at 1950 chars; the full-name, full-precision,
+  * full-samples record is mirrored to `bench_result.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -222,26 +224,35 @@ object Bench {
     val load1 = load1Now()
 
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    def jsonLine(perQuery: Seq[(String, String)]): String = {
+    def f2(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
+    def jsonLine(perQuery: Seq[(String, String)], extras: String): String = {
       val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = f3(results.map(_._2).sum)
-      // per-rep sample arrays (run order: pre-suite window, mid-suite,
-      // post-suite) + per-window loadavg — the contamination audit trail
-      val samples =
-        s""""ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(f3).mkString("[", ",", "]")}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load1":${f3(load1)},"probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate,$samples}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load1":${f3(load1)},"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate$extras}"""
     }
+    // per-rep sample arrays (run order: pre-suite window, mid-suite,
+    // post-suite) + per-window loadavg — the contamination audit trail.
+    // FILE ONLY: r6's stdout line carried these and overflowed the
+    // driver's 2000-char tail window by ~50 chars → `parsed: null`, and
+    // the round's (good) ingest numbers didn't count.
+    val samples =
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(f3).mkString("[", ",", "]")}"""
     // Full-name, full-precision record → file (never truncated there).
-    val full = jsonLine(results.map { case (k, v) => k -> v.toString })
+    val full = jsonLine(results.map { case (k, v) => k -> v.toString }, samples)
     try Files.writeString(java.nio.file.Paths.get("bench_result.json"), full + "\n")
     catch { case _: Throwable => () }
-    // Compact line for the log: `q44_near_dup_pairs` → `q44`, ms
-    // precision. ~1.6 KB — fits the 2000-char tail window with sbt's
-    // `[success]` trailer behind it.
-    val compact = jsonLine(results.map { case (k, v) =>
-      k.takeWhile(_ != '_') -> f3(v)
-    })
+    // Compact line for the log: `q44_near_dup_pairs` → `q44`, 10 ms
+    // precision, no sample arrays. Must stay UNDER the 2000-char tail
+    // window including its own newline — guard by degrading precision
+    // rather than ever printing an unparseable line.
+    def compactAt(fmt: Double => String): String =
+      jsonLine(results.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) }, "")
+    val compact = {
+      val c2 = compactAt(f2)
+      if (c2.length <= 1950) c2
+      else compactAt(v => "%.1f".formatLocal(Locale.ROOT, v))
+    }
     println(compact)
     System.out.flush()
     spark.stop()
