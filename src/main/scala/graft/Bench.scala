@@ -207,11 +207,21 @@ object Bench {
         dropCaches()
       }
       val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
+      // Failure visibility (VERDICT r7 #3): a query that throws records
+      // -1, never its fail-fast elapsed — r7 reported 0.06 s "times" for
+      // queries dead at analysis and nobody noticed for two rounds.
+      val ok = try { materialize(name); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] FAILED $name — ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+      }
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       dropCaches()
       name -> t
     }
+    val queryErrors = results.collect { case (n, t) if t < 0 => n }
+    if (queryErrors.nonEmpty)
+      System.err.println(s"[bench] ${queryErrors.size} queries FAILED: ${queryErrors.mkString(", ")}")
 
     // Post-suite window: the load profile an hour into a driver session
     // differs from the first minute — keep whichever window was quietest.
@@ -228,8 +238,10 @@ object Bench {
     def jsonLine(perQuery: Seq[(String, String)], extras: String): String = {
       val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val total = f3(results.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load1":${f3(load1)},"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate$extras}"""
+      // total sums SUCCESSFUL queries only; failures are flagged by the
+      // -1 per-query value plus the query_errors count
+      val total = f3(results.collect { case (_, t) if t >= 0 => t }.sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","query_errors":${queryErrors.size},"queries":$qs,"sf":"$sfDir","load1":${f3(load1)},"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate$extras}"""
     }
     // per-rep sample arrays (run order: pre-suite window, mid-suite,
     // post-suite) + per-window loadavg — the contamination audit trail.

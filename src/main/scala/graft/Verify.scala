@@ -12,13 +12,29 @@ object Verify {
     }
     val spark = graft.core.Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Failure visibility (VERDICT r7 #2): a query that throws used to be
+    // written NOWHERE — the driver's correctness gate then silently
+    // omitted it, and 14 broken queries hid for two rounds. Now a failed
+    // query still writes its output dir, containing a one-row sentinel
+    // frame (column `_graft_verify_error`) that can never hash-match any
+    // oracle — the gate records a loud red row instead of a gap — and
+    // every failure also lands in `verify_errors.json` for direct
+    // inspection.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] FAILED $name — $msg")
+        errors(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg.take(2000)).toDF("_graft_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // per-query cache scope: nothing a query cached/checkpointed may
       // stay pinned into the next query (VERDICT r2 #6)
@@ -40,6 +56,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

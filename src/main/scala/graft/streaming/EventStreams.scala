@@ -24,17 +24,19 @@ object EventStreams {
 
   /** Unbounded view of the events table: file-stream source over the
     * same parquet directory (schema from a batch peek — streaming
-    * sources require a declared schema), with the same ns→µs timestamp
-    * conversion the batch loader applies. */
+    * sources require a declared schema), with the same dtype-adaptive
+    * `ts` normalization the batch loader applies
+    * (graft.core.Tables.normalizeEventTs — the fixture's physical
+    * timestamp type has changed across driver regenerations). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     // The file-stream source wants a directory: stream the parent dir
     // with a glob filter selecting just the events file(s).
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
