@@ -24,7 +24,7 @@ import graft.ingest.{Ingest, IngestConfig}
   * ENTIRELY — r6's line ran ~2048 chars (126 queries + per-rep sample
   * arrays) and lost its opening brace. The stdout line therefore uses
   * short query keys (`qNN`), 10 ms precision, and no sample arrays,
-  * with a length guard at 1950 chars; the full-name, full-precision,
+  * with a length guard at 1900 chars; the full-name, full-precision,
   * full-samples record is mirrored to `bench_result.json`.
   */
 object Bench {
@@ -241,7 +241,13 @@ object Bench {
       // total sums SUCCESSFUL queries only; failures are flagged by the
       // -1 per-query value plus the query_errors count
       val total = f3(results.collect { case (_, t) if t >= 0 => t }.sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","query_errors":${queryErrors.size},"queries":$qs,"sf":"$sfDir","load1":${f3(load1)},"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate$extras}"""
+      // sfDir is environment-supplied: escape it so a quote/backslash in
+      // the path can't make the line unparseable (ADVICE r7)
+      val sfEsc = sfDir.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","query_errors":${queryErrors.size},"queries":$qs,"sf":"$sfEsc","load1":${f3(load1)},"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate$extras}"""
     }
     // per-rep sample arrays (run order: pre-suite window, mid-suite,
     // post-suite) + per-window loadavg — the contamination audit trail.
@@ -260,10 +266,19 @@ object Bench {
     // rather than ever printing an unparseable line.
     def compactAt(fmt: Double => String): String =
       jsonLine(results.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) }, "")
+    // guard at 1900 (not 1950): leaves ~100 chars of the 2000-char tail
+    // window for any trailer printed after the final line (ADVICE r7).
+    // Degradation ladder: 10 ms precision → 100 ms → drop the per-query
+    // map entirely (headline metrics alone are always parseable) — the
+    // line must NEVER go out over-length.
     val compact = {
       val c2 = compactAt(f2)
-      if (c2.length <= 1950) c2
-      else compactAt(v => "%.1f".formatLocal(Locale.ROOT, v))
+      if (c2.length <= 1900) c2
+      else {
+        val c1 = compactAt(v => "%.1f".formatLocal(Locale.ROOT, v))
+        if (c1.length <= 1900) c1
+        else jsonLine(Seq.empty, "")
+      }
     }
     println(compact)
     System.out.flush()

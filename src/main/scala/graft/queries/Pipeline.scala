@@ -287,6 +287,50 @@ object Pipeline {
         .orderBy("name")
     }),
 
+    // LOSSY decode path contract (q99 pins JPEG dims only and sentinels
+    // its means): solid-GRAY JPEGs decode bit-exactly through the JDK
+    // codec — gray lives on the luma axis, chroma is constant-128, and
+    // a constant image is DC-only, so quantization round-trips the
+    // value (probed exact for grays 16..240) — which makes the full
+    // lossy pipeline closed-form: binaryFile ingest → JPEG decode →
+    // bilinear resize (constant in = constant out) → PNG re-encode
+    // (lossless) → PNG decode → pixel means. Oversized images scale so
+    // the long edge hits maxEdge=16; already-small ones pass through
+    // un-resized (and un-re-encoded, still JPEG — both stats branches
+    // of the resized corpus exercise a real decode).
+    "q127_jpeg_resize" -> ((s, d) => {
+      import s.implicits._
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-jpg-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.mkdirs()
+      dir.listFiles().foreach(_.delete())
+      def gray(w: Int, h: Int, v: Int) = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics(); g.setColor(new java.awt.Color(v, v, v))
+        g.fillRect(0, 0, w, h); g.dispose(); img
+      }
+      Seq(("big.jpg", gray(64, 48, 128)),    // 64x48 → 16x12
+          ("tall.jpg", gray(20, 40, 192)),   // 20x40 → 8x16
+          ("small.jpg", gray(10, 8, 48)))    // under maxEdge: passthrough
+        .foreach { case (n, img) =>
+          javax.imageio.ImageIO.write(img, "jpg", new java.io.File(dir, n))
+        }
+      val path = dir.getAbsolutePath
+      val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+      val resized = graft.multimodal.Multimodal.resizeImages(media, maxEdge = 16)
+        .map(r => graft.multimodal.Multimodal.MediaRow(r.media_id, r.kind, r.content))
+      val stats = graft.multimodal.Multimodal.imagePixelStats(resized)
+      graft.multimodal.Multimodal.readBinaryDir(s, path)
+        .select(col("name"), col("media_id"))
+        .join(stats, Seq("media_id"))
+        .select(col("name"), col("width"), col("height"),
+          round(col("mean_r"), 0).cast("int").as("mr"),
+          round(col("mean_g"), 0).cast("int").as("mg"),
+          round(col("mean_b"), 0).cast("int").as("mb"))
+        .orderBy("name")
+    }),
+
     // Z-order layout contract: events z-ordered by (user_id, value)
     // into a fresh dir must preserve every row and cluster BOTH
     // columns' per-file spans below 0.6 of the global span (a linear
@@ -2172,6 +2216,12 @@ object Pipeline {
         |  ('b.gif',  4,  4, 255,   0, 128),
         |  ('c.bmp',  5,  7, 200, 100,  50),
         |  ('d.jpg', 16, 12,  -1,  -1,  -1))
+        |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
+    "q127_jpeg_resize" ->
+      """SELECT * FROM (VALUES
+        |  ('big.jpg',   16, 12, 128, 128, 128),
+        |  ('small.jpg', 10,  8,  48,  48,  48),
+        |  ('tall.jpg',   8, 16, 192, 192, 192))
         |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
     "q82_binary_ingest" ->
       """SELECT * FROM (VALUES
