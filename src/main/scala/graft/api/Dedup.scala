@@ -162,27 +162,127 @@ object Dedup {
     * with EXACT Jaccard, so the only error mode is a missed pair
     * (P(miss | J=0.97) ≈ 1e-15 at the 64/16 defaults). Candidate join
     * is keyed on (band, band-hash) — cost ∝ collisions, not n². */
-  def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", threshold: Double = 0.8,
-                      shingle: Int = 3, hashes: Int = 64,
-                      bands: Int = 16): DataFrame = {
+  /** (doc_id, band, bkey) banded MinHash signatures — the LSH candidate
+    * key shared by [[minHashLshPairs]] and the persisted near-dup index:
+    * k min-hashes per doc, banded, each band's slice folded to one
+    * 64-bit bucket key. */
+  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                               shingle: Int, hashes: Int, bands: Int): DataFrame = {
     require(hashes % bands == 0, "hashes must divide evenly into bands")
-    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
     val rowsPerBand = hashes / bands
-    val mh = docs.select(col(idCol).as("doc_id"),
-      minHashes(lower(col(textCol)), shingle, hashes).as("mh"))
-    val bb = mh.select(col("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
+        minHashes(lower(col(textCol)), shingle, hashes).as("mh"))
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(b, slice(col("mh"), b * lit(rowsPerBand) + 1,
               lit(rowsPerBand))).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", threshold: Double = 0.8,
+                      shingle: Int = 3, hashes: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
+    val bb = bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
     val cand = bb.as("a").join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verify(joinBack(cand, sets), threshold)
+  }
+
+  /** Persisted MinHash-LSH near-dup index — the signature state of an
+    * already-curated corpus written ONCE, so daily increments can
+    * near-dedup against a 100 TB corpus without re-reading or
+    * re-shingling it (the near-dup analogue of [[exactAgainstCorpus]]'s
+    * fingerprint set, and of the persisted IVF index's
+    * build/append/search lifecycle). Layout under `path`:
+    *   bands/    (band, bkey, doc_id) — partitioned by band; the
+    *             LSH candidate-join side (bands × corpus-rows keys)
+    *   sketches/ (doc_id, sh, n) — sorted 64-bit shingle-hash sets for
+    *             exact-Jaccard verification (the price of exactness:
+    *             ~text-sized, proportional to the corpus — recomputing
+    *             them per increment would cost a full corpus re-read)
+    *   params/   one row (shingle, hashes, bands) so increments
+    *             provably hash the same way the index was built
+    */
+  def buildNearDupIndex(docs: DataFrame, path: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingle: Int = 3, hashes: Int = 64,
+                        bands: Int = 16): Unit = {
+    require(hashes % bands == 0, "hashes must divide evenly into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingle, hashes, bands)).toDF("shingle", "hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    shingleSets(docs, idCol, textCol, shingle)
+      .write.mode("overwrite").parquet(s"$path/sketches")
+  }
+
+  private def readNearDupParams(spark: org.apache.spark.sql.SparkSession,
+                                path: String): (Int, Int, Int) = {
+    val rows = spark.read.parquet(s"$path/params")
+      .select("shingle", "hashes", "bands").collect()
+    require(rows.length == 1, s"no near-dup index at $path")
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2))
+  }
+
+  /** Append documents to a persisted near-dup index under the INDEX'S
+    * OWN parameters (hashing differently from the build would silently
+    * disable matching against the old rows). Append the survivors of
+    * [[nearDupAgainstIndex]], not the raw batch, to keep the index
+    * duplicate-free. */
+  def appendToNearDupIndex(docs: DataFrame, path: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): Unit = {
+    val (shingle, hashes, bands) = readNearDupParams(docs.sparkSession, path)
+    bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    shingleSets(docs, idCol, textCol, shingle)
+      .write.mode("append").parquet(s"$path/sketches")
+  }
+
+  /** Incremental NEAR-dup dedup: the fresh batch's rows that have no
+    * Jaccard ≥ threshold match in the indexed corpus, original columns
+    * intact. Candidates come from the banded equi-join on (band, bkey)
+    * — cost ∝ band collisions, never fresh × corpus — and are verified
+    * with EXACT Jaccard against the stored sketches, so (as with
+    * [[minHashLshPairs]]) the only error mode is an LSH-missed pair at
+    * the threshold boundary. The fresh side of both joins is a daily
+    * batch — orders of magnitude smaller than the index; AQE broadcasts
+    * it unhinted; the index side reads only the two signature tables,
+    * never corpus text. Within-batch near-dups are out of scope by
+    * design — compose [[minHashLshPairs]] + [[keepOne]] over the
+    * survivors (the within-batch and against-corpus passes answer
+    * different questions; an index op should not hide one inside the
+    * other). */
+  def nearDupAgainstIndex(fresh: DataFrame, path: String,
+                          threshold: Double = 0.8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val spark = fresh.sparkSession
+    val (shingle, hashes, bands) = readNearDupParams(spark, path)
+    val freshBands = bandedSignatures(fresh, idCol, textCol, shingle, hashes, bands)
+    val indexBands = spark.read.parquet(s"$path/bands")
+    val cand = freshBands.as("a").join(indexBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val freshSets = shingleSets(fresh, idCol, textCol, shingle)
+    val indexSets = spark.read.parquet(s"$path/sketches")
+    val pairs = cand
+      .join(freshSets.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(indexSets.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+    val matched = verify(pairs, threshold)
+      .select(col("doc_a").as("__dup_id")).distinct()
+    fresh.join(matched, fresh(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Pigeonhole chunk layout: 64 bits partitioned into `chunksN`

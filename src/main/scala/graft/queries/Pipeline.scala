@@ -331,6 +331,31 @@ object Pipeline {
         .orderBy("name")
     }),
 
+    // Persisted near-dup index lifecycle (build → APPEND → incremental
+    // dedup): the corpus' LSH signature state is written once (built on
+    // 2/4 of the docs, a second quarter appended — both paths gated),
+    // then a fresh batch of novel docs + planted exact copies of corpus
+    // docs (id-offset) dedups against the INDEX — corpus text is never
+    // re-read. The oracle replays the exact-Jaccard ground truth over
+    // the same split, so the gate pins candidates AND verification;
+    // planted copies (J=1.0) collide in every band, so the LSH miss
+    // probability at the boundary is q45's, not worse.
+    "q128_neardup_index" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ndidx-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m4 = col("doc_id") % 4
+      graft.api.Dedup.buildNearDupIndex(
+        docs.filter(m4 === 1 || m4 === 2), dir)
+      graft.api.Dedup.appendToNearDupIndex(docs.filter(m4 === 3), dir)
+      val fresh = docs.filter(m4 === 0)
+        .unionByName(docs.filter(m4 =!= 0 && col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.api.Dedup.nearDupAgainstIndex(fresh, dir)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Z-order layout contract: events z-ordered by (user_id, value)
     // into a fresh dir must preserve every row and cluster BOTH
     // columns' per-file spans below 0.6 of the global span (a linear
@@ -1540,6 +1565,35 @@ object Pipeline {
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
     "q44_near_dup_pairs" -> shingleCte,
     "q45_minhash_lsh" -> shingleCte,
+    "q128_neardup_index" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+         |), fresh AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 4 <> 0 AND doc_id % 5 = 1
+         |), cex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
+         |    SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+         |      FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles
+         |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM corpus))
+         |), fex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
+         |    SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+         |      FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles
+         |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM fresh))
+         |), matched AS (
+         |  SELECT DISTINCT fid FROM (
+         |    SELECT f.doc_id fid, c.doc_id cid, count(*) inter,
+         |           any_value(f.n) nf, any_value(c.n) nc
+         |    FROM fex f JOIN cex c ON f.s = c.s
+         |    GROUP BY 1, 2)
+         |  WHERE inter*1.0/(nf+nc-inter) >= 0.8
+         |)
+         |SELECT doc_id, md5(text) AS text_md5 FROM fresh
+         |WHERE doc_id NOT IN (SELECT fid FROM matched)
+         |ORDER BY doc_id""".stripMargin,
     "q47_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (

@@ -46,6 +46,36 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 10L && b == 12L && h == 0 })
   }
 
+  test("persistent near-dup index: build, append, dedup a fresh batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndidx-spec").toString
+    val built = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("id", "body")
+    val appended = Seq(
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")).toDF("id", "body")
+    Dedup.buildNearDupIndex(built, dir, idCol = "id", textCol = "body")
+    Dedup.appendToNearDupIndex(appended, dir, idCol = "id", textCol = "body")
+    val fresh = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of built 1
+      (101L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"), // copy of APPENDED 3
+      (102L, "completely novel text with no overlap whatsoever anywhere here")).toDF("id", "body")
+    val survivors = Dedup.nearDupAgainstIndex(fresh, dir, idCol = "id", textCol = "body")
+      .select("id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(102L),
+      s"copies of built AND appended docs must both be dropped, got ${survivors.toSeq}")
+    // survivors keep the original columns intact
+    val cols = Dedup.nearDupAgainstIndex(fresh, dir, idCol = "id", textCol = "body").columns
+    assert(cols.toSeq == Seq("id", "body"))
+    // increments hash under the index's own persisted params
+    val params = spark.read.parquet(s"$dir/params").collect().head
+    assert((params.getInt(0), params.getInt(1), params.getInt(2)) == ((3, 64, 16)))
+    // a missing index fails loudly, not with an empty result
+    intercept[Exception] {
+      Dedup.nearDupAgainstIndex(fresh, dir + "-nowhere", idCol = "id", textCol = "body")
+        .count()
+    }
+  }
+
   test("Dedup.keepOne labels a chain and an isolated pair with component minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
     val labels = Dedup.keepOne(pairs).collect()

@@ -219,6 +219,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!qe.analyzed.toString.contains("ResolvedHint"))
   }
 
+  test("q128 index near-dedup: keyed candidate join, anti-join exit, unhinted") {
+    val qe = SparkEntry.queries("q128_neardup_index")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftAnti"), "matched-id exclusion must be an anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band-bucket candidate generation must stay a keyed equi-join")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "index sides must stay unhinted — AQE picks the strategy")
+  }
+
   test("q114 incremental dedup anti-joins on the fingerprint, keyed") {
     val qe = SparkEntry.queries("q114_incremental_dedup")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
