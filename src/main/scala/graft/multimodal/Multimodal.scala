@@ -75,10 +75,10 @@ object Multimodal {
     * mixed corpus decodes end-to-end instead of dying on the first
     * exotic file. */
   object HeaderCodec extends MediaCodec {
-    private def leInt(b: Array[Byte], off: Int): Int =
+    private[multimodal] def leInt(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    private def leShort(b: Array[Byte], off: Int): Int =
+    private[multimodal] def leShort(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     private def beInt(b: Array[Byte], off: Int): Int =
       ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -254,6 +254,81 @@ object Multimodal {
         }
       }
     }.toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL audio decode for PCM WAV — the one audio container fully
+    * decodable with zero native libraries (the compressed formats'
+    * bitstreams still need a native codec; their header paths stay in
+    * [[HeaderCodec]]). Parses the RIFF `fmt `/`data` chunks, decodes
+    * the 16-bit signed LE (or 8-bit unsigned) PCM samples, and
+    * computes the waveform features an audio-curation pass filters on:
+    *   sample_rate, channels, n_frames, duration_s,
+    *   rms   — root-mean-square level over all interleaved samples,
+    *           full scale = 1.0 (silence detection),
+    *   peak  — max |sample| (level normalization),
+    *   clip_ratio — fraction of samples at digital full scale
+    *           (recording-defect detection).
+    * Non-WAV / non-PCM / truncated payloads yield one row with null
+    * features (`decoded = false`) — the mixed-corpus contract of the
+    * image path. Shape at 100 TB: narrow mapPartitions, payload bytes
+    * never leave the executor, output is a fixed-width feature row. */
+  def audioPcmStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val c = m.content
+      var rate = 0; var channels = 0; var bits = 0; var fmt = -1
+      var dataOff = -1; var dataLen = 0
+      if (HeaderCodec.isWav(c)) {
+        var off = 12
+        var ok = true
+        while (ok && off + 8 <= c.length) {
+          val id = new String(c, off, 4, "US-ASCII")
+          val len = HeaderCodec.leInt(c, off + 4)
+          if (len < 0) ok = false
+          else {
+            if (id == "fmt " && off + 24 <= c.length) {
+              fmt = HeaderCodec.leShort(c, off + 8)
+              channels = HeaderCodec.leShort(c, off + 10)
+              rate = HeaderCodec.leInt(c, off + 12)
+              bits = HeaderCodec.leShort(c, off + 22)
+            } else if (id == "data") { dataOff = off + 8; dataLen = len }
+            off += 8 + len + (len & 1)
+          }
+        }
+      }
+      val pcm16 = fmt == 1 && bits == 16
+      val pcm8 = fmt == 1 && bits == 8
+      if ((pcm16 || pcm8) && rate > 0 && channels > 0 && dataOff >= 0) {
+        val bytesPerSample = if (pcm16) 2 else 1
+        val n = math.min(dataLen, c.length - dataOff) / bytesPerSample
+        var i = 0; var sumSq = 0.0; var peak = 0.0; var clipped = 0L
+        while (i < n) {
+          val x =
+            if (pcm16) {
+              val raw = (HeaderCodec.leShort(c, dataOff + 2 * i) << 16) >> 16
+              if (raw == Short.MaxValue || raw == Short.MinValue) clipped += 1
+              raw / 32768.0
+            } else {
+              val raw = c(dataOff + i) & 0xff
+              if (raw == 0 || raw == 255) clipped += 1
+              (raw - 128) / 128.0
+            }
+          sumSq += x * x
+          val ax = math.abs(x)
+          if (ax > peak) peak = ax
+          i += 1
+        }
+        val frames = n.toLong / channels
+        (m.media_id, true, Some(rate), Some(channels), Some(frames),
+          Some(frames.toDouble / rate),
+          Some(if (n == 0) 0.0 else math.sqrt(sumSq / n)), Some(peak),
+          Some(if (n == 0) 0.0 else clipped.toDouble / n))
+      } else
+        (m.media_id, false, None: Option[Int], None: Option[Int],
+          None: Option[Long], None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double])
+    }.toDF("media_id", "decoded", "sample_rate", "channels", "n_frames",
+      "duration_s", "rms", "peak", "clip_ratio")
   }
 
   /** REAL image resize: decode, scale so the longer edge fits

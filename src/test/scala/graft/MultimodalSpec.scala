@@ -155,6 +155,44 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.FakeCodec.decode("image", junk))
   }
 
+  test("audioPcmStats: PCM arithmetic, truncation, odd-chunk padding, non-PCM fallback") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(rate: Int, ch: Int, bits: Int, fmtCode: Int, data: Array[Byte],
+            extraChunk: Option[Array[Byte]] = None): Array[Byte] = {
+      val ba = ch * bits / 8
+      val extra = extraChunk.getOrElse(Array.emptyByteArray)
+      "RIFF".getBytes ++ le32(36 + extra.length + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(fmtCode) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ba) ++ le16(ba) ++ le16(bits) ++ extra ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    def s16(xs: Seq[Int]) = xs.flatMap(le16).toArray
+    // an odd-length LIST chunk before data: the walk must pad to the
+    // word boundary or it misreads everything after
+    val oddChunk = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(8000, 1, 16, 1, s16(Seq(16384, -16384)))),
+      Multimodal.MediaRow(2L, "audio", wav(8000, 1, 16, 1, s16(Seq(8192)),
+        extraChunk = Some(oddChunk))),
+      // data chunk CLAIMS 100 samples but payload is truncated to 2
+      Multimodal.MediaRow(3L, "audio",
+        wav(8000, 1, 16, 1, s16(Seq(16384, 16384))).patch(40, le32(200), 4)),
+      // IEEE-float WAV (fmt 3): structurally valid, not PCM -> undecoded
+      Multimodal.MediaRow(4L, "audio", wav(8000, 1, 32, 3, new Array[Byte](8))),
+      Multimodal.MediaRow(5L, "binary", Array[Byte](9, 9, 9)))
+    val out = Multimodal.audioPcmStats(rows.toDS()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && math.abs(out(1L).getDouble(6) - 0.5) < 1e-12)
+    assert(out(2L).getBoolean(1) && out(2L).getLong(4) == 1L,
+      "odd chunk must be skipped with word-alignment padding")
+    assert(out(3L).getBoolean(1) && out(3L).getLong(4) == 2L,
+      "a lying data-chunk length must be bounded by the real payload")
+    assert(!out(4L).getBoolean(1), "IEEE-float WAV is not PCM-decodable")
+    assert(!out(5L).getBoolean(1))
+  }
+
   test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binspec").toFile
     def put(name: String, bytes: Array[Byte]): Unit =
