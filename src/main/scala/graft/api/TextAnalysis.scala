@@ -330,6 +330,42 @@ object TextAnalysis {
     * buffer instead of sorting its whole extent in one reducer; only
     * (key, digest, id-string) triples shuffle — payloads rejoin by id.
     * Output: the input rows of the survivors, unchanged. */
+  /** Quantile-calibrated selection: keep the rows at or above the
+    * corpus' (1 − frac) score quantile — "the top frac of the corpus
+    * by score", the FineWeb/CCNet-style percentile filter — computed
+    * EXACTLY and engine-portably, with no global sort and no approx
+    * sketch. Scores snap to a fixed `gridDecimals` grid (the file-wide
+    * 6-decimal contract), so the quantile reduces to a cumulative
+    * count over the DISTINCT grid values: one map-side-combined
+    * aggregation (score → count), a running sum over that count table,
+    * and the threshold is the largest grid value whose cumulative
+    * count reaches ⌈frac·N⌉. Rows AT the threshold are all kept (ties
+    * are not broken arbitrarily), so the kept fraction can slightly
+    * exceed `frac` — deterministic beats exact-k here; compose with
+    * [[capPerKey]]-style id-ordered truncation if exact k matters.
+    *
+    * Scale shape: the corpus crosses the wire once, as (grid value,
+    * count) — the window runs over the count table, whose size is
+    * bounded by the number of DISTINCT rounded scores (≤ 10^6·range —
+    * for ratio-valued scores in [0, 1], at most a million rows), never
+    * by the corpus; the threshold then broadcasts back as a one-row
+    * frame. The corpus-sized path is one aggregation + one filter. */
+  def selectTopFraction(docs: DataFrame, scoreCol: String, frac: Double,
+                        gridDecimals: Int = 6): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val snapped = round(col(scoreCol), gridDecimals)
+    val counts = docs.select(snapped.as("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val thr = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(total)
+      .filter(col("__cum") >= ceil(col("__n") * frac))
+      .agg(max(col("__s")).as("__thr"))
+    docs.crossJoin(thr).filter(snapped >= col("__thr")).drop("__thr")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 cap: Int = 1000): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")

@@ -90,6 +90,21 @@ object Pipeline {
       graft.api.TextAnalysis.qualityProfile(Tables.documents(s, d))
         .orderBy("lang")),
 
+    // Quantile-calibrated selection (FineWeb/CCNet-style percentile
+    // filter): keep the top 25% of documents by composite quality
+    // score, with the threshold computed EXACTLY over the 6-decimal
+    // score grid — corpus crosses the wire once as (grid value, count);
+    // the cumulative window runs over the bounded count table, never
+    // the corpus. Ties at the threshold all survive (deterministic over
+    // exact-k). The oracle replays score, threshold and filter.
+    "q130_top_fraction" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("q", round(qualityScore(col("text"), langMarkers("en")), 6))
+      graft.api.TextAnalysis.selectTopFraction(docs, "q", 0.25)
+        .select(col("doc_id"), col("q"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID via marker-word argmax (ties → language code asc,
     // no hits → 'und'), confusion-matrix style output against the
     // labelled lang column.
@@ -1685,6 +1700,24 @@ object Pipeline {
         |  round(CAST(sum(punct) AS DOUBLE) / count(*), 6) AS avg_punct,
         |  round(CAST(sum(quality) AS DOUBLE) / count(*), 6) AS avg_quality
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q130_top_fraction" ->
+      """WITH m AS (
+        |  SELECT doc_id, round(
+        |    least(len(string_split_regex(text, '\s+')) / 20.0, 1.0) * 0.4
+        |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |          / length(text) END) * 4.0, 1.0)) * 0.3
+        |    + (1.0 - (CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0 ELSE
+        |        len(list_filter(string_split_regex(text, '\s+'),
+        |          x -> x IN ('the','a','of','and','to','in','is','that')))*1.0
+        |          / len(string_split_regex(text, '\s+')) END)) * 0.3, 6) AS q
+        |  FROM documents),
+        |c AS (SELECT q, count(*) cnt FROM m GROUP BY q),
+        |cum AS (SELECT q, sum(cnt) OVER (ORDER BY q DESC) cum FROM c),
+        |t AS (SELECT count(*) n FROM m),
+        |thr AS (SELECT max(q) thr FROM cum, t WHERE cum >= ceil(0.25 * n))
+        |SELECT m.doc_id, m.q FROM m, thr WHERE m.q >= thr.thr
+        |ORDER BY m.doc_id""".stripMargin,
     "q50_lang_id" ->
       """WITH toks AS (
         |  SELECT lang, string_split_regex(lower(text), '\s+') t FROM documents),

@@ -46,6 +46,27 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 10L && b == 12L && h == 0 })
   }
 
+  test("selectTopFraction keeps the exact top quantile, ties included") {
+    val scored = (1 to 100).map(i => (i.toLong, i / 100.0)).toDF("id", "s")
+    // top 10% of 1..100 scaled scores = scores 0.91..1.00
+    val top10 = TextAnalysis.selectTopFraction(scored, "s", 0.10)
+      .select("id").as[Long].collect().sorted
+    assert(top10.toSeq == (91L to 100L), s"got ${top10.toSeq}")
+    // frac = 1 keeps everything
+    assert(TextAnalysis.selectTopFraction(scored, "s", 1.0).count() == 100)
+    // ties AT the threshold all survive: 50 rows of 0.5, 50 of 0.9 —
+    // asking for 30% must keep all 50 of the 0.9 tie group
+    val tied = ((1 to 50).map(i => (i.toLong, 0.5)) ++
+      (51 to 100).map(i => (i.toLong, 0.9))).toDF("id", "s")
+    assert(TextAnalysis.selectTopFraction(tied, "s", 0.30).count() == 50)
+    // original columns come back intact
+    assert(TextAnalysis.selectTopFraction(scored, "s", 0.5).columns.toSeq
+      == Seq("id", "s"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.selectTopFraction(scored, "s", 0.0)
+    }
+  }
+
   test("persistent near-dup index: build, append, dedup a fresh batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ndidx-spec").toString
     val built = Seq(
