@@ -247,6 +247,51 @@ object Dedup {
       .write.mode("append").parquet(s"$path/sketches")
   }
 
+  /** Delete documents from a persisted near-dup index WITHOUT touching
+    * corpus text (takedowns / re-curation): one distributed anti-join
+    * pass over each signature table, survivors materialized via
+    * localCheckpoint before the overwrite (a parquet dir cannot be
+    * read and overwritten in one plan — same discipline as the IVF
+    * cell-store delete). Unlike that delete, no partition pruning is
+    * possible here: a doc's signature rows land in EVERY band
+    * partition (that is exactly what makes it findable), so both
+    * tables rewrite in full — the honest cost of a delete at
+    * takedown rates; what the index still saves is any re-read or
+    * re-shingle of the corpus. Returns the number of indexed docs
+    * removed; 0 leaves the index files untouched. */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, ids: DataFrame,
+                             idCol: String = "doc_id"): Long = {
+    readNearDupParams(spark, path) // fail loudly on a missing index
+    val del = ids.select(col(idCol).cast("long").as("__del_id")).distinct()
+      .localCheckpoint()
+    val unpersistAtEnd = scala.collection.mutable.ArrayBuffer(del)
+    try {
+      val sketches = spark.read.parquet(s"$path/sketches")
+      val nDel = sketches
+        .join(del, sketches("doc_id") === del("__del_id"), "left_semi").count()
+      if (nDel == 0) return 0L
+      val sSurv = sketches
+        .join(del, sketches("doc_id") === del("__del_id"), "left_anti")
+        .localCheckpoint()
+      unpersistAtEnd += sSurv
+      sSurv.write.mode("overwrite").parquet(s"$path/sketches")
+      val bands = spark.read.parquet(s"$path/bands")
+      val bSurv = bands
+        .join(del, bands("doc_id") === del("__del_id"), "left_anti")
+        .select(col("doc_id"), col("bkey"), col("band"))
+        .localCheckpoint()
+      unpersistAtEnd += bSurv
+      bSurv.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      nDel
+    } finally unpersistAtEnd.foreach { df =>
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+  }
+
   /** Incremental NEAR-dup dedup: the fresh batch's rows that have no
     * Jaccard ≥ threshold match in the indexed corpus, original columns
     * intact. Candidates come from the banded equi-join on (band, bkey)

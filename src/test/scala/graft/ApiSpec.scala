@@ -95,6 +95,16 @@ class ApiSpec extends AnyFunSuite {
       Dedup.nearDupAgainstIndex(fresh, dir + "-nowhere", idCol = "id", textCol = "body")
         .count()
     }
+    // DELETE completes the lifecycle: after removing built doc 1, its
+    // fresh copy is novel again, while the appended doc still matches
+    val n = Dedup.deleteFromNearDupIndex(spark, dir, Seq(1L, 999L).toDF("id"), idCol = "id")
+    assert(n == 1L, s"only the one indexed id should count as deleted, got $n")
+    val after = Dedup.nearDupAgainstIndex(fresh, dir, idCol = "id", textCol = "body")
+      .select("id").as[Long].collect().sorted
+    assert(after.toSeq == Seq(100L, 102L),
+      s"deleted doc must stop matching, appended doc must keep matching: $after")
+    // idempotent: nothing left to delete
+    assert(Dedup.deleteFromNearDupIndex(spark, dir, Seq(1L).toDF("id"), idCol = "id") == 0L)
   }
 
   test("Dedup.keepOne labels a chain and an isolated pair with component minima") {
