@@ -272,63 +272,140 @@ object Multimodal {
     * features (`decoded = false`) — the mixed-corpus contract of the
     * image path. Shape at 100 TB: narrow mapPartitions, payload bytes
     * never leave the executor, output is a fixed-width feature row. */
+  /** Parsed PCM WAV: rate, channels, and samples normalized to
+    * [-1, 1) doubles (16-bit: raw/32768; 8-bit: (raw-128)/128),
+    * interleaved in container order, plus the per-sample clip flag
+    * source (raw full-scale count). None for non-WAV / non-PCM /
+    * unparseable payloads. */
+  private def parsePcm(c: Array[Byte]): Option[(Int, Int, Array[Double], Long)] = {
+    var rate = 0; var channels = 0; var bits = 0; var fmt = -1
+    var dataOff = -1; var dataLen = 0
+    if (HeaderCodec.isWav(c)) {
+      var off = 12
+      var ok = true
+      while (ok && off + 8 <= c.length) {
+        val id = new String(c, off, 4, "US-ASCII")
+        val len = HeaderCodec.leInt(c, off + 4)
+        if (len < 0) ok = false
+        else {
+          if (id == "fmt " && off + 24 <= c.length) {
+            fmt = HeaderCodec.leShort(c, off + 8)
+            channels = HeaderCodec.leShort(c, off + 10)
+            rate = HeaderCodec.leInt(c, off + 12)
+            bits = HeaderCodec.leShort(c, off + 22)
+          } else if (id == "data") { dataOff = off + 8; dataLen = len }
+          off += 8 + len + (len & 1)
+        }
+      }
+    }
+    val pcm16 = fmt == 1 && bits == 16
+    val pcm8 = fmt == 1 && bits == 8
+    if ((pcm16 || pcm8) && rate > 0 && channels > 0 && dataOff >= 0) {
+      val bytesPerSample = if (pcm16) 2 else 1
+      val n = math.min(math.max(dataLen, 0), c.length - dataOff) / bytesPerSample
+      val xs = new Array[Double](n)
+      var clipped = 0L
+      var i = 0
+      while (i < n) {
+        xs(i) =
+          if (pcm16) {
+            val raw = (HeaderCodec.leShort(c, dataOff + 2 * i) << 16) >> 16
+            if (raw == Short.MaxValue || raw == Short.MinValue) clipped += 1
+            raw / 32768.0
+          } else {
+            val raw = c(dataOff + i) & 0xff
+            if (raw == 0 || raw == 255) clipped += 1
+            (raw - 128) / 128.0
+          }
+        i += 1
+      }
+      Some((rate, channels, xs, clipped))
+    } else None
+  }
+
   def audioPcmStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val c = m.content
-      var rate = 0; var channels = 0; var bits = 0; var fmt = -1
-      var dataOff = -1; var dataLen = 0
-      if (HeaderCodec.isWav(c)) {
-        var off = 12
-        var ok = true
-        while (ok && off + 8 <= c.length) {
-          val id = new String(c, off, 4, "US-ASCII")
-          val len = HeaderCodec.leInt(c, off + 4)
-          if (len < 0) ok = false
-          else {
-            if (id == "fmt " && off + 24 <= c.length) {
-              fmt = HeaderCodec.leShort(c, off + 8)
-              channels = HeaderCodec.leShort(c, off + 10)
-              rate = HeaderCodec.leInt(c, off + 12)
-              bits = HeaderCodec.leShort(c, off + 22)
-            } else if (id == "data") { dataOff = off + 8; dataLen = len }
-            off += 8 + len + (len & 1)
+      parsePcm(m.content) match {
+        case Some((rate, channels, xs, clipped)) =>
+          val n = xs.length
+          var i = 0; var sumSq = 0.0; var peak = 0.0
+          while (i < n) {
+            sumSq += xs(i) * xs(i)
+            val ax = math.abs(xs(i))
+            if (ax > peak) peak = ax
+            i += 1
           }
-        }
+          val frames = n.toLong / channels
+          (m.media_id, true, Some(rate), Some(channels), Some(frames),
+            Some(frames.toDouble / rate),
+            Some(if (n == 0) 0.0 else math.sqrt(sumSq / n)), Some(peak),
+            Some(if (n == 0) 0.0 else clipped.toDouble / n))
+        case None =>
+          (m.media_id, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Double], None: Option[Double],
+            None: Option[Double], None: Option[Double])
       }
-      val pcm16 = fmt == 1 && bits == 16
-      val pcm8 = fmt == 1 && bits == 8
-      if ((pcm16 || pcm8) && rate > 0 && channels > 0 && dataOff >= 0) {
-        val bytesPerSample = if (pcm16) 2 else 1
-        val n = math.min(dataLen, c.length - dataOff) / bytesPerSample
-        var i = 0; var sumSq = 0.0; var peak = 0.0; var clipped = 0L
-        while (i < n) {
-          val x =
-            if (pcm16) {
-              val raw = (HeaderCodec.leShort(c, dataOff + 2 * i) << 16) >> 16
-              if (raw == Short.MaxValue || raw == Short.MinValue) clipped += 1
-              raw / 32768.0
-            } else {
-              val raw = c(dataOff + i) & 0xff
-              if (raw == 0 || raw == 255) clipped += 1
-              (raw - 128) / 128.0
-            }
-          sumSq += x * x
-          val ax = math.abs(x)
-          if (ax > peak) peak = ax
-          i += 1
-        }
-        val frames = n.toLong / channels
-        (m.media_id, true, Some(rate), Some(channels), Some(frames),
-          Some(frames.toDouble / rate),
-          Some(if (n == 0) 0.0 else math.sqrt(sumSq / n)), Some(peak),
-          Some(if (n == 0) 0.0 else clipped.toDouble / n))
-      } else
-        (m.media_id, false, None: Option[Int], None: Option[Int],
-          None: Option[Long], None: Option[Double], None: Option[Double],
-          None: Option[Double], None: Option[Double])
     }.toDF("media_id", "decoded", "sample_rate", "channels", "n_frames",
       "duration_s", "rms", "peak", "clip_ratio")
+  }
+
+  /** REAL audio resample — the audio analogue of [[resizeImages]]:
+    * decode PCM, per-channel LINEAR interpolation to `targetRate`,
+    * re-encode as 16-bit PCM WAV (the lossless-within-quantization
+    * interchange format, like the image path's PNG re-encode). Output
+    * frame count = ⌊frames·target/src⌋; source positions past the last
+    * frame clamp to it. A payload already at `targetRate` passes
+    * through byte-identical (no decode-reencode drift), and non-PCM /
+    * non-WAV payloads pass through unchanged — the mixed-corpus
+    * contract. Narrow mapPartitions shape; sample arrays live only
+    * inside the executor task. */
+  def resamplePcm(media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    media.map { m =>
+      parsePcm(m.content) match {
+        case Some((rate, channels, xs, _)) if rate != targetRate && channels > 0 =>
+          val inFrames = xs.length / channels
+          val outFrames = (inFrames.toLong * targetRate / rate).toInt
+          val out = new Array[Byte](44 + outFrames * channels * 2)
+          def le32(v: Int, off: Int): Unit = {
+            out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+            out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+          }
+          def le16(v: Int, off: Int): Unit = {
+            out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+          }
+          def ascii(s: String, off: Int): Unit =
+            s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+          val blockAlign = channels * 2
+          val dataLen = outFrames * blockAlign
+          ascii("RIFF", 0); le32(36 + dataLen, 4); ascii("WAVE", 8)
+          ascii("fmt ", 12); le32(16, 16); le16(1, 20); le16(channels, 22)
+          le32(targetRate, 24); le32(targetRate * blockAlign, 28)
+          le16(blockAlign, 32); le16(16, 34)
+          ascii("data", 36); le32(dataLen, 40)
+          var f = 0
+          while (f < outFrames) {
+            // source position of output frame f; clamp the upper
+            // neighbor to the final frame at the tail
+            val p = f.toDouble * rate / targetRate
+            val lo = math.min(p.toInt, inFrames - 1)
+            val hi = math.min(lo + 1, inFrames - 1)
+            val w = p - lo
+            var ch = 0
+            while (ch < channels) {
+              val x = xs(lo * channels + ch) * (1.0 - w) + xs(hi * channels + ch) * w
+              val raw = math.max(-32768, math.min(32767, math.round(x * 32768.0).toInt))
+              le16(raw, 44 + (f * channels + ch) * 2)
+              ch += 1
+            }
+            f += 1
+          }
+          MediaRow(m.media_id, m.kind, out)
+        case _ => m
+      }
+    }
   }
 
   /** REAL image resize: decode, scale so the longer edge fits

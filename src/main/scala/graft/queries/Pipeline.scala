@@ -34,6 +34,54 @@ object Pipeline {
   // Similarity, TextAnalysis} — the reusable corpus-agnostic library
   // surface.
 
+  /** Hand-authored PCM WAV fixtures for the audio contract queries
+    * (q129/q131): mono/stereo, 16/8-bit, a full-scale clipped sample,
+    * a non-WAV payload — every byte deterministic, every feature
+    * exactly representable. Returns the absolute fixture dir. */
+  private def writeWavFixtures(prefix: String, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    dir.mkdirs()
+    dir.listFiles().foreach(_.delete())
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(rate: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++
+        le16(bits) ++ "data".getBytes ++ le32(data.length) ++ data
+    }
+    def s16(xs: Seq[Int]) = xs.flatMap(le16).toArray
+    Seq(
+      ("tone.wav", wav(8000, 1, 16, s16(Seq.fill(8000)(16384)))),
+      ("stereo.wav", wav(44100, 2, 16,
+        s16(Seq.tabulate(882)(i => if (i % 2 == 0) 8192 else -8192)))),
+      ("clip.wav", wav(16000, 1, 16, s16(Seq(-32768, 0, 0, 0)))),
+      ("byte8.wav", wav(8000, 1, 8, Array[Byte](192.toByte, 64, 128.toByte, 128.toByte))),
+      ("noise.bin", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .foreach { case (n, bytes) =>
+        java.nio.file.Files.write(new java.io.File(dir, n).toPath, bytes)
+      }
+    dir.getAbsolutePath
+  }
+
+  /** Join audioPcmStats output back to file names and round the double
+    * features to the 6-decimal oracle grid. */
+  private def wavStatsByName(s: SparkSession, path: String,
+                             stats: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.readBinaryDir(s, path)
+      .select(col("name"), col("media_id"))
+      .join(stats, Seq("media_id"))
+      .select(col("name"), col("decoded"), col("sample_rate"),
+        col("channels"), col("n_frames"),
+        round(col("duration_s"), 6).as("duration_s"),
+        round(col("rms"), 6).as("rms"),
+        round(col("peak"), 6).as("peak"),
+        round(col("clip_ratio"), 6).as("clip_ratio"))
+      .orderBy("name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group on the normalized-text MD5 fingerprint; keep the
@@ -355,45 +403,26 @@ object Pipeline {
     // clip_ratio 1/4 — so the oracle pins the actual PCM arithmetic,
     // not just header fields (q82 covers headers).
     "q129_wav_pcm_stats" -> ((s, d) => {
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-wav-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      dir.mkdirs()
-      dir.listFiles().foreach(_.delete())
-      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
-        (v >> 16).toByte, (v >> 24).toByte)
-      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-      def wav(rate: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
-        val blockAlign = channels * bits / 8
-        "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
-          "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
-          le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++
-          le16(bits) ++ "data".getBytes ++ le32(data.length) ++ data
-      }
-      def s16(xs: Seq[Int]) = xs.flatMap(le16).toArray
-      Seq(
-        ("tone.wav", wav(8000, 1, 16, s16(Seq.fill(8000)(16384)))),
-        ("stereo.wav", wav(44100, 2, 16,
-          s16(Seq.tabulate(882)(i => if (i % 2 == 0) 8192 else -8192)))),
-        ("clip.wav", wav(16000, 1, 16, s16(Seq(-32768, 0, 0, 0)))),
-        ("byte8.wav", wav(8000, 1, 8, Array[Byte](192.toByte, 64, 128.toByte, 128.toByte))),
-        ("noise.bin", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
-        .foreach { case (n, bytes) =>
-          java.nio.file.Files.write(
-            new java.io.File(dir, n).toPath, bytes)
-        }
-      val path = dir.getAbsolutePath
+      val path = writeWavFixtures("graft-wav-", d)
       val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
-      val stats = graft.multimodal.Multimodal.audioPcmStats(media)
-      graft.multimodal.Multimodal.readBinaryDir(s, path)
-        .select(col("name"), col("media_id"))
-        .join(stats, Seq("media_id"))
-        .select(col("name"), col("decoded"), col("sample_rate"),
-          col("channels"), col("n_frames"),
-          round(col("duration_s"), 6).as("duration_s"),
-          round(col("rms"), 6).as("rms"),
-          round(col("peak"), 6).as("peak"),
-          round(col("clip_ratio"), 6).as("clip_ratio"))
-        .orderBy("name")
+      wavStatsByName(s, path,
+        graft.multimodal.Multimodal.audioPcmStats(media))
+    }),
+
+    // REAL audio resample contract — the audio analogue of the q127
+    // image-resize pipeline: the same WAV fixtures are linearly
+    // resampled to 16 kHz (up, down, SAME-rate byte-identical
+    // passthrough, 8→16-bit promotion, non-WAV passthrough) and the
+    // resampled payloads re-decoded by audioPcmStats. Per-channel
+    // constant fixtures stay constant under interpolation and the
+    // byte8 ramp interpolates onto exactly representable 16-bit values
+    // (±16384, ±8192), so every feature stays closed-form.
+    "q131_wav_resample" -> ((s, d) => {
+      val path = writeWavFixtures("graft-wavr-", d)
+      val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+      wavStatsByName(s, path,
+        graft.multimodal.Multimodal.audioPcmStats(
+          graft.multimodal.Multimodal.resamplePcm(media, targetRate = 16000)))
     }),
 
     // Persisted near-dup index lifecycle (build → APPEND → incremental
@@ -2354,6 +2383,21 @@ object Pipeline {
         |  ('c.bmp',  5,  7, 200, 100,  50),
         |  ('d.jpg', 16, 12,  -1,  -1,  -1))
         |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
+    "q131_wav_resample" ->
+      """SELECT name, decoded, CAST(sample_rate AS INT) AS sample_rate,
+        |       CAST(channels AS INT) AS channels,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(duration_s AS DOUBLE) AS duration_s,
+        |       CAST(rms AS DOUBLE) AS rms, CAST(peak AS DOUBLE) AS peak,
+        |       CAST(clip_ratio AS DOUBLE) AS clip_ratio
+        |FROM (VALUES
+        |  ('byte8.wav',  true, 16000, 1,     8, 0.0005,  0.265165, 0.5,  0.0),
+        |  ('clip.wav',   true, 16000, 1,     4, 0.00025, 0.5,      1.0,  0.25),
+        |  ('noise.bin',  false, NULL, NULL, NULL, NULL,  NULL,     NULL, NULL),
+        |  ('stereo.wav', true, 16000, 2,   160, 0.01,    0.25,     0.25, 0.0),
+        |  ('tone.wav',   true, 16000, 1, 16000, 1.0,     0.5,      0.5,  0.0))
+        |AS t(name, decoded, sample_rate, channels, n_frames, duration_s,
+        |     rms, peak, clip_ratio) ORDER BY name""".stripMargin,
     "q129_wav_pcm_stats" ->
       """SELECT name, decoded, CAST(sample_rate AS INT) AS sample_rate,
         |       CAST(channels AS INT) AS channels,

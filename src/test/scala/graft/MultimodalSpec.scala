@@ -193,6 +193,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(5L).getBoolean(1))
   }
 
+  test("resamplePcm: linear interpolation, same-rate passthrough, 8->16-bit promotion") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(rate: Int, ch: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val ba = ch * bits / 8
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ba) ++ le16(ba) ++ le16(bits) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    val original = wav(8000, 1, 16, Seq(1000, 2000, 3000).flatMap(le16).toArray)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", original),
+      // 8-bit ramp upsampled 2x: interpolated midpoints are exact
+      Multimodal.MediaRow(2L, "audio", wav(4000, 1, 8,
+        Array[Byte](192.toByte, 64, 128.toByte, 128.toByte))),
+      Multimodal.MediaRow(3L, "binary", Array[Byte](7, 7, 7)))
+    val out = Multimodal.resamplePcm(rows.toDS(), targetRate = 8000).collect()
+      .map(r => r.media_id -> r).toMap
+    // same rate -> byte-identical passthrough, no decode-reencode drift
+    assert(java.util.Arrays.equals(out(1L).content, original))
+    // non-PCM passthrough
+    assert(java.util.Arrays.equals(out(3L).content, Array[Byte](7, 7, 7)))
+    // 4 frames @4000 -> 8 frames @8000; [0.5,-0.5,0,0] interpolates to
+    // [0.5, 0, -0.5, -0.25, 0, 0, 0, 0] as exact 16-bit values
+    val c2 = out(2L).content
+    def s16At(off: Int) = (((c2(off) & 0xff) | ((c2(off + 1) & 0xff) << 8)) << 16) >> 16
+    val samples = (0 until 8).map(i => s16At(44 + 2 * i))
+    assert(samples == Seq(16384, 0, -16384, -8192, 0, 0, 0, 0), s"got $samples")
+  }
+
   test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binspec").toFile
     def put(name: String, bytes: Array[Byte]): Unit =
