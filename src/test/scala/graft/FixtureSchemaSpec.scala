@@ -56,12 +56,18 @@ class FixtureSchemaSpec extends AnyFunSuite {
     "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType)
   check("embeddings", "vec_id" -> LongType,
     "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
-  // events raw: the fixture's CURRENT physical type, as loaded. If this
-  // fails, the driver regenerated events.parquet with yet another
-  // timestamp encoding — extend Tables.normalizeEventTs.
+  // events raw: fixed columns pin exactly; ts pins to the SET the
+  // loader adapts to (the driver has already switched encodings once —
+  // any member is fine, an unsupported encoding is the real drift).
   check("events", "event_id" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType,
-    "props" -> StringType, "ts" -> TimestampNTZType)
+    "props" -> StringType)
+
+  test("fixture events.ts has a loader-supported timestamp encoding") {
+    val ts = dtypes("events")("ts")
+    assert(Set[DataType](LongType, TimestampNTZType, TimestampType)(ts),
+      s"events.ts loaded as $ts — extend Tables.normalizeEventTs")
+  }
 
   test("events loader normalizes ts to TimestampType (current fixture)") {
     val df = graft.core.Tables.events(spark, sf)
