@@ -614,4 +614,30 @@ object Dedup {
       s"connected-components did not converge within $maxIter iterations")
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  /** Quality-aware survivor election over near-dup components: label
+    * components with [[keepOne]]'s min-label propagation, then elect
+    * each component's survivor by the HIGHEST score (ties → lowest id)
+    * — what a production dedup pass actually keeps (min-id keeps
+    * whichever duplicate happened to be crawled first; keepBest keeps
+    * the best-quality copy). `scores` must cover every doc appearing
+    * in `pairs` (members without a score are dropped with their
+    * component — score your corpus first). Output: (doc_id,
+    * canonical_id, survivor_id) for every component member. Scale
+    * shape: the election is one row_number window keyed by component —
+    * components are near-dup clusters, bounded in practice; nothing
+    * funnels through a single partition. */
+  def keepBest(pairs: DataFrame, scores: DataFrame, idCol: String = "doc_id",
+               scoreCol: String = "score", maxIter: Int = 50): DataFrame = {
+    val labels = keepOne(pairs, maxIter)
+    val sc = scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
+    val members = labels.join(sc, "doc_id")
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("__score").desc, col("doc_id"))
+    val survivors = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("survivor_id"))
+    members.join(survivors, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("survivor_id"))
+  }
 }

@@ -191,6 +191,20 @@ object Pipeline {
         Pipeline.queries("q45_minhash_lsh")(s, d).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // Quality-aware survivor election: same near-dup components as
+    // q63, but each component keeps its HIGHEST-quality member (ties →
+    // lowest id) instead of the min id — the survivor a production
+    // dedup pass actually keeps. The oracle replays components
+    // (recursive CTE), the quality score, and the per-component argmax.
+    "q132_keep_best" -> ((s, d) => {
+      val scores = Tables.documents(s, d).select(col("doc_id"),
+        round(qualityScore(col("text"), langMarkers("en")), 6).as("q"))
+      graft.api.Dedup.keepBest(
+        Pipeline.queries("q45_minhash_lsh")(s, d).select(col("doc_a"), col("doc_b")),
+        scores, scoreCol = "q")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF-lite (SURVEY §7.1 M5): top-3 terms per document by
     // tf·idf. Document frequencies come from one keyed aggregation over
     // (term, doc) pairs; idf joins back by term (broadcastable — vocab
@@ -1802,6 +1816,50 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q132_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+        |), prs AS (
+        |  SELECT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*)*1.0/(any_value(a.n)+any_value(b.n)-count(*)) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a a, doc_b b FROM prs UNION SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), members AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |  FROM reach GROUP BY a
+        |), qs AS (
+        |  SELECT doc_id, round(
+        |    least(len(string_split_regex(text, '\s+')) / 20.0, 1.0) * 0.4
+        |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |          / length(text) END) * 4.0, 1.0)) * 0.3
+        |    + (1.0 - (CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0 ELSE
+        |        len(list_filter(string_split_regex(text, '\s+'),
+        |          x -> x IN ('the','a','of','and','to','in','is','that')))*1.0
+        |          / len(string_split_regex(text, '\s+')) END)) * 0.3, 6) AS q
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT m.canonical_id, m.doc_id,
+        |    row_number() OVER (PARTITION BY m.canonical_id
+        |      ORDER BY qs.q DESC, m.doc_id) rn
+        |  FROM members m JOIN qs ON m.doc_id = qs.doc_id
+        |), surv AS (
+        |  SELECT canonical_id, doc_id AS survivor_id FROM ranked WHERE rn = 1
+        |)
+        |SELECT m.doc_id, m.canonical_id, s.survivor_id
+        |FROM members m JOIN surv s USING (canonical_id)
+        |ORDER BY m.doc_id""".stripMargin,
     "q61_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, t AS term FROM (

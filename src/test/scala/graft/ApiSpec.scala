@@ -46,6 +46,21 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 10L && b == 12L && h == 0 })
   }
 
+  test("keepBest elects the highest-scored member per component, ties to min id") {
+    // components: {1,2,3} (chain), {10,11} (pair); 4 isolated (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (10L, 0.7), (11L, 0.7), (4L, 1.0)).toDF("id", "s")
+    val out = Dedup.keepBest(pairs, scores, idCol = "id", scoreCol = "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L),
+      "exactly the component members appear, never unpaired docs")
+    // chain component: best quality is the MIDDLE doc, not the min id
+    assert(Seq(1L, 2L, 3L).forall(d => out(d) == ((1L, 2L))))
+    // tie on score -> lowest id survives
+    assert(Seq(10L, 11L).forall(d => out(d) == ((10L, 10L))))
+  }
+
   test("selectTopFraction keeps the exact top quantile, ties included") {
     val scored = (1 to 100).map(i => (i.toLong, i / 100.0)).toDF("id", "s")
     // top 10% of 1..100 scaled scores = scores 0.91..1.00
