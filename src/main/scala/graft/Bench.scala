@@ -86,6 +86,10 @@ object Bench {
         val r = Ingest.runBatch(spark,
           IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
             buckets = buckets,
+            // lz4 A/B'd against zstd on a comparable-load box (r8):
+            // bucketed 2.28M vs 1.67M rows/s, unbucketed 5.6M vs 3.4M —
+            // zstd's ratio win costs ~35% throughput on this CPU-bound
+            // write path; lz4 is the throughput default
             compression = sys.env.getOrElse("SPARK_GRAFT_INGEST_COMPRESSION", "lz4")),
           rows)
         r.throughputRowsPerSec
