@@ -357,11 +357,23 @@ object Dedup {
     * at least one chunk — the candidate join is keyed on (chunk, value).
     * Output: (doc_a, doc_b, hamming). */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    hammingPairs(docs.select(col(idCol).as("doc_id"),
+      simHash64(lower(col(textCol))).as("sig")), maxHamming = maxHamming)
+
+  /** Near-dup pairs at hamming distance ≤ maxHamming over ANY 64-bit
+    * signature column — the pigeonhole candidate machinery behind
+    * [[simHashPairs]], exposed for other signature spaces (e.g. a
+    * perceptual image dHash): the signature splits into maxHamming+1
+    * chunks partitioning all 64 bits, so any pair within the bound
+    * shares at least one intact chunk; the candidate join is keyed on
+    * (chunk, value), never all-pairs. Input: (idCol, sigCol); output
+    * (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def hammingPairs(sigs: DataFrame, idCol: String = "doc_id",
+                   sigCol: String = "sig", maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 64,
       s"maxHamming must be in [1, 63], got $maxHamming")
-    val sig = docs.select(col(idCol).as("doc_id"),
-      simHash64(lower(col(textCol))).as("sig")).cache()
+    val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")).cache()
     val chunks = sig.select(col("doc_id"), col("sig"),
         explode(array(chunkLayout(maxHamming + 1).zipWithIndex.map {
           case ((shift, mask), c) =>

@@ -256,6 +256,61 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Perceptual image fingerprint (dHash) over REAL decoded pixels —
+    * the image half of near-dup dedup: resize to 9×8 luma (a 9×8
+    * input is used as-is, so crafted fixtures stay bit-exact; larger
+    * images go through the same AWT bilinear scale as [[resizeImages]]),
+    * then bit k = y·8+x is SET when luma(x,y) < luma(x+1,y) — the
+    * horizontal-gradient sign pattern, robust to uniform brightness
+    * and scale changes. Luma is integer (299r + 587g + 114b)/1000, so
+    * gray pixels hash from their exact value. Identical images hash
+    * identically; near-identical images land within a small hamming
+    * distance — feed the output to [[graft.api.Dedup.hammingPairs]]
+    * for the pigeonhole candidate join (never all-pairs). Payloads no
+    * codec decodes yield (decoded = false, null hash) — the
+    * mixed-corpus contract. Narrow mapPartitions shape. */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = ImageIoCodec.newPartitionInstance()
+        .asInstanceOf[ImageIoCodec.type]
+      rows.map { m =>
+        codec.decodeImage(m.content) match {
+          case Some(img) =>
+            val s =
+              if (img.getWidth == 9 && img.getHeight == 8) img
+              else {
+                val out = new java.awt.image.BufferedImage(9, 8,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, 9, 8, null)
+                g.dispose()
+                out
+              }
+            def luma(x: Int, y: Int): Int = {
+              val p = s.getRGB(x, y)
+              (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                (p & 0xff) * 114) / 1000
+            }
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (luma(x, y) < luma(x + 1, y)) hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            (m.media_id, true, Some(hash))
+          case None => (m.media_id, false, None: Option[Long])
+        }
+      }
+    }.toDF("media_id", "decoded", "dhash")
+  }
+
   /** REAL audio decode for PCM WAV — the one audio container fully
     * decodable with zero native libraries (the compressed formats'
     * bitstreams still need a native codec; their header paths stay in

@@ -423,6 +423,42 @@ object Pipeline {
         graft.multimodal.Multimodal.audioPcmStats(media))
     }),
 
+    // Perceptual image near-dup fingerprint contract: crafted 9x8 gray
+    // PNG fixtures (lossless, used as-is by the 9×8 fast path) make the
+    // dHash bit pattern closed-form — a strictly increasing gradient
+    // sets all 64 bits (-1 signed), a solid image none (0), one flipped
+    // comparison clears exactly bit 0 (-2), and an identical copy
+    // hashes identically. The pair path (hammingPairs pigeonhole join)
+    // is spec-gated on the same fixtures.
+    "q133_image_dhash" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-dhash-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.mkdirs()
+      dir.listFiles().foreach(_.delete())
+      def img(px: (Int, Int) => Int) = {
+        val b = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val v = px(x, y); b.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        b
+      }
+      Seq(("a.png", img((x, _) => 10 + 10 * x)),
+          ("b.png", img((x, _) => 10 + 10 * x)),
+          ("c.png", img((_, _) => 128)),
+          ("d.png", img((x, y) => if (x == 0 && y == 0) 25 else 10 + 10 * x)))
+        .foreach { case (n, i) =>
+          javax.imageio.ImageIO.write(i, "png", new java.io.File(dir, n))
+        }
+      val path = dir.getAbsolutePath
+      val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+      graft.multimodal.Multimodal.readBinaryDir(s, path)
+        .select(col("name"), col("media_id"))
+        .join(graft.multimodal.Multimodal.imageDHash(media), Seq("media_id"))
+        .select(col("name"), col("decoded"), col("dhash"))
+        .orderBy("name")
+    }),
+
     // REAL audio resample contract — the audio analogue of the q127
     // image-resize pipeline: the same WAV fixtures are linearly
     // resampled to 16 kHz (up, down, SAME-rate byte-identical
@@ -2441,6 +2477,11 @@ object Pipeline {
         |  ('c.bmp',  5,  7, 200, 100,  50),
         |  ('d.jpg', 16, 12,  -1,  -1,  -1))
         |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
+    "q133_image_dhash" ->
+      """SELECT name, decoded, CAST(dhash AS BIGINT) AS dhash FROM (VALUES
+        |  ('a.png', true, -1), ('b.png', true, -1),
+        |  ('c.png', true, 0), ('d.png', true, -2))
+        |AS t(name, decoded, dhash) ORDER BY name""".stripMargin,
     "q131_wav_resample" ->
       """SELECT name, decoded, CAST(sample_rate AS INT) AS sample_rate,
         |       CAST(channels AS INT) AS channels,

@@ -193,6 +193,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(5L).getBoolean(1))
   }
 
+  test("imageDHash + hammingPairs find exact and near-identical images, not distant ones") {
+    import spark.implicits._
+    def png(px: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = px(x, y); b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png((x, _) => 10 + 10 * x)),
+      Multimodal.MediaRow(2L, "image", png((x, _) => 10 + 10 * x)), // identical
+      Multimodal.MediaRow(3L, "image", png((_, _) => 128)),         // distant
+      Multimodal.MediaRow(4L, "image", png((x, y) =>                // 1 bit off
+        if (x == 0 && y == 0) 25 else 10 + 10 * x)),
+      Multimodal.MediaRow(5L, "binary", Array[Byte](1, 2, 3)))      // undecodable
+    val hashes = Multimodal.imageDHash(rows.toDS())
+    assert(hashes.filter(!org.apache.spark.sql.functions.col("decoded")).count() == 1)
+    val pairs = graft.api.Dedup.hammingPairs(
+        hashes.filter(org.apache.spark.sql.functions.col("decoded")),
+        idCol = "media_id", sigCol = "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 4L, 1), (2L, 4L, 1)),
+      s"expected exact pair at 0 and near pairs at 1, got $pairs")
+  }
+
   test("resamplePcm: linear interpolation, same-rate passthrough, 8->16-bit promotion") {
     import spark.implicits._
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
