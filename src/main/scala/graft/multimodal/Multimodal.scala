@@ -463,6 +463,52 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AUDIO fingerprint from real PCM samples — the audio
+    * member of the near-dup signature family (text simhash, image
+    * dHash): channels mix to mono, the waveform splits into 65 equal
+    * windows, and bit k is SET when energy(window k) < energy(window
+    * k+1) — the energy-envelope sign pattern, robust to uniform gain
+    * changes (energy comparisons are scale-invariant). Identical audio
+    * hashes identically; a locally-edited clip lands within a small
+    * hamming distance — feed [[graft.api.Dedup.hammingPairs]] for the
+    * pigeonhole candidate join. Payloads that are not PCM WAV or carry
+    * fewer than 65 mono frames yield (decoded = false, null hash). */
+  def audioPcmHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      parsePcm(m.content) match {
+        case Some((_, channels, xs, _)) if channels > 0 && xs.length / channels >= 65 =>
+          val frames = xs.length / channels
+          val mono = new Array[Double](frames)
+          var f = 0
+          while (f < frames) {
+            var s = 0.0; var ch = 0
+            while (ch < channels) { s += xs(f * channels + ch); ch += 1 }
+            mono(f) = s / channels
+            f += 1
+          }
+          val win = frames / 65
+          val energy = new Array[Double](65)
+          var k = 0
+          while (k < 65) {
+            var e = 0.0; var i = k * win
+            val end = i + win
+            while (i < end) { e += mono(i) * mono(i); i += 1 }
+            energy(k) = e
+            k += 1
+          }
+          var hash = 0L
+          k = 0
+          while (k < 64) {
+            if (energy(k) < energy(k + 1)) hash |= 1L << k
+            k += 1
+          }
+          (m.media_id, true, Some(hash))
+        case _ => (m.media_id, false, None: Option[Long])
+      }
+    }.toDF("media_id", "decoded", "ahash")
+  }
+
   /** REAL image resize: decode, scale so the longer edge fits
     * `maxEdge` (never upscale), re-encode as PNG (lossless, always
     * writable by the JDK). Payloads no codec claims pass through

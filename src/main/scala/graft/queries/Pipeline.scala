@@ -459,6 +459,49 @@ object Pipeline {
         .orderBy("name")
     }),
 
+    // Perceptual AUDIO fingerprint contract (the audio member of the
+    // near-dup signature family): crafted PCM fixtures of 65 equal
+    // windows make the energy-envelope hash closed-form — strictly
+    // increasing per-window amplitude sets all 64 bits (-1), constant
+    // amplitude none (0), one boosted leading window clears exactly
+    // bit 0 (-2), an identical copy hashes identically, and a
+    // uniformly amplified copy hashes identically too (energy
+    // comparisons are gain-invariant). Pairing is spec-gated.
+    "q134_audio_hash" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ahash-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.mkdirs()
+      dir.listFiles().foreach(_.delete())
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      def wav(data: Array[Byte]): Array[Byte] =
+        "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+          "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes ++ le32(data.length) ++ data
+      def ramp(w0: Int, gain: Int) = wav(
+        (0 until 65).flatMap(k => Seq.fill(10)(
+          if (k == 0) w0 * gain else (k + 1) * 100 * gain))
+          .flatMap(le16).toArray)
+      Seq(("a.wav", ramp(100, 1)),
+          ("b.wav", ramp(100, 1)),          // identical copy
+          ("amp.wav", ramp(100, 3)),        // uniform 3x gain: same hash
+          ("c.wav", wav((0 until 650).flatMap(_ => le16(1000)).toArray)),
+          ("d.wav", ramp(250, 1)),          // window 0 louder than 1
+          ("noise.bin", Array[Byte](1, 2, 3)))
+        .foreach { case (n, bytes) =>
+          java.nio.file.Files.write(new java.io.File(dir, n).toPath, bytes)
+        }
+      val path = dir.getAbsolutePath
+      val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+      graft.multimodal.Multimodal.readBinaryDir(s, path)
+        .select(col("name"), col("media_id"))
+        .join(graft.multimodal.Multimodal.audioPcmHash(media), Seq("media_id"))
+        .select(col("name"), col("decoded"), col("ahash"))
+        .orderBy("name")
+    }),
+
     // REAL audio resample contract — the audio analogue of the q127
     // image-resize pipeline: the same WAV fixtures are linearly
     // resampled to 16 kHz (up, down, SAME-rate byte-identical
@@ -2477,6 +2520,12 @@ object Pipeline {
         |  ('c.bmp',  5,  7, 200, 100,  50),
         |  ('d.jpg', 16, 12,  -1,  -1,  -1))
         |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
+    "q134_audio_hash" ->
+      """SELECT name, decoded, CAST(ahash AS BIGINT) AS ahash FROM (VALUES
+        |  ('a.wav', true, -1), ('amp.wav', true, -1), ('b.wav', true, -1),
+        |  ('c.wav', true, 0), ('d.wav', true, -2),
+        |  ('noise.bin', false, NULL))
+        |AS t(name, decoded, ahash) ORDER BY name""".stripMargin,
     "q133_image_dhash" ->
       """SELECT name, decoded, CAST(dhash AS BIGINT) AS dhash FROM (VALUES
         |  ('a.png', true, -1), ('b.png', true, -1),

@@ -222,6 +222,33 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected exact pair at 0 and near pairs at 1, got $pairs")
   }
 
+  test("audioPcmHash + hammingPairs pair identical and near-identical clips") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++ le32(data.length) ++ data
+    def ramp(w0: Int) = wav((0 until 65).flatMap(k =>
+      Seq.fill(10)(if (k == 0) w0 else (k + 1) * 100)).flatMap(le16).toArray)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", ramp(100)),
+      Multimodal.MediaRow(2L, "audio", ramp(100)),   // identical
+      Multimodal.MediaRow(3L, "audio", ramp(250)),   // one window edited
+      Multimodal.MediaRow(4L, "audio", wav((0 until 650).flatMap(_ => le16(1000)).toArray)),
+      Multimodal.MediaRow(5L, "audio", wav(le16(5) ++ le16(6))))  // < 65 frames
+    val hashes = Multimodal.audioPcmHash(rows.toDS())
+    assert(hashes.filter(!org.apache.spark.sql.functions.col("decoded")).count() == 1,
+      "a clip shorter than the window count must be undecoded, not mis-hashed")
+    val pairs = graft.api.Dedup.hammingPairs(
+        hashes.filter(org.apache.spark.sql.functions.col("decoded")),
+        idCol = "media_id", sigCol = "ahash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+      s"expected exact pair at 0 and near pairs at 1, got $pairs")
+  }
+
   test("resamplePcm: linear interpolation, same-rate passthrough, 8->16-bit promotion") {
     import spark.implicits._
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
