@@ -369,18 +369,26 @@ object Dedup {
     * shares at least one intact chunk; the candidate join is keyed on
     * (chunk, value), never all-pairs. Input: (idCol, sigCol); output
     * (doc_a, doc_b, hamming), doc_a < doc_b. */
-  def hammingPairs(sigs: DataFrame, idCol: String = "doc_id",
-                   sigCol: String = "sig", maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, sig, chunk, cval) pigeonhole chunk rows for a 64-bit
+    * signature frame — the candidate key shared by [[hammingPairs]]
+    * and the persisted hamming index. */
+  private def sigChunks(sigs: DataFrame, idCol: String, sigCol: String,
+                        maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 64,
       s"maxHamming must be in [1, 63], got $maxHamming")
-    val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")).cache()
-    val chunks = sig.select(col("doc_id"), col("sig"),
+    sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+      .select(col("doc_id"), col("sig"),
         explode(array(chunkLayout(maxHamming + 1).zipWithIndex.map {
           case ((shift, mask), c) =>
             struct(lit(c).as("chunk"),
               shiftrightunsigned(col("sig"), shift).bitwiseAND(lit(mask)).as("cval"))
         }: _*)).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+  }
+
+  def hammingPairs(sigs: DataFrame, idCol: String = "doc_id",
+                   sigCol: String = "sig", maxHamming: Int = 3): DataFrame = {
+    val chunks = sigChunks(sigs.cache(), idCol, sigCol, maxHamming)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -388,6 +396,69 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persisted HAMMING near-dup index — the third member of the index
+    * family (exact fingerprints: [[exactAgainstCorpus]]; Jaccard
+    * shingles: [[buildNearDupIndex]]; 64-bit perceptual signatures:
+    * this). Stores the corpus' pigeonhole chunk rows ONCE —
+    * (doc_id, sig, cval) partitioned by chunk, plus a one-row params
+    * table pinning maxHamming — so image/audio batches dedup against a
+    * 100 TB corpus without re-decoding any media: the signature is all
+    * the index ever needs. Build from any (id, sig) frame (e.g.
+    * [[graft.multimodal.Multimodal.imageDHash]] /
+    * [[graft.multimodal.Multimodal.audioPcmHash]] output). */
+  def buildHammingIndex(sigs: DataFrame, path: String,
+                        idCol: String = "doc_id", sigCol: String = "sig",
+                        maxHamming: Int = 3): Unit = {
+    require(maxHamming >= 1 && maxHamming < 64,
+      s"maxHamming must be in [1, 63], got $maxHamming")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    Seq(maxHamming).toDF("max_hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    sigChunks(sigs, idCol, sigCol, maxHamming)
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/chunks")
+  }
+
+  private def readHammingParams(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Int = {
+    val rows = spark.read.parquet(s"$path/params").select("max_hamming").collect()
+    require(rows.length == 1, s"no hamming index at $path")
+    rows(0).getInt(0)
+  }
+
+  /** Append signatures under the index's own persisted maxHamming —
+    * chunking differently from the build would silently break matching
+    * against the old rows. */
+  def appendToHammingIndex(sigs: DataFrame, path: String,
+                           idCol: String = "doc_id",
+                           sigCol: String = "sig"): Unit = {
+    val maxHamming = readHammingParams(sigs.sparkSession, path)
+    sigChunks(sigs, idCol, sigCol, maxHamming)
+      .write.mode("append").partitionBy("chunk").parquet(s"$path/chunks")
+  }
+
+  /** Incremental perceptual dedup: the fresh signatures with NO index
+    * match within the index's maxHamming, original columns intact.
+    * Candidates come from the (chunk, cval) equi-join — cost ∝ chunk
+    * collisions, never fresh × corpus — and the hamming verification
+    * rides the joined rows directly (both sigs are already in the
+    * candidate row; no second lookup). The fresh side is a batch,
+    * orders of magnitude smaller than the index — AQE broadcasts it
+    * unhinted. */
+  def hammingAgainstIndex(fresh: DataFrame, path: String,
+                          idCol: String = "doc_id",
+                          sigCol: String = "sig"): DataFrame = {
+    val spark = fresh.sparkSession
+    val maxHamming = readHammingParams(spark, path)
+    val freshChunks = sigChunks(fresh, idCol, sigCol, maxHamming)
+    val indexChunks = spark.read.parquet(s"$path/chunks")
+    val matched = freshChunks.as("a").join(indexChunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.doc_id").as("__dup_id")).distinct()
+    fresh.join(matched, fresh(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Benchmark-contamination profile: for every corpus document, how

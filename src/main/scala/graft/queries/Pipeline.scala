@@ -459,6 +459,60 @@ object Pipeline {
         .orderBy("name")
     }),
 
+    // Persisted HAMMING index lifecycle (the perceptual third of the
+    // index family, after exact q114 and Jaccard q128): an image
+    // corpus' dHash signatures are indexed once (one image at build,
+    // one APPENDED), then a fresh batch dedups against the index
+    // without re-decoding corpus media — an exact copy and a
+    // 1-bit-perturbed copy are dropped, a far signature (alternating
+    // gradient, hamming 32 from both) survives. Every hash is pinned
+    // closed-form by the q133 bit-definition, so the oracle is a
+    // VALUES table.
+    "q135_hamming_index" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-hidx-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val corpusDir = new java.io.File(base, "corpus")
+      val freshDir = new java.io.File(base, "fresh")
+      Seq(corpusDir, freshDir).foreach { dir =>
+        dir.mkdirs(); dir.listFiles().foreach(_.delete())
+      }
+      def img(px: (Int, Int) => Int) = {
+        val b = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val v = px(x, y); b.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        b
+      }
+      def write(dir: java.io.File, n: String, i: java.awt.image.BufferedImage): Unit =
+        javax.imageio.ImageIO.write(i, "png", new java.io.File(dir, n))
+      write(corpusDir, "a.png", img((x, _) => 10 + 10 * x))
+      write(corpusDir, "c.png", img((_, _) => 128))
+      write(freshDir, "copy_a.png", img((x, _) => 10 + 10 * x))
+      write(freshDir, "d.png", img((x, y) => if (x == 0 && y == 0) 25 else 10 + 10 * x))
+      write(freshDir, "e.png", img((x, _) => if (x % 2 == 0) 10 else 60))
+      def hashes(dir: java.io.File, nameFilter: String => Boolean) = {
+        val path = dir.getAbsolutePath
+        val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+        graft.multimodal.Multimodal.readBinaryDir(s, path)
+          .select(col("name"), col("media_id"))
+          .join(graft.multimodal.Multimodal.imageDHash(media)
+            .filter(col("decoded")), Seq("media_id"))
+          .filter(col("name").isin(
+            dir.listFiles().map(_.getName).filter(nameFilter).toSeq: _*))
+          .select(col("media_id"), col("name"), col("dhash"))
+      }
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      graft.api.Dedup.buildHammingIndex(
+        hashes(corpusDir, _ == "a.png"), idx, idCol = "media_id", sigCol = "dhash")
+      graft.api.Dedup.appendToHammingIndex(
+        hashes(corpusDir, _ == "c.png"), idx, idCol = "media_id", sigCol = "dhash")
+      graft.api.Dedup.hammingAgainstIndex(
+          hashes(freshDir, _ => true), idx, idCol = "media_id", sigCol = "dhash")
+        .select(col("name"), col("dhash"))
+        .orderBy("name")
+    }),
+
     // Perceptual AUDIO fingerprint contract (the audio member of the
     // near-dup signature family): crafted PCM fixtures of 65 equal
     // windows make the energy-envelope hash closed-form — strictly
@@ -2520,6 +2574,10 @@ object Pipeline {
         |  ('c.bmp',  5,  7, 200, 100,  50),
         |  ('d.jpg', 16, 12,  -1,  -1,  -1))
         |AS t(name, width, height, mr, mg, mb) ORDER BY name""".stripMargin,
+    "q135_hamming_index" ->
+      """SELECT name, CAST(dhash AS BIGINT) AS dhash FROM (VALUES
+        |  ('e.png', 6148914691236517205))
+        |AS t(name, dhash) ORDER BY name""".stripMargin,
     "q134_audio_hash" ->
       """SELECT name, decoded, CAST(ahash AS BIGINT) AS ahash FROM (VALUES
         |  ('a.wav', true, -1), ('amp.wav', true, -1), ('b.wav', true, -1),

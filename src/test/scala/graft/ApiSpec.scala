@@ -46,6 +46,26 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 10L && b == 12L && h == 0 })
   }
 
+  test("persistent hamming index: build, append, dedup signatures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hidx-spec").toString
+    val built = Seq((1L, 0L)).toDF("id", "h")
+    val appended = Seq((2L, -1L)).toDF("id", "h")
+    Dedup.buildHammingIndex(built, dir, idCol = "id", sigCol = "h", maxHamming = 3)
+    Dedup.appendToHammingIndex(appended, dir, idCol = "id", sigCol = "h")
+    val fresh = Seq(
+      (100L, 0L),   // exact match of built
+      (101L, -4L),  // hamming 2 from appended -1 (bits 0,1 differ)
+      (102L, 0x0F0F0F0F0F0F0F0FL)) // hamming 32 from both -> survives
+      .toDF("id", "h")
+    val survivors = Dedup.hammingAgainstIndex(fresh, dir, idCol = "id", sigCol = "h")
+      .select("id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(102L),
+      s"exact and near matches of built AND appended sigs must drop, got ${survivors.toSeq}")
+    intercept[Exception] {
+      Dedup.hammingAgainstIndex(fresh, dir + "-nowhere", idCol = "id", sigCol = "h").count()
+    }
+  }
+
   test("keepBest elects the highest-scored member per component, ties to min id") {
     // components: {1,2,3} (chain), {10,11} (pair); 4 isolated (absent)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
