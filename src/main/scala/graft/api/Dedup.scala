@@ -439,6 +439,41 @@ object Dedup {
       .write.mode("append").partitionBy("chunk").parquet(s"$path/chunks")
   }
 
+  /** Delete signatures from a persisted hamming index: one distributed
+    * anti-join rewrite of the chunk store (every chunk partition holds
+    * a row per indexed doc by design, so — like the Jaccard index's
+    * bands — no partition pruning is possible; the full rewrite is the
+    * takedown-rate cost). Survivors are materialized via
+    * localCheckpoint before the overwrite. Returns the number of
+    * indexed docs removed; 0 leaves files untouched. */
+  def deleteFromHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, ids: DataFrame,
+                             idCol: String = "doc_id"): Long = {
+    readHammingParams(spark, path) // fail loudly on a missing index
+    val del = ids.select(col(idCol).cast("long").as("__del_id")).distinct()
+      .localCheckpoint()
+    val unpersistAtEnd = scala.collection.mutable.ArrayBuffer(del)
+    try {
+      val chunks = spark.read.parquet(s"$path/chunks")
+      val nDel = chunks
+        .join(del, chunks("doc_id") === del("__del_id"), "left_semi")
+        .select(col("doc_id")).distinct().count()
+      if (nDel == 0) return 0L
+      val surv = chunks
+        .join(del, chunks("doc_id") === del("__del_id"), "left_anti")
+        .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
+        .localCheckpoint()
+      unpersistAtEnd += surv
+      surv.write.mode("overwrite").partitionBy("chunk").parquet(s"$path/chunks")
+      nDel
+    } finally unpersistAtEnd.foreach { df =>
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+  }
+
   /** Incremental perceptual dedup: the fresh signatures with NO index
     * match within the index's maxHamming, original columns intact.
     * Candidates come from the (chunk, cval) equi-join — cost ∝ chunk

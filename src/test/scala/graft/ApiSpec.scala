@@ -64,6 +64,14 @@ class ApiSpec extends AnyFunSuite {
     intercept[Exception] {
       Dedup.hammingAgainstIndex(fresh, dir + "-nowhere", idCol = "id", sigCol = "h").count()
     }
+    // delete completes the lifecycle: removing the built sig makes its
+    // exact copy novel; the appended sig keeps matching
+    assert(Dedup.deleteFromHammingIndex(spark, dir, Seq(1L, 999L).toDF("id"),
+      idCol = "id") == 1L)
+    val after = Dedup.hammingAgainstIndex(fresh, dir, idCol = "id", sigCol = "h")
+      .select("id").as[Long].collect().sorted
+    assert(after.toSeq == Seq(100L, 102L), s"got ${after.toSeq}")
+    assert(Dedup.deleteFromHammingIndex(spark, dir, Seq(1L).toDF("id"), idCol = "id") == 0L)
   }
 
   test("keepBest elects the highest-scored member per component, ties to min id") {
