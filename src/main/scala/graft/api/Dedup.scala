@@ -208,7 +208,13 @@ object Dedup {
     *             them per increment would cost a full corpus re-read)
     *   params/   one row (shingle, hashes, bands) so increments
     *             provably hash the same way the index was built
-    */
+    *
+    * Crash safety: a fresh build writes the legacy layout at `path`;
+    * once a [[deleteFromNearDupIndex]] has versioned the index (v-dirs
+    * + `_current` pointer, the [[graft.api.Similarity.reindex]]
+    * discipline), every rewrite — including a re-build over the same
+    * path — lands in a fresh version dir and commits atomically, so no
+    * crash can leave bands/sketches inconsistent. */
   def buildNearDupIndex(docs: DataFrame, path: String,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingle: Int = 3, hashes: Int = 64,
@@ -216,19 +222,31 @@ object Dedup {
     require(hashes % bands == 0, "hashes must divide evenly into bands")
     val spark = docs.sparkSession
     import spark.implicits._
+    val versioned = VersionedIndex.resolveRoot(spark, path) != path
+    val next = if (versioned) Some(VersionedIndex.nextVersion(spark, path)) else None
+    val target = next.fold(path)(v => s"$path/$v")
     Seq((shingle, hashes, bands)).toDF("shingle", "hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
     bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$target/bands")
     shingleSets(docs, idCol, textCol, shingle)
-      .write.mode("overwrite").parquet(s"$path/sketches")
+      .write.mode("overwrite").parquet(s"$target/sketches")
+    next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
   }
 
+  /** Vacuum superseded near-dup index versions (see
+    * [[graft.api.Similarity.vacuumIndexVersions]]) — run only when no
+    * reader may still hold a pre-swap resolution. */
+  def vacuumNearDupIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Seq[String] =
+    VersionedIndex.vacuum(spark, path, Seq("params", "bands", "sketches"))
+
+  /** Read params from an already-RESOLVED index root. */
   private def readNearDupParams(spark: org.apache.spark.sql.SparkSession,
-                                path: String): (Int, Int, Int) = {
-    val rows = spark.read.parquet(s"$path/params")
+                                root: String): (Int, Int, Int) = {
+    val rows = spark.read.parquet(s"$root/params")
       .select("shingle", "hashes", "bands").collect()
-    require(rows.length == 1, s"no near-dup index at $path")
+    require(rows.length == 1, s"no near-dup index at $root")
     (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2))
   }
 
@@ -236,60 +254,75 @@ object Dedup {
     * OWN parameters (hashing differently from the build would silently
     * disable matching against the old rows). Append the survivors of
     * [[nearDupAgainstIndex]], not the raw batch, to keep the index
-    * duplicate-free. */
+    * duplicate-free. Sketches append BEFORE bands: a crash in between
+    * leaves orphan sketch rows — inert, since only band rows generate
+    * candidates — whereas the reverse order would leave band rows whose
+    * candidates can never verify. Either way no PREVIOUSLY indexed doc
+    * is affected; re-append the batch after a crash. */
   def appendToNearDupIndex(docs: DataFrame, path: String,
                            idCol: String = "doc_id",
                            textCol: String = "text"): Unit = {
-    val (shingle, hashes, bands) = readNearDupParams(docs.sparkSession, path)
-    bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    val spark = docs.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val (shingle, hashes, bands) = readNearDupParams(spark, root)
     shingleSets(docs, idCol, textCol, shingle)
-      .write.mode("append").parquet(s"$path/sketches")
+      .write.mode("append").parquet(s"$root/sketches")
+    bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$root/bands")
   }
 
   /** Delete documents from a persisted near-dup index WITHOUT touching
     * corpus text (takedowns / re-curation): one distributed anti-join
-    * pass over each signature table, survivors materialized via
-    * localCheckpoint before the overwrite (a parquet dir cannot be
-    * read and overwritten in one plan — same discipline as the IVF
-    * cell-store delete). Unlike that delete, no partition pruning is
-    * possible here: a doc's signature rows land in EVERY band
-    * partition (that is exactly what makes it findable), so both
-    * tables rewrite in full — the honest cost of a delete at
+    * pass over each signature table. Unlike the IVF cell-store delete,
+    * no partition pruning is possible here: a doc's signature rows land
+    * in EVERY band partition (that is exactly what makes it findable),
+    * so both tables rewrite in full — the honest cost of a delete at
     * takedown rates; what the index still saves is any re-read or
-    * re-shingle of the corpus. Returns the number of indexed docs
-    * removed; 0 leaves the index files untouched. */
+    * re-shingle of the corpus.
+    *
+    * CRASH-ATOMIC: survivors are written to a fresh `v<N>` dir and the
+    * `_current` pointer flips by atomic rename (the
+    * [[graft.api.Similarity.reindex]] discipline). A crash at any
+    * earlier point leaves the old version fully live — never a
+    * bands/sketches mix that silently stops matching. Writing to a new
+    * dir also removes the read-then-overwrite hazard, so no
+    * checkpointing of survivors is needed. Returns the number of
+    * indexed docs removed; 0 leaves the index untouched. */
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String, ids: DataFrame,
                              idCol: String = "doc_id"): Long = {
-    readNearDupParams(spark, path) // fail loudly on a missing index
-    val del = ids.select(col(idCol).cast("long").as("__del_id")).distinct()
+    val root = VersionedIndex.resolveRoot(spark, path)
+    readNearDupParams(spark, root) // fail loudly on a missing index
+    val sketches = spark.read.parquet(s"$root/sketches")
+    // cast the DELETE side to the index's stored id dtype — the index
+    // accepts any id type at build, so casting the index side (or
+    // hard-casting to long) would silently match nothing for e.g.
+    // string ids
+    val idType = sketches.schema("doc_id").dataType
+    val del = ids.select(col(idCol).cast(idType).as("__del_id")).distinct()
       .localCheckpoint()
-    val unpersistAtEnd = scala.collection.mutable.ArrayBuffer(del)
     try {
-      val sketches = spark.read.parquet(s"$path/sketches")
       val nDel = sketches
         .join(del, sketches("doc_id") === del("__del_id"), "left_semi").count()
       if (nDel == 0) return 0L
-      val sSurv = sketches
+      val next = VersionedIndex.nextVersion(spark, path)
+      val vdir = s"$path/$next"
+      spark.read.parquet(s"$root/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+      sketches
         .join(del, sketches("doc_id") === del("__del_id"), "left_anti")
-        .localCheckpoint()
-      unpersistAtEnd += sSurv
-      sSurv.write.mode("overwrite").parquet(s"$path/sketches")
-      val bands = spark.read.parquet(s"$path/bands")
-      val bSurv = bands
+        .write.mode("overwrite").parquet(s"$vdir/sketches")
+      val bands = spark.read.parquet(s"$root/bands")
+      bands
         .join(del, bands("doc_id") === del("__del_id"), "left_anti")
         .select(col("doc_id"), col("bkey"), col("band"))
-        .localCheckpoint()
-      unpersistAtEnd += bSurv
-      bSurv.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
+      VersionedIndex.commitPointer(spark, path, next)
       nDel
-    } finally unpersistAtEnd.foreach { df =>
-      df.queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
-      }.foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    }
+    } finally del.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
   }
 
   /** Incremental NEAR-dup dedup: the fresh batch's rows that have no
@@ -311,15 +344,16 @@ object Dedup {
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     val spark = fresh.sparkSession
-    val (shingle, hashes, bands) = readNearDupParams(spark, path)
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val (shingle, hashes, bands) = readNearDupParams(spark, root)
     val freshBands = bandedSignatures(fresh, idCol, textCol, shingle, hashes, bands)
-    val indexBands = spark.read.parquet(s"$path/bands")
+    val indexBands = spark.read.parquet(s"$root/bands")
     val cand = freshBands.as("a").join(indexBands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val freshSets = shingleSets(fresh, idCol, textCol, shingle)
-    val indexSets = spark.read.parquet(s"$path/sketches")
+    val indexSets = spark.read.parquet(s"$root/sketches")
     val pairs = cand
       .join(freshSets.select(col("doc_id").as("doc_a"),
         col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
@@ -415,16 +449,30 @@ object Dedup {
       s"maxHamming must be in [1, 63], got $maxHamming")
     val spark = sigs.sparkSession
     import spark.implicits._
+    // same versioning discipline as buildNearDupIndex: a re-build over
+    // an already-versioned index commits atomically via a fresh v-dir
+    val versioned = VersionedIndex.resolveRoot(spark, path) != path
+    val next = if (versioned) Some(VersionedIndex.nextVersion(spark, path)) else None
+    val target = next.fold(path)(v => s"$path/$v")
     Seq(maxHamming).toDF("max_hamming")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
     sigChunks(sigs, idCol, sigCol, maxHamming)
-      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/chunks")
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$target/chunks")
+    next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
   }
 
+  /** Vacuum superseded hamming index versions (see
+    * [[graft.api.Similarity.vacuumIndexVersions]]) — run only when no
+    * reader may still hold a pre-swap resolution. */
+  def vacuumHammingIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Seq[String] =
+    VersionedIndex.vacuum(spark, path, Seq("params", "chunks"))
+
+  /** Read params from an already-RESOLVED index root. */
   private def readHammingParams(spark: org.apache.spark.sql.SparkSession,
-                                path: String): Int = {
-    val rows = spark.read.parquet(s"$path/params").select("max_hamming").collect()
-    require(rows.length == 1, s"no hamming index at $path")
+                                root: String): Int = {
+    val rows = spark.read.parquet(s"$root/params").select("max_hamming").collect()
+    require(rows.length == 1, s"no hamming index at $root")
     rows(0).getInt(0)
   }
 
@@ -434,44 +482,54 @@ object Dedup {
   def appendToHammingIndex(sigs: DataFrame, path: String,
                            idCol: String = "doc_id",
                            sigCol: String = "sig"): Unit = {
-    val maxHamming = readHammingParams(sigs.sparkSession, path)
+    val spark = sigs.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val maxHamming = readHammingParams(spark, root)
     sigChunks(sigs, idCol, sigCol, maxHamming)
-      .write.mode("append").partitionBy("chunk").parquet(s"$path/chunks")
+      .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
   }
 
   /** Delete signatures from a persisted hamming index: one distributed
     * anti-join rewrite of the chunk store (every chunk partition holds
     * a row per indexed doc by design, so — like the Jaccard index's
     * bands — no partition pruning is possible; the full rewrite is the
-    * takedown-rate cost). Survivors are materialized via
-    * localCheckpoint before the overwrite. Returns the number of
-    * indexed docs removed; 0 leaves files untouched. */
+    * takedown-rate cost).
+    *
+    * CRASH-ATOMIC like [[deleteFromNearDupIndex]]: survivors land in a
+    * fresh `v<N>` dir, the `_current` pointer flips by atomic rename,
+    * and a crash at any earlier point leaves the old version fully
+    * live. Returns the number of indexed docs removed; 0 leaves the
+    * index untouched. */
   def deleteFromHammingIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String, ids: DataFrame,
                              idCol: String = "doc_id"): Long = {
-    readHammingParams(spark, path) // fail loudly on a missing index
-    val del = ids.select(col(idCol).cast("long").as("__del_id")).distinct()
+    val root = VersionedIndex.resolveRoot(spark, path)
+    readHammingParams(spark, root) // fail loudly on a missing index
+    val chunks = spark.read.parquet(s"$root/chunks")
+    // delete side casts to the index's stored id dtype (see
+    // deleteFromNearDupIndex) — string-id indexes delete correctly
+    val idType = chunks.schema("doc_id").dataType
+    val del = ids.select(col(idCol).cast(idType).as("__del_id")).distinct()
       .localCheckpoint()
-    val unpersistAtEnd = scala.collection.mutable.ArrayBuffer(del)
     try {
-      val chunks = spark.read.parquet(s"$path/chunks")
       val nDel = chunks
         .join(del, chunks("doc_id") === del("__del_id"), "left_semi")
         .select(col("doc_id")).distinct().count()
       if (nDel == 0) return 0L
-      val surv = chunks
+      val next = VersionedIndex.nextVersion(spark, path)
+      val vdir = s"$path/$next"
+      spark.read.parquet(s"$root/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+      chunks
         .join(del, chunks("doc_id") === del("__del_id"), "left_anti")
         .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
-        .localCheckpoint()
-      unpersistAtEnd += surv
-      surv.write.mode("overwrite").partitionBy("chunk").parquet(s"$path/chunks")
+        .write.mode("overwrite").partitionBy("chunk").parquet(s"$vdir/chunks")
+      VersionedIndex.commitPointer(spark, path, next)
       nDel
-    } finally unpersistAtEnd.foreach { df =>
-      df.queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
-      }.foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    }
+    } finally del.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
   }
 
   /** Incremental perceptual dedup: the fresh signatures with NO index
@@ -486,9 +544,10 @@ object Dedup {
                           idCol: String = "doc_id",
                           sigCol: String = "sig"): DataFrame = {
     val spark = fresh.sparkSession
-    val maxHamming = readHammingParams(spark, path)
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val maxHamming = readHammingParams(spark, root)
     val freshChunks = sigChunks(fresh, idCol, sigCol, maxHamming)
-    val indexChunks = spark.read.parquet(s"$path/chunks")
+    val indexChunks = spark.read.parquet(s"$root/chunks")
     val matched = freshChunks.as("a").join(indexChunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
       .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)

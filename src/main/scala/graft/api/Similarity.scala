@@ -860,20 +860,8 @@ object Similarity {
     * and appender in this package resolves through here, so a reindex
     * becomes visible to them at exactly one commit point. */
   def resolveIndexRoot(spark: org.apache.spark.sql.SparkSession,
-                       path: String): String = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new Path(root, "_current")
-    if (!fs.exists(cur)) path
-    else {
-      val in = fs.open(cur)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(v.matches("v\\d+"), s"corrupt _current pointer at $path: '$v'")
-      s"$path/$v"
-    }
-  }
+                       path: String): String =
+    VersionedIndex.resolveRoot(spark, path)
 
   /** Per-cell health of a persistent IVF(+PQ) index — the signal that
     * says WHEN to [[reindex]]: appends under the frozen quantizer
@@ -929,18 +917,11 @@ object Similarity {
               cells: Int = 0, seed: Long = 42, maxIter: Int = 5): String = {
     import org.apache.hadoop.fs.Path
     val root = resolveIndexRoot(spark, path)
-    val base = new Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nCells = if (cells > 0) cells else readCentroids(spark, root).length
     val live = spark.read.parquet(s"$root/vectors")
       .select(col("vec_id"), col("embedding"))
-    val next = {
-      val existing: Seq[Long] =
-        if (!fs.exists(base)) Seq.empty
-        else fs.listStatus(base).map(_.getPath.getName).toSeq
-          .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toLong }
-      s"v${(0L +: existing).max + 1}"
-    }
+    val next = VersionedIndex.nextVersion(spark, path)
     if (fs.exists(new Path(root, "codebooks"))) {
       val cb = readCodebooks(spark, root)
       buildIvfPqIndex(live, s"$path/$next", cells = nCells,
@@ -948,17 +929,10 @@ object Similarity {
     } else
       buildIvfIndex(live, s"$path/$next", cells = nCells,
         seed = seed, maxIter = maxIter)
-    // commit point: temp file + rename-with-overwrite (atomic on local
-    // FS and HDFS) — a crash before this line leaves the old version
+    // commit point — a crash before this line leaves the old version
     // live and the half-built v<N+1> dir invisible (the next reindex
     // skips past it)
-    val tmp = new Path(base, s"._current.$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new Path(base, "_current"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    VersionedIndex.commitPointer(spark, path, next)
     next
   }
 
@@ -967,20 +941,9 @@ object Similarity {
     * searcher may still hold a pre-swap resolution. Returns what was
     * deleted. */
   def vacuumIndexVersions(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = resolveIndexRoot(spark, path)
-    if (current == path) return Seq.empty // unversioned: nothing superseded
-    val currentName = current.stripPrefix(s"$path/")
-    val doomed = fs.listStatus(base).map(_.getPath.getName).filter { n =>
-      (n.matches("v\\d+") && n != currentName) ||
-        Seq("centroids", "vectors", "codebooks", "codes").contains(n)
-    }.toSeq
-    doomed.foreach(n => fs.delete(new Path(base, n), true))
-    doomed.sorted
-  }
+                          path: String): Seq[String] =
+    VersionedIndex.vacuum(spark, path,
+      Seq("centroids", "vectors", "codebooks", "codes"))
 
   /** All embedding pairs at-or-above a cosine threshold — brute-force
     * exact baseline (labelled; candidate generation at scale belongs to

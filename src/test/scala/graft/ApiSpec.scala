@@ -150,6 +150,96 @@ class ApiSpec extends AnyFunSuite {
     assert(Dedup.deleteFromNearDupIndex(spark, dir, Seq(1L).toDF("id"), idCol = "id") == 0L)
   }
 
+  test("index deletes are crash-atomic: old version serves until the pointer flips") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-atomic-spec").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("id", "body")
+    Dedup.buildNearDupIndex(docs, dir, idCol = "id", textCol = "body")
+    val copies = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten")).toDF("id", "body")
+
+    // delete versions the index: v1 committed, legacy tables UNTOUCHED
+    assert(Dedup.deleteFromNearDupIndex(spark, dir, Seq(1L).toDF("id"), idCol = "id") == 1L)
+    assert(Files.exists(Paths.get(dir, "_current")))
+    assert(new String(Files.readAllBytes(Paths.get(dir, "_current")), "UTF-8").trim == "v1")
+    // the pre-delete version still holds ALL the build-time docs — a
+    // crash before the pointer flip would have served it consistently
+    assert(spark.read.parquet(s"$dir/sketches").count() == 3L)
+    assert(spark.read.parquet(s"$dir/v1/sketches").count() == 2L)
+    val afterDel = Dedup.nearDupAgainstIndex(copies, dir, idCol = "id", textCol = "body")
+      .select("id").as[Long].collect().sorted
+    assert(afterDel.toSeq == Seq(100L), s"got ${afterDel.toSeq}")
+
+    // simulate a crash MID-DELETE: a half-written version dir (sketches
+    // only, no bands, no pointer flip) must be invisible to readers...
+    val junk = Paths.get(dir, "v99", "sketches")
+    Files.createDirectories(junk)
+    spark.read.parquet(s"$dir/v1/sketches").limit(1)
+      .write.mode("overwrite").parquet(junk.toString)
+    val midCrash = Dedup.nearDupAgainstIndex(copies, dir, idCol = "id", textCol = "body")
+      .select("id").as[Long].collect().sorted
+    assert(midCrash.toSeq == Seq(100L), "half-written version dir must not affect reads")
+    // ...and the next delete numbers PAST it, never reusing the junk dir
+    assert(Dedup.deleteFromNearDupIndex(spark, dir, Seq(2L).toDF("id"), idCol = "id") == 1L)
+    assert(new String(Files.readAllBytes(Paths.get(dir, "_current")), "UTF-8").trim == "v100")
+    val afterDel2 = Dedup.nearDupAgainstIndex(copies, dir, idCol = "id", textCol = "body")
+      .select("id").as[Long].collect().sorted
+    assert(afterDel2.toSeq == Seq(100L, 101L), s"got ${afterDel2.toSeq}")
+
+    // append + re-build land in the live version / a fresh committed one
+    Dedup.appendToNearDupIndex(docs.filter($"id" === 3L), dir, idCol = "id", textCol = "body")
+    Dedup.buildNearDupIndex(docs, dir, idCol = "id", textCol = "body")
+    assert(new String(Files.readAllBytes(Paths.get(dir, "_current")), "UTF-8").trim == "v101")
+    assert(Dedup.nearDupAgainstIndex(copies, dir, idCol = "id", textCol = "body").count() == 0L)
+
+    // vacuum drops superseded versions + legacy tables; reads survive
+    val dropped = Dedup.vacuumNearDupIndexVersions(spark, dir)
+    assert(dropped.contains("v1") && dropped.contains("sketches") && !dropped.contains("v101"))
+    assert(Dedup.nearDupAgainstIndex(copies, dir, idCol = "id", textCol = "body").count() == 0L)
+
+    // hamming index: same pointer discipline
+    val hdir = Files.createTempDirectory("graft-atomic-hspec").toString
+    Dedup.buildHammingIndex(Seq((1L, 0L), (2L, -1L)).toDF("id", "h"),
+      hdir, idCol = "id", sigCol = "h")
+    assert(Dedup.deleteFromHammingIndex(spark, hdir, Seq(1L).toDF("id"), idCol = "id") == 1L)
+    assert(new String(Files.readAllBytes(Paths.get(hdir, "_current")), "UTF-8").trim == "v1")
+    assert(spark.read.parquet(s"$hdir/chunks").select("doc_id").distinct().count() == 2L,
+      "legacy chunk table untouched by the versioned delete")
+    val hsurv = Dedup.hammingAgainstIndex(Seq((100L, 0L), (101L, -1L)).toDF("id", "h"),
+      hdir, idCol = "id", sigCol = "h").select("id").as[Long].collect().sorted
+    assert(hsurv.toSeq == Seq(100L), s"got ${hsurv.toSeq}")
+    assert(Dedup.vacuumHammingIndexVersions(spark, hdir).contains("chunks"))
+    assert(Dedup.hammingAgainstIndex(Seq((101L, -1L)).toDF("id", "h"),
+      hdir, idCol = "id", sigCol = "h").count() == 0L)
+  }
+
+  test("index deletes match the stored id dtype: string-id indexes delete correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-strid-spec").toString
+    val docs = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("doc-b", "one two three four five six seven eight nine ten")).toDF("id", "body")
+    Dedup.buildNearDupIndex(docs, dir, idCol = "id", textCol = "body")
+    val copy = Seq(("fresh-1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("id", "body")
+    assert(Dedup.nearDupAgainstIndex(copy, dir, idCol = "id", textCol = "body").count() == 0L)
+    assert(Dedup.deleteFromNearDupIndex(spark, dir, Seq("doc-a").toDF("id"), idCol = "id") == 1L)
+    assert(Dedup.nearDupAgainstIndex(copy, dir, idCol = "id", textCol = "body").count() == 1L,
+      "after deleting the string-id doc its copy is novel again")
+
+    val hdir = java.nio.file.Files.createTempDirectory("graft-strid-hspec").toString
+    Dedup.buildHammingIndex(Seq(("img-a", 0L), ("img-b", -1L)).toDF("id", "h"),
+      hdir, idCol = "id", sigCol = "h")
+    assert(Dedup.deleteFromHammingIndex(spark, hdir, Seq("img-a").toDF("id"), idCol = "id") == 1L)
+    val hsurv = Dedup.hammingAgainstIndex(Seq(("f1", 0L), ("f2", -1L)).toDF("id", "h"),
+      hdir, idCol = "id", sigCol = "h").select("id").as[String].collect().sorted
+    assert(hsurv.toSeq == Seq("f1"), s"got ${hsurv.toSeq}")
+  }
+
   test("Dedup.keepOne labels a chain and an isolated pair with component minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
     val labels = Dedup.keepOne(pairs).collect()
