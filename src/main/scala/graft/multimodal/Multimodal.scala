@@ -332,24 +332,35 @@ object Multimodal {
     * interleaved in container order, plus the per-sample clip flag
     * source (raw full-scale count). None for non-WAV / non-PCM /
     * unparseable payloads. */
-  private def parsePcm(c: Array[Byte]): Option[(Int, Int, Array[Double], Long)] = {
+  /** [[parsePcmUnsafe]] behind an exception fence: ANY parse failure on
+    * a malformed/hostile payload is `None` (decoded = false), never a
+    * job-killing throw — one corrupt file must not take down a
+    * 100 TB audio pass. */
+  private def parsePcm(c: Array[Byte]): Option[(Int, Int, Array[Double], Long)] =
+    try parsePcmUnsafe(c) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parsePcmUnsafe(c: Array[Byte]): Option[(Int, Int, Array[Double], Long)] = {
     var rate = 0; var channels = 0; var bits = 0; var fmt = -1
     var dataOff = -1; var dataLen = 0
     if (HeaderCodec.isWav(c)) {
-      var off = 12
+      // offset as Long: a hostile chunk len near Int.MaxValue would
+      // wrap an Int offset NEGATIVE yet keep passing the bound check —
+      // the walk must END on oversized lengths, not throw
+      var off = 12L
       var ok = true
       while (ok && off + 8 <= c.length) {
-        val id = new String(c, off, 4, "US-ASCII")
-        val len = HeaderCodec.leInt(c, off + 4)
+        val o = off.toInt
+        val id = new String(c, o, 4, "US-ASCII")
+        val len = HeaderCodec.leInt(c, o + 4)
         if (len < 0) ok = false
         else {
           if (id == "fmt " && off + 24 <= c.length) {
-            fmt = HeaderCodec.leShort(c, off + 8)
-            channels = HeaderCodec.leShort(c, off + 10)
-            rate = HeaderCodec.leInt(c, off + 12)
-            bits = HeaderCodec.leShort(c, off + 22)
-          } else if (id == "data") { dataOff = off + 8; dataLen = len }
-          off += 8 + len + (len & 1)
+            fmt = HeaderCodec.leShort(c, o + 8)
+            channels = HeaderCodec.leShort(c, o + 10)
+            rate = HeaderCodec.leInt(c, o + 12)
+            bits = HeaderCodec.leShort(c, o + 22)
+          } else if (id == "data") { dataOff = o + 8; dataLen = len }
+          off += 8L + len + (len & 1)
         }
       }
     }
@@ -420,7 +431,14 @@ object Multimodal {
     require(targetRate > 0, s"targetRate must be positive, got $targetRate")
     media.map { m =>
       parsePcm(m.content) match {
-        case Some((rate, channels, xs, _)) if rate != targetRate && channels > 0 =>
+        case Some((rate, channels, xs, _)) if rate != targetRate && channels > 0 &&
+            // bound the output allocation BEFORE sizing it: a hostile
+            // header declaring rate=1 would make outFrames enormous and
+            // the byte-size overflow Int (negative-size alloc) or OOM
+            // the executor — such payloads pass through unchanged, the
+            // mixed-corpus contract
+            44L + (xs.length / channels).toLong * targetRate / rate *
+              channels * 2L <= Int.MaxValue =>
           val inFrames = xs.length / channels
           val outFrames = (inFrames.toLong * targetRate / rate).toInt
           val out = new Array[Byte](44 + outFrames * channels * 2)

@@ -281,6 +281,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(samples == Seq(16384, 0, -16384, -8192, 0, 0, 0, 0), s"got $samples")
   }
 
+  test("hostile WAV payloads degrade to decoded=false / passthrough, never throw") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(rate: Int, data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+        le32(rate * 2) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    // chunk len near Int.MaxValue: an Int offset would wrap NEGATIVE
+    // and re-enter the walk out of bounds
+    val overflowChunk = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x7FFFFFF0) ++ Array.fill[Byte](32)(3)
+    // valid PCM data but a declared rate of 1 Hz: resampling 200k
+    // frames to 8 kHz would need a >Int.MaxValue output buffer — must
+    // pass through, not throw NegativeArraySizeException / OOM
+    val rateOne = wav(1, (0 until 200000).flatMap(_ => le16(1000)).toArray)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", overflowChunk),
+      Multimodal.MediaRow(2L, "audio", rateOne),
+      Multimodal.MediaRow(3L, "audio", wav(8000, le16(100) ++ le16(200))))
+    val stats = Multimodal.audioPcmStats(rows.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!stats(1L), "overflowing chunk walk must end the scan, not throw")
+    assert(stats(2L) && stats(3L))
+    val res = Multimodal.resamplePcm(rows.toDS(), targetRate = 8000).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(java.util.Arrays.equals(res(1L).content, overflowChunk))
+    assert(java.util.Arrays.equals(res(2L).content, rateOne),
+      "an absurd declared rate must pass through unchanged, not allocate 8000x")
+    assert(Multimodal.audioPcmHash(rows.toDS()).count() == 3L)
+  }
+
   test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binspec").toFile
     def put(name: String, bytes: Array[Byte]): Unit =
