@@ -27,6 +27,59 @@ import graft.ingest.{Ingest, IngestConfig}
   * with a length guard at 1900 chars; the full-name, full-precision,
   * full-samples record is mirrored to `bench_result.json`.
   */
+/** The driver-facing JSON result line, extracted pure so the format
+  * contract is unit-testable without a Spark session (BenchLineSpec):
+  * env-supplied strings are escaped, and the compact stdout form
+  * degrades — 10 ms precision → 100 ms → drop the per-query map —
+  * rather than EVER exceeding the parse-window budget. */
+private[graft] object BenchLine {
+  /** Stdout-line budget: the driver keeps only the final 2000 chars of
+    * the log; 1900 leaves ~100 for any trailer after the line. */
+  val MaxLen = 1900
+
+  final case class Headline(sfDir: String, load1: Double, queryErrors: Int,
+                            ingestRate: Long, ingestRateUnbucketed: Long,
+                            streamRows: Long, streamRate: Long)
+
+  def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+  def f2(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
+
+  /** JSON string escape for environment-supplied values — a quote,
+    * backslash, or control char in e.g. the sf path must not make the
+    * line unparseable (ADVICE r7). */
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  def render(h: Headline, results: Seq[(String, Double)],
+             perQuery: Seq[(String, String)], extras: String): String = {
+    val qs = perQuery.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    // total sums SUCCESSFUL queries only; failures are flagged by the
+    // -1 per-query value plus the query_errors count
+    val total = f3(results.collect { case (_, t) if t >= 0 => t }.sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","query_errors":${h.queryErrors},"queries":$qs,"sf":"${esc(h.sfDir)}","load1":${f3(h.load1)},"ingest_rows_per_sec":${h.ingestRate},"ingest_unbucketed_rows_per_sec":${h.ingestRateUnbucketed},"ingest_streaming_committed_rows":${h.streamRows},"ingest_streaming_rows_per_sec":${h.streamRate}$extras}"""
+  }
+
+  /** Compact line for the log: `q44_near_dup_pairs` → `q44`, 10 ms
+    * precision, no sample arrays — degrading precision and finally
+    * dropping the per-query map entirely (headline metrics alone are
+    * always parseable) rather than ever printing an over-length line. */
+  def compact(h: Headline, results: Seq[(String, Double)]): String = {
+    def at(fmt: Double => String): String =
+      render(h, results,
+        results.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) }, "")
+    val c2 = at(f2)
+    if (c2.length <= MaxLen) c2
+    else {
+      val c1 = at(v => "%.1f".formatLocal(Locale.ROOT, v))
+      if (c1.length <= MaxLen) c1
+      else render(h, results, Seq.empty, "")
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,53 +290,23 @@ object Bench {
     val (streamRows, streamRate) = streamBest
     val load1 = load1Now()
 
-    def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
-    def jsonLine(perQuery: Seq[(String, String)], extras: String): String = {
-      val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      // total sums SUCCESSFUL queries only; failures are flagged by the
-      // -1 per-query value plus the query_errors count
-      val total = f3(results.collect { case (_, t) if t >= 0 => t }.sum)
-      // sfDir is environment-supplied: escape it so a quote/backslash in
-      // the path can't make the line unparseable (ADVICE r7)
-      val sfEsc = sfDir.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      }
-      s"""{"metric":"total","value":$total,"unit":"sec","query_errors":${queryErrors.size},"queries":$qs,"sf":"$sfEsc","load1":${f3(load1)},"ingest_rows_per_sec":$ingestRate,"ingest_unbucketed_rows_per_sec":$ingestRateUnbucketed,"ingest_streaming_committed_rows":$streamRows,"ingest_streaming_rows_per_sec":$streamRate$extras}"""
-    }
+    val head = BenchLine.Headline(sfDir = sfDir, load1 = load1,
+      queryErrors = queryErrors.size, ingestRate = ingestRate,
+      ingestRateUnbucketed = ingestRateUnbucketed,
+      streamRows = streamRows, streamRate = streamRate)
     // per-rep sample arrays (run order: pre-suite window, mid-suite,
     // post-suite) + per-window loadavg — the contamination audit trail.
     // FILE ONLY: r6's stdout line carried these and overflowed the
     // driver's 2000-char tail window by ~50 chars → `parsed: null`, and
     // the round's (good) ingest numbers didn't count.
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(f3).mkString("[", ",", "]")}"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")}"""
     // Full-name, full-precision record → file (never truncated there).
-    val full = jsonLine(results.map { case (k, v) => k -> v.toString }, samples)
+    val full = BenchLine.render(head, results,
+      results.map { case (k, v) => k -> v.toString }, samples)
     try Files.writeString(java.nio.file.Paths.get("bench_result.json"), full + "\n")
     catch { case _: Throwable => () }
-    // Compact line for the log: `q44_near_dup_pairs` → `q44`, 10 ms
-    // precision, no sample arrays. Must stay UNDER the 2000-char tail
-    // window including its own newline — guard by degrading precision
-    // rather than ever printing an unparseable line.
-    def compactAt(fmt: Double => String): String =
-      jsonLine(results.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) }, "")
-    // guard at 1900 (not 1950): leaves ~100 chars of the 2000-char tail
-    // window for any trailer printed after the final line (ADVICE r7).
-    // Degradation ladder: 10 ms precision → 100 ms → drop the per-query
-    // map entirely (headline metrics alone are always parseable) — the
-    // line must NEVER go out over-length.
-    val compact = {
-      val c2 = compactAt(f2)
-      if (c2.length <= 1900) c2
-      else {
-        val c1 = compactAt(v => "%.1f".formatLocal(Locale.ROOT, v))
-        if (c1.length <= 1900) c1
-        else jsonLine(Seq.empty, "")
-      }
-    }
+    val compact = BenchLine.compact(head, results)
     println(compact)
     System.out.flush()
     spark.stop()

@@ -11,6 +11,19 @@ object Verify {
       case Array(sf, out, filter) => (sf, out, Some(filter.split(',').toSet))
     }
     val spark = graft.core.Sessions.local("graft-verify")
+    val code = run(spark, sfDir, outDir, only)
+    spark.stop()
+    // belt and braces for direct CLI use: the sentinel rows cover the
+    // driver gate, the exit code covers humans and shell scripts
+    if (code != 0) sys.exit(code)
+  }
+
+  /** The dump pass, session-in / exit-code-out so the failure contract
+    * (sentinel row + verify_errors.json + nonzero code) is testable
+    * without forking a JVM. */
+  private[graft] def run(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, outDir: String,
+                         only: Option[Set[String]]): Int = {
     new java.io.File(outDir).mkdirs()
     // Failure visibility (VERDICT r7 #2): a query that throws used to be
     // written NOWHERE — the driver's correctness gate then silently
@@ -62,6 +75,6 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(
         s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
-    spark.stop()
+    if (errors.nonEmpty) 1 else 0
   }
 }

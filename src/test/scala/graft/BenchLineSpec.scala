@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The Bench stdout line is the driver's ONLY performance record — it
+  * must parse as JSON under every degradation the environment can
+  * inflict: a quoted/backslashed sf path, a 150-query map, per-query
+  * times long enough to blow the parse window. Pure logic, no Spark. */
+class BenchLineSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private def parse(s: String) = mapper.readTree(s)
+
+  private def headline(sf: String) = BenchLine.Headline(
+    sfDir = sf, load1 = 3.125, queryErrors = 2,
+    ingestRate = 1500000L, ingestRateUnbucketed = 5000000L,
+    streamRows = 30000000L, streamRate = 1600000L)
+
+  test("a quoted, backslashed, control-charred sf path stays parseable") {
+    val evil = "/tmp/\"quoted\" dir\\with\\slashes\n/sf0.1"
+    val line = BenchLine.render(headline(evil),
+      Seq("q01_agg" -> 1.5), Seq("q01_agg" -> "1.5"), "")
+    val node = parse(line)
+    assert(node.get("sf").asText() == evil)
+    assert(node.get("queries").get("q01_agg").asDouble() == 1.5)
+  }
+
+  test("150-query compact line fits the window and parses with full headline") {
+    val results = (1 to 150).map(i => (f"q$i%03d_some_operator_name", i * 0.137))
+    val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results)
+    assert(line.length <= BenchLine.MaxLen, s"line ran ${line.length} chars")
+    val node = parse(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("ingest_streaming_rows_per_sec").asLong() == 1600000L)
+    assert(node.get("query_errors").asInt() == 2)
+  }
+
+  test("the current 135-query suite shape keeps its per-query map") {
+    // two-digit ids + ~1-20 s times: the shape the real suite emits —
+    // this is the rung the 1900-char budget was sized for
+    val results = (1 to 135).map(i => (f"q$i%02d_operator", 1.0 + (i % 20)))
+    val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results)
+    assert(line.length <= BenchLine.MaxLen, s"line ran ${line.length} chars")
+    val node = parse(line)
+    assert(node.get("queries").size() == 135)
+    assert(node.get("queries").has("q01"))
+  }
+
+  test("pathological per-query times degrade to the headline-only line, never over-length") {
+    // >100 s per query at 150 queries: even 0.1 s precision overflows —
+    // the ladder must fall through to dropping the map entirely
+    val results = (1 to 150).map(i =>
+      (f"q$i%03d_x", 100000.0 + i * 1.111111))
+    val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results)
+    assert(line.length <= BenchLine.MaxLen, s"line ran ${line.length} chars")
+    val node = parse(line)
+    assert(node.get("queries").size() == 0, "per-query map must be dropped")
+    assert(node.get("value").asDouble() > 1.5e7, "total survives the drop")
+    assert(node.get("ingest_rows_per_sec").asLong() == 1500000L)
+  }
+
+  test("failed queries are excluded from the total and the map carries -1") {
+    val line = BenchLine.render(headline("/x"),
+      Seq("q1_a" -> 2.0, "q2_b" -> -1.0),
+      Seq("q1" -> "2.00", "q2" -> "-1.00"), "")
+    val node = parse(line)
+    assert(node.get("value").asDouble() == 2.0)
+    assert(node.get("queries").get("q2").asDouble() == -1.0)
+  }
+}
