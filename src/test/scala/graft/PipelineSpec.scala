@@ -21,7 +21,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("simhash pairs overlap the high-jaccard ground truth") {
     val truth = q("q44_near_dup_pairs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = q("q46_simhash_pairs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Pipeline.simhashPairsRaw(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sim.nonEmpty)
     assert((sim intersect truth).nonEmpty,
       "hamming<=3 simhash pairs should include some true near-dups")
@@ -31,7 +31,7 @@ class PipelineSpec extends AnyFunSuite {
     val truthRows = q("q47_cosine_topk").collect()
     val truth = truthRows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val truthCos = truthRows.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
-    val annRows = q("q48_ann_hyperplane").collect()
+    val annRows = Pipeline.annHyperplaneRaw(spark, sf).collect()
     val ann = annRows.map(r => (r.getLong(0), r.getLong(2))).toSet
     // cosines for pairs the ANN shares with the exact top-3 must agree
     annRows.foreach { r =>
@@ -46,7 +46,7 @@ class PipelineSpec extends AnyFunSuite {
     val truthRows = q("q47_cosine_topk").collect()
     val truth = truthRows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val truthCos = truthRows.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
-    val ivfRows = q("q57_ann_ivf").collect()
+    val ivfRows = Pipeline.annIvfRaw(spark, sf).collect()
     ivfRows.foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
       truthCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
@@ -90,8 +90,22 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("min-shingle fingerprint is deterministic") {
-    val a = q("q52_min_shingle_fp").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val b = q("q52_min_shingle_fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = Pipeline.minShingleFpRaw(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Pipeline.minShingleFpRaw(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
   }
+
+  // The four formerly rows-only queries now OUTPUT their structural
+  // self-contracts (r8 verdict #3) — every boolean must hold on the
+  // fixture, one row each, exactly as the constant-row oracles pin.
+  for (name <- Seq("q46_simhash_pairs", "q48_ann_hyperplane",
+      "q52_min_shingle_fp", "q57_ann_ivf"))
+    test(s"$name self-contract holds on the fixture") {
+      val rows = q(name).collect()
+      assert(rows.length == 1, s"contract must be one row, got ${rows.length}")
+      val r = rows.head
+      r.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        assert(!r.isNullAt(i) && r.getBoolean(i), s"$name contract ${f.name} is not TRUE")
+      }
+    }
 }
