@@ -314,6 +314,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioPcmHash(rows.toDS()).count() == 3L)
   }
 
+  test("sampleGifFrames decodes real animated-GIF frames; stride never loses the count") {
+    import spark.implicits._
+    def flat(w: Int, h: Int, v: Int) = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      b
+    }
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", gif(Seq(flat(6, 5, 10), flat(6, 5, 20),
+        flat(6, 5, 30), flat(6, 5, 40), flat(6, 5, 50)))),
+      Multimodal.MediaRow(2L, "binary", Array[Byte](1, 2, 3)))
+    // stride 1: every stored frame, exact constant means
+    val all = Multimodal.sampleGifFrames(rows.toDS(), stride = 1).collect()
+      .filter(_.getBoolean(1)).map(r => (r.getInt(2), r.getDouble(6)))
+    assert(all.toSeq.sorted == Seq((0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0), (4, 50.0)))
+    // stride 3 keeps frames 0 and 3 but still reports the TOTAL count
+    val strided = Multimodal.sampleGifFrames(rows.toDS(), stride = 3).collect()
+    val kept = strided.filter(_.getBoolean(1))
+      .map(r => (r.getInt(2), r.getInt(3))).sorted
+    assert(kept.toSeq == Seq((0, 5), (3, 5)), s"got ${kept.toSeq}")
+    // the junk payload is one decoded=false row, never dropped
+    val junk = strided.filter(!_.getBoolean(1))
+    assert(junk.length == 1 && junk.head.getLong(0) == 2L && junk.head.isNullAt(4))
+  }
+
   test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binspec").toFile
     def put(name: String, bytes: Array[Byte]): Unit =
