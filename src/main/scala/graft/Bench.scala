@@ -80,6 +80,90 @@ private[graft] object BenchLine {
   }
 }
 
+/** The two ingest throughput probes, shared by [[Bench]] and the
+  * standalone quiet-window A/B harness (`graft.tools.ProbeIngest`). */
+private[graft] object IngestProbes {
+  // null-safe and exception-safe: a stopped streaming query's own
+  // async task cleanup can race this walk (listFiles → null mid-walk),
+  // and a cleanup failure must never kill the bench
+  private def rmrf(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmrf)
+    f.delete()
+  }
+  def rmrfQuiet(f: java.io.File): Unit =
+    try rmrf(f) catch { case _: Throwable => () }
+
+  /** Bounded batch through the full generator → partitioned-ORC path.
+    * Stream count capped: total files = p × buckets, so p trades writer
+    * parallelism against per-file ORC fixed cost — p = 16 measured best
+    * at local[32] (1.6-1.9M rows/s bucketed, 10M-row probe), p = 8 best
+    * on 8 cores. lz4 A/B'd against zstd on a comparable-load box (r8):
+    * bucketed 2.28M vs 1.67M rows/s, unbucketed 5.6M vs 3.4M — zstd's
+    * ratio win costs ~35% throughput on this CPU-bound write path; lz4
+    * is the throughput default. */
+  def batchOnce(spark: org.apache.spark.sql.SparkSession, cpus: Int,
+                buckets: Int, rows: Long): Long = {
+    val tmp = Files.createTempDirectory("graft-bench-ingest")
+    val p = if (buckets > 0) math.min(16, cpus) else cpus
+    try {
+      val r = Ingest.runBatch(spark,
+        IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
+          buckets = buckets,
+          compression = sys.env.getOrElse("SPARK_GRAFT_INGEST_COMPRESSION", "lz4")),
+        rows)
+      r.throughputRowsPerSec
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] ingest probe (buckets=$buckets) failed: ${t.getMessage}")
+        -1L
+    } finally rmrfQuiet(tmp.toFile)
+  }
+
+  /** Streaming commit-path probe: a real timed run of the streaming
+    * engine (rate source saturating the sink, foreachBatch commits,
+    * checkpointing) reported with the REFERENCE'S formula — committed
+    * rows ÷ configured timeout seconds (Culvert.java:170-171).
+    *
+    * Defaults (overridable for A/B runs): every commit writes p×buckets
+    * files; at local scale the ORC per-file fixed cost dominates
+    * micro-batch latency, so the probe caps the stream count at 8 (the
+    * bucket write still fans out across all cores). Four commit groups:
+    * write jobs and publish phases of concurrent commits overlap, like
+    * the reference's independently-committing stream threads — A/B on a
+    * loaded box: 240k (g=1) → 560k (g=2) → 880k rows/s (g=4); g=8
+    * starves each group's rate feed. Feed = 2.4M rows/s aggregate —
+    * just above the sink's measured commit capacity so the probe
+    * measures the sink, not the source; 1M-row commits amortize the
+    * per-commit fixed cost while landing several commits per window. */
+  def streamOnce(spark: org.apache.spark.sql.SparkSession, cpus: Int,
+                 timeoutMs: Long, eventsPerSecond: Int = 300000,
+                 commitAfterNRows: Int = 1000000,
+                 parallelismOverride: Int = 0,
+                 commitGroupsOverride: Int = 0): (Long, Long) = {
+    val streamDir = Files.createTempDirectory("graft-bench-stream")
+    val p = if (parallelismOverride > 0) parallelismOverride
+      else math.min(8, cpus)
+    // the default group count must divide p — a 1/3/5/7-cpu box would
+    // otherwise fail the run's divisibility require on every probe
+    val g = if (commitGroupsOverride > 0) commitGroupsOverride
+      else if (p % 4 == 0) 4 else if (p % 2 == 0) 2 else 1
+    try {
+      val r = Ingest.run(spark, IngestConfig(
+        outputPath = Some(streamDir.toString),
+        parallelism = p, commitGroups = g,
+        eventsPerSecond = eventsPerSecond,
+        commitAfterNRows = commitAfterNRows,
+        timeoutMs = timeoutMs))
+      (r.rowsCommitted, r.throughputRowsPerSec)
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] streaming probe failed: ${t.getMessage}")
+        (-1L, -1L)
+    } finally rmrfQuiet(streamDir.toFile)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,40 +202,8 @@ object Bench {
     // ~15% for the same engine
     val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "10000000").toLong
     val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
-    // null-safe and exception-safe: a stopped streaming query's own
-    // async task cleanup can race this walk (listFiles → null mid-walk),
-    // and a cleanup failure must never kill the bench
-    def rmrf(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rmrf)
-      f.delete()
-    }
-    def rmrfQuiet(f: java.io.File): Unit =
-      try rmrf(f) catch { case _: Throwable => () }
-    def probeOnce(buckets: Int, rows: Long = ingestRows): Long = {
-      val tmp = Files.createTempDirectory("graft-bench-ingest")
-      // stream count capped: total files = p × buckets, so p trades
-      // writer parallelism against per-file ORC fixed cost — p = 16
-      // measured best at local[32] (1.6-1.9M rows/s bucketed, 10M-row
-      // probe), p = 8 best on 8 cores
-      val p = if (buckets > 0) math.min(16, cpus.toInt) else cpus.toInt
-      try {
-        val r = Ingest.runBatch(spark,
-          IngestConfig(outputPath = Some(tmp.toString), parallelism = p,
-            buckets = buckets,
-            // lz4 A/B'd against zstd on a comparable-load box (r8):
-            // bucketed 2.28M vs 1.67M rows/s, unbucketed 5.6M vs 3.4M —
-            // zstd's ratio win costs ~35% throughput on this CPU-bound
-            // write path; lz4 is the throughput default
-            compression = sys.env.getOrElse("SPARK_GRAFT_INGEST_COMPRESSION", "lz4")),
-          rows)
-        r.throughputRowsPerSec
-      } catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] ingest probe (buckets=$buckets) failed: ${t.getMessage}")
-          -1L
-      } finally rmrfQuiet(tmp.toFile)
-    }
+    def probeOnce(buckets: Int, rows: Long = ingestRows): Long =
+      IngestProbes.batchOnce(spark, cpus.toInt, buckets, rows)
     // per-rep samples, in run order across all windows — recorded in
     // the JSON so one contaminated window can't masquerade as the
     // engine's ceiling (nor hide it)
@@ -186,53 +238,17 @@ object Bench {
     // the first window absorbs residual startup, a contended box
     // recovers later.
     val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "20000").toLong
-    def streamOnce(timeoutMs: Long = streamMs): (Long, Long) = {
-      val streamDir = Files.createTempDirectory("graft-bench-stream")
-      try {
-        val r = Ingest.run(spark, IngestConfig(
-          outputPath = Some(streamDir.toString),
-          // every commit writes p×buckets files; at local scale the ORC
-          // per-file fixed cost dominates micro-batch latency, so the
-          // probe caps the stream count (the bucket write still fans out
-          // across all cores) and sizes the aggregate rate just above the
-          // sink's write capacity so batches stay saturated but bounded
-          parallelism = math.min(8, cpus.toInt),
-          // four commit groups: write jobs and publish phases of
-          // concurrent commits overlap, like the reference's
-          // independently-committing stream threads — A/B on a loaded
-          // box: 240k (g=1) → 560k (g=2) → 880k rows/s (g=4); g=8
-          // starves each group's rate feed, higher eps backlogs the
-          // trigger and grows the uncommitted tail. Must divide the
-          // probe's parallelism (min(8, cpus)) — a 1/3/5/7-cpu box
-          // would otherwise fail the run's divisibility require on
-          // every probe
-          commitGroups = {
-            val p = math.min(8, cpus.toInt)
-            if (p % 4 == 0) 4 else if (p % 2 == 0) 2 else 1
-          },
-          // feed = 2.4M rows/s — just above the sink's measured commit
-          // capacity (~1.8M rows/s committed at g=4), so the probe
-          // measures the sink, not the source; 400k eps destabilizes
-          // (batches outgrow commitAfterNRows and the uncommitted tail
-          // eats the gain — A/B'd 200k/250k/300k/350k/400k)
-          eventsPerSecond = 300000,
-          // 1M-row commits amortize the per-commit fixed cost (job
-          // scheduling + rename + checkpoint) while still landing
-          // several commits per window
-          commitAfterNRows = 1000000,
-          timeoutMs = timeoutMs))
-        (r.rowsCommitted, r.throughputRowsPerSec)
-      } catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] streaming probe failed: ${t.getMessage}")
-          (-1L, -1L)
-      } finally rmrfQuiet(streamDir.toFile)
-    }
+    def streamOnce(timeoutMs: Long = streamMs): (Long, Long) =
+      IngestProbes.streamOnce(spark, cpus.toInt, timeoutMs)
     // warmup window: stream startup (checkpoint init, first ORC writers,
     // state-store classes) costs seconds under load and the reference's
     // configured-timeout formula charges it against the measured window
-    // — absorb it in a short throwaway run first
-    streamOnce(timeoutMs = 5000)
+    // — absorb it in a throwaway run first. 15 s, not 5: a 5 s warmup
+    // left the first timed rep at 1.05M rows/s vs 1.59-1.68M for later
+    // reps (r9 ProbeIngest A/B — steady state needs several commits,
+    // and 5 s lands barely one), which is exactly how r8 under-recorded
+    // the streaming headline
+    streamOnce(timeoutMs = 15000)
     val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
     var streamBest: (Long, Long) = (-1L, -1L)
     def streamWindow(reps: Int): Unit =

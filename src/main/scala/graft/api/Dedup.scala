@@ -645,26 +645,61 @@ object Dedup {
     * the document row — text never explodes token-wise. */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text", n: Int = 50,
-                            minCount: Int = 2): DataFrame = {
-    require(n >= 1, s"n must be positive, got $n")
-    require(minCount >= 2, s"minCount below 2 would cut everything, got $minCount")
+                            minCount: Int = 2): DataFrame =
+    removeDuplicatedSpansTiered(docs, idCol, textCol, Seq((n, minCount)))
+
+  /** VARIABLE-LENGTH span removal — the multi-tier generalization of
+    * [[removeDuplicatedSpans]] that closes the gap with the published
+    * ExactSubstr's maximal-repeat semantics without a distributed
+    * suffix array: each (n, minCount) tier marks its own repeated
+    * n-gram spans, and the UNION of all tiers' marked intervals merges
+    * into one cover before a single cut. The tiers encode the
+    * frequency–length tradeoff a real curation pass wants: a LONG
+    * passage shared by even two documents is boilerplate (e.g. (50, 2)
+    * — and a repeat of any length ≥ n is fully covered by its repeated
+    * n-grams, so one tier handles all longer maximal repeats), while a
+    * SHORT phrase is only boilerplate when it recurs widely (e.g.
+    * (8, 10)) — cutting rare short matches would shred natural
+    * language. A single-n pass cannot express this: lowering n to
+    * catch short boilerplate cuts every rare short match with it.
+    *
+    * Same scale shape as the single-tier form, ×|tiers| gram passes:
+    * 8-byte gram hashes through keyed counts, the interval merge
+    * windows only over MARKED starts, the cut is one narrow projection.
+    * Output: (idCol, textCol, n_tokens, n_removed). */
+  def removeDuplicatedSpansTiered(docs: DataFrame, idCol: String = "doc_id",
+                                  textCol: String = "text",
+                                  tiers: Seq[(Int, Int)] = Seq((8, 10), (20, 2))
+                                 ): DataFrame = {
+    require(tiers.nonEmpty, "at least one (n, minCount) tier required")
+    tiers.foreach { case (n, minCount) =>
+      require(n >= 1, s"n must be positive, got $n")
+      require(minCount >= 2, s"minCount below 2 would cut everything, got $minCount")
+    }
     val toks = filter(wsTokens(col(textCol)), t => t =!= "")
     val base = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
-    val grams = base.select(col("doc_id"),
-      posexplode(when(size(col("__t")) >= n,
-          transform(sequence(lit(0), size(col("__t")) - n),
-            i => xxhash64(lower(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "g")))
-    val dupGrams = grams.groupBy("g")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("g")
-    // classic running-max interval merge of the marked [pos, pos+n-1]
-    // spans: a span that starts past every previous end opens a group
+    def markedSpans(n: Int, minCount: Int): DataFrame = {
+      val grams = base.select(col("doc_id"),
+        posexplode(when(size(col("__t")) >= n,
+            transform(sequence(lit(0), size(col("__t")) - n),
+              i => xxhash64(lower(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "g")))
+      val dupGrams = grams.groupBy("g")
+        .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("g")
+      grams.join(dupGrams, "g")
+        .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+    }
+    // classic running-max interval merge of the union of every tier's
+    // marked [pos, pos+n-1] spans: a span that starts past every
+    // previous end opens a group. Ties on pos (two tiers marking the
+    // same start) are order-independent: a tied row can never open a
+    // group, since the earlier twin's end ≥ its own start.
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val spans = grams.join(dupGrams, "g")
-      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+    val spans = tiers.map { case (n, mc) => markedSpans(n, mc) }
+      .reduce(_ unionAll _)
       .withColumn("brk",
         when(col("pos") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
           .otherwise(0))

@@ -1196,6 +1196,35 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // VARIABLE-LENGTH tiered span removal (r8 verdict stretch #8):
+    // three planted duplicates of different length × frequency prove
+    // the tier semantics — a 10-token boilerplate on every 5th doc
+    // (100×: cut by the short-common tier (8, 10)), a 26-token license
+    // passage on every 97th doc (6×: under the short tier's count
+    // floor, cut by the long-rare tier (20, 2)), and a 9-token phrase
+    // on exactly two docs (rare AND short: must SURVIVE — the case no
+    // single-n pass can express). The DuckDB oracle replays both gram
+    // tiers and the union cover per document, bit for bit.
+    "q137_tiered_span_removal" -> ((s, d) => {
+      val shortBoiler = "subscribe to our newsletter for updates and " +
+        "exclusive offers today"
+      val longPassage = "this license agreement governs your use of the " +
+        "software and by installing or using it you agree to be bound by " +
+        "every term stated herein completely"
+      val rarePair = "an uncommon phrase shared by exactly two documents only"
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" " + shortBoiler)).otherwise(lit("")),
+          when(col("doc_id") % 97 === 0, lit(" " + longPassage)).otherwise(lit("")),
+          when(col("doc_id").isin(11, 223), lit(" " + rarePair)).otherwise(lit("")))
+          .as("text"))
+      graft.api.Dedup.removeDuplicatedSpansTiered(corpus,
+          tiers = Seq((8, 10), (20, 2)))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (data selection via importance
     // resampling): target = the doc_id % 11 == 3 slice as the
     // "reference domain" sample, raw = the whole corpus; the gate
@@ -2286,6 +2315,58 @@ object Pipeline {
     // grams carry start positions, covered = union of [pos, pos+7] over
     // duplicated grams (equivalent to the engine's interval merge), and
     // the kept tokens reassemble with single spaces for the md5
+    "q137_tiered_span_removal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' subscribe to our newsletter for updates and exclusive offers today'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN ' this license agreement governs your use of the software and by installing or using it you agree to be bound by every term stated herein completely'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id IN (11, 223)
+        |      THEN ' an uncommon phrase shared by exactly two documents only'
+        |      ELSE '' END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') t
+        |  FROM corpus
+        |), g8 AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |      'gram': array_to_string(list_transform(t[i:i+7], x -> lower(x)), ' ')}
+        |    FOR i IN range(1, greatest(len(t) - 7, 0) + 1)], recursive := true)
+        |  FROM toks
+        |), d8 AS (
+        |  SELECT gram FROM g8 GROUP BY gram HAVING count(*) >= 10
+        |), g20 AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |      'gram': array_to_string(list_transform(t[i:i+19], x -> lower(x)), ' ')}
+        |    FOR i IN range(1, greatest(len(t) - 19, 0) + 1)], recursive := true)
+        |  FROM toks
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT g8.doc_id, g8.pos + r.off AS cp
+        |    FROM g8 JOIN d8 USING (gram)
+        |    CROSS JOIN (SELECT unnest(range(0, 8)) AS off) r
+        |    UNION ALL
+        |    SELECT g20.doc_id, g20.pos + r.off AS cp
+        |    FROM g20 JOIN (
+        |      SELECT gram FROM g20 GROUP BY gram HAVING count(*) >= 2) d20
+        |      USING (gram)
+        |    CROSS JOIN (SELECT unnest(range(0, 20)) AS off) r)
+        |), cov AS (
+        |  SELECT doc_id, list(cp) cps FROM covered GROUP BY doc_id
+        |), k AS (
+        |  SELECT t.doc_id, len(t.t) AS n_tokens,
+        |    [t.t[i] FOR i IN range(1, len(t.t) + 1)
+        |      IF NOT list_contains(coalesce(c.cps, CAST([] AS BIGINT[])), i - 1)] AS keep
+        |  FROM toks t LEFT JOIN cov c USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_tokens - len(keep) AS INT) AS n_removed,
+        |  md5(coalesce(array_to_string(keep, ' '), '')) AS text_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q122_span_removal" ->
       """WITH corpus AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||

@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.IngestProbes
+
+/** Standalone quiet-window ingest throughput A/B harness — the probes
+  * Bench runs, without the 4-minute query suite around them:
+  *
+  *   runMain graft.tools.ProbeIngest stream <reps> [timeoutMs] [eps] [commitRows] [par] [groups]
+  *   runMain graft.tools.ProbeIngest batch <reps> [buckets] [rows]
+  *
+  * Prints one line per rep plus the best, with the 1-min loadavg so a
+  * contaminated window is visible. Same formulas as Bench/BASELINE.md:
+  * streaming = committed rows ÷ configured timeout (the reference's
+  * formula), batch = rows ÷ wall. */
+object ProbeIngest {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("stream")
+    def argAt(i: Int, default: Long): Long =
+      if (args.length > i) args(i).toLong else default
+    val reps = argAt(1, 3).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.Sessions.local("graft-probe")
+    def load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    var best = -1L
+    mode match {
+      case "stream" =>
+        val timeoutMs = argAt(2, 20000)
+        val eps = argAt(3, 300000).toInt
+        val commitRows = argAt(4, 1000000).toInt
+        val par = argAt(5, 0).toInt
+        val groups = argAt(6, 0).toInt
+        // warmup absorbs stream startup (checkpoint init, first ORC
+        // writers) — the configured-timeout formula would charge it
+        val warmupMs = argAt(7, 5000)
+        IngestProbes.streamOnce(spark, cpus, warmupMs, eps, commitRows, par, groups)
+        (1 to reps).foreach { i =>
+          val l0 = load1
+          val (rows, rate) = IngestProbes.streamOnce(
+            spark, cpus, timeoutMs, eps, commitRows, par, groups)
+          if (rate > best) best = rate
+          println(f"[probe] stream rep$i: $rate%,d rows/s ($rows%,d committed, load1 $l0%.1f)")
+        }
+      case "batch" =>
+        val buckets = argAt(2, 32).toInt
+        val rows = argAt(3, 10000000)
+        IngestProbes.batchOnce(spark, cpus, buckets, 512 * 1024)
+        (1 to reps).foreach { i =>
+          val l0 = load1
+          val rate = IngestProbes.batchOnce(spark, cpus, buckets, rows)
+          if (rate > best) best = rate
+          println(f"[probe] batch($buckets) rep$i: $rate%,d rows/s (load1 $l0%.1f)")
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    println(f"[probe] best: $best%,d rows/s")
+    spark.stop()
+  }
+}

@@ -218,6 +218,32 @@ class ApiSpec extends AnyFunSuite {
       hdir, idCol = "id", sigCol = "h").count() == 0L)
   }
 
+  test("removeDuplicatedSpansTiered cuts short-common and long-rare, keeps short-rare") {
+    val boiler = "one two three four five six seven eight nine ten"   // 10 tokens
+    val license = (1 to 25).map(i => s"w$i").mkString(" ")            // 25 tokens
+    val rare = "alpha beta gamma delta epsilon zeta eta theta"        // 8 tokens
+    val docs = (
+      (1 to 6).map(i => (i.toLong, s"unique$i body$i " + boiler)) ++
+      Seq((10L, "prefix10 " + license), (11L, "prefix11 " + license)) ++
+      Seq((20L, "start20 " + rare), (21L, "start21 " + rare))
+    ).toDF("id", "body")
+    val out = Dedup.removeDuplicatedSpansTiered(docs, idCol = "id",
+        textCol = "body", tiers = Seq((8, 5), (20, 2)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_removed")).toMap
+    // short boilerplate on 6 docs: over the (8, 5) count floor -> cut
+    (1 to 6).foreach(i => assert(out(i.toLong) == 10, s"doc $i: ${out(i.toLong)}"))
+    // long license on 2 docs: under the short tier's floor, but the
+    // (20, 2) tier covers all 25 tokens
+    assert(out(10L) == 25 && out(11L) == 25, s"license: ${out(10L)}/${out(11L)}")
+    // short AND rare: the case no single-n pass can keep -> untouched
+    assert(out(20L) == 0 && out(21L) == 0, s"rare: ${out(20L)}/${out(21L)}")
+    // single-tier form still behaves as before (q122's contract)
+    val single = Dedup.removeDuplicatedSpans(docs, idCol = "id",
+      textCol = "body", n = 8, minCount = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_removed")).toMap
+    assert(single(20L) == 8, "minCount 2 at n=8 cuts the rare pair too")
+  }
+
   test("index deletes match the stored id dtype: string-id indexes delete correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-strid-spec").toString
     val docs = Seq(
