@@ -1,0 +1,210 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators: URL canonicalization, registered-
+  * domain extraction, per-domain caps and mix profiling, HTML tag
+  * stripping. These are the source-side staples of a web-scale
+  * training-data pipeline (C4 / RefinedWeb-style cleaning): dedup and
+  * quality filters operate on text, but the FIRST discriminators at
+  * crawl scale are the URL and the domain — canonicalize before
+  * dedup-by-url, cap per-domain so one mega-site cannot dominate a
+  * corpus, strip markup before any text-quality scoring.
+  *
+  * All ops are `DataFrame → DataFrame` with column names as
+  * parameters, built from codegen'd built-in expressions
+  * (regexp_replace / regexp_extract / lower / concat) — no UDFs, and
+  * every transform is a narrow per-row projection except the
+  * deliberately-keyed per-domain window in [[capPerDomain]].
+  *
+  * The regex subset used here is common to Java regex (Spark) and RE2
+  * (the DuckDB oracle): no lookaround, no pattern backreferences;
+  * replacement group syntax differs per engine ($1 vs \1) and each
+  * side writes its own.
+  */
+object Curation {
+
+  /** Two-level public suffixes the registered-domain heuristic knows.
+    * A deliberately small, documented subset of the public-suffix list
+    * (the real list is data, not code — at production scale it would
+    * ride in as a broadcast table; the heuristic keeps the op a pure
+    * narrow expression). */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za")
+
+  private val suffixAlt = twoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+
+  /** Canonicalize a URL column. Contract (applied in order):
+    *  1. strip the `#fragment`;
+    *  2. lowercase the scheme and the authority (host:port) — never
+    *     the path or query, which are case-sensitive;
+    *  3. drop a leading `www.` host label and the scheme's default
+    *     port (`:80` for http, `:443` for https);
+    *  4. remove tracking query parameters (`utm_*`, `gclid`,
+    *     `fbclid`, `ref`), preserving the relative order of the
+    *     surviving parameters, and repair the separator chain
+    *     (`?` restored on the first survivor, trailing `?`/`&`
+    *     dropped);
+    *  5. collapse a wholly-empty path to `/`.
+    *
+    * Rows that do not look like absolute URLs (`scheme://…`) pass
+    * through unchanged — mixed/dirty corpora must not lose rows to a
+    * canonicalizer. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val tail0 = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    // Unify separators to '&' so tracking params drop with one global
+    // pattern regardless of position, then restore '?' on the first
+    // survivor (the pattern is ^-anchored: global replace still
+    // rewrites at most once).
+    val t1 = regexp_replace(tail0, "\\?", "&")
+    val t2 = regexp_replace(t1, "&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", "")
+    val t3 = regexp_replace(t2, "^([^&]*)&", "$1?")
+    val t4 = regexp_replace(t3, "[?&]+$", "")
+    val tail = when(t4 === "" || t4.startsWith("?"), concat(lit("/"), t4)).otherwise(t4)
+    when(scheme === "", url).otherwise(concat(scheme, lit("://"), auth, tail))
+  }
+
+  /** Registered domain (site identity) of a URL or bare host:
+    * the last two host labels, or three when the last two are a known
+    * two-level public suffix ([[twoLevelSuffixes]]). Unparseable /
+    * single-label hosts fall back to the full host. Port is ignored. */
+  def registeredDomain(url: Column): Column = {
+    val auth = when(url.contains("://"),
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+      .otherwise(url)
+    val host = regexp_replace(lower(auth), ":[0-9]+$", "")
+    val reg = regexp_extract(host,
+      "([a-z0-9-]+\\.(?:" + suffixAlt + "|[a-z]+))$", 1)
+    when(reg === "", host).otherwise(reg)
+  }
+
+  /** Add `url_norm` and `domain` columns for a URL column — the usual
+    * first projection over a crawl manifest. */
+  def withUrlFeatures(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    // Every intermediate is staged as a temp COLUMN so each regex node
+    // appears exactly once in the plan. The one-shot Column form
+    // ([[normalizeUrl]]) inlines its intermediates — Catalyst has no
+    // let-binding inside an expression — which multiplies ~25 regex
+    // nodes (noFrag ×9, scheme ×5, …); fused into a downstream sort
+    // stage that blew janino's 64 KB method limit and dropped the
+    // whole stage to interpreted mode. Staged columns keep the
+    // generated code additive and whole-stage codegen on.
+    val a1 = regexp_replace(
+      lower(regexp_extract(col("__nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)),
+      "^www\\.", "")
+    val t1 = regexp_replace(
+      regexp_replace(col("__nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""),
+      "\\?", "&")
+    val t4 = regexp_replace(
+      regexp_replace(
+        regexp_replace(t1, "&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", ""),
+        "^([^&]*)&", "$1?"),
+      "[?&]+$", "")
+    val reg = regexp_extract(col("__host"),
+      "([a-z0-9-]+\\.(?:" + suffixAlt + "|[a-z]+))$", 1)
+    df
+      .withColumn("__nofrag", regexp_replace(col(urlCol), "#.*$", ""))
+      .withColumn("__scheme",
+        lower(regexp_extract(col("__nofrag"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("__a1", a1)
+      .withColumn("__auth",
+        when(col("__scheme") === "http", regexp_replace(col("__a1"), ":80$", ""))
+          .when(col("__scheme") === "https", regexp_replace(col("__a1"), ":443$", ""))
+          .otherwise(col("__a1")))
+      .withColumn("__t4", t4)
+      .withColumn("url_norm",
+        when(col("__scheme") === "", col(urlCol))
+          .otherwise(concat(col("__scheme"), lit("://"), col("__auth"),
+            when(col("__t4") === "" || col("__t4").startsWith("?"),
+              concat(lit("/"), col("__t4"))).otherwise(col("__t4")))))
+      .withColumn("__host",
+        // scheme == "" ⇒ url_norm IS the raw url (pass-through), so
+        // referencing the raw column avoids re-inlining the whole
+        // normalization tree when a downstream plan prunes url_norm
+        when(col("__scheme") === "",
+          regexp_replace(lower(col(urlCol)), ":[0-9]+$", ""))
+          .otherwise(regexp_replace(col("__auth"), ":[0-9]+$", "")))
+      .withColumn("__reg", reg)
+      .withColumn("domain",
+        when(col("__reg") === "", col("__host")).otherwise(col("__reg")))
+      .drop("__nofrag", "__scheme", "__a1", "__auth", "__t4", "__host", "__reg")
+  }
+
+  /** Keep at most `n` rows per domain, by ascending `orderCol` (ties
+    * broken by the order column itself being unique in practice; pass
+    * a unique id for determinism). Scale: a keyed window — shuffles on
+    * the domain only, never a global sort; at 100 TB the per-domain
+    * partitions are the natural unit and AQE handles the mega-domain
+    * skew this op exists to curb. */
+  def capPerDomain(df: DataFrame, n: Int, domainCol: String = "domain",
+                   orderCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"capPerDomain needs n > 0, got $n")
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Per-domain corpus mix: doc count, share of the corpus, and the
+    * count surviving a per-domain cap — the report that decides cap
+    * values before committing to a curation run. One aggregation, one
+    * scalar subquery for the total (broadcast, not a second scan at
+    * the executor level). */
+  def domainProfile(df: DataFrame, cap: Int, domainCol: String = "domain"): DataFrame = {
+    require(cap > 0, s"domainProfile needs cap > 0, got $cap")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = df.count()
+    counts
+      .withColumn("share", round(col("n_docs").cast("double") / lit(total.toDouble), 6))
+      .withColumn("n_kept", least(col("n_docs"), lit(cap.toLong)))
+  }
+
+  /** Strip HTML/XML markup from a text column: drop `<script>` /
+    * `<style>` elements wholly (their text is code, not prose), drop
+    * comments and tags, unescape the five named entities plus numeric
+    * escapes for them, and collapse runs of whitespace to single
+    * spaces. A pure narrow projection — the markup-heavy web page
+    * becomes scorable prose without a parser dependency.
+    *
+    * Deliberately regex-based (not an HTML5 tree parser): at corpus
+    * scale the input is truncated/overlapping/invalid markup and a
+    * lenient strip is the documented, deterministic contract. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // block-level close tags → newline-ish space so words don't fuse
+    val noTag = regexp_replace(noComment, "<[^>]+>", " ")
+    // &amp; last: unescaping it first would double-decode "&amp;lt;".
+    // Literal replace(), not regexp_replace — 12 stacked regex
+    // evaluations broke the whole-stage-codegen method-size budget and
+    // dropped the projection to interpreted mode; StringReplace keeps
+    // the chain inside codegen.
+    val unescaped = Seq(
+      ("&lt;", "<"), ("&#60;", "<"),
+      ("&gt;", ">"), ("&#62;", ">"),
+      ("&quot;", "\""), ("&#34;", "\""),
+      ("&#39;", "'"), ("&apos;", "'"),
+      ("&nbsp;", " "), ("&#160;", " "),
+      ("&amp;", "&"), ("&#38;", "&")
+    ).foldLeft(noTag) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Add a `clean_text` column with markup stripped. */
+  def withHtmlStripped(df: DataFrame, htmlCol: String = "text"): DataFrame =
+    df.withColumn("clean_text", htmlToText(col(htmlCol)))
+}

@@ -123,6 +123,27 @@ object Pipeline {
         coalesce(sum(col("selfs")) === 0, lit(true)).as("no_self_match"))
   }
 
+  /** Deterministic messy-URL synthesis for the curation queries
+    * (q138/q139): `doc_id % mod` picks the shape. Shapes 0 and 2 are
+    * two hosts of the SAME site (www.{src}-Site.COM vs
+    * cdn.{src}-site.com) so registered-domain extraction must merge
+    * them; shape 1 is a two-level-suffix (.co.uk) site; shape 3 is not
+    * a URL at all and must survive canonicalization unchanged. */
+  private def messyUrls(docs: DataFrame, mod: Int): DataFrame = {
+    val m = col("doc_id") % mod
+    docs.select(col("doc_id"), col("source"),
+      when(m === 0, concat(lit("HTTP://WWW."), col("source"),
+          lit("-Site.COM:80/Path/"), col("doc_id"),
+          lit("?utm_source=feed&id="), col("doc_id"),
+          lit("&utm_campaign=x#frag")))
+        .when(m === 1, concat(lit("https://blog."), col("source"),
+          lit("-press.co.uk:443/a/B/?ref=tw&x=1&gclid=zzz")))
+        .when(m === 2, concat(lit("https://cdn."), col("source"),
+          lit("-site.com/p?id="), col("doc_id"), lit("&fbclid=abc")))
+        .otherwise(concat(lit("not a url "), col("doc_id")))
+        .as("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group on the normalized-text MD5 fingerprint; keep the
@@ -1222,6 +1243,65 @@ object Pipeline {
           tiers = Seq((8, 10), (20, 2)))
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + registered-domain extraction over a
+    // synthesized crawl manifest (4 URL shapes per doc: mixed-case
+    // scheme/host + www + default port + tracking params + fragment;
+    // a co.uk two-level suffix; a subdomain variant that must collapse
+    // to the same site identity; a non-URL that must pass through
+    // unchanged). The oracle is CLOSED-FORM — it derives the expected
+    // canonical URL and domain from first principles, independently of
+    // the engine's regex chain, so a normalization bug cannot
+    // self-confirm.
+    "q138_url_curation" -> ((s, d) => {
+      val urls = messyUrls(Tables.documents(s, d).filter(col("doc_id") < 400), 4)
+      graft.api.Curation.withUrlFeatures(urls)
+        .select(col("doc_id"), col("url_norm"), col("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain cap (the anti-mega-site mixture control): normalize,
+    // derive site identity, keep at most 5 docs per domain by doc_id.
+    // Two host forms (www-stripped bare + cdn. subdomain) must land in
+    // ONE domain bucket before the cap. Oracle: closed-form domain +
+    // a row_number replay of the keyed window.
+    "q139_domain_cap" -> ((s, d) => {
+      val urls = messyUrls(Tables.documents(s, d).filter(col("doc_id") < 400), 3)
+      val feat = graft.api.Curation.withUrlFeatures(urls)
+      val kept = graft.api.Curation.capPerDomain(feat, 5)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), max("doc_id").as("kept_max"))
+      feat.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("domain"))
+        .select(col("domain"), col("n_docs"), col("n_kept"), col("kept_max"))
+        .orderBy("domain")
+    }),
+
+    // HTML → text strip (the pre-quality-scoring markup cleaner):
+    // documents wrapped in real page scaffolding (head/style/script/
+    // comment) plus planted edge cases — double-escaped entities that
+    // must NOT double-decode (&amp;lt; stays &lt;), case-insensitive
+    // SCRIPT/STYLE removal, an empty payload. The oracle replays the
+    // documented strip contract step-for-step in DuckDB.
+    "q140_html_strip" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><title>T</title><style>p { color: red }</style></head><body><h1>Heading</h1><p>"),
+            col("text"),
+            lit("</p><script type=text/javascript>var x = 1 && 2;</script><!-- hidden comment --></body></html>"))
+            .as("html"))
+      val planted = Seq(
+        (1000L, "a &amp;lt; b &quot;q&quot; &nbsp; c"),
+        (1001L, "<p>x<br/>y</p>  z"),
+        (1002L, "<SCRIPT>while (1) alert(9)</SCRIPT>ok<STYLE media=all>s { }</STYLE>"),
+        (1003L, "")).toDF("doc_id", "html")
+      graft.api.Curation.withHtmlStripped(base.union(planted), "html")
+        .select(col("doc_id"), col("clean_text"),
+          length(col("clean_text")).as("clean_len"))
         .orderBy("doc_id")
     }),
 
@@ -2367,6 +2447,90 @@ object Pipeline {
         |  CAST(n_tokens - len(keep) AS INT) AS n_removed,
         |  md5(coalesce(array_to_string(keep, ' '), '')) AS text_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // q138: CLOSED-FORM oracle — the expected canonical URL and
+    // registered domain are derived from the synthesis recipe itself
+    // (scheme/host lowercased, www + default port stripped, tracking
+    // params utm_*/gclid/fbclid/ref removed with separators repaired,
+    // fragment dropped, non-URLs untouched), NOT by replaying the
+    // engine's regex chain — a normalization bug cannot self-confirm.
+    "q138_url_curation" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://' || source || '-site.com/Path/' ||
+        |      CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'https://blog.' || source || '-press.co.uk/a/B/?x=1'
+        |    WHEN 2 THEN 'https://cdn.' || source || '-site.com/p?id=' ||
+        |      CAST(doc_id AS VARCHAR)
+        |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url_norm,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN source || '-site.com'
+        |    WHEN 1 THEN source || '-press.co.uk'
+        |    WHEN 2 THEN source || '-site.com'
+        |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS domain
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // q139: closed-form domain (shapes 0 and 2 merge into one site)
+    // + a row_number replay of the per-domain cap-5 window.
+    "q139_domain_cap" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN source || '-press.co.uk'
+        |         ELSE source || '-site.com' END AS domain
+        |  FROM documents WHERE doc_id < 400
+        |), ranked AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM feat
+        |)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(CASE WHEN rn <= 5 THEN 1 END) AS n_kept,
+        |  max(CASE WHEN rn <= 5 THEN doc_id END) AS kept_max
+        |FROM ranked GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q140 replays the documented strip contract step-for-step:
+    // script/style elements out first (case-insensitive, dotall),
+    // comments, then tags; entities decoded in the engine's exact
+    // order (&amp; LAST so &amp;lt; cannot double-decode); whitespace
+    // collapsed and trimmed.
+    "q140_html_strip" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>p { color: red }</style></head><body><h1>Heading</h1><p>'
+        |    || text ||
+        |    '</p><script type=text/javascript>var x = 1 && 2;</script><!-- hidden comment --></body></html>'
+        |    AS html
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (1000, 'a &amp;lt; b &quot;q&quot; &nbsp; c'),
+        |    (1001, '<p>x<br/>y</p>  z'),
+        |    (1002, '<SCRIPT>while (1) alert(9)</SCRIPT>ok<STYLE media=all>s { }</STYLE>'),
+        |    (1003, '')) t(doc_id, html)
+        |), c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&#60;', '<'),
+        |        '&gt;', '>'), '&#62;', '>'),
+        |        '&quot;', '"'), '&#34;', '"'),
+        |        '&#39;', ''''), '&apos;', ''''),
+        |        '&nbsp;', ' '), '&#160;', ' '),
+        |        '&amp;', '&'), '&#38;', '&'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM base
+        |)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q122_span_removal" ->
       """WITH corpus AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Curation
+
+/** URL canonicalization / domain / HTML-strip contracts on crafted
+  * inputs with non-default column names — the per-case expectations
+  * are written out by hand, independent of the implementation. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(Curation.normalizeUrl(col("u"))).head().getString(0)
+
+  private def dom(u: String): String =
+    Seq(u).toDF("u").select(Curation.registeredDomain(col("u"))).head().getString(0)
+
+  test("normalizeUrl canonical cases") {
+    assert(norm("HTTP://WWW.Ex.COM:80/Path/3?utm_source=a&id=3&utm_campaign=x#f")
+      == "http://ex.com/Path/3?id=3")
+    assert(norm("https://blog.ex.co.uk:443/a/B/?ref=tw&x=1&gclid=z")
+      == "https://blog.ex.co.uk/a/B/?x=1")
+    // all params tracking → query gone entirely
+    assert(norm("https://ex.com/p?utm_a=1&fbclid=2") == "https://ex.com/p")
+    // empty path collapses to /
+    assert(norm("https://Ex.com") == "https://ex.com/")
+    assert(norm("https://ex.com?utm_x=1") == "https://ex.com/")
+    // surviving params keep relative order; ? restored on the first
+    assert(norm("https://ex.com/p?utm_a=1&b=2&c=3") == "https://ex.com/p?b=2&c=3")
+    // path/query case is preserved; only scheme+host fold
+    assert(norm("HTTPS://A.B/KeepCase?Q=V") == "https://a.b/KeepCase?Q=V")
+    // default port only strips for the matching scheme
+    assert(norm("http://ex.com:443/x") == "http://ex.com:443/x")
+    // non-URLs pass through byte-identical
+    assert(norm("not a url at all") == "not a url at all")
+    assert(norm("") == "")
+  }
+
+  test("registeredDomain two-level suffixes and fallbacks") {
+    assert(dom("https://cdn.a-b.example.com/x") == "example.com")
+    assert(dom("https://blog.src1-press.co.uk/a") == "src1-press.co.uk")
+    assert(dom("http://deep.sub.host.com.au:8080/") == "host.com.au")
+    assert(dom("bare-host.org") == "bare-host.org")
+    assert(dom("localhost") == "localhost")
+  }
+
+  test("withUrlFeatures merges host variants of one site") {
+    val df = Seq(
+      (1L, "HTTP://WWW.Site-One.COM:80/a"),
+      (2L, "https://cdn.site-one.com/b"),
+      (3L, "https://other.co.uk/c")).toDF("id", "url")
+    val doms = Curation.withUrlFeatures(df, "url")
+      .select("domain").as[String].collect().toSeq
+    assert(doms == Seq("site-one.com", "site-one.com", "other.co.uk"))
+  }
+
+  test("capPerDomain keeps n smallest per domain and nothing else") {
+    val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "a.com" else "b.com"))
+      .toDF("doc_id", "domain")
+    val kept = Curation.capPerDomain(df, 3, "domain", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(kept == Set((2L, "a.com"), (4L, "a.com"), (6L, "a.com"),
+      (1L, "b.com"), (3L, "b.com"), (5L, "b.com")))
+    intercept[IllegalArgumentException](Curation.capPerDomain(df, 0))
+  }
+
+  test("domainProfile shares and capped counts") {
+    val df = Seq.fill(8)("a.com").zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .++(Seq((100L, "b.com"), (101L, "b.com")))
+      .toDF("doc_id", "domain")
+    val rows = Curation.domainProfile(df, cap = 5)
+      .orderBy("domain").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).toSeq == Seq(8L, 2L))
+    assert(rows.map(_.getAs[Long]("n_kept")).toSeq == Seq(5L, 2L))
+    assert(rows.map(_.getAs[Double]("share")).toSeq == Seq(0.8, 0.2))
+  }
+
+  test("htmlToText strips markup without double-decoding entities") {
+    def strip(h: String): String =
+      Seq(h).toDF("h").select(Curation.htmlToText(col("h"))).head().getString(0)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    assert(strip("<SCRIPT>var a=1;</SCRIPT>keep<STYLE>s{}</STYLE>") == "keep")
+    assert(strip("<script\nsrc=x>multi\nline</script>after") == "after")
+    assert(strip("a <!-- comment --> b") == "a b")
+    // &amp;lt; decodes to the LITERAL &lt; — never to <
+    assert(strip("a &amp;lt; b &quot;q&quot;") == "a &lt; b \"q\"")
+    assert(strip("x&nbsp;y &#39;z&#39;") == "x y 'z'")
+    assert(strip("") == "")
+    // broken markup stays lenient: unclosed tag eats to its >
+    assert(strip("pre <b unclosed post") == "pre <b unclosed post")
+  }
+}
