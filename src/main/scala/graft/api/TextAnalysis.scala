@@ -297,6 +297,79 @@ object TextAnalysis {
           col("ok_stopwords"))
   }
 
+  /** The Gopher/MassiveText REPETITION filter battery — the second
+    * half of the published rule set ([[gopherQualityFlags]] carries
+    * the first): templated/looping documents show up as repeated
+    * lines, repeated paragraphs, and one dominant word n-gram long
+    * before any quality score moves. Thresholds follow the paper:
+    * duplicate-line and duplicate-paragraph fraction ≤ 30%, the
+    * characters inside those repeats ≤ 20% of their unit's chars, and
+    * the most frequent word 2-gram's characters (count × gram length,
+    * ties resolved by the larger product) ≤ 20% of the document's
+    * non-whitespace chars.
+    *
+    * Contract details, pinned for oracle replay: lines split on
+    * single newlines, paragraphs on 2+ newline runs, both trimmed
+    * with empties dropped; "duplicate" = occurrences after the first
+    * of each distinct string; every fraction is compared by integer
+    * cross-multiplication (e.g. 10·dup ≤ 3·n), so the flags are
+    * bit-portable across engines. Scale: the line/paragraph metrics
+    * are one narrow codegen'd projection over per-row arrays (no
+    * shuffle); the 2-gram max is one explode + two map-side-combined
+    * keyed aggregations on (id, gram) — never a corpus-wide window. */
+  def repetitionFlags(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def units(sep: String) =
+      filter(transform(split(col(textCol), sep), u => trim(u)), u => u =!= "")
+    def sumLen(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val toks = filter(wsTokens(lower(col(textCol))), t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "),
+                      element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    // count ≥ 2 only: a gram that occurs once is not repetition — the
+    // paper applies its fraction after a ≥50-word floor has dropped
+    // the short docs where a singleton gram dominates; this battery
+    // stands alone, so the floor moves into the metric itself.
+    val top2 = docs
+      .select(col(idCol), explode(bigrams).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .groupBy(col(idCol))
+      .agg(max(col("__c") * length(col("__g"))).as("top2_chars"))
+    docs
+      .withColumn("__lines", units("\n"))
+      .withColumn("__paras", units("\n{2,}"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("dup_lines",
+        (size(col("__lines")) - size(array_distinct(col("__lines")))).cast("long"))
+      .withColumn("line_chars", sumLen(col("__lines")))
+      .withColumn("dup_line_chars",
+        sumLen(col("__lines")) - sumLen(array_distinct(col("__lines"))))
+      .withColumn("n_paras", size(col("__paras")).cast("long"))
+      .withColumn("dup_paras",
+        (size(col("__paras")) - size(array_distinct(col("__paras")))).cast("long"))
+      .withColumn("para_chars", sumLen(col("__paras")))
+      .withColumn("dup_para_chars",
+        sumLen(col("__paras")) - sumLen(array_distinct(col("__paras"))))
+      .withColumn("n_chars",
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long"))
+      .join(top2, Seq(idCol), "left")
+      .withColumn("top2_chars", coalesce(col("top2_chars"), lit(0L)))
+      .withColumn("ok_dup_lines", lit(10) * col("dup_lines") <= lit(3) * col("n_lines"))
+      .withColumn("ok_dup_line_chars", lit(5) * col("dup_line_chars") <= col("line_chars"))
+      .withColumn("ok_dup_paras", lit(10) * col("dup_paras") <= lit(3) * col("n_paras"))
+      .withColumn("ok_dup_para_chars", lit(5) * col("dup_para_chars") <= col("para_chars"))
+      .withColumn("ok_top_2gram", lit(5) * col("top2_chars") <= col("n_chars"))
+      .withColumn("keep",
+        col("ok_dup_lines") && col("ok_dup_line_chars") &&
+          col("ok_dup_paras") && col("ok_dup_para_chars") &&
+          col("ok_top_2gram"))
+      .drop("__lines", "__paras")
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions, with
     * the keep decision a pure function of the KEY (md5 prefix compared
     * against a per-stratum hex threshold) — reproducible across

@@ -1305,6 +1305,33 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Gopher REPETITION battery (the second half of the published
+    // rule set — q120 carries the non-repetition half): repeated
+    // lines, repeated paragraphs, and one dominant word 2-gram, each
+    // exercised by a planted violator (spam-line doc, duplicated
+    // paragraph whose chars overflow the 20% bar while its count
+    // stays under 30%, a buy-now loop), plus a clean multi-line doc
+    // and the corpus. All metrics are integers and all thresholds
+    // integer cross-multiplied, so the oracle replays bit-exactly.
+    "q141_repetition_filters" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (2000L, "unique intro\nspam line\nspam line\nspam line\nspam line\nspam line\nend"),
+        (2001L, "para one is here\n\npara two body\n\npara two body\n\npara three"),
+        (2002L, "buy now buy now buy now buy now totally"),
+        (2003L, "alpha beta gamma\ndelta epsilon zeta\n\neta theta iota"))
+        .toDF("doc_id", "text")
+      graft.api.TextAnalysis.repetitionFlags(base.union(planted))
+        .select(col("doc_id"), col("n_lines"), col("dup_lines"),
+          col("dup_line_chars"), col("n_paras"), col("dup_paras"),
+          col("dup_para_chars"), col("n_chars"), col("top2_chars"),
+          col("ok_dup_lines"), col("ok_dup_line_chars"), col("ok_dup_paras"),
+          col("ok_dup_para_chars"), col("ok_top_2gram"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (data selection via importance
     // resampling): target = the doc_id % 11 == 3 slice as the
     // "reference domain" sample, raw = the whole corpus; the gate
@@ -2530,6 +2557,64 @@ object Pipeline {
         |)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q141 replays the repetition battery: same line/paragraph split
+    // + trim + drop-empties, duplicate = occurrences after the first
+    // (len - len(distinct)), duplicate CHARS = total unit chars minus
+    // the distinct set's chars, top 2-gram = max(count × gram length)
+    // over within-doc word bigrams, thresholds integer
+    // cross-multiplied exactly as the engine computes them.
+    "q141_repetition_filters" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (2000, 'unique intro' || repeat(chr(10) || 'spam line', 5) || chr(10) || 'end'),
+        |    (2001, 'para one is here' || chr(10) || chr(10) || 'para two body' || chr(10) || chr(10) || 'para two body' || chr(10) || chr(10) || 'para three'),
+        |    (2002, 'buy now buy now buy now buy now totally'),
+        |    (2003, 'alpha beta gamma' || chr(10) || 'delta epsilon zeta' || chr(10) || chr(10) || 'eta theta iota')
+        |  ) t(doc_id, text)
+        |), u AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        |    list_filter(list_transform(string_split_regex(text, '\n{2,}'), x -> trim(x)), x -> x <> '') AS paras,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+        |  FROM u
+        |), top2 AS (
+        |  SELECT doc_id, max(c * length(bg)) AS top2_chars FROM (
+        |    SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg)
+        |  WHERE c >= 2
+        |  GROUP BY doc_id
+        |), m AS (
+        |  SELECT u.doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        |    CAST(coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+        |      - coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS BIGINT) AS dup_line_chars,
+        |    CAST(coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) AS BIGINT) AS line_chars,
+        |    CAST(len(paras) AS BIGINT) AS n_paras,
+        |    CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_paras,
+        |    CAST(coalesce(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
+        |      - coalesce(list_aggregate(list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0) AS BIGINT) AS dup_para_chars,
+        |    CAST(coalesce(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0) AS BIGINT) AS para_chars,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(top2.top2_chars, 0) AS BIGINT) AS top2_chars
+        |  FROM u LEFT JOIN top2 ON u.doc_id = top2.doc_id
+        |)
+        |SELECT doc_id, n_lines, dup_lines, dup_line_chars, n_paras, dup_paras,
+        |  dup_para_chars, n_chars, top2_chars,
+        |  (10 * dup_lines <= 3 * n_lines) AS ok_dup_lines,
+        |  (5 * dup_line_chars <= line_chars) AS ok_dup_line_chars,
+        |  (10 * dup_paras <= 3 * n_paras) AS ok_dup_paras,
+        |  (5 * dup_para_chars <= para_chars) AS ok_dup_para_chars,
+        |  (5 * top2_chars <= n_chars) AS ok_top_2gram,
+        |  ((10 * dup_lines <= 3 * n_lines) AND (5 * dup_line_chars <= line_chars)
+        |    AND (10 * dup_paras <= 3 * n_paras) AND (5 * dup_para_chars <= para_chars)
+        |    AND (5 * top2_chars <= n_chars)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q122_span_removal" ->
       """WITH corpus AS (

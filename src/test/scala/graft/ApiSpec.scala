@@ -1568,4 +1568,39 @@ class ApiSpec extends AnyFunSuite {
     val plan = TextAnalysis.lmScore(probes, m1).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "model-in-plan scoring must not shuffle")
   }
+
+  test("TextAnalysis.repetitionFlags: per-rule violators, hand-computed metrics") {
+    import spark.implicits._
+    val docs = Seq(
+      // 7 lines, 'spam line' x5: dup_lines 4/7 > 30%, dup chars 36/60 > 20%
+      (1L, "unique intro\nspam line\nspam line\nspam line\nspam line\nspam line\nend"),
+      // duplicated paragraph: count 1/4 PASSES 30% but chars 13/52 FAIL 20%
+      (2L, "para one is here\n\npara two body\n\npara two body\n\npara three"),
+      // dominant 2-gram 'buy now': 4 x 7 chars = 28 vs 31 non-ws chars
+      (3L, "buy now buy now buy now buy now totally"),
+      (4L, "alpha beta gamma\ndelta epsilon zeta\n\neta theta iota"),
+      (5L, "")).toDF("k", "body")
+    val out = TextAnalysis.repetitionFlags(docs, idCol = "k", textCol = "body")
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+
+    assert(out(1L).getAs[Long]("n_lines") == 7L)
+    assert(out(1L).getAs[Long]("dup_lines") == 4L)
+    assert(out(1L).getAs[Long]("dup_line_chars") == 36L)
+    assert(!out(1L).getAs[Boolean]("ok_dup_lines"))
+    assert(!out(1L).getAs[Boolean]("ok_dup_line_chars"))
+
+    assert(out(2L).getAs[Long]("n_paras") == 4L)
+    assert(out(2L).getAs[Long]("dup_paras") == 1L)
+    assert(out(2L).getAs[Boolean]("ok_dup_paras"), "1/4 is under the 30% bar")
+    assert(!out(2L).getAs[Boolean]("ok_dup_para_chars"), "13/52 chars is over 20%")
+
+    assert(out(3L).getAs[Long]("top2_chars") == 28L, "4 x len('buy now')")
+    assert(out(3L).getAs[Long]("n_chars") == 31L)
+    assert(!out(3L).getAs[Boolean]("ok_top_2gram"))
+    assert(!out(3L).getAs[Boolean]("keep"))
+
+    assert(out(4L).getAs[Boolean]("keep"), "clean multi-line doc passes the battery")
+    assert(out(5L).getAs[Boolean]("keep"), "empty doc: all zero metrics pass")
+    assert(out(5L).getAs[Long]("top2_chars") == 0L)
+  }
 }
