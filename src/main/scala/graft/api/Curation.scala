@@ -207,4 +207,49 @@ object Curation {
   /** Add a `clean_text` column with markup stripped. */
   def withHtmlStripped(df: DataFrame, htmlCol: String = "text"): DataFrame =
     df.withColumn("clean_text", htmlToText(col(htmlCol)))
+
+  /** Group-scoped boilerplate LINE removal (the CCNet/RefinedWeb
+    * cleaning step): a line whose trimmed form appears in at least
+    * `minDocs` DISTINCT documents of the same group (domain, source)
+    * is navigation/footer/legal chrome, not content — remove every
+    * occurrence, group by group, keeping each document's surviving
+    * lines in their original order as `clean_text` (+`n_kept_lines`).
+    * Blank lines are structure, not content: never counted, never
+    * removed. Distinct-doc counting (not occurrences) means a single
+    * page that repeats its own line 50 times cannot promote that line
+    * to group boilerplate.
+    *
+    * Scale: one posexplode; the boilerplate table is ≤ one row per
+    * DISTINCT (group, line) pair — corpus-shrinking, joined back with
+    * a keyed left_anti (never broadcast-forced: at web scale the
+    * chrome table of a big domain outgrows a driver hint); rebuild is
+    * one keyed aggregation with an in-group sort by line position.
+    * Nothing driver-side at any size. */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Int,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             groupCol: String = "domain"): DataFrame = {
+    require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
+    val lines = docs
+      .select(col(idCol).as("__id"), col(groupCol).as("__grp"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val boiler = lines.filter(col("__key") =!= "")
+      .groupBy(col("__grp"), col("__key"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__grp"), col("__key"))
+    val kept = lines.join(boiler, Seq("__grp", "__key"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept_lines"))
+      .withColumnRenamed("__id", idCol)
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
+  }
 }

@@ -1305,6 +1305,29 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Group-scoped boilerplate line removal (CCNet/RefinedWeb): every
+    // doc of a source carries the same 2-line footer (appears in ~12
+    // docs per source — over the minDocs=4 bar → removed everywhere),
+    // a unique trailing line per doc (kept), and docs 0/97/194 share
+    // one rare line (≤ 3 distinct docs even if they collide on one
+    // source → kept — the distinct-doc floor the oracle must replay).
+    "q142_boilerplate_lines" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            lit("\nvisit our website today\ncopyright acme corp\nunique line "),
+            col("doc_id"),
+            when(col("doc_id") % 97 === 0, lit("\nrare pair line"))
+              .otherwise(lit(""))).as("text"))
+      graft.api.Curation.removeBoilerplateLines(corpus, minDocs = 4,
+          groupCol = "source")
+        .select(col("doc_id"), col("n_kept_lines"),
+          (size(split(col("text"), "\n")).cast("long") - col("n_kept_lines"))
+            .as("n_removed_lines"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher REPETITION battery (the second half of the published
     // rule set — q120 carries the non-repetition half): repeated
     // lines, repeated paragraphs, and one dominant word 2-gram, each
@@ -2557,6 +2580,44 @@ object Pipeline {
         |)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q142 replays the boilerplate cut: same line split + trim key,
+    // distinct-doc counts per (source, key), >= 4 removed, survivors
+    // re-joined in position order for the md5.
+    "q142_boilerplate_lines" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'visit our website today' || chr(10) ||
+        |    'copyright acme corp' || chr(10) || 'unique line ' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'rare pair line'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 200
+        |), l AS (
+        |  SELECT doc_id, source,
+        |    unnest([{'pos': i, 'line': ln[i]} FOR i IN range(1, len(ln) + 1)],
+        |      recursive := true)
+        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ln FROM corpus)
+        |), k AS (
+        |  SELECT doc_id, source, pos, line, trim(line) AS key FROM l
+        |), b AS (
+        |  SELECT source, key FROM k WHERE key <> ''
+        |  GROUP BY source, key HAVING count(DISTINCT doc_id) >= 4
+        |), kept AS (
+        |  SELECT k.doc_id, k.pos, k.line
+        |  FROM k LEFT JOIN b ON k.source = b.source AND k.key = b.key
+        |  WHERE b.key IS NULL
+        |), r AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(string_split(c.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed_lines,
+        |  md5(coalesce(r.clean_text, '')) AS clean_md5
+        |FROM corpus c LEFT JOIN r ON c.doc_id = r.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // q141 replays the repetition battery: same line/paragraph split
     // + trim + drop-empties, duplicate = occurrences after the first

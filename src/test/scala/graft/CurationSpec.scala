@@ -92,4 +92,33 @@ class CurationSpec extends AnyFunSuite {
     // broken markup stays lenient: unclosed tag eats to its >
     assert(strip("pre <b unclosed post") == "pre <b unclosed post")
   }
+
+  test("removeBoilerplateLines: distinct-doc floor, group scoping, order kept") {
+    val docs = Seq(
+      (1L, "a.com", "one body\nfooter line\n\nmore one"),
+      (2L, "a.com", "two body\nfooter line"),
+      (3L, "a.com", "three body\nfooter line"),
+      // repeats ITS OWN line 4x — must not self-promote to boilerplate
+      (4L, "a.com", "self\nself\nself\nself"),
+      // same footer text, different group: under b.com's floor -> kept
+      (5L, "b.com", "five body\nfooter line"),
+      // entirely boilerplate once the footer goes -> empty clean_text
+      (6L, "a.com", "footer line")).toDF("id", "site", "body")
+    val out = graft.api.Curation
+      .removeBoilerplateLines(docs, minDocs = 3, idCol = "id",
+        textCol = "body", groupCol = "site")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+
+    assert(out(1L).getAs[String]("clean_text") == "one body\n\nmore one",
+      "footer removed, blank structural line preserved, order kept")
+    assert(out(2L).getAs[String]("clean_text") == "two body")
+    assert(out(4L).getAs[String]("clean_text") == "self\nself\nself\nself",
+      "distinct-doc counting: one doc repeating a line cannot promote it")
+    assert(out(5L).getAs[String]("clean_text") == "five body\nfooter line",
+      "boilerplate is group-scoped")
+    assert(out(6L).getAs[String]("clean_text") == "")
+    assert(out(6L).getAs[Long]("n_kept_lines") == 0L)
+    intercept[IllegalArgumentException](
+      graft.api.Curation.removeBoilerplateLines(docs, minDocs = 1))
+  }
 }
