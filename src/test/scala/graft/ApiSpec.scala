@@ -1504,6 +1504,28 @@ class ApiSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSet ==
       normBatch.select("doc_id", "norm_text").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet)
+
+    // URL features and HTML strip are narrow stateless projections —
+    // same per-micro-batch parity as the ops above
+    def withUrl(df: org.apache.spark.sql.DataFrame) =
+      graft.api.Curation.withUrlFeatures(
+        df.withColumn("url", concat(lit("HTTP://WWW."), col("source"),
+          lit("-Site.COM:80/p/"), col("doc_id"), lit("?utm_x=1&id="), col("doc_id"))))
+    val urlStream = graft.streaming.EventStreams.runToMemory(
+      spark, withUrl(stream()), "api_url_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(urlStream.select("doc_id", "url_norm", "domain").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      withUrl(docs).select("doc_id", "url_norm", "domain").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+
+    val htmlStream = graft.streaming.EventStreams.runToMemory(
+      spark, graft.api.Curation.withHtmlStripped(stream()), "api_html_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(htmlStream.select("doc_id", "clean_text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      graft.api.Curation.withHtmlStripped(docs).select("doc_id", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
   test("quality classifier: deterministic refit, separation, probability range") {

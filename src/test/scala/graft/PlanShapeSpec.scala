@@ -282,4 +282,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "no window rides a single-partition exchange")
     assert(!qe.analyzed.toString.contains("ResolvedHint"))
   }
+
+  test("q139 per-domain cap: keyed window, codegen on, no single partition") {
+    val qe = SparkEntry.queries("q139_domain_cap")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("hashpartitioning(domain"),
+      "the cap window shuffles on the domain key only")
+    assert(!p.contains("SinglePartition"),
+      "no stage funnels the corpus through one partition")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "URL canonicalization is built-in expressions, no UDF")
+    // the staged-temp-column design exists to keep whole-stage codegen
+    // compiling (the fused Column form blew janino's 64 KB limit) —
+    // execute so AQE finalizes and the codegen wrappers are visible
+    qe.toRdd.count()
+    assert(qe.executedPlan.toString.contains("*("),
+      "codegen stage markers must be present in the final adaptive plan")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q142 boilerplate cut: keyed counts + anti join, unhinted, no product") {
+    val qe = SparkEntry.queries("q142_boilerplate_lines")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the chrome table joins back on (group, line) — never a product")
+    assert(p.contains("LeftAnti"), "survivors exit via an anti join")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "a mega-domain's chrome table outgrows a driver hint — stay unhinted")
+    assert(!p.contains("ScalaUDF"))
+  }
 }
