@@ -370,6 +370,55 @@ object TextAnalysis {
       .drop("__lines", "__paras")
   }
 
+  /** WITHIN-document duplicate n-gram coverage — the remaining Gopher
+    * repetition rule ([[repetitionFlags]] carries the line/paragraph/
+    * top-2-gram rules): the fraction of a document's tokens lying
+    * inside some token n-gram that occurs ≥ 2 times in the SAME
+    * document. Looping generations and copy-paste spam repeat longer
+    * spans than a single dominant 2-gram; the paper's threshold for
+    * 5-grams is 15%. Counted in TOKENS (not the paper's chars) — a
+    * documented deviation that keeps the metric integer-exact; the
+    * flag compares 20·covered ≤ 3·n_tokens.
+    *
+    * Coverage is a true interval union, not a per-gram sum: marked
+    * gram starts sort per document and each contributes
+    * min(n, gap-to-previous) — overlapping repeats never double-count.
+    * Shape: grams travel as 8-byte hashes; the occurrence count is a
+    * (doc, gram)-keyed window, the merge a doc-keyed window over ONLY
+    * the marked starts; metrics join back on the id. Nothing
+    * corpus-wide, nothing driver-side. */
+  def dupNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = filter(wsTokens(lower(col(textCol))), t => t =!= "")
+    val base = docs.select(col(idCol).as("__id"), toks.as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+    val grams = base.select(col("__id"),
+      posexplode(when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("__pos", "__g")))
+    val marked = grams
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy(col("__id"), col("__g"))))
+      .filter(col("__c") >= 2)
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val covered = marked
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__contrib",
+        when(col("__prev").isNull, lit(n))
+          .otherwise(least(lit(n), col("__pos") - col("__prev"))))
+      .groupBy("__id")
+      .agg(sum(col("__contrib")).cast("long").as("covered_tokens"))
+    val metrics = base.select(col("__id"), col("n_tokens"))
+      .join(covered, Seq("__id"), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumnRenamed("__id", "__mid")
+    docs.join(metrics, col(idCol) === col("__mid"), "left").drop("__mid")
+      .withColumn("ok_dup_ngrams",
+        lit(20) * col("covered_tokens") <= lit(3) * col("n_tokens"))
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions, with
     * the keep decision a pure function of the KEY (md5 prefix compared
     * against a per-stratum hex threshold) — reproducible across

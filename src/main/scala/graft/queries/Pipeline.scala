@@ -1305,6 +1305,26 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Within-doc duplicate 5-gram coverage (the last Gopher repetition
+    // rule): a doc repeating a 5-token phrase (10/12 tokens covered, an
+    // OVERLAPPING merge — starts 0 and 6 contribute 5 each, never 10+5),
+    // an 8-token single-word loop (fully covered via chained 1-gaps),
+    // an all-unique doc (0 covered), and the corpus. Token-exact,
+    // integer thresholds; the oracle replays count + interval merge.
+    "q143_dup_ngram_coverage" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (3000L, "alpha beta gamma delta epsilon filler alpha beta gamma delta epsilon end"),
+        (3001L, "word one two three four five six seven eight nine ten"),
+        (3002L, "loop loop loop loop loop loop loop loop")).toDF("doc_id", "text")
+      graft.api.TextAnalysis.dupNgramCoverage(base.union(planted), n = 5)
+        .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+          col("ok_dup_ngrams"))
+        .orderBy("doc_id")
+    }),
+
     // Group-scoped boilerplate line removal (CCNet/RefinedWeb): every
     // doc of a source carries the same 2-line footer (appears in ~12
     // docs per source — over the minDocs=4 bar → removed everywhere),
@@ -2580,6 +2600,49 @@ object Pipeline {
         |)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q143 replays the coverage: same tokenizer, 5-grams with start
+    // positions, within-doc occurrence count >= 2 marks starts, and
+    // the interval union via lag — first start contributes 5, each
+    // later one min(5, gap).
+    "q143_dup_ngram_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (3000, 'alpha beta gamma delta epsilon filler alpha beta gamma delta epsilon end'),
+        |    (3001, 'word one two three four five six seven eight nine ten'),
+        |    (3002, 'loop loop loop loop loop loop loop loop')) t(doc_id, text)
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') t
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |      'gram': array_to_string(t[i:i+4], ' ')}
+        |    FOR i IN range(1, greatest(len(t) - 4, 0) + 1)], recursive := true)
+        |  FROM toks
+        |), mk AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY doc_id, gram) AS c FROM g)
+        |  WHERE c >= 2
+        |), cov AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN prev IS NULL THEN 5
+        |             ELSE least(5, pos - prev) END) AS covered
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM mk)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  (20 * coalesce(cov.covered, 0) <= 3 * len(toks.t)) AS ok_dup_ngrams
+        |FROM base b
+        |JOIN toks ON b.doc_id = toks.doc_id
+        |LEFT JOIN cov ON b.doc_id = cov.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // q142 replays the boilerplate cut: same line split + trim key,
     // distinct-doc counts per (source, key), >= 4 removed, survivors

@@ -1625,4 +1625,24 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L).getAs[Boolean]("keep"), "empty doc: all zero metrics pass")
     assert(out(5L).getAs[Long]("top2_chars") == 0L)
   }
+
+  test("TextAnalysis.dupNgramCoverage: interval union, overlap never double-counts") {
+    import spark.implicits._
+    val docs = Seq(
+      // phrase at starts 0 and 6: union = [0,5) u [6,11) = 10 of 12
+      (1L, "alpha beta gamma delta epsilon filler alpha beta gamma delta epsilon end"),
+      // all 8 tokens identical: starts 0..3 chain with gap 1 -> 5+1+1+1 = 8
+      (2L, "loop loop loop loop loop loop loop loop"),
+      (3L, "all tokens here are fully distinct words"),
+      (4L, "short doc")).toDF("k", "body")
+    val out = TextAnalysis.dupNgramCoverage(docs, idCol = "k", textCol = "body", n = 5)
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(1L).getAs[Long]("covered_tokens") == 10L)
+    assert(!out(1L).getAs[Boolean]("ok_dup_ngrams"), "10/12 is over 15%")
+    assert(out(2L).getAs[Long]("covered_tokens") == 8L, "full coverage via chained overlaps")
+    assert(out(3L).getAs[Long]("covered_tokens") == 0L)
+    assert(out(3L).getAs[Boolean]("ok_dup_ngrams"))
+    assert(out(4L).getAs[Long]("covered_tokens") == 0L, "docs shorter than n carry no grams")
+    assert(out(4L).getAs[Boolean]("ok_dup_ngrams"))
+  }
 }
