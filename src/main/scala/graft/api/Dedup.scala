@@ -739,6 +739,60 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** FRACTIONAL contamination profile — the PaLM-style complement to
+    * [[contaminationProfile]]'s absolute count: for EVERY corpus
+    * document (zero rows included), its distinct-shingle count and how
+    * many of those shingles occur in the benchmark. An absolute floor
+    * treats a 50-word quiz question and a 5000-word article the same;
+    * the fraction is what "substantially contained in the eval set"
+    * actually means. Output: (doc_id, n_shingles, overlap) — callers
+    * compare by integer cross-multiplication, never a float ratio.
+    *
+    * Shape: identical to the absolute profile (benchmark collapses to
+    * a distinct hash set, corpus side is explode + keyed join + keyed
+    * count) plus one more keyed count for the per-doc denominator —
+    * still only 8-byte hashes shuffling. */
+  def contaminationFractionProfile(corpus: DataFrame, benchmark: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text",
+                                   shingle: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
+      .distinct()
+    val docSh = corpus.select(col(idCol).as("doc_id"),
+      explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
+    val nSh = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val ov = docSh.join(benchShingles, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(nSh, Seq("doc_id"), "left")
+      .join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+  }
+
+  /** Drop every document whose benchmark-shingle overlap exceeds
+    * `maxOverlapPct` percent of its own distinct shingles
+    * (100·overlap > pct·n_shingles — integer-exact, no float ratio).
+    * A document shorter than the shingle width hashes as ONE
+    * whole-text shingle (the native expression's contract), so a
+    * short doc fully contained in the benchmark still drops. One
+    * anti-join on the id, corpus never re-encoded. */
+  def decontaminateByFraction(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              shingle: Int = 3,
+                              maxOverlapPct: Int = 50): DataFrame = {
+    require(maxOverlapPct >= 0 && maxOverlapPct <= 100,
+      s"maxOverlapPct must be in [0, 100], got $maxOverlapPct")
+    val dropped =
+      contaminationFractionProfile(corpus, benchmark, idCol, textCol, shingle)
+        .filter(lit(100) * col("overlap") > lit(maxOverlapPct) * col("n_shingles"))
+        .select(col("doc_id").as(idCol))
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-level exact dedup — the CCNet line-dedup stage: split
     * every document on `sep`, keep only the globally FIRST occurrence
     * of each distinct non-empty paragraph (first = smallest

@@ -1305,6 +1305,31 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // FRACTIONAL decontamination (PaLM-style): benchmark = two corpus
+    // docs verbatim (overlap = 100% of their shingles → dropped at the
+    // 50% bar), the first 12 tokens of a third (a partial leak whose
+    // fraction the oracle replays exactly), and an unrelated prompt.
+    // Profile covers EVERY doc (0-overlap rows included); the drop
+    // decision is integer cross-multiplied, and the surviving-set
+    // anti-join is cross-checked by the dropped flag.
+    "q144_fractional_decontaminate" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val bench = corpus.filter(col("doc_id").isin(7, 13)).select(col("text"))
+        .union(corpus.filter(col("doc_id") === 21)
+          .select(concat_ws(" ", slice(wsTokens(col("text")), 1, 12)).as("text")))
+        .union(s.createDataFrame(Seq(Tuple1("totally unrelated benchmark prompt text")))
+          .toDF("text"))
+      val profile = graft.api.Dedup.contaminationFractionProfile(corpus, bench)
+      val survivors = graft.api.Dedup
+        .decontaminateByFraction(corpus, bench, maxOverlapPct = 50)
+        .select(col("doc_id"), lit(true).as("__kept"))
+      profile.join(survivors, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("overlap"),
+          coalesce(col("__kept"), lit(false)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Within-doc duplicate 5-gram coverage (the last Gopher repetition
     // rule): a doc repeating a 5-token phrase (10/12 tokens covered, an
     // OVERLAPPING merge — starts 0 and 6 contribute 5 each, never 10+5),
@@ -2600,6 +2625,49 @@ object Pipeline {
         |)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q144 replays the fractional gate: same 3-token shingles over the
+    // q87 tokenizer (no empty-filter — matching distinctShingleHashes),
+    // distinct per doc, benchmark collapsed to one distinct set,
+    // kept = NOT (100*overlap > 50*n_shingles).
+    "q144_fractional_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |), bench AS (
+        |  SELECT text FROM corpus WHERE doc_id IN (7, 13)
+        |  UNION ALL
+        |  SELECT array_to_string(string_split_regex(text, '\s+')[1:12], ' ')
+        |  FROM corpus WHERE doc_id = 21
+        |  UNION ALL
+        |  SELECT 'totally unrelated benchmark prompt text'
+        |), bt AS (
+        |  SELECT string_split_regex(lower(text), '\s+') t FROM bench
+        |), bsh AS (
+        |  SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) s FROM bt
+        |), ct AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM corpus
+        |), csh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)])) s,
+        |    len(list_distinct([array_to_string(t[i:i+2], ' ')
+        |      FOR i IN range(1, greatest(len(t)-2,0)+1)])) n
+        |  FROM ct
+        |), nsh AS (
+        |  SELECT doc_id, max(n) AS n_shingles FROM csh GROUP BY doc_id
+        |), ov AS (
+        |  SELECT doc_id, count(*) AS overlap FROM csh JOIN bsh USING (s)
+        |  GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(nsh.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+        |  NOT (100 * coalesce(ov.overlap, 0) > 50 * coalesce(nsh.n_shingles, 0))
+        |    AS kept
+        |FROM corpus c
+        |LEFT JOIN nsh ON c.doc_id = nsh.doc_id
+        |LEFT JOIN ov ON c.doc_id = ov.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // q143 replays the coverage: same tokenizer, 5-grams with start
     // positions, within-doc occurrence count >= 2 marks starts, and

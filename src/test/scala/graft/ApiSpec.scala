@@ -1626,6 +1626,37 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L).getAs[Long]("top2_chars") == 0L)
   }
 
+  test("Dedup.decontaminateByFraction: strict bar, exact-50% survives, 0/0 survives") {
+    import spark.implicits._
+    // shingle=2 word bigrams: doc 1 has 4 distinct, exactly 2 in bench
+    // (50% — NOT over the bar); doc 2 fully leaked; doc 3 is shorter
+    // than the shingle width (hashes as ONE whole-text shingle, not in
+    // bench); doc 4 untouched
+    val corpus = Seq(
+      (1L, "aa bb cc dd zz"),   // shingles: aa bb, bb cc, cc dd, dd zz
+      (2L, "qq rr ss"),
+      (3L, "single"),
+      (4L, "xx yy ww vv")).toDF("id", "body")
+    val bench = Seq(
+      Tuple1("aa bb cc"),        // covers 'aa bb' and 'bb cc'
+      Tuple1("qq rr ss extra")).toDF("body")
+    val prof = Dedup.contaminationFractionProfile(corpus, bench,
+        idCol = "id", textCol = "body", shingle = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(prof(1L) == ((4L, 2L)))
+    assert(prof(2L) == ((2L, 2L)))
+    assert(prof(3L) == ((1L, 0L)),
+      "a sub-width doc hashes as one whole-text shingle")
+    assert(prof(4L) == ((3L, 0L)))
+
+    val kept = Dedup.decontaminateByFraction(corpus, bench, idCol = "id",
+        textCol = "body", shingle = 2, maxOverlapPct = 50)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L),
+      "exactly-50% survives the STRICT bar; full leak drops")
+  }
+
   test("TextAnalysis.dupNgramCoverage: interval union, overlap never double-counts") {
     import spark.implicits._
     val docs = Seq(
