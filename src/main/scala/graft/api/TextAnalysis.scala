@@ -419,6 +419,51 @@ object TextAnalysis {
         lit(20) * col("covered_tokens") <= lit(3) * col("n_tokens"))
   }
 
+  /** Temperature-scaled mixture fractions (the mT5/XLM-R multilingual
+    * sampling rule): a stratum's target share is n^alpha renormalized
+    * — alpha = 1 keeps the natural mix, alpha → 0 approaches uniform,
+    * 0.5 is the field's usual compromise that upweights small strata
+    * without letting a mega-stratum starve them. Output per stratum:
+    * `n_docs`, `temp_share`, and the `keep_fraction` that realizes the
+    * share against `targetDocs` (capped at 1 — an upweight beyond a
+    * stratum's size is upsampling, a different op: [[upsampleByStratum]]).
+    *
+    * Bit-portability: n^alpha rounds to 6 dp and sums as
+    * DECIMAL(18,6) — the one cross-stratum reduction is exact and
+    * order-independent; shares divide in double afterwards, so every
+    * engine computing the same recipe gets the same bits. */
+  def temperatureFractions(df: DataFrame, strataCol: String,
+                           alpha: Double, targetDocs: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val powed = counts.withColumn("__w6",
+      round(pow(col("n_docs").cast("double"), lit(alpha)), 6)
+        .cast("decimal(18,6)"))
+    val tot = powed.agg(sum(col("__w6")).as("__tw"))
+    powed.crossJoin(tot)
+      .withColumn("temp_share",
+        col("__w6").cast("double") / col("__tw").cast("double"))
+      .withColumn("keep_fraction",
+        least(lit(1.0),
+          col("temp_share") * lit(targetDocs.toDouble) / col("n_docs")))
+      .drop("__w6", "__tw")
+  }
+
+  /** Apply [[temperatureFractions]] as a deterministic hash sample:
+    * the per-stratum keep fractions come back to the driver (one row
+    * per stratum — language/source mixes are dozens of rows, never
+    * data-sized) and drive [[stratifiedSample]]'s md5-threshold keep
+    * rule, so the sample is a pure function of (corpus, strata,
+    * alpha, target) — reproducible across runs and engines. */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        alpha: Double, targetDocs: Long): DataFrame = {
+    val fractions = temperatureFractions(df, strataCol, alpha, targetDocs)
+      .select(col(strataCol).cast("string"), col("keep_fraction"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    stratifiedSample(df, strataCol, keyCol, fractions, defaultFraction = 0.0)
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions, with
     * the keep decision a pure function of the KEY (md5 prefix compared
     * against a per-stratum hex threshold) — reproducible across

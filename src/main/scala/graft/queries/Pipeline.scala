@@ -1305,6 +1305,31 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled mixture sampling (mT5-style alpha = 0.5):
+    // three skewed strata (220/80/100 docs) → n^0.5 shares upweight
+    // the small strata; keep fractions realize a 150-doc target via
+    // the deterministic md5-threshold rule. The oracle replays the
+    // whole recipe — 6dp-rounded weights through an exact DECIMAL
+    // sum, double shares, the hex threshold, and the per-doc md5
+    // keep decision — so n_kept matches to the document.
+    "q145_temperature_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .withColumn("bucket",
+          when(col("doc_id") < 220, lit("big"))
+            .when(col("doc_id") < 300, lit("mid"))
+            .otherwise(lit("small")))
+      val fr = graft.api.TextAnalysis.temperatureFractions(docs, "bucket", 0.5, 150L)
+      val kept = graft.api.TextAnalysis
+        .temperatureSample(docs, "bucket", "doc_id", 0.5, 150L)
+        .groupBy("bucket").agg(count(lit(1)).as("n_kept"))
+      fr.join(kept, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"),
+          round(col("temp_share"), 6).as("temp_share"),
+          round(col("keep_fraction"), 6).as("keep_fraction"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("bucket")
+    }),
+
     // FRACTIONAL decontamination (PaLM-style): benchmark = two corpus
     // docs verbatim (overlap = 100% of their shingles → dropped at the
     // 50% bar), the first 12 tokens of a third (a partial leak whose
@@ -2625,6 +2650,46 @@ object Pipeline {
         |)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q145 replays the temperature recipe end-to-end: w = round(n^0.5,
+    // 6) as DECIMAL(18,6), exact sum, double shares, kf = min(1,
+    // share*150/n), threshold = %06x of trunc(kf*2^24) clamped, keep =
+    // md5(id) 6-hex prefix < threshold — the stratifiedSample contract.
+    "q145_temperature_mixture" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 220 THEN 'big'
+        |         WHEN doc_id < 300 THEN 'mid'
+        |         ELSE 'small' END AS bucket
+        |  FROM documents WHERE doc_id < 400
+        |), c AS (
+        |  SELECT bucket, count(*) AS n_docs FROM docs GROUP BY bucket
+        |), w AS (
+        |  SELECT bucket, n_docs,
+        |    CAST(round(pow(CAST(n_docs AS DOUBLE), 0.5), 6) AS DECIMAL(18,6)) AS w6
+        |  FROM c
+        |), t AS (
+        |  SELECT sum(w6) AS tw FROM w
+        |), f AS (
+        |  SELECT bucket, n_docs,
+        |    CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+        |    least(1.0,
+        |      (CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE)) * 150.0 / n_docs) AS kf
+        |  FROM w CROSS JOIN t
+        |), k AS (
+        |  SELECT d.bucket, count(*) AS n_kept
+        |  FROM docs d JOIN f ON d.bucket = f.bucket
+        |  WHERE f.kf >= 1.0
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <
+        |        printf('%06x', least(greatest(CAST(trunc(f.kf * 16777216) AS BIGINT), 0), 16777215))
+        |  GROUP BY d.bucket
+        |)
+        |SELECT f.bucket, CAST(f.n_docs AS BIGINT) AS n_docs,
+        |  round(f.share, 6) AS temp_share,
+        |  round(f.kf, 6) AS keep_fraction,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM f LEFT JOIN k ON f.bucket = k.bucket
+        |ORDER BY f.bucket""".stripMargin,
 
     // q144 replays the fractional gate: same 3-token shingles over the
     // q87 tokenizer (no empty-filter — matching distinctShingleHashes),

@@ -1626,6 +1626,38 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L).getAs[Long]("top2_chars") == 0L)
   }
 
+  test("TextAnalysis.temperatureFractions: alpha=1 natural, alpha<1 upweights small, cap at 1") {
+    import spark.implicits._
+    val df = ((1L to 90L).map(i => (i, "big")) ++ (91L to 100L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    def shares(alpha: Double) = TextAnalysis
+      .temperatureFractions(df, "grp", alpha, targetDocs = 50L)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("temp_share"), r.getAs[Double]("keep_fraction"))).toMap
+
+    val natural = shares(1.0)
+    assert(math.abs(natural("big")._1 - 0.9) < 1e-9)
+    assert(math.abs(natural("small")._1 - 0.1) < 1e-9)
+
+    val tempered = shares(0.5)
+    assert(tempered("small")._1 > 0.1 && tempered("big")._1 < 0.9,
+      "alpha < 1 shifts share from the large stratum to the small one")
+    // upweighting a 10-doc stratum toward a 50-doc target caps at 1
+    val aggressive = TextAnalysis
+      .temperatureFractions(df, "grp", 0.1, targetDocs = 90L)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("keep_fraction")).toMap
+    assert(aggressive("small") == 1.0, "keep_fraction never exceeds 1")
+
+    // the sample is a pure function of its inputs: same call, same docs
+    val k1 = TextAnalysis.temperatureSample(df, "grp", "id", 0.5, 50L)
+      .select("id").as[Long].collect().toSet
+    val k2 = TextAnalysis.temperatureSample(df, "grp", "id", 0.5, 50L)
+      .select("id").as[Long].collect().toSet
+    assert(k1 == k2 && k1.nonEmpty)
+    intercept[IllegalArgumentException](
+      TextAnalysis.temperatureFractions(df, "grp", 0.0, 50L))
+  }
+
   test("Dedup.decontaminateByFraction: strict bar, exact-50% survives, 0/0 survives") {
     import spark.implicits._
     // shingle=2 word bigrams: doc 1 has 4 distinct, exactly 2 in bench
