@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,4 +208,45 @@ object Joins {
                   loCol: String = "lo", hiCol: String = "hi"): DataFrame =
     facts.join(broadcast(bands),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+
+  /** Interval-OVERLAP join of two LARGE interval sets — the case
+    * [[bandedRange]]'s broadcast shape cannot take (sessions ×
+    * campaign windows, genomic ranges, validity periods): closed
+    * intervals [lStart, lEnd] and [rStart, rEnd] pair when
+    * lStart ≤ rEnd AND rStart ≤ lEnd. A naive inequality join is a
+    * product; here both sides explode to fixed-width bucket ids
+    * covering their interval and pair on a bucket EQUI-join, so cost
+    * is ∝ true overlap density, and both sides shuffle ONLY on the
+    * bucket key — the two-big-sides range pattern.
+    *
+    * Duplicate-free by construction, not by distinct: a pair whose
+    * intervals share several buckets is emitted only in the bucket
+    * containing max(lStart, rStart) — the overlap's first bucket — so
+    * no corpus-sized dedup pass exists. Malformed rows (end < start)
+    * are dropped before bucketing (a hostile end would otherwise
+    * explode a descending bucket sequence). `bucketWidth` trades
+    * explode factor (long intervals ÷ width) against join selectivity
+    * (collisions per bucket); set it near the typical interval
+    * length. Column names must be disjoint across the two frames —
+    * both sides' columns survive into the output. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val collide = left.columns.toSet.intersect(right.columns.toSet)
+    require(collide.isEmpty,
+      s"left/right column names must be disjoint, both collide on: $collide")
+    def bucketOf(c: Column): Column =
+      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    val lb = left.filter(col(lEnd) >= col(lStart))
+      .withColumn("__lb", explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right.filter(col(rEnd) >= col(rStart))
+      .withColumn("__rb", explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    lb.join(rb,
+        col("__lb") === col("__rb") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          col("__lb") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__lb", "__rb")
+  }
 }

@@ -285,6 +285,32 @@ object Relational {
         .orderBy(col("band"))
     }),
 
+    // Interval-OVERLAP join of two LARGE interval sets — the two-big-
+    // sides range pattern q56's broadcast shape cannot take: activity
+    // minutes vs campaign windows derived from the event stream, both
+    // sides bucketed to 128 s and paired on a bucket EQUI-join with
+    // the duplicate-free first-overlap-bucket rule. The oracle runs
+    // the same pairing as a plain inequality join — a shape DuckDB
+    // can afford at sf0.01 and the engine must NOT use at scale — so
+    // equality proves the bucketed plan loses and invents nothing.
+    "q146_interval_join" -> ((s, d) => {
+      val base = events(s, d)
+        .select(col("event_id"), floor(col("ts").cast("double")).cast("long").as("t"))
+      val acts = base.filter(col("event_id") % 11 === 0)
+        .select(col("event_id").as("act_id"), col("t").as("act_start"),
+          (col("t") + 60).as("act_end"))
+      val camps = base.filter(col("event_id") % 13 === 1)
+        .select(col("event_id").as("camp_id"), (col("t") - 120).as("camp_start"),
+          (col("t") + 300).as("camp_end"))
+      graft.api.Joins.intervalOverlapJoin(acts, camps,
+          "act_start", "act_end", "camp_start", "camp_end", bucketWidth = 128)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("act_id")).as("n_acts"),
+          countDistinct(col("camp_id")).as("n_camps"),
+          sum(col("act_id")).as("sum_act"),
+          sum(col("camp_id")).as("sum_camp"))
+    }),
+
     // --- file formats beyond parquet/ORC -----------------------------
     // Round-trips pin the source/sink pair end to end: writer quoting/
     // serialization, reader schema application, and type fidelity
@@ -462,6 +488,28 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS k FROM orders
         |ORDER BY k""".stripMargin,
+
+    // q146: DuckDB affords the plain inequality join at sf0.01; the
+    // engine's bucketed equi-join must produce the identical pair set
+    "q146_interval_join" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+        |  FROM events
+        |), acts AS (
+        |  SELECT event_id AS act_id, t AS act_start, t + 60 AS act_end
+        |  FROM base WHERE event_id % 11 = 0
+        |), camps AS (
+        |  SELECT event_id AS camp_id, t - 120 AS camp_start, t + 300 AS camp_end
+        |  FROM base WHERE event_id % 13 = 1
+        |)
+        |SELECT count(*) AS n_pairs,
+        |  count(DISTINCT act_id) AS n_acts,
+        |  count(DISTINCT camp_id) AS n_camps,
+        |  CAST(sum(act_id) AS BIGINT) AS sum_act,
+        |  CAST(sum(camp_id) AS BIGINT) AS sum_camp
+        |FROM acts JOIN camps
+        |  ON act_start <= camp_end AND camp_start <= act_end""".stripMargin,
 
     "q56_banded_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES

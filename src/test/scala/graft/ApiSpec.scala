@@ -1626,6 +1626,34 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L).getAs[Long]("top2_chars") == 0L)
   }
 
+  test("Joins.intervalOverlapJoin: exact pairs, multi-bucket dedupe, malformed dropped") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0L, 1000L),     // spans many buckets (width 10)
+      (2L, 95L, 105L),     // crosses one bucket boundary
+      (3L, 5000L, 5001L),  // far away — no partner
+      (4L, 50L, 40L)       // malformed: end < start — dropped
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 500L, 600L),   // overlaps interval 1 across 11 shared buckets
+      (11L, 100L, 100L),   // point-touches 2 (and sits inside 1)
+      (12L, 1000L, 1100L), // closed-interval boundary touch with 1
+      (13L, 2000L, 2100L)  // no partner
+    ).toDF("rid", "rs", "re")
+    val pairs = graft.api.Joins
+      .intervalOverlapJoin(left, right, "ls", "le", "rs", "re", bucketWidth = 10)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    // exact pair MULTISET: a multi-bucket overlap must appear exactly once
+    assert(pairs.length == pairs.toSet.size, "no duplicate pairs from shared buckets")
+    assert(pairs.toSet == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L)),
+      s"got ${pairs.toSet}")
+    intercept[IllegalArgumentException](
+      graft.api.Joins.intervalOverlapJoin(left, right, "ls", "le", "rs", "re", 0))
+    intercept[IllegalArgumentException](
+      graft.api.Joins.intervalOverlapJoin(left, left.toDF("lid", "ls", "le"),
+        "ls", "le", "ls", "le", 10))
+  }
+
   test("TextAnalysis.temperatureFractions: alpha=1 natural, alpha<1 upweights small, cap at 1") {
     import spark.implicits._
     val df = ((1L to 90L).map(i => (i, "big")) ++ (91L to 100L).map(i => (i, "small")))
