@@ -110,6 +110,21 @@ object Events {
         .agg(count(lit(1)).as("n_views"), max(col("view_id")).as("last_view_id"))
         .orderBy(col("user_id"), col("purchase_id"))
         .limit(10000) // bounded output — one row per attributed purchase
+    }),
+
+    // Event-rate anomaly flags with an INTEGER-exact z-test (no float
+    // mean/variance ever exists — the 2σ comparison cross-multiplies
+    // to pure int64 arithmetic, immune to partial-agg order): every
+    // 37th event's timestamp collapses onto one instant, planting a
+    // burst that window must flag while the uniform background stays
+    // quiet. The oracle replays counts, moments, and the squared test.
+    "q148_rate_anomaly" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts2",
+        when(col("event_id") % 37 === 0,
+          lit("2024-01-05 03:00:00").cast("timestamp"))
+          .otherwise(col("ts")))
+      graft.api.Profiling.rateAnomalies(ev, tsCol = "ts2")
+        .orderBy("w_start")
     })
   )
 
@@ -177,6 +192,27 @@ object Events {
         |  MAX(v.view_id) AS last_view_id
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v.v_ts >= p.p_ts - INTERVAL '1 hour' AND v.v_ts <= p.p_ts
-        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10000""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10000""".stripMargin,
+
+    "q148_rate_anomaly" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 37 = 0
+        |    THEN TIMESTAMP '2024-01-05 03:00:00'
+        |    ELSE CAST(ts AS TIMESTAMP) END AS ts2
+        |  FROM events
+        |), w AS (
+        |  SELECT TIME_BUCKET(INTERVAL '6 hours', ts2) AS w_start,
+        |    count(*) AS n_events
+        |  FROM ev GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS nw, CAST(sum(n_events) AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS ss
+        |  FROM w
+        |)
+        |SELECT w.w_start, w.n_events,
+        |  (w.n_events * st.nw - st.s > 0 AND
+        |   (w.n_events * st.nw - st.s) * (w.n_events * st.nw - st.s) >
+        |     4 * (st.nw * st.ss - st.s * st.s)) AS anomaly
+        |FROM w CROSS JOIN st ORDER BY w.w_start""".stripMargin
   )
 }

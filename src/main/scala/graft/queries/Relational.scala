@@ -311,6 +311,22 @@ object Relational {
           sum(col("camp_id")).as("sum_camp"))
     }),
 
+    // Generic one-scan column profile (the first query against an
+    // unfamiliar table): nulls planted on every 7th custkey exercise
+    // the null counters; long and string columns stack through the
+    // string-rendered min/max. Exact distincts here so the oracle
+    // replays bit-for-bit; the API's approxDistinct flag is the
+    // corpus-scale path (HLL, q54-style contract).
+    "q147_column_profile" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      graft.api.Profiling.columnProfile(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")
+    }),
+
     // --- file formats beyond parquet/ORC -----------------------------
     // Round-trips pin the source/sink pair end to end: writer quoting/
     // serialization, reader schema application, and type fidelity
@@ -488,6 +504,33 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS k FROM orders
         |ORDER BY k""".stripMargin,
+
+    "q147_column_profile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders
+        |)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |    CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_value FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*), CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |    count(DISTINCT o_orderkey),
+        |    CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |) ORDER BY "column"""".stripMargin,
 
     // q146: DuckDB affords the plain inequality join at sf0.01; the
     // engine's bucketed equi-join must produce the identical pair set

@@ -1626,6 +1626,44 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L).getAs[Long]("top2_chars") == 0L)
   }
 
+  test("Profiling.columnProfile: nulls, distincts, string-rendered bounds, one scan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, None, 10), (3L, Some("c"), 30), (4L, Some("a"), 40)
+    ).toDF("id", "tag", "v")
+    val rows = graft.api.Profiling.columnProfile(df, Seq("tag", "v"))
+      .orderBy("column").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("tag", "v"))
+    val tag = rows(0); val v = rows(1)
+    assert(tag.getAs[Long]("n_rows") == 4L && tag.getAs[Long]("n_nulls") == 1L)
+    assert(tag.getAs[Long]("n_distinct") == 2L, "distinct ignores nulls")
+    assert(tag.getAs[String]("min_value") == "a" && tag.getAs[String]("max_value") == "c")
+    assert(v.getAs[Long]("n_nulls") == 0L && v.getAs[Long]("n_distinct") == 3L)
+    assert(v.getAs[String]("min_value") == "10" && v.getAs[String]("max_value") == "40")
+    // HLL path returns the same shape with approximate cardinalities
+    val approx = graft.api.Profiling.columnProfile(df, Seq("v"), approxDistinct = true)
+      .collect()(0)
+    assert(approx.getAs[Long]("n_distinct") >= 2L)
+    intercept[IllegalArgumentException](
+      graft.api.Profiling.columnProfile(df, Seq("nope")))
+  }
+
+  test("Profiling.rateAnomalies: integer z-test flags only the burst window") {
+    import spark.implicits._
+    // 10 windows of 10 events + one window of 100: mean ~18, the burst
+    // is far beyond 2 sigma, the uniform windows are within it
+    val ts = (0 until 10).flatMap(w => (0 until 10).map(i =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 ${w}%02d:00:${i}%02d"))) ++
+      (0 until 100).map(i => java.sql.Timestamp.valueOf("2024-01-01 15:30:00"))
+    val df = ts.toDF("ts")
+    val out = graft.api.Profiling.rateAnomalies(df, windowDur = "1 hour")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("w_start").toString ->
+        (r.getAs[Long]("n_events"), r.getAs[Boolean]("anomaly"))).toMap
+    assert(out("2024-01-01 15:00:00.0") == ((100L, true)), "burst flags")
+    assert(out.count(_._2._2) == 1, "only the burst flags")
+    assert(out("2024-01-01 03:00:00.0") == ((10L, false)))
+  }
+
   test("Joins.intervalOverlapJoin: exact pairs, multi-bucket dedupe, malformed dropped") {
     import spark.implicits._
     val left = Seq(
