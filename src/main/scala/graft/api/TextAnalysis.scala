@@ -829,6 +829,37 @@ object TextAnalysis {
               scoreCol: String = "lm_score"): DataFrame =
     docs.withColumn(scoreCol, charBigramScore(col(textCol), model))
 
+  /** CCNet-style perplexity buckets: score every document under the
+    * fitted char-bigram model and split the corpus into head / middle
+    * / tail thirds by score (head = most natural under the model —
+    * CCNet trains on Wikipedia and keeps the head for quality, mines
+    * the middle, drops the tail). Thresholds are EXACT tercile
+    * crossings over the score grid: sorted desc, t_head = the score
+    * where the cumulative count first reaches ⌈N/3⌉ (3·cum ≥ N in
+    * integers), ties share the better bucket — deterministic, no
+    * approximate percentile. The grid window is over the DISTINCT
+    * score table (the q130 bound — grid cardinality, never the
+    * corpus); thresholds cross back as a 1-row broadcast and the
+    * bucket label is a narrow projection. */
+  def perplexityBuckets(docs: DataFrame, model: Array[Double],
+                        textCol: String = "text"): DataFrame = {
+    val scored = lmScore(docs, model, textCol)
+    val grid = scored.groupBy(col("lm_score")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("lm_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = scored.agg(count(lit(1)).as("__n"))
+    val th = cum.crossJoin(tot).agg(
+      max(when(lit(3) * col("__cum") >= col("__n"), col("lm_score"))).as("__t_head"),
+      max(when(lit(3) * col("__cum") >= lit(2) * col("__n"), col("lm_score"))).as("__t_tail"))
+    scored.crossJoin(th)
+      .withColumn("ppl_bucket",
+        when(col("lm_score") >= col("__t_head"), lit("head"))
+          .when(col("lm_score") >= col("__t_tail"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t_head", "__t_tail")
+  }
+
   /** BM25 top-k document retrieval for a literal query string — the
     * classic probabilistic ranking (Robertson/Spärck Jones, the
     * Lucene-default scoring shape with the (k1+1) numerator):

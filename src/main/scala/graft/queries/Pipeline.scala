@@ -1305,6 +1305,52 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // CCNet perplexity buckets: head/middle/tail thirds under the
+    // corpus-fit char-bigram LM (exact tercile crossings over the
+    // score grid, ties to the better bucket). The fitted model cannot
+    // ride in static oracle SQL, so this is a constant-row CONTRACT
+    // (the q100/q54 pattern): exact partition, score-ordered buckets,
+    // integer tercile floors, and two planted probes — corpus-like
+    // text must land in the head, gibberish in the tail.
+    "q149_perplexity_buckets" -> ((s, d) => {
+      import s.implicits._
+      val corpus = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val model = graft.api.TextAnalysis.fitCharBigramLm(corpus)
+      // probe choice: repeating the corpus' most common character
+      // chain ("value") scores above EVERY corpus doc (-1.46 vs corpus
+      // max -1.58 at sf0.01) — no rare-word dilution — so head
+      // placement is robust, not threshold-marginal
+      val planted = Seq(
+        (900000L, "value value value value value value value value"),
+        (900001L, "zq xvq jzx qkv zzq xjq vqz kxq jqz vxk qzj xqv zqx"))
+        .toDF("doc_id", "text")
+      val b = graft.api.TextAnalysis.perplexityBuckets(corpus.union(planted), model)
+      val row = b.agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        count(when(col("ppl_bucket") === "head", 1)).as("n_head"),
+        count(when(col("ppl_bucket") === "middle", 1)).as("n_middle"),
+        count(when(col("ppl_bucket") === "tail", 1)).as("n_tail"),
+        min(when(col("ppl_bucket") === "head", col("lm_score"))).as("h_min"),
+        max(when(col("ppl_bucket") === "middle", col("lm_score"))).as("m_max"),
+        min(when(col("ppl_bucket") === "middle", col("lm_score"))).as("m_min"),
+        max(when(col("ppl_bucket") === "tail", col("lm_score"))).as("t_max"),
+        max(when(col("doc_id") === 900000L, col("ppl_bucket"))).as("nat_b"),
+        max(when(col("doc_id") === 900001L, col("ppl_bucket"))).as("gib_b"))
+      row.select(
+        (col("n_head") + col("n_middle") + col("n_tail") === col("n_total") &&
+          col("n_ids") === col("n_total")).as("partition_exact"),
+        (coalesce(col("h_min") >= col("m_max"), lit(true)) &&
+          coalesce(col("m_min") >= col("t_max"), lit(true)))
+          .as("buckets_ordered"),
+        (lit(3) * col("n_head") >= col("n_total") &&
+          lit(3) * (col("n_head") + col("n_middle")) >= lit(2) * col("n_total"))
+          .as("tercile_floors_met"),
+        (col("nat_b") === "head").as("natural_in_head"),
+        (col("gib_b") === "tail").as("gibberish_in_tail"))
+    }),
+
     // Temperature-scaled mixture sampling (mT5-style alpha = 0.5):
     // three skewed strata (220/80/100 docs) → n^0.5 shares upweight
     // the small strata; keep fractions realize a 150-doc target via
@@ -3405,6 +3451,10 @@ object Pipeline {
     "q100_lm_quality" ->
       ("SELECT TRUE AS natural_beats_gibberish, TRUE AS corpus_beats_gibberish, " +
         "TRUE AS scores_are_log_probs"),
+    "q149_perplexity_buckets" ->
+      ("SELECT TRUE AS partition_exact, TRUE AS buckets_ordered, " +
+        "TRUE AS tercile_floors_met, TRUE AS natural_in_head, " +
+        "TRUE AS gibberish_in_tail"),
     "q105_quality_classifier" ->
       "SELECT TRUE AS separates_heldout, TRUE AS proper_probabilities",
     "q107_semantic_dedup" ->

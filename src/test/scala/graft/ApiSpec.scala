@@ -1626,6 +1626,32 @@ class ApiSpec extends AnyFunSuite {
     assert(out(5L).getAs[Long]("top2_chars") == 0L)
   }
 
+  test("TextAnalysis.perplexityBuckets: exact terciles, ties share the better bucket") {
+    import spark.implicits._
+    val corpus = graft.core.Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val model = TextAnalysis.fitCharBigramLm(corpus)
+    val b = TextAnalysis.perplexityBuckets(corpus, model)
+      .select("doc_id", "lm_score", "ppl_bucket")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(b.length == 60 && b.map(_._1).distinct.length == 60,
+      "every doc lands in exactly one bucket")
+    val byBucket = b.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // ceil floors: head >= N/3, head+middle >= 2N/3
+    assert(3 * byBucket("head").size >= 60)
+    assert(3 * (byBucket("head").size + byBucket("middle").size) >= 120)
+
+    // all-tied scores collapse into one bucket — the head
+    val tied = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val tb = TextAnalysis.perplexityBuckets(tied, model)
+      .select("ppl_bucket").as[String].collect()
+    assert(tb.forall(_ == "head"), "equal scores share the better bucket")
+  }
+
   test("Profiling.columnProfile: nulls, distincts, string-rendered bounds, one scan") {
     import spark.implicits._
     val df = Seq(
