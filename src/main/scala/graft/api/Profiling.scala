@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Generic data-quality profiling — the first query anyone runs
@@ -74,5 +74,177 @@ object Profiling {
         diff > 0 && diff * diff >
           lit(z.toLong * z) * (col("__N") * col("__SS") - col("__S") * col("__S")))
       .drop("__N", "__S", "__SS")
+  }
+
+  /** Mergeable distinct-count sketch table: one Apache DataSketches
+    * HLL sketch (binary, ~KBs at lgK=12) per `partCols` group over
+    * `valueCol`. THE 100 TB distinct-counting pattern: build sketches
+    * once per ingest partition (day, source, ...), persist them as an
+    * ordinary parquet table, then answer "distinct users over ANY
+    * partition range" by unioning a metadata-sized sketch table —
+    * never rescanning the corpus. Union is associative and
+    * commutative, so sketches compose across days, backfills, and
+    * engines that share the DataSketches format. */
+  def cardinalitySketches(df: DataFrame, partCols: Seq[String],
+                          valueCol: String, lgK: Int = 12): DataFrame = {
+    require(partCols.nonEmpty, "cardinalitySketches needs partition columns")
+    df.groupBy(partCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Merge a sketch table down to `groupCols` (empty = one global row)
+    * and estimate the distinct count of the original value column over
+    * each merged group. Input is [[cardinalitySketches]] output — or
+    * that table read back from parquet: the sketch column is plain
+    * binary, so the merge never touches source data. */
+  def estimateDistinct(sketches: DataFrame, groupCols: Seq[String],
+                       sketchCol: String = "sketch"): DataFrame = {
+    val est = hll_sketch_estimate(hll_union_agg(col(sketchCol)))
+      .as("est_distinct")
+    if (groupCols.isEmpty) sketches.agg(est)
+    else sketches.groupBy(groupCols.map(col): _*).agg(est)
+  }
+
+  /** Sequential funnel over an event stream: for each prefix of
+    * `steps`, the users who performed those event types IN ORDER
+    * (each step strictly after the previous one — the first qualifying
+    * occurrence), with per-step reach counts, conversion from the
+    * previous step, and the exact summed time-to-convert.
+    *
+    * Shape: step 0 is one keyed min; each later step joins the
+    * surviving users back to that step's events (filter pushdown means
+    * each pass scans ONLY its own event type) and takes the min
+    * qualifying timestamp — k-1 co-keyed joins that reuse the same
+    * hash partitioning on the user key, never a cross-step shuffle of
+    * the full stream. Survivor sets shrink monotonically, so each join
+    * is smaller than the last. Gap accounting stays in integer
+    * microseconds (`sum_gap_micros`) — no float time arithmetic, so
+    * results are bit-portable; `conv_from_prev` is the one rounded
+    * convenience ratio. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    val u = col(userCol).as("__u")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("__t0"))
+    val perStep = scala.collection.mutable.Buffer(
+      reached.agg(lit(0).as("step"), lit(steps.head).as("event_type"),
+        count(lit(1)).as("users"), lit(0L).as("sum_gap_micros")))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = s"__t${i - 1}"
+      val cur = s"__t$i"
+      val stepEvents = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      // carried earlier-step times are constant per user — min picks
+      // that constant deterministically
+      val aggs = Seq(min(col("__ts")).as(cur)) ++
+        (0 until i).map(j => min(col(s"__t$j")).as(s"__t$j"))
+      reached = stepEvents.join(reached, "__u")
+        .filter(col("__ts") > col(prev))
+        .groupBy(col("__u"))
+        .agg(aggs.head, aggs.tail: _*)
+      perStep += reached.agg(lit(i).as("step"), lit(st).as("event_type"),
+        count(lit(1)).as("users"),
+        coalesce(sum(unix_micros(col(cur)) - unix_micros(col(prev))), lit(0L))
+          .as("sum_gap_micros"))
+    }
+    // k one-row frames; the lag window runs over k rows — free
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    perStep.reduce(_ union _)
+      .withColumn("conv_from_prev",
+        when(col("step") === 0, lit(1.0))
+          .otherwise(round(col("users").cast("double") /
+            lag(col("users"), 1).over(w), 6)))
+      .orderBy("step")
+  }
+
+  /** A declarative data-quality expectation (the Deequ/
+    * great-expectations shape): each case compiles to aggregate
+    * expressions so [[runChecks]] can evaluate a whole suite in ONE
+    * scan of the table — at 100 TB the scan IS the cost, and a
+    * constraint suite that runs k scans for k checks is unusable. */
+  sealed trait Check
+  object Check {
+    /** Non-null rate of `column` must be >= `minRate` (1.0 = strictly
+      * no nulls). Observed = the rate. */
+    final case class NotNull(column: String, minRate: Double = 1.0) extends Check
+    /** `columns` together must form a unique key. Observed = number of
+      * EXCESS rows (rows beyond the first per duplicated key). */
+    final case class Unique(columns: Seq[String]) extends Check
+    /** Every non-null value of `column` must be one of `allowed`.
+      * Observed = violation count. */
+    final case class InSet(column: String, allowed: Seq[String]) extends Check
+    /** Every non-null value of `column` must lie in [lo, hi].
+      * Observed = violation count. */
+    final case class InRange(column: String, lo: Double, hi: Double) extends Check
+    /** Table row count must lie in [lo, hi]. Observed = row count. */
+    final case class RowCountBetween(lo: Long, hi: Long) extends Check
+    /** Every non-null value of `column` must exist in
+      * `parentKey` of `parent` (referential integrity). Observed =
+      * count of DISTINCT orphaned child keys. */
+    final case class ReferencedIn(column: String, parent: DataFrame,
+                                  parentKey: String) extends Check
+  }
+
+  /** Evaluate a constraint suite against `df` in one pass: every
+    * scan-shaped check (null rates, set/range membership, uniqueness,
+    * row count) compiles into a single wide aggregation — ONE table
+    * scan regardless of suite size; each [[Check.ReferencedIn]] adds
+    * one keys-only join (both sides collapse to distinct keys first,
+    * so the join is O(distinct keys), never O(rows) — the
+    * [[graft.api.Joins.integrityProfile]] shape).
+    *
+    * Output: one row per check — (check, target, observed, passed),
+    * `observed` rounded to 6 dp, ordered by (check, target) so a suite
+    * report is stable across runs and engines. */
+  def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "runChecks needs at least one check")
+    import Check._
+    val n = count(lit(1))
+    // one aggregate expression (aliased __c<i>) per scan-shaped check
+    val scanAggs = checks.zipWithIndex.collect {
+      case (NotNull(c, _), i) =>
+        (sum(when(col(c).isNotNull, 1L).otherwise(0L)) / n).as(s"__c$i")
+      case (Unique(cols), i) =>
+        (n - countDistinct(struct(cols.map(col): _*))).cast("double").as(s"__c$i")
+      case (InSet(c, allowed), i) =>
+        sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
+          .otherwise(0L)).cast("double").as(s"__c$i")
+      case (InRange(c, lo, hi), i) =>
+        sum(when(col(c).isNotNull &&
+            (col(c).cast("double") < lo || col(c).cast("double") > hi), 1L)
+          .otherwise(0L)).cast("double").as(s"__c$i")
+      case (RowCountBetween(_, _), i) => n.cast("double").as(s"__c$i")
+    }
+    val one = df.agg(scanAggs.head, scanAggs.tail: _*)
+    def row(from: DataFrame, name: String, target: String,
+            observed: Column, passed: Column): DataFrame =
+      from.select(lit(name).as("check"), lit(target).as("target"),
+        round(observed, 6).as("observed"), passed.as("passed"))
+    val rows = checks.zipWithIndex.map {
+      case (NotNull(c, minRate), i) =>
+        row(one, "not_null", c, col(s"__c$i"), col(s"__c$i") >= minRate)
+      case (Unique(cols), i) =>
+        row(one, "unique", cols.mkString(","), col(s"__c$i"), col(s"__c$i") === 0.0)
+      case (InSet(c, _), i) =>
+        row(one, "in_set", c, col(s"__c$i"), col(s"__c$i") === 0.0)
+      case (InRange(c, _, _), i) =>
+        row(one, "in_range", c, col(s"__c$i"), col(s"__c$i") === 0.0)
+      case (RowCountBetween(lo, hi), i) =>
+        row(one, "row_count", "*", col(s"__c$i"),
+          col(s"__c$i") >= lo.toDouble && col(s"__c$i") <= hi.toDouble)
+      case (ReferencedIn(c, parent, pk), _) =>
+        // keys-only anti join: collapse child to distinct keys, drop
+        // those present in the parent's distinct keys, count survivors
+        val orphans = df.filter(col(c).isNotNull).select(col(c).as("__k"))
+          .distinct()
+          .join(parent.select(col(pk).as("__k")).distinct(), Seq("__k"),
+            "left_anti")
+          .agg(count(lit(1)).cast("double").as("__o"))
+        row(orphans, "referenced_in", c, col("__o"), col("__o") === 0.0)
+    }
+    rows.reduce(_ union _).orderBy("check", "target")
   }
 }

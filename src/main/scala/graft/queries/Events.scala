@@ -125,6 +125,23 @@ object Events {
           .otherwise(col("ts")))
       graft.api.Profiling.rateAnomalies(ev, tsCol = "ts2")
         .orderBy("w_start")
+    }),
+
+    // Sequential funnel (signup → view → click → purchase, each step
+    // strictly after the previous): restricted to each user's first 20
+    // events ((ts, event_id)-ordered, a deterministic tie-break) so the
+    // synthetic stream — where every user eventually does everything —
+    // produces a real drop-off (146 → 133 → 112 → 80 at sf0.01). Gap
+    // accounting stays in integer microseconds; the oracle replays the
+    // chained min-after-previous logic step by step.
+    "q154_event_funnel" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20).drop("__rn")
+      graft.api.Profiling.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
     })
   )
 
@@ -213,6 +230,39 @@ object Events {
         |  (w.n_events * st.nw - st.s > 0 AND
         |   (w.n_events * st.nw - st.s) * (w.n_events * st.nw - st.s) >
         |     4 * (st.nw * st.ss - st.s * st.s)) AS anomaly
-        |FROM w CROSS JOIN st ORDER BY w.w_start""".stripMargin
+        |FROM w CROSS JOIN st ORDER BY w.w_start""".stripMargin,
+
+    "q154_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn <= 20
+        |),
+        |s0 AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1, min(s0.t0) AS t0
+        |       FROM ev e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |r AS (
+        |  SELECT 0 AS step, 'signup' AS event_type, count(*) AS users,
+        |    CAST(0 AS BIGINT) AS sum_gap_micros FROM s0
+        |  UNION ALL SELECT 1, 'view', count(*),
+        |    CAST(coalesce(sum(epoch_us(t1) - epoch_us(t0)), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*),
+        |    CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*),
+        |    CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM s3
+        |)
+        |SELECT step, event_type, users, sum_gap_micros,
+        |  CASE WHEN step = 0 THEN 1.0
+        |       ELSE round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 6)
+        |  END AS conv_from_prev
+        |FROM r ORDER BY step""".stripMargin
   )
 }

@@ -349,6 +349,36 @@ object Pipeline {
         .orderBy("event_type")
     }),
 
+    // Mergeable distinct-count sketch LIFECYCLE (vs q54's inline
+    // approx): daily (day, event_type) DataSketches-HLL sketches of
+    // user_id are built, PERSISTED to parquet as an ordinary binary
+    // column, read back, and unioned down to per-type and global
+    // estimates — distinct counts over arbitrary partition ranges
+    // without rescanning the corpus, the pattern that makes
+    // distinct-user dashboards tractable at 100 TB. The contract pins
+    // the exact counts (oracle-replayed) plus a ±5% estimate gate on
+    // the round-tripped sketches (literal TRUE in the oracle).
+    "q150_hll_sketch_lifecycle" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-hll-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      graft.api.Profiling.cardinalitySketches(ev, Seq("day", "event_type"), "user_id")
+        .write.mode("overwrite").parquet(dir)
+      val persisted = s.read.parquet(dir)
+      val byType = graft.api.Profiling.estimateDistinct(persisted, Seq("event_type"))
+      val global = graft.api.Profiling.estimateDistinct(persisted, Seq.empty)
+        .withColumn("event_type", lit("*"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+        .union(ev.agg(lit("*"), countDistinct("user_id")))
+      byType.unionByName(global)
+        .join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est_distinct") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("est_ok"))
+        .orderBy("event_type")
+    }),
+
     // As-of join: for every 'view' event, the user's most recent
     // 'purchase' at-or-before it. Built scale-safely as union + keyed
     // window (last non-null carried forward) — one shuffle on user_id,
@@ -2422,6 +2452,12 @@ object Pipeline {
     "q54_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q150_hll_sketch_lifecycle" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '*', count(DISTINCT user_id), TRUE FROM events
+        |ORDER BY event_type""".stripMargin,
     "q55_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id FROM events

@@ -327,6 +327,27 @@ object Relational {
         .orderBy("column")
     }),
 
+    // Declarative expectation suite (the Deequ shape): eight checks —
+    // null rate, composite-key uniqueness, two set memberships, two
+    // range bounds, row-count sanity, referential integrity — compile
+    // into ONE scan-wide aggregation plus one keys-only anti join.
+    // The suite deliberately mixes passes and failures: this data's
+    // (l_orderkey, l_linenumber) is NOT unique, discounts exceed 5%,
+    // and returnflag 'R' violates the allowed set — the report rows
+    // carry the observed counts the oracle replays exactly.
+    "q153_quality_checks" -> ((s, d) => {
+      import graft.api.Profiling.Check._
+      graft.api.Profiling.runChecks(lineitem(s, d), Seq(
+        NotNull("l_returnflag"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InSet("l_linestatus", Seq("O", "F")),
+        InSet("l_returnflag", Seq("A", "N")),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.05),
+        RowCountBetween(1000L, 10000000000L),
+        ReferencedIn("l_orderkey", orders(s, d), "o_orderkey")))
+    }),
+
     // --- file formats beyond parquet/ORC -----------------------------
     // Round-trips pin the source/sink pair end to end: writer quoting/
     // serialization, reader schema application, and type fidelity
@@ -531,6 +552,49 @@ object Relational {
         |    count(DISTINCT o_orderstatus),
         |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
         |) ORDER BY "column"""".stripMargin,
+
+    "q153_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'l_returnflag' AS target,
+        |    round(CAST(count(l_returnflag) AS DOUBLE) / count(*), 6) AS observed,
+        |    CAST(count(l_returnflag) AS DOUBLE) / count(*) >= 1.0 AS passed
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique', 'l_orderkey,l_linenumber',
+        |    round(CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS DOUBLE), 6),
+        |    count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set', 'l_linestatus',
+        |    round(CAST(sum(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS DOUBLE), 6),
+        |    sum(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set', 'l_returnflag',
+        |    round(CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS DOUBLE), 6),
+        |    sum(CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range', 'l_quantity',
+        |    round(CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS DOUBLE), 6),
+        |    sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range', 'l_discount',
+        |    round(CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE), 6),
+        |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'row_count', '*', round(CAST(count(*) AS DOUBLE), 6),
+        |    count(*) >= 1000.0 AND count(*) <= 10000000000.0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'referenced_in', 'l_orderkey',
+        |    round(CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) c
+        |                WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)) AS DOUBLE), 6),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) c
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)) = 0
+        |) ORDER BY "check", target""".stripMargin,
 
     // q146: DuckDB affords the plain inequality join at sf0.01; the
     // engine's bucketed equi-join must produce the identical pair set

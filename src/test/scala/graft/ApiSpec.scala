@@ -1690,6 +1690,83 @@ class ApiSpec extends AnyFunSuite {
     assert(out("2024-01-01 03:00:00.0") == ((10L, false)))
   }
 
+  test("Profiling cardinality sketches: small-n exactness, parquet round-trip merge") {
+    import spark.implicits._
+    // 3 partitions with overlapping member sets: global distinct = 60,
+    // union must dedupe across partitions, not sum
+    val df = ((0 until 40).map(i => ("p1", i.toLong)) ++
+      (20 until 60).map(i => ("p2", i.toLong)) ++
+      (0 until 10).map(i => ("p3", i.toLong))).toDF("part", "member")
+    val sk = graft.api.Profiling.cardinalitySketches(df, Seq("part"), "member")
+    assert(sk.count() == 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-spec").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // HLL is coupon-exact far below 2^lgK: estimates of 60 and of 40
+    // must equal the true values after the binary round-trip
+    // (hll_sketch_estimate returns a rounded LONG)
+    val global = graft.api.Profiling.estimateDistinct(back, Seq.empty)
+      .collect()(0).getLong(0)
+    assert(global == 60L, s"global estimate $global")
+    val per = graft.api.Profiling.estimateDistinct(back, Seq("part"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("p1" -> 40L, "p2" -> 40L, "p3" -> 10L))
+    intercept[IllegalArgumentException](
+      graft.api.Profiling.cardinalitySketches(df, Seq.empty, "member"))
+  }
+
+  test("Profiling.funnel: strict in-order semantics, exact micro gaps") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes A→B in order; the B BEFORE its A must not count
+      (1L, t("2024-01-01 00:00:05"), "B"),
+      (1L, t("2024-01-01 00:00:10"), "A"),
+      (1L, t("2024-01-01 00:00:12"), "B"),
+      // user 2 has B only before A — reaches step A, never step B
+      (2L, t("2024-01-01 00:00:01"), "B"),
+      (2L, t("2024-01-01 00:00:02"), "A"),
+      // user 3 never does A — in no step (B alone can't start the funnel)
+      (3L, t("2024-01-01 00:00:03"), "B")
+    ).toDF("uid", "when", "kind")
+    val out = graft.api.Profiling.funnel(ev, "uid", "when", "kind", Seq("A", "B"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0) == (("A", 2L, 0L, 1.0)), "users 1 and 2 did A")
+    assert(out(1) == (("B", 1L, 2000000L, 0.5)),
+      "only user 1 has B after A; gap is exactly 2s in micros")
+    intercept[IllegalArgumentException](
+      graft.api.Profiling.funnel(ev, "uid", "when", "kind", Seq("A", "A")))
+  }
+
+  test("Profiling.runChecks: one-scan suite, pass/fail mix, custom names") {
+    import spark.implicits._
+    val child = Seq(
+      (1L, 1, Some("x"), 5.0), (1L, 2, Some("y"), 7.0),
+      (2L, 1, None, 50.0),                 // null tag; v out of range
+      (2L, 1, Some("x"), 3.0)              // duplicate (k, line) key
+    ).toDF("k", "line", "tag", "v")
+    val parent = Seq(1L, 3L).toDF("pk")    // k=2 is an orphan
+    import graft.api.Profiling.Check._
+    val out = graft.api.Profiling.runChecks(child, Seq(
+      NotNull("tag", minRate = 0.5),
+      Unique(Seq("k", "line")),
+      InSet("tag", Seq("x", "y")),
+      InRange("v", 0.0, 10.0),
+      RowCountBetween(1L, 10L),
+      ReferencedIn("k", parent, "pk")
+    )).collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(("not_null", "tag")) == ((0.75, true)), "3/4 non-null >= 0.5")
+    assert(out(("unique", "k,line")) == ((1.0, false)), "one excess row")
+    assert(out(("in_set", "tag")) == ((0.0, true)), "nulls don't violate in_set")
+    assert(out(("in_range", "v")) == ((1.0, false)), "50.0 is out of range")
+    assert(out(("row_count", "*")) == ((4.0, true)))
+    assert(out(("referenced_in", "k")) == ((1.0, false)), "k=2 has no parent")
+    intercept[IllegalArgumentException](
+      graft.api.Profiling.runChecks(child, Seq.empty))
+  }
+
   test("Joins.intervalOverlapJoin: exact pairs, multi-bucket dedupe, malformed dropped") {
     import spark.implicits._
     val left = Seq(
