@@ -906,4 +906,35 @@ object Dedup {
     members.join(survivors, "canonical_id")
       .select(col("doc_id"), col("canonical_id"), col("survivor_id"))
   }
+
+  /** Leakage-safe train/eval split: near-duplicates must never
+    * straddle a split boundary — an eval doc with a training-set
+    * near-copy inflates benchmark scores (the contamination the
+    * decontamination operators exist to stop, introduced HERE by a
+    * naive per-doc split). The split decision routes through the
+    * near-dup COMPONENT (min-label over `pairs`, [[keepOne]]) instead
+    * of the doc: every member of a component hashes the same canonical
+    * id, so the whole cluster lands in one split; docs in no pair are
+    * their own singleton component. The hash contract mirrors
+    * [[graft.api.TextAnalysis.trainEvalSplit]] — split is a pure
+    * function of the canonical id (md5 first hex chars in
+    * `evalPrefixes` → eval), reproducible across runs, engines, and
+    * corpus growth that doesn't touch the component. Output: the input
+    * columns + (canonical_id, split). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id",
+                       evalPrefixes: Seq[String] = Seq("0", "1"),
+                       maxIter: Int = 50): DataFrame = {
+    require(evalPrefixes.nonEmpty)
+    val len = evalPrefixes.head.length
+    require(evalPrefixes.forall(_.length == len), "prefixes must share a length")
+    val labels = keepOne(pairs, maxIter)
+      .withColumnRenamed("doc_id", "__lid")
+    docs.join(labels, docs(idCol) === labels("__lid"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), docs(idCol)))
+      .drop("__lid")
+      .withColumn("split",
+        when(substring(md5(col("canonical_id").cast("string").cast("binary")),
+          1, len).isin(evalPrefixes: _*), "eval").otherwise("train"))
+  }
 }

@@ -105,4 +105,41 @@ object Layout {
       (c, if (global > 0) span / global else 0.0)
     }.toDF("column", "clustering_factor")
   }
+
+  /** Shard assignment used by [[shardedExport]]: md5 of the stringed
+    * id, first 6 hex chars as an integer, mod `shards` — a pure
+    * function of the id, reproducible in any engine with md5 (the
+    * manifest's consumers re-derive it to locate a row's shard without
+    * reading data). */
+  def shardOf(id: Column, shards: Int): Column =
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(shards.toLong))
+
+  /** Deterministic sharded export with a verifiable manifest — the
+    * handoff format a training job consumes: `shards` equal-role
+    * output files whose membership is a pure function of the id
+    * ([[shardOf]]), plus a manifest row per shard with the row count
+    * and an order-independent id checksum (XOR of 48-bit md5
+    * prefixes — overflow-free at any row count, and any lost,
+    * duplicated, or substituted row changes it).
+    *
+    * The manifest is computed by RE-READING the written files, not
+    * from the in-flight frame — it attests what landed on disk.
+    * Scale shape: one hash exchange on the shard id (writers stream
+    * one open file each), one aggregation over the re-read output.
+    * Returns the manifest: (shard, n_rows, id_xor). */
+  def shardedExport(df: DataFrame, idCol: String, shards: Int,
+                    path: String, format: String = "parquet"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    df.withColumn("shard", shardOf(col(idCol), shards))
+      .repartition(shards, col("shard"))
+      .write.mode("overwrite").format(format)
+      .partitionBy("shard").save(path)
+    spark.read.format(format).load(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(cast(conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 12), 16, 10) as bigint))")
+          .as("id_xor"))
+  }
 }

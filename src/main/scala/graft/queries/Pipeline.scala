@@ -274,6 +274,37 @@ object Pipeline {
         Pipeline.queries("q45_minhash_lsh")(s, d).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // Sharded export with a verifiable manifest: documents land in 8
+    // md5-assigned shard files (membership a pure function of doc_id)
+    // and the manifest — row count + order-independent 48-bit XOR id
+    // checksum per shard — is computed by RE-READING the written
+    // files, attesting what's on disk. The oracle re-derives shard
+    // assignment and checksums from the source table: equality proves
+    // the export moved every row to its correct shard, losslessly.
+    "q152_shard_manifest" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-shards-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      graft.core.Layout.shardedExport(
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id", 8, dir)
+        .orderBy("shard")
+    }),
+
+    // Leakage-safe train/eval split: the per-doc md5 split (q115's
+    // family) would scatter near-duplicate clusters across the
+    // boundary — an eval doc with a train-side near-copy is silent
+    // benchmark contamination. The split decision routes through the
+    // near-dup component's canonical id (same LSH pair generator and
+    // CC loop as q63), so whole clusters land on one side; singleton
+    // docs hash their own id. The oracle replays components with the
+    // recursive CTE, coalesces singletons, and re-derives the md5
+    // split — proving split is a pure function of the component.
+    "q151_leakage_split" -> ((s, d) =>
+      graft.api.Dedup.leakageSafeSplit(
+        Tables.documents(s, d).select("doc_id"),
+        Pipeline.queries("q45_minhash_lsh")(s, d).select(col("doc_a"), col("doc_b")))
+        .select("doc_id", "canonical_id", "split")
+        .orderBy("doc_id")),
+
     // Quality-aware survivor election: same near-dup components as
     // q63, but each component keeps its HIGHEST-quality member (ties →
     // lowest id) instead of the min id — the survivor a production
@@ -2387,6 +2418,38 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q152_shard_manifest" ->
+      """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_rows,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)) AS id_xor
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q151_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+        |), prs AS (
+        |  SELECT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*)*1.0/(any_value(a.n)+any_value(b.n)-count(*)) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a a, doc_b b FROM prs UNION SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a
+        |)
+        |SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+        |  CASE WHEN substr(md5(CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)), 1, 1)
+        |            IN ('0','1') THEN 'eval' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q132_keep_best" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents

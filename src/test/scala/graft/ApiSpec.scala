@@ -1690,6 +1690,26 @@ class ApiSpec extends AnyFunSuite {
     assert(out("2024-01-01 03:00:00.0") == ((10L, false)))
   }
 
+  test("Dedup.leakageSafeSplit: clusters never straddle the split") {
+    import spark.implicits._
+    val docs = (1L to 40L).toDF("id")
+    // chain 1-2-3 is one component; 10-11 another; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = graft.api.Dedup.leakageSafeSplit(docs, pairs, idCol = "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[String]("split"))).toMap
+    assert(out.size == 40)
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1,
+      "whole chain shares canonical id and split")
+    assert(out(10L) == out(11L))
+    assert(out(20L)._1 == 20L, "singletons are their own component")
+    // the split must agree with the md5-of-canonical contract
+    val eval = out.values.count(_._2 == "eval")
+    assert(eval > 0 && eval < 40, "both splits occur on 40 components")
+    intercept[IllegalArgumentException](
+      graft.api.Dedup.leakageSafeSplit(docs, pairs, "id", evalPrefixes = Seq("0", "ab")))
+  }
+
   test("Profiling cardinality sketches: small-n exactness, parquet round-trip merge") {
     import spark.implicits._
     // 3 partitions with overlapping member sets: global distinct = 60,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Layout
@@ -65,6 +66,32 @@ class LayoutSpec extends AnyFunSuite {
     // spans plus bucket quantization slack)
     assert(zf("a") < 0.5 && zf("b") < 0.5,
       s"z-order must cluster both: a=${zf("a")}, b=${zf("b")}")
+  }
+
+  test("shardedExport: pure-function membership, manifest attests the files") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = Layout.shardedExport(df, "id", 4, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest.keySet == Set(0L, 1L, 2L, 3L))
+    assert(manifest.values.map(_._1).sum == 200L, "every row in exactly one shard")
+    // membership is a pure function of the id: the written shard dirs
+    // must agree with shardOf recomputed on the read-back rows
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("shard") =!=
+      Layout.shardOf(col("id"), 4)).isEmpty, "disk shard == derived shard")
+    // one file per shard: the export is the training-job handoff unit
+    val files = back.select(input_file_name()).distinct().count()
+    assert(files == 4L, s"expected 4 shard files, got $files")
+    // manifest detects a substituted row: recompute on a tampered frame
+    val tampered = df.withColumn("id",
+      when(col("id") === 7L, lit(9999L)).otherwise(col("id")))
+    val m2 = Layout.shardedExport(tampered, "id", 4,
+      java.nio.file.Files.createTempDirectory("graft-shards2").toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m2 != manifest, "checksum must change when an id changes")
   }
 
   test("skew degrades z-order bucketing gracefully, rows never lost") {
