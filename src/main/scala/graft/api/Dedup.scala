@@ -241,6 +241,37 @@ object Dedup {
                                  path: String): Seq[String] =
     VersionedIndex.vacuum(spark, path, Seq("params", "bands", "sketches"))
 
+  /** Compact a persisted near-dup index: daily appends leave one file
+    * set per batch, and after months of increments every band-bucket
+    * probe opens hundreds of small parquet files — the classic
+    * small-files tax. Rewrites the CURRENT version's tables into one
+    * file per band partition (and `sketchFiles` sketch files) and
+    * commits behind the same atomic `_current` pointer as delete/
+    * rebuild: readers see the old file set until the one commit point,
+    * a crash leaves the index untouched, and the data is IDENTICAL —
+    * compaction changes layout, never results (pinned by spec).
+    * Vacuum afterwards to reclaim the superseded version. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, sketchFiles: Int = 8): Unit = {
+    require(sketchFiles >= 1, s"sketchFiles must be >= 1, got $sketchFiles")
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val (_, _, bands) = readNearDupParams(spark, root) // loud on missing index
+    val next = VersionedIndex.nextVersion(spark, path)
+    val vdir = s"$path/$next"
+    spark.read.parquet(s"$root/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    spark.read.parquet(s"$root/sketches")
+      .repartition(sketchFiles)
+      .write.mode("overwrite").parquet(s"$vdir/sketches")
+    // repartition BY band: each task holds only whole bands, so every
+    // band=<b> dir lands as a single file
+    spark.read.parquet(s"$root/bands")
+      .repartition(bands, col("band"))
+      .select(col("doc_id"), col("bkey"), col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
+    VersionedIndex.commitPointer(spark, path, next)
+  }
+
   /** Read params from an already-RESOLVED index root. */
   private def readNearDupParams(spark: org.apache.spark.sql.SparkSession,
                                 root: String): (Int, Int, Int) = {
@@ -467,6 +498,25 @@ object Dedup {
   def vacuumHammingIndexVersions(spark: org.apache.spark.sql.SparkSession,
                                  path: String): Seq[String] =
     VersionedIndex.vacuum(spark, path, Seq("params", "chunks"))
+
+  /** Compact a persisted hamming index — the [[compactNearDupIndex]]
+    * discipline for the chunk table: one file per chunk partition,
+    * atomic pointer commit, results invariant. */
+  def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val maxHamming = readHammingParams(spark, root) // loud on missing index
+    val chunks = maxHamming + 1
+    val next = VersionedIndex.nextVersion(spark, path)
+    val vdir = s"$path/$next"
+    spark.read.parquet(s"$root/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    spark.read.parquet(s"$root/chunks")
+      .repartition(chunks, col("chunk"))
+      .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$vdir/chunks")
+    VersionedIndex.commitPointer(spark, path, next)
+  }
 
   /** Read params from an already-RESOLVED index root. */
   private def readHammingParams(spark: org.apache.spark.sql.SparkSession,
@@ -905,6 +955,45 @@ object Dedup {
       .select(col("canonical_id"), col("doc_id").as("survivor_id"))
     members.join(survivors, "canonical_id")
       .select(col("doc_id"), col("canonical_id"), col("survivor_id"))
+  }
+
+  /** Triangle census of a similarity graph — the structural health
+    * check for a near-dup pair set: duplicates come in CLIQUES (a
+    * 5-copy document yields 10 pairs and 10 triangles), so a pair set
+    * with many edges but few triangles signals a too-loose threshold
+    * chaining unrelated docs (the transitivity failure that makes
+    * keep-one delete originals). One row: nodes, edges, wedges
+    * (two-paths), triangles, and the global clustering coefficient
+    * 3·T/W (rounded; 0 when no wedges).
+    *
+    * Scale shape: edges are normalized to (lo, hi) and the triangle
+    * join is the classic ordered two-hop — each triangle counted once
+    * as a<b<c, cost ∝ Σ per-node deg² (bounded: near-dup components
+    * are cliques of duplicate count, not corpus-sized); wedges are one
+    * integer aggregation over the degree table, no float moments. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    val deg = e.select(col("lo").as("node"))
+      .union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val base = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (coalesce(sum(col("d")), lit(0L)) / 2).cast("long").as("n_edges"),
+      coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        .cast("long").as("n_wedges"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.as("ac"),
+        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    base.crossJoin(tri)
+      .withColumn("clustering",
+        when(col("n_wedges") > 0,
+          round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6))
+          .otherwise(lit(0.0)))
   }
 
   /** Leakage-safe train/eval split: near-duplicates must never

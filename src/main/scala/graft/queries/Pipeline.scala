@@ -305,6 +305,16 @@ object Pipeline {
         .select("doc_id", "canonical_id", "split")
         .orderBy("doc_id")),
 
+    // Triangle census of the near-dup graph (same LSH pair generator
+    // as q63): duplicates come in cliques, so edges-without-triangles
+    // signal a too-loose threshold chaining unrelated docs. Ordered
+    // two-hop triangle join (a<b<c counted once), integer wedge
+    // accounting; the oracle replays the exact pair set and the census.
+    "q155_similarity_triangles" -> ((s, d) =>
+      graft.api.Dedup.triangleStats(
+        Pipeline.queries("q45_minhash_lsh")(s, d)
+          .select(col("doc_a"), col("doc_b")))),
+
     // Quality-aware survivor election: same near-dup components as
     // q63, but each component keeps its HIGHEST-quality member (ties →
     // lowest id) instead of the min id — the survivor a production
@@ -2418,6 +2428,31 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q155_similarity_triangles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+        |), prs AS (
+        |  SELECT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*)*1.0/(any_value(a.n)+any_value(b.n)-count(*)) >= 0.8
+        |), e AS (SELECT doc_a lo, doc_b hi FROM prs),
+        |deg AS (SELECT node, count(*) d FROM
+        |  (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) GROUP BY 1),
+        |b AS (SELECT count(*) n_nodes, CAST(sum(d)/2 AS BIGINT) n_edges,
+        |  CAST(sum(d*(d-1)/2) AS BIGINT) n_wedges FROM deg),
+        |t AS (SELECT count(*) n_triangles FROM e ab
+        |  JOIN e bc ON ab.hi = bc.lo
+        |  JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN round(n_triangles*3.0/n_wedges, 6)
+        |       ELSE 0.0 END AS clustering
+        |FROM b CROSS JOIN t""".stripMargin,
     "q152_shard_manifest" ->
       """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
         |  count(*) AS n_rows,

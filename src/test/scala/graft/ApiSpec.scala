@@ -1690,6 +1690,86 @@ class ApiSpec extends AnyFunSuite {
     assert(out("2024-01-01 03:00:00.0") == ((10L, false)))
   }
 
+  test("index compaction: fewer files, identical results, atomic version") {
+    import spark.implicits._
+    def parquetFiles(p: String): Long = {
+      val base = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(base)) 0L
+      else {
+        val s = java.nio.file.Files.walk(base)
+        try s.filter(f => f.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    Dedup.buildNearDupIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("id", "body"), dir, idCol = "id", textCol = "body")
+    // two single-doc appends: each leaves its own file set per band dir
+    Dedup.appendToNearDupIndex(
+      Seq((2L, "one two three four five six seven eight nine ten")).toDF("id", "body"),
+      dir, idCol = "id", textCol = "body")
+    Dedup.appendToNearDupIndex(
+      Seq((3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+        .toDF("id", "body"), dir, idCol = "id", textCol = "body")
+    val fresh = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (102L, "completely novel text with no overlap whatsoever anywhere here"))
+      .toDF("id", "body")
+    def survivors() = Dedup.nearDupAgainstIndex(fresh, dir, idCol = "id", textCol = "body")
+      .select("id").as[Long].collect().sorted.toSeq
+    val before = survivors()
+    assert(before == Seq(102L))
+    val filesBefore = parquetFiles(s"$dir/bands")
+    Dedup.compactNearDupIndex(spark, dir)
+    // compaction commits a version: pointer exists, old root untouched
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_current")))
+    assert(parquetFiles(s"$dir/bands") == filesBefore, "pre-compaction files untouched")
+    val filesAfter = parquetFiles(s"$dir/v1/bands")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count: $filesBefore -> $filesAfter")
+    assert(survivors() == before, "compaction must never change results")
+    // appends and deletes keep working against the compacted version
+    assert(Dedup.deleteFromNearDupIndex(spark, dir, Seq(1L).toDF("id"), idCol = "id") == 1L)
+    assert(survivors() == Seq(100L, 102L))
+    assert(Dedup.vacuumNearDupIndexVersions(spark, dir).nonEmpty)
+
+    // hamming index: same contract
+    val hdir = java.nio.file.Files.createTempDirectory("graft-hcompact-spec").toString
+    Dedup.buildHammingIndex(Seq((1L, 0L)).toDF("id", "s"), hdir, idCol = "id", sigCol = "s")
+    Dedup.appendToHammingIndex(Seq((2L, -1L)).toDF("id", "s"), hdir, idCol = "id", sigCol = "s")
+    Dedup.appendToHammingIndex(Seq((3L, 0xF0F0L)).toDF("id", "s"), hdir, idCol = "id", sigCol = "s")
+    val probe = Seq((100L, 1L), (101L, 0xF0F1L), (102L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("id", "s")
+    def matches() = Dedup.hammingAgainstIndex(probe, hdir, idCol = "id", sigCol = "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    val hBefore = matches()
+    val hFilesBefore = parquetFiles(s"$hdir/chunks")
+    Dedup.compactHammingIndex(spark, hdir)
+    assert(matches() == hBefore, "hamming compaction must never change results")
+    assert(parquetFiles(s"$hdir/v1/chunks") < hFilesBefore)
+  }
+
+  test("Dedup.triangleStats: clique census, ordered once-counting, empty graph") {
+    import spark.implicits._
+    // a 4-clique (4 triangles), one pendant edge, duplicate + reversed
+    // pair rows that must not double-count
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pairs = (clique ++ Seq((4L, 5L), (1L, 2L), (2L, 1L))).toDF("doc_a", "doc_b")
+    val r = graft.api.Dedup.triangleStats(pairs).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 7L, "6 clique edges + 1 pendant")
+    // degrees 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15
+    assert(r.getAs[Long]("n_wedges") == 15L)
+    assert(r.getAs[Long]("n_triangles") == 4L, "C(4,3) in the clique")
+    assert(r.getAs[Double]("clustering") == 0.8, "3*4/15")
+    val empty = graft.api.Dedup.triangleStats(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect()(0)
+    assert(empty.getAs[Long]("n_triangles") == 0L)
+    assert(empty.getAs[Double]("clustering") == 0.0)
+  }
+
   test("Dedup.leakageSafeSplit: clusters never straddle the split") {
     import spark.implicits._
     val docs = (1L to 40L).toDF("id")
