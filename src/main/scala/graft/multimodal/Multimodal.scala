@@ -107,6 +107,48 @@ object Multimodal {
       c.length >= 10 && c(0) == 'G'.toByte && c(1) == 'I'.toByte &&
         c(2) == 'F'.toByte && c(3) == '8'.toByte &&
         (c(4) == '7'.toByte || c(4) == '9'.toByte) && c(5) == 'a'.toByte
+    def isAvi(c: Array[Byte]): Boolean =
+      c.length >= 12 &&
+        c(0) == 'R'.toByte && c(1) == 'I'.toByte && c(2) == 'F'.toByte &&
+        c(3) == 'F'.toByte && c(8) == 'A'.toByte && c(9) == 'V'.toByte &&
+        c(10) == 'I'.toByte && c(11) == ' '.toByte
+
+    /** The stored frame payloads of an MJPEG-in-AVI container, in
+      * storage order: RIFF chunk walk (AVI is RIFF, like WAV) into the
+      * `movi` LIST — every `##dc`/`##db` sub-chunk is one complete
+      * compressed frame (for the MJPG fourcc, a standalone JPEG).
+      * Nested `rec ` LISTs recurse. Same hostile-length discipline as
+      * the WAV walks: offsets as Long, a chunk that overruns its
+      * enclosure ends that level's scan instead of wrapping. None when
+      * the payload isn't AVI or carries no movi list. */
+    private[multimodal] def aviFrames(c: Array[Byte]): Option[Vector[Array[Byte]]] = {
+      if (!isAvi(c)) return None
+      val frames = Vector.newBuilder[Array[Byte]]
+      var sawMovi = false
+      def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val o = off.toInt
+          val id = new String(c, o, 4, "US-ASCII")
+          val len = leInt(c, o + 4)
+          if (len < 0 || off + 8 + len > end) ok = false // corrupt/truncated
+          else {
+            if (id == "LIST" && len >= 4) {
+              val listType = new String(c, o + 8, 4, "US-ASCII")
+              if (listType == "movi") sawMovi = true
+              walk(off + 12, off + 8 + len, inMovi || listType == "movi")
+            } else if (inMovi && len > 0 &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(c, o + 8, o + 8 + len)
+            }
+            off += 8L + len + (len & 1)
+          }
+        }
+      }
+      walk(12L, c.length.toLong, inMovi = false)
+      if (sawMovi) Some(frames.result()) else None
+    }
 
     /** JPEG segment walk to the first SOFn marker (C0-CF minus C4 DHT,
       * C8 JPG-extension, CC DAC): height/width are big-endian shorts at
@@ -161,23 +203,27 @@ object Multimodal {
         (w, h, 1)
       } else if (isWav(content)) {
         // chunk walk after the 12-byte RIFF header; chunks are
-        // word-aligned (odd lengths padded by one)
-        var off = 12; var channels = 1; var blockAlign = 0
+        // word-aligned (odd lengths padded by one). Offset as Long: a
+        // hostile chunk len near Int.MaxValue would wrap an Int offset
+        // NEGATIVE yet keep passing the bound check (the parsePcm
+        // hardening, mirrored here)
+        var off = 12L; var channels = 1; var blockAlign = 0
         var rate = 0; var dataLen = 0
         var ok = true
         while (ok && off + 8 <= content.length) {
-          val id = new String(content, off, 4, "US-ASCII")
-          val len = leInt(content, off + 4)
+          val o = off.toInt
+          val id = new String(content, o, 4, "US-ASCII")
+          val len = leInt(content, o + 4)
           // a corrupt negative chunk length would walk backwards (or
           // stall) — stop parsing, keep whatever was already read
           if (len < 0) ok = false
           else {
             if (id == "fmt " && off + 22 <= content.length) {
-              channels = leShort(content, off + 10)
-              rate = leInt(content, off + 12)
-              blockAlign = leShort(content, off + 20)
+              channels = leShort(content, o + 10)
+              rate = leInt(content, o + 12)
+              blockAlign = leShort(content, o + 20)
             } else if (id == "data") dataLen = len
-            off += 8 + len + (len & 1)
+            off += 8L + len + (len & 1)
           }
         }
         (rate, channels, if (blockAlign <= 0) 0 else dataLen / blockAlign)
@@ -249,6 +295,23 @@ object Multimodal {
         }
       } finally iis.close()
     }
+
+    /** Every `stride`-th stored frame of an MJPEG-in-AVI payload,
+      * pixel-decoded: the container walk yields standalone JPEG frame
+      * payloads ([[HeaderCodec.aviFrames]]) and each selected frame
+      * goes through the JDK JPEG reader — REAL compressed-video frame
+      * decode, pure JVM. Same contract as [[decodeFrames]]: (total
+      * stored frames, decoded (index, image) pairs); skipped frames
+      * are never pixel-decoded; None when the payload isn't AVI or a
+      * selected frame fails to decode. */
+    def decodeAviFrames(content: Array[Byte], stride: Int = 1)
+        : Option[(Int, Vector[(Int, java.awt.image.BufferedImage)])] =
+      HeaderCodec.aviFrames(content).flatMap { fs =>
+        val n = fs.length
+        val sel = (0 until n by stride).map(i => decodeImage(fs(i)).map(i -> _))
+        if (sel.exists(_.isEmpty)) None
+        else Some((n, sel.flatten.toVector))
+      }
 
     override def newPartitionInstance(): MediaCodec = { ensureHeadless(); this }
   }
@@ -701,13 +764,31 @@ object Multimodal {
     * only the fixed-width per-frame feature row comes out. A real
     * video container (H.264 etc.) needs native codecs and would slot
     * in at the same [[MediaCodec]] injection point. */
-  def sampleGifFrames(media: Dataset[MediaRow], stride: Int = 1): DataFrame = {
+  def sampleGifFrames(media: Dataset[MediaRow], stride: Int = 1): DataFrame =
+    frameFeatures(media, stride, avi = false)
+
+  /** REAL compressed-VIDEO frame decode for the MJPEG-in-AVI container
+    * (the zero-native-deps video format: AVI is a RIFF chunk stream and
+    * each MJPG frame is a standalone JPEG the JDK reader decodes).
+    * Same output contract as [[sampleGifFrames]] — every `stride`-th
+    * STORED frame with decoded dimensions and exact mean pixel value;
+    * payloads that aren't AVI or whose frames fail JPEG decode yield
+    * one decoded=false row. Inter-frame-predicted codecs (H.264 etc.)
+    * need native decoders and would slot in at the same [[MediaCodec]]
+    * injection point; MJPEG's every-frame-is-a-keyframe structure is
+    * what makes it decodable here. */
+  def sampleAviFrames(media: Dataset[MediaRow], stride: Int = 1): DataFrame =
+    frameFeatures(media, stride, avi = true)
+
+  private def frameFeatures(media: Dataset[MediaRow], stride: Int,
+                            avi: Boolean): DataFrame = {
     import media.sparkSession.implicits._
     require(stride > 0)
     media.mapPartitions { rows =>
       ImageIoCodec.newPartitionInstance()
       rows.flatMap { m =>
-        ImageIoCodec.decodeFrames(m.content, stride) match {
+        (if (avi) ImageIoCodec.decodeAviFrames(m.content, stride)
+         else ImageIoCodec.decodeFrames(m.content, stride)) match {
           case Some((n, frames)) if frames.nonEmpty =>
             frames.map { case (i, img) =>
               val (w, h) = (img.getWidth, img.getHeight)

@@ -690,6 +690,72 @@ object Pipeline {
     // stride=2 over a 3-frame GIF must keep frames 0 and 2 while still
     // reporting n_frames=3, a still PNG is one frame, junk is one
     // decoded=false row.
+    // REAL compressed-VIDEO frame decode: MJPEG-in-AVI clips are
+    // hand-assembled in-query (RIFF container bytes authored directly;
+    // frame payloads are ImageIO-encoded JPEGs — writer and reader are
+    // independent codepaths meeting at the pixels, the q127 pattern),
+    // read through the distributed binaryFile source, and frame-
+    // decoded by sampleAviFrames. Dims and frame counts are exact;
+    // JPEG is lossy so per-frame means are pinned at 0 dp (the q127
+    // contract). stride=2 proves skipped frames are never decoded but
+    // still counted; a movi-less RIFF yields decoded=false.
+    "q156_avi_frames" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-avi-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.mkdirs()
+      dir.listFiles().foreach(_.delete())
+      def flat(w: Int, h: Int, v: Int) = {
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          b.setRGB(x, y, (v << 16) | (v << 8) | v)
+        b
+      }
+      def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+          (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(typ: String, payload: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+      def avi(frames: Seq[java.awt.image.BufferedImage], w: Int, h: Int): Array[Byte] = {
+        val avih = new Array[Byte](56) // MainAVIHeader, zeros elsewhere
+        System.arraycopy(le32(frames.length), 0, avih, 16, 4) // dwTotalFrames
+        System.arraycopy(le32(1), 0, avih, 24, 4)             // dwStreams
+        System.arraycopy(le32(w), 0, avih, 32, 4)
+        System.arraycopy(le32(h), 0, avih, 36, 4)
+        val payload = "AVI ".getBytes("US-ASCII") ++
+          list("hdrl", chunk("avih", avih)) ++
+          list("movi", frames.map(f => chunk("00dc", jpeg(f))).reduce(_ ++ _))
+        "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+      }
+      Seq(
+        ("clip.avi", avi(Seq(flat(16, 12, 32), flat(16, 12, 128),
+          flat(16, 12, 224)), 16, 12)),
+        ("mini.avi", avi(Seq(flat(8, 8, 64), flat(8, 8, 192)), 8, 8)),
+        // valid RIFF/AVI magic but no movi list — must fail soft
+        ("junk.avi", "RIFF   AVI ".getBytes("ISO-8859-1")))
+        .foreach { case (n, bytes) =>
+          java.nio.file.Files.write(new java.io.File(dir, n).toPath, bytes)
+        }
+      val path = dir.getAbsolutePath
+      val media = graft.multimodal.Multimodal.mediaFromBinaryDir(s, path)
+      graft.multimodal.Multimodal.readBinaryDir(s, path)
+        .select(col("name"), col("media_id"))
+        .join(graft.multimodal.Multimodal.sampleAviFrames(media, stride = 2),
+          Seq("media_id"))
+        .select(col("name"), col("decoded"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          round(col("mean_pixel"), 0).cast("int").as("mean_px"))
+        .orderBy("name", "frame_idx")
+    }),
+
     "q136_gif_frames" -> ((s, d) => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-gif-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -3478,6 +3544,18 @@ object Pipeline {
       """SELECT name, CAST(dhash AS BIGINT) AS dhash FROM (VALUES
         |  ('e.png', 6148914691236517205))
         |AS t(name, dhash) ORDER BY name""".stripMargin,
+    "q156_avi_frames" ->
+      """SELECT name, decoded, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(n_frames AS INT) AS n_frames,
+        |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |       CAST(mean_px AS INT) AS mean_px
+        |FROM (VALUES
+        |  ('clip.avi', true,  0, 3, 16, 12, 32),
+        |  ('clip.avi', true,  2, 3, 16, 12, 224),
+        |  ('junk.avi', false, 0, 0, NULL, NULL, NULL),
+        |  ('mini.avi', true,  0, 2, 8, 8, 64))
+        |AS t(name, decoded, frame_idx, n_frames, width, height, mean_px)
+        |ORDER BY name, frame_idx""".stripMargin,
     "q136_gif_frames" ->
       """SELECT name, decoded, CAST(frame_idx AS INT) AS frame_idx,
         |       CAST(n_frames AS INT) AS n_frames,

@@ -351,6 +351,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(junk.length == 1 && junk.head.getLong(0) == 2L && junk.head.isNullAt(4))
   }
 
+  test("sampleAviFrames decodes real MJPEG-in-AVI frames; hostile chunks fail soft") {
+    import spark.implicits._
+    def flat(w: Int, h: Int, v: Int) = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      b
+    }
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def avi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val payload = "AVI ".getBytes("US-ASCII") ++
+        list("movi", frames.map(f => chunk("00dc", jpeg(f))).reduce(_ ++ _))
+      "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    }
+    val clip = avi(Seq(flat(10, 8, 30), flat(10, 8, 120), flat(10, 8, 210),
+      flat(10, 8, 60)))
+    // hostile: declared movi chunk length near Int.MaxValue — the Long
+    // walk must end the scan, not wrap negative and throw
+    val hostile = "RIFF".getBytes("US-ASCII") ++ le32(64) ++
+      "AVI ".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      le32(Int.MaxValue - 3) ++ "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(Int.MaxValue - 16) ++ Array[Byte](1, 2)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", clip),
+      Multimodal.MediaRow(2L, "video", hostile),
+      Multimodal.MediaRow(3L, "binary", Array[Byte](9, 9, 9))).toDS()
+    val all = Multimodal.sampleAviFrames(rows, stride = 1).collect()
+    val ok = all.filter(r => r.getLong(0) == 1L && r.getBoolean(1))
+      .map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        math.round(r.getDouble(6)))).sorted
+    assert(ok.toSeq == Seq((0, 4, 10, 8, 30L), (1, 4, 10, 8, 120L),
+      (2, 4, 10, 8, 210L), (3, 4, 10, 8, 60L)), s"got ${ok.toSeq}")
+    // stride 3: frames 0 and 3 decode, total count stays 4
+    val strided = Multimodal.sampleAviFrames(rows, stride = 3).collect()
+      .filter(r => r.getLong(0) == 1L).map(r => (r.getInt(2), r.getInt(3))).sorted
+    assert(strided.toSeq == Seq((0, 4), (3, 4)))
+    // hostile + non-AVI payloads: one decoded=false row each, no throw
+    Seq(2L, 3L).foreach { id =>
+      val r = all.filter(_.getLong(0) == id)
+      assert(r.length == 1 && !r.head.getBoolean(1) && r.head.isNullAt(4),
+        s"payload $id must fail soft")
+    }
+  }
+
   test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binspec").toFile
     def put(name: String, bytes: Array[Byte]): Unit =
