@@ -218,33 +218,45 @@ object Profiling {
           .otherwise(0L)).cast("double").as(s"__c$i")
       case (RowCountBetween(_, _), i) => n.cast("double").as(s"__c$i")
     }
-    val one = df.agg(scanAggs.head, scanAggs.tail: _*)
-    def row(from: DataFrame, name: String, target: String,
-            observed: Column, passed: Column): DataFrame =
-      from.select(lit(name).as("check"), lit(target).as("target"),
+    // ONE array-of-structs exploded over the single aggregated row —
+    // NOT k unions of that row: a union re-executes the aggregate (and
+    // its scan) once per branch, which is exactly the k-scans cost
+    // this operator exists to avoid (PlanShapeSpec pins the scan count)
+    def entry(name: String, target: String, observed: Column,
+              passed: Column): Column =
+      struct(lit(name).as("check"), lit(target).as("target"),
         round(observed, 6).as("observed"), passed.as("passed"))
-    val rows = checks.zipWithIndex.map {
+    val scanRows = checks.zipWithIndex.collect {
       case (NotNull(c, minRate), i) =>
-        row(one, "not_null", c, col(s"__c$i"), col(s"__c$i") >= minRate)
+        entry("not_null", c, col(s"__c$i"), col(s"__c$i") >= minRate)
       case (Unique(cols), i) =>
-        row(one, "unique", cols.mkString(","), col(s"__c$i"), col(s"__c$i") === 0.0)
+        entry("unique", cols.mkString(","), col(s"__c$i"), col(s"__c$i") === 0.0)
       case (InSet(c, _), i) =>
-        row(one, "in_set", c, col(s"__c$i"), col(s"__c$i") === 0.0)
+        entry("in_set", c, col(s"__c$i"), col(s"__c$i") === 0.0)
       case (InRange(c, _, _), i) =>
-        row(one, "in_range", c, col(s"__c$i"), col(s"__c$i") === 0.0)
+        entry("in_range", c, col(s"__c$i"), col(s"__c$i") === 0.0)
       case (RowCountBetween(lo, hi), i) =>
-        row(one, "row_count", "*", col(s"__c$i"),
+        entry("row_count", "*", col(s"__c$i"),
           col(s"__c$i") >= lo.toDouble && col(s"__c$i") <= hi.toDouble)
-      case (ReferencedIn(c, parent, pk), _) =>
+    }
+    val scanned =
+      if (scanRows.isEmpty) None
+      else Some(df.agg(scanAggs.head, scanAggs.tail: _*)
+        .select(explode(array(scanRows: _*)).as("__r"))
+        .select(col("__r.check").as("check"), col("__r.target").as("target"),
+          col("__r.observed").as("observed"), col("__r.passed").as("passed")))
+    val refRows = checks.collect {
+      case ReferencedIn(c, parent, pk) =>
         // keys-only anti join: collapse child to distinct keys, drop
         // those present in the parent's distinct keys, count survivors
-        val orphans = df.filter(col(c).isNotNull).select(col(c).as("__k"))
+        df.filter(col(c).isNotNull).select(col(c).as("__k"))
           .distinct()
           .join(parent.select(col(pk).as("__k")).distinct(), Seq("__k"),
             "left_anti")
           .agg(count(lit(1)).cast("double").as("__o"))
-        row(orphans, "referenced_in", c, col("__o"), col("__o") === 0.0)
+          .select(lit("referenced_in").as("check"), lit(c).as("target"),
+            round(col("__o"), 6).as("observed"), (col("__o") === 0.0).as("passed"))
     }
-    rows.reduce(_ union _).orderBy("check", "target")
+    (scanned.toSeq ++ refRows).reduce(_ union _).orderBy("check", "target")
   }
 }

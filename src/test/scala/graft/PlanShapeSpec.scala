@@ -311,4 +311,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "a mega-domain's chrome table outgrows a driver hint — stay unhinted")
     assert(!p.contains("ScalaUDF"))
   }
+
+  test("q153 check suite: one scan-wide aggregation, keys-only anti join, no UDFs") {
+    val qe = SparkEntry.queries("q153_quality_checks")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftAnti"), "referential check exits via a keys-only anti join")
+    assert(!p.contains("ScalaUDF"), "every check compiles to builtin aggregates")
+    // the suite must not scan the child table once per check: the scan
+    // count stays the distinct (table, check-family) frames, not O(checks)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"check suite fanned out to $scans scans")
+  }
+
+  test("q154 funnel: co-keyed step joins, never a product, no unkeyed window") {
+    val p = plan("q154_event_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "each step joins survivors on the user key")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q155 triangle census: ordered two-hop equi-joins on data-sized sides") {
+    val qe = SparkEntry.queries("q155_similarity_triangles")(spark, sf).queryExecution
+    qe.toRdd.count() // localCheckpoint inside triangleStats needs execution
+    val p = qe.executedPlan.toString
+    // the only products are the final 1-row stat frames crossing —
+    // candidate and triangle joins stay keyed
+    assert(!p.contains("CartesianProduct"),
+      "triangle two-hop joins must be hash equi-joins")
+  }
 }
