@@ -105,6 +105,35 @@ object Profiling {
     else sketches.groupBy(groupCols.map(col): _*).agg(est)
   }
 
+  /** Estimated distinct-value overlap between two sketch tables
+    * ([[cardinalitySketches]] output, any partitioning): |A∩B| by
+    * inclusion–exclusion over the merged sketches — est(A) + est(B) −
+    * est(A∪B) — plus both margins and the containment ratio
+    * |A∩B|/|A|. The 100 TB question this answers: "how much of corpus
+    * B's user/document population is already in corpus A?" — from two
+    * metadata-sized sketch tables, scanning neither corpus.
+    * Inclusion–exclusion inherits BOTH sketches' error (±~1.6%·each at
+    * lgK=12), so small true overlaps can estimate slightly negative —
+    * clamped to 0. One row: (est_a, est_b, est_union, est_overlap,
+    * containment_a). */
+  def estimateOverlap(sketchesA: DataFrame, sketchesB: DataFrame,
+                      sketchCol: String = "sketch"): DataFrame = {
+    val a = sketchesA.agg(hll_union_agg(col(sketchCol)).as("__sa"))
+    val b = sketchesB.agg(hll_union_agg(col(sketchCol)).as("__sb"))
+    a.crossJoin(b)
+      .select(
+        hll_sketch_estimate(col("__sa")).as("est_a"),
+        hll_sketch_estimate(col("__sb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))
+          .as("est_union"))
+      .withColumn("est_overlap",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("containment_a",
+        when(col("est_a") > 0,
+          round(col("est_overlap").cast("double") / col("est_a"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Sequential funnel over an event stream: for each prefix of
     * `steps`, the users who performed those event types IN ORDER
     * (each step strictly after the previous one — the first qualifying

@@ -142,6 +142,42 @@ object Events {
         .filter(col("__rn") <= 20).drop("__rn")
       graft.api.Profiling.funnel(ev, "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // Cross-corpus overlap from sketches alone (q150's lifecycle
+    // composed): two user populations (congruence-class filters give a
+    // 50/60-user split with a 20-user true overlap at sf0.01) are
+    // sketched independently and their intersection estimated by
+    // inclusion-exclusion — the "how much of corpus B is already in
+    // corpus A" question answered without scanning either corpus. The
+    // oracle replays the exact set sizes; the estimate gates ride as
+    // booleans (±10% — inclusion-exclusion compounds both sketches'
+    // error).
+    "q157_overlap_contract" -> ((s, d) => {
+      val ev = events(s, d)
+      val a = ev.filter(col("user_id") % 3 === 0)
+        .withColumn("part", lit("a"))
+      val b = ev.filter(col("user_id") % 5 < 2)
+        .withColumn("part", lit("b"))
+      val est = graft.api.Profiling.estimateOverlap(
+        graft.api.Profiling.cardinalitySketches(a, Seq("part"), "user_id"),
+        graft.api.Profiling.cardinalitySketches(b, Seq("part"), "user_id"))
+      val exact = a.select(col("user_id")).distinct()
+        .join(b.select(col("user_id")).distinct(), Seq("user_id"), "full_outer")
+        .agg(count(lit(1)).as("exact_union"))
+        .crossJoin(a.agg(countDistinct("user_id").as("exact_a")))
+        .crossJoin(b.agg(countDistinct("user_id").as("exact_b")))
+        .withColumn("exact_overlap",
+          col("exact_a") + col("exact_b") - col("exact_union"))
+      est.crossJoin(exact)
+        .select(col("exact_a"), col("exact_b"), col("exact_overlap"),
+          (abs(col("est_a") - col("exact_a")) <= col("exact_a") * 0.05)
+            .as("est_a_ok"),
+          (abs(col("est_b") - col("exact_b")) <= col("exact_b") * 0.05)
+            .as("est_b_ok"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            greatest(col("exact_overlap").cast("double") * 0.1, lit(5.0)))
+            .as("est_overlap_ok"))
     })
   )
 
@@ -263,6 +299,14 @@ object Events {
         |  CASE WHEN step = 0 THEN 1.0
         |       ELSE round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 6)
         |  END AS conv_from_prev
-        |FROM r ORDER BY step""".stripMargin
+        |FROM r ORDER BY step""".stripMargin,
+
+    "q157_overlap_contract" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0),
+        |     b AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 < 2)
+        |SELECT (SELECT count(*) FROM a) AS exact_a,
+        |       (SELECT count(*) FROM b) AS exact_b,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_overlap,
+        |       TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS est_overlap_ok""".stripMargin
   )
 }

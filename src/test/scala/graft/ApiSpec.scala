@@ -1815,6 +1815,25 @@ class ApiSpec extends AnyFunSuite {
       graft.api.Profiling.cardinalitySketches(df, Seq.empty, "member"))
   }
 
+  test("Profiling.estimateOverlap: inclusion-exclusion over sketches, coupon-exact") {
+    import spark.implicits._
+    // A = 0..99, B = 60..139: true overlap 40, union 140
+    val a = (0L until 100L).map(("a", _)).toDF("part", "m")
+    val b = (60L until 140L).map(("b", _)).toDF("part", "m")
+    val sa = graft.api.Profiling.cardinalitySketches(a, Seq("part"), "m")
+    val sb = graft.api.Profiling.cardinalitySketches(b, Seq("part"), "m")
+    val r = graft.api.Profiling.estimateOverlap(sa, sb).collect()(0)
+    assert(r.getAs[Long]("est_a") == 100L && r.getAs[Long]("est_b") == 80L)
+    assert(r.getAs[Long]("est_union") == 140L)
+    assert(r.getAs[Long]("est_overlap") == 40L)
+    assert(r.getAs[Double]("containment_a") == 0.4)
+    // disjoint corpora: overlap clamps at 0, never negative
+    val c = (1000L until 1100L).map(("c", _)).toDF("part", "m")
+    val sc = graft.api.Profiling.cardinalitySketches(c, Seq("part"), "m")
+    val d = graft.api.Profiling.estimateOverlap(sa, sc).collect()(0)
+    assert(d.getAs[Long]("est_overlap") == 0L)
+  }
+
   test("Profiling.funnel: strict in-order semantics, exact micro gaps") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
