@@ -63,20 +63,33 @@ private[graft] object BenchLine {
   }
 
   /** Compact line for the log: `q44_near_dup_pairs` → `q44`, 10 ms
-    * precision, no sample arrays — degrading precision and finally
-    * dropping the per-query map entirely (headline metrics alone are
-    * always parseable) rather than ever printing an over-length line. */
+    * precision, no sample arrays — degrading precision, then SHEDDING
+    * THE FASTEST queries (the slow ones are the performance signal;
+    * `"q_omitted":N` records the shed count, every omitted query faster
+    * than every kept one), and only as a last resort dropping the map
+    * entirely — never printing an over-length line. The full-precision
+    * complete map always lands in bench_result.json. */
   def compact(h: Headline, results: Seq[(String, Double)]): String = {
-    def at(fmt: Double => String): String =
+    val f1 = (v: Double) => "%.1f".formatLocal(Locale.ROOT, v)
+    def at(fmt: Double => String, subset: Seq[(String, Double)]): String = {
+      val omitted = results.size - subset.size
       render(h, results,
-        results.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) }, "")
-    val c2 = at(f2)
-    if (c2.length <= MaxLen) c2
-    else {
-      val c1 = at(v => "%.1f".formatLocal(Locale.ROOT, v))
-      if (c1.length <= MaxLen) c1
-      else render(h, results, Seq.empty, "")
+        subset.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) },
+        if (omitted > 0) s""","q_omitted":$omitted""" else "")
     }
+    val c2 = at(f2, results)
+    if (c2.length <= MaxLen) return c2
+    val c1 = at(f1, results)
+    if (c1.length <= MaxLen) return c1
+    // shed fastest-first: failures (-1) sort as slowest so they are
+    // never shed — a red query must stay visible in the map
+    var keep = results.sortBy { case (_, t) => if (t < 0) Double.MinValue else -t }
+    var line = c1
+    while (line.length > MaxLen && keep.nonEmpty) {
+      keep = keep.dropRight(math.max(1, keep.size / 10))
+      line = at(f1, keep)
+    }
+    if (keep.isEmpty) render(h, results, Seq.empty, "") else line
   }
 }
 

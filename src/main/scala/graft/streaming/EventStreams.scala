@@ -191,6 +191,46 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
   }
 
+  /** Streaming form of [[graft.api.Profiling.funnel]]'s per-user step
+    * progress: state (the timestamps of steps reached so far, strictly
+    * increasing) lives in the state store keyed by user; each batch's
+    * events advance the greedy in-order scan — an event advances the
+    * funnel only when it matches the NEXT unreached step with a
+    * strictly later timestamp. Processing a user's events in
+    * nondecreasing event-time order yields exactly the batch
+    * min-after-previous times (greedy-earliest == sequential minima),
+    * so final per-user progress matches the batch funnel when events
+    * arrive in order across batches (parity spec); an event for an
+    * already-passed step position that arrives across batches out of
+    * order is ignored — the documented streaming caveat, same family
+    * as flatSessionize's no-retro-merge. Emits (user, steps_reached)
+    * per touched user per batch — Update mode, monotone per user.
+    * State is a handful of longs per user; at cluster scale it shards
+    * by the user key. */
+  def funnelProgress(s: SparkSession, df: DataFrame,
+                     steps: Seq[String]): Dataset[(Long, Int)] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    require(steps.nonEmpty && steps.distinct.size == steps.size)
+    val stepArr = steps.toArray
+    df.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[(Long, String, Long)],
+         state: GroupState[List[Long]]) =>
+          // head = latest reached-step time (list reversed)
+          var times = state.getOption.getOrElse(Nil)
+          events.toArray.sortBy(_._3).foreach { case (_, typ, t) =>
+            val k = times.length
+            if (k < stepArr.length && typ == stepArr(k) &&
+              (times.isEmpty || t > times.head)) times = t :: times
+          }
+          state.update(times)
+          (uid, times.length)
+      }
+  }
+
   /** Drain a streaming frame into an in-memory table with
     * `Trigger.AvailableNow` (process everything currently in the
     * source, then stop) and return the result. */

@@ -46,17 +46,43 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries").has("q01"))
   }
 
-  test("pathological per-query times degrade to the headline-only line, never over-length") {
+  test("pathological per-query times shed the fastest queries, never over-length") {
     // >100 s per query at 150 queries: even 0.1 s precision overflows —
-    // the ladder must fall through to dropping the map entirely
+    // the ladder sheds fastest-first and records the omission count
     val results = (1 to 150).map(i =>
       (f"q$i%03d_x", 100000.0 + i * 1.111111))
     val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results)
     assert(line.length <= BenchLine.MaxLen, s"line ran ${line.length} chars")
     val node = parse(line)
-    assert(node.get("queries").size() == 0, "per-query map must be dropped")
-    assert(node.get("value").asDouble() > 1.5e7, "total survives the drop")
+    val kept = node.get("queries").size()
+    assert(kept > 0 && kept < 150, s"partial map expected, got $kept")
+    assert(node.get("q_omitted").asInt() == 150 - kept)
+    assert(node.get("queries").has("q150"), "the slowest query must be kept")
+    assert(!node.get("queries").has("q001"), "the fastest query sheds first")
+    assert(node.get("value").asDouble() > 1.5e7, "total survives the shed")
     assert(node.get("ingest_rows_per_sec").asLong() == 1500000L)
+  }
+
+  test("the 157-query suite shape keeps a slowest-first map with q_omitted") {
+    // three-digit ids + realistic times: the post-r9 suite no longer
+    // fits complete — the line must keep the slow (informative) tail
+    // and mark what was shed; a failed query (-1) must never be shed
+    val results = (1 to 156).map(i => (f"q$i%03d_operator", 0.2 + (i % 40))) ++
+      Seq(("q157_broken", -1.0))
+    val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results)
+    assert(line.length <= BenchLine.MaxLen, s"line ran ${line.length} chars")
+    val node = parse(line)
+    val q = node.get("queries")
+    if (node.has("q_omitted")) {
+      assert(q.size() + node.get("q_omitted").asInt() == 157)
+      assert(q.has("q157"), "a red query stays visible through shedding")
+      // every omitted query is faster than every kept one
+      val keptMin = (1 to 156).map(i => f"q$i%03d")
+        .filter(q.has).map(k => q.get(k).asDouble()).min
+      val omittedMax = (1 to 156).map(i => (f"q$i%03d", 0.2 + (i % 40)))
+        .filterNot { case (k, _) => q.has(k) }.map(_._2).max
+      assert(omittedMax <= keptMin)
+    } else assert(q.size() == 157)
   }
 
   test("failed queries are excluded from the total and the map carries -1") {

@@ -126,6 +126,56 @@ class StreamingParitySpec extends AnyFunSuite {
       s"closed-session sets differ: extra=${gotSet -- want} missing=${want -- gotSet}")
   }
 
+  test("streaming funnel progress matches the batch funnel (q154's streaming form)") {
+    import org.apache.spark.sql.functions._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.funnelProgress(spark, stream(), steps).toDF("user_id", "steps"),
+      "m_funnel", OutputMode.Update())
+    // update mode appends a row per touched user per batch — progress
+    // is monotone, so the final state is the per-user max
+    val streamed = got.groupBy("user_id").agg(max("steps").as("steps"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.api.Profiling.funnel(
+        graft.core.Tables.events(spark, sf), "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // batch reports users reaching step i; streaming per-user progress
+    // aggregates to the same counts
+    (0 until steps.length).foreach { i =>
+      val streamedCount = streamed.values.count(_ > i).toLong
+      assert(streamedCount == batch(i),
+        s"step $i: streaming $streamedCount vs batch ${batch(i)}")
+    }
+    assert(batch(0) > 0, "fixture should start the funnel")
+  }
+
+  test("streaming funnel carries step state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = src.toDF().toDF("user_id", "ts", "event_type")
+    val out = EventStreams.funnelProgress(spark, df, Seq("A", "B"))
+      .toDF("user_id", "steps")
+    val q = out.writeStream.format("memory").queryName("m_funnel_x")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 reaches A; user 2 sees B first (no progress)
+      src.addData((1L, t(1), "A"), (2L, t(1), "B"))
+      q.processAllAvailable()
+      // batch 2: user 1's B (later ts) must advance using the STORED
+      // t0; user 2's A starts its funnel
+      src.addData((1L, t(5), "B"), (2L, t(6), "A"))
+      q.processAllAvailable()
+      val last = spark.table("m_funnel_x").groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("steps").as("steps"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(last == Map(1L -> 2, 2L -> 1),
+        s"cross-batch state must advance user 1 to B, user 2 to A: $last")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch pair set (q77)") {
     import org.apache.spark.sql.functions._
     // two independent source instances of the same directory — a
