@@ -105,6 +105,56 @@ object Profiling {
     else sketches.groupBy(groupCols.map(col): _*).agg(est)
   }
 
+  /** Mergeable QUANTILE sketch table — the [[cardinalitySketches]]
+    * lifecycle for rank/percentile queries: one Apache DataSketches
+    * KLL sketch (binary, ~KB at k=200) per `partCols` group over
+    * `valueCol`. Build once per ingest partition, persist as ordinary
+    * parquet, answer "p50/p95/p99 over ANY partition range" from the
+    * sketch table alone ([[estimateQuantiles]]) — the latency/size
+    * dashboard pattern at 100 TB, where re-scanning for exact
+    * percentiles is the cost that kills. Error is a PROVEN two-sided
+    * normalized rank bound (~1.65% of n at k=200), not a heuristic. */
+  def quantileSketches(df: DataFrame, partCols: Seq[String],
+                       valueCol: String, k: Int = 200): DataFrame = {
+    require(partCols.nonEmpty, "quantileSketches needs partition columns")
+    val agg = udaf(new graft.functions.KllAggregators.SketchAgg(k),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    df.groupBy(partCols.map(col): _*)
+      .agg(agg(col(valueCol).cast("double")).as("sketch"))
+  }
+
+  /** Merge a quantile sketch table down to `groupCols` (empty = one
+    * global row) and estimate the requested quantiles over each merged
+    * group. Input is [[quantileSketches]] output or its parquet
+    * round-trip; only sketches move — never source rows. Output: the
+    * group columns + one `q_<rank>` double column per requested
+    * quantile (inclusive rank semantics). */
+  def estimateQuantiles(sketches: DataFrame, groupCols: Seq[String],
+                        qs: Seq[Double], sketchCol: String = "sketch",
+                        k: Int = 200): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantile ranks must be in [0, 1]")
+    val merge = udaf(new graft.functions.KllAggregators.MergeAgg(k),
+      org.apache.spark.sql.Encoders.BINARY)
+    val merged =
+      (if (groupCols.isEmpty) sketches.agg(merge(col(sketchCol)).as("__m"))
+       else sketches.groupBy(groupCols.map(col): _*)
+         .agg(merge(col(sketchCol)).as("__m")))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      merged.schema.fields.filterNot(_.name == "__m") ++
+        qs.map(q => org.apache.spark.sql.types.StructField(
+          "q_" + "%.4f".format(q).replace(".", "_"),
+          org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val n = merged.schema.fields.length - 1
+    merged.map { r =>
+      val ests = graft.functions.KllAggregators.quantilesOf(
+        r.getAs[Array[Byte]]("__m"), qs)
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until n).map(r.get) ++ ests)
+    }(enc)
+  }
+
   /** Estimated distinct-value overlap between two sketch tables
     * ([[cardinalitySketches]] output, any partitioning): |A∩B| by
     * inclusion–exclusion over the merged sketches — est(A) + est(B) −

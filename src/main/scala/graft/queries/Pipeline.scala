@@ -420,6 +420,35 @@ object Pipeline {
         .orderBy("event_type")
     }),
 
+    // Mergeable QUANTILE sketch lifecycle (q150's pattern for
+    // percentiles): per-(day, event_type) KLL sketches of the value
+    // column persisted to parquet, read back, merged per type, and the
+    // p50/p95 estimates validated IN-PLAN — the exact rank of each
+    // estimate (count of values at or under it) must sit within the
+    // sketch's proven normalized rank error of the target. The oracle
+    // replays the exact counts; the rank gates ride as TRUE booleans.
+    // This is the latency/size dashboard pattern at 100 TB: percentile
+    // answers over arbitrary partition ranges from a KB-sized sketch
+    // table, never a re-scan.
+    "q158_quantile_sketch_contract" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-kll-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      graft.api.Profiling.quantileSketches(ev, Seq("day", "event_type"), "value")
+        .write.mode("overwrite").parquet(dir)
+      val est = graft.api.Profiling.estimateQuantiles(
+        s.read.parquet(dir), Seq("event_type"), Seq(0.5, 0.95))
+      ev.join(est, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("q_0_5000"), 1L).otherwise(0L)).as("__r50"),
+          sum(when(col("value") <= col("q_0_9500"), 1L).otherwise(0L)).as("__r95"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__r50").cast("double") / col("n") - 0.5) <= 0.04).as("p50_ok"),
+          (abs(col("__r95").cast("double") / col("n") - 0.95) <= 0.04).as("p95_ok"))
+        .orderBy("event_type")
+    }),
+
     // As-of join: for every 'view' event, the user's most recent
     // 'purchase' at-or-before it. Built scale-safely as union + keyed
     // window (last non-null carried forward) — one shuffle on user_id,
@@ -2622,6 +2651,9 @@ object Pipeline {
         |UNION ALL
         |SELECT '*', count(DISTINCT user_id), TRUE FROM events
         |ORDER BY event_type""".stripMargin,
+    "q158_quantile_sketch_contract" ->
+      """SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q55_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id FROM events

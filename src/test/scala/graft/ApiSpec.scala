@@ -1815,6 +1815,37 @@ class ApiSpec extends AnyFunSuite {
       graft.api.Profiling.cardinalitySketches(df, Seq.empty, "member"))
   }
 
+  test("Profiling quantile sketches: KLL merge across partitions, proven rank error") {
+    import spark.implicits._
+    // values == ranks: 10k uniform values over 4 partitions, so the
+    // quantile estimate error IS the rank error, directly checkable
+    val df = (0 until 10000).map(i => (s"p${i % 4}", i.toDouble)).toDF("part", "v")
+    val sk = graft.api.Profiling.quantileSketches(df, Seq("part"), "v")
+    assert(sk.count() == 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-spec").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val errBound = back.limit(1).collect()
+      .map(r => graft.functions.KllAggregators.rankError(
+        r.getAs[Array[Byte]]("sketch"))).head
+    assert(errBound > 0 && errBound < 0.05, s"k=200 rank error ~1.65%: $errBound")
+    val g = graft.api.Profiling.estimateQuantiles(
+      back, Seq.empty, Seq(0.1, 0.5, 0.99)).collect()(0)
+    val tol = 2 * errBound * 10000
+    assert(math.abs(g.getDouble(0) - 1000.0) <= tol, s"p10 ${g.getDouble(0)}")
+    assert(math.abs(g.getDouble(1) - 5000.0) <= tol, s"p50 ${g.getDouble(1)}")
+    assert(math.abs(g.getDouble(2) - 9900.0) <= tol, s"p99 ${g.getDouble(2)}")
+    // per-partition grouping keeps the group columns + q_ columns
+    val per = graft.api.Profiling.estimateQuantiles(back, Seq("part"), Seq(0.5))
+    assert(per.columns.toSeq == Seq("part", "q_0_5000"))
+    assert(per.count() == 4)
+    // each partition holds i % 4 == j values: medians differ per group
+    val meds = per.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(meds.keySet == Set("p0", "p1", "p2", "p3"))
+    intercept[IllegalArgumentException](
+      graft.api.Profiling.estimateQuantiles(back, Seq.empty, Seq(1.5)))
+  }
+
   test("Profiling.estimateOverlap: inclusion-exclusion over sketches, coupon-exact") {
     import spark.implicits._
     // A = 0..99, B = 60..139: true overlap 40, union 140
