@@ -957,6 +957,82 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("survivor_id"))
   }
 
+  /** Persisted Bloom "seen-ids" filter — the probabilistic fast path
+    * in front of the exact dedup indexes: a few MB of bits answer
+    * "might this id have been ingested before?" for billions of ids.
+    * The contract is asymmetric by design: NO false negatives (an id
+    * that was built/appended ALWAYS flags), bounded false positives
+    * (`fpp`), so [[markSeen]]'s unflagged rows are GUARANTEED new and
+    * skip the exact check entirely — only the flagged minority pays
+    * the index join. Ids hash through xxhash64 (any type). The filter
+    * file carries its (expectedItems, fpp) header so appends build
+    * bit-compatible batch filters; writes land via temp-file + atomic
+    * rename, so a crash never leaves a torn filter. */
+  def buildSeenFilter(df: DataFrame, idCol: String, path: String,
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): Unit = {
+    val bf = df.stat.bloomFilter(xxhash64(col(idCol)), expectedItems, fpp)
+    writeSeenFilter(df.sparkSession, path, bf, expectedItems, fpp)
+  }
+
+  /** Merge a new batch into the persisted filter (same-parameter batch
+    * filter → bit-compatible mergeInPlace → atomic rewrite). Size for
+    * the LIFETIME id count at build: a Bloom filter never shrinks, and
+    * appending past expectedItems degrades fpp, never correctness. */
+  def appendToSeenFilter(df: DataFrame, idCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (bf, items, fpp) = readSeenFilter(spark, path)
+    bf.mergeInPlace(df.stat.bloomFilter(xxhash64(col(idCol)), items, fpp))
+    writeSeenFilter(spark, path, bf, items, fpp)
+  }
+
+  /** Flag each row's id against the persisted filter: `flagCol` true =
+    * PROBABLY seen (verify exactly), false = GUARANTEED new. The
+    * filter rides into the plan as a literal behind the native
+    * might_contain expression — codegen'd, no UDF, no shuffle. */
+  def markSeen(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+               idCol: String, path: String,
+               flagCol: String = "probably_seen"): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val (bf, _, _) = readSeenFilter(spark, path)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    df.withColumn(flagCol, GraftExprBridge.column(BloomFilterMightContain(
+      GraftExprBridge.expression(lit(os.toByteArray)),
+      GraftExprBridge.expression(xxhash64(col(idCol))))))
+  }
+
+  private def writeSeenFilter(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              bf: org.apache.spark.util.sketch.BloomFilter,
+                              items: Long, fpp: Double): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try { out.writeLong(items); out.writeDouble(fpp); bf.writeTo(out) }
+    finally out.close()
+    FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  private def readSeenFilter(spark: org.apache.spark.sql.SparkSession,
+                             path: String)
+      : (org.apache.spark.util.sketch.BloomFilter, Long, Double) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no seen-filter at $path")
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      val items = in.readLong()
+      val fpp = in.readDouble()
+      (org.apache.spark.util.sketch.BloomFilter.readFrom(in), items, fpp)
+    } finally in.close()
+  }
+
   /** Triangle census of a similarity graph — the structural health
     * check for a near-dup pair set: duplicates come in CLIQUES (a
     * 5-copy document yields 10 pairs and 10 triangles), so a pair set

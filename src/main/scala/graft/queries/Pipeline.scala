@@ -305,6 +305,39 @@ object Pipeline {
         .select("doc_id", "canonical_id", "split")
         .orderBy("doc_id")),
 
+    // Persisted Bloom seen-ids filter: the probabilistic front door of
+    // incremental dedup — build on the corpus, append a batch, then
+    // flag a probe of all ids plus a shifted guaranteed-unseen set.
+    // The contract is the filter's asymmetric guarantee: EVERY truly
+    // seen id flags (no false negatives — checkable exactly), and the
+    // false-positive rate among unseen ids stays under 5x the 1%
+    // target. The oracle replays the probe size and the exact seen
+    // count; the guarantees ride as TRUE booleans.
+    "q159_seen_filter" -> ((s, d) => {
+      val pathF = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-seen-" + d.replaceAll("[^A-Za-z0-9.]", "_") + ".bloom")
+        .getAbsolutePath
+      val docs = Tables.documents(s, d).select("doc_id")
+      graft.api.Dedup.buildSeenFilter(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", pathF,
+        expectedItems = 100000L)
+      graft.api.Dedup.appendToSeenFilter(
+        docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 100),
+        "doc_id", pathF)
+      val probe = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+      // +1M keeps id%4, so "truly seen" must also exclude the shifted set
+      val trulySeen = col("doc_id") < 1000000L &&
+        (col("doc_id") % 4 =!= 0 || col("doc_id") < 100)
+      graft.api.Dedup.markSeen(s, probe, "doc_id", pathF)
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(trulySeen, 1L).otherwise(0L)).as("n_seen"),
+          (sum(when(trulySeen && !col("probably_seen"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (sum(when(!trulySeen && col("probably_seen"), 1L).otherwise(0L)) <=
+            (count(lit(1)) - sum(when(trulySeen, 1L).otherwise(0L))) * 0.05)
+            .as("fp_ok"))
+    }),
+
     // Triangle census of the near-dup graph (same LSH pair generator
     // as q63): duplicates come in cliques, so edges-without-triangles
     // signal a too-loose threshold chaining unrelated docs. Ordered
@@ -2523,6 +2556,17 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q159_seen_filter" ->
+      """WITH probe AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 FROM documents
+        |)
+        |SELECT count(*) AS n_probe,
+        |  sum(CASE WHEN doc_id < 1000000
+        |            AND (doc_id % 4 <> 0 OR doc_id < 100)
+        |      THEN 1 ELSE 0 END) AS n_seen,
+        |  TRUE AS no_false_negatives, TRUE AS fp_ok
+        |FROM probe""".stripMargin,
     "q155_similarity_triangles" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents

@@ -1815,6 +1815,33 @@ class ApiSpec extends AnyFunSuite {
       graft.api.Profiling.cardinalitySketches(df, Seq.empty, "member"))
   }
 
+  test("Dedup seen-filter: no false negatives, bounded fps, atomic append") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-spec")
+      .resolve("ids.bloom").toString
+    Dedup.buildSeenFilter((0L until 500L).toDF("id"), "id", path,
+      expectedItems = 10000L)
+    Dedup.appendToSeenFilter((500L until 600L).toDF("id"), "id", path)
+    val probe = (0L until 2000L).toDF("id")
+    val marked = Dedup.markSeen(spark, probe, "id", path)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every built/appended id flags — the guarantee the prefilter
+    // contract rests on
+    assert((0L until 600L).forall(marked(_)), "no false negatives allowed")
+    // unseen ids: some may false-positive, most must pass as new
+    val fps = (600L until 2000L).count(marked(_))
+    assert(fps <= 70, s"fp count $fps way over the 1% target on 1400 unseen")
+    // string ids ride the same xxhash path
+    val sPath = java.nio.file.Files.createTempDirectory("graft-seen-spec2")
+      .resolve("s.bloom").toString
+    Dedup.buildSeenFilter(Seq("a", "b").toDF("k"), "k", sPath, 1000L)
+    val sm = Dedup.markSeen(spark, Seq("a", "zzz").toDF("k"), "k", sPath)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(sm("a"), "string id must flag")
+    intercept[IllegalArgumentException](
+      Dedup.markSeen(spark, probe, "id", path + "-nowhere").count())
+  }
+
   test("Profiling quantile sketches: KLL merge across partitions, proven rank error") {
     import spark.implicits._
     // values == ranks: 10k uniform values over 4 partitions, so the
