@@ -958,16 +958,29 @@ object Dedup {
   }
 
   /** Persisted Bloom "seen-ids" filter — the probabilistic fast path
-    * in front of the exact dedup indexes: a few MB of bits answer
-    * "might this id have been ingested before?" for billions of ids.
-    * The contract is asymmetric by design: NO false negatives (an id
-    * that was built/appended ALWAYS flags), bounded false positives
-    * (`fpp`), so [[markSeen]]'s unflagged rows are GUARANTEED new and
-    * skip the exact check entirely — only the flagged minority pays
-    * the index join. Ids hash through xxhash64 (any type). The filter
-    * file carries its (expectedItems, fpp) header so appends build
+    * in front of the exact dedup indexes: ~1.2 bytes per expected id
+    * at fpp=1% (≈12 MB per 10M ids) answer "might this id have been
+    * ingested before?" without touching the index. The contract is
+    * asymmetric by design: NO false negatives (an id that was
+    * built/appended ALWAYS flags), bounded false positives (`fpp`), so
+    * [[markSeen]]'s unflagged rows are GUARANTEED new and skip the
+    * exact check entirely — only the flagged minority pays the index
+    * join. Ids hash through xxhash64 (any type). The filter file
+    * carries its (expectedItems, fpp) header so appends build
     * bit-compatible batch filters; writes land via temp-file + atomic
-    * rename, so a crash never leaves a torn filter. */
+    * rename, so a crash never leaves a torn filter.
+    *
+    * Scale + concurrency bounds (explicit, because violating either
+    * breaks the no-false-negative guarantee or the JVM):
+    *  - the filter materializes as ONE byte array on the driver and as
+    *    a plan literal in [[markSeen]] — size for up to ~10^8 ids per
+    *    filter (~120 MB); beyond that, shard by id range or time
+    *    window and mark against each shard (flags OR together);
+    *  - [[appendToSeenFilter]] is read-merge-write: appends must be
+    *    SERIALIZED (one writer at a time — e.g. the ingest commit
+    *    loop). Two concurrent appenders would each merge only their
+    *    own batch and the second rename silently drops the first
+    *    batch's ids — false negatives with no error anywhere. */
   def buildSeenFilter(df: DataFrame, idCol: String, path: String,
                       expectedItems: Long = 1000000L,
                       fpp: Double = 0.01): Unit = {

@@ -119,7 +119,11 @@ object Profiling {
     require(partCols.nonEmpty, "quantileSketches needs partition columns")
     val agg = udaf(new graft.functions.KllAggregators.SketchAgg(k),
       org.apache.spark.sql.Encoders.scalaDouble)
-    df.groupBy(partCols.map(col): _*)
+    // null values are SKIPPED, matching cardinalitySketches' HLL
+    // semantics — without the filter a null would hit the typed
+    // aggregator's non-nullable primitive input and abort the job
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(partCols.map(col): _*)
       .agg(agg(col(valueCol).cast("double")).as("sketch"))
   }
 
@@ -143,7 +147,9 @@ object Profiling {
     val outSchema = org.apache.spark.sql.types.StructType(
       merged.schema.fields.filterNot(_.name == "__m") ++
         qs.map(q => org.apache.spark.sql.types.StructField(
-          "q_" + "%.4f".format(q).replace(".", "_"),
+          // Locale.ROOT: a comma-decimal default locale would render
+          // "q_0,5000" and break every documented q_<rank> column name
+          "q_" + "%.4f".formatLocal(java.util.Locale.ROOT, q).replace(".", "_"),
           org.apache.spark.sql.types.DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val n = merged.schema.fields.length - 1
@@ -292,8 +298,14 @@ object Profiling {
         sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
           .otherwise(0L)).cast("double").as(s"__c$i")
       case (InRange(c, lo, hi), i) =>
+        // a non-null value that fails the double cast (e.g. "abc" in a
+        // string column) is a VIOLATION, not a silent pass — and under
+        // ANSI mode a plain cast would ABORT the whole suite on the
+        // first malformed value, so the probe rides try_cast
         sum(when(col(c).isNotNull &&
-            (col(c).cast("double") < lo || col(c).cast("double") > hi), 1L)
+            (col(c).try_cast("double").isNull ||
+              col(c).try_cast("double") < lo ||
+              col(c).try_cast("double") > hi), 1L)
           .otherwise(0L)).cast("double").as(s"__c$i")
       case (RowCountBetween(_, _), i) => n.cast("double").as(s"__c$i")
     }

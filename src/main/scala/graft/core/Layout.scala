@@ -136,10 +136,16 @@ object Layout {
       .repartition(shards, col("shard"))
       .write.mode("overwrite").format(format)
       .partitionBy("shard").save(path)
+    // checksum input built Column-wise, THEN aggregated: interpolating
+    // idCol into raw SQL would break on names needing quoting ("user
+    // id", reserved words) — only the argument-less bit_xor aggregate
+    // itself lacks a Column API
     spark.read.format(format).load(path)
+      .withColumn("__cs",
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long"))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        expr(s"bit_xor(cast(conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 12), 16, 10) as bigint))")
-          .as("id_xor"))
+        expr("bit_xor(__cs)").as("id_xor"))
   }
 }

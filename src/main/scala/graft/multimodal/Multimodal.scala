@@ -125,7 +125,12 @@ object Multimodal {
       if (!isAvi(c)) return None
       val frames = Vector.newBuilder[Array[Byte]]
       var sawMovi = false
-      def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+      // depth bound: real AVIs nest 2-3 LISTs (hdrl/strl, movi/rec );
+      // a hostile payload of thousands of nested LIST headers would
+      // otherwise drive the recursion to StackOverflowError — an Error
+      // that escapes the Option fail-soft contract and kills the task
+      def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+        if (depth > 16) return
         var off = start
         var ok = true
         while (ok && off + 8 <= end) {
@@ -137,7 +142,8 @@ object Multimodal {
             if (id == "LIST" && len >= 4) {
               val listType = new String(c, o + 8, 4, "US-ASCII")
               if (listType == "movi") sawMovi = true
-              walk(off + 12, off + 8 + len, inMovi || listType == "movi")
+              walk(off + 12, off + 8 + len, inMovi || listType == "movi",
+                depth + 1)
             } else if (inMovi && len > 0 &&
               (id.endsWith("dc") || id.endsWith("db"))) {
               frames += java.util.Arrays.copyOfRange(c, o + 8, o + 8 + len)
@@ -146,7 +152,7 @@ object Multimodal {
           }
         }
       }
-      walk(12L, c.length.toLong, inMovi = false)
+      walk(12L, c.length.toLong, inMovi = false, depth = 0)
       if (sawMovi) Some(frames.result()) else None
     }
 

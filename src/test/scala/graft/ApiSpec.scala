@@ -1871,6 +1871,14 @@ class ApiSpec extends AnyFunSuite {
     assert(meds.keySet == Set("p0", "p1", "p2", "p3"))
     intercept[IllegalArgumentException](
       graft.api.Profiling.estimateQuantiles(back, Seq.empty, Seq(1.5)))
+    // null values skip (the HLL twin's semantics) instead of aborting
+    // the typed aggregator on a non-nullable primitive input
+    val withNulls = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("part", "v")
+    val nsk = graft.api.Profiling.quantileSketches(withNulls, Seq("part"), "v")
+    val med = graft.api.Profiling.estimateQuantiles(nsk, Seq("part"), Seq(0.5))
+      .collect()(0).getDouble(1)
+    assert(med == 1.0 || med == 3.0, s"median over {1,3}: $med")
   }
 
   test("Profiling.estimateOverlap: inclusion-exclusion over sketches, coupon-exact") {
@@ -1942,6 +1950,13 @@ class ApiSpec extends AnyFunSuite {
     assert(out(("referenced_in", "k")) == ((1.0, false)), "k=2 has no parent")
     intercept[IllegalArgumentException](
       graft.api.Profiling.runChecks(child, Seq.empty))
+    // an unparseable non-null value is a range VIOLATION, never a
+    // silent pass through a null cast
+    val junk = Seq("1.5", "abc", "7").toDF("v")
+    val jr = graft.api.Profiling.runChecks(junk,
+      Seq(InRange("v", 0.0, 10.0))).collect()(0)
+    assert(jr.getDouble(2) == 1.0 && !jr.getBoolean(3),
+      "'abc' must count as out of range")
   }
 
   test("Joins.intervalOverlapJoin: exact pairs, multi-bucket dedupe, malformed dropped") {

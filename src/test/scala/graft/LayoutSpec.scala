@@ -92,6 +92,12 @@ class LayoutSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft-shards2").toString)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m2 != manifest, "checksum must change when an id changes")
+    // a column name needing quoting must survive the manifest path
+    val spaced = df.withColumnRenamed("id", "user id")
+    val m3 = Layout.shardedExport(spaced, "user id", 4,
+      java.nio.file.Files.createTempDirectory("graft-shards3").toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m3 == manifest, "same ids under a quoted name, same manifest")
   }
 
   test("skew degrades z-order bucketing gracefully, rows never lost") {

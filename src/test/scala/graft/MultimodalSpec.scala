@@ -404,6 +404,21 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.length == 1 && !r.head.getBoolean(1) && r.head.isNullAt(4),
         s"payload $id must fail soft")
     }
+    // deep LIST nesting: thousands of nested headers must hit the
+    // depth bound and fail soft, never StackOverflowError
+    val depth = 20000
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(12 * depth + 4))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      bos.write("LIST".getBytes("US-ASCII"))
+      bos.write(le32(12 * (depth - i) - 8))
+      bos.write("movi".getBytes("US-ASCII"))
+    }
+    val nested = Multimodal.sampleAviFrames(
+      Seq(Multimodal.MediaRow(9L, "video", bos.toByteArray)).toDS(), 1).collect()
+    assert(nested.length == 1 && !nested.head.getBoolean(1),
+      "deep nesting must degrade to decoded=false")
   }
 
   test("binaryFile directory ingest: glob pushdown, kind inference, stable ids") {
