@@ -64,14 +64,20 @@ object Curation {
       .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
       .otherwise(auth1)
     val tail0 = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
-    // Unify separators to '&' so tracking params drop with one global
-    // pattern regardless of position, then restore '?' on the first
-    // survivor (the pattern is ^-anchored: global replace still
-    // rewrites at most once).
-    val t1 = regexp_replace(tail0, "\\?", "&")
-    val t2 = regexp_replace(t1, "&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", "")
-    val t3 = regexp_replace(t2, "^([^&]*)&", "$1?")
-    val t4 = regexp_replace(t3, "[?&]+$", "")
+    // '&' is a legal RFC 3986 path character and '?' is legal inside
+    // query VALUES: split at the FIRST '?' and scrub tracking params
+    // only in the query half — a global '?'→'&' unification would
+    // corrupt the path (or even delete a path segment matching the
+    // tracking pattern) and mis-split multi-'?' queries.
+    val path = regexp_extract(tail0, "^([^?]*)", 1)
+    val query0 = when(tail0.contains("?"),
+      regexp_extract(tail0, "^[^?]*\\?(.*)$", 1)).otherwise(lit(""))
+    // prefix '&' so every param (including the first) matches the one
+    // &name=value removal pattern, then strip residual separators
+    val q1 = regexp_replace(concat(lit("&"), query0),
+      "&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", "")
+    val q2 = regexp_replace(regexp_replace(q1, "^&+", ""), "&+$", "")
+    val t4 = when(q2 === "", path).otherwise(concat(path, lit("?"), q2))
     val tail = when(t4 === "" || t4.startsWith("?"), concat(lit("/"), t4)).otherwise(t4)
     when(scheme === "", url).otherwise(concat(scheme, lit("://"), auth, tail))
   }
@@ -104,14 +110,16 @@ object Curation {
     val a1 = regexp_replace(
       lower(regexp_extract(col("__nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)),
       "^www\\.", "")
-    val t1 = regexp_replace(
-      regexp_replace(col("__nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""),
-      "\\?", "&")
-    val t4 = regexp_replace(
+    // path/query split mirrors normalizeUrl: scrub tracking params in
+    // the query half only — '&' in the path must survive untouched
+    val tail0 = regexp_replace(col("__nofrag"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val q2 = regexp_replace(regexp_replace(
       regexp_replace(
-        regexp_replace(t1, "&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", ""),
-        "^([^&]*)&", "$1?"),
-      "[?&]+$", "")
+        concat(lit("&"), when(col("__tail0").contains("?"),
+          regexp_extract(col("__tail0"), "^[^?]*\\?(.*)$", 1)).otherwise(lit(""))),
+        "&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", ""),
+      "^&+", ""), "&+$", "")
     val reg = regexp_extract(col("__host"),
       "([a-z0-9-]+\\.(?:" + suffixAlt + "|[a-z]+))$", 1)
     df
@@ -123,7 +131,13 @@ object Curation {
         when(col("__scheme") === "http", regexp_replace(col("__a1"), ":80$", ""))
           .when(col("__scheme") === "https", regexp_replace(col("__a1"), ":443$", ""))
           .otherwise(col("__a1")))
-      .withColumn("__t4", t4)
+      .withColumn("__tail0", tail0)
+      .withColumn("__q2", q2)
+      .withColumn("__t4", {
+        val path = regexp_extract(col("__tail0"), "^([^?]*)", 1)
+        when(col("__q2") === "", path)
+          .otherwise(concat(path, lit("?"), col("__q2")))
+      })
       .withColumn("url_norm",
         when(col("__scheme") === "", col(urlCol))
           .otherwise(concat(col("__scheme"), lit("://"), col("__auth"),
@@ -139,7 +153,8 @@ object Curation {
       .withColumn("__reg", reg)
       .withColumn("domain",
         when(col("__reg") === "", col("__host")).otherwise(col("__reg")))
-      .drop("__nofrag", "__scheme", "__a1", "__auth", "__t4", "__host", "__reg")
+      .drop("__nofrag", "__scheme", "__a1", "__auth", "__tail0", "__q2",
+        "__t4", "__host", "__reg")
   }
 
   /** Keep at most `n` rows per domain, by ascending `orderCol` (ties
@@ -166,10 +181,16 @@ object Curation {
     require(cap > 0, s"domainProfile needs cap > 0, got $cap")
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"))
-    val total = df.count()
-    counts
-      .withColumn("share", round(col("n_docs").cast("double") / lit(total.toDouble), 6))
+    // the total derives from the already-aggregated counts frame — a
+    // df.count() here would be an eager, driver-side SECOND scan of
+    // the corpus, and would run even if the caller never executes the
+    // returned frame
+    val total = counts.agg(sum(col("n_docs")).as("__total"))
+    counts.crossJoin(total)
+      .withColumn("share",
+        round(col("n_docs").cast("double") / col("__total").cast("double"), 6))
       .withColumn("n_kept", least(col("n_docs"), lit(cap.toLong)))
+      .drop("__total")
   }
 
   /** Strip HTML/XML markup from a text column: drop `<script>` /

@@ -809,14 +809,20 @@ object Dedup {
     val benchShingles = benchmark
       .select(explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
       .distinct()
-    val docSh = corpus.select(col(idCol).as("doc_id"),
-      explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
-    val nSh = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val ov = docSh.join(benchShingles, "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    // ONE explode of the corpus feeds BOTH counts: left-join the
+    // benchmark set (distinct on sh — the join can't duplicate rows)
+    // and count total vs matched in one keyed aggregation. The
+    // previous two-aggregation form exploded and shingle-hashed every
+    // corpus document twice — the dominant cost at corpus scale.
+    val per = corpus.select(col(idCol).as("doc_id"),
+        explode(distinctShingleHashes(lower(col(textCol)), shingle)).as("sh"))
+      .join(benchShingles.withColumn("__b", lit(1)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__b")).as("overlap"))
+    // the id spine keeps null-text docs (whose explode emits nothing)
+    // in the profile with zero counts
     corpus.select(col(idCol).as("doc_id"))
-      .join(nSh, Seq("doc_id"), "left")
-      .join(ov, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("overlap"), lit(0L)).as("overlap"))

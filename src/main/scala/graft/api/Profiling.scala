@@ -24,25 +24,37 @@ object Profiling {
   def columnProfile(df: DataFrame, cols: Seq[String],
                     approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns requested: ${cols.diff(cols.distinct).distinct}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
-    val aggs = cols.flatMap { c =>
+    // intermediate aliases are indexed (__dist_0), never name-derived:
+    // a requested column containing a dot ("a.b") would make the
+    // re-resolving col("__dist_a.b") parse as field access and throw;
+    // the source column itself resolves through df(c), which treats
+    // the name literally
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        sum(when(df(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        (if (approxDistinct) approx_count_distinct(df(c))
+         else countDistinct(df(c))).as(s"__dist_$i"),
+        min(df(c)).cast("string").as(s"__min_$i"),
+        max(df(c)).cast("string").as(s"__max_$i"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    cols.map { c =>
-      one.select(lit(c).as("column"),
-        col("__rows").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"),
-        col(s"__dist_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
-    }.reduce(_ union _)
+    // one exploded array of structs over the single aggregated row —
+    // NOT k unions of it: a union re-executes the aggregate (and its
+    // scan) once per branch, the k-scans cost the one-scan contract
+    // forbids (the runChecks lesson, PlanShapeSpec-pinned there)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"), col(s"__dist_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"), col(s"__max_$i").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.column").as("column"), col("__r.n_rows").as("n_rows"),
+        col("__r.n_nulls").as("n_nulls"), col("__r.n_distinct").as("n_distinct"),
+        col("__r.min_value").as("min_value"), col("__r.max_value").as("max_value"))
   }
 
   /** Event-rate anomaly flags: bucket events into tumbling windows,
@@ -56,9 +68,10 @@ object Profiling {
     * anomaly), one row per non-empty window.
     *
     * Shape: one keyed window count, a 1-row stats aggregate crossed
-    * back (broadcast), a narrow flag projection. The squares bound:
-    * counts up to ~3M per window with ~1M windows stay inside int64
-    * ((n·N)² < 2⁶³); beyond that, pre-aggregate to coarser windows. */
+    * back (broadcast), a narrow flag projection. The squared terms run
+    * in DECIMAL(38,0) — int64 would overflow the diff² term once
+    * n·N passes ~3e9 (ordinary at corpus scale) and flip flags
+    * silently; 38 digits hold any workload with n·N below ~10^19. */
   def rateAnomalies(events: DataFrame, tsCol: String = "ts",
                     windowDur: String = "6 hours", z: Int = 2): DataFrame = {
     require(z >= 1, s"z must be >= 1, got $z")
@@ -68,11 +81,19 @@ object Profiling {
     val stats = wins.agg(count(lit(1)).as("__N"),
       sum(col("n_events")).as("__S"),
       sum(col("n_events") * col("n_events")).as("__SS"))
-    val diff = col("n_events") * col("__N") - col("__S")
+    // the squared comparison runs in DECIMAL(38,0): still exact
+    // integer arithmetic (order-independent, bit-portable), but with
+    // 38-digit headroom — in int64 the diff² term overflows silently
+    // once n·N exceeds ~3e9 (e.g. 3M-event windows across a year of
+    // 6-hour windows), flipping flags with no error
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def dec(c: Column) = c.cast(d38)
+    val diff = dec(col("n_events")) * dec(col("__N")) - dec(col("__S"))
     wins.crossJoin(stats)
       .withColumn("anomaly",
         diff > 0 && diff * diff >
-          lit(z.toLong * z) * (col("__N") * col("__SS") - col("__S") * col("__S")))
+          lit(z.toLong * z).cast(d38) *
+            (dec(col("__N")) * dec(col("__SS")) - dec(col("__S")) * dec(col("__S"))))
       .drop("__N", "__S", "__SS")
   }
 

@@ -461,6 +461,15 @@ object TextAnalysis {
     val fractions = temperatureFractions(df, strataCol, alpha, targetDocs)
       .select(col(strataCol).cast("string"), col("keep_fraction"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a NULL stratum gets counted and allocated a share by
+    // temperatureFractions, but stratifiedSample's equality predicate
+    // can never match null — its whole allocation would silently
+    // vanish and the realized mixture under-shoot the target. Fail
+    // loudly instead: fill or filter null strata first.
+    require(!fractions.contains(null),
+      s"$strataCol contains NULL strata — fill or filter them before " +
+        "temperature sampling (a null stratum cannot be matched and its " +
+        "allocation would be dropped silently)")
     stratifiedSample(df, strataCol, keyCol, fractions, defaultFraction = 0.0)
   }
 

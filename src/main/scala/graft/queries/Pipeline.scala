@@ -2392,8 +2392,7 @@ object Pipeline {
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
        |), sh AS (
-       |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-       |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+       |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
        |), ex AS (
        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
        |), pairs AS (
@@ -2423,13 +2422,11 @@ object Pipeline {
          |  WHERE doc_id % 4 <> 0 AND doc_id % 5 = 1
          |), cex AS (
          |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
-         |    SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-         |      FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles
+         |    SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles
          |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM corpus))
          |), fex AS (
          |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
-         |    SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-         |      FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles
+         |    SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles
          |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM fresh))
          |), matched AS (
          |  SELECT DISTINCT fid FROM (
@@ -2538,8 +2535,7 @@ object Pipeline {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
         |), sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
         |), ex AS (
         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
         |), prs AS (
@@ -2571,8 +2567,7 @@ object Pipeline {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
         |), sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
         |), ex AS (
         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
         |), prs AS (
@@ -2601,8 +2596,7 @@ object Pipeline {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
         |), sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
         |), ex AS (
         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
         |), prs AS (
@@ -2628,8 +2622,7 @@ object Pipeline {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents
         |), sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) shingles FROM toks
+        |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
         |), ex AS (
         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
         |), prs AS (
@@ -3030,15 +3023,12 @@ object Pipeline {
         |), bt AS (
         |  SELECT string_split_regex(lower(text), '\s+') t FROM bench
         |), bsh AS (
-        |  SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) s FROM bt
+        |  SELECT DISTINCT unnest((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) s FROM bt
         |), ct AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM corpus
         |), csh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)])) s,
-        |    len(list_distinct([array_to_string(t[i:i+2], ' ')
-        |      FOR i IN range(1, greatest(len(t)-2,0)+1)])) n
+        |  SELECT doc_id, unnest(list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END))) s,
+        |    len(list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END))) n
         |  FROM ct
         |), nsh AS (
         |  SELECT doc_id, max(n) AS n_shingles FROM csh GROUP BY doc_id
@@ -3768,13 +3758,11 @@ object Pipeline {
         |), bt AS (
         |  SELECT string_split_regex(lower(text), '\s+') t FROM bench
         |), bsh AS (
-        |  SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)]) s FROM bt
+        |  SELECT DISTINCT unnest((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) s FROM bt
         |), ct AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM corpus
         |), csh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-        |    FOR i IN range(1, greatest(len(t)-2,0)+1)])) s FROM ct
+        |  SELECT doc_id, unnest(list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END))) s FROM ct
         |)
         |SELECT doc_id, count(*) AS overlap
         |FROM csh JOIN bsh USING (s)
@@ -3868,11 +3856,9 @@ object Pipeline {
         |         GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
         |dd AS (SELECT f.* FROM f WHERE doc_id IN (SELECT kid FROM keep)),
         |bt AS (SELECT string_split_regex(lower(text), '\s+') t FROM bench),
-        |bsh AS (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
-        |  FOR i IN range(1, greatest(len(t)-2,0)+1)]) s FROM bt),
+        |bsh AS (SELECT DISTINCT unnest((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) s FROM bt),
         |ct AS (SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM dd),
-        |csh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-        |  FOR i IN range(1, greatest(len(t)-2,0)+1)])) s FROM ct),
+        |csh AS (SELECT doc_id, unnest(list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END))) s FROM ct),
         |contam AS (SELECT doc_id FROM csh JOIN bsh USING (s)
         |           GROUP BY doc_id HAVING count(*) >= 20),
         |clean AS (SELECT * FROM dd

@@ -31,8 +31,12 @@ object ProbeIngest {
         val par = argAt(5, 0).toInt
         val groups = argAt(6, 0).toInt
         // warmup absorbs stream startup (checkpoint init, first ORC
-        // writers) — the configured-timeout formula would charge it
-        val warmupMs = argAt(7, 5000)
+        // writers) — the configured-timeout formula would charge it.
+        // 15 s default, matching Bench: the 5 s this tool originally
+        // used is exactly the under-warm bias Bench's A/B diagnosed
+        // (first timed rep ~35% low), and an A/B harness must not
+        // default to the known-biased setting
+        val warmupMs = argAt(7, 15000)
         IngestProbes.streamOnce(spark, cpus, warmupMs, eps, commitRows, par, groups)
         (1 to reps).foreach { i =>
           val l0 = load1

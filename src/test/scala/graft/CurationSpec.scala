@@ -37,6 +37,12 @@ class CurationSpec extends AnyFunSuite {
     // non-URLs pass through byte-identical
     assert(norm("not a url at all") == "not a url at all")
     assert(norm("") == "")
+    // '&' is a legal PATH character — must survive untouched, and a
+    // path segment matching the tracking pattern must never be deleted
+    assert(norm("https://ex.com/a&b/c?x=1") == "https://ex.com/a&b/c?x=1")
+    assert(norm("https://ex.com/a&ref=x/b?y=1") == "https://ex.com/a&ref=x/b?y=1")
+    // a '?' inside a query VALUE stays part of that value
+    assert(norm("https://ex.com/p?q=a?b&utm_x=1") == "https://ex.com/p?q=a?b")
   }
 
   test("registeredDomain two-level suffixes and fallbacks") {
