@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -887,16 +887,25 @@ object Dedup {
   }
 
   /** Keep-one dedup over a near-dup pair graph: connected components by
-    * iterative min-label propagation (one keyed join + aggregation per
-    * round, O(component diameter) rounds), canonical = component min.
-    * Input: (doc_a, doc_b) pairs; output: (doc_id, canonical_id) for
-    * every node that appears in a pair.
+    * iterative min-label propagation with POINTER DOUBLING — each round
+    * takes the min over (own label, neighbors' labels, label-of-label),
+    * so the distance the component min has travelled at least doubles
+    * per round: O(log diameter) rounds instead of O(diameter) on
+    * chain-shaped components (a 1000-node path converges in ~11 rounds,
+    * not 999 — KeepOneSpec pins it), at one extra keyed self-join per
+    * round. Canonical = component min. Input: (doc_a, doc_b) pairs;
+    * output: (doc_id, canonical_id) for every node in a pair.
+    *
+    * Correctness: labels are always member ids, monotonically
+    * non-increasing, so the loop converges; at a fixpoint labels are
+    * constant across every edge and the min node's own label (≤ itself,
+    * ≥ component min) forces the constant to be the component min.
     *
     * Scale hygiene: the edge set is materialized once via
     * localCheckpoint; each iteration checkpoints its labels (bounded
     * lineage), releases the superseded iteration's blocks, and reads
     * convergence off the SAME materialization (no second propagation
-    * job). Fails loudly if the diameter exceeds maxIter. */
+    * job). Fails loudly if convergence exceeds maxIter. */
   def keepOne(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // The checkpointed RDD behind a localCheckpoint()'d frame, read off
@@ -923,7 +932,18 @@ object Dedup {
       val propagated = labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-      val next = propagated
+      // pointer doubling: chase one label hop (label := min(label,
+      // label(label))) — the left join is keyed on the label (a member
+      // id, so at most one match); coalesce keeps already-minimal
+      // labels whose target row carries no smaller value
+      val byNode = propagated
+        .select(col("node").as("pnode"), col("label").as("plabel"))
+      val chased = propagated
+        .join(byNode, propagated("label") === byNode("pnode"), "left")
+        .select(propagated("node"),
+          least(propagated("label"),
+            coalesce(col("plabel"), propagated("label"))).as("label"))
+      val next = chased
         .join(labels.withColumnRenamed("label", "old"), "node")
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old")).isEmpty
@@ -971,85 +991,224 @@ object Dedup {
     * built/appended ALWAYS flags), bounded false positives (`fpp`), so
     * [[markSeen]]'s unflagged rows are GUARANTEED new and skip the
     * exact check entirely — only the flagged minority pays the index
-    * join. Ids hash through xxhash64 (any type). The filter file
-    * carries its (expectedItems, fpp) header so appends build
-    * bit-compatible batch filters; writes land via temp-file + atomic
-    * rename, so a crash never leaves a torn filter.
+    * join. Ids hash through xxhash64 (any type).
     *
-    * Scale + concurrency bounds (explicit, because violating either
-    * breaks the no-false-negative guarantee or the JVM):
-    *  - the filter materializes as ONE byte array on the driver and as
-    *    a plan literal in [[markSeen]] — size for up to ~10^8 ids per
-    *    filter (~120 MB); beyond that, shard by id range or time
-    *    window and mark against each shard (flags OR together);
-    *  - [[appendToSeenFilter]] is read-merge-write: appends must be
-    *    SERIALIZED (one writer at a time — e.g. the ingest commit
-    *    loop). Two concurrent appenders would each merge only their
-    *    own batch and the second rename silently drops the first
-    *    batch's ids — false negatives with no error anywhere. */
+    * Persistence uses the [[VersionedIndex]] discipline shared with
+    * the near-dup/hamming/IVF indexes: each build/append writes a
+    * COMPLETE new `path/v<N>` tree (shard files + `_meta`) and commits
+    * by flipping the `path/_current` pointer — a crash at any earlier
+    * moment leaves the previous version fully live. Appends serialize
+    * on a per-path JVM lock, and the pointer commit re-checks the
+    * based-on version first, so a cross-process racing append FAILS
+    * LOUDLY (IllegalStateException; retry it) instead of silently
+    * dropping the other writer's ids — the false-negative hazard a
+    * plain read-merge-write file has. Residual window: the re-check
+    * and the rename are two filesystem ops, so two processes landing
+    * inside that sub-ms window can still race; single-writer-per-path
+    * processes (e.g. the ingest commit loop) are the supported shape.
+    * Superseded versions accumulate until [[vacuumSeenFilter]].
+    *
+    * Sharding (`shards` > 1) bounds PER-FILTER driver memory for
+    * builds and appends: ids route to `pmod(xxhash64(id), shards)`,
+    * each shard sized `expectedItems / shards` — size shards so each
+    * stays under ~10^8 ids (~120 MB). [[markSeen]] handles any shard
+    * count transparently (each id probes exactly its own shard via one
+    * CASE dispatch); note the marking PLAN carries every shard's bytes
+    * (total ~1.2 B/id regardless of shard count) — at extreme corpus
+    * sizes mark in per-shard passes over pre-partitioned input. */
   def buildSeenFilter(df: DataFrame, idCol: String, path: String,
                       expectedItems: Long = 1000000L,
-                      fpp: Double = 0.01): Unit = {
-    val bf = df.stat.bloomFilter(xxhash64(col(idCol)), expectedItems, fpp)
-    writeSeenFilter(df.sparkSession, path, bf, expectedItems, fpp)
+                      fpp: Double = 0.01, shards: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val filters = shardFilters(df, idCol, shards,
+      math.max(1L, expectedItems / shards), fpp)
+    val next = VersionedIndex.nextVersion(spark, path)
+    writeSeenVersion(spark, path, next, shards, expectedItems, fpp, filters)
+    // rebuild semantics: a build replaces whatever was current
+    VersionedIndex.commitPointer(spark, path, next)
   }
 
-  /** Merge a new batch into the persisted filter (same-parameter batch
-    * filter → bit-compatible mergeInPlace → atomic rewrite). Size for
-    * the LIFETIME id count at build: a Bloom filter never shrinks, and
-    * appending past expectedItems degrades fpp, never correctness. */
-  def appendToSeenFilter(df: DataFrame, idCol: String, path: String): Unit = {
-    val spark = df.sparkSession
-    val (bf, items, fpp) = readSeenFilter(spark, path)
-    bf.mergeInPlace(df.stat.bloomFilter(xxhash64(col(idCol)), items, fpp))
-    writeSeenFilter(spark, path, bf, items, fpp)
+  /** Merge a new batch into the persisted filter (same-parameter
+    * per-shard batch filters → bit-compatible mergeInPlace → new
+    * version + CAS pointer commit). Size for the LIFETIME id count at
+    * build: a Bloom filter never shrinks, and appending past
+    * expectedItems degrades fpp, never correctness. Throws
+    * IllegalStateException if a concurrent writer committed between
+    * this append's read and its commit — retry on a fresh read. */
+  def appendToSeenFilter(df: DataFrame, idCol: String, path: String): Unit =
+    seenLock(path).synchronized {
+      val spark = df.sparkSession
+      val st = readSeenState(spark, path)
+      val batch = shardFilters(df, idCol, st.shards,
+        math.max(1L, st.items / st.shards), st.fpp)
+      st.filters.zip(batch).foreach { case (old, b) => old.mergeInPlace(b) }
+      commitSeenVersion(spark, path, st)
+    }
+
+  /** Build-or-append in one serialized step — the ingest commit loop's
+    * entry point: the existence check and the write hold the same
+    * per-path lock, so two in-process committers cannot both "create"
+    * the filter and drop each other's ids. Cross-process FIRST-build
+    * races are not detected (both builds commit unconditionally) —
+    * pre-create the filter before fanning out across processes. */
+  def buildOrAppendSeenFilter(df: DataFrame, idCol: String, path: String,
+                              expectedItems: Long = 1000000L,
+                              fpp: Double = 0.01, shards: Int = 1): Unit =
+    seenLock(path).synchronized {
+      if (!seenFilterExists(df.sparkSession, path))
+        buildSeenFilter(df, idCol, path, expectedItems, fpp, shards)
+      else {
+        val spark = df.sparkSession
+        val st = readSeenState(spark, path)
+        val batch = shardFilters(df, idCol, st.shards,
+          math.max(1L, st.items / st.shards), st.fpp)
+        st.filters.zip(batch).foreach { case (old, b) => old.mergeInPlace(b) }
+        commitSeenVersion(spark, path, st)
+      }
+    }
+
+  /** True when a committed filter exists at `path`. */
+  def seenFilterExists(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, "_current"))
   }
+
+  /** Delete superseded filter versions (every append leaves one). Run
+    * only when no reader may still hold a pre-swap resolution. */
+  def vacuumSeenFilter(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] =
+    VersionedIndex.vacuum(spark, path, Seq.empty)
 
   /** Flag each row's id against the persisted filter: `flagCol` true =
     * PROBABLY seen (verify exactly), false = GUARANTEED new. The
-    * filter rides into the plan as a literal behind the native
-    * might_contain expression — codegen'd, no UDF, no shuffle. */
+    * filter rides into the plan as literals behind the native
+    * might_contain expression — codegen'd, no UDF, no shuffle; with
+    * shards, one CASE on the id's shard dispatches to exactly one
+    * bloom probe per row. */
   def markSeen(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                idCol: String, path: String,
                flagCol: String = "probably_seen"): DataFrame = {
     import org.apache.spark.sql.GraftExprBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    val (bf, _, _) = readSeenFilter(spark, path)
-    val os = new java.io.ByteArrayOutputStream()
-    bf.writeTo(os)
-    df.withColumn(flagCol, GraftExprBridge.column(BloomFilterMightContain(
-      GraftExprBridge.expression(lit(os.toByteArray)),
-      GraftExprBridge.expression(xxhash64(col(idCol))))))
+    val st = readSeenState(spark, path)
+    def mc(bf: org.apache.spark.util.sketch.BloomFilter): Column = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      GraftExprBridge.column(BloomFilterMightContain(
+        GraftExprBridge.expression(lit(os.toByteArray)),
+        GraftExprBridge.expression(xxhash64(col(idCol)))))
+    }
+    if (st.shards == 1) df.withColumn(flagCol, mc(st.filters.head))
+    else {
+      val shardCol = pmod(xxhash64(col(idCol)), lit(st.shards.toLong)).cast("int")
+      // one flat CASE (not nested whens): codegen splits wide CaseWhen
+      // branches into separate methods, so shard count never trips the
+      // janino 64 KB method limit
+      val flag = (1 until st.shards)
+        .foldLeft(when(shardCol === 0, mc(st.filters(0)))) { (acc, s) =>
+          acc.when(shardCol === s, mc(st.filters(s)))
+        }
+        .otherwise(lit(false))
+      df.withColumn(flagCol, flag)
+    }
   }
 
-  private def writeSeenFilter(spark: org.apache.spark.sql.SparkSession,
-                              path: String,
-                              bf: org.apache.spark.util.sketch.BloomFilter,
-                              items: Long, fpp: Double): Unit = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
-    try { out.writeLong(items); out.writeDouble(fpp); bf.writeTo(out) }
-    finally out.close()
-    FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+  /** Per-path append locks: in-process writers serialize here; the CAS
+    * on the `_current` pointer catches cross-process racers. */
+  private val seenFilterLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def seenLock(path: String): Object =
+    seenFilterLocks.computeIfAbsent(path, _ => new Object)
+
+  private[graft] final case class SeenFilterState(
+      version: String, shards: Int, items: Long, fpp: Double,
+      filters: IndexedSeq[org.apache.spark.util.sketch.BloomFilter])
+
+  /** Per-shard Bloom filters over xxhash64(id); shard = pmod(hash,
+    * shards). The multi-shard pass caches the narrow (hash, shard)
+    * projection so the S per-shard jobs rescan 12 bytes/row, not the
+    * corpus. */
+  private def shardFilters(df: DataFrame, idCol: String, shards: Int,
+                           perShardItems: Long, fpp: Double)
+      : IndexedSeq[org.apache.spark.util.sketch.BloomFilter] = {
+    require(shards >= 1 && shards <= 4096, s"shards must be in [1, 4096], got $shards")
+    val hashed = df.select(xxhash64(col(idCol)).as("__h"),
+      pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int").as("__s"))
+    if (shards == 1) IndexedSeq(hashed.stat.bloomFilter(col("__h"), perShardItems, fpp))
+    else {
+      val cached = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try (0 until shards).map(s =>
+        cached.filter(col("__s") === s).stat.bloomFilter(col("__h"), perShardItems, fpp))
+        .toIndexedSeq
+      finally { cached.unpersist(false); () }
+    }
   }
 
-  private def readSeenFilter(spark: org.apache.spark.sql.SparkSession,
-                             path: String)
-      : (org.apache.spark.util.sketch.BloomFilter, Long, Double) = {
+  private def writeSeenVersion(spark: org.apache.spark.sql.SparkSession,
+                               path: String, version: String, shards: Int,
+                               items: Long, fpp: Double,
+                               filters: Seq[org.apache.spark.util.sketch.BloomFilter]): Unit = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no seen-filter at $path")
-    val in = new java.io.DataInputStream(fs.open(p))
-    try {
-      val items = in.readLong()
-      val fpp = in.readDouble()
-      (org.apache.spark.util.sketch.BloomFilter.readFrom(in), items, fpp)
-    } finally in.close()
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(base) || fs.getFileStatus(base).isDirectory,
+      s"seen-filter path $path is a plain file (pre-versioned layout) — " +
+        "delete it and rebuild with buildSeenFilter")
+    val vdir = new Path(base, version)
+    fs.mkdirs(vdir)
+    filters.zipWithIndex.foreach { case (bf, s) =>
+      val out = new java.io.DataOutputStream(
+        fs.create(new Path(vdir, f"filter-$s%04d"), true))
+      try bf.writeTo(out) finally out.close()
+    }
+    // _meta last — but completeness is anyway gated by the pointer
+    val out = new java.io.DataOutputStream(fs.create(new Path(vdir, "_meta"), true))
+    try { out.writeInt(shards); out.writeLong(items); out.writeDouble(fpp) }
+    finally out.close()
+  }
+
+  /** Write the (already-merged) state as a new version and CAS the
+    * pointer: if `_current` moved since the state was read, delete the
+    * staged version and fail loudly — ids were NOT lost (the racer's
+    * commit stands; this append must retry on a fresh read). */
+  private[graft] def commitSeenVersion(spark: org.apache.spark.sql.SparkSession,
+                                path: String, st: SeenFilterState): Unit = {
+    import org.apache.hadoop.fs.Path
+    val next = VersionedIndex.nextVersion(spark, path)
+    writeSeenVersion(spark, path, next, st.shards, st.items, st.fpp, st.filters)
+    val cur = VersionedIndex.resolveRoot(spark, path).stripPrefix(s"$path/")
+    if (cur != st.version) {
+      val base = new Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base, next), true)
+      throw new IllegalStateException(
+        s"concurrent seen-filter append at $path: based on ${st.version}, " +
+          s"now $cur — retry the append (no ids were lost)")
+    }
+    VersionedIndex.commitPointer(spark, path, next)
+  }
+
+  private[graft] def readSeenState(spark: org.apache.spark.sql.SparkSession,
+                            path: String): SeenFilterState = {
+    import org.apache.hadoop.fs.Path
+    val root = VersionedIndex.resolveRoot(spark, path)
+    require(root != path,
+      s"no committed seen-filter at $path — buildSeenFilter first")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaIn = new java.io.DataInputStream(fs.open(new Path(root, "_meta")))
+    val (shards, items, fpp) =
+      try (metaIn.readInt(), metaIn.readLong(), metaIn.readDouble())
+      finally metaIn.close()
+    val filters = (0 until shards).map { s =>
+      val in = new java.io.DataInputStream(
+        fs.open(new Path(root, f"filter-$s%04d")))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }
+    SeenFilterState(root.stripPrefix(s"$path/"), shards, items, fpp, filters)
   }
 
   /** Triangle census of a similarity graph — the structural health
@@ -1074,11 +1233,15 @@ object Dedup {
     val deg = e.select(col("lo").as("node"))
       .union(e.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+    // Integral throughout: sum the long degree products FIRST, halve
+    // with a bit shift AFTER (both totals are even — handshake lemma /
+    // consecutive-integer product) — `/ 2` would promote to double and
+    // lose exactness past 2^53 on high-degree graphs.
     val base = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (coalesce(sum(col("d")), lit(0L)) / 2).cast("long").as("n_edges"),
-      coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
-        .cast("long").as("n_wedges"))
+      shiftright(coalesce(sum(col("d")), lit(0L)), 1).as("n_edges"),
+      shiftright(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)), 1)
+        .as("n_wedges"))
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
       .join(e.as("ac"),
@@ -1110,8 +1273,14 @@ object Dedup {
                        evalPrefixes: Seq[String] = Seq("0", "1"),
                        maxIter: Int = 50): DataFrame = {
     require(evalPrefixes.nonEmpty)
-    val len = evalPrefixes.head.length
-    require(evalPrefixes.forall(_.length == len), "prefixes must share a length")
+    // md5 renders lowercase hex: an uppercase or non-hex prefix would
+    // silently match nothing and route the whole corpus to train —
+    // normalize case, reject anything that can never match.
+    val prefixes = evalPrefixes.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(prefixes.forall(_.matches("[0-9a-f]+")),
+      s"evalPrefixes must be hex strings, got ${evalPrefixes.mkString(",")}")
+    val len = prefixes.head.length
+    require(prefixes.forall(_.length == len), "prefixes must share a length")
     val labels = keepOne(pairs, maxIter)
       .withColumnRenamed("doc_id", "__lid")
     docs.join(labels, docs(idCol) === labels("__lid"), "left")
@@ -1119,6 +1288,6 @@ object Dedup {
       .drop("__lid")
       .withColumn("split",
         when(substring(md5(col("canonical_id").cast("string").cast("binary")),
-          1, len).isin(evalPrefixes: _*), "eval").otherwise("train"))
+          1, len).isin(prefixes: _*), "eval").otherwise("train"))
   }
 }

@@ -127,10 +127,19 @@ object Layout {
     * from the in-flight frame — it attests what landed on disk.
     * Scale shape: one hash exchange on the shard id (writers stream
     * one open file each), one aggregation over the re-read output.
+    *
+    * Precondition: ids must be UNIQUE — the XOR checksum cancels any
+    * pair of rows sharing an id, so duplicate-id inputs weaken the
+    * substitution-detection claim to counts only (n_rows still flags
+    * lost/added rows). Dedup first if ids can repeat. The input must
+    * not already carry a `shard` column (that name is the routing key).
     * Returns the manifest: (shard, n_rows, id_xor). */
   def shardedExport(df: DataFrame, idCol: String, shards: Int,
                     path: String, format: String = "parquet"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — shardedExport reserves that " +
+        "name for the routing key; rename it first")
     val spark = df.sparkSession
     df.withColumn("shard", shardOf(col(idCol), shards))
       .repartition(shards, col("shard"))

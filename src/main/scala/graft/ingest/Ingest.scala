@@ -54,6 +54,24 @@ final case class IngestConfig(
     // (user_id)` where user_id is the first default column.
     columns: Option[Seq[Gen.ColSpec]] = None,
     seed: Long = 123L,
+    // Optional seen-ids Bloom filter maintained BY the commit loop
+    // (graft.api.Dedup seen-filter family): when set, every commit
+    // appends the batch's id-column values to the filter at this path
+    // after the batch's files publish but BEFORE the marker lands —
+    // so a crash mid-commit can only over-flag (false positives, which
+    // the filter contract allows), never leave a committed batch's ids
+    // unflagged (a false negative, the one thing the filter forbids).
+    // The commit loop is the filter's natural single writer: in-process
+    // commit groups serialize on the per-path filter lock, and a
+    // cross-process racer fails the pointer CAS loudly.
+    seenFilterPath: Option[String] = None,
+    // Id column for the seen filter — must name a generated data
+    // column; None = the first data column (the bucket/cluster key).
+    seenFilterColumn: Option[String] = None,
+    // Sizing for the filter's lazy first build (lifetime id count —
+    // a Bloom filter never shrinks; overshooting costs bits, not
+    // correctness).
+    seenFilterExpectedItems: Long = 10000000L,
     format: String = "orc",
     // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
     // synthetic-load sink where compression ratio is not the point
@@ -296,9 +314,31 @@ object Ingest {
       }
     }
     fs.delete(staging, true)
+    // Seen-filter append BEFORE the marker: if the process dies between
+    // the two, the replayed batch re-appends the same ids (bloom merge
+    // of identical ids is idempotent) — committed ids can never end up
+    // unflagged. An already-committed replay (marker exists) returned
+    // above, so ids append exactly once per logical commit.
+    cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
     fs.mkdirs(marker.getParent)
     fs.create(marker).close()
     n
+  }
+
+  /** Append a committed batch's ids to the run's seen filter. Columns
+    * are pure functions of the row index, so the id column is
+    * recomputed directly from the raw (value, __pid) batch — no
+    * re-read of the published files, no extra shuffle. */
+  private def appendSeenIds(cfg: IngestConfig, path: String,
+                            batch: DataFrame): Unit = {
+    val specs = dataColumns(cfg)
+    val name = cfg.seenFilterColumn.getOrElse(specs.head.name)
+    val spec = specs.find(_.name == name).getOrElse(sys.error(
+      s"seenFilterColumn '$name' is not a generated data column " +
+        s"(have: ${specs.map(_.name).mkString(", ")})"))
+    val ids = batch.select(Gen.expr(spec, cfg.seed, col("value")).as(name))
+    graft.api.Dedup.buildOrAppendSeenFilter(ids, name, path,
+      expectedItems = cfg.seenFilterExpectedItems)
   }
 
   /** Run the streaming engine for `timeoutMs`, then report. */

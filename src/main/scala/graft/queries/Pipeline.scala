@@ -144,6 +144,47 @@ object Pipeline {
         .as("url"))
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete()
+  }
+
+  /** Shared body of q159/q160: build a seen filter (optionally
+    * sharded) on the %4-partitioned corpus ids, append the small
+    * committed remainder, then probe every id plus a shifted
+    * guaranteed-unseen set. The contract is the filter's asymmetric
+    * guarantee: EVERY truly seen id flags (no false negatives —
+    * checkable exactly), and the false-positive rate among unseen ids
+    * stays under 5x the 1% target. The filter path is rebuilt from
+    * scratch per run (versioned layout, [[graft.api.VersionedIndex]]
+    * discipline). */
+  private def seenFilterContract(s: SparkSession, d: String,
+                                 prefix: String, shards: Int): DataFrame = {
+    val pathF = new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    rmTree(pathF)
+    val docs = Tables.documents(s, d).select("doc_id")
+    graft.api.Dedup.buildSeenFilter(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", pathF.getAbsolutePath,
+      expectedItems = 100000L, shards = shards)
+    graft.api.Dedup.appendToSeenFilter(
+      docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 100),
+      "doc_id", pathF.getAbsolutePath)
+    val probe = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+    // +1M keeps id%4, so "truly seen" must also exclude the shifted set
+    val trulySeen = col("doc_id") < 1000000L &&
+      (col("doc_id") % 4 =!= 0 || col("doc_id") < 100)
+    graft.api.Dedup.markSeen(s, probe, "doc_id", pathF.getAbsolutePath)
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(trulySeen, 1L).otherwise(0L)).as("n_seen"),
+        (sum(when(trulySeen && !col("probably_seen"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!trulySeen && col("probably_seen"), 1L).otherwise(0L)) <=
+          (count(lit(1)) - sum(when(trulySeen, 1L).otherwise(0L))) * 0.05)
+          .as("fp_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group on the normalized-text MD5 fingerprint; keep the
@@ -313,29 +354,54 @@ object Pipeline {
     // false-positive rate among unseen ids stays under 5x the 1%
     // target. The oracle replays the probe size and the exact seen
     // count; the guarantees ride as TRUE booleans.
-    "q159_seen_filter" -> ((s, d) => {
-      val pathF = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-seen-" + d.replaceAll("[^A-Za-z0-9.]", "_") + ".bloom")
-        .getAbsolutePath
-      val docs = Tables.documents(s, d).select("doc_id")
-      graft.api.Dedup.buildSeenFilter(
-        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", pathF,
-        expectedItems = 100000L)
-      graft.api.Dedup.appendToSeenFilter(
-        docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 100),
-        "doc_id", pathF)
-      val probe = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id")))
-      // +1M keeps id%4, so "truly seen" must also exclude the shifted set
-      val trulySeen = col("doc_id") < 1000000L &&
-        (col("doc_id") % 4 =!= 0 || col("doc_id") < 100)
-      graft.api.Dedup.markSeen(s, probe, "doc_id", pathF)
-        .agg(count(lit(1)).as("n_probe"),
-          sum(when(trulySeen, 1L).otherwise(0L)).as("n_seen"),
-          (sum(when(trulySeen && !col("probably_seen"), 1L).otherwise(0L)) === 0L)
-            .as("no_false_negatives"),
-          (sum(when(!trulySeen && col("probably_seen"), 1L).otherwise(0L)) <=
-            (count(lit(1)) - sum(when(trulySeen, 1L).otherwise(0L))) * 0.05)
-            .as("fp_ok"))
+    "q159_seen_filter" -> ((s, d) =>
+      seenFilterContract(s, d, "graft-seenv-", shards = 1)),
+
+    // Sharded variant of q159: same probe, same asymmetric contract,
+    // but the filter builds as 8 hash-routed shards (each sized
+    // items/8) — the layout that bounds per-filter driver memory past
+    // ~10^8 ids at 100 TB. Ids land on every shard boundary here
+    // (pmod(xxhash64, 8) spreads the corpus), so a single lost shard
+    // or a mis-routed probe would break no_false_negatives.
+    "q160_sharded_seen_filter" -> ((s, d) =>
+      seenFilterContract(s, d, "graft-seen8-", shards = 8)),
+
+    // Seen filter UNDER the ingest commit loop (the production wiring):
+    // runBatchCommitted commits 2000 generated rows in 2 batches with
+    // seenFilterPath set, so each commit appends its batch's user_ids
+    // to the filter before its marker lands. The gates: every committed
+    // id flags (no false negatives through the loop), and ids of rows
+    // never ingested (disjoint generator pool slots 500k+) stay
+    // unflagged modulo the fp budget. The oracle replays the exact
+    // committed/probe counts; the guarantees ride as TRUE booleans.
+    "q161_ingest_seen_filter" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ingest-seen-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val cfg = graft.ingest.IngestConfig(
+        outputPath = Some(new java.io.File(base, "table").toString),
+        parallelism = 2, buckets = 2,
+        seenFilterPath = Some(new java.io.File(base, "seen").toString),
+        seenFilterExpectedItems = 100000L)
+      val res = graft.ingest.Ingest.runBatchCommitted(s, cfg, 2000, batches = 2)
+      val idSpec = graft.ingest.Gen.defaultColumns.head
+      def ids(from: Long, until: Long) = s.range(from, until)
+        .select(graft.ingest.Gen.expr(idSpec, cfg.seed, col("id")).as("user_id"))
+      val committed = graft.api.Dedup.markSeen(
+        s, ids(0L, 2000L), "user_id", cfg.seenFilterPath.get)
+      val unseen = graft.api.Dedup.markSeen(
+        s, ids(500000L, 502000L), "user_id", cfg.seenFilterPath.get)
+      committed.agg(
+          count(lit(1)).as("n_committed"),
+          (sum(when(!col("probably_seen"), 1L).otherwise(0L)) === 0L)
+            .as("all_committed_flag"))
+        .crossJoin(unseen.agg(
+          count(lit(1)).as("n_unseen_probe"),
+          (sum(when(col("probably_seen"), 1L).otherwise(0L)) <=
+            count(lit(1)) * 0.05).as("unseen_fp_ok")))
+        .withColumn("rows_committed", lit(res.rowsCommitted))
+        .select("rows_committed", "n_committed", "all_committed_flag",
+          "n_unseen_probe", "unseen_fp_ok")
     }),
 
     // Triangle census of the near-dup graph (same LSH pair generator
@@ -2405,6 +2471,24 @@ object Pipeline {
        |FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared oracle for the q159/q160 seen-filter contract (the sharded
+    * layout must be observationally identical): exact probe/seen
+    * counts, literal TRUE gates for the probabilistic part. The
+    * sum(CASE…) is cast — DuckDB sums BIGINT into HUGEINT, which the
+    * driver's strict hash renders differently from the engine's int64
+    * (the r9 q159 red row). */
+  private val seenFilterOracle: String =
+    """WITH probe AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 FROM documents
+      |)
+      |SELECT count(*) AS n_probe,
+      |  CAST(sum(CASE WHEN doc_id < 1000000
+      |            AND (doc_id % 4 <> 0 OR doc_id < 100)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+      |  TRUE AS no_false_negatives, TRUE AS fp_ok
+      |FROM probe""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -2552,17 +2636,14 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
-    "q159_seen_filter" ->
-      """WITH probe AS (
-        |  SELECT doc_id FROM documents
-        |  UNION ALL SELECT doc_id + 1000000 FROM documents
-        |)
-        |SELECT count(*) AS n_probe,
-        |  sum(CASE WHEN doc_id < 1000000
-        |            AND (doc_id % 4 <> 0 OR doc_id < 100)
-        |      THEN 1 ELSE 0 END) AS n_seen,
-        |  TRUE AS no_false_negatives, TRUE AS fp_ok
-        |FROM probe""".stripMargin,
+    "q159_seen_filter" -> seenFilterOracle,
+    "q160_sharded_seen_filter" -> seenFilterOracle,
+    "q161_ingest_seen_filter" ->
+      """SELECT CAST(2000 AS BIGINT) AS rows_committed,
+        |  CAST(2000 AS BIGINT) AS n_committed,
+        |  TRUE AS all_committed_flag,
+        |  CAST(2000 AS BIGINT) AS n_unseen_probe,
+        |  TRUE AS unseen_fp_ok""".stripMargin,
     "q155_similarity_triangles" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM documents

@@ -1842,6 +1842,80 @@ class ApiSpec extends AnyFunSuite {
       Dedup.markSeen(spark, probe, "id", path + "-nowhere").count())
   }
 
+  test("Dedup seen-filter: stale-based commit fails loudly, no ids lost") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-cas")
+      .resolve("ids").toString
+    Dedup.buildSeenFilter((0L until 100L).toDF("id"), "id", path, 10000L)
+    // a "racer" reads the current version, then ANOTHER append commits
+    val stale = Dedup.readSeenState(spark, path)
+    Dedup.appendToSeenFilter((100L until 200L).toDF("id"), "id", path)
+    // the stale-based commit must error instead of silently dropping
+    // the 100..200 batch (the r9 lost-update hazard, now enforced)
+    intercept[IllegalStateException](
+      Dedup.commitSeenVersion(spark, path, stale))
+    // the committed state survives intact: both batches still flag
+    val marked = Dedup.markSeen(spark, (0L until 200L).toDF("id"), "id", path)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 200L).forall(marked(_)), "no ids may be lost by the failed racer")
+    // a retried append (fresh read) succeeds
+    Dedup.appendToSeenFilter((200L until 250L).toDF("id"), "id", path)
+    assert(Dedup.markSeen(spark, (200L until 250L).toDF("id"), "id", path)
+      .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
+    // vacuum drops superseded versions; the filter keeps working
+    assert(Dedup.vacuumSeenFilter(spark, path).nonEmpty)
+    assert(Dedup.markSeen(spark, (0L until 250L).toDF("id"), "id", path)
+      .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
+  }
+
+  test("Dedup seen-filter sharded: no false negatives across shard boundaries") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-shard")
+      .resolve("ids").toString
+    val single = java.nio.file.Files.createTempDirectory("graft-seen-shard1")
+      .resolve("ids").toString
+    Dedup.buildSeenFilter((0L until 500L).toDF("id"), "id", path,
+      expectedItems = 10000L, shards = 8)
+    Dedup.appendToSeenFilter((500L until 600L).toDF("id"), "id", path)
+    Dedup.buildSeenFilter((0L until 500L).toDF("id"), "id", single, 10000L)
+    Dedup.appendToSeenFilter((500L until 600L).toDF("id"), "id", single)
+    val probe = (0L until 2000L).toDF("id")
+    val sharded = Dedup.markSeen(spark, probe, "id", path)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val plain = Dedup.markSeen(spark, probe, "id", single)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // ids span all 8 shards; every one must flag in BOTH layouts —
+    // the single-filter equivalence the sharding claims
+    assert((0L until 600L).forall(id => sharded(id) && plain(id)),
+      "seen ids must flag in sharded and single layouts alike")
+    val fps = (600L until 2000L).count(sharded(_))
+    assert(fps <= 70, s"sharded fp count $fps way over the 1% target")
+  }
+
+  test("Dedup seen-filter: buildOrAppend creates then merges under one lock") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-boa")
+      .resolve("ids").toString
+    Dedup.buildOrAppendSeenFilter((0L until 50L).toDF("id"), "id", path, 10000L)
+    Dedup.buildOrAppendSeenFilter((50L until 100L).toDF("id"), "id", path, 10000L)
+    val marked = Dedup.markSeen(spark, (0L until 100L).toDF("id"), "id", path)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 100L).forall(marked(_)),
+      "second call must APPEND, not rebuild over the first batch")
+  }
+
+  test("Dedup.keepOne converges in O(log diameter) rounds on a path graph") {
+    import spark.implicits._
+    // 1000-node path: plain min-label propagation needs ~999 rounds;
+    // pointer doubling must land well under log2(1000)+c — maxIter=16
+    // fails loudly if the doubling regresses
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.keepOne(pairs, maxIter = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 1000)
+    assert(labels.values.forall(_ == 0L), "every node labels to the path min")
+  }
+
   test("Profiling quantile sketches: KLL merge across partitions, proven rank error") {
     import spark.implicits._
     // values == ranks: 10k uniform values over 4 partitions, so the

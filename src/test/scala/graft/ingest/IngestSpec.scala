@@ -336,4 +336,35 @@ class IngestSpec extends AnyFunSuite {
     assert(graft.core.Tables.committedView(spark, dir).count() == 5000)
     assert(spark.read.orc(dir).count() == 5000, "no duplicate files either")
   }
+
+  test("commit loop maintains the seen filter: committed ids flag, others don't") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val filter = new java.io.File(tmp(), "seen").toString
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2,
+      seenFilterPath = Some(filter), seenFilterExpectedItems = 100000L)
+    val res = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(res.rowsCommitted == 2000)
+    // the filter must exist and flag EVERY committed id (user_id, the
+    // first data column) — the no-false-negative guarantee wired under
+    // the commit loop's natural single-writer serialization
+    assert(graft.api.Dedup.seenFilterExists(spark, filter))
+    val committedIds = Ingest.batchFrame(spark,
+        cfg.copy(buckets = 0, seenFilterPath = None), 2000)
+      .select("user_id")
+    assert(graft.api.Dedup.markSeen(spark, committedIds, "user_id", filter)
+      .filter(!col("probably_seen")).isEmpty,
+      "every committed batch's ids must flag")
+    // ids of rows NEVER ingested (pool slots 500000+, disjoint from the
+    // first 2000): mostly unflagged — bounded false positives only
+    val unseen = spark.range(500000L, 502000L)
+      .select(graft.ingest.Gen.expr(graft.ingest.Gen.defaultColumns.head,
+        cfg.seed, col("id")).as("user_id"))
+    val fps = graft.api.Dedup.markSeen(spark, unseen, "user_id", filter)
+      .filter(col("probably_seen")).count()
+    assert(fps <= 100, s"uncommitted ids must not flag ($fps/2000 false positives)")
+    // an idempotent replay (markers exist) must not re-append or error
+    val replay = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(replay.rowsCommitted == 0)
+  }
 }
