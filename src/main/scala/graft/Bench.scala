@@ -138,25 +138,28 @@ private[graft] object IngestProbes {
     * checkpointing) reported with the REFERENCE'S formula — committed
     * rows ÷ configured timeout seconds (Culvert.java:170-171).
     *
-    * Defaults (overridable for A/B runs): every commit writes p×buckets
-    * files; at local scale the ORC per-file fixed cost dominates
-    * micro-batch latency, so the probe caps the stream count at 8 (the
-    * bucket write still fans out across all cores). Four commit groups:
-    * write jobs and publish phases of concurrent commits overlap, like
-    * the reference's independently-committing stream threads — A/B on a
-    * loaded box: 240k (g=1) → 560k (g=2) → 880k rows/s (g=4); g=8
-    * starves each group's rate feed. Feed = 2.4M rows/s aggregate —
-    * just above the sink's measured commit capacity so the probe
-    * measures the sink, not the source; 1M-row commits amortize the
-    * per-commit fixed cost while landing several commits per window. */
+    * Defaults (overridable for A/B runs): every commit writes
+    * perGroup×buckets files; the probe caps the stream count at 16 —
+    * the r10 quiet-window A/B: p=16/g=4/eps=200k sustains 1.72-1.88M
+    * rows/s vs 1.59M at the old p=8/g=4/eps=300k (and holds its rate
+    * under load1 16, where p=8 sagged to ~1.2M); p=16/g=8 starves each
+    * group (1.2M), eps=150k under-feeds (1.32M), 1.5M-row commits
+    * under-commit the 20 s window (1.26M). Four commit groups: write
+    * jobs and publish phases of concurrent commits overlap, like the
+    * reference's independently-committing stream threads — g A/B:
+    * 240k (g=1) → 560k (g=2) → 880k rows/s (g=4) on a loaded box.
+    * Feed = 3.2M rows/s aggregate — ~1.8× the sink's measured commit
+    * capacity so the sink, not the source, is always the bottleneck;
+    * 1M-row commits amortize the per-commit fixed cost while landing
+    * several commits per window. */
   def streamOnce(spark: org.apache.spark.sql.SparkSession, cpus: Int,
-                 timeoutMs: Long, eventsPerSecond: Int = 300000,
+                 timeoutMs: Long, eventsPerSecond: Int = 200000,
                  commitAfterNRows: Int = 1000000,
                  parallelismOverride: Int = 0,
                  commitGroupsOverride: Int = 0): (Long, Long) = {
     val streamDir = Files.createTempDirectory("graft-bench-stream")
     val p = if (parallelismOverride > 0) parallelismOverride
-      else math.min(8, cpus)
+      else math.min(16, cpus)
     // the default group count must divide p — a 1/3/5/7-cpu box would
     // otherwise fail the run's divisibility require on every probe
     val g = if (commitGroupsOverride > 0) commitGroupsOverride

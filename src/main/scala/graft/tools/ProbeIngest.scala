@@ -26,7 +26,9 @@ object ProbeIngest {
     mode match {
       case "stream" =>
         val timeoutMs = argAt(2, 20000)
-        val eps = argAt(3, 300000).toInt
+        // default mirrors IngestProbes.streamOnce (r10 A/B winner:
+        // p=16, g=4, eps=200k per stream)
+        val eps = argAt(3, 200000).toInt
         val commitRows = argAt(4, 1000000).toInt
         val par = argAt(5, 0).toInt
         val groups = argAt(6, 0).toInt
