@@ -1127,6 +1127,19 @@ object Dedup {
       version: String, shards: Int, items: Long, fpp: Double,
       filters: IndexedSeq[org.apache.spark.util.sketch.BloomFilter])
 
+  /** `stat.bloomFilter` that tolerates EMPTY input: Spark's
+    * bloom_filter_agg yields NULL over zero rows and stat.bloomFilter
+    * NPEs deserializing it — but an empty batch (a stream's first
+    * trigger, a shard no batch id routed to) must produce an empty
+    * same-parameter filter (bit-compatible for merge), not a crash. */
+  private def bloomOf(df: DataFrame, c: Column, items: Long,
+                      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    try df.stat.bloomFilter(c, items, fpp)
+    catch {
+      case _: NullPointerException =>
+        org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
+    }
+
   /** Per-shard Bloom filters over xxhash64(id); shard = pmod(hash,
     * shards). The multi-shard pass caches the narrow (hash, shard)
     * projection so the S per-shard jobs rescan 12 bytes/row, not the
@@ -1137,11 +1150,11 @@ object Dedup {
     require(shards >= 1 && shards <= 4096, s"shards must be in [1, 4096], got $shards")
     val hashed = df.select(xxhash64(col(idCol)).as("__h"),
       pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int").as("__s"))
-    if (shards == 1) IndexedSeq(hashed.stat.bloomFilter(col("__h"), perShardItems, fpp))
+    if (shards == 1) IndexedSeq(bloomOf(hashed, col("__h"), perShardItems, fpp))
     else {
       val cached = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try (0 until shards).map(s =>
-        cached.filter(col("__s") === s).stat.bloomFilter(col("__h"), perShardItems, fpp))
+        bloomOf(cached.filter(col("__s") === s), col("__h"), perShardItems, fpp))
         .toIndexedSeq
       finally { cached.unpersist(false); () }
     }

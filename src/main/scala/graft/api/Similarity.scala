@@ -992,6 +992,71 @@ object Similarity {
       idCol, threshold)
   }
 
+  /** Per-corpus-row SEMANTIC contamination evidence against a
+    * benchmark set: the max cosine to ANY benchmark vector and the
+    * benchmark id attaining it (ties at the rounded cosine → lowest
+    * benchmark id) — the embedding-space sibling of
+    * [[graft.api.Dedup.contaminationProfile]]'s n-gram overlap:
+    * shingles catch verbatim/near-verbatim benchmark leakage,
+    * embeddings catch the PARAPHRASED leakage n-grams miss.
+    *
+    * Scale shape: eval suites are thousands of rows against a
+    * corpus-scale left side, so the benchmark is explicitly broadcast
+    * (the fixed-size-dim case the broadcast hint is licensed for) and
+    * the corpus streams ONCE with no shuffle of corpus rows — per-row
+    * cost is |benchmark| codegen'd dot products, the same
+    * broadcast-nested-loop physique as [[cosineTopKExact]]'s small
+    * side. A benchmark too large to broadcast belongs behind a
+    * persisted IVF probe ([[semanticDedupWithIndex]] shape) instead.
+    * Rows with NULL embeddings carry no semantic evidence and are
+    * omitted (they can never be flagged); zero-norm vectors score 0
+    * against everything. Output: (vec_id, bench_id, max_bench_cos),
+    * one row per non-null-embedding corpus row (empty when the
+    * benchmark is empty). */
+  def semanticContaminationProfile(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      benchIdCol: String = "vec_id",
+      benchVecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus.filter(col(vecCol).isNotNull), idCol, vecCol)
+    val b = withNorm(benchmark.filter(col(benchVecCol).isNotNull),
+        benchIdCol, benchVecCol)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+    c.join(broadcast(b))
+      .withColumn("cos",
+        round(cosinePrenormed(dot(col("embedding"), col("eb")),
+          col("nrm"), col("nb")), 6))
+      .groupBy(col("vec_id"))
+      // argmax via min(struct(-cos, id)): lexicographic struct order
+      // gives the highest cosine, ties broken by lowest bench id; the
+      // separate max() keeps max_bench_cos free of -0.0 artifacts
+      .agg(max(col("cos")).as("max_bench_cos"),
+        min(struct((lit(0d) - col("cos")).as("negc"),
+          col("bench_id").as("bench_id"))).as("w"))
+      .select(col("vec_id"), col("w.bench_id").as("bench_id"),
+        col("max_bench_cos"))
+  }
+
+  /** Drop every corpus row whose embedding scores >= `threshold`
+    * cosine against ANY benchmark vector — semantic decontamination
+    * (a training corpus "substantially similar" to an eval item
+    * inflates the benchmark even when no n-gram matches). One
+    * broadcast scoring pass + one anti-join on the id; the corpus is
+    * never widened or re-encoded; rows with null embeddings pass
+    * through (no evidence, no drop). */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      benchIdCol: String = "vec_id", benchVecCol: String = "embedding",
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    corpus.join(
+      semanticContaminationProfile(corpus, benchmark, idCol, vecCol,
+        benchIdCol, benchVecCol)
+        .filter(col("max_bench_cos") >= threshold)
+        .select(col("vec_id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Corpus-health report for an embedding column — the gate a
     * pipeline runs before building indexes or training on the
     * vectors: one row with vector count, dimension min/max (a mixed-

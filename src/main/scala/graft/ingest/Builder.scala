@@ -37,6 +37,7 @@ final class CulvertBuilder private () {
   /** Extension (no reference analogue): split the run into g
     * concurrently-committing query groups — see IngestConfig.commitGroups. */
   def withCommitGroups(g: Int): CulvertBuilder = { cfg = cfg.copy(commitGroups = g); this }
+  def withSeenFilter(path: String): CulvertBuilder = { cfg = cfg.copy(seenFilterPath = Some(path)); this }
   /** Schema override — the reference's `withColumns`
     * (`Culvert.java:81-84`, `Stream.java:73-75`): replace the default
     * Yahoo-benchmark column list. The first column becomes the bucket

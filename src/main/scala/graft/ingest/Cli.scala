@@ -35,6 +35,7 @@ object Cli {
     var enableAutoFlush = true
     var outputDir = defaultWarehouse
     var commitGroups = 1
+    var seenFilter: Option[String] = None
     var help = false
 
     def num[T](raw: String, f: String => T): Either[String, T] =
@@ -61,6 +62,7 @@ object Cli {
         case "-f" | "--disable-auto-flush"     => enableAutoFlush = false; Right(())
         case "-o" | "--output-dir"             => arg().map(outputDir = _)
         case "-g" | "--commit-groups"          => arg().flatMap(num(_, _.toInt)).map(commitGroups = _)
+        case "-F" | "--seen-filter"            => arg().map(p => seenFilter = Some(p))
         case "-h" | "--help"                   => help = true; Right(())
         case other                             => Left("Invalid parameter.")
       }
@@ -99,7 +101,8 @@ object Cli {
         parallelism = numParallelStreams,
         streamLaunchDelayMs = streamLaunchDelayMs,
         autoFlush = enableAutoFlush,
-        commitGroups = commitGroups),
+        commitGroups = commitGroups,
+        seenFilterPath = seenFilter),
       metastoreUrl, help))
   }
 
@@ -123,6 +126,7 @@ object Cli {
       | -table <arg>                          destination table. default = culvert
       | -o,--output-dir <arg>                 warehouse directory for the file sink ('console' = console sink). default = ./culvert-warehouse
       | -g,--commit-groups <arg>              extension: split the run into g concurrently-committing query groups (must divide -p). default = 1
+      | -F,--seen-filter <arg>                extension: maintain a seen-ids bloom filter at this path (append each committed batch's id column). default = off
       | -h,--help                             usage help
       |""".stripMargin
 

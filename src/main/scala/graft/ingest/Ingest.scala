@@ -318,8 +318,9 @@ object Ingest {
     // the two, the replayed batch re-appends the same ids (bloom merge
     // of identical ids is idempotent) — committed ids can never end up
     // unflagged. An already-committed replay (marker exists) returned
-    // above, so ids append exactly once per logical commit.
-    cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
+    // above, so ids append exactly once per logical commit. Empty
+    // batches (a stream's warm-up triggers) have no ids to record.
+    if (n > 0) cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
     fs.mkdirs(marker.getParent)
     fs.create(marker).close()
     n

@@ -404,6 +404,21 @@ object Pipeline {
           "n_unseen_probe", "unseen_fp_ok")
     }),
 
+    // Semantic decontamination evidence: the embedding-space sibling
+    // of q87's n-gram decontamination — every corpus vector scored
+    // against a broadcast benchmark set (vec_id % 100, eval suites are
+    // the small side by nature), flagged when its max benchmark cosine
+    // crosses the threshold. Catches the paraphrased leakage n-grams
+    // miss. The oracle replays every cosine, the per-doc argmax (ties
+    // -> lowest bench id), and the threshold cut exactly.
+    "q162_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.api.Similarity.semanticContaminationProfile(
+          emb, emb.filter(col("vec_id") % 100 === 0))
+        .filter(col("max_bench_cos") >= 0.45)
+        .orderBy("vec_id")
+    }),
+
     // Triangle census of the near-dup graph (same LSH pair generator
     // as q63): duplicates come in cliques, so edges-without-triangles
     // signal a too-loose threshold chaining unrelated docs. Ordered
@@ -2636,6 +2651,26 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q162_semantic_decontaminate" ->
+      """WITH b AS (SELECT vec_id AS bench_id, embedding FROM embeddings
+        |           WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    list_sum(list_transform(list_zip(c.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) dot,
+        |    sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nb
+        |  FROM c CROSS JOIN b),
+        |s AS (SELECT vec_id, bench_id,
+        |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END, 6) AS cos FROM p),
+        |m AS (SELECT vec_id, max(cos) AS max_bench_cos FROM s GROUP BY 1),
+        |w AS (SELECT s.vec_id, min(s.bench_id) AS bench_id,
+        |        any_value(m.max_bench_cos) AS max_bench_cos
+        |      FROM s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.max_bench_cos
+        |      GROUP BY 1)
+        |SELECT vec_id, bench_id, max_bench_cos FROM w
+        |WHERE max_bench_cos >= 0.45 ORDER BY vec_id""".stripMargin,
     "q159_seen_filter" -> seenFilterOracle,
     "q160_sharded_seen_filter" -> seenFilterOracle,
     "q161_ingest_seen_filter" ->

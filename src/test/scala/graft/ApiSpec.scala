@@ -1904,6 +1904,34 @@ class ApiSpec extends AnyFunSuite {
       "second call must APPEND, not rebuild over the first batch")
   }
 
+  test("Similarity.semanticDecontaminate drops benchmark-similar rows only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),        // exact copy of bench 10
+      (2L, Array(0.95f, 0.05f)),      // paraphrase-close to bench 10
+      (3L, Array(0.0f, 1.0f)),        // orthogonal — survives
+      (4L, Array(0.0f, 0.0f)),        // zero norm — cos 0, survives
+      (5L, null.asInstanceOf[Array[Float]])) // no evidence — survives
+      .toDF("vec_id", "embedding")
+    val bench = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val prof = graft.api.Similarity
+      .semanticContaminationProfile(corpus, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(prof(1L) == (10L, 1.0))
+    assert(prof(2L)._2 > 0.9 && prof(2L)._2 < 1.0)
+    assert(prof(4L)._2 == 0.0, "zero-norm scores 0 by contract")
+    assert(!prof.contains(5L), "null embeddings carry no evidence")
+    val surv = graft.api.Similarity
+      .semanticDecontaminate(corpus, bench, threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(surv.toSeq == Seq(3L, 4L, 5L),
+      s"exact + near copies of benchmark items must drop, got ${surv.toSeq}")
+    // empty benchmark: nothing can be contaminated
+    val none = graft.api.Similarity.semanticDecontaminate(
+      corpus, bench.filter($"vec_id" < 0), threshold = 0.9).count()
+    assert(none == 5L)
+  }
+
   test("Dedup.keepOne converges in O(log diameter) rounds on a path graph") {
     import spark.implicits._
     // 1000-node path: plain min-label propagation needs ~999 rounds;

@@ -52,6 +52,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q162 semantic decontamination broadcasts the benchmark side") {
+    val p = plan("q162_semantic_decontaminate")
+    // corpus × broadcast(benchmark): the benchmark is the explicitly
+    // broadcast fixed-size dim, so the corpus-scale side streams once
+    // with no shuffle of corpus rows (BNLJ over the broadcast, the
+    // q47-baseline physique) — a CartesianProduct would mean the
+    // broadcast was lost and the corpus shuffles
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "benchmark side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q55 as-of join is one keyed window, no range product") {
     val p = plan("q55_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

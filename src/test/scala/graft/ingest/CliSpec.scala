@@ -62,6 +62,16 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Array("-p", "8", "-g", "0")).isLeft)
   }
 
+  test("seen-filter extension flag parses, defaults to off") {
+    assert(Cli.parse(Array.empty).toOption.get.cfg.seenFilterPath.isEmpty)
+    val Right(p) = Cli.parse(Array("-F", "/tmp/seen")): @unchecked
+    assert(p.cfg.seenFilterPath.contains("/tmp/seen"))
+    val Right(l) = Cli.parse(Array("--seen-filter", "s3://bkt/seen")): @unchecked
+    assert(l.cfg.seenFilterPath.contains("s3://bkt/seen"))
+    assert(Cli.parse(Array("-F")).isLeft, "missing path is a parse error")
+    assert(Cli.usage.contains("--seen-filter"))
+  }
+
   test("long forms parse") {
     val Right(p) = Cli.parse(Array(
       "--commit-after-n-rows", "7", "--timeout", "9",

@@ -367,4 +367,26 @@ class IngestSpec extends AnyFunSuite {
     val replay = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
     assert(replay.rowsCommitted == 0)
   }
+
+  test("concurrent streaming commit groups share one seen filter safely") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val filter = new java.io.File(tmp(), "seen").toString
+    // two commit groups = two foreachBatch threads appending to the
+    // SAME filter concurrently — the per-path lock serializes them;
+    // a lost update would leave some committed id unflagged below
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      eventsPerSecond = 2000, commitAfterNRows = 500, timeoutMs = 15000,
+      buckets = 2, commitGroups = 2,
+      seenFilterPath = Some(filter), seenFilterExpectedItems = 100000L)
+    val res = Ingest.run(spark, cfg)
+    assert(res.rowsCommitted > 0, "no rows committed within timeout")
+    assert(graft.api.Dedup.seenFilterExists(spark, filter))
+    // the contract, read off the SINK: every user_id that actually
+    // landed in a committed file must flag
+    val committed = spark.read.orc(dir).select("user_id")
+    assert(graft.api.Dedup.markSeen(spark, committed, "user_id", filter)
+      .filter(!col("probably_seen")).isEmpty,
+      "a committed row's id failed to flag — an append was lost")
+  }
 }
