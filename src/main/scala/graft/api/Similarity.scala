@@ -1037,6 +1037,70 @@ object Similarity {
         col("max_bench_cos"))
   }
 
+  /** [[semanticContaminationProfile]] against a PERSISTED IVF index of
+    * the corpus — the shape when the corpus is already indexed (or the
+    * benchmark is too large to broadcast): benchmark vectors probe
+    * their `nprobe` nearest cells, the index read is partition-pruned
+    * to the probed cells, and only cell-colocated (benchmark, corpus)
+    * candidates are scored — never benchmark × corpus. Unlike
+    * [[ivfSearchIndex]] there is NO top-k cap (an eval item with 100
+    * corpus near-copies flags all 100) and NO self-id exclusion
+    * (benchmark and corpus ids are different id spaces; a numeric
+    * collision must not hide a real match). APPROXIMATE by the same
+    * geometry as every IVF probe: a near-copy assigned to an unprobed
+    * cell is missed — raise `nprobe` toward the cell count for exact
+    * coverage. Output: (vec_id, bench_id, max_bench_cos) for corpus
+    * vectors whose best probed cosine clears `threshold`. */
+  def semanticContaminationWithIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, benchmark: DataFrame,
+      benchIdCol: String = "vec_id", benchVecCol: String = "embedding",
+      threshold: Double = 0.9, nprobe: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    val q = withNorm(benchmark.filter(col(benchVecCol).isNotNull),
+        benchIdCol, benchVecCol)
+      .select(col("vec_id").as("bench_id"), col("embedding"), col("nrm"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+      .select(col("cell"), col("bench_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .repartition(col("cell"))
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$root/vectors")
+      .filter(if (probed.isEmpty) lit(false) else col("cell").isin(probed: _*))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    q.join(index, Seq("cell"))
+      .withColumn("cos",
+        round(cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6))
+      // threshold BEFORE the argmax: the aggregation sees only the
+      // (rare) contaminated candidates, not every scored pair
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_bench_cos"),
+        min(struct((lit(0d) - col("cos")).as("negc"),
+          col("bench_id").as("bench_id"))).as("w"))
+      .select(col("vec_id"), col("w.bench_id").as("bench_id"),
+        col("max_bench_cos"))
+  }
+
+  /** [[semanticDecontaminate]] through a persisted corpus index: drop
+    * every corpus row the index probe flags. Same recall caveat as
+    * [[semanticContaminationWithIndex]]. */
+  def semanticDecontaminateWithIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "vec_id",
+      benchIdCol: String = "vec_id", benchVecCol: String = "embedding",
+      threshold: Double = 0.9, nprobe: Int = 2): DataFrame =
+    corpus.join(
+      semanticContaminationWithIndex(spark, path, benchmark,
+        benchIdCol, benchVecCol, threshold, nprobe)
+        .select(col("vec_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Drop every corpus row whose embedding scores >= `threshold`
     * cosine against ANY benchmark vector — semantic decontamination
     * (a training corpus "substantially similar" to an eval item

@@ -1932,6 +1932,32 @@ class ApiSpec extends AnyFunSuite {
     assert(none == 5L)
   }
 
+  test("Similarity.semanticContaminationWithIndex matches broadcast form at full probe") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    val bench = emb.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdecon-idx").toString
+    Similarity.buildIvfIndex(emb, dir, cells = 4)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = triples(Similarity.semanticContaminationProfile(emb, bench)
+      .filter(col("max_bench_cos") >= 0.45))
+    assert(exact.nonEmpty, "fixture must contain contaminated rows")
+    // probing EVERY cell makes the index form exhaustive: identical
+    // flagged set, same argmax, same rounded cosines
+    val full = triples(Similarity.semanticContaminationWithIndex(
+      spark, dir, bench, threshold = 0.45, nprobe = 4))
+    assert(full == exact, s"full-probe index form must equal broadcast form")
+    // nprobe=1 may MISS (unprobed cells) but never invent a flag
+    val one = Similarity.semanticContaminationWithIndex(
+      spark, dir, bench, threshold = 0.45, nprobe = 1)
+    assert(triples(one).map(_._1).subsetOf(exact.map(_._1)))
+    // the drop variant: survivors = corpus minus the flagged ids
+    val dropped = Similarity.semanticDecontaminateWithIndex(
+      spark, dir, emb, bench, threshold = 0.45, nprobe = 4).count()
+    assert(dropped == emb.count() - exact.size)
+  }
+
   test("Dedup.keepOne converges in O(log diameter) rounds on a path graph") {
     import spark.implicits._
     // 1000-node path: plain min-label propagation needs ~999 rounds;
