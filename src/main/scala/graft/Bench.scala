@@ -276,14 +276,27 @@ object Bench {
     streamOnce(timeoutMs = 15000)
     val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
     var streamBest: (Long, Long) = (-1L, -1L)
+    // per-rep load1, recorded for EVERY stream rep — the contamination
+    // audit the batch windows already have (the r9 post-mortem hinged
+    // on exactly this signal for the stream reps it lacked)
+    val streamLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     def streamWindow(reps: Int): Unit =
       (1 to reps).foreach { _ =>
+        streamLoads += load1Now()
         val r = streamOnce()
         streamSamples += r._2
         if (r._2 > streamBest._2) streamBest = r
       }
     def streamWindowGated(reps: Int): Unit = {
-      val l = load1Now()
+      var l = load1Now()
+      if (l >= 0 && l > streamLoadGate) {
+        // right after a timed query the 1-min loadavg mostly measures
+        // the suite's OWN just-finished work — give it one decay
+        // interval before deciding; a genuinely slammed box stays
+        // above the gate
+        Thread.sleep(20000)
+        l = load1Now()
+      }
       if (l >= 0 && l > streamLoadGate) streamSkipped += reps
       else streamWindow(reps)
     }
@@ -382,7 +395,7 @@ object Bench {
       "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(l)
     }.mkString("{", ",", "}")
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"query_load1":$queryLoads"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"query_load1":$queryLoads"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)

@@ -935,7 +935,12 @@ object Dedup {
       // pointer doubling: chase one label hop (label := min(label,
       // label(label))) — the left join is keyed on the label (a member
       // id, so at most one match); coalesce keeps already-minimal
-      // labels whose target row carries no smaller value
+      // labels whose target row carries no smaller value. As labels
+      // converge this key distribution degenerates toward the
+      // component minima (a giant component funnels its rows onto one
+      // key) — deliberately un-hinted so AQE's skew-join split (on by
+      // default) re-splits those partitions; the per-key match side is
+      // a single row, the duplicable case the splitter handles.
       val byNode = propagated
         .select(col("node").as("pnode"), col("label").as("plabel"))
       val chased = propagated
@@ -1131,14 +1136,15 @@ object Dedup {
     * bloom_filter_agg yields NULL over zero rows and stat.bloomFilter
     * NPEs deserializing it — but an empty batch (a stream's first
     * trigger, a shard no batch id routed to) must produce an empty
-    * same-parameter filter (bit-compatible for merge), not a crash. */
+    * same-parameter filter (bit-compatible for merge), not a crash.
+    * Emptiness is checked EXPLICITLY (limit-1 scan) rather than by
+    * catching the NPE: a swallowed NPE from a NON-empty build would
+    * silently substitute an empty filter — un-flagged committed ids,
+    * the exact false negative the filter contract forbids. */
   private def bloomOf(df: DataFrame, c: Column, items: Long,
                       fpp: Double): org.apache.spark.util.sketch.BloomFilter =
-    try df.stat.bloomFilter(c, items, fpp)
-    catch {
-      case _: NullPointerException =>
-        org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
-    }
+    if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
+    else df.stat.bloomFilter(c, items, fpp)
 
   /** Per-shard Bloom filters over xxhash64(id); shard = pmod(hash,
     * shards). The multi-shard pass caches the narrow (hash, shard)
@@ -1208,8 +1214,17 @@ object Dedup {
                             path: String): SeenFilterState = {
     import org.apache.hadoop.fs.Path
     val root = VersionedIndex.resolveRoot(spark, path)
-    require(root != path,
-      s"no committed seen-filter at $path — buildSeenFilter first")
+    if (root == path) {
+      // distinguish "never built" from "pre-versioned single file" so
+      // the user gets the right one-step fix, not a misleading
+      // build-then-fail-again loop
+      val p = new Path(path)
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!(pfs.exists(p) && pfs.getFileStatus(p).isFile),
+        s"seen-filter at $path uses the pre-versioned single-file " +
+          "layout — delete it and rebuild with buildSeenFilter")
+      require(false, s"no committed seen-filter at $path — buildSeenFilter first")
+    }
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaIn = new java.io.DataInputStream(fs.open(new Path(root, "_meta")))
     val (shards, items, fpp) =

@@ -137,7 +137,9 @@ object Layout {
   def shardedExport(df: DataFrame, idCol: String, shards: Int,
                     path: String, format: String = "parquet"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    require(!df.columns.contains("shard"),
+    // case-INSENSITIVE like Spark's default resolver: withColumn would
+    // replace a column named "Shard"/"SHARD" just the same
+    require(!df.columns.exists(_.equalsIgnoreCase("shard")),
       "input already has a 'shard' column — shardedExport reserves that " +
         "name for the routing key; rename it first")
     val spark = df.sparkSession

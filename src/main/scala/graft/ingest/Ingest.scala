@@ -326,24 +326,34 @@ object Ingest {
     n
   }
 
+  /** Resolve (and VALIDATE) the seen-filter id column against the
+    * generated schema. Called upfront by [[run]]/[[runBatchCommitted]]
+    * so a typo'd column name fails in milliseconds at startup, not
+    * mid-commit after the first batch's files have already published. */
+  private def seenFilterSpec(cfg: IngestConfig): Gen.ColSpec = {
+    val specs = dataColumns(cfg)
+    val name = cfg.seenFilterColumn.getOrElse(specs.head.name)
+    specs.find(_.name == name).getOrElse(sys.error(
+      s"seenFilterColumn '$name' is not a generated data column " +
+        s"(have: ${specs.map(_.name).mkString(", ")})"))
+  }
+
   /** Append a committed batch's ids to the run's seen filter. Columns
     * are pure functions of the row index, so the id column is
     * recomputed directly from the raw (value, __pid) batch — no
     * re-read of the published files, no extra shuffle. */
   private def appendSeenIds(cfg: IngestConfig, path: String,
                             batch: DataFrame): Unit = {
-    val specs = dataColumns(cfg)
-    val name = cfg.seenFilterColumn.getOrElse(specs.head.name)
-    val spec = specs.find(_.name == name).getOrElse(sys.error(
-      s"seenFilterColumn '$name' is not a generated data column " +
-        s"(have: ${specs.map(_.name).mkString(", ")})"))
-    val ids = batch.select(Gen.expr(spec, cfg.seed, col("value")).as(name))
-    graft.api.Dedup.buildOrAppendSeenFilter(ids, name, path,
+    val spec = seenFilterSpec(cfg)
+    val ids = batch.select(Gen.expr(spec, cfg.seed, col("value")).as(spec.name))
+    graft.api.Dedup.buildOrAppendSeenFilter(ids, spec.name, path,
       expectedItems = cfg.seenFilterExpectedItems)
   }
 
   /** Run the streaming engine for `timeoutMs`, then report. */
   def run(spark: SparkSession, cfg: IngestConfig): IngestResult = {
+    // fail a bad seen-filter column BEFORE any stream starts
+    cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
     // startup log parity (`Culvert.java:102,109`)
     System.err.println(s"Starting culvert: ${cfg.name}")
     (0 until cfg.parallelism).foreach(i => System.err.println(s"Starting stream: stream-$i"))
@@ -463,6 +473,8 @@ object Ingest {
     val path = cfg.outputPath.getOrElse(
       sys.error("batch ingest requires an output path"))
     require(batches > 0 && numRows >= 0)
+    // fail a bad seen-filter column before any batch publishes
+    cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
     val t0 = System.nanoTime()
     val per = math.max(1L, numRows / batches)
     var committed = 0L

@@ -144,11 +144,10 @@ object Pipeline {
         .as("url"))
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rmTree)
-    f.delete()
-  }
+  // the shared null-guarded recursive delete (one implementation, not
+  // a drifting copy); quiet semantics are fine here — a stale leftover
+  // that somehow survives fails loudly at the next build/commit
+  private def rmTree(f: java.io.File): Unit = graft.IngestProbes.rmrfQuiet(f)
 
   /** Shared body of q159/q160: build a seen filter (optionally
     * sharded) on the %4-partitioned corpus ids, append the small

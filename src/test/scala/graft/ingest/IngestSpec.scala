@@ -382,9 +382,12 @@ class IngestSpec extends AnyFunSuite {
     val res = Ingest.run(spark, cfg)
     assert(res.rowsCommitted > 0, "no rows committed within timeout")
     assert(graft.api.Dedup.seenFilterExists(spark, filter))
-    // the contract, read off the SINK: every user_id that actually
-    // landed in a committed file must flag
-    val committed = spark.read.orc(dir).select("user_id")
+    // the contract, read through the marker-honoring committedView —
+    // the timeout's stop() can interrupt a commit between publish and
+    // append, leaving published-but-unmarked files a plain directory
+    // read would see (their ids were legitimately never appended)
+    val committed = graft.core.Tables.committedView(spark, dir)
+      .select("user_id")
     assert(graft.api.Dedup.markSeen(spark, committed, "user_id", filter)
       .filter(!col("probably_seen")).isEmpty,
       "a committed row's id failed to flag — an append was lost")
