@@ -418,6 +418,26 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // The SAME contamination contract through a persisted IVF index:
+    // build the corpus index, probe it with the benchmark at
+    // nprobe = cells (exhaustive — every cell read, every pair
+    // scored), and the result must be BIT-IDENTICAL to q162's
+    // broadcast form: same oracle, replayed end-to-end through index
+    // build, cell-pruned read, and the threshold argmax. At lower
+    // nprobe the probe is the approximate production path; exhaustive
+    // probing is what makes it DuckDB-checkable.
+    "q163_semantic_decontaminate_indexed" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-semdecon-idx-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val emb = Tables.embeddings(s, d)
+      graft.api.Similarity.buildIvfIndex(emb, base.getAbsolutePath, cells = 8)
+      graft.api.Similarity.semanticContaminationWithIndex(
+          s, base.getAbsolutePath, emb.filter(col("vec_id") % 100 === 0),
+          threshold = 0.45, nprobe = 8)
+        .orderBy("vec_id")
+    }),
+
     // Triangle census of the near-dup graph (same LSH pair generator
     // as q63): duplicates come in cliques, so edges-without-triangles
     // signal a too-loose threshold chaining unrelated docs. Ordered
@@ -2503,6 +2523,31 @@ object Pipeline {
       |  TRUE AS no_false_negatives, TRUE AS fp_ok
       |FROM probe""".stripMargin
 
+  /** Shared oracle for q162 (broadcast) and q163 (exhaustive IVF
+    * probe): the index path at nprobe = cells scores exactly the same
+    * pair set, so one SQL replays both — cosines, per-doc argmax
+    * (ties -> lowest bench id), and the threshold cut. */
+  private val semanticDecontOracle: String =
+    """WITH b AS (SELECT vec_id AS bench_id, embedding FROM embeddings
+      |           WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT c.vec_id, b.bench_id,
+      |    list_sum(list_transform(list_zip(c.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) dot,
+      |    sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) na,
+      |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nb
+      |  FROM c CROSS JOIN b),
+      |s AS (SELECT vec_id, bench_id,
+      |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END, 6) AS cos FROM p),
+      |m AS (SELECT vec_id, max(cos) AS max_bench_cos FROM s GROUP BY 1),
+      |w AS (SELECT s.vec_id, min(s.bench_id) AS bench_id,
+      |        any_value(m.max_bench_cos) AS max_bench_cos
+      |      FROM s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.max_bench_cos
+      |      GROUP BY 1)
+      |SELECT vec_id, bench_id, max_bench_cos FROM w
+      |WHERE max_bench_cos >= 0.45 ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -2650,26 +2695,9 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
-    "q162_semantic_decontaminate" ->
-      """WITH b AS (SELECT vec_id AS bench_id, embedding FROM embeddings
-        |           WHERE vec_id % 100 = 0),
-        |c AS (SELECT vec_id, embedding FROM embeddings),
-        |p AS (
-        |  SELECT c.vec_id, b.bench_id,
-        |    list_sum(list_transform(list_zip(c.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) dot,
-        |    sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) na,
-        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nb
-        |  FROM c CROSS JOIN b),
-        |s AS (SELECT vec_id, bench_id,
-        |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END, 6) AS cos FROM p),
-        |m AS (SELECT vec_id, max(cos) AS max_bench_cos FROM s GROUP BY 1),
-        |w AS (SELECT s.vec_id, min(s.bench_id) AS bench_id,
-        |        any_value(m.max_bench_cos) AS max_bench_cos
-        |      FROM s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.max_bench_cos
-        |      GROUP BY 1)
-        |SELECT vec_id, bench_id, max_bench_cos FROM w
-        |WHERE max_bench_cos >= 0.45 ORDER BY vec_id""".stripMargin,
+    "q162_semantic_decontaminate" -> semanticDecontOracle,
+    // exhaustive index probe == broadcast form, so the oracle is shared
+    "q163_semantic_decontaminate_indexed" -> semanticDecontOracle,
     "q159_seen_filter" -> seenFilterOracle,
     "q160_sharded_seen_filter" -> seenFilterOracle,
     "q161_ingest_seen_filter" ->
