@@ -136,8 +136,16 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, unordered. */
   def nearDupPairsExact(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", threshold: Double = 0.8,
-                        shingle: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
+                        shingle: Int = 3): DataFrame =
+    pairsFromSets(shingleSets(docs, idCol, textCol, shingle).cache(),
+      threshold)
+
+  /** The PPJoin body of [[nearDupPairsExact]] over an ALREADY-built
+    * (doc_id, sh, n) sets frame — shared with the streaming
+    * suppressor, whose per-batch lifecycle must manage the sets
+    * materialization itself (an internal `.cache()` would pin blocks
+    * per micro-batch for the stream's lifetime). */
+  private def pairsFromSets(sets: DataFrame, threshold: Double): DataFrame = {
     val prefixLen = (floor(col("n") * (1 - threshold)) + 1).cast("int")
     // sh is already the sorted hash set — the prefix is a plain slice
     val prefix = sets.select(col("doc_id"), col("n"),
@@ -394,6 +402,144 @@ object Dedup {
       .select(col("doc_a").as("__dup_id")).distinct()
     fresh.join(matched, fresh(idCol) === col("__dup_id"), "left_anti")
   }
+
+  /** One commit unit of CONTINUOUS near-dup curation: suppress the
+    * batch against the persisted index, then within itself, then add
+    * the survivors to the index — the per-micro-batch body of
+    * [[nearDupSuppressStream]], public so a scheduler replaying daily
+    * batches gets the identical semantics without a streaming context.
+    *
+    * Deterministic suppression rule (what the DuckDB oracle replays):
+    *  1. drop every batch doc with Jaccard ≥ threshold against any
+    *     ALREADY-indexed doc (batch ids themselves excluded from the
+    *     index side — see replay safety);
+    *  2. among the remainder, drop every doc with a strictly-lower-id
+    *     near-dup in the remainder. Survivors form an independent set
+    *     (no two survivors are near-dups) without the transitive
+    *     over-deletion of component-min election: two docs that each
+    *     match a dropped doc but not each other BOTH survive —
+    *     compose [[keepOne]] downstream for component semantics.
+    *
+    * REPLAY-IDEMPOTENT (crash recovery re-runs a batch): the index
+    * side of step 1 excludes entries whose doc_id is in the current
+    * batch, so survivors a crashed attempt already appended can never
+    * suppress their own replay; the append writes only signatures
+    * MISSING from each signature table (sketches and bands repaired
+    * independently — a crash between the two appends must not leave a
+    * doc permanently candidate-invisible), so re-running a batch
+    * changes nothing. Requires globally-unique doc ids across batches
+    * — an id reused by a LATER batch would be silently treated as the
+    * replayed original.
+    *
+    * Scale shape: index candidates via the banded equi-join (cost ∝
+    * band collisions; the batch side is commit-sized, AQE broadcasts
+    * it), within-batch pairs via the prefix-filtered PPJoin — never
+    * batch × corpus or batch × batch products; appends are anti-joins
+    * keyed on doc_id. Returns the surviving rows (original columns),
+    * materialized BEFORE the index append so callers can write them
+    * without re-planning over the grown index. */
+  def nearDupSuppressAndIndex(batch: DataFrame, path: String,
+                              threshold: Double = 0.8,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val (shingle, hashes, bands) = readNearDupParams(spark, root)
+    // the batch's raw rows and both signature forms each feed 2+
+    // subplans — materialize once, release at exit (a stream calls
+    // this per micro-batch; internal caches would pin blocks for the
+    // stream's lifetime)
+    val b = batch.localCheckpoint()
+    val freshSets = shingleSets(b, idCol, textCol, shingle).localCheckpoint()
+    val freshBands = bandedSignatures(b, idCol, textCol, shingle,
+      hashes, bands).localCheckpoint()
+    try {
+      val bIds = b.select(col(idCol).as("__bid")).distinct()
+      // step 1 — against the index, minus this batch's own (replayed) ids
+      val idxBands = spark.read.parquet(s"$root/bands")
+        .join(bIds, col("doc_id") === col("__bid"), "left_anti")
+      val cand = freshBands.as("a").join(idxBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val idxSets = spark.read.parquet(s"$root/sketches")
+        .join(bIds, col("doc_id") === col("__bid"), "left_anti")
+      val flagged = verify(cand
+          .join(freshSets.select(col("doc_id").as("doc_a"),
+            col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+          .join(idxSets.select(col("doc_id").as("doc_b"),
+            col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold)
+        .select(col("doc_a").as("__dup_id")).distinct()
+      val afterIndex =
+        b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
+      // step 2 — within-batch: any strictly-lower-id near-dup drops a
+      // doc; the PPJoin runs over the already-built sets restricted to
+      // the step-1 survivors
+      val aSets = freshSets.join(
+        afterIndex.select(col(idCol).as("doc_id")), "doc_id")
+      val dropped = pairsFromSets(aSets, threshold)
+        .select(col("doc_b").as("__drop_id")).distinct()
+      val keep = afterIndex
+        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
+        .localCheckpoint()
+      // step 3 — repairing append: each signature table independently
+      // gets the survivor docs it is missing, sliced from the
+      // signatures already computed for this batch
+      val keepIds = keep.select(col(idCol).as("doc_id"))
+      val haveSk = spark.read.parquet(s"$root/sketches")
+        .select(col("doc_id").as("__have")).distinct()
+      freshSets.join(keepIds, "doc_id")
+        .join(haveSk, col("doc_id") === col("__have"), "left_anti")
+        .write.mode("append").parquet(s"$root/sketches")
+      val haveBd = spark.read.parquet(s"$root/bands")
+        .select(col("doc_id").as("__have")).distinct()
+      freshBands.join(keepIds, "doc_id")
+        .join(haveBd, col("doc_id") === col("__have"), "left_anti")
+        .select(col("doc_id"), col("bkey"), col("band"))
+        .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+      keep
+    } finally Seq(b, freshSets, freshBands).foreach(releaseCheckpoint)
+  }
+
+  /** Streaming near-dup suppression — dedup-at-ingest against a
+    * PERSISTED, GROWING corpus index: each micro-batch runs
+    * [[nearDupSuppressAndIndex]] (index flag → within-batch
+    * independent-set → repairing append) and its survivors land under
+    * `outPath/batch=<id>/` as parquet. The single foreachBatch writer
+    * is the index's natural serializer (the same discipline the ingest
+    * commit loop gives the seen filter); a crash replays the batch
+    * idempotently — survivors recompute identically (own-batch ids are
+    * excluded from the flag pass), the output dir overwrites, and the
+    * append adds only missing signatures. The index must exist (build
+    * it first, over the curated corpus or an empty frame); its stored
+    * params pin the shingle/hash/band scheme so every batch provably
+    * hashes the way the corpus did. */
+  def nearDupSuppressStream(stream: DataFrame, indexPath: String,
+                            outPath: String, checkpointDir: String,
+                            threshold: Double = 0.8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keep =
+          nearDupSuppressAndIndex(batch, indexPath, threshold, idCol, textCol)
+        try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally releaseCheckpoint(keep)
+      }
+      .start()
+
+  /** Unpersist the checkpointed RDD behind a `localCheckpoint()`'d
+    * frame, read off its OWN plan (LogicalRDD) — unpersisting by a
+    * global getPersistentRDDs diff would race concurrent threads
+    * caching on the same session and could truncate THEIR only copy
+    * of a checkpointed lineage. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.foreach(id => df.sparkSession.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(false)))
 
   /** Pigeonhole chunk layout: 64 bits partitioned into `chunksN`
     * NONEMPTY contiguous chunks, as (shift, mask) pairs. Bits are

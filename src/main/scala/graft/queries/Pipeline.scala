@@ -438,6 +438,52 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // Streaming near-dup suppression — the continuous-curation shape:
+    // a curated corpus is indexed once, then each arriving batch is
+    // suppressed against the index, then within itself (drop any doc
+    // with a strictly-lower-id near-dup — survivors are an independent
+    // set), and its survivors JOIN the index before the next batch.
+    // Three deterministic micro-batches exercise every suppression
+    // class: copies of indexed docs (+1M, index-flagged), within-batch
+    // copy pairs (+2M, lower-id rule), and copies of an EARLIER
+    // batch's docs (+3M — caught via the index whichever way the
+    // original fared). The oracle unrolls the same three-stage
+    // sequential rule over exact Jaccard. Replays of a batch are
+    // idempotent (own-ids excluded from the flag pass; append adds
+    // only missing signatures) — StreamingDedupSpec pins that plus
+    // wrapper/batch-replay parity.
+    "q164_streaming_neardup_suppress" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ndstream-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m4 = col("doc_id") % 4
+      graft.api.Dedup.buildNearDupIndex(docs.filter(m4 === 1 || m4 === 2), idx)
+      val b0 = docs.filter(m4 === 0)
+      def copies(src: DataFrame, pred: org.apache.spark.sql.Column,
+                 offset: Long) =
+        src.filter(pred)
+          .select((col("doc_id") + offset).as("doc_id"), col("text"))
+      val batches = Seq(
+        b0.filter(col("doc_id") % 3 === 0)
+          .unionByName(copies(docs.filter(m4 === 1),
+            col("doc_id") % 10 === 1, 1000000L))
+          .unionByName(copies(b0.filter(col("doc_id") % 3 === 0),
+            col("doc_id") % 9 === 0, 2000000L)),
+        b0.filter(col("doc_id") % 3 === 1)
+          .unionByName(copies(b0.filter(col("doc_id") % 3 === 0),
+            col("doc_id") % 9 === 3, 3000000L)),
+        b0.filter(col("doc_id") % 3 === 2))
+      batches.zipWithIndex.map { case (b, i) =>
+        graft.api.Dedup.nearDupSuppressAndIndex(b, idx)
+          .withColumn("batch", lit(i + 1))
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("batch"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Triangle census of the near-dup graph (same LSH pair generator
     // as q63): duplicates come in cliques, so edges-without-triangles
     // signal a too-loose threshold chaining unrelated docs. Ordered
@@ -2698,6 +2744,57 @@ object Pipeline {
     "q162_semantic_decontaminate" -> semanticDecontOracle,
     // exhaustive index probe == broadcast form, so the oracle is shared
     "q163_semantic_decontaminate_indexed" -> semanticDecontOracle,
+    "q164_streaming_neardup_suppress" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 4 IN (1, 2)),
+        |b1 AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base
+        |    WHERE doc_id % 4 = 1 AND doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 2000000, text FROM base
+        |    WHERE doc_id % 4 = 0 AND doc_id % 3 = 0 AND doc_id % 9 = 0),
+        |b2 AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 4 = 0 AND doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 3000000, text FROM base
+        |    WHERE doc_id % 4 = 0 AND doc_id % 3 = 0 AND doc_id % 9 = 3),
+        |b3 AS (SELECT doc_id, text FROM base WHERE doc_id % 4 = 0 AND doc_id % 3 = 2),
+        |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
+        |    SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles
+        |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM alld))),
+        |pj AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id a, y.doc_id b, count(*) inter,
+        |           any_value(x.n) na, any_value(y.n) nb
+        |    FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id <> y.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE inter*1.0/(na+nb-inter) >= 0.8),
+        |k0 AS (SELECT doc_id FROM corpus),
+        |a1 AS (SELECT doc_id FROM b1 f WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj JOIN k0 ON pj.b = k0.doc_id WHERE pj.a = f.doc_id)),
+        |k1 AS (SELECT doc_id FROM a1 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj WHERE pj.a = x.doc_id AND pj.b < x.doc_id
+        |    AND pj.b IN (SELECT doc_id FROM a1))),
+        |i1 AS (SELECT doc_id FROM k0 UNION SELECT doc_id FROM k1),
+        |a2 AS (SELECT doc_id FROM b2 f WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj JOIN i1 ON pj.b = i1.doc_id WHERE pj.a = f.doc_id)),
+        |k2 AS (SELECT doc_id FROM a2 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj WHERE pj.a = x.doc_id AND pj.b < x.doc_id
+        |    AND pj.b IN (SELECT doc_id FROM a2))),
+        |i2 AS (SELECT doc_id FROM i1 UNION SELECT doc_id FROM k2),
+        |a3 AS (SELECT doc_id FROM b3 f WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj JOIN i2 ON pj.b = i2.doc_id WHERE pj.a = f.doc_id)),
+        |k3 AS (SELECT doc_id FROM a3 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj WHERE pj.a = x.doc_id AND pj.b < x.doc_id
+        |    AND pj.b IN (SELECT doc_id FROM a3))),
+        |keep AS (SELECT doc_id, 1 AS batch FROM k1
+        |  UNION ALL SELECT doc_id, 2 FROM k2
+        |  UNION ALL SELECT doc_id, 3 FROM k3)
+        |SELECT k.doc_id, k.batch, md5(d.text) AS text_md5
+        |FROM keep k JOIN alld d ON k.doc_id = d.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "q159_seen_filter" -> seenFilterOracle,
     "q160_sharded_seen_filter" -> seenFilterOracle,
     "q161_ingest_seen_filter" ->

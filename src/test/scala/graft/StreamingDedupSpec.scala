@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Dedup
+
+/** Streaming near-dup suppression (SURVEY §2.2 stateful ops extension):
+  * per-batch semantics of [[Dedup.nearDupSuppressAndIndex]] — index
+  * flag, lower-id within-batch rule, survivors join the index — plus
+  * the two properties the operator's crash story rests on: a replayed
+  * batch is a no-op, and the MemoryStream wrapper reproduces the
+  * sequential batch replay exactly. */
+class StreamingDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // distinct-word texts: copies have Jaccard 1.0, others 0.0 — the
+  // threshold-boundary behavior is pinned by q164's DuckDB oracle on
+  // the fixture corpus; these pin the set logic
+  private def words(tag: String): String =
+    (1 to 25).map(i => s"$tag$i").mkString(" ")
+
+  private def docsDF(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def freshIndex(): String = {
+    val dir = Files.createTempDirectory("graft-ndstream-spec").toString
+    Dedup.buildNearDupIndex(docsDF(100L -> words("corpus")), s"$dir/index")
+    s"$dir/index"
+  }
+
+  private def indexedIds(idx: String): Set[Long] =
+    spark.read.parquet(s"$idx/sketches").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("suppresses against index, then lower-id within batch; survivors join the index") {
+    val idx = freshIndex()
+    val batch = docsDF(
+      1L -> words("corpus"), // copy of the indexed doc -> flagged
+      5L -> words("pair"), 6L -> words("pair"), // within-batch pair -> keep 5
+      10L -> words("chain"), 11L -> words("chain"), 12L -> words("chain"),
+      20L -> words("unique"))
+    val kept = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 10L, 20L))
+    assert(indexedIds(idx) == Set(100L, 5L, 10L, 20L))
+    // next batch: a copy of a PRIOR survivor is flagged via the index
+    val kept2 = Dedup.nearDupSuppressAndIndex(
+        docsDF(30L -> words("pair"), 31L -> words("fresh")), idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(31L))
+    assert(indexedIds(idx) == Set(100L, 5L, 10L, 20L, 31L))
+  }
+
+  test("replaying a batch is idempotent: same survivors, no index growth") {
+    val idx = freshIndex()
+    val batch = docsDF(1L -> words("corpus"), 5L -> words("pair"),
+      6L -> words("pair"), 20L -> words("unique"))
+    val first = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val afterFirst = indexedIds(idx)
+    val sketchRows = spark.read.parquet(s"$idx/sketches").count()
+    val replay = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == first)
+    assert(indexedIds(idx) == afterFirst)
+    assert(spark.read.parquet(s"$idx/sketches").count() == sketchRows)
+    assert(spark.read.parquet(s"$idx/bands")
+      .groupBy("doc_id").count().filter(col("count") > 16).isEmpty)
+  }
+
+  test("streaming wrapper == sequential batch replay") {
+    val idxStream = freshIndex()
+    val idxBatch = freshIndex()
+    val out = Files.createTempDirectory("graft-ndstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-ndstream-ckpt").toString
+    val b1 = Seq(1L -> words("corpus"), 5L -> words("pair"),
+      6L -> words("pair"), 20L -> words("unique"))
+    val b2 = Seq(30L -> words("pair"), 31L -> words("fresh"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.nearDupSuppressStream(
+      ms.toDF().toDF("doc_id", "text"), idxStream, s"$out/kept", ckpt)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val replayed = Seq(b1, b2).flatMap(b =>
+      Dedup.nearDupSuppressAndIndex(docsDF(b: _*), idxBatch)
+        .select("doc_id").collect().map(_.getLong(0))).toSet
+    assert(streamed == replayed)
+    assert(indexedIds(idxStream) == indexedIds(idxBatch))
+  }
+}
