@@ -513,12 +513,24 @@ object Dedup {
     * append adds only missing signatures. The index must exist (build
     * it first, over the curated corpus or an empty frame); its stored
     * params pin the shingle/hash/band scheme so every batch provably
-    * hashes the way the corpus did. */
+    * hashes the way the corpus did.
+    *
+    * `compactEveryBatches` > 0 runs [[compactNearDupIndex]] after
+    * every Nth batch: per-batch appends each add a file set per band
+    * partition, so an uncompacted index accumulates
+    * O(batches × bands × partitions) small files and every flag pass
+    * pays the open-file tax on all of them — at micro-batch cadence
+    * the compaction cycle IS the scale story, not an optimization.
+    * Compaction commits behind the index's atomic `_current` pointer
+    * (data identical, crash leaves the old version live); superseded
+    * versions are NOT vacuumed here — external searchers may still
+    * hold a pre-swap resolution; vacuum on the operator's schedule. */
   def nearDupSuppressStream(stream: DataFrame, indexPath: String,
                             outPath: String, checkpointDir: String,
                             threshold: Double = 0.8,
                             idCol: String = "doc_id",
-                            textCol: String = "text")
+                            textCol: String = "text",
+                            compactEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -527,6 +539,9 @@ object Dedup {
           nearDupSuppressAndIndex(batch, indexPath, threshold, idCol, textCol)
         try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         finally releaseCheckpoint(keep)
+        if (compactEveryBatches > 0 &&
+            (batchId + 1) % compactEveryBatches == 0)
+          compactNearDupIndex(batch.sparkSession, indexPath)
       }
       .start()
 

@@ -34,9 +34,11 @@ class StreamingDedupSpec extends AnyFunSuite {
     s"$dir/index"
   }
 
-  private def indexedIds(idx: String): Set[Long] =
-    spark.read.parquet(s"$idx/sketches").select("doc_id")
+  private def indexedIds(idx: String): Set[Long] = {
+    val root = graft.api.VersionedIndex.resolveRoot(spark, idx)
+    spark.read.parquet(s"$root/sketches").select("doc_id")
       .collect().map(_.getLong(0)).toSet
+  }
 
   test("suppresses against index, then lower-id within batch; survivors join the index") {
     val idx = freshIndex()
@@ -99,5 +101,40 @@ class StreamingDedupSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0))).toSet
     assert(streamed == replayed)
     assert(indexedIds(idxStream) == indexedIds(idxBatch))
+  }
+
+  test("in-stream compaction: identical results, one file per band dir") {
+    val idx = freshIndex()
+    val out = Files.createTempDirectory("graft-ndstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-ndstream-ckpt").toString
+    val b1 = Seq(1L -> words("corpus"), 5L -> words("pair"),
+      6L -> words("pair"), 20L -> words("unique"))
+    val b2 = Seq(30L -> words("pair"), 31L -> words("fresh"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.nearDupSuppressStream(
+      ms.toDF().toDF("doc_id", "text"), idx, s"$out/kept", ckpt,
+      compactEveryBatches = 1)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(5L, 20L, 31L))
+    assert(indexedIds(idx) == Set(100L, 5L, 20L, 31L))
+    // compaction swapped in a version dir, and every band partition of
+    // the current version holds exactly one parquet file
+    val root = graft.api.VersionedIndex.resolveRoot(spark, idx)
+    assert(root != idx)
+    val bandDirs = new java.io.File(s"$root/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"band dir ${d.getName} not compacted to one file")
+    }
   }
 }
