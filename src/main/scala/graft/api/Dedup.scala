@@ -545,6 +545,99 @@ object Dedup {
       }
       .start()
 
+  /** Near-dup pairs ACROSS two persisted indexes, from signature state
+    * alone — the federation primitive for merging two independently-
+    * curated corpora: each side was deduped internally when its index
+    * was built, so the remaining question is only cross-corpus, and
+    * both answers sit in the indexes (banded keys for candidates,
+    * shingle sketches for exact-Jaccard verification) — NO re-read or
+    * re-shingle of either corpus. Requires both indexes built with the
+    * same (shingle, hashes, bands) params — verified loudly; a silent
+    * mismatch would make every band key incomparable and report zero
+    * dups. Output: (doc_a from A, doc_b from B, jaccard). Scale shape:
+    * the candidate join is keyed on (band, bkey) — cost ∝ cross-index
+    * band collisions, never |A| × |B|. */
+  def crossIndexNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+                             pathA: String, pathB: String,
+                             threshold: Double = 0.8): DataFrame = {
+    val rootA = VersionedIndex.resolveRoot(spark, pathA)
+    val rootB = VersionedIndex.resolveRoot(spark, pathB)
+    val pA = readNearDupParams(spark, rootA)
+    val pB = readNearDupParams(spark, rootB)
+    require(pA == pB,
+      s"index params differ: $pathA has (shingle, hashes, bands)=$pA, " +
+        s"$pathB has $pB — cross-index band keys are incomparable")
+    val cand = spark.read.parquet(s"$rootA/bands").as("a")
+      .join(spark.read.parquet(s"$rootB/bands").as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verify(cand
+      .join(spark.read.parquet(s"$rootA/sketches")
+        .select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(spark.read.parquet(s"$rootB/sketches")
+        .select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold)
+  }
+
+  /** Merge two near-dup indexes into a NEW index at `outPath` — the
+    * corpus-federation step: index A's docs all survive; index B's
+    * docs that near-dup A (per [[crossIndexNearDupPairs]], when
+    * `dedupAcross`) are dropped, so the merged index is duplicate-free
+    * under the same invariant each input maintained. Pure signature
+    * surgery — neither corpus is re-read. Doc ids must be disjoint
+    * across the inputs (verified loudly: a shared id would make the
+    * merged index's delete/search semantics ambiguous). The merged
+    * index lands as a fresh legacy-layout build (idempotent overwrite;
+    * versioning begins with its first delete/compact, like any fresh
+    * build). Returns the number of B docs dropped. */
+  def mergeNearDupIndexes(spark: org.apache.spark.sql.SparkSession,
+                          pathA: String, pathB: String, outPath: String,
+                          threshold: Double = 0.8,
+                          dedupAcross: Boolean = true): Long = {
+    val rootA = VersionedIndex.resolveRoot(spark, pathA)
+    val rootB = VersionedIndex.resolveRoot(spark, pathB)
+    val pA = readNearDupParams(spark, rootA)
+    val pB = readNearDupParams(spark, rootB)
+    require(pA == pB, // even without dedupAcross: the merged index's
+      // band keys must all hash one way or future searches silently
+      // miss one input's docs
+      s"index params differ: $pathA has (shingle, hashes, bands)=$pA, " +
+        s"$pathB has $pB — the merged index cannot serve both")
+    val skA = spark.read.parquet(s"$rootA/sketches")
+    val skB = spark.read.parquet(s"$rootB/sketches")
+    val shared = skA.select("doc_id")
+      .join(skB.select("doc_id"), "doc_id", "left_semi").count()
+    require(shared == 0,
+      s"$shared doc ids appear in both $pathA and $pathB — merged " +
+        "delete/search semantics would be ambiguous; re-id one side")
+    val dropB =
+      if (dedupAcross)
+        crossIndexNearDupPairs(spark, pathA, pathB, threshold)
+          .select(col("doc_b").as("__drop_id")).distinct().localCheckpoint()
+      else spark.range(0).select(col("id").as("__drop_id"))
+    try {
+      val nDrop =
+        if (dedupAcross)
+          skB.join(dropB, skB("doc_id") === col("__drop_id"), "left_semi")
+            .count()
+        else 0L
+      spark.read.parquet(s"$rootA/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/params")
+      skA.unionByName(
+          skB.join(dropB, skB("doc_id") === col("__drop_id"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$outPath/sketches")
+      val bdA = spark.read.parquet(s"$rootA/bands")
+      val bdB = spark.read.parquet(s"$rootB/bands")
+      bdA.unionByName(
+          bdB.join(dropB, bdB("doc_id") === col("__drop_id"), "left_anti"))
+        .select(col("doc_id"), col("bkey"), col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$outPath/bands")
+      nDrop
+    } finally releaseCheckpoint(dropB)
+  }
+
   /** Unpersist the checkpointed RDD behind a `localCheckpoint()`'d
     * frame, read off its OWN plan (LogicalRDD) — unpersisting by a
     * global getPersistentRDDs diff would race concurrent threads

@@ -484,6 +484,34 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Corpus federation from signature state alone: two independently
+    // curated corpora, each with its own near-dup index, merge into
+    // one duplicate-free index WITHOUT re-reading either corpus —
+    // cross-corpus candidates come from the banded keys both indexes
+    // already store, verification from the stored sketches, and B's
+    // cross-dups are dropped (A wins). The oracle recomputes the
+    // cross-side exact-Jaccard pair set and the surviving membership;
+    // the drop count rides along as a constant column.
+    "q165_merge_neardup_indexes" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ndmerge-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      def p(n: String) = new java.io.File(base, n).getAbsolutePath
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m4 = col("doc_id") % 4
+      val a = docs.filter(m4 === 1 || m4 === 2)
+      val b = docs.filter(m4 === 0 || m4 === 3)
+        .unionByName(docs.filter(m4 === 1 && col("doc_id") % 6 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.api.Dedup.buildNearDupIndex(a, p("idxA"))
+      graft.api.Dedup.buildNearDupIndex(b, p("idxB"))
+      val dropped =
+        graft.api.Dedup.mergeNearDupIndexes(s, p("idxA"), p("idxB"), p("merged"))
+      s.read.parquet(p("merged") + "/sketches").select("doc_id")
+        .withColumn("n_dropped", lit(dropped))
+        .orderBy("doc_id")
+    }),
+
     // Triangle census of the near-dup graph (same LSH pair generator
     // as q63): duplicates come in cliques, so edges-without-triangles
     // signal a too-loose threshold chaining unrelated docs. Ordered
@@ -2795,6 +2823,32 @@ object Pipeline {
         |SELECT k.doc_id, k.batch, md5(d.text) AS text_md5
         |FROM keep k JOIN alld d ON k.doc_id = d.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    "q165_merge_neardup_indexes" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |a AS (SELECT doc_id, text FROM base WHERE doc_id % 4 IN (1, 2)),
+        |b AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 4 IN (0, 3)
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base
+        |    WHERE doc_id % 4 = 1 AND doc_id % 6 = 1),
+        |alld AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
+        |    SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles
+        |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM alld))),
+        |dropb AS (
+        |  SELECT DISTINCT bid FROM (
+        |    SELECT x.doc_id aid, y.doc_id bid, count(*) inter,
+        |           any_value(x.n) na, any_value(y.n) nb
+        |    FROM ex x JOIN ex y ON x.s = y.s
+        |    WHERE x.doc_id IN (SELECT doc_id FROM a)
+        |      AND y.doc_id IN (SELECT doc_id FROM b)
+        |    GROUP BY 1, 2)
+        |  WHERE inter*1.0/(na+nb-inter) >= 0.8),
+        |keep AS (SELECT doc_id FROM a
+        |  UNION ALL SELECT doc_id FROM b
+        |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
+        |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
+        |FROM keep ORDER BY doc_id""".stripMargin,
     "q159_seen_filter" -> seenFilterOracle,
     "q160_sharded_seen_filter" -> seenFilterOracle,
     "q161_ingest_seen_filter" ->

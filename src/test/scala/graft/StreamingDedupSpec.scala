@@ -137,4 +137,42 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"band dir ${d.getName} not compacted to one file")
     }
   }
+
+  test("mergeNearDupIndexes: A wins cross-dups; guards on shared ids and params") {
+    val dir = Files.createTempDirectory("graft-ndmerge-spec").toString
+    Dedup.buildNearDupIndex(
+      docsDF(1L -> words("alpha"), 2L -> words("beta")), s"$dir/a")
+    Dedup.buildNearDupIndex(
+      docsDF(10L -> words("alpha"), 11L -> words("gamma")), s"$dir/b")
+    val pairs = Dedup.crossIndexNearDupPairs(spark, s"$dir/a", s"$dir/b")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 10L)))
+    val dropped =
+      Dedup.mergeNearDupIndexes(spark, s"$dir/a", s"$dir/b", s"$dir/m")
+    assert(dropped == 1L)
+    assert(indexedIds(s"$dir/m") == Set(1L, 2L, 11L))
+    // the merged index is immediately searchable: a copy of a B
+    // survivor is flagged, a novel doc passes
+    val kept = Dedup.nearDupAgainstIndex(
+        docsDF(50L -> words("gamma"), 51L -> words("novel")), s"$dir/m")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(51L))
+    // dedupAcross = false keeps both sides whole
+    val dropped0 = Dedup.mergeNearDupIndexes(spark, s"$dir/a", s"$dir/b",
+      s"$dir/m0", dedupAcross = false)
+    assert(dropped0 == 0L)
+    assert(indexedIds(s"$dir/m0") == Set(1L, 2L, 10L, 11L))
+    // shared doc ids across inputs fail loudly
+    Dedup.buildNearDupIndex(docsDF(1L -> words("other")), s"$dir/shared")
+    assertThrows[IllegalArgumentException] {
+      Dedup.mergeNearDupIndexes(spark, s"$dir/a", s"$dir/shared", s"$dir/x")
+    }
+    // param-mismatched inputs fail loudly, even without dedupAcross
+    Dedup.buildNearDupIndex(docsDF(90L -> words("omega")), s"$dir/p8",
+      hashes = 32, bands = 8)
+    assertThrows[IllegalArgumentException] {
+      Dedup.mergeNearDupIndexes(spark, s"$dir/a", s"$dir/p8", s"$dir/y",
+        dedupAcross = false)
+    }
+  }
 }
