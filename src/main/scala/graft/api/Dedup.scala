@@ -793,6 +793,77 @@ object Dedup {
       .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
   }
 
+  /** Near-dup pairs ACROSS two persisted hamming indexes, from chunk
+    * state alone — [[crossIndexNearDupPairs]] for the 64-bit signature
+    * space: candidates from the pigeonhole (chunk, cval) keys both
+    * indexes store, distances from the stored signatures, no re-decode
+    * of any media on either side. Requires equal maxHamming (the chunk
+    * LAYOUTS differ otherwise — every key incomparable, silent zero
+    * matches). Output: (doc_a from A, doc_b from B, hamming). */
+  def crossIndexHammingPairs(spark: org.apache.spark.sql.SparkSession,
+                             pathA: String, pathB: String): DataFrame = {
+    val rootA = VersionedIndex.resolveRoot(spark, pathA)
+    val rootB = VersionedIndex.resolveRoot(spark, pathB)
+    val hA = readHammingParams(spark, rootA)
+    val hB = readHammingParams(spark, rootB)
+    require(hA == hB,
+      s"maxHamming differs: $pathA has $hA, $pathB has $hB — " +
+        "pigeonhole chunk keys are incomparable")
+    spark.read.parquet(s"$rootA/chunks").as("a")
+      .join(spark.read.parquet(s"$rootB/chunks").as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hA)
+  }
+
+  /** Merge two hamming indexes into a NEW index at `outPath` —
+    * [[mergeNearDupIndexes]] for the signature space: A's docs all
+    * survive, B's cross-dups (per [[crossIndexHammingPairs]], when
+    * `dedupAcross`) drop, chunk rows union under A's params. Pure
+    * chunk-store surgery — no media re-decode. Doc ids must be
+    * disjoint; params must match even without dedup (a mixed-layout
+    * chunk store silently misses one side). Returns B docs dropped. */
+  def mergeHammingIndexes(spark: org.apache.spark.sql.SparkSession,
+                          pathA: String, pathB: String, outPath: String,
+                          dedupAcross: Boolean = true): Long = {
+    val rootA = VersionedIndex.resolveRoot(spark, pathA)
+    val rootB = VersionedIndex.resolveRoot(spark, pathB)
+    val hA = readHammingParams(spark, rootA)
+    val hB = readHammingParams(spark, rootB)
+    require(hA == hB,
+      s"maxHamming differs: $pathA has $hA, $pathB has $hB — " +
+        "the merged chunk store cannot serve both layouts")
+    val chA = spark.read.parquet(s"$rootA/chunks")
+    val chB = spark.read.parquet(s"$rootB/chunks")
+    val shared = chA.select("doc_id").distinct()
+      .join(chB.select("doc_id").distinct(), "doc_id", "left_semi").count()
+    require(shared == 0,
+      s"$shared doc ids appear in both $pathA and $pathB — merged " +
+        "delete/search semantics would be ambiguous; re-id one side")
+    val dropB =
+      if (dedupAcross)
+        crossIndexHammingPairs(spark, pathA, pathB)
+          .select(col("doc_b").as("__drop_id")).distinct().localCheckpoint()
+      else spark.range(0).select(col("id").as("__drop_id"))
+    try {
+      val nDrop =
+        if (dedupAcross)
+          chB.select("doc_id").distinct()
+            .join(dropB, col("doc_id") === col("__drop_id"), "left_semi")
+            .count()
+        else 0L
+      spark.read.parquet(s"$rootA/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/params")
+      chA.unionByName(
+          chB.join(dropB, chB("doc_id") === col("__drop_id"), "left_anti"))
+        .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk").parquet(s"$outPath/chunks")
+      nDrop
+    } finally releaseCheckpoint(dropB)
+  }
+
   /** Delete signatures from a persisted hamming index: one distributed
     * anti-join rewrite of the chunk store (every chunk partition holds
     * a row per indexed doc by design, so — like the Jaccard index's
@@ -1324,6 +1395,36 @@ object Dedup {
         st.filters.zip(batch).foreach { case (old, b) => old.mergeInPlace(b) }
         commitSeenVersion(spark, path, st)
       }
+    }
+
+  /** Merge two persisted seen filters into a NEW filter at `outPath`
+    * — federation for the probabilistic tier (two ingest pipelines,
+    * each maintaining its own filter, converge on one): per-shard
+    * bitwise OR of the Bloom bit arrays, so every id flagged by EITHER
+    * input flags in the merge — the no-false-negatives contract
+    * survives union exactly. Requires identical (shards, expected
+    * items, fpp) — Bloom arrays of different geometry are not
+    * bit-compatible, and the shard ROUTING must agree or an id would
+    * probe the wrong shard's bits. The union carries both corpora's
+    * ids in arrays sized for one: fpp degrades toward the sum of the
+    * inputs' (never correctness) — size both pipelines' filters for
+    * the combined lifetime count when a merge is planned. Idempotent
+    * overwrite (a re-merge commits a fresh version at outPath). */
+  def mergeSeenFilters(spark: org.apache.spark.sql.SparkSession,
+                       pathA: String, pathB: String, outPath: String): Unit =
+    seenLock(outPath).synchronized {
+      val a = readSeenState(spark, pathA)
+      val b = readSeenState(spark, pathB)
+      require(a.shards == b.shards && a.items == b.items && a.fpp == b.fpp,
+        s"seen-filter geometry differs: $pathA has (shards, items, fpp)=" +
+          s"(${a.shards}, ${a.items}, ${a.fpp}), $pathB has " +
+          s"(${b.shards}, ${b.items}, ${b.fpp}) — Bloom bit arrays are " +
+          "not bit-compatible; rebuild one side to match")
+      a.filters.zip(b.filters).foreach { case (fa, fb) => fa.mergeInPlace(fb) }
+      val next = VersionedIndex.nextVersion(spark, outPath)
+      writeSeenVersion(spark, outPath, next, a.shards, a.items, a.fpp,
+        a.filters)
+      VersionedIndex.commitPointer(spark, outPath, next)
     }
 
   /** True when a committed filter exists at `path`. */

@@ -512,6 +512,64 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Hamming-index federation — the same signature-only merge for the
+    // 64-bit perceptual space: crafted signatures make every distance
+    // closed-form (B's 1L is hamming 1 from A's 0L -> cross-dup,
+    // dropped; B's 0x0F0F... is 32 from everything -> survives), so
+    // the merged membership and drop count pin as literal VALUES. The
+    // engine path is entirely chunk-store surgery: pigeonhole keys
+    // give cross candidates, stored sigs give distances, no media
+    // re-decode anywhere.
+    "q166_merge_hamming_indexes" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-hammerge-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      def p(n: String) = new java.io.File(base, n).getAbsolutePath
+      import s.implicits._
+      val a = Seq((1L, 0L), (2L, -1L), (3L, 0x00000000FFFFFFFFL))
+        .toDF("doc_id", "sig")
+      val b = Seq((10L, 1L), (11L, 0x0F0F0F0F0F0F0F0FL),
+          (12L, -1L ^ ((1L << 5) | (1L << 20) | (1L << 40) | (1L << 60))))
+        .toDF("doc_id", "sig")
+      graft.api.Dedup.buildHammingIndex(a, p("a"))
+      graft.api.Dedup.buildHammingIndex(b, p("b"))
+      val dropped =
+        graft.api.Dedup.mergeHammingIndexes(s, p("a"), p("b"), p("m"))
+      s.read.parquet(p("m") + "/chunks").select("doc_id").distinct()
+        .withColumn("n_dropped", lit(dropped))
+        .orderBy("doc_id")
+    }),
+
+    // Seen-filter federation: two pipelines' filters (disjoint id
+    // ranges, same geometry) union by per-shard bitwise OR — every id
+    // EITHER input flagged still flags (the no-false-negatives
+    // contract survives union exactly), unseen ids stay inside the fp
+    // budget. Same contract-query shape as q159-q161: exact counts +
+    // guarantee booleans.
+    "q167_merged_seen_filter" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-seenmerge-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      def p(n: String) = new java.io.File(base, n).getAbsolutePath
+      val docs = Tables.documents(s, d).select("doc_id")
+      val m4 = col("doc_id") % 4
+      graft.api.Dedup.buildSeenFilter(docs.filter(m4 === 1 || m4 === 2),
+        "doc_id", p("a"), expectedItems = 100000L)
+      graft.api.Dedup.buildSeenFilter(docs.filter(m4 === 0 || m4 === 3),
+        "doc_id", p("b"), expectedItems = 100000L)
+      graft.api.Dedup.mergeSeenFilters(s, p("a"), p("b"), p("m"))
+      val probe = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+      val trulySeen = col("doc_id") < 1000000L
+      graft.api.Dedup.markSeen(s, probe, "doc_id", p("m"))
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(trulySeen, 1L).otherwise(0L)).as("n_seen"),
+          (sum(when(trulySeen && !col("probably_seen"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (sum(when(!trulySeen && col("probably_seen"), 1L).otherwise(0L)) <=
+            (count(lit(1)) - sum(when(trulySeen, 1L).otherwise(0L))) * 0.05)
+            .as("fp_ok"))
+    }),
+
     // Triangle census of the near-dup graph (same LSH pair generator
     // as q63): duplicates come in cliques, so edges-without-triangles
     // signal a too-loose threshold chaining unrelated docs. Ordered
@@ -2849,6 +2907,21 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q166_merge_hamming_indexes" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(n_dropped AS BIGINT) AS n_dropped
+        |FROM (VALUES (1, 1), (2, 1), (3, 1), (11, 1), (12, 1))
+        |AS t(doc_id, n_dropped) ORDER BY doc_id""".stripMargin,
+    "q167_merged_seen_filter" ->
+      """WITH probe AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 FROM documents
+        |)
+        |SELECT count(*) AS n_probe,
+        |  CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seen,
+        |  TRUE AS no_false_negatives, TRUE AS fp_ok
+        |FROM probe""".stripMargin,
     "q159_seen_filter" -> seenFilterOracle,
     "q160_sharded_seen_filter" -> seenFilterOracle,
     "q161_ingest_seen_filter" ->

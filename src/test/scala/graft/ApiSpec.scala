@@ -1868,6 +1868,67 @@ class ApiSpec extends AnyFunSuite {
       .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
   }
 
+  test("Dedup seen-filter merge: union flags both inputs' ids; geometry guard") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-seen-merge")
+    def p(n: String) = base.resolve(n).toString
+    Dedup.buildSeenFilter((0L until 300L).toDF("id"), "id", p("a"), 10000L)
+    Dedup.buildSeenFilter((300L until 600L).toDF("id"), "id", p("b"), 10000L)
+    Dedup.mergeSeenFilters(spark, p("a"), p("b"), p("m"))
+    val marked = Dedup.markSeen(spark, (0L until 2000L).toDF("id"), "id", p("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the union keeps BOTH inputs' no-false-negatives guarantee
+    assert((0L until 600L).forall(marked(_)),
+      "merged filter must flag every id either input flagged")
+    val fps = (600L until 2000L).count(marked(_))
+    assert(fps <= 70, s"fp count $fps way over target after merge")
+    // re-merge is an idempotent overwrite (fresh version at outPath)
+    Dedup.mergeSeenFilters(spark, p("a"), p("b"), p("m"))
+    assert(Dedup.markSeen(spark, (0L until 600L).toDF("id"), "id", p("m"))
+      .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
+    // geometry mismatch fails loudly — different arrays are not
+    // bit-compatible and a silent merge would corrupt the contract
+    Dedup.buildSeenFilter((0L until 10L).toDF("id"), "id", p("g"), 20000L)
+    intercept[IllegalArgumentException](
+      Dedup.mergeSeenFilters(spark, p("a"), p("g"), p("x")))
+  }
+
+  test("hamming index federation: cross pairs from chunk state, A-wins merge") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ham-merge")
+    def p(n: String) = base.resolve(n).toString
+    val a = Seq((1L, 0L), (2L, -1L)).toDF("doc_id", "sig")
+    val b = Seq((10L, 1L), (11L, 0x0F0F0F0F0F0F0F0FL)).toDF("doc_id", "sig")
+    Dedup.buildHammingIndex(a, p("a"))
+    Dedup.buildHammingIndex(b, p("b"))
+    val pairs = Dedup.crossIndexHammingPairs(spark, p("a"), p("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 10L, 1)))
+    val dropped = Dedup.mergeHammingIndexes(spark, p("a"), p("b"), p("m"))
+    assert(dropped == 1L)
+    val members = spark.read.parquet(p("m") + "/chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(members == Set(1L, 2L, 11L))
+    // the merged index serves searches: a near-copy of an A doc flags,
+    // a far signature passes
+    val kept = Dedup.hammingAgainstIndex(
+        Seq((50L, 2L), (51L, 0x3333333333333333L)).toDF("doc_id", "sig"),
+        p("m"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(51L))
+    // guards: shared ids, mismatched maxHamming
+    Dedup.buildHammingIndex(Seq((1L, 7L)).toDF("doc_id", "sig"), p("shared"))
+    intercept[IllegalArgumentException](
+      Dedup.mergeHammingIndexes(spark, p("a"), p("shared"), p("x")))
+    Dedup.buildHammingIndex(Seq((90L, 9L)).toDF("doc_id", "sig"), p("h5"),
+      maxHamming = 5)
+    intercept[IllegalArgumentException](
+      Dedup.crossIndexHammingPairs(spark, p("a"), p("h5")))
+    intercept[IllegalArgumentException](
+      Dedup.mergeHammingIndexes(spark, p("a"), p("h5"), p("y"),
+        dedupAcross = false))
+  }
+
   test("Dedup seen-filter sharded: no false negatives across shard boundaries") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-seen-shard")
