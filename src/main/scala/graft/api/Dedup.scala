@@ -643,7 +643,7 @@ object Dedup {
     * global getPersistentRDDs diff would race concurrent threads
     * caching on the same session and could truncate THEIR only copy
     * of a checkpointed lineage. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }.foreach(id => df.sparkSession.sparkContext.getPersistentRDDs

@@ -610,6 +610,110 @@ object Similarity {
       }
       .start()
 
+  /** One commit unit of CONTINUOUS SEMANTIC curation —
+    * [[graft.api.Dedup.nearDupSuppressAndIndex]] for the embedding
+    * space, against a persisted IVF index:
+    *  1. drop every batch vector whose cosine against an
+    *     ALREADY-indexed vector (probed at `nprobe` cells; batch ids
+    *     excluded from the index side for replay safety) clears
+    *     `threshold`;
+    *  2. among the remainder, drop every vector with a
+    *     strictly-lower-id near-dup in the remainder (exact pairwise
+    *     over the commit-sized batch — survivors are an independent
+    *     set);
+    *  3. append the survivors under the FROZEN quantizer, writing only
+    *     ids missing from their assigned cells (the replay repair),
+    *     so a re-run of a crashed batch changes nothing.
+    *
+    * Null-embedding rows pass through unsuppressed and unindexed (no
+    * evidence either way); zero-norm vectors never flag (cosine
+    * defined 0). Approximate by IVF geometry at nprobe < cells — a
+    * near-copy assigned to an unprobed cell is missed; exhaustive at
+    * nprobe = cells (what makes the q168 oracle exact). Cosines round
+    * to the file-wide 6-decimal grid BEFORE thresholding, engine-
+    * portably. Scale shape: the flag pass reads only probed cells and
+    * scores only cell-colocated pairs; the within-batch product is
+    * bounded by commit size (AQE broadcasts it); the append repair
+    * reads only the batch's assigned cells' id columns. Returns the
+    * surviving rows, materialized before the append. */
+  def semanticSuppressAndIndex(batch: DataFrame, path: String,
+                               threshold: Double = 0.9, nprobe: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}]")
+    val b = batch.localCheckpoint()
+    try {
+      val bIds = b.select(col(idCol).as("__bid")).distinct()
+      val q = withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
+        .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
+          explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+      val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+      val index = spark.read.parquet(s"$root/vectors")
+        .filter(if (probed.isEmpty) lit(false) else col("cell").isin(probed: _*))
+        .join(bIds, col("vec_id") === col("__bid"), "left_anti")
+        .select(col("cell"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val flagged = q.join(index, Seq("cell"))
+        .filter(round(cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6) >= threshold)
+        .select(col("vec_id").as("__dup_id")).distinct()
+      val afterIndex =
+        b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
+      val aScored = withNorm(afterIndex.filter(col(vecCol).isNotNull),
+        idCol, vecCol)
+      val dropped = aScored.as("x").join(aScored.as("y"),
+          col("y.vec_id") < col("x.vec_id") &&
+            round(cosinePrenormed(dot(col("x.embedding"), col("y.embedding")),
+              col("x.nrm"), col("y.nrm")), 6) >= threshold)
+        .select(col("x.vec_id").as("__drop_id")).distinct()
+      val keep = afterIndex
+        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
+        .localCheckpoint()
+      val toIndex = withNorm(keep.filter(col(vecCol).isNotNull), idCol, vecCol)
+        .withColumn("cell", nearestCell(col("embedding"), centroids))
+      val assigned =
+        toIndex.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+      val have = spark.read.parquet(s"$root/vectors")
+        .filter(if (assigned.isEmpty) lit(false)
+                else col("cell").isin(assigned: _*))
+        .select(col("vec_id").as("__have")).distinct()
+      toIndex.join(have, col("vec_id") === col("__have"), "left_anti")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+      keep
+    } finally Dedup.releaseCheckpoint(b)
+  }
+
+  /** Streaming semantic suppression — [[graft.api.Dedup.nearDupSuppressStream]]
+    * for the embedding space: each micro-batch runs
+    * [[semanticSuppressAndIndex]] and its survivors land under
+    * `outPath/batch=<id>/`. The single foreachBatch writer serializes
+    * index growth; a crash replays the batch idempotently (own-batch
+    * ids excluded from the flag pass, output dirs overwrite, the
+    * append writes only cell-missing ids). The index must exist; its
+    * frozen quantizer pins cell assignment so every batch routes the
+    * way the corpus did — watch [[ivfDriftProfile]] and [[reindex]]
+    * when the stream's distribution wanders. */
+  def semanticSuppressStream(stream: DataFrame, indexPath: String,
+                             outPath: String, checkpointDir: String,
+                             threshold: Double = 0.9, nprobe: Int = 2,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keep = semanticSuppressAndIndex(batch, indexPath, threshold,
+          nprobe, idCol, vecCol)
+        try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally Dedup.releaseCheckpoint(keep)
+      }
+      .start()
+
   /** Delete vectors from a persisted IVF index by id — the lifecycle
     * step between append and rebuild. Touches ONLY the cells that
     * actually hold deleted ids: an id-column-pruned scan finds the

@@ -512,6 +512,49 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Continuous curation in EMBEDDING space — q164's streaming
+    // suppress-and-index against the persisted IVF index: each batch's
+    // vectors are flagged against the indexed corpus (exhaustive
+    // nprobe = cells here — what makes the DuckDB oracle exact),
+    // lower-id-deduped within the batch (exact pairwise over the
+    // commit-sized batch), and the survivors join the index under the
+    // frozen quantizer before the next batch. Same three engineered
+    // micro-batch classes as q164 (index copies, within-batch copies,
+    // prior-batch copies); the oracle unrolls the sequential rule over
+    // exact 6-decimal-rounded cosines.
+    "q168_streaming_semantic_suppress" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-semstream-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val m4 = col("vec_id") % 4
+      graft.api.Similarity.buildIvfIndex(
+        emb.filter(m4 === 1 || m4 === 2), idx, cells = 8)
+      val b0 = emb.filter(m4 === 0)
+      def copies(src: DataFrame, pred: org.apache.spark.sql.Column,
+                 offset: Long) =
+        src.filter(pred)
+          .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      val batches = Seq(
+        b0.filter(col("vec_id") % 3 === 0)
+          .unionByName(copies(emb.filter(m4 === 1),
+            col("vec_id") % 10 === 1, 1000000L))
+          .unionByName(copies(b0.filter(col("vec_id") % 3 === 0),
+            col("vec_id") % 9 === 0, 2000000L)),
+        b0.filter(col("vec_id") % 3 === 1)
+          .unionByName(copies(b0.filter(col("vec_id") % 3 === 0),
+            col("vec_id") % 9 === 3, 3000000L)),
+        b0.filter(col("vec_id") % 3 === 2))
+      batches.zipWithIndex.map { case (b, i) =>
+        graft.api.Similarity.semanticSuppressAndIndex(b, idx,
+            threshold = 0.45, nprobe = 8)
+          .withColumn("batch", lit(i + 1))
+      }.reduce(_ unionByName _)
+        .select(col("vec_id"), col("batch"))
+        .orderBy("vec_id")
+    }),
+
     // Hamming-index federation — the same signature-only merge for the
     // 64-bit perceptual space: crafted signatures make every distance
     // closed-form (B's 1L is hamming 1 from A's 0L -> cross-dup,
@@ -2907,6 +2950,53 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q168_streaming_semantic_suppress" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |corpus AS (SELECT vec_id, embedding FROM base WHERE vec_id % 4 IN (1, 2)),
+        |b1 AS (
+        |  SELECT vec_id, embedding FROM base WHERE vec_id % 4 = 0 AND vec_id % 3 = 0
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM base
+        |    WHERE vec_id % 4 = 1 AND vec_id % 10 = 1
+        |  UNION ALL SELECT vec_id + 2000000, embedding FROM base
+        |    WHERE vec_id % 4 = 0 AND vec_id % 3 = 0 AND vec_id % 9 = 0),
+        |b2 AS (
+        |  SELECT vec_id, embedding FROM base WHERE vec_id % 4 = 0 AND vec_id % 3 = 1
+        |  UNION ALL SELECT vec_id + 3000000, embedding FROM base
+        |    WHERE vec_id % 4 = 0 AND vec_id % 3 = 0 AND vec_id % 9 = 3),
+        |b3 AS (SELECT vec_id, embedding FROM base WHERE vec_id % 4 = 0 AND vec_id % 3 = 2),
+        |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+        |nv AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM alld),
+        |pj AS (
+        |  SELECT x.vec_id a, y.vec_id b FROM nv x JOIN nv y ON x.vec_id <> y.vec_id
+        |  WHERE round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE
+        |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nrm * y.nrm) END, 6)
+        |    >= 0.45),
+        |k0 AS (SELECT vec_id FROM corpus),
+        |a1 AS (SELECT vec_id FROM b1 f WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj JOIN k0 ON pj.b = k0.vec_id WHERE pj.a = f.vec_id)),
+        |k1 AS (SELECT vec_id FROM a1 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj WHERE pj.a = x.vec_id AND pj.b < x.vec_id
+        |    AND pj.b IN (SELECT vec_id FROM a1))),
+        |i1 AS (SELECT vec_id FROM k0 UNION SELECT vec_id FROM k1),
+        |a2 AS (SELECT vec_id FROM b2 f WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj JOIN i1 ON pj.b = i1.vec_id WHERE pj.a = f.vec_id)),
+        |k2 AS (SELECT vec_id FROM a2 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj WHERE pj.a = x.vec_id AND pj.b < x.vec_id
+        |    AND pj.b IN (SELECT vec_id FROM a2))),
+        |i2 AS (SELECT vec_id FROM i1 UNION SELECT vec_id FROM k2),
+        |a3 AS (SELECT vec_id FROM b3 f WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj JOIN i2 ON pj.b = i2.vec_id WHERE pj.a = f.vec_id)),
+        |k3 AS (SELECT vec_id FROM a3 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM pj WHERE pj.a = x.vec_id AND pj.b < x.vec_id
+        |    AND pj.b IN (SELECT vec_id FROM a3))),
+        |keep AS (SELECT vec_id, 1 AS batch FROM k1
+        |  UNION ALL SELECT vec_id, 2 FROM k2
+        |  UNION ALL SELECT vec_id, 3 FROM k3)
+        |SELECT vec_id, batch FROM keep ORDER BY vec_id""".stripMargin,
     "q166_merge_hamming_indexes" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(n_dropped AS BIGINT) AS n_dropped

@@ -138,6 +138,83 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  // --- embedding-space mirror: Similarity.semanticSuppressAndIndex ---
+
+  private def vec(axis: Int): Array[Float] = {
+    val v = new Array[Float](8); v(axis) = 1.0f; v
+  }
+
+  private def freshIvf(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-semstream-spec").toString
+    graft.api.Similarity.buildIvfIndex(
+      Seq((100L, vec(0))).toDF("vec_id", "embedding"), s"$dir/index",
+      cells = 1)
+    s"$dir/index"
+  }
+
+  private def ivfIds(idx: String): Set[Long] = {
+    val root = graft.api.Similarity.resolveIndexRoot(spark, idx)
+    spark.read.parquet(s"$root/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("semantic suppress: index flag, lower-id rule, null passthrough, replay no-op") {
+    import spark.implicits._
+    val idx = freshIvf()
+    val batch = Seq(
+      1L -> vec(0), // copy of the indexed vector -> flagged
+      5L -> vec(1), 6L -> vec(1), // within-batch pair -> keep 5
+      20L -> vec(2), // novel -> kept
+      30L -> (null: Array[Float])) // no evidence -> passes, unindexed
+      .toDF("vec_id", "embedding")
+    def run() = graft.api.Similarity
+      .semanticSuppressAndIndex(batch, idx, threshold = 0.9, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(run() == Set(5L, 20L, 30L))
+    assert(ivfIds(idx) == Set(100L, 5L, 20L))
+    // replay: same survivors, no index growth, no duplicate rows
+    assert(run() == Set(5L, 20L, 30L))
+    val root = graft.api.Similarity.resolveIndexRoot(spark, idx)
+    assert(spark.read.parquet(s"$root/vectors").count() == 3)
+    // a later batch: copy of a prior survivor flags via the index
+    val kept2 = graft.api.Similarity.semanticSuppressAndIndex(
+        Seq(40L -> vec(1), 41L -> vec(3)).toDF("vec_id", "embedding"),
+        idx, threshold = 0.9, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(41L))
+  }
+
+  test("semantic suppress streaming wrapper == sequential batch replay") {
+    import spark.implicits._
+    val idxStream = freshIvf()
+    val idxBatch = freshIvf()
+    val out = Files.createTempDirectory("graft-semstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-semstream-ckpt").toString
+    val b1 = Seq(1L -> vec(0), 5L -> vec(1), 6L -> vec(1), 20L -> vec(2))
+    val b2 = Seq(40L -> vec(1), 41L -> vec(3))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = graft.api.Similarity.semanticSuppressStream(
+      ms.toDF().toDF("vec_id", "embedding"), idxStream, s"$out/kept", ckpt,
+      threshold = 0.9, nprobe = 1)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val replayed = Seq(b1, b2).flatMap(b =>
+      graft.api.Similarity.semanticSuppressAndIndex(
+          b.toDF("vec_id", "embedding"), idxBatch,
+          threshold = 0.9, nprobe = 1)
+        .select("vec_id").collect().map(_.getLong(0))).toSet
+    assert(streamed == replayed)
+    assert(ivfIds(idxStream) == ivfIds(idxBatch))
+  }
+
   test("mergeNearDupIndexes: A wins cross-dups; guards on shared ids and params") {
     val dir = Files.createTempDirectory("graft-ndmerge-spec").toString
     Dedup.buildNearDupIndex(
