@@ -437,7 +437,10 @@ object Dedup {
     * batch × corpus or batch × batch products; appends are anti-joins
     * keyed on doc_id. Returns the surviving rows (original columns),
     * materialized BEFORE the index append so callers can write them
-    * without re-planning over the grown index. */
+    * without re-planning over the grown index — consume the result,
+    * then call [[releaseMaterialized]] on it (the streaming wrapper
+    * does; a batch scheduler that skips it pins survivor blocks for
+    * the JVM's lifetime). */
   def nearDupSuppressAndIndex(batch: DataFrame, path: String,
                               threshold: Double = 0.8,
                               idCol: String = "doc_id",
@@ -484,19 +487,23 @@ object Dedup {
         .localCheckpoint()
       // step 3 — repairing append: each signature table independently
       // gets the survivor docs it is missing, sliced from the
-      // signatures already computed for this batch
-      val keepIds = keep.select(col(idCol).as("doc_id"))
-      val haveSk = spark.read.parquet(s"$root/sketches")
-        .select(col("doc_id").as("__have")).distinct()
-      freshSets.join(keepIds, "doc_id")
-        .join(haveSk, col("doc_id") === col("__have"), "left_anti")
-        .write.mode("append").parquet(s"$root/sketches")
-      val haveBd = spark.read.parquet(s"$root/bands")
-        .select(col("doc_id").as("__have")).distinct()
-      freshBands.join(keepIds, "doc_id")
-        .join(haveBd, col("doc_id") === col("__have"), "left_anti")
-        .select(col("doc_id"), col("bkey"), col("band"))
-        .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+      // signatures already computed for this batch. keep is the
+      // caller's to consume and then releaseMaterialized — but on an
+      // append failure there is no caller holding it, so release here.
+      try {
+        val keepIds = keep.select(col(idCol).as("doc_id"))
+        val haveSk = spark.read.parquet(s"$root/sketches")
+          .select(col("doc_id").as("__have")).distinct()
+        freshSets.join(keepIds, "doc_id")
+          .join(haveSk, col("doc_id") === col("__have"), "left_anti")
+          .write.mode("append").parquet(s"$root/sketches")
+        val haveBd = spark.read.parquet(s"$root/bands")
+          .select(col("doc_id").as("__have")).distinct()
+        freshBands.join(keepIds, "doc_id")
+          .join(haveBd, col("doc_id") === col("__have"), "left_anti")
+          .select(col("doc_id"), col("bkey"), col("band"))
+          .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+      } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
       keep
     } finally Seq(b, freshSets, freshBands).foreach(releaseCheckpoint)
   }
@@ -538,7 +545,7 @@ object Dedup {
         val keep =
           nearDupSuppressAndIndex(batch, indexPath, threshold, idCol, textCol)
         try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        finally releaseCheckpoint(keep)
+        finally releaseMaterialized(keep)
         if (compactEveryBatches > 0 &&
             (batchId + 1) % compactEveryBatches == 0)
           compactNearDupIndex(batch.sparkSession, indexPath)
@@ -567,6 +574,19 @@ object Dedup {
     require(pA == pB,
       s"index params differ: $pathA has (shingle, hashes, bands)=$pA, " +
         s"$pathB has $pB — cross-index band keys are incomparable")
+    // ids must be disjoint or a shared id reports itself as a
+    // cross-corpus duplicate (jaccard 1.0 self-pair) — meaningless and
+    // silently wrong for the audit this primitive serves
+    requireDisjointIds(spark.read.parquet(s"$rootA/sketches"),
+      spark.read.parquet(s"$rootB/sketches"), pathA, pathB)
+    crossNearDupPairsCore(spark, rootA, rootB, threshold)
+  }
+
+  /** [[crossIndexNearDupPairs]] body over ALREADY-resolved,
+    * params-verified, id-disjoint roots. */
+  private def crossNearDupPairsCore(spark: org.apache.spark.sql.SparkSession,
+                                    rootA: String, rootB: String,
+                                    threshold: Double): DataFrame = {
     val cand = spark.read.parquet(s"$rootA/bands").as("a")
       .join(spark.read.parquet(s"$rootB/bands").as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
@@ -581,6 +601,15 @@ object Dedup {
           col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold)
   }
 
+  private def requireDisjointIds(a: DataFrame, b: DataFrame,
+                                 pathA: String, pathB: String): Unit = {
+    val shared = a.select("doc_id").distinct()
+      .join(b.select("doc_id").distinct(), "doc_id", "left_semi").count()
+    require(shared == 0,
+      s"$shared doc ids appear in both $pathA and $pathB — cross-index " +
+        "semantics would be ambiguous; re-id one side")
+  }
+
   /** Merge two near-dup indexes into a NEW index at `outPath` — the
     * corpus-federation step: index A's docs all survive; index B's
     * docs that near-dup A (per [[crossIndexNearDupPairs]], when
@@ -588,14 +617,19 @@ object Dedup {
     * under the same invariant each input maintained. Pure signature
     * surgery — neither corpus is re-read. Doc ids must be disjoint
     * across the inputs (verified loudly: a shared id would make the
-    * merged index's delete/search semantics ambiguous). The merged
-    * index lands as a fresh legacy-layout build (idempotent overwrite;
-    * versioning begins with its first delete/compact, like any fresh
-    * build). Returns the number of B docs dropped. */
+    * merged index's delete/search semantics ambiguous). A fresh
+    * outPath gets the legacy build layout (versioning begins with its
+    * first delete/compact); an already-VERSIONED outPath gets a fresh
+    * committed version — writing the legacy layout behind an existing
+    * `_current` pointer would be a silent no-op. Returns the number of
+    * B docs dropped. */
   def mergeNearDupIndexes(spark: org.apache.spark.sql.SparkSession,
                           pathA: String, pathB: String, outPath: String,
                           threshold: Double = 0.8,
                           dedupAcross: Boolean = true): Long = {
+    require(outPath != pathA && outPath != pathB,
+      "merging an index onto itself would clobber an input mid-read — " +
+        "merge to a fresh path")
     val rootA = VersionedIndex.resolveRoot(spark, pathA)
     val rootB = VersionedIndex.resolveRoot(spark, pathB)
     val pA = readNearDupParams(spark, rootA)
@@ -607,14 +641,10 @@ object Dedup {
         s"$pathB has $pB — the merged index cannot serve both")
     val skA = spark.read.parquet(s"$rootA/sketches")
     val skB = spark.read.parquet(s"$rootB/sketches")
-    val shared = skA.select("doc_id")
-      .join(skB.select("doc_id"), "doc_id", "left_semi").count()
-    require(shared == 0,
-      s"$shared doc ids appear in both $pathA and $pathB — merged " +
-        "delete/search semantics would be ambiguous; re-id one side")
+    requireDisjointIds(skA, skB, pathA, pathB)
     val dropB =
       if (dedupAcross)
-        crossIndexNearDupPairs(spark, pathA, pathB, threshold)
+        crossNearDupPairsCore(spark, rootA, rootB, threshold)
           .select(col("doc_b").as("__drop_id")).distinct().localCheckpoint()
       else spark.range(0).select(col("id").as("__drop_id"))
     try {
@@ -623,31 +653,50 @@ object Dedup {
           skB.join(dropB, skB("doc_id") === col("__drop_id"), "left_semi")
             .count()
         else 0L
+      val versioned = VersionedIndex.resolveRoot(spark, outPath) != outPath
+      val next =
+        if (versioned) Some(VersionedIndex.nextVersion(spark, outPath))
+        else None
+      val target = next.fold(outPath)(v => s"$outPath/$v")
       spark.read.parquet(s"$rootA/params")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
       skA.unionByName(
           skB.join(dropB, skB("doc_id") === col("__drop_id"), "left_anti"))
-        .write.mode("overwrite").parquet(s"$outPath/sketches")
+        .write.mode("overwrite").parquet(s"$target/sketches")
       val bdA = spark.read.parquet(s"$rootA/bands")
       val bdB = spark.read.parquet(s"$rootB/bands")
       bdA.unionByName(
           bdB.join(dropB, bdB("doc_id") === col("__drop_id"), "left_anti"))
         .select(col("doc_id"), col("bkey"), col("band"))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$outPath/bands")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$target/bands")
+      next.foreach(v => VersionedIndex.commitPointer(spark, outPath, v))
       nDrop
     } finally releaseCheckpoint(dropB)
   }
 
-  /** Unpersist the checkpointed RDD behind a `localCheckpoint()`'d
-    * frame, read off its OWN plan (LogicalRDD) — unpersisting by a
-    * global getPersistentRDDs diff would race concurrent threads
-    * caching on the same session and could truncate THEIR only copy
-    * of a checkpointed lineage. */
-  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+  /** Release the storage behind a MATERIALIZED result frame returned
+    * by [[nearDupSuppressAndIndex]] /
+    * [[graft.api.Similarity.semanticSuppressAndIndex]] once it has
+    * been consumed (written out / collected). The suppressors return
+    * `localCheckpoint()`'d survivors — necessary so callers can read
+    * them without re-planning over the already-grown index — and
+    * those blocks stay pinned until released: a long-running
+    * daily-batch JVM that never releases accumulates storage
+    * proportional to every survivor it ever processed. The streaming
+    * wrappers release automatically after the sink write; batch
+    * callers own the call. Reads the RDD id off the frame's OWN plan
+    * (LogicalRDD) — unpersisting by a global getPersistentRDDs diff
+    * would race concurrent threads caching on the same session and
+    * could truncate THEIR only copy of a checkpointed lineage. No-op
+    * on frames that are not checkpoint-backed. */
+  def releaseMaterialized(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }.foreach(id => df.sparkSession.sparkContext.getPersistentRDDs
       .get(id).foreach(_.unpersist(false)))
+
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    releaseMaterialized(df)
 
   /** Pigeonhole chunk layout: 64 bits partitioned into `chunksN`
     * NONEMPTY contiguous chunks, as (shift, mask) pairs. Bits are
@@ -809,14 +858,24 @@ object Dedup {
     require(hA == hB,
       s"maxHamming differs: $pathA has $hA, $pathB has $hB — " +
         "pigeonhole chunk keys are incomparable")
+    // disjoint ids or a shared id reports itself as a hamming-0 pair
+    requireDisjointIds(spark.read.parquet(s"$rootA/chunks"),
+      spark.read.parquet(s"$rootB/chunks"), pathA, pathB)
+    crossHammingPairsCore(spark, rootA, rootB, hA)
+  }
+
+  /** [[crossIndexHammingPairs]] body over ALREADY-resolved, verified
+    * roots. */
+  private def crossHammingPairsCore(spark: org.apache.spark.sql.SparkSession,
+                                    rootA: String, rootB: String,
+                                    maxHamming: Int): DataFrame =
     spark.read.parquet(s"$rootA/chunks").as("a")
       .join(spark.read.parquet(s"$rootB/chunks").as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= hA)
-  }
+      .filter(col("hamming") <= maxHamming)
 
   /** Merge two hamming indexes into a NEW index at `outPath` —
     * [[mergeNearDupIndexes]] for the signature space: A's docs all
@@ -824,10 +883,16 @@ object Dedup {
     * `dedupAcross`) drop, chunk rows union under A's params. Pure
     * chunk-store surgery — no media re-decode. Doc ids must be
     * disjoint; params must match even without dedup (a mixed-layout
-    * chunk store silently misses one side). Returns B docs dropped. */
+    * chunk store silently misses one side). An already-VERSIONED
+    * outPath (a prior delete/compact left a `_current` pointer) gets a
+    * fresh committed version — writing the legacy layout there would
+    * be a silent no-op behind the pointer. Returns B docs dropped. */
   def mergeHammingIndexes(spark: org.apache.spark.sql.SparkSession,
                           pathA: String, pathB: String, outPath: String,
                           dedupAcross: Boolean = true): Long = {
+    require(outPath != pathA && outPath != pathB,
+      "merging an index onto itself would clobber an input mid-read — " +
+        "merge to a fresh path")
     val rootA = VersionedIndex.resolveRoot(spark, pathA)
     val rootB = VersionedIndex.resolveRoot(spark, pathB)
     val hA = readHammingParams(spark, rootA)
@@ -837,14 +902,10 @@ object Dedup {
         "the merged chunk store cannot serve both layouts")
     val chA = spark.read.parquet(s"$rootA/chunks")
     val chB = spark.read.parquet(s"$rootB/chunks")
-    val shared = chA.select("doc_id").distinct()
-      .join(chB.select("doc_id").distinct(), "doc_id", "left_semi").count()
-    require(shared == 0,
-      s"$shared doc ids appear in both $pathA and $pathB — merged " +
-        "delete/search semantics would be ambiguous; re-id one side")
+    requireDisjointIds(chA, chB, pathA, pathB)
     val dropB =
       if (dedupAcross)
-        crossIndexHammingPairs(spark, pathA, pathB)
+        crossHammingPairsCore(spark, rootA, rootB, hA)
           .select(col("doc_b").as("__drop_id")).distinct().localCheckpoint()
       else spark.range(0).select(col("id").as("__drop_id"))
     try {
@@ -854,12 +915,18 @@ object Dedup {
             .join(dropB, col("doc_id") === col("__drop_id"), "left_semi")
             .count()
         else 0L
+      val versioned = VersionedIndex.resolveRoot(spark, outPath) != outPath
+      val next =
+        if (versioned) Some(VersionedIndex.nextVersion(spark, outPath))
+        else None
+      val target = next.fold(outPath)(v => s"$outPath/$v")
       spark.read.parquet(s"$rootA/params")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
       chA.unionByName(
           chB.join(dropB, chB("doc_id") === col("__drop_id"), "left_anti"))
         .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
-        .write.mode("overwrite").partitionBy("chunk").parquet(s"$outPath/chunks")
+        .write.mode("overwrite").partitionBy("chunk").parquet(s"$target/chunks")
+      next.foreach(v => VersionedIndex.commitPointer(spark, outPath, v))
       nDrop
     } finally releaseCheckpoint(dropB)
   }
@@ -1409,10 +1476,21 @@ object Dedup {
     * ids in arrays sized for one: fpp degrades toward the sum of the
     * inputs' (never correctness) — size both pipelines' filters for
     * the combined lifetime count when a merge is planned. Idempotent
-    * overwrite (a re-merge commits a fresh version at outPath). */
+    * overwrite (a re-merge commits a fresh version at outPath) under
+    * the SAME CAS discipline as [[appendToSeenFilter]]: if a
+    * concurrent writer committed at outPath between this merge's start
+    * and its commit, the staged version is deleted and the merge FAILS
+    * LOUDLY — its ids were flagged by a filter this merge never read,
+    * and committing over it would un-flag them (the false negative the
+    * contract forbids). Retry the merge on failure. */
   def mergeSeenFilters(spark: org.apache.spark.sql.SparkSession,
                        pathA: String, pathB: String, outPath: String): Unit =
     seenLock(outPath).synchronized {
+      def currentAt(p: String): Option[String] = {
+        val r = VersionedIndex.resolveRoot(spark, p)
+        if (r == p) None else Some(r.stripPrefix(s"$p/"))
+      }
+      val based = currentAt(outPath)
       val a = readSeenState(spark, pathA)
       val b = readSeenState(spark, pathB)
       require(a.shards == b.shards && a.items == b.items && a.fpp == b.fpp,
@@ -1424,6 +1502,16 @@ object Dedup {
       val next = VersionedIndex.nextVersion(spark, outPath)
       writeSeenVersion(spark, outPath, next, a.shards, a.items, a.fpp,
         a.filters)
+      if (currentAt(outPath) != based) {
+        import org.apache.hadoop.fs.Path
+        val base = new Path(outPath)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base, next), true)
+        throw new IllegalStateException(
+          s"concurrent seen-filter write at $outPath during merge: based " +
+            s"on ${based.getOrElse("<none>")} — committing would drop the " +
+            "racer's ids; retry the merge")
+      }
       VersionedIndex.commitPointer(spark, outPath, next)
     }
 

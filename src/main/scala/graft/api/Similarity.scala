@@ -646,12 +646,17 @@ object Similarity {
     val centroids = readCentroids(spark, root)
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}]")
+    // the batch and its scored projection each feed 2+ subplans
+    // (probed-cells collect + flag join; both sides of the pairwise
+    // self-join; assigned-cells collect + append) — materialize once,
+    // release at exit, like the text-side twin
     val b = batch.localCheckpoint()
+    val q = withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+      .localCheckpoint()
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
-      val q = withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
-        .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
-          explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
       val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
       val index = spark.read.parquet(s"$root/vectors")
         .filter(if (probed.isEmpty) lit(false) else col("cell").isin(probed: _*))
@@ -664,28 +669,79 @@ object Similarity {
       val afterIndex =
         b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
       val aScored = withNorm(afterIndex.filter(col(vecCol).isNotNull),
-        idCol, vecCol)
-      val dropped = aScored.as("x").join(aScored.as("y"),
-          col("y.vec_id") < col("x.vec_id") &&
-            round(cosinePrenormed(dot(col("x.embedding"), col("y.embedding")),
-              col("x.nrm"), col("y.nrm")), 6) >= threshold)
-        .select(col("x.vec_id").as("__drop_id")).distinct()
-      val keep = afterIndex
-        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
-        .localCheckpoint()
-      val toIndex = withNorm(keep.filter(col(vecCol).isNotNull), idCol, vecCol)
-        .withColumn("cell", nearestCell(col("embedding"), centroids))
-      val assigned =
-        toIndex.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-      val have = spark.read.parquet(s"$root/vectors")
-        .filter(if (assigned.isEmpty) lit(false)
-                else col("cell").isin(assigned: _*))
-        .select(col("vec_id").as("__have")).distinct()
-      toIndex.join(have, col("vec_id") === col("__have"), "left_anti")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+        idCol, vecCol).localCheckpoint()
+      val keep =
+        try {
+          val dropped = aScored.as("x").join(aScored.as("y"),
+              col("y.vec_id") < col("x.vec_id") &&
+                round(cosinePrenormed(
+                  dot(col("x.embedding"), col("y.embedding")),
+                  col("x.nrm"), col("y.nrm")), 6) >= threshold)
+            .select(col("x.vec_id").as("__drop_id")).distinct()
+          afterIndex
+            .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
+            .localCheckpoint()
+        } finally Dedup.releaseCheckpoint(aScored)
+      // keep is the caller's to consume then releaseMaterialized; on
+      // an append failure no caller holds it — release here
+      try {
+        val toIndex = withNorm(keep.filter(col(vecCol).isNotNull),
+            idCol, vecCol)
+          .withColumn("cell", nearestCell(col("embedding"), centroids))
+          .localCheckpoint()
+        try {
+          val assigned =
+            toIndex.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+          val have = spark.read.parquet(s"$root/vectors")
+            .filter(if (assigned.isEmpty) lit(false)
+                    else col("cell").isin(assigned: _*))
+            .select(col("vec_id").as("__have")).distinct()
+          toIndex.join(have, col("vec_id") === col("__have"), "left_anti")
+            .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+            .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+        } finally Dedup.releaseCheckpoint(toIndex)
+      } catch { case t: Throwable => Dedup.releaseCheckpoint(keep); throw t }
       keep
-    } finally Dedup.releaseCheckpoint(b)
+    } finally Seq(b, q).foreach(Dedup.releaseCheckpoint)
+  }
+
+  /** Compact a persisted IVF index — layout-only maintenance for the
+    * per-batch append path ([[appendStreamToIvfIndex]] /
+    * [[semanticSuppressStream]]): every append adds a file set per
+    * assigned cell partition, so an uncompacted index accumulates
+    * O(batches × cells) small parquet files and every probe pays the
+    * open-file tax on all of them. Rewrites the CURRENT version's
+    * cell stores into one file per cell under the SAME frozen
+    * quantizer (data and assignments identical — unlike [[reindex]],
+    * nothing re-clusters) and commits behind the atomic `_current`
+    * pointer; a crash leaves the old version fully live. Compacts the
+    * PQ `codes` half too when present. Vacuum afterwards to reclaim
+    * superseded versions, only once no searcher holds a pre-swap
+    * resolution. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = resolveIndexRoot(spark, path)
+    val cells = readCentroids(spark, root).length // loud on missing index
+    val next = VersionedIndex.nextVersion(spark, path)
+    val vdir = s"$path/$next"
+    spark.read.parquet(s"$root/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    spark.read.parquet(s"$root/vectors")
+      .repartition(cells, col("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/vectors")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root, "codebooks"))) {
+      spark.read.parquet(s"$root/codebooks")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
+      val codes = spark.read.parquet(s"$root/codes")
+      codes.repartition(cells, col("cell"))
+        .select(codes.columns.filterNot(_ == "cell").map(col) :+ col("cell"): _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
+    }
+    VersionedIndex.commitPointer(spark, path, next)
   }
 
   /** Streaming semantic suppression — [[graft.api.Dedup.nearDupSuppressStream]]
@@ -697,12 +753,16 @@ object Similarity {
     * append writes only cell-missing ids). The index must exist; its
     * frozen quantizer pins cell assignment so every batch routes the
     * way the corpus did — watch [[ivfDriftProfile]] and [[reindex]]
-    * when the stream's distribution wanders. */
+    * when the stream's distribution wanders. `compactEveryBatches` > 0
+    * runs [[compactIvfIndex]] after every Nth batch — at micro-batch
+    * cadence the per-append small-file accumulation is the scale
+    * story, exactly as on the text side. */
   def semanticSuppressStream(stream: DataFrame, indexPath: String,
                              outPath: String, checkpointDir: String,
                              threshold: Double = 0.9, nprobe: Int = 2,
                              idCol: String = "vec_id",
-                             vecCol: String = "embedding")
+                             vecCol: String = "embedding",
+                             compactEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -710,7 +770,10 @@ object Similarity {
         val keep = semanticSuppressAndIndex(batch, indexPath, threshold,
           nprobe, idCol, vecCol)
         try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        finally Dedup.releaseCheckpoint(keep)
+        finally Dedup.releaseMaterialized(keep)
+        if (compactEveryBatches > 0 &&
+            (batchId + 1) % compactEveryBatches == 0)
+          compactIvfIndex(batch.sparkSession, indexPath)
       }
       .start()
 

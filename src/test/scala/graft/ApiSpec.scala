@@ -1916,8 +1916,11 @@ class ApiSpec extends AnyFunSuite {
         p("m"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(51L))
-    // guards: shared ids, mismatched maxHamming
+    // guards: shared ids (pairs AND merge), mismatched maxHamming,
+    // self-merge
     Dedup.buildHammingIndex(Seq((1L, 7L)).toDF("doc_id", "sig"), p("shared"))
+    intercept[IllegalArgumentException](
+      Dedup.crossIndexHammingPairs(spark, p("a"), p("shared")).count())
     intercept[IllegalArgumentException](
       Dedup.mergeHammingIndexes(spark, p("a"), p("shared"), p("x")))
     Dedup.buildHammingIndex(Seq((90L, 9L)).toDF("doc_id", "sig"), p("h5"),
@@ -1927,6 +1930,8 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.mergeHammingIndexes(spark, p("a"), p("h5"), p("y"),
         dedupAcross = false))
+    intercept[IllegalArgumentException](
+      Dedup.mergeHammingIndexes(spark, p("a"), p("b"), p("a")))
   }
 
   test("Dedup seen-filter sharded: no false negatives across shard boundaries") {

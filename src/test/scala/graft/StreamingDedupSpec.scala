@@ -252,4 +252,66 @@ class StreamingDedupSpec extends AnyFunSuite {
         dedupAcross = false)
     }
   }
+
+  test("re-merge onto a VERSIONED outPath commits a fresh version, not a dead legacy write") {
+    val dir = Files.createTempDirectory("graft-ndmerge-ver").toString
+    def p(n: String) = s"$dir/$n"
+    Dedup.buildNearDupIndex(
+      docsDF(1L -> words("alpha"), 2L -> words("beta")), p("a"))
+    Dedup.buildNearDupIndex(
+      docsDF(10L -> words("alpha"), 11L -> words("gamma")), p("b"))
+    Dedup.mergeNearDupIndexes(spark, p("a"), p("b"), p("m"))
+    // version the merged index (the compaction a stream would run)
+    Dedup.compactNearDupIndex(spark, p("m"))
+    val root1 = graft.api.VersionedIndex.resolveRoot(spark, p("m"))
+    assert(root1 != p("m"))
+    // grow input B, re-merge: the result must be SERVED, not buried
+    // under the stale _current pointer as a legacy-layout write
+    Dedup.appendToNearDupIndex(docsDF(12L -> words("delta")), p("b"))
+    Dedup.mergeNearDupIndexes(spark, p("a"), p("b"), p("m"))
+    assert(indexedIds(p("m")) == Set(1L, 2L, 11L, 12L))
+    assert(graft.api.VersionedIndex.resolveRoot(spark, p("m")) != root1)
+    // self-merge and shared-id guards on the Jaccard side too
+    intercept[IllegalArgumentException](
+      Dedup.mergeNearDupIndexes(spark, p("a"), p("b"), p("a")))
+    Dedup.buildNearDupIndex(docsDF(1L -> words("zeta")), p("shared"))
+    intercept[IllegalArgumentException](
+      Dedup.crossIndexNearDupPairs(spark, p("a"), p("shared")).count())
+  }
+
+  test("compactIvfIndex: one file per cell, identical results; in-stream hook") {
+    import spark.implicits._
+    val idx = freshIvf()
+    val out = Files.createTempDirectory("graft-semstream-out2").toString
+    val ckpt = Files.createTempDirectory("graft-semstream-ckpt2").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = graft.api.Similarity.semanticSuppressStream(
+      ms.toDF().toDF("vec_id", "embedding"), idx, s"$out/kept", ckpt,
+      threshold = 0.9, nprobe = 1, compactEveryBatches = 1)
+    try {
+      ms.addData(Seq(1L -> vec(0), 5L -> vec(1))); q.processAllAvailable()
+      ms.addData(Seq(6L -> vec(1), 20L -> vec(2))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$out/kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(5L, 20L))
+    assert(ivfIds(idx) == Set(100L, 5L, 20L))
+    // compaction versioned the index and left one file per cell dir
+    val root = graft.api.Similarity.resolveIndexRoot(spark, idx)
+    assert(root != idx)
+    val cellDirs = new java.io.File(s"$root/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"cell dir ${d.getName} not compacted to one file")
+    }
+    // the compacted index still serves flag passes through the pointer
+    val kept = graft.api.Similarity.semanticSuppressAndIndex(
+        Seq(40L -> vec(2), 41L -> vec(3)).toDF("vec_id", "embedding"),
+        idx, threshold = 0.9, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(41L))
+  }
 }
