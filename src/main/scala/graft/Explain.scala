@@ -65,7 +65,8 @@ object Explain {
     "q163_semantic_decontaminate_indexed", // cell-pruned index probe, threshold argmax (r10)
     "q164_streaming_neardup_suppress", // banded index flag + PPJoin within-batch, anti-join exits (r10)
     "q165_merge_neardup_indexes", // cross-index band equi-join, signature-only federation (r10)
-    "q168_streaming_semantic_suppress") // cell-pruned flag + exact pairwise within batch (r10)
+    "q168_streaming_semantic_suppress", // cell-pruned flag + exact pairwise within batch (r10)
+    "q169_sentence_chunking") // doc-keyed prefix-sum windows + keyed reassembly (r10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

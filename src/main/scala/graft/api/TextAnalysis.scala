@@ -208,6 +208,55 @@ object TextAnalysis {
           lit(maxTokens)), " ").as("chunk_text"))
   }
 
+  /** Sentence-preserving chunking — the retrieval/embedding-prep
+    * sibling of [[chunkDocuments]]: text splits on sentence boundaries
+    * (a `[.!?]`-terminated heuristic; the trailing unterminated run is
+    * its own sentence) and whole sentences group into chunks of
+    * roughly `maxTokens` whitespace tokens. The boundary rule is the
+    * BUCKETED prefix-sum, not greedy reset packing: sentence i belongs
+    * to bucket ⌊(tokens before i) / maxTokens⌋, buckets renumber
+    * densely per doc — so a chunk overruns `maxTokens` only by the
+    * tail of its boundary-straddling sentence, and the assignment is a
+    * pure window prefix-sum any engine replays exactly (greedy reset
+    * is inherently sequential — not expressible as one pass, and not
+    * oracle-checkable). Sentences are never split; empty/whitespace
+    * sentences drop.
+    *
+    * Scale shape: sentence extraction is one codegen'd
+    * regexp_extract_all projection; the prefix-sum and dense renumber
+    * are windows KEYED BY DOC (per-doc sentence counts, never a
+    * corpus-wide window); reassembly is one keyed aggregation —
+    * the [[graft.api.Dedup.dedupParagraphs]] discipline. Output:
+    * (<idCol>, chunk_idx, n_sentences, n_tokens, chunk_text). */
+  def chunkBySentences(docs: DataFrame, maxTokens: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val sentRe = "[^.!?]*[.!?]+(\\s+|$)|[^.!?]+$"
+    val sents = docs
+      .select(col(idCol).as("__id"),
+        posexplode(filter(regexp_extract_all(col(textCol), lit(sentRe), lit(0)),
+          s => trim(s) =!= "")).as(Seq("pos", "sent")))
+      .withColumn("sent", trim(col("sent")))
+      .withColumn("n",
+        size(filter(split(col("sent"), "\\s+"), t => t =!= "")))
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val bucketed = sents
+      .withColumn("__cum", coalesce(sum(col("n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__bucket", floor(col("__cum") / maxTokens))
+    bucketed
+      .withColumn("chunk_idx",
+        dense_rank().over(Window.partitionBy("__id").orderBy("__bucket")) - 1)
+      .groupBy(col("__id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sent")))),
+            x => x.getField("sent")), " ").as("chunk_text"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Repetition profile per document — the Gopher-style quality signals
     * that catch boilerplate and degenerate generations: `n_tokens`
     * (non-empty whitespace tokens), `distinct_ratio` (distinct tokens /

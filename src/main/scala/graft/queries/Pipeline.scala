@@ -484,6 +484,26 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Sentence-preserving chunking (the retrieval/embedding-prep
+    // shape): the fixture text has no punctuation, so sentence
+    // boundaries are PLANTED in-plan — every "table" ends a sentence
+    // with '.', every "value" with '!' — giving naturally variable
+    // sentence lengths, including unterminated tails and chunks that
+    // legitimately overrun maxTokens via a boundary-straddling giant
+    // sentence. The oracle replays the same plant, the same sentence
+    // regex, the bucketed prefix-sum, the dense renumber, and every
+    // chunk's exact reassembled bytes (md5).
+    "q169_sentence_chunking" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), "\\btable\\b", "table."),
+          "\\bvalue\\b", "value!").as("text"))
+      graft.api.TextAnalysis.chunkBySentences(planted, maxTokens = 12)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("n_sentences"), col("n_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Corpus federation from signature state alone: two independently
     // curated corpora, each with its own near-dup index, merge into
     // one duplicate-free index WITHOUT re-reading either corpus —
@@ -2950,6 +2970,37 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q169_sentence_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '\btable\b', 'table.', 'g'),
+        |      '\bvalue\b', 'value!', 'g') AS text
+        |  FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, unnest(ss) AS sr FROM (
+        |    SELECT doc_id,
+        |      [{'pos': i, 'sent': trim(l[i])}
+        |       FOR i IN range(1, len(l) + 1) IF trim(l[i]) <> ''] AS ss
+        |    FROM (SELECT doc_id,
+        |      regexp_extract_all(text, '[^.!?]*[.!?]+(\s+|$)|[^.!?]+$') AS l FROM d))),
+        |s AS (
+        |  SELECT doc_id, sr.pos AS pos, sr.sent AS sent,
+        |    len(list_filter(string_split_regex(sr.sent, '\s+'), x -> x <> '')) AS n
+        |  FROM s0),
+        |c AS (
+        |  SELECT doc_id, pos, sent, n,
+        |    CAST(floor(coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 12) AS BIGINT)
+        |      AS bucket
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, pos, sent, n, bucket,
+        |    dense_rank() OVER (PARTITION BY doc_id ORDER BY bucket) - 1 AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  count(*) AS n_sentences, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM r GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
     "q168_streaming_semantic_suppress" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |corpus AS (SELECT vec_id, embedding FROM base WHERE vec_id % 4 IN (1, 2)),

@@ -653,6 +653,36 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("TextAnalysis.chunkBySentences never splits a sentence; bucketed prefix-sum boundaries") {
+    val docs = Seq(
+      // sentences of 3/4/5/2 tokens; maxTokens=6: buckets by tokens-
+      // before = 0,3,7,12 -> /6 = 0,0,1,2 -> three chunks
+      (1L, "one two three. four five six seven! eight nine ten eleven twelve? tail end"),
+      // a single giant sentence overruns the budget but stays whole
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ") + "."),
+      // doubled punctuation: the bare "." is its own 1-token sentence
+      // (whitespace-token definition); only WHITESPACE-empty
+      // extractions drop — noise filtering is normalizeText/gopher's
+      // job, not the chunker's
+      (3L, "a b.  . c d.")).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkBySentences(docs, maxTokens = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(c => (c._1, c._2))
+    val d1 = ch.filter(_._1 == 1L)
+    assert(d1.map(_._5).toSeq == Seq(
+      "one two three. four five six seven!",
+      "eight nine ten eleven twelve?", "tail end"))
+    assert(d1.map(_._4).toSeq == Seq(7L, 5L, 2L)) // n_tokens per chunk
+    assert(d1.map(_._3).toSeq == Seq(2L, 1L, 1L)) // n_sentences per chunk
+    val d2 = ch.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 20L) // whole, overrunning chunk
+    val d3 = ch.filter(_._1 == 3L)
+    assert(d3.map(_._3).sum == 3L && d3.map(_._4).sum == 5L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkBySentences(docs, maxTokens = 0))
+  }
+
   test("TextAnalysis.packSequences respects the budget, covers every doc, and is deterministic") {
     // mixed sizes incl. one oversized doc (a 2000-char word-soup blows
     // any 64-token budget) and several that only fit alone or in pairs
