@@ -508,6 +508,93 @@ object Dedup {
     } finally Seq(b, freshSets, freshBands).foreach(releaseCheckpoint)
   }
 
+  /** DRY-RUN of [[nearDupSuppressAndIndex]] — the per-document
+    * decision table, with NO side effects (nothing appends, nothing
+    * writes): for every batch doc, the verdict the suppressor would
+    * reach and the evidence for it. How an operator tunes `threshold`
+    * before wiring the real pass, and the audit a drop needs when a
+    * creator asks "why was my document removed".
+    *
+    * Output: (<idCol>, verdict, match_id, score) where verdict ∈
+    *  - 'index_dup' — a Jaccard ≥ threshold match among ALREADY-
+    *    indexed docs; match_id/score = the best such match (highest
+    *    jaccard, ties → lowest match id), score rounded to the
+    *    file-wide 6-decimal grid;
+    *  - 'batch_dup' — survived the index pass but has a strictly-
+    *    lower-id near-dup among the index-pass survivors; match_id/
+    *    score = the best such lower-id neighbor (the neighbor's own
+    *    fate is irrelevant — the rule is existence, matching
+    *    [[nearDupSuppressAndIndex]] exactly);
+    *  - 'kept' — would survive; match_id/score null.
+    *
+    * Same replay exclusion as the real pass (batch ids excluded from
+    * the index side), so explaining a batch a crashed attempt already
+    * half-appended reports the verdicts its replay would enact. Scale
+    * shape: identical to the suppressor (banded candidates, PPJoin
+    * within batch, keyed argmax — the aggregation sees only matched
+    * pairs, never the batch × index product). */
+  def nearDupSuppressExplain(batch: DataFrame, path: String,
+                             threshold: Double = 0.8,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val (shingle, hashes, bands) = readNearDupParams(spark, root)
+    val b = batch.localCheckpoint()
+    val freshSets = shingleSets(b, idCol, textCol, shingle).localCheckpoint()
+    var idxBestChk: Option[DataFrame] = None
+    try {
+      val bIds = b.select(col(idCol).as("__bid")).distinct()
+      val idxBands = spark.read.parquet(s"$root/bands")
+        .join(bIds, col("doc_id") === col("__bid"), "left_anti")
+      val cand = bandedSignatures(b, idCol, textCol, shingle, hashes, bands)
+        .as("a").join(idxBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val idxSets = spark.read.parquet(s"$root/sketches")
+        .join(bIds, col("doc_id") === col("__bid"), "left_anti")
+      // best index match per flagged doc: highest jaccard, ties ->
+      // lowest match id (the q162 argmax shape)
+      def bestMatch(pairs: DataFrame): DataFrame = pairs
+        .groupBy(col("doc_a"))
+        .agg(max(col("jaccard")).as("score"),
+          min(struct((lit(1d) - col("jaccard")).as("negj"),
+            col("doc_b").as("doc_b"))).as("w"))
+        .select(col("doc_a"), col("w.doc_b").as("match_id"), col("score"))
+      val idxBest = bestMatch(verify(cand
+        .join(freshSets.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+        .join(idxSets.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold))
+        .localCheckpoint()
+      idxBestChk = Some(idxBest)
+      val afterIndex =
+        b.join(idxBest, b(idCol) === idxBest("doc_a"), "left_anti")
+      val aSets = freshSets.join(
+        afterIndex.select(col(idCol).as("doc_id")), "doc_id")
+      // within-batch: pairsFromSets yields doc_a < doc_b; the DROPPED
+      // side is doc_b, its evidence the best lower-id neighbor
+      val batchBest = bestMatch(pairsFromSets(aSets, threshold)
+        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("jaccard")))
+      // materialize BEFORE the finally releases the inputs the lazy
+      // plan reads; the result is the caller's to releaseMaterialized
+      b.select(col(idCol))
+        .join(idxBest.select(col("doc_a").as(idCol),
+          col("match_id").as("__im"), col("score").as("__is")), Seq(idCol), "left")
+        .join(batchBest.select(col("doc_a").as(idCol),
+          col("match_id").as("__bm"), col("score").as("__bs")), Seq(idCol), "left")
+        .select(col(idCol),
+          when(col("__im").isNotNull, lit("index_dup"))
+            .when(col("__bm").isNotNull, lit("batch_dup"))
+            .otherwise(lit("kept")).as("verdict"),
+          coalesce(col("__im"), col("__bm")).as("match_id"),
+          coalesce(col("__is"), col("__bs")).as("score"))
+        .localCheckpoint()
+    } finally (Seq(b, freshSets) ++ idxBestChk).foreach(releaseCheckpoint)
+  }
+
   /** Streaming near-dup suppression — dedup-at-ingest against a
     * PERSISTED, GROWING corpus index: each micro-batch runs
     * [[nearDupSuppressAndIndex]] (index flag → within-batch

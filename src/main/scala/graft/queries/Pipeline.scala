@@ -484,6 +484,33 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Suppression EXPLAIN — the dry-run decision table of q164's
+    // suppressor: same engineered batch against the same corpus index,
+    // but instead of enacting the drops, every doc reports its verdict
+    // (kept / index_dup / batch_dup) with the best-match evidence
+    // (highest jaccard, ties -> lowest match id) — how an operator
+    // tunes the threshold before wiring the real pass, and the audit
+    // a takedown inquiry needs. No side effects: nothing appends. The
+    // oracle replays verdicts AND evidence over exact Jaccard with the
+    // identical argmax tie rule.
+    "q170_suppress_explain" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ndexplain-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m4 = col("doc_id") % 4
+      graft.api.Dedup.buildNearDupIndex(docs.filter(m4 === 1 || m4 === 2), idx)
+      val b0 = docs.filter(m4 === 0)
+      val batch = b0.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(m4 === 1 && col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(b0.filter(col("doc_id") % 3 === 0 && col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.api.Dedup.nearDupSuppressExplain(batch, idx)
+        .orderBy("doc_id")
+    }),
+
     // Sentence-preserving chunking (the retrieval/embedding-prep
     // shape): the fixture text has no punctuation, so sentence
     // boundaries are PLANTED in-plan — every "table" ends a sentence
@@ -2970,6 +2997,51 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q170_suppress_explain" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 4 IN (1, 2)),
+        |b1 AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base
+        |    WHERE doc_id % 4 = 1 AND doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 2000000, text FROM base
+        |    WHERE doc_id % 4 = 0 AND doc_id % 3 = 0 AND doc_id % 9 = 0),
+        |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1),
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM (
+        |    SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles
+        |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') t FROM alld))),
+        |pj AS (
+        |  SELECT a, b, jr FROM (
+        |    SELECT x.doc_id a, y.doc_id b,
+        |      round(count(*)*1.0/(any_value(x.n)+any_value(y.n)-count(*)), 6) AS jr
+        |    FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id <> y.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE jr >= 0.8),
+        |ibest AS (
+        |  SELECT a AS doc_id, b AS match_id, jr AS score,
+        |    row_number() OVER (PARTITION BY a ORDER BY jr DESC, b) rn
+        |  FROM pj
+        |  WHERE a IN (SELECT doc_id FROM b1) AND b IN (SELECT doc_id FROM corpus)),
+        |idup AS (SELECT doc_id, match_id, score FROM ibest WHERE rn = 1),
+        |rem AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM idup)),
+        |bbest AS (
+        |  SELECT a AS doc_id, b AS match_id, jr AS score,
+        |    row_number() OVER (PARTITION BY a ORDER BY jr DESC, b) rn
+        |  FROM pj
+        |  WHERE a IN (SELECT doc_id FROM rem) AND b IN (SELECT doc_id FROM rem)
+        |    AND b < a),
+        |bdup AS (SELECT doc_id, match_id, score FROM bbest WHERE rn = 1)
+        |SELECT f.doc_id,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN 'index_dup'
+        |       WHEN bb.doc_id IS NOT NULL THEN 'batch_dup'
+        |       ELSE 'kept' END AS verdict,
+        |  coalesce(i.match_id, bb.match_id) AS match_id,
+        |  coalesce(i.score, bb.score) AS score
+        |FROM b1 f
+        |LEFT JOIN idup i ON f.doc_id = i.doc_id
+        |LEFT JOIN bdup bb ON f.doc_id = bb.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q169_sentence_chunking" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -253,6 +253,27 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("suppressExplain: verdicts match the real pass, evidence correct, no side effects") {
+    val idx = freshIndex()
+    val batch = docsDF(
+      1L -> words("corpus"), // index_dup, match 100
+      5L -> words("pair"), 6L -> words("pair"), // 5 kept, 6 batch_dup(5)
+      20L -> words("unique"))
+    val explained = Dedup.nearDupSuppressExplain(batch, idx)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(explained(1L) == ("index_dup", 100L))
+    assert(explained(5L) == ("kept", -1L))
+    assert(explained(6L) == ("batch_dup", 5L))
+    assert(explained(20L) == ("kept", -1L))
+    // dry-run: the index did NOT grow
+    assert(indexedIds(idx) == Set(100L))
+    // the real pass enacts exactly the explained verdicts
+    val kept = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == explained.collect { case (id, ("kept", _)) => id }.toSet)
+  }
+
   test("re-merge onto a VERSIONED outPath commits a fresh version, not a dead legacy write") {
     val dir = Files.createTempDirectory("graft-ndmerge-ver").toString
     def p(n: String) = s"$dir/$n"
