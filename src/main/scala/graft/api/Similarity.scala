@@ -705,6 +705,82 @@ object Similarity {
     } finally Seq(b, q).foreach(Dedup.releaseCheckpoint)
   }
 
+  /** DRY-RUN of [[semanticSuppressAndIndex]] —
+    * [[graft.api.Dedup.nearDupSuppressExplain]] for the embedding
+    * space: every batch vector's verdict (kept / index_dup /
+    * batch_dup) with best-match evidence (highest cosine, ties →
+    * lowest match id), no side effects. Null-embedding rows report
+    * 'kept' with null evidence (no evidence either way — exactly the
+    * real pass's passthrough). Approximate by the same nprobe
+    * geometry as the real pass; exhaustive at nprobe = cells (what
+    * makes the q171 oracle exact). Distinct 6-decimal cosines differ
+    * by ≥ 1e-6, far above the (1 − cos) subtraction's ulp, so the
+    * argmax tie rule resolves identically to the oracle's
+    * (score DESC, id) ordering. */
+  def semanticSuppressExplain(batch: DataFrame, path: String,
+                              threshold: Double = 0.9, nprobe: Int = 2,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val root = resolveIndexRoot(spark, path)
+    val centroids = readCentroids(spark, root)
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}]")
+    val b = batch.localCheckpoint()
+    val q = withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+      .localCheckpoint()
+    var idxBestChk: Option[DataFrame] = None
+    try {
+      val bIds = b.select(col(idCol).as("__bid")).distinct()
+      val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+      val index = spark.read.parquet(s"$root/vectors")
+        .filter(if (probed.isEmpty) lit(false) else col("cell").isin(probed: _*))
+        .join(bIds, col("vec_id") === col("__bid"), "left_anti")
+        .select(col("cell"), col("vec_id").as("__iid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      def bestMatch(pairs: DataFrame): DataFrame = pairs
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos")).as("score"),
+          min(struct((lit(1d) - col("cos")).as("negc"),
+            col("mid").as("mid"))).as("w"))
+        .select(col("vec_id"), col("w.mid").as("match_id"), col("score"))
+      val idxBest = bestMatch(q.join(index, Seq("cell"))
+        .withColumn("cos", round(cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_id"), col("__iid").as("mid"), col("cos")))
+        .localCheckpoint()
+      idxBestChk = Some(idxBest)
+      val afterIndex =
+        b.join(idxBest, b(idCol) === idxBest("vec_id"), "left_anti")
+      val aScored = withNorm(afterIndex.filter(col(vecCol).isNotNull),
+        idCol, vecCol)
+      val batchBest = bestMatch(aScored.as("x").join(aScored.as("y"),
+          col("y.vec_id") < col("x.vec_id"))
+        .withColumn("cos", round(cosinePrenormed(
+          dot(col("x.embedding"), col("y.embedding")),
+          col("x.nrm"), col("y.nrm")), 6))
+        .filter(col("cos") >= threshold)
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("mid"),
+          col("cos")))
+      b.select(col(idCol))
+        .join(idxBest.select(col("vec_id").as(idCol),
+          col("match_id").as("__im"), col("score").as("__is")), Seq(idCol), "left")
+        .join(batchBest.select(col("vec_id").as(idCol),
+          col("match_id").as("__bm"), col("score").as("__bs")), Seq(idCol), "left")
+        .select(col(idCol),
+          when(col("__im").isNotNull, lit("index_dup"))
+            .when(col("__bm").isNotNull, lit("batch_dup"))
+            .otherwise(lit("kept")).as("verdict"),
+          coalesce(col("__im"), col("__bm")).as("match_id"),
+          coalesce(col("__is"), col("__bs")).as("score"))
+        .localCheckpoint()
+    } finally (Seq(b, q) ++ idxBestChk).foreach(Dedup.releaseCheckpoint)
+  }
+
   /** Compact a persisted IVF index — layout-only maintenance for the
     * per-batch append path ([[appendStreamToIvfIndex]] /
     * [[semanticSuppressStream]]): every append adds a file set per

@@ -484,6 +484,30 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // The embedding-space explain (q170's twin over q168's batch):
+    // same verdict/evidence contract through the IVF index at
+    // exhaustive nprobe, cosine argmax with the identical tie rule;
+    // dry-run — the index does not grow.
+    "q171_semantic_suppress_explain" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-semexplain-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val m4 = col("vec_id") % 4
+      graft.api.Similarity.buildIvfIndex(
+        emb.filter(m4 === 1 || m4 === 2), idx, cells = 8)
+      val b0 = emb.filter(m4 === 0)
+      val batch = b0.filter(col("vec_id") % 3 === 0)
+        .unionByName(emb.filter(m4 === 1 && col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(b0.filter(col("vec_id") % 3 === 0 && col("vec_id") % 9 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+      graft.api.Similarity.semanticSuppressExplain(batch, idx,
+          threshold = 0.45, nprobe = 8)
+        .orderBy("vec_id")
+    }),
+
     // Suppression EXPLAIN — the dry-run decision table of q164's
     // suppressor: same engineered batch against the same corpus index,
     // but instead of enacting the drops, every doc reports its verdict
@@ -2997,6 +3021,50 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q171_semantic_suppress_explain" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |corpus AS (SELECT vec_id, embedding FROM base WHERE vec_id % 4 IN (1, 2)),
+        |b1 AS (
+        |  SELECT vec_id, embedding FROM base WHERE vec_id % 4 = 0 AND vec_id % 3 = 0
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM base
+        |    WHERE vec_id % 4 = 1 AND vec_id % 10 = 1
+        |  UNION ALL SELECT vec_id + 2000000, embedding FROM base
+        |    WHERE vec_id % 4 = 0 AND vec_id % 3 = 0 AND vec_id % 9 = 0),
+        |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1),
+        |nv AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM alld),
+        |pc AS (
+        |  SELECT x.vec_id a, y.vec_id b,
+        |    round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE
+        |      list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nrm * y.nrm) END, 6) AS c
+        |  FROM nv x JOIN nv y ON x.vec_id <> y.vec_id),
+        |pj AS (SELECT a, b, c FROM pc WHERE c >= 0.45),
+        |ibest AS (
+        |  SELECT a AS vec_id, b AS match_id, c AS score,
+        |    row_number() OVER (PARTITION BY a ORDER BY c DESC, b) rn
+        |  FROM pj
+        |  WHERE a IN (SELECT vec_id FROM b1) AND b IN (SELECT vec_id FROM corpus)),
+        |idup AS (SELECT vec_id, match_id, score FROM ibest WHERE rn = 1),
+        |rem AS (SELECT vec_id FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM idup)),
+        |bbest AS (
+        |  SELECT a AS vec_id, b AS match_id, c AS score,
+        |    row_number() OVER (PARTITION BY a ORDER BY c DESC, b) rn
+        |  FROM pj
+        |  WHERE a IN (SELECT vec_id FROM rem) AND b IN (SELECT vec_id FROM rem)
+        |    AND b < a),
+        |bdup AS (SELECT vec_id, match_id, score FROM bbest WHERE rn = 1)
+        |SELECT f.vec_id,
+        |  CASE WHEN i.vec_id IS NOT NULL THEN 'index_dup'
+        |       WHEN bb.vec_id IS NOT NULL THEN 'batch_dup'
+        |       ELSE 'kept' END AS verdict,
+        |  coalesce(i.match_id, bb.match_id) AS match_id,
+        |  coalesce(i.score, bb.score) AS score
+        |FROM b1 f
+        |LEFT JOIN idup i ON f.vec_id = i.vec_id
+        |LEFT JOIN bdup bb ON f.vec_id = bb.vec_id
+        |ORDER BY f.vec_id""".stripMargin,
     "q170_suppress_explain" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 4 IN (1, 2)),

@@ -185,6 +185,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(kept2 == Set(41L))
   }
 
+  test("semanticSuppressExplain: verdicts match the real pass, null evidence for kept, dry-run") {
+    import spark.implicits._
+    val idx = freshIvf()
+    val batch = Seq(
+      1L -> vec(0), // index_dup, match 100
+      5L -> vec(1), 6L -> vec(1), // 5 kept, 6 batch_dup(5)
+      20L -> vec(2), // kept
+      30L -> (null: Array[Float])) // no evidence -> kept
+      .toDF("vec_id", "embedding")
+    val explained = graft.api.Similarity
+      .semanticSuppressExplain(batch, idx, threshold = 0.9, nprobe = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(explained(1L) == ("index_dup", 100L))
+    assert(explained(5L) == ("kept", -1L))
+    assert(explained(6L) == ("batch_dup", 5L))
+    assert(explained(20L) == ("kept", -1L))
+    assert(explained(30L) == ("kept", -1L))
+    assert(ivfIds(idx) == Set(100L)) // dry-run: index untouched
+    val kept = graft.api.Similarity.semanticSuppressAndIndex(
+        batch, idx, threshold = 0.9, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == explained.collect { case (id, ("kept", _)) => id }.toSet)
+  }
+
   test("semantic suppress streaming wrapper == sequential batch replay") {
     import spark.implicits._
     val idxStream = freshIvf()
