@@ -929,6 +929,86 @@ object Dedup {
       .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
   }
 
+  /** One commit unit of CONTINUOUS MEDIA curation —
+    * [[nearDupSuppressAndIndex]] for the 64-bit signature space,
+    * against a persisted hamming index (the third member of the
+    * suppressor family: Jaccard text / cosine embeddings / hamming
+    * perceptual signatures): drop batch signatures within the index's
+    * maxHamming of an ALREADY-indexed doc (batch ids excluded from
+    * the index side for replay safety), then drop within-batch
+    * signatures with a strictly-lower-id neighbor within the bound,
+    * then append the survivors' chunk rows — only those missing from
+    * the chunk store, so a crashed batch replays as a no-op. Input is
+    * an (idCol, sigCol) frame — media decode happens upstream
+    * ([[graft.multimodal.Multimodal.imageDHash]] etc.); this pass
+    * never touches bytes. Candidates are pigeonhole (chunk, cval)
+    * equi-joins throughout — never batch × corpus. Returns surviving
+    * rows materialized; consume then [[releaseMaterialized]]. */
+  def hammingSuppressAndIndex(batch: DataFrame, path: String,
+                              idCol: String = "doc_id",
+                              sigCol: String = "sig"): DataFrame = {
+    val spark = batch.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val maxHamming = readHammingParams(spark, root)
+    val b = batch.localCheckpoint()
+    val freshChunks =
+      sigChunks(b, idCol, sigCol, maxHamming).localCheckpoint()
+    try {
+      val bIds = b.select(col(idCol).as("__bid")).distinct()
+      val idxChunks = spark.read.parquet(s"$root/chunks")
+        .join(bIds, col("doc_id") === col("__bid"), "left_anti")
+      val flagged = freshChunks.as("a").join(idxChunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
+        .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+        .select(col("a.doc_id").as("__dup_id")).distinct()
+      val afterIndex =
+        b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
+      val aChunks = freshChunks.join(
+        afterIndex.select(col(idCol).as("doc_id")), "doc_id")
+      val dropped = aChunks.as("a").join(aChunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+        .select(col("a.doc_id").as("__drop_id")).distinct()
+      val keep = afterIndex
+        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
+        .localCheckpoint()
+      try {
+        val have = spark.read.parquet(s"$root/chunks")
+          .select(col("doc_id").as("__have")).distinct()
+        freshChunks.join(keep.select(col(idCol).as("doc_id")), "doc_id")
+          .join(have, col("doc_id") === col("__have"), "left_anti")
+          .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
+          .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
+      } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
+      keep
+    } finally Seq(b, freshChunks).foreach(releaseCheckpoint)
+  }
+
+  /** Streaming media dedup — [[nearDupSuppressStream]] for signature
+    * frames: each micro-batch runs [[hammingSuppressAndIndex]],
+    * survivors land under `outPath/batch=<id>/`, and
+    * `compactEveryBatches` > 0 runs [[compactHammingIndex]] every Nth
+    * batch (per-batch appends add a file set per chunk partition —
+    * the same small-file scale story as the other two suppressors). */
+  def hammingSuppressStream(stream: DataFrame, indexPath: String,
+                            outPath: String, checkpointDir: String,
+                            idCol: String = "doc_id",
+                            sigCol: String = "sig",
+                            compactEveryBatches: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keep = hammingSuppressAndIndex(batch, indexPath, idCol, sigCol)
+        try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally releaseMaterialized(keep)
+        if (compactEveryBatches > 0 &&
+            (batchId + 1) % compactEveryBatches == 0)
+          compactHammingIndex(batch.sparkSession, indexPath)
+      }
+      .start()
+
   /** Near-dup pairs ACROSS two persisted hamming indexes, from chunk
     * state alone — [[crossIndexNearDupPairs]] for the 64-bit signature
     * space: candidates from the pigeonhole (chunk, cval) keys both

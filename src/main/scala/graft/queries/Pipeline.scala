@@ -484,6 +484,35 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // The third suppressor: continuous MEDIA curation against the
+    // persisted hamming index (q164/q168's contract for perceptual
+    // signatures). Crafted 64-bit signatures make every pigeonhole
+    // distance closed-form: batch-1 exercises an index dup (hamming 1
+    // from an indexed sig), a within-batch pair (lower id wins), and
+    // a far survivor; batch-2's first sig is hamming 1 from a BATCH-1
+    // SURVIVOR (caught only because survivors joined the index) while
+    // its second is far from everything. Survivors pin as VALUES.
+    "q172_hamming_suppress" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-hamstream-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      import s.implicits._
+      graft.api.Dedup.buildHammingIndex(
+        Seq((100L, 0L), (101L, -1L)).toDF("doc_id", "sig"), idx)
+      val b1 = Seq((1L, 2L), (5L, 0x00FF00FF00FF00FFL),
+          (6L, 0x00FF00FF00FF00FEL), (20L, 0x5555555555555555L))
+        .toDF("doc_id", "sig")
+      val b2 = Seq((30L, 0x00FF00FF00FF00FDL), (31L, 0x3333333333333333L))
+        .toDF("doc_id", "sig")
+      Seq(b1, b2).zipWithIndex.map { case (b, i) =>
+        graft.api.Dedup.hammingSuppressAndIndex(b, idx)
+          .withColumn("batch", lit(i + 1))
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("batch"))
+        .orderBy("doc_id")
+    }),
+
     // The embedding-space explain (q170's twin over q168's batch):
     // same verdict/evidence contract through the IVF index at
     // exhaustive nprobe, cosine argmax with the identical tie rule;
@@ -3021,6 +3050,10 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q172_hamming_suppress" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(batch AS INT) AS batch
+        |FROM (VALUES (5, 1), (20, 1), (31, 2)) AS t(doc_id, batch)
+        |ORDER BY doc_id""".stripMargin,
     "q171_semantic_suppress_explain" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |corpus AS (SELECT vec_id, embedding FROM base WHERE vec_id % 4 IN (1, 2)),

@@ -278,6 +278,43 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming suppress: index flag, lower-id rule, replay no-op, streaming wrapper") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hamstream-spec").toString
+    val idx = s"$dir/index"
+    Dedup.buildHammingIndex(Seq((100L, 0L)).toDF("doc_id", "sig"), idx)
+    val batch = Seq((1L, 2L), // hamming 1 from indexed 0L -> flagged
+      (5L, 0x00FF00FF00FF00FFL), (6L, 0x00FF00FF00FF00FEL), // pair -> keep 5
+      (20L, 0x5555555555555555L)).toDF("doc_id", "sig")
+    def run() = Dedup.hammingSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run() == Set(5L, 20L))
+    def members = spark.read.parquet(
+        s"${graft.api.VersionedIndex.resolveRoot(spark, idx)}/chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(members == Set(100L, 5L, 20L))
+    val rows = spark.read.parquet(s"$idx/chunks").count()
+    assert(run() == Set(5L, 20L)) // replay: same survivors
+    assert(spark.read.parquet(s"$idx/chunks").count() == rows) // no growth
+    // streaming wrapper with in-loop compaction
+    val out = Files.createTempDirectory("graft-hamstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-hamstream-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = Dedup.hammingSuppressStream(
+      ms.toDF().toDF("doc_id", "sig"), idx, s"$out/kept", ckpt,
+      compactEveryBatches = 1)
+    try {
+      // 30 is hamming 1 from survivor 5's sig; 31 is far from all
+      ms.addData(Seq(30L -> 0x00FF00FF00FF00FDL, 31L -> 0x3333333333333333L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(31L))
+    assert(members == Set(100L, 5L, 20L, 31L))
+    assert(graft.api.VersionedIndex.resolveRoot(spark, idx) != idx)
+  }
+
   test("suppressExplain: verdicts match the real pass, evidence correct, no side effects") {
     val idx = freshIndex()
     val batch = docsDF(
