@@ -985,6 +985,69 @@ object Dedup {
     } finally Seq(b, freshChunks).foreach(releaseCheckpoint)
   }
 
+  /** DRY-RUN of [[hammingSuppressAndIndex]] — the decision table for
+    * the perceptual-signature suppressor, completing the explain triad
+    * (Jaccard [[nearDupSuppressExplain]], cosine
+    * [[graft.api.Similarity.semanticSuppressExplain]]): every batch
+    * sig's verdict (kept / index_dup / batch_dup) with best-match
+    * evidence — LOWEST hamming distance, ties → lowest match id — and
+    * no side effects. Distances are small ints, so ties are common
+    * and the tie rule is load-bearing; both sides order by
+    * (distance ASC, id ASC). */
+  def hammingSuppressExplain(batch: DataFrame, path: String,
+                             idCol: String = "doc_id",
+                             sigCol: String = "sig"): DataFrame = {
+    val spark = batch.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val maxHamming = readHammingParams(spark, root)
+    val b = batch.localCheckpoint()
+    val freshChunks =
+      sigChunks(b, idCol, sigCol, maxHamming).localCheckpoint()
+    var idxBestChk: Option[DataFrame] = None
+    try {
+      val bIds = b.select(col(idCol).as("__bid")).distinct()
+      def bestMatch(pairs: DataFrame): DataFrame = pairs
+        .groupBy(col("doc_id"))
+        .agg(min(struct(col("hamming").as("hamming"),
+          col("mid").as("mid"))).as("w"))
+        .select(col("doc_id"), col("w.mid").as("match_id"),
+          col("w.hamming").as("distance"))
+      val idxChunks = spark.read.parquet(s"$root/chunks")
+        .join(bIds, col("doc_id") === col("__bid"), "left_anti")
+      val idxBest = bestMatch(freshChunks.as("a").join(idxChunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("mid"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
+        .localCheckpoint()
+      idxBestChk = Some(idxBest)
+      val afterIndex =
+        b.join(idxBest, b(idCol) === idxBest("doc_id"), "left_anti")
+      val aChunks = freshChunks.join(
+        afterIndex.select(col(idCol).as("doc_id")), "doc_id")
+      val batchBest = bestMatch(aChunks.as("a").join(aChunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("mid"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
+      b.select(col(idCol))
+        .join(idxBest.select(col("doc_id").as(idCol),
+          col("match_id").as("__im"), col("distance").as("__id")), Seq(idCol), "left")
+        .join(batchBest.select(col("doc_id").as(idCol),
+          col("match_id").as("__bm"), col("distance").as("__bd")), Seq(idCol), "left")
+        .select(col(idCol),
+          when(col("__im").isNotNull, lit("index_dup"))
+            .when(col("__bm").isNotNull, lit("batch_dup"))
+            .otherwise(lit("kept")).as("verdict"),
+          coalesce(col("__im"), col("__bm")).as("match_id"),
+          coalesce(col("__id"), col("__bd")).as("distance"))
+        .localCheckpoint()
+    } finally (Seq(b, freshChunks) ++ idxBestChk).foreach(releaseCheckpoint)
+  }
+
   /** Streaming media dedup — [[nearDupSuppressStream]] for signature
     * frames: each micro-batch runs [[hammingSuppressAndIndex]],
     * survivors land under `outPath/batch=<id>/`, and

@@ -513,6 +513,25 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // The hamming explain (the triad's third decision table): q172's
+    // batch-1 against its crafted index, verdict + best match by
+    // LOWEST distance (ties -> lowest id; distances are small ints so
+    // the tie rule is load-bearing). Closed-form VALUES oracle.
+    "q173_hamming_suppress_explain" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-hamexplain-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val idx = new java.io.File(base, "index").getAbsolutePath
+      import s.implicits._
+      graft.api.Dedup.buildHammingIndex(
+        Seq((100L, 0L), (101L, -1L)).toDF("doc_id", "sig"), idx)
+      val batch = Seq((1L, 2L), (5L, 0x00FF00FF00FF00FFL),
+          (6L, 0x00FF00FF00FF00FEL), (20L, 0x5555555555555555L))
+        .toDF("doc_id", "sig")
+      graft.api.Dedup.hammingSuppressExplain(batch, idx)
+        .orderBy("doc_id")
+    }),
+
     // The embedding-space explain (q170's twin over q168's batch):
     // same verdict/evidence contract through the IVF index at
     // exhaustive nprobe, cosine argmax with the identical tie rule;
@@ -3050,6 +3069,17 @@ object Pipeline {
         |  WHERE doc_id NOT IN (SELECT bid FROM dropb))
         |SELECT doc_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY doc_id""".stripMargin,
+    "q173_hamming_suppress_explain" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, verdict,
+        |       CAST(match_id AS BIGINT) AS match_id,
+        |       CAST(distance AS INT) AS distance
+        |FROM (VALUES
+        |  (1, 'index_dup', 100, 1),
+        |  (5, 'kept', NULL, NULL),
+        |  (6, 'batch_dup', 5, 1),
+        |  (20, 'kept', NULL, NULL))
+        |AS t(doc_id, verdict, match_id, distance)
+        |ORDER BY doc_id""".stripMargin,
     "q172_hamming_suppress" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(batch AS INT) AS batch
         |FROM (VALUES (5, 1), (20, 1), (31, 2)) AS t(doc_id, batch)

@@ -315,6 +315,29 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(graft.api.VersionedIndex.resolveRoot(spark, idx) != idx)
   }
 
+  test("hammingSuppressExplain: verdicts match the real pass, lowest-distance evidence, dry-run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hamexplain-spec").toString
+    val idx = s"$dir/index"
+    Dedup.buildHammingIndex(Seq((100L, 0L)).toDF("doc_id", "sig"), idx)
+    val batch = Seq((1L, 2L), (5L, 0x00FF00FF00FF00FFL),
+      (6L, 0x00FF00FF00FF00FEL), (20L, 0x5555555555555555L))
+      .toDF("doc_id", "sig")
+    val explained = Dedup.hammingSuppressExplain(batch, idx)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(explained(1L) == ("index_dup", 100L))
+    assert(explained(5L) == ("kept", -1L))
+    assert(explained(6L) == ("batch_dup", 5L))
+    assert(explained(20L) == ("kept", -1L))
+    // dry-run: index untouched; the real pass enacts the verdicts
+    assert(spark.read.parquet(s"$idx/chunks").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+    val kept = Dedup.hammingSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == explained.collect { case (id, ("kept", _)) => id }.toSet)
+  }
+
   test("suppressExplain: verdicts match the real pass, evidence correct, no side effects") {
     val idx = freshIndex()
     val batch = docsDF(
