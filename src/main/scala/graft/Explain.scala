@@ -70,7 +70,8 @@ object Explain {
     "q170_suppress_explain", // dry-run decision table, keyed argmax evidence (r10)
     "q171_semantic_suppress_explain", // cell-pruned cosine explain, same tie rule (r10)
     "q172_hamming_suppress", // pigeonhole chunk flag + within-batch, anti-join exits (r10)
-    "q173_hamming_suppress_explain") // chunk-keyed min-distance argmin evidence (r10)
+    "q173_hamming_suppress_explain", // chunk-keyed min-distance argmin evidence (r10)
+    "q174_index_integrity") // one keyed agg per store, no pair joins (r10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

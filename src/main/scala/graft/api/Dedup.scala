@@ -639,6 +639,62 @@ object Dedup {
       }
       .start()
 
+  /** Integrity report for a persisted near-dup index — the check an
+    * operator runs before trusting a store that outlived crashes,
+    * appends, deletes, and merges. One row:
+    *  - n_docs — distinct sketch docs;
+    *  - structure_ok — exactly one sketch row per doc AND exactly
+    *    `bands` band rows per sketch doc (a torn append leaves a doc
+    *    with sketch rows but missing band rows: candidate-invisible —
+    *    the silent false-negative this check exists to surface);
+    *  - consistency_ok — the band-side and sketch-side doc sets are
+    *    EQUAL (an orphan band row yields candidates that can never
+    *    verify; an orphan sketch can never be found).
+    * Pure aggregation over the two signature tables — no text, no
+    * pair joins; safe to run at any corpus size. */
+  def nearDupIndexIntegrity(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val (_, _, bands) = readNearDupParams(spark, root)
+    val sk = spark.read.parquet(s"$root/sketches")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sk"))
+    val bd = spark.read.parquet(s"$root/bands")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bd"))
+    sk.join(bd, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("n_sk").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        (coalesce(sum(when(col("n_sk") =!= 1 ||
+            coalesce(col("n_bd"), lit(-1L)) =!= bands.toLong, 1L)
+          .otherwise(0L)), lit(0L)) === 0L).as("structure_ok"),
+        (coalesce(sum(when(col("n_sk").isNull || col("n_bd").isNull, 1L)
+          .otherwise(0L)), lit(0L)) === 0L).as("consistency_ok"))
+      .select(lit("neardup").as("store"), col("n_docs"),
+        col("structure_ok"), col("consistency_ok"))
+  }
+
+  /** [[nearDupIndexIntegrity]] for the hamming chunk store: exactly
+    * maxHamming+1 chunk rows per doc (a missing chunk breaks the
+    * pigeonhole guarantee — FALSE NEGATIVES for pairs whose only
+    * intact shared chunk was the lost one) and exactly one distinct
+    * signature per doc (two sigs under one id make delete/search
+    * ambiguous). */
+  def hammingIndexIntegrity(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val maxHamming = readHammingParams(spark, root)
+    spark.read.parquet(s"$root/chunks")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("sig")).as("n_sigs"))
+      .agg(count(lit(1)).as("n_docs"),
+        (coalesce(sum(when(col("n_rows") =!= (maxHamming + 1).toLong, 1L)
+          .otherwise(0L)), lit(0L)) === 0L).as("structure_ok"),
+        (coalesce(sum(when(col("n_sigs") =!= 1L, 1L).otherwise(0L)),
+          lit(0L)) === 0L).as("consistency_ok"))
+      .select(lit("hamming").as("store"), col("n_docs"),
+        col("structure_ok"), col("consistency_ok"))
+  }
+
   /** Near-dup pairs ACROSS two persisted indexes, from signature state
     * alone — the federation primitive for merging two independently-
     * curated corpora: each side was deduped internally when its index

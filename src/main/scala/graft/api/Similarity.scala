@@ -853,6 +853,36 @@ object Similarity {
       }
       .start()
 
+  /** Integrity report for a persisted IVF index
+    * ([[graft.api.Dedup.nearDupIndexIntegrity]] for the cell store):
+    * one row with n_docs (distinct ids), structure_ok (each id stored
+    * exactly once — an at-least-once replay through the blind
+    * [[appendStreamToIvfIndex]] path duplicates rows — and every cell
+    * id inside [0, cells)), and consistency_ok (the stored norm
+    * matches the embedding it rides with, to the 6-decimal grid — a
+    * corrupted norm silently skews every cosine the index serves).
+    * One aggregation over the vectors table; no pair joins. */
+  def ivfIndexIntegrity(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val root = resolveIndexRoot(spark, path)
+    val cells = readCentroids(spark, root).length
+    val v = spark.read.parquet(s"$root/vectors")
+    val perDoc = v.groupBy("vec_id").agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_docs"),
+        (coalesce(sum(when(col("n_rows") =!= 1L, 1L).otherwise(0L)),
+          lit(0L)) === 0L).as("ids_unique"))
+    val rowChecks = v.agg(
+      (coalesce(sum(when(col("cell") < 0 || col("cell") >= cells, 1L)
+        .otherwise(0L)), lit(0L)) === 0L).as("cells_in_range"),
+      (coalesce(sum(when(round(col("nrm"), 6) =!=
+          round(norm(col("embedding")), 6), 1L)
+        .otherwise(0L)), lit(0L)) === 0L).as("norms_match"))
+    perDoc.crossJoin(rowChecks)
+      .select(lit("ivf").as("store"), col("n_docs"),
+        (col("ids_unique") && col("cells_in_range")).as("structure_ok"),
+        col("norms_match").as("consistency_ok"))
+  }
+
   /** Delete vectors from a persisted IVF index by id — the lifecycle
     * step between append and rebuild. Touches ONLY the cells that
     * actually hold deleted ids: an id-column-pruned scan finds the

@@ -484,6 +484,36 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Index integrity reports — the check an operator runs before
+    // trusting a persisted store that outlived crashes, appends,
+    // deletes, and merges: one normalized row per store (n_docs,
+    // structure_ok, consistency_ok) over all three index families,
+    // built fresh from the fixture (near-dup over a corpus half with
+    // an append on top, hamming over simhashes of every doc, IVF over
+    // half the embeddings). Healthy stores must report exact counts
+    // and all-true booleans; IntegritySpec breaks each store
+    // surgically and pins the flags flipping.
+    "q174_index_integrity" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-integrity-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      def p(n: String) = new java.io.File(base, n).getAbsolutePath
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m4 = col("doc_id") % 4
+      graft.api.Dedup.buildNearDupIndex(docs.filter(m4 === 1), p("nd"))
+      graft.api.Dedup.appendToNearDupIndex(docs.filter(m4 === 2), p("nd"))
+      graft.api.Dedup.buildHammingIndex(
+        docs.select(col("doc_id"), simHash64(lower(col("text"))).as("sig")),
+        p("ham"))
+      val emb = Tables.embeddings(s, d)
+      graft.api.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), p("ivf"), cells = 4)
+      graft.api.Dedup.nearDupIndexIntegrity(s, p("nd"))
+        .unionByName(graft.api.Dedup.hammingIndexIntegrity(s, p("ham")))
+        .unionByName(graft.api.Similarity.ivfIndexIntegrity(s, p("ivf")))
+        .orderBy("store")
+    }),
+
     // The third suppressor: continuous MEDIA curation against the
     // persisted hamming index (q164/q168's contract for perceptual
     // signatures). Crafted 64-bit signatures make every pigeonhole
@@ -3080,6 +3110,16 @@ object Pipeline {
         |  (20, 'kept', NULL, NULL))
         |AS t(doc_id, verdict, match_id, distance)
         |ORDER BY doc_id""".stripMargin,
+    "q174_index_integrity" ->
+      """SELECT 'hamming' AS store, CAST(count(*) AS BIGINT) AS n_docs,
+        |       TRUE AS structure_ok, TRUE AS consistency_ok FROM documents
+        |UNION ALL
+        |SELECT 'ivf', CAST(count(*) AS BIGINT), TRUE, TRUE
+        |FROM embeddings WHERE vec_id % 2 = 0
+        |UNION ALL
+        |SELECT 'neardup', CAST(count(*) AS BIGINT), TRUE, TRUE
+        |FROM documents WHERE doc_id % 4 IN (1, 2)
+        |ORDER BY store""".stripMargin,
     "q172_hamming_suppress" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(batch AS INT) AS batch
         |FROM (VALUES (5, 1), (20, 1), (31, 2)) AS t(doc_id, batch)
