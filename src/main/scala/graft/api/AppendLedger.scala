@@ -1,0 +1,122 @@
+package graft.api
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-batch idempotence ledger for the suppressor index appends — the
+  * ingest `_commits` discipline (graft.ingest.Ingest staged publish)
+  * applied to the three persisted suppressor stores (MinHash near-dup,
+  * hamming chunk, IVF vector).
+  *
+  * Why: the suppressors' appends must be replay-idempotent (a crashed
+  * micro-batch re-runs), which used to be bought by diffing the batch
+  * against the ids already in the index on EVERY append — at 10⁹–10¹⁰
+  * indexed docs that is a multi-GB id-column scan + distinct per
+  * micro-batch, every few seconds in the streaming wrappers. The ledger
+  * makes the steady state O(batch): a batch's append transitions
+  * `_appends/<token>.intent` → append rows → `<token>.done`, so
+  *  - a FRESH batch (neither marker) appends BLINDLY — no index read at
+  *    all — because the intent marker written first proves no earlier
+  *    attempt can have landed rows;
+  *  - a REPLAY of a completed batch (done marker) skips in O(1);
+  *  - a replay of a batch that CRASHED inside its append window (intent
+  *    without done) takes the explicit repair path — the old id-diff,
+  *    now paid only after a genuine crash.
+  *
+  * The token is a content hash of the batch's id multiset (count plus
+  * two independent order-invariant xxhash64 sums — 128 bits, so a
+  * cross-batch collision is ~2⁻⁶⁴ per pair), which is also the
+  * suppressor contract's key: ids are globally unique across batches,
+  * so "same id set" = "same batch". Markers live under
+  * `path/_appends/`, OUTSIDE the versioned roots, so compaction and
+  * reindex (which rewrite `path/v<N>`) never drop them — a dropped done
+  * marker would send a replay down the blind path and duplicate rows.
+  * They are a few bytes per batch and are never vacuumed; deleting them
+  * manually forfeits replay idempotence for in-flight batches only
+  * (completed batches' rows are in the index; their replays would
+  * re-append — run the store's integrity report if markers were lost).
+  */
+private[graft] object AppendLedger {
+
+  sealed trait State
+  case object Fresh extends State
+  case object Repair extends State
+  case object Done extends State
+
+  /** Test-visible counters: PlanShapeSpec/StreamingDedupSpec pin that a
+    * replayed batch skips without scanning the index and that only a
+    * simulated crash takes the repair path. */
+  private[graft] val blindAppends = new AtomicLong
+  private[graft] val repairAppends = new AtomicLong
+  private[graft] val skippedAppends = new AtomicLong
+
+  /** Order-invariant digest of the batch's id column (one narrow
+    * aggregation over the already-materialized batch): count plus two
+    * independent xxhash64 sums, decimal-summed (ANSI long addition
+    * would overflow), folded through MD5 into a filename-safe token. */
+  def token(batch: DataFrame, idCol: String): String = {
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+    val r = batch.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(col(idCol)).cast("decimal(38,0)")), zero),
+      coalesce(sum(xxhash64(lit(0x9e3779b97f4a7c15L), col(idCol))
+        .cast("decimal(38,0)")), zero)
+    ).head()
+    val raw = s"${r.getLong(0)}|${r.getDecimal(1)}|${r.getDecimal(2)}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def marker(path: String, tok: String, kind: String) =
+    new Path(s"$path/_appends", s"$tok.$kind")
+
+  def state(spark: SparkSession, path: String, tok: String): State = {
+    val f = fs(spark, path)
+    if (f.exists(marker(path, tok, "done"))) Done
+    else if (f.exists(marker(path, tok, "intent"))) Repair
+    else Fresh
+  }
+
+  /** Write the intent marker — MUST complete before any append row
+    * lands, so a crash mid-append always leaves the repair signpost. */
+  def begin(spark: SparkSession, path: String, tok: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(marker(path, tok, "intent"), true)
+    out.close()
+  }
+
+  /** Flip intent → done once every table's append for the batch has
+    * fully landed. Done is created before intent is removed: a crash
+    * between the two leaves BOTH markers, and [[state]] checks done
+    * first, so the batch still reads as completed. */
+  def finish(spark: SparkSession, path: String, tok: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(marker(path, tok, "done"), true)
+    out.close()
+    f.delete(marker(path, tok, "intent"), false)
+    ()
+  }
+
+  /** The full append protocol: skip on done, blind-append on fresh,
+    * id-diff repair on a crashed window. `append(repair)` runs the
+    * store-specific writes; `repair = true` means rows from a previous
+    * attempt may already be present and the write must diff first. */
+  def appendOnce(spark: SparkSession, path: String, tok: String)
+                (append: Boolean => Unit): Unit =
+    state(spark, path, tok) match {
+      case Done =>
+        skippedAppends.incrementAndGet()
+        ()
+      case st =>
+        if (st == Fresh) begin(spark, path, tok)
+        (if (st == Fresh) blindAppends else repairAppends).incrementAndGet()
+        append(st == Repair)
+        finish(spark, path, tok)
+    }
+}

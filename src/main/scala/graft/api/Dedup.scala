@@ -423,19 +423,24 @@ object Dedup {
     * REPLAY-IDEMPOTENT (crash recovery re-runs a batch): the index
     * side of step 1 excludes entries whose doc_id is in the current
     * batch, so survivors a crashed attempt already appended can never
-    * suppress their own replay; the append writes only signatures
-    * MISSING from each signature table (sketches and bands repaired
-    * independently — a crash between the two appends must not leave a
-    * doc permanently candidate-invisible), so re-running a batch
-    * changes nothing. Requires globally-unique doc ids across batches
-    * — an id reused by a LATER batch would be silently treated as the
-    * replayed original.
+    * suppress their own replay; the append is gated by a per-batch
+    * idempotence marker ([[AppendLedger]], the ingest `_commits`
+    * pattern) — a replayed completed batch SKIPS the append in O(1), a
+    * fresh batch appends blindly with no index read at all, and only a
+    * batch that crashed INSIDE its append window takes the repair path
+    * (write only signatures missing from each signature table —
+    * sketches and bands repaired independently, a crash between the
+    * two appends must not leave a doc permanently candidate-invisible)
+    * — so re-running a batch changes nothing, and the steady state
+    * never pays the old per-batch whole-index id scan. Requires
+    * globally-unique doc ids across batches — an id reused by a LATER
+    * batch would be silently treated as the replayed original.
     *
     * Scale shape: index candidates via the banded equi-join (cost ∝
     * band collisions; the batch side is commit-sized, AQE broadcasts
     * it), within-batch pairs via the prefix-filtered PPJoin — never
-    * batch × corpus or batch × batch products; appends are anti-joins
-    * keyed on doc_id. Returns the surviving rows (original columns),
+    * batch × corpus or batch × batch products; appends are marker-
+    * gated O(batch) writes. Returns the surviving rows (original columns),
     * materialized BEFORE the index append so callers can write them
     * without re-planning over the grown index — consume the result,
     * then call [[releaseMaterialized]] on it (the streaming wrapper
@@ -452,10 +457,10 @@ object Dedup {
     // subplans — materialize once, release at exit (a stream calls
     // this per micro-batch; internal caches would pin blocks for the
     // stream's lifetime)
-    val b = batch.localCheckpoint()
-    val freshSets = shingleSets(b, idCol, textCol, shingle).localCheckpoint()
-    val freshBands = bandedSignatures(b, idCol, textCol, shingle,
-      hashes, bands).localCheckpoint()
+    val b = PlanAudit.checkpoint(batch)
+    val freshSets = PlanAudit.checkpoint(shingleSets(b, idCol, textCol, shingle))
+    val freshBands = PlanAudit.checkpoint(bandedSignatures(b, idCol, textCol,
+      shingle, hashes, bands))
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       // step 1 — against the index, minus this batch's own (replayed) ids
@@ -482,27 +487,40 @@ object Dedup {
         afterIndex.select(col(idCol).as("doc_id")), "doc_id")
       val dropped = pairsFromSets(aSets, threshold)
         .select(col("doc_b").as("__drop_id")).distinct()
-      val keep = afterIndex
-        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
-        .localCheckpoint()
-      // step 3 — repairing append: each signature table independently
-      // gets the survivor docs it is missing, sliced from the
-      // signatures already computed for this batch. keep is the
-      // caller's to consume and then releaseMaterialized — but on an
-      // append failure there is no caller holding it, so release here.
+      val keep = PlanAudit.checkpoint(afterIndex
+        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti"))
+      // step 3 — marker-gated append (AppendLedger): a fresh batch
+      // writes blindly, a replayed completed batch skips in O(1), and
+      // only a crash inside a previous append window pays the id-diff
+      // repair — each signature table independently gets the survivor
+      // docs it is missing, sliced from the signatures already computed
+      // for this batch. keep is the caller's to consume and then
+      // releaseMaterialized — but on an append failure there is no
+      // caller holding it, so release here.
       try {
         val keepIds = keep.select(col(idCol).as("doc_id"))
-        val haveSk = spark.read.parquet(s"$root/sketches")
-          .select(col("doc_id").as("__have")).distinct()
-        freshSets.join(keepIds, "doc_id")
-          .join(haveSk, col("doc_id") === col("__have"), "left_anti")
-          .write.mode("append").parquet(s"$root/sketches")
-        val haveBd = spark.read.parquet(s"$root/bands")
-          .select(col("doc_id").as("__have")).distinct()
-        freshBands.join(keepIds, "doc_id")
-          .join(haveBd, col("doc_id") === col("__have"), "left_anti")
-          .select(col("doc_id"), col("bkey"), col("band"))
-          .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+        AppendLedger.appendOnce(spark, path,
+            AppendLedger.token(b, idCol)) { repair =>
+          val sk = freshSets.join(keepIds, "doc_id")
+          (if (!repair) sk
+           else {
+             val haveSk = spark.read.parquet(s"$root/sketches")
+               .select(col("doc_id").as("__have")).distinct()
+             sk.join(haveSk, col("doc_id") === col("__have"), "left_anti")
+           }).write.mode("append").parquet(s"$root/sketches")
+          val bd = freshBands.join(keepIds, "doc_id")
+          (if (!repair) bd
+           else {
+             // a doc's band rows land in one job (all-or-nothing), so
+             // the band=0 partition alone carries the full have-set —
+             // the repair read prunes to 1/bands of the id rows
+             val haveBd = spark.read.parquet(s"$root/bands")
+               .filter(col("band") === 0)
+               .select(col("doc_id").as("__have")).distinct()
+             bd.join(haveBd, col("doc_id") === col("__have"), "left_anti")
+           }).select(col("doc_id"), col("bkey"), col("band"))
+            .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+        }
       } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
       keep
     } finally Seq(b, freshSets, freshBands).foreach(releaseCheckpoint)
@@ -540,8 +558,8 @@ object Dedup {
     val spark = batch.sparkSession
     val root = VersionedIndex.resolveRoot(spark, path)
     val (shingle, hashes, bands) = readNearDupParams(spark, root)
-    val b = batch.localCheckpoint()
-    val freshSets = shingleSets(b, idCol, textCol, shingle).localCheckpoint()
+    val b = PlanAudit.checkpoint(batch)
+    val freshSets = PlanAudit.checkpoint(shingleSets(b, idCol, textCol, shingle))
     var idxBestChk: Option[DataFrame] = None
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
@@ -562,12 +580,11 @@ object Dedup {
           min(struct((lit(1d) - col("jaccard")).as("negj"),
             col("doc_b").as("doc_b"))).as("w"))
         .select(col("doc_a"), col("w.doc_b").as("match_id"), col("score"))
-      val idxBest = bestMatch(verify(cand
+      val idxBest = PlanAudit.checkpoint(bestMatch(verify(cand
         .join(freshSets.select(col("doc_id").as("doc_a"),
           col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
         .join(idxSets.select(col("doc_id").as("doc_b"),
-          col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold))
-        .localCheckpoint()
+          col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold)))
       idxBestChk = Some(idxBest)
       val afterIndex =
         b.join(idxBest, b(idCol) === idxBest("doc_a"), "left_anti")
@@ -580,7 +597,7 @@ object Dedup {
           col("jaccard")))
       // materialize BEFORE the finally releases the inputs the lazy
       // plan reads; the result is the caller's to releaseMaterialized
-      b.select(col(idCol))
+      PlanAudit.checkpoint(b.select(col(idCol))
         .join(idxBest.select(col("doc_a").as(idCol),
           col("match_id").as("__im"), col("score").as("__is")), Seq(idCol), "left")
         .join(batchBest.select(col("doc_a").as(idCol),
@@ -590,8 +607,7 @@ object Dedup {
             .when(col("__bm").isNotNull, lit("batch_dup"))
             .otherwise(lit("kept")).as("verdict"),
           coalesce(col("__im"), col("__bm")).as("match_id"),
-          coalesce(col("__is"), col("__bs")).as("score"))
-        .localCheckpoint()
+          coalesce(col("__is"), col("__bs")).as("score")))
     } finally (Seq(b, freshSets) ++ idxBestChk).foreach(releaseCheckpoint)
   }
 
@@ -662,7 +678,8 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_bd"))
     sk.join(bd, Seq("doc_id"), "full_outer")
       .agg(
-        sum(when(col("n_sk").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        coalesce(sum(when(col("n_sk").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_docs"),
         (coalesce(sum(when(col("n_sk") =!= 1 ||
             coalesce(col("n_bd"), lit(-1L)) =!= bands.toLong, 1L)
           .otherwise(0L)), lit(0L)) === 0L).as("structure_ok"),
@@ -744,6 +761,25 @@ object Dedup {
           col("sh").as("sh_b"), col("n").as("n_b")), "doc_b"), threshold)
   }
 
+  /** Self-merge guard: `outPath` must not alias an input — plain string
+    * equality misses trailing slashes, relative-vs-absolute spellings,
+    * and scheme defaults, and an aliased overwrite clobbers an input
+    * index mid-read. Compares filesystem-qualified paths (scheme +
+    * authority + normalized absolute path). */
+  private def requireDistinctOutPath(
+      spark: org.apache.spark.sql.SparkSession,
+      outPath: String, pathA: String, pathB: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def q(p: String): Path = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(hp)
+    }
+    val out = q(outPath)
+    require(out != q(pathA) && out != q(pathB),
+      "merging an index onto itself would clobber an input mid-read — " +
+        "merge to a fresh path")
+  }
+
   private def requireDisjointIds(a: DataFrame, b: DataFrame,
                                  pathA: String, pathB: String): Unit = {
     val shared = a.select("doc_id").distinct()
@@ -770,9 +806,7 @@ object Dedup {
                           pathA: String, pathB: String, outPath: String,
                           threshold: Double = 0.8,
                           dedupAcross: Boolean = true): Long = {
-    require(outPath != pathA && outPath != pathB,
-      "merging an index onto itself would clobber an input mid-read — " +
-        "merge to a fresh path")
+    requireDistinctOutPath(spark, outPath, pathA, pathB)
     val rootA = VersionedIndex.resolveRoot(spark, pathA)
     val rootB = VersionedIndex.resolveRoot(spark, pathB)
     val pA = readNearDupParams(spark, rootA)
@@ -993,8 +1027,13 @@ object Dedup {
     * maxHamming of an ALREADY-indexed doc (batch ids excluded from
     * the index side for replay safety), then drop within-batch
     * signatures with a strictly-lower-id neighbor within the bound,
-    * then append the survivors' chunk rows — only those missing from
-    * the chunk store, so a crashed batch replays as a no-op. Input is
+    * then append the survivors' chunk rows behind a per-batch
+    * idempotence marker ([[AppendLedger]]) — a replayed completed
+    * batch skips the append in O(1), a fresh batch writes blindly with
+    * no index read, and only a crash inside a previous append window
+    * pays the id-diff repair (itself pruned to the chunk=0 partition:
+    * a doc's chunk rows land in one all-or-nothing job, so chunk 0
+    * alone carries the full have-set). Input is
     * an (idCol, sigCol) frame — media decode happens upstream
     * ([[graft.multimodal.Multimodal.imageDHash]] etc.); this pass
     * never touches bytes. Candidates are pigeonhole (chunk, cval)
@@ -1006,9 +1045,9 @@ object Dedup {
     val spark = batch.sparkSession
     val root = VersionedIndex.resolveRoot(spark, path)
     val maxHamming = readHammingParams(spark, root)
-    val b = batch.localCheckpoint()
+    val b = PlanAudit.checkpoint(batch)
     val freshChunks =
-      sigChunks(b, idCol, sigCol, maxHamming).localCheckpoint()
+      PlanAudit.checkpoint(sigChunks(b, idCol, sigCol, maxHamming))
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       val idxChunks = spark.read.parquet(s"$root/chunks")
@@ -1026,16 +1065,22 @@ object Dedup {
             col("b.doc_id") < col("a.doc_id"))
         .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
         .select(col("a.doc_id").as("__drop_id")).distinct()
-      val keep = afterIndex
-        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
-        .localCheckpoint()
+      val keep = PlanAudit.checkpoint(afterIndex
+        .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti"))
       try {
-        val have = spark.read.parquet(s"$root/chunks")
-          .select(col("doc_id").as("__have")).distinct()
-        freshChunks.join(keep.select(col(idCol).as("doc_id")), "doc_id")
-          .join(have, col("doc_id") === col("__have"), "left_anti")
-          .select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
-          .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
+        AppendLedger.appendOnce(spark, path,
+            AppendLedger.token(b, idCol)) { repair =>
+          val rows = freshChunks
+            .join(keep.select(col(idCol).as("doc_id")), "doc_id")
+          (if (!repair) rows
+           else {
+             val have = spark.read.parquet(s"$root/chunks")
+               .filter(col("chunk") === 0)
+               .select(col("doc_id").as("__have")).distinct()
+             rows.join(have, col("doc_id") === col("__have"), "left_anti")
+           }).select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
+            .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
+        }
       } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
       keep
     } finally Seq(b, freshChunks).foreach(releaseCheckpoint)
@@ -1056,9 +1101,9 @@ object Dedup {
     val spark = batch.sparkSession
     val root = VersionedIndex.resolveRoot(spark, path)
     val maxHamming = readHammingParams(spark, root)
-    val b = batch.localCheckpoint()
+    val b = PlanAudit.checkpoint(batch)
     val freshChunks =
-      sigChunks(b, idCol, sigCol, maxHamming).localCheckpoint()
+      PlanAudit.checkpoint(sigChunks(b, idCol, sigCol, maxHamming))
     var idxBestChk: Option[DataFrame] = None
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
@@ -1070,13 +1115,13 @@ object Dedup {
           col("w.hamming").as("distance"))
       val idxChunks = spark.read.parquet(s"$root/chunks")
         .join(bIds, col("doc_id") === col("__bid"), "left_anti")
-      val idxBest = bestMatch(freshChunks.as("a").join(idxChunks.as("b"),
+      val idxBest = PlanAudit.checkpoint(
+        bestMatch(freshChunks.as("a").join(idxChunks.as("b"),
           col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("mid"),
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= maxHamming))
-        .localCheckpoint()
+        .filter(col("hamming") <= maxHamming)))
       idxBestChk = Some(idxBest)
       val afterIndex =
         b.join(idxBest, b(idCol) === idxBest("doc_id"), "left_anti")
@@ -1089,7 +1134,7 @@ object Dedup {
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= maxHamming))
-      b.select(col(idCol))
+      PlanAudit.checkpoint(b.select(col(idCol))
         .join(idxBest.select(col("doc_id").as(idCol),
           col("match_id").as("__im"), col("distance").as("__id")), Seq(idCol), "left")
         .join(batchBest.select(col("doc_id").as(idCol),
@@ -1099,8 +1144,7 @@ object Dedup {
             .when(col("__bm").isNotNull, lit("batch_dup"))
             .otherwise(lit("kept")).as("verdict"),
           coalesce(col("__im"), col("__bm")).as("match_id"),
-          coalesce(col("__id"), col("__bd")).as("distance"))
-        .localCheckpoint()
+          coalesce(col("__id"), col("__bd")).as("distance")))
     } finally (Seq(b, freshChunks) ++ idxBestChk).foreach(releaseCheckpoint)
   }
 
@@ -1176,9 +1220,7 @@ object Dedup {
   def mergeHammingIndexes(spark: org.apache.spark.sql.SparkSession,
                           pathA: String, pathB: String, outPath: String,
                           dedupAcross: Boolean = true): Long = {
-    require(outPath != pathA && outPath != pathB,
-      "merging an index onto itself would clobber an input mid-read — " +
-        "merge to a fresh path")
+    requireDistinctOutPath(spark, outPath, pathA, pathB)
     val rootA = VersionedIndex.resolveRoot(spark, pathA)
     val rootB = VersionedIndex.resolveRoot(spark, pathB)
     val hA = readHammingParams(spark, rootA)
@@ -1685,10 +1727,11 @@ object Dedup {
     * based-on version first, so a cross-process racing append FAILS
     * LOUDLY (IllegalStateException; retry it) instead of silently
     * dropping the other writer's ids — the false-negative hazard a
-    * plain read-merge-write file has. Residual window: the re-check
-    * and the rename are two filesystem ops, so two processes landing
-    * inside that sub-ms window can still race; single-writer-per-path
-    * processes (e.g. the ingest commit loop) are the supported shape.
+    * plain read-merge-write file has. The stage-recheck-commit
+    * sequence itself runs under an exclusive-create `_lock` file, so
+    * two processes cannot land inside the check-then-rename window
+    * and both commit; a crashed holder leaves a stale `_lock` to
+    * remove manually (loud bounded-wait failure, never silent theft).
     * Superseded versions accumulate until [[vacuumSeenFilter]].
     *
     * Sharding (`shards` > 1) bounds PER-FILTER driver memory for
@@ -1785,20 +1828,22 @@ object Dedup {
           s"(${b.shards}, ${b.items}, ${b.fpp}) — Bloom bit arrays are " +
           "not bit-compatible; rebuild one side to match")
       a.filters.zip(b.filters).foreach { case (fa, fb) => fa.mergeInPlace(fb) }
-      val next = VersionedIndex.nextVersion(spark, outPath)
-      writeSeenVersion(spark, outPath, next, a.shards, a.items, a.fpp,
-        a.filters)
-      if (currentAt(outPath) != based) {
-        import org.apache.hadoop.fs.Path
-        val base = new Path(outPath)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new Path(base, next), true)
-        throw new IllegalStateException(
-          s"concurrent seen-filter write at $outPath during merge: based " +
-            s"on ${based.getOrElse("<none>")} — committing would drop the " +
-            "racer's ids; retry the merge")
+      withSeenPathLock(spark, outPath) {
+        val next = VersionedIndex.nextVersion(spark, outPath)
+        writeSeenVersion(spark, outPath, next, a.shards, a.items, a.fpp,
+          a.filters)
+        if (currentAt(outPath) != based) {
+          import org.apache.hadoop.fs.Path
+          val base = new Path(outPath)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new Path(base, next), true)
+          throw new IllegalStateException(
+            s"concurrent seen-filter write at $outPath during merge: based " +
+              s"on ${based.getOrElse("<none>")} — committing would drop the " +
+              "racer's ids; retry the merge")
+        }
+        VersionedIndex.commitPointer(spark, outPath, next)
       }
-      VersionedIndex.commitPointer(spark, outPath, next)
     }
 
   /** True when a committed filter exists at `path`. */
@@ -1851,11 +1896,49 @@ object Dedup {
   }
 
   /** Per-path append locks: in-process writers serialize here; the CAS
-    * on the `_current` pointer catches cross-process racers. */
+    * on the `_current` pointer plus [[withSeenPathLock]] catch
+    * cross-process racers. */
   private val seenFilterLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def seenLock(path: String): Object =
     seenFilterLocks.computeIfAbsent(path, _ => new Object)
+
+  /** Cross-process critical section for the seen filter's
+    * stage-recheck-commit sequence: an exclusive-create `_lock` file
+    * under `path` (atomic on HDFS; effectively so on local FS), held
+    * across version numbering, the staged write, the based-on recheck,
+    * and the pointer rename — closing the check-then-rename window two
+    * processes could previously land inside (both would commit and one
+    * append's ids silently dropped, the false negative the filter
+    * contract forbids). Bounded wait, then a LOUD failure: a crashed
+    * holder leaves a stale `_lock`, which an operator must remove
+    * manually after confirming no writer is live — deadlocking a
+    * correctness-critical writer beats silently stealing a live
+    * holder's lock. */
+  private def withSeenPathLock[T](spark: org.apache.spark.sql.SparkSession,
+                                  path: String)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    val lock = new Path(base, "_lock")
+    var acquired = false
+    var attempts = 0
+    while (!acquired) {
+      try { fs.create(lock, false).close(); acquired = true }
+      catch {
+        case _: java.io.IOException =>
+          attempts += 1
+          if (attempts >= 100) throw new IllegalStateException(
+            s"could not acquire seen-filter lock $lock after ~10 s — " +
+              "another writer holds it, or a crashed writer left it " +
+              "behind (remove the stale _lock manually after confirming " +
+              "no writer is live)")
+          Thread.sleep(100)
+      }
+    }
+    try body finally { fs.delete(lock, false); () }
+  }
 
   private[graft] final case class SeenFilterState(
       version: String, shards: Int, items: Long, fpp: Double,
@@ -1923,21 +2006,22 @@ object Dedup {
     * staged version and fail loudly — ids were NOT lost (the racer's
     * commit stands; this append must retry on a fresh read). */
   private[graft] def commitSeenVersion(spark: org.apache.spark.sql.SparkSession,
-                                path: String, st: SeenFilterState): Unit = {
-    import org.apache.hadoop.fs.Path
-    val next = VersionedIndex.nextVersion(spark, path)
-    writeSeenVersion(spark, path, next, st.shards, st.items, st.fpp, st.filters)
-    val cur = VersionedIndex.resolveRoot(spark, path).stripPrefix(s"$path/")
-    if (cur != st.version) {
-      val base = new Path(path)
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(base, next), true)
-      throw new IllegalStateException(
-        s"concurrent seen-filter append at $path: based on ${st.version}, " +
-          s"now $cur — retry the append (no ids were lost)")
+                                path: String, st: SeenFilterState): Unit =
+    withSeenPathLock(spark, path) {
+      import org.apache.hadoop.fs.Path
+      val next = VersionedIndex.nextVersion(spark, path)
+      writeSeenVersion(spark, path, next, st.shards, st.items, st.fpp, st.filters)
+      val cur = VersionedIndex.resolveRoot(spark, path).stripPrefix(s"$path/")
+      if (cur != st.version) {
+        val base = new Path(path)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base, next), true)
+        throw new IllegalStateException(
+          s"concurrent seen-filter append at $path: based on ${st.version}, " +
+            s"now $cur — retry the append (no ids were lost)")
+      }
+      VersionedIndex.commitPointer(spark, path, next)
     }
-    VersionedIndex.commitPointer(spark, path, next)
-  }
 
   private[graft] def readSeenState(spark: org.apache.spark.sql.SparkSession,
                             path: String): SeenFilterState = {

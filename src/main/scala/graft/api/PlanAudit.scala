@@ -1,0 +1,22 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint shim that makes the suppressor family's INNER plan shapes
+  * auditable. The suppressors `localCheckpoint()` every stage (their
+  * per-micro-batch lifecycle needs eager materialization + release), so
+  * the frames a caller can `.explain()` show only `Scan ExistingRDD` —
+  * which is exactly how an O(batch²) candidate join once shipped with no
+  * plan test able to see it. Every suppressor-stage materialization now
+  * routes through [[checkpoint]]; PlanShapeSpec installs a [[probe]] to
+  * capture each stage's REAL physical plan (pre-checkpoint) and pins
+  * banded/cell-keyed candidate joins — no BroadcastNestedLoopJoin, no
+  * CartesianProduct. Production cost: one volatile read per stage. */
+private[graft] object PlanAudit {
+  @volatile private[graft] var probe: Option[DataFrame => Unit] = None
+
+  def checkpoint(df: DataFrame): DataFrame = {
+    probe.foreach(_(df))
+    df.localCheckpoint()
+  }
+}

@@ -618,24 +618,33 @@ object Similarity {
     *     excluded from the index side for replay safety) clears
     *     `threshold`;
     *  2. among the remainder, drop every vector with a
-    *     strictly-lower-id near-dup in the remainder (exact pairwise
-    *     over the commit-sized batch — survivors are an independent
-    *     set);
-    *  3. append the survivors under the FROZEN quantizer, writing only
-    *     ids missing from their assigned cells (the replay repair),
-    *     so a re-run of a crashed batch changes nothing.
+    *     strictly-lower-id near-dup in the remainder, candidates
+    *     CELL-KEYED under the frozen quantizer: the lower-id vector
+    *     plays the indexed role at its assigned cell, the higher-id
+    *     vector probes its `nprobe` nearest cells — the exact geometry
+    *     step 1 applies to the real index, as if the batch had arrived
+    *     one row at a time;
+    *  3. append the survivors under the FROZEN quantizer; a per-batch
+    *     idempotence marker (content-hash of the batch's id set, the
+    *     ingest `_commits` pattern) makes a replayed batch skip the
+    *     append in O(1), and a crash INSIDE a previous append window
+    *     falls back to the id-diff repair (write only ids missing from
+    *     their assigned cells) — so a re-run changes nothing.
     *
     * Null-embedding rows pass through unsuppressed and unindexed (no
     * evidence either way); zero-norm vectors never flag (cosine
     * defined 0). Approximate by IVF geometry at nprobe < cells — a
-    * near-copy assigned to an unprobed cell is missed; exhaustive at
-    * nprobe = cells (what makes the q168 oracle exact). Cosines round
-    * to the file-wide 6-decimal grid BEFORE thresholding, engine-
-    * portably. Scale shape: the flag pass reads only probed cells and
-    * scores only cell-colocated pairs; the within-batch product is
-    * bounded by commit size (AQE broadcasts it); the append repair
-    * reads only the batch's assigned cells' id columns. Returns the
-    * surviving rows, materialized before the append. */
+    * near-copy assigned to an unprobed cell is missed, in step 2
+    * exactly as in step 1; exhaustive at nprobe = cells (what makes
+    * the q168 oracle exact). Cosines round to the file-wide 6-decimal
+    * grid BEFORE thresholding, engine-portably. Scale shape: the flag
+    * pass reads only probed cells and scores only cell-colocated
+    * pairs; the within-batch pass is the SAME cell-keyed equi-join —
+    * never an O(batch²) pairwise product, which at the engine's 1M-row
+    * default commit size would mean 10¹² cosine pairs per micro-batch;
+    * the append is marker-gated, so the steady state never re-reads
+    * indexed ids. Returns the surviving rows, materialized before the
+    * append. */
   def semanticSuppressAndIndex(batch: DataFrame, path: String,
                                threshold: Double = 0.9, nprobe: Int = 2,
                                idCol: String = "vec_id",
@@ -646,15 +655,15 @@ object Similarity {
     val centroids = readCentroids(spark, root)
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}]")
-    // the batch and its scored projection each feed 2+ subplans
-    // (probed-cells collect + flag join; both sides of the pairwise
-    // self-join; assigned-cells collect + append) — materialize once,
+    // the batch and its probed/assigned projections each feed 2+
+    // subplans (probed-cells collect + flag join; both sides of the
+    // cell-keyed within-batch join; the append) — materialize once,
     // release at exit, like the text-side twin
-    val b = batch.localCheckpoint()
-    val q = withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
-      .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
-        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
-      .localCheckpoint()
+    val b = PlanAudit.checkpoint(batch)
+    val q = PlanAudit.checkpoint(
+      withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
+        .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
+          explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell")))
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -668,39 +677,56 @@ object Similarity {
         .select(col("vec_id").as("__dup_id")).distinct()
       val afterIndex =
         b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
-      val aScored = withNorm(afterIndex.filter(col(vecCol).isNotNull),
-        idCol, vecCol).localCheckpoint()
+      // step-1 survivors at their ASSIGNED cell — the indexed role for
+      // the within-batch pass, and (restricted to the final survivors)
+      // exactly the rows the append writes
+      val aAssigned = PlanAudit.checkpoint(
+        withNorm(afterIndex.filter(col(vecCol).isNotNull), idCol, vecCol)
+          .withColumn("cell", nearestCell(col("embedding"), centroids)))
       val keep =
         try {
-          val dropped = aScored.as("x").join(aScored.as("y"),
-              col("y.vec_id") < col("x.vec_id") &&
+          // step 2 — cell-keyed, never pairwise: the higher-id side
+          // probes via the assignments already computed in q; the
+          // lower-id side sits at its assigned cell, as if indexed
+          val xProbe = q.join(
+            afterIndex.select(col(idCol).as("vec_id")), Seq("vec_id"))
+          val dropped = xProbe.as("x").join(aAssigned.as("y"),
+              col("x.cell") === col("y.cell") &&
+                col("y.vec_id") < col("x.vec_id") &&
                 round(cosinePrenormed(
-                  dot(col("x.embedding"), col("y.embedding")),
-                  col("x.nrm"), col("y.nrm")), 6) >= threshold)
+                  dot(col("x.ea"), col("y.embedding")),
+                  col("x.na"), col("y.nrm")), 6) >= threshold)
             .select(col("x.vec_id").as("__drop_id")).distinct()
-          afterIndex
-            .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti")
-            .localCheckpoint()
-        } finally Dedup.releaseCheckpoint(aScored)
+          PlanAudit.checkpoint(afterIndex
+            .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti"))
+        } catch {
+          case t: Throwable => Dedup.releaseCheckpoint(aAssigned); throw t
+        }
       // keep is the caller's to consume then releaseMaterialized; on
       // an append failure no caller holds it — release here
       try {
-        val toIndex = withNorm(keep.filter(col(vecCol).isNotNull),
-            idCol, vecCol)
-          .withColumn("cell", nearestCell(col("embedding"), centroids))
-          .localCheckpoint()
-        try {
-          val assigned =
-            toIndex.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-          val have = spark.read.parquet(s"$root/vectors")
-            .filter(if (assigned.isEmpty) lit(false)
-                    else col("cell").isin(assigned: _*))
-            .select(col("vec_id").as("__have")).distinct()
-          toIndex.join(have, col("vec_id") === col("__have"), "left_anti")
-            .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        val toIndex = aAssigned.join(
+          keep.select(col(idCol).as("vec_id")), Seq("vec_id"))
+        AppendLedger.appendOnce(spark, path,
+            AppendLedger.token(b, idCol)) { repair =>
+          val rows =
+            if (!repair) toIndex
+            else {
+              // crash-window repair: write only ids missing from their
+              // assigned cells (cell-pruned id-column read)
+              val assigned = toIndex.select("cell").distinct()
+                .collect().map(_.getInt(0)).toSeq
+              val have = spark.read.parquet(s"$root/vectors")
+                .filter(if (assigned.isEmpty) lit(false)
+                        else col("cell").isin(assigned: _*))
+                .select(col("vec_id").as("__have")).distinct()
+              toIndex.join(have, col("vec_id") === col("__have"), "left_anti")
+            }
+          rows.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
             .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
-        } finally Dedup.releaseCheckpoint(toIndex)
+        }
       } catch { case t: Throwable => Dedup.releaseCheckpoint(keep); throw t }
+      finally Dedup.releaseCheckpoint(aAssigned)
       keep
     } finally Seq(b, q).foreach(Dedup.releaseCheckpoint)
   }
@@ -712,7 +738,10 @@ object Similarity {
     * lowest match id), no side effects. Null-embedding rows report
     * 'kept' with null evidence (no evidence either way — exactly the
     * real pass's passthrough). Approximate by the same nprobe
-    * geometry as the real pass; exhaustive at nprobe = cells (what
+    * geometry as the real pass — in BOTH stages: the within-batch
+    * candidates are the same cell-keyed join (lower-id side at its
+    * assigned cell, higher-id side probing nprobe cells), never an
+    * O(batch²) pairwise product; exhaustive at nprobe = cells (what
     * makes the q171 oracle exact). Distinct 6-decimal cosines differ
     * by ≥ 1e-6, far above the (1 − cos) subtraction's ulp, so the
     * argmax tie rule resolves identically to the oracle's
@@ -727,11 +756,11 @@ object Similarity {
     val centroids = readCentroids(spark, root)
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}]")
-    val b = batch.localCheckpoint()
-    val q = withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
-      .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
-        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
-      .localCheckpoint()
+    val b = PlanAudit.checkpoint(batch)
+    val q = PlanAudit.checkpoint(
+      withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
+        .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
+          explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell")))
     var idxBestChk: Option[DataFrame] = None
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
@@ -747,26 +776,32 @@ object Similarity {
           min(struct((lit(1d) - col("cos")).as("negc"),
             col("mid").as("mid"))).as("w"))
         .select(col("vec_id"), col("w.mid").as("match_id"), col("score"))
-      val idxBest = bestMatch(q.join(index, Seq("cell"))
+      val idxBest = PlanAudit.checkpoint(bestMatch(q.join(index, Seq("cell"))
         .withColumn("cos", round(cosinePrenormed(dot(col("ea"), col("eb")),
           col("na"), col("nb")), 6))
         .filter(col("cos") >= threshold)
-        .select(col("vec_id"), col("__iid").as("mid"), col("cos")))
-        .localCheckpoint()
+        .select(col("vec_id"), col("__iid").as("mid"), col("cos"))))
       idxBestChk = Some(idxBest)
       val afterIndex =
         b.join(idxBest, b(idCol) === idxBest("vec_id"), "left_anti")
-      val aScored = withNorm(afterIndex.filter(col(vecCol).isNotNull),
-        idCol, vecCol)
-      val batchBest = bestMatch(aScored.as("x").join(aScored.as("y"),
-          col("y.vec_id") < col("x.vec_id"))
+      // within-batch candidates: the real pass's cell-keyed geometry —
+      // lower-id side at its assigned cell, higher-id side probing via
+      // the q assignments (each pair appears at most once: y has ONE
+      // assigned cell, so max/min argmax aggregates are unaffected)
+      val aAssigned = withNorm(afterIndex.filter(col(vecCol).isNotNull),
+          idCol, vecCol)
+        .withColumn("cell", nearestCell(col("embedding"), centroids))
+      val xProbe = q.join(
+        afterIndex.select(col(idCol).as("vec_id")), Seq("vec_id"))
+      val batchBest = bestMatch(xProbe.as("x").join(aAssigned.as("y"),
+          col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
         .withColumn("cos", round(cosinePrenormed(
-          dot(col("x.embedding"), col("y.embedding")),
-          col("x.nrm"), col("y.nrm")), 6))
+          dot(col("x.ea"), col("y.embedding")),
+          col("x.na"), col("y.nrm")), 6))
         .filter(col("cos") >= threshold)
         .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("mid"),
           col("cos")))
-      b.select(col(idCol))
+      PlanAudit.checkpoint(b.select(col(idCol))
         .join(idxBest.select(col("vec_id").as(idCol),
           col("match_id").as("__im"), col("score").as("__is")), Seq(idCol), "left")
         .join(batchBest.select(col("vec_id").as(idCol),
@@ -776,8 +811,7 @@ object Similarity {
             .when(col("__bm").isNotNull, lit("batch_dup"))
             .otherwise(lit("kept")).as("verdict"),
           coalesce(col("__im"), col("__bm")).as("match_id"),
-          coalesce(col("__is"), col("__bs")).as("score"))
-        .localCheckpoint()
+          coalesce(col("__is"), col("__bs")).as("score")))
     } finally (Seq(b, q) ++ idxBestChk).foreach(Dedup.releaseCheckpoint)
   }
 
