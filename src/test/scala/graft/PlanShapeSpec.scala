@@ -351,4 +351,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "triangle two-hop joins must be hash equi-joins")
   }
+
+  // --- suppressor family INNER plan shapes (VERDICT r10 #4) ---
+  // The suppressors localCheckpoint() every stage, so their returned
+  // frames dump as `Scan ExistingRDD` — which is exactly how an
+  // O(batch²) within-batch candidate join once shipped invisible to
+  // this spec. Every suppressor stage now materializes through
+  // PlanAudit.checkpoint; capturing the pre-checkpoint plans pins the
+  // candidate stages (banded / cell-keyed / chunk-keyed equi-joins) of
+  // the whole family: no BroadcastNestedLoopJoin, no CartesianProduct
+  // anywhere in any stage.
+  private def capturedPlans(run: => Unit): Seq[String] = {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.api.PlanAudit.probe =
+      Some(df => captured.synchronized {
+        captured += df.queryExecution.executedPlan.toString; ()
+      })
+    try run finally graft.api.PlanAudit.probe = None
+    captured.synchronized(captured.toSeq)
+  }
+
+  for (q <- Seq("q164_streaming_neardup_suppress",
+      "q168_streaming_semantic_suppress", "q170_suppress_explain",
+      "q171_semantic_suppress_explain", "q172_hamming_suppress",
+      "q173_hamming_suppress_explain"))
+    test(s"$q inner stages are keyed equi-joins — no product anywhere") {
+      val plans = capturedPlans {
+        SparkEntry.queries(q)(spark, sf).queryExecution.toRdd.count()
+      }
+      assert(plans.nonEmpty, "PlanAudit captured no stages — did the " +
+        "suppressors stop routing through PlanAudit.checkpoint?")
+      plans.foreach { p =>
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q stage regressed to a product join:\n${p.take(3000)}")
+      }
+    }
 }

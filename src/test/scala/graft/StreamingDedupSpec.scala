@@ -385,6 +385,126 @@ class StreamingDedupSpec extends AnyFunSuite {
       Dedup.crossIndexNearDupPairs(spark, p("a"), p("shared")).count())
   }
 
+  test("append ledger: replay skips with NO index read; a crash window repairs exactly-once") {
+    import graft.api.AppendLedger
+    val idx = freshIndex()
+    val batch = docsDF(5L -> words("pair"), 20L -> words("unique"))
+    def counts(): (Long, Long) = (
+      spark.read.parquet(s"$idx/sketches").count(),
+      spark.read.parquet(s"$idx/bands").count())
+    val (blind0, repair0, skip0) = (AppendLedger.blindAppends.get,
+      AppendLedger.repairAppends.get, AppendLedger.skippedAppends.get)
+    val first = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // fresh batch: the BLIND path — no have-set scan of the index
+    assert(AppendLedger.blindAppends.get == blind0 + 1)
+    assert(AppendLedger.repairAppends.get == repair0)
+    val after = counts()
+    // replay of a completed batch: the done marker short-circuits in
+    // O(1) — neither the blind nor the repair path runs, so the index
+    // is not scanned and nothing is written
+    val replay = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == first)
+    assert(AppendLedger.skippedAppends.get == skip0 + 1)
+    assert(AppendLedger.blindAppends.get == blind0 + 1)
+    assert(AppendLedger.repairAppends.get == repair0,
+      "a clean replay must never pay the id-diff index scan")
+    assert(counts() == after)
+    // crash simulation: intent without done (a previous attempt died
+    // inside its append window) — the replay takes the repair path and
+    // heals to exactly-once rows
+    val tok = AppendLedger.token(docsDF(5L -> words("pair"),
+      20L -> words("unique")), "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_appends/$tok.done"), false)
+    AppendLedger.begin(spark, idx, tok)
+    val replay2 = Dedup.nearDupSuppressAndIndex(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay2 == first)
+    assert(AppendLedger.repairAppends.get == repair0 + 1)
+    assert(counts() == after, "the repair diff must re-append nothing")
+    // the healed store passes its own integrity report
+    val rep = Dedup.nearDupIndexIntegrity(spark, idx).head()
+    assert(rep.getBoolean(2) && rep.getBoolean(3))
+    // and a crash BEFORE any rows landed repairs by appending them all
+    val b2 = docsDF(40L -> words("forty"))
+    val tok2 = AppendLedger.token(b2, "doc_id")
+    AppendLedger.begin(spark, idx, tok2)
+    val kept2 = Dedup.nearDupSuppressAndIndex(b2, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(40L))
+    assert(AppendLedger.repairAppends.get == repair0 + 2)
+    assert(indexedIds(idx).contains(40L))
+  }
+
+  test("hamming append ledger: replay skips, crash window repairs") {
+    import spark.implicits._
+    import graft.api.AppendLedger
+    val dir = Files.createTempDirectory("graft-hamledger-spec").toString
+    val idx = s"$dir/index"
+    Dedup.buildHammingIndex(Seq((100L, 0L)).toDF("doc_id", "sig"), idx)
+    val batch = Seq((5L, 0x00FF00FF00FF00FFL), (20L, 0x5555555555555555L))
+      .toDF("doc_id", "sig")
+    val (blind0, repair0, skip0) = (AppendLedger.blindAppends.get,
+      AppendLedger.repairAppends.get, AppendLedger.skippedAppends.get)
+    Dedup.hammingSuppressAndIndex(batch, idx)
+    assert(AppendLedger.blindAppends.get == blind0 + 1)
+    val rows = spark.read.parquet(s"$idx/chunks").count()
+    Dedup.hammingSuppressAndIndex(batch, idx) // replay -> skip
+    assert(AppendLedger.skippedAppends.get == skip0 + 1)
+    assert(AppendLedger.repairAppends.get == repair0)
+    assert(spark.read.parquet(s"$idx/chunks").count() == rows)
+    // crash window -> chunk=0-pruned id diff, exactly-once rows
+    val tok = AppendLedger.token(batch, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_appends/$tok.done"), false)
+    AppendLedger.begin(spark, idx, tok)
+    Dedup.hammingSuppressAndIndex(batch, idx)
+    assert(AppendLedger.repairAppends.get == repair0 + 1)
+    assert(spark.read.parquet(s"$idx/chunks").count() == rows)
+    val rep = Dedup.hammingIndexIntegrity(spark, idx).head()
+    assert(rep.getBoolean(2) && rep.getBoolean(3))
+  }
+
+  test("semantic within-batch pass is cell-keyed: exhaustive at nprobe = cells") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-semcell-spec").toString
+    val idx = s"$dir/index"
+    def v(x: Float, y: Float): Array[Float] = {
+      val a = new Array[Float](8); a(0) = x; a(1) = y; a
+    }
+    // two tight axis clusters -> the 2-cell quantizer's centroids sit
+    // near e0 and e1
+    val corpus = Seq(100L -> v(1f, 0f), 101L -> v(0.99f, 0.01f),
+      102L -> v(0f, 1f), 103L -> v(0.01f, 0.99f)).toDF("vec_id", "embedding")
+    graft.api.Similarity.buildIvfIndex(corpus, idx, cells = 2)
+    // a boundary-straddling near-pair: cos(5, 6) ≈ 0.999 but 5 assigns
+    // to e0's cell and 6 to e1's; neither is within 0.9 of the corpus
+    val batch = Seq(5L -> v(0.72f, 0.69f), 6L -> v(0.69f, 0.72f))
+      .toDF("vec_id", "embedding")
+    val exhaustive = graft.api.Similarity.semanticSuppressExplain(
+        batch, idx, threshold = 0.9, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exhaustive(5L) == "kept")
+    assert(exhaustive(6L) == "batch_dup",
+      "at nprobe = cells the cell-keyed pass must still see cross-cell pairs")
+    // at nprobe = 1 the straddling pair may be missed — the SAME
+    // approximation contract the index flag pass has at nprobe < cells
+    val narrow = graft.api.Similarity.semanticSuppressExplain(
+        batch, idx, threshold = 0.9, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(narrow(5L) == "kept")
+    assert(narrow(6L) == "kept")
+    // the real pass enacts the exhaustive verdicts
+    val kept = graft.api.Similarity.semanticSuppressAndIndex(
+        batch, idx, threshold = 0.9, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L))
+  }
+
   test("compactIvfIndex: one file per cell, identical results; in-stream hook") {
     import spark.implicits._
     val idx = freshIvf()
