@@ -71,7 +71,24 @@ object Explain {
     "q171_semantic_suppress_explain", // cell-pruned cosine explain, same tie rule (r10)
     "q172_hamming_suppress", // pigeonhole chunk flag + within-batch, anti-join exits (r10)
     "q173_hamming_suppress_explain", // chunk-keyed min-distance argmin evidence (r10)
-    "q174_index_integrity") // one keyed agg per store, no pair joins (r10)
+    "q174_index_integrity",  // one keyed agg per store, no pair joins (r10)
+    "q175_sql_suppress_explain") // the explain table via the SQL TVF surface (r11)
+
+  /** Queries whose interesting plans are INSIDE the operator — every
+    * stage localCheckpoints, so the outer frame dumps as `Scan
+    * ExistingRDD` (VERDICT r10 #4). For these, the PlanAudit probe
+    * captures each stage's REAL pre-checkpoint plan and the dump
+    * appends them, so PLANS.md shows the candidate joins the scale
+    * story rests on. */
+  private val suppressorFamily = Set(
+    "q164_streaming_neardup_suppress", "q168_streaming_semantic_suppress",
+    "q170_suppress_explain", "q171_semantic_suppress_explain",
+    "q172_hamming_suppress", "q173_hamming_suppress_explain",
+    "q175_sql_suppress_explain")
+
+  private def cap(s: String): String = s.linesIterator
+    .map(l => if (l.length > 300) l.take(300) + " ...<truncated>" else l)
+    .mkString("\n")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -83,19 +100,34 @@ object Explain {
     println(s"\nScale factor dir: `$sfDir`. See scaladoc of graft.Explain for")
     println("what to look for; PlanShapeSpec asserts the load-bearing shapes.")
     headline.foreach { name =>
-      println(s"\n## $name\n")
-      println("```")
+      val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (suppressorFamily(name))
+        graft.api.PlanAudit.probe = Some(d => stages +=
+          d.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
       // queryExecution.explainString over df.explain: returns instead of
       // printing, so the output interleaves deterministically
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df =
+        try SparkEntry.queries(name)(spark, sfDir)
+        finally graft.api.PlanAudit.probe = None
+      println(s"\n## $name\n")
+      println("```")
       // cap line width: embedded sketch literals (q90's serialized bloom
       // filter) would otherwise put a 17 KB line in PLANS.md
-      println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        .linesIterator
-        .map(l => if (l.length > 300) l.take(300) + " ...<truncated>" else l)
-        .mkString("\n"))
+      println(cap(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)))
       println("```")
+      // later batches replay the same stage shapes over different data
+      // — the first batch's stages carry all the plan information
+      stages.take(6).zipWithIndex.foreach { case (p, i) =>
+        println(s"\n### $name inner stage ${i + 1}/${stages.length} (pre-checkpoint)\n")
+        println("```")
+        println(cap(p))
+        println("```")
+      }
+      if (stages.length > 6)
+        println(s"\n(${stages.length - 6} later-batch stages omitted - " +
+          "identical shapes to the first batch's)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions.expr._
 
@@ -86,6 +87,86 @@ object GraftSparkExtensions {
       NfcNormalize(args(0))
     })
 
-  def register(ext: SparkSessionExtensions): Unit =
+  private def strLit(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got: $other")
+  }
+
+  private def dblLit(fn: String, arg: String, e: Expression): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got: $other")
+  }
+
+  private def tvf(name: String, usage: String)(
+      builder: Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.api", null, name, usage, ""),
+      builder)
+
+  /** SQL TABLE functions — the suppressor family's dry-run decision
+    * tables for SQL-only users (`SELECT * FROM
+    * graft_suppress_explain('batch_view', '/path/to/index')`): every
+    * batch row's verdict (kept / index_dup / batch_dup) with best-match
+    * evidence, computed by the SAME operator the Scala API runs
+    * ([[graft.api.Dedup.nearDupSuppressExplain]] and twins), so SQL and
+    * API results are identical by construction. Dry-run ONLY — the
+    * mutating suppress-and-index passes stay API-level, where the
+    * caller owns the survivors' lifecycle; a SQL SELECT should never
+    * grow an index as a side effect. The batch argument names a
+    * table/view in the session catalog; index path and parameters must
+    * be literals (they resolve before planning). */
+  private val tableFunctions = Seq(
+    tvf("graft_suppress_explain",
+      "graft_suppress_explain(table, indexPath[, threshold]) - per-doc " +
+        "near-dup suppression verdicts (Jaccard) against a persisted index") { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_suppress_explain expects (table, indexPath[, threshold]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val batch = spark.table(strLit("graft_suppress_explain", "table", args(0)))
+      val threshold = if (args.length > 2)
+        dblLit("graft_suppress_explain", "threshold", args(2)) else 0.8
+      graft.api.Dedup.nearDupSuppressExplain(batch,
+        strLit("graft_suppress_explain", "indexPath", args(1)), threshold)
+        .queryExecution.logical
+    },
+    tvf("graft_semantic_suppress_explain",
+      "graft_semantic_suppress_explain(table, indexPath[, threshold[, nprobe]]) - " +
+        "per-vector cosine suppression verdicts against a persisted IVF index") { args =>
+      require(args.length >= 2 && args.length <= 4,
+        "graft_semantic_suppress_explain expects (table, indexPath[, threshold[, nprobe]]), " +
+          s"got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val batch = spark.table(
+        strLit("graft_semantic_suppress_explain", "table", args(0)))
+      val threshold = if (args.length > 2)
+        dblLit("graft_semantic_suppress_explain", "threshold", args(2)) else 0.9
+      val nprobe = if (args.length > 3)
+        intLit("graft_semantic_suppress_explain", "nprobe", args(3)) else 2
+      graft.api.Similarity.semanticSuppressExplain(batch,
+        strLit("graft_semantic_suppress_explain", "indexPath", args(1)),
+        threshold, nprobe).queryExecution.logical
+    },
+    tvf("graft_hamming_suppress_explain",
+      "graft_hamming_suppress_explain(table, indexPath) - per-signature " +
+        "hamming suppression verdicts against a persisted chunk index") { args =>
+      require(args.length == 2,
+        s"graft_hamming_suppress_explain expects (table, indexPath), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val batch = spark.table(
+        strLit("graft_hamming_suppress_explain", "table", args(0)))
+      graft.api.Dedup.hammingSuppressExplain(batch,
+        strLit("graft_hamming_suppress_explain", "indexPath", args(1)))
+        .queryExecution.logical
+    })
+
+  def register(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    tableFunctions.foreach(ext.injectTableFunction)
+  }
 }

@@ -90,4 +90,55 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.core.Tables.documents(s2, sf).createOrReplaceTempView("d2")
     assert(s2.sql("SELECT simhash64(text) AS h FROM d2 LIMIT 1").count() == 1)
   }
+
+  // --- suppressor explain TABLE functions (the q175 surface) ---
+
+  test("graft_semantic_suppress_explain TVF matches the Scala API") {
+    import spark.implicits._
+    def vec(axis: Int): Array[Float] = {
+      val v = new Array[Float](8); v(axis) = 1.0f; v
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqltvf-sem").toString
+    val idx = s"$dir/index"
+    graft.api.Similarity.buildIvfIndex(
+      Seq((100L, vec(0))).toDF("vec_id", "embedding"), idx, cells = 1)
+    Seq(1L -> vec(0), 5L -> vec(1), 6L -> vec(1), 20L -> vec(2))
+      .toDF("vec_id", "embedding")
+      .createOrReplaceTempView("sem_tvf_batch")
+    val viaSql = spark.sql("SELECT * FROM graft_semantic_suppress_explain(" +
+        s"'sem_tvf_batch', '$idx', 0.9, 1) ORDER BY vec_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val viaApi = graft.api.Similarity.semanticSuppressExplain(
+        spark.table("sem_tvf_batch"), idx, threshold = 0.9, nprobe = 1)
+      .orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.toMap.apply(6L) == "batch_dup")
+  }
+
+  test("graft_hamming_suppress_explain TVF matches the Scala API; dry-run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqltvf-ham").toString
+    val idx = s"$dir/index"
+    graft.api.Dedup.buildHammingIndex(
+      Seq((100L, 0L)).toDF("doc_id", "sig"), idx)
+    Seq((1L, 2L), (20L, 0x5555555555555555L)).toDF("doc_id", "sig")
+      .createOrReplaceTempView("ham_tvf_batch")
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_hamming_suppress_explain('ham_tvf_batch', '$idx')" +
+          " ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == Seq(1L -> "index_dup", 20L -> "kept"))
+    // a SQL SELECT must never grow the index
+    assert(spark.read.parquet(s"$idx/chunks").select("doc_id").distinct()
+      .count() == 1)
+  }
+
+  test("suppress-explain TVFs reject non-literal paths and bad arity") {
+    docs
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_suppress_explain('docs_sql')"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_hamming_suppress_explain('a', 'b', 'c')"))
+  }
 }
