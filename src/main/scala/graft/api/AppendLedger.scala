@@ -103,6 +103,32 @@ private[graft] object AppendLedger {
     ()
   }
 
+  /** The ledger's contents as (token, state) rows — operational
+    * visibility for the suppressor stores: a token in state 'intent'
+    * is a batch that CRASHED inside its append window and has not yet
+    * been replayed (its next replay takes the repair path); 'done'
+    * tokens are completed batches whose replays skip. An empty or
+    * missing ledger means no suppressor has appended at this path. */
+  def entries(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_appends")
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val names = f.listStatus(dir).map(_.getPath.getName).toSeq
+      val done = names.collect { case n if n.endsWith(".done") =>
+        n.stripSuffix(".done") }.toSet
+      names.flatMap {
+        case n if n.endsWith(".done") => Some(n.stripSuffix(".done") -> "done")
+        case n if n.endsWith(".intent") =>
+          val t = n.stripSuffix(".intent")
+          // finish() creates done before deleting intent — a crash
+          // between the two leaves both, and done wins
+          if (done(t)) None else Some(t -> "intent")
+        case _ => None
+      }.sorted
+    }
+  }
+
   /** The full append protocol: skip on done, blind-append on fresh,
     * id-diff repair on a crashed window. `append(repair)` runs the
     * store-specific writes; `repair = true` means rows from a previous

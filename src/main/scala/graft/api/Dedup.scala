@@ -689,6 +689,22 @@ object Dedup {
         col("structure_ok"), col("consistency_ok"))
   }
 
+  /** The append ledger of a suppressor store as a DataFrame —
+    * (batch_token, state) with state ∈ {'done', 'intent'}: the
+    * operational companion to the integrity reports. A 'done' token is
+    * a completed batch (its replays skip in O(1)); an 'intent' token is
+    * a batch that CRASHED inside its append window and has not been
+    * replayed yet — its rows may be partially present (the integrity
+    * report's structure flags stay green either way: partial appends
+    * are doc-granular per table), and its next replay takes the
+    * repairing id-diff path. Works on any of the three suppressor
+    * stores (near-dup / hamming / IVF) — the ledger layout is shared. */
+  def suppressorAppendLedger(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame = {
+    import spark.implicits._
+    AppendLedger.entries(spark, path).toDF("batch_token", "state")
+  }
+
   /** [[nearDupIndexIntegrity]] for the hamming chunk store: exactly
     * maxHamming+1 chunk rows per doc (a missing chunk breaks the
     * pigeonhole guarantee — FALSE NEGATIVES for pairs whose only

@@ -1898,6 +1898,28 @@ class ApiSpec extends AnyFunSuite {
       .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
   }
 
+  test("Dedup seen-filter: a stale _lock fails the commit loudly, never silent theft") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-lock")
+      .resolve("ids").toString
+    Dedup.buildSeenFilter((0L until 100L).toDF("id"), "id", path, 10000L)
+    // simulate a crashed writer: its exclusive-create _lock survives
+    val lock = new org.apache.hadoop.fs.Path(path, "_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException](
+      Dedup.appendToSeenFilter((100L until 200L).toDF("id"), "id", path))
+    assert(e.getMessage.contains("_lock"),
+      "the failure must tell the operator what to remove")
+    // the operator removes the stale lock; the retried append succeeds
+    // and the lock does not linger afterwards
+    fs.delete(lock, false)
+    Dedup.appendToSeenFilter((100L until 200L).toDF("id"), "id", path)
+    assert(!fs.exists(lock), "the lock must release after a commit")
+    assert(Dedup.markSeen(spark, (0L until 200L).toDF("id"), "id", path)
+      .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
+  }
+
   test("Dedup seen-filter merge: union flags both inputs' ids; geometry guard") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-seen-merge")

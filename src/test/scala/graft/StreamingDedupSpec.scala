@@ -432,11 +432,21 @@ class StreamingDedupSpec extends AnyFunSuite {
     val b2 = docsDF(40L -> words("forty"))
     val tok2 = AppendLedger.token(b2, "doc_id")
     AppendLedger.begin(spark, idx, tok2)
+    // the ledger view surfaces the crashed-in-window batch
+    val mid = Dedup.suppressorAppendLedger(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mid(tok2) == "intent")
+    assert(mid(tok) == "done")
     val kept2 = Dedup.nearDupSuppressAndIndex(b2, idx)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 == Set(40L))
     assert(AppendLedger.repairAppends.get == repair0 + 2)
     assert(indexedIds(idx).contains(40L))
+    // ...and reads all-done once the replay completes
+    val fin = Dedup.suppressorAppendLedger(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fin(tok2) == "done")
+    assert(fin.values.forall(_ == "done"))
   }
 
   test("hamming append ledger: replay skips, crash window repairs") {
