@@ -72,7 +72,8 @@ object Explain {
     "q172_hamming_suppress", // pigeonhole chunk flag + within-batch, anti-join exits (r10)
     "q173_hamming_suppress_explain", // chunk-keyed min-distance argmin evidence (r10)
     "q174_index_integrity",  // one keyed agg per store, no pair joins (r10)
-    "q175_sql_suppress_explain") // the explain table via the SQL TVF surface (r11)
+    "q175_sql_suppress_explain", // the explain table via the SQL TVF surface (r11)
+    "q176_merge_ivf_indexes") // cell-keyed cross-index cosine federation (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -129,6 +129,33 @@ private[graft] object AppendLedger {
     }
   }
 
+  /** Delete the OLDEST completed (done) markers beyond `keepLast`,
+    * returning how many were removed — the ledger's own retention
+    * story: at micro-batch cadence the ledger gains two tiny files per
+    * batch forever, which is its own small-file hazard at stream
+    * lifetimes. Safe for the streaming wrappers because a structured-
+    * streaming checkpoint replays at most the most recent uncommitted
+    * batches — a batch whose marker has aged past `keepLast` newer
+    * completions can never replay through the checkpoint. NOT safe for
+    * an external scheduler that may re-submit arbitrarily old batches;
+    * such callers must keep the full ledger (markers are bytes — the
+    * default keepLast=100000 holds years of per-minute batches).
+    * Intent markers are never vacuumed: each marks a crash whose
+    * repairing replay may still arrive. */
+  def vacuum(spark: SparkSession, path: String,
+             keepLast: Int = 100000): Long = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_appends")
+    if (!f.exists(dir)) return 0L
+    val done = f.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".done"))
+      .sortBy(-_.getModificationTime)
+    val doomed = done.drop(keepLast)
+    doomed.foreach(st => f.delete(st.getPath, false))
+    doomed.length.toLong
+  }
+
   /** The full append protocol: skip on done, blind-append on fresh,
     * id-diff repair on a crashed window. `append(repair)` runs the
     * store-specific writes; `repair = true` means rows from a previous

@@ -705,6 +705,19 @@ object Dedup {
     AppendLedger.entries(spark, path).toDF("batch_token", "state")
   }
 
+  /** Retention vacuum for a suppressor store's append ledger: drop the
+    * oldest COMPLETED batch markers beyond `keepLast` (intent markers
+    * — crashed windows awaiting repair — are never dropped). The
+    * ledger gains two tiny files per batch forever, its own small-file
+    * hazard at stream lifetimes; safe under the streaming wrappers
+    * (a checkpoint replays at most the most recent uncommitted
+    * batches), NOT safe for schedulers that re-submit arbitrarily old
+    * batches — see [[AppendLedger.vacuum]]. Returns markers removed. */
+  def vacuumSuppressorAppendLedger(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   keepLast: Int = 100000): Long =
+    AppendLedger.vacuum(spark, path, keepLast)
+
   /** [[nearDupIndexIntegrity]] for the hamming chunk store: exactly
     * maxHamming+1 chunk rows per doc (a missing chunk breaks the
     * pigeonhole guarantee — FALSE NEGATIVES for pairs whose only
@@ -782,7 +795,7 @@ object Dedup {
     * and scheme defaults, and an aliased overwrite clobbers an input
     * index mid-read. Compares filesystem-qualified paths (scheme +
     * authority + normalized absolute path). */
-  private def requireDistinctOutPath(
+  private[api] def requireDistinctOutPath(
       spark: org.apache.spark.sql.SparkSession,
       outPath: String, pathA: String, pathB: String): Unit = {
     import org.apache.hadoop.fs.Path

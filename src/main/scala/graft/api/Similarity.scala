@@ -854,6 +854,141 @@ object Similarity {
     VersionedIndex.commitPointer(spark, path, next)
   }
 
+  /** Near-dup pairs ACROSS two persisted IVF indexes, from stored
+    * state alone — [[graft.api.Dedup.crossIndexNearDupPairs]] for the
+    * embedding space, completing the federation triad (Jaccard bands /
+    * hamming chunks / IVF cells): each side was deduped internally
+    * when its index was built, so the remaining question is only
+    * cross-corpus, and both answers sit in the indexes (stored vectors
+    * + norms; A's frozen quantizer as the common geometry) — no
+    * re-embedding of either corpus. A's centroids define the candidate
+    * cells: B's vectors probe their `nprobe` nearest A-cells and score
+    * against A's vectors stored there, exactly the suppressor's flag
+    * geometry — approximate at nprobe < cells, exhaustive at
+    * nprobe = cells (what makes the q176 oracle exact). Requires equal
+    * dimensions and disjoint ids (a shared id would report itself as a
+    * cosine-1 pair). Output: (vec_a from A, vec_b from B, cos) with
+    * the file-wide 6-decimal rounding applied BEFORE the threshold.
+    * Scale shape: cost ∝ cell-colocated cross pairs, never |A| × |B|;
+    * each pair scores at most once (an A vector sits in exactly one
+    * cell). */
+  def crossIndexSemanticPairs(spark: org.apache.spark.sql.SparkSession,
+                              pathA: String, pathB: String,
+                              threshold: Double = 0.9,
+                              nprobe: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val rootA = resolveIndexRoot(spark, pathA)
+    val rootB = resolveIndexRoot(spark, pathB)
+    val cA = readCentroids(spark, rootA)
+    val dimB = readCentroids(spark, rootB).head.length
+    require(cA.head.length == dimB,
+      s"index dimensions differ: $pathA has ${cA.head.length}, $pathB has " +
+        s"$dimB — cross-index cosines are undefined")
+    require(nprobe >= 1 && nprobe <= cA.length,
+      s"nprobe must be in [1, ${cA.length}]")
+    requireDisjointVecIds(spark, rootA, rootB, pathA, pathB)
+    crossSemanticPairsCore(spark, rootA, rootB, cA, threshold, nprobe)
+  }
+
+  /** [[crossIndexSemanticPairs]] body over ALREADY-resolved, verified
+    * roots. */
+  private def crossSemanticPairsCore(
+      spark: org.apache.spark.sql.SparkSession, rootA: String, rootB: String,
+      cA: Array[Array[Float]], threshold: Double, nprobe: Int): DataFrame = {
+    val a = spark.read.parquet(s"$rootA/vectors")
+      .select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = spark.read.parquet(s"$rootB/vectors")
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"),
+        explode(nearestCells(col("embedding"), cA, nprobe)).as("cell"))
+    b.join(a, Seq("cell"))
+      .withColumn("cos", round(cosinePrenormed(dot(col("ea"), col("eb")),
+        col("na"), col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  private def requireDisjointVecIds(spark: org.apache.spark.sql.SparkSession,
+                                    rootA: String, rootB: String,
+                                    pathA: String, pathB: String): Unit = {
+    val shared = spark.read.parquet(s"$rootA/vectors").select("vec_id").distinct()
+      .join(spark.read.parquet(s"$rootB/vectors").select("vec_id").distinct(),
+        "vec_id", "left_semi").count()
+    require(shared == 0,
+      s"$shared vec ids appear in both $pathA and $pathB — cross-index " +
+        "semantics would be ambiguous; re-id one side")
+  }
+
+  /** Merge two IVF indexes into a NEW index at `outPath` —
+    * [[graft.api.Dedup.mergeNearDupIndexes]] for the embedding space:
+    * A's vectors all survive under A's quantizer (A wins the
+    * geometry); B's vectors that near-dup A (per
+    * [[crossIndexSemanticPairs]], when `dedupAcross`) drop, and B's
+    * survivors RE-ASSIGN under A's frozen centroids, so the merged
+    * index serves searches exactly as if B's survivors had been
+    * [[appendToIvfIndex]]'d — cell pruning intact, no re-clustering.
+    * Pure stored-state surgery: neither corpus re-embeds. Ids must be
+    * disjoint; dimensions must match. PQ-coded indexes refuse loudly —
+    * B's codes are valid only under B's codebooks, and re-encoding
+    * needs the original vectors the `codes` table does not carry;
+    * rebuild instead. A fresh outPath gets the legacy build layout; an
+    * already-VERSIONED outPath gets a fresh committed version. The
+    * merged index's cells keep A's geometry even where B's corpus
+    * drifts from it — watch [[ivfDriftProfile]] and [[reindex]] on the
+    * merge, the same trade every append already makes. Returns the
+    * number of B vectors dropped. */
+  def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
+                      pathA: String, pathB: String, outPath: String,
+                      threshold: Double = 0.9, nprobe: Int = 2,
+                      dedupAcross: Boolean = true): Long = {
+    import org.apache.hadoop.fs.Path
+    Dedup.requireDistinctOutPath(spark, outPath, pathA, pathB)
+    val rootA = resolveIndexRoot(spark, pathA)
+    val rootB = resolveIndexRoot(spark, pathB)
+    val fs = new Path(pathA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(pathA -> rootA, pathB -> rootB).foreach { case (p, r) =>
+      require(!fs.exists(new Path(r, "codebooks")),
+        s"$p is PQ-coded — its codes are valid only under its own " +
+          "codebooks and cannot re-encode from stored state; rebuild the " +
+          "merged index from vectors instead")
+    }
+    val cA = readCentroids(spark, rootA)
+    val dimB = readCentroids(spark, rootB).head.length
+    require(cA.head.length == dimB,
+      s"index dimensions differ: $pathA has ${cA.head.length}, $pathB has " +
+        s"$dimB — the merged index cannot serve both")
+    require(nprobe >= 1 && nprobe <= cA.length,
+      s"nprobe must be in [1, ${cA.length}]")
+    requireDisjointVecIds(spark, rootA, rootB, pathA, pathB)
+    val dropB =
+      if (dedupAcross)
+        crossSemanticPairsCore(spark, rootA, rootB, cA, threshold, nprobe)
+          .select(col("vec_b").as("__drop_id")).distinct().localCheckpoint()
+      else spark.range(0).select(col("id").as("__drop_id"))
+    try {
+      val nDrop = if (dedupAcross) dropB.count() else 0L
+      val versioned = resolveIndexRoot(spark, outPath) != outPath
+      val next =
+        if (versioned) Some(VersionedIndex.nextVersion(spark, outPath))
+        else None
+      val target = next.fold(outPath)(v => s"$outPath/$v")
+      spark.read.parquet(s"$rootA/centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$target/centroids")
+      val a = spark.read.parquet(s"$rootA/vectors")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      val bKeep = spark.read.parquet(s"$rootB/vectors")
+        .join(dropB, col("vec_id") === col("__drop_id"), "left_anti")
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          nearestCell(col("embedding"), cA).as("cell"))
+      a.unionByName(bKeep)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$target/vectors")
+      next.foreach(v => VersionedIndex.commitPointer(spark, outPath, v))
+      nDrop
+    } finally Dedup.releaseCheckpoint(dropB)
+  }
+
   /** Streaming semantic suppression — [[graft.api.Dedup.nearDupSuppressStream]]
     * for the embedding space: each micro-batch runs
     * [[semanticSuppressAndIndex]] and its survivors land under

@@ -780,6 +780,38 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // IVF-index federation — the federation triad completed for the
+    // embedding space: two independently-built IVF indexes merge from
+    // STORED STATE alone (vectors + norms; A's frozen quantizer wins
+    // the geometry), B's cross-dups by 6-decimal-rounded cosine drop
+    // (A wins), and B's survivors re-assign under A's centroids so the
+    // merged index serves cell-pruned searches exactly as if they had
+    // been appended. Engine runs at nprobe = cells (exhaustive — what
+    // makes the DuckDB oracle exact); the oracle recomputes the
+    // cross-side cosine pair set and the surviving membership, drop
+    // count riding as a constant column (the q165 contract).
+    "q176_merge_ivf_indexes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val m4 = col("vec_id") % 4
+      val idxA = FixtureCache.dir("ivf-half8", d)(p =>
+        graft.api.Similarity.buildIvfIndex(
+          emb.filter(m4 === 1 || m4 === 2), p, cells = 8))
+      val idxB = FixtureCache.dir("ivf-merge-b", d) { p =>
+        val b = emb.filter(m4 === 0 || m4 === 3)
+          .unionByName(emb.filter(m4 === 1 && col("vec_id") % 6 === 1)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        graft.api.Similarity.buildIvfIndex(b, p, cells = 8)
+      }
+      val merged = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-fixwork-ivfmerged")
+      rmTree(merged)
+      val dropped = graft.api.Similarity.mergeIvfIndexes(
+        s, idxA, idxB, merged.getAbsolutePath, threshold = 0.45, nprobe = 8)
+      s.read.parquet(merged.getAbsolutePath + "/vectors").select("vec_id")
+        .withColumn("n_dropped", lit(dropped))
+        .orderBy("vec_id")
+    }),
+
     // Hamming-index federation — the same signature-only merge for the
     // 64-bit perceptual space: crafted signatures make every distance
     // closed-form (B's 1L is hamming 1 from A's 0L -> cross-dup,
@@ -3298,6 +3330,30 @@ object Pipeline {
         |ORDER BY f.vec_id""".stripMargin,
     "q170_suppress_explain" -> suppressExplainOracle,
     "q175_sql_suppress_explain" -> suppressExplainOracle,
+    "q176_merge_ivf_indexes" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 4 IN (1, 2)),
+        |b AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 IN (0, 3)
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+        |    WHERE vec_id % 4 = 1 AND vec_id % 6 = 1),
+        |na AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM a),
+        |nb AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM b),
+        |dropb AS (
+        |  SELECT DISTINCT y.vec_id FROM nb y JOIN na x ON
+        |    round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE
+        |      list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nrm * y.nrm) END, 6)
+        |      >= 0.45),
+        |keep AS (SELECT vec_id FROM a
+        |  UNION ALL SELECT vec_id FROM b
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dropb))
+        |SELECT vec_id, (SELECT count(*) FROM dropb) AS n_dropped
+        |FROM keep ORDER BY vec_id""".stripMargin,
     "q169_sentence_chunking" ->
       """WITH d AS (
         |  SELECT doc_id,

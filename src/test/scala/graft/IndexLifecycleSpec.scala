@@ -154,6 +154,57 @@ class IndexLifecycleSpec extends AnyFunSuite {
       Seq(999999999L).toDF("vec_id")) == 0L)
   }
 
+  test("mergeIvfIndexes: A wins cross-dups under A's quantizer; guards fire loudly") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def v(axis: Int, x: Float = 1.0f): Array[Float] = {
+      val a = new Array[Float](8); a(axis) = x; a
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmerge").toString
+    def p(n: String) = s"$dir/$n"
+    Similarity.buildIvfIndex(
+      Seq(1L -> v(0), 2L -> v(1)).toDF("vec_id", "embedding"), p("a"), cells = 2)
+    // B: 10 is a near-copy of A's 1 (cosine 1.0 after scaling), 11 is
+    // orthogonal to everything in A
+    Similarity.buildIvfIndex(
+      Seq(10L -> v(0, 0.5f), 11L -> v(2)).toDF("vec_id", "embedding"),
+      p("b"), cells = 1)
+    val pairs = Similarity.crossIndexSemanticPairs(spark, p("a"), p("b"),
+        threshold = 0.9, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L)))
+    val dropped = Similarity.mergeIvfIndexes(spark, p("a"), p("b"), p("m"),
+      threshold = 0.9, nprobe = 2)
+    assert(dropped == 1L)
+    val members = spark.read.parquet(p("m") + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(members == Set(1L, 2L, 11L))
+    // the merged index serves searches under A's quantizer: a probe
+    // near B's surviving direction finds it through cell pruning
+    val hits = Similarity.ivfSearchIndex(spark, p("m"),
+        Seq(100L -> v(2)).toDF("vec_id", "embedding"), k = 1, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(11L))
+    // guards: self-merge (path alias), shared ids, dimension mismatch
+    intercept[IllegalArgumentException](
+      Similarity.mergeIvfIndexes(spark, p("a"), p("b"), p("a") + "/"))
+    Similarity.buildIvfIndex(
+      Seq(1L -> v(3)).toDF("vec_id", "embedding"), p("shared"), cells = 1)
+    intercept[IllegalArgumentException](
+      Similarity.mergeIvfIndexes(spark, p("a"), p("shared"), p("x")))
+    Similarity.buildIvfIndex(
+      Seq((50L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      p("dim2"), cells = 1)
+    intercept[IllegalArgumentException](
+      Similarity.mergeIvfIndexes(spark, p("a"), p("dim2"), p("y")))
+    // PQ-coded inputs refuse: codes cannot re-encode under A's quantizer
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    Similarity.buildIvfPqIndex(emb, p("pq"))
+    intercept[IllegalArgumentException](
+      Similarity.mergeIvfIndexes(spark, p("pq"), p("b"), p("z")))
+  }
+
   test("deleteFromIvfPqIndex prunes both the vectors and the codes half") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-del").toString

@@ -352,6 +352,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "triangle two-hop joins must be hash equi-joins")
   }
 
+  test("crossIndexSemanticPairs: cell-keyed cross-index join, never |A| x |B|") {
+    import TestSpark.spark.implicits._
+    def v(axis: Int): Array[Float] = {
+      val a = new Array[Float](8); a(axis) = 1.0f; a
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-xsem").toString
+    graft.api.Similarity.buildIvfIndex(
+      Seq(1L -> v(0), 2L -> v(1)).toDF("vec_id", "embedding"), s"$dir/a", cells = 2)
+    graft.api.Similarity.buildIvfIndex(
+      Seq(10L -> v(0), 11L -> v(2)).toDF("vec_id", "embedding"), s"$dir/b", cells = 1)
+    val p = graft.api.Similarity.crossIndexSemanticPairs(
+        spark, s"$dir/a", s"$dir/b", threshold = 0.9, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-index candidates must join on the cell key:\n${p.take(2000)}")
+  }
+
   // --- suppressor family INNER plan shapes (VERDICT r10 #4) ---
   // The suppressors localCheckpoint() every stage, so their returned
   // frames dump as `Scan ExistingRDD` — which is exactly how an

@@ -449,6 +449,29 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(fin.values.forall(_ == "done"))
   }
 
+  test("ledger vacuum keeps newest done markers and every intent marker") {
+    import graft.api.AppendLedger
+    val idx = freshIndex()
+    // three completed batches, oldest first (mtime-ordered)
+    val toks = Seq(
+      docsDF(5L -> words("pair")),
+      docsDF(20L -> words("unique")),
+      docsDF(40L -> words("forty"))).map { b =>
+      Dedup.nearDupSuppressAndIndex(b, idx)
+      Thread.sleep(1100) // local-fs mtime granularity can be 1 s
+      AppendLedger.token(b, "doc_id")
+    }
+    val crashed = AppendLedger.token(docsDF(60L -> words("sixty")), "doc_id")
+    AppendLedger.begin(spark, idx, crashed)
+    assert(Dedup.vacuumSuppressorAppendLedger(spark, idx, keepLast = 1) == 2L)
+    val left = Dedup.suppressorAppendLedger(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(left == Map(toks.last -> "done", crashed -> "intent"),
+      "only the two oldest done markers may vacuum; intent survives")
+    // idempotent second pass
+    assert(Dedup.vacuumSuppressorAppendLedger(spark, idx, keepLast = 1) == 0L)
+  }
+
   test("hamming append ledger: replay skips, crash window repairs") {
     import spark.implicits._
     import graft.api.AppendLedger
