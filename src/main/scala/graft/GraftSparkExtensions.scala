@@ -163,6 +163,33 @@ object GraftSparkExtensions {
       graft.api.Dedup.hammingSuppressExplain(batch,
         strLit("graft_hamming_suppress_explain", "indexPath", args(1)))
         .queryExecution.logical
+    },
+    tvf("graft_index_integrity",
+      "graft_index_integrity(kind, path) - one-row integrity report " +
+        "(n_docs, structure_ok, consistency_ok) for a persisted index; " +
+        "kind in ('neardup', 'hamming', 'ivf')") { args =>
+      require(args.length == 2,
+        s"graft_index_integrity expects (kind, path), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = strLit("graft_index_integrity", "path", args(1))
+      (strLit("graft_index_integrity", "kind", args(0)) match {
+        case "neardup" => graft.api.Dedup.nearDupIndexIntegrity(spark, path)
+        case "hamming" => graft.api.Dedup.hammingIndexIntegrity(spark, path)
+        case "ivf" => graft.api.Similarity.ivfIndexIntegrity(spark, path)
+        case other => throw new IllegalArgumentException(
+          s"graft_index_integrity: kind must be neardup|hamming|ivf, got '$other'")
+      }).queryExecution.logical
+    },
+    tvf("graft_suppressor_append_ledger",
+      "graft_suppressor_append_ledger(path) - (batch_token, state) append " +
+        "ledger of a suppressor store; 'intent' rows are crashed-in-window " +
+        "batches awaiting their repairing replay") { args =>
+      require(args.length == 1,
+        s"graft_suppressor_append_ledger expects (path), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.api.Dedup.suppressorAppendLedger(spark,
+        strLit("graft_suppressor_append_ledger", "path", args(0)))
+        .queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

@@ -134,6 +134,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("graft_index_integrity and ledger TVFs: the SQL ops console") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqltvf-ops").toString
+    val idx = s"$dir/index"
+    graft.api.Dedup.buildHammingIndex(
+      Seq((100L, 0L)).toDF("doc_id", "sig"), idx)
+    val rep = spark.sql(
+      s"SELECT * FROM graft_index_integrity('hamming', '$idx')").head()
+    assert(rep.getString(0) == "hamming" && rep.getLong(1) == 1L &&
+      rep.getBoolean(2) && rep.getBoolean(3))
+    // suppress one batch -> the ledger shows its done marker from SQL
+    graft.api.Dedup.hammingSuppressAndIndex(
+      Seq((5L, 0x5555555555555555L)).toDF("doc_id", "sig"), idx)
+    val ledger = spark.sql(
+      s"SELECT * FROM graft_suppressor_append_ledger('$idx')").collect()
+    assert(ledger.length == 1 && ledger.head.getString(1) == "done")
+    // unknown kind fails loudly at analysis
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_index_integrity('bogus', '$idx')"))
+    assert(e.getMessage.contains("neardup|hamming|ivf"))
+  }
+
   test("suppress-explain TVFs reject non-literal paths and bad arity") {
     docs
     intercept[Exception](
