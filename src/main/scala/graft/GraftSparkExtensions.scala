@@ -190,6 +190,17 @@ object GraftSparkExtensions {
       graft.api.Dedup.suppressorAppendLedger(spark,
         strLit("graft_suppressor_append_ledger", "path", args(0)))
         .queryExecution.logical
+    },
+    tvf("graft_seen_filter_stats",
+      "graft_seen_filter_stats(path) - per-shard saturation report of a " +
+        "persisted Bloom seen filter (bit_size, bits_set, saturation, " +
+        "fpp_now, est_ids); rebuild bigger once fpp_now crosses fpp") { args =>
+      require(args.length == 1,
+        s"graft_seen_filter_stats expects (path), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.api.Dedup.seenFilterStats(spark,
+        strLit("graft_seen_filter_stats", "path", args(0)))
+        .queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

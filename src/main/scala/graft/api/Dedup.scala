@@ -1924,6 +1924,42 @@ object Dedup {
     }
   }
 
+  /** Observability report for a persisted seen filter — one row per
+    * shard, completing the ops console over the fourth persisted store
+    * (near-dup/hamming/IVF have [[nearDupIndexIntegrity]] siblings).
+    * The operational question it answers is the one a Bloom filter
+    * degrades on silently: HOW FULL is each shard? `saturation`
+    * (set-bit fraction) and `fpp_now` (the filter's own
+    * `expectedFpp()` = saturation^k) rise as appends approach the
+    * build-time `expected_items`; once `fpp_now` crosses the target
+    * `fpp`, the exact-check tier behind [[markSeen]] starts paying for
+    * filter exhaustion — rebuild bigger. `est_ids` is the
+    * Swamidass–Baldi cardinality estimate -(m/k)·ln(1 − X/m) per shard
+    * (k re-derived from the build geometry exactly as the filter's
+    * constructor chose it: max(1, round(m/n·ln 2)) with n =
+    * expected_items/shards); a shard at full saturation reports
+    * Long.MaxValue — the estimate is unbounded there, which is itself
+    * the signal. Driver-side metadata read (≤4096 shard headers +
+    * popcounts), no Spark jobs, no shuffle. */
+  def seenFilterStats(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val st = readSeenState(spark, path)
+    val perShardItems = math.max(1L, st.items / st.shards)
+    val rows = st.filters.zipWithIndex.map { case (bf, s) =>
+      val m = bf.bitSize()
+      val x = bf.cardinality()
+      val k = math.max(1L, math.round(m.toDouble / perShardItems * math.log(2.0)))
+      val est =
+        if (x >= m) Long.MaxValue
+        else math.round(-(m.toDouble / k) * math.log1p(-(x.toDouble / m)))
+      (s, st.version, st.shards, st.items, st.fpp, m, x,
+        x.toDouble / m, bf.expectedFpp(), est)
+    }
+    spark.createDataFrame(rows).toDF("shard", "version", "n_shards",
+      "expected_items", "fpp", "bit_size", "bits_set", "saturation",
+      "fpp_now", "est_ids")
+  }
+
   /** Per-path append locks: in-process writers serialize here; the CAS
     * on the `_current` pointer plus [[withSeenPathLock]] catch
     * cross-process racers. */

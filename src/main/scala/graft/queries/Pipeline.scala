@@ -812,6 +812,45 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // Seen-filter saturation stats: the ops-console report over the
+    // fourth persisted store (the Bloom tier in front of the exact
+    // indexes). Build 4 hash-routed shards over 3/4 of the corpus ids
+    // and append a sliver (q159's exact split, so the oracle counts
+    // the true id set from `documents` alone), then read the per-shard
+    // report and gate on what only the engine can see: every shard's
+    // bit array sized exactly as the constructor's optimal-m formula
+    // dictates (items/shards, 1% fpp), every shard populated
+    // (pmod(xxhash64) routing spreads the corpus across all 4), the
+    // Swamidass-Baldi id estimate within 10% of the true distinct
+    // count, and the current fpp still under the build target on this
+    // under-filled filter. No Spark jobs in the report itself — it is
+    // a driver-side read of shard headers + popcounts.
+    "q177_seen_filter_stats" -> ((s, d) => {
+      val pathF = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-seenstats-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(pathF)
+      val docs = Tables.documents(s, d).select("doc_id")
+      graft.api.Dedup.buildSeenFilter(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id",
+        pathF.getAbsolutePath, expectedItems = 100000L, shards = 4)
+      graft.api.Dedup.appendToSeenFilter(
+        docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 100),
+        "doc_id", pathF.getAbsolutePath)
+      // the sketch word-aligns its bit array: bitSize = ceil(optimal/64)*64
+      val expBits = (org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(25000L, 0.01) + 63) / 64 * 64
+      val nTrue = docs.filter(col("doc_id") % 4 =!= 0 ||
+        col("doc_id") < 100).count()
+      graft.api.Dedup.seenFilterStats(s, pathF.getAbsolutePath).agg(
+        count(lit(1)).cast("int").as("n_shards"),
+        lit(nTrue).as("n_seen_ids"),
+        (sum(when(col("bit_size") === expBits, 0L).otherwise(1L)) === 0L)
+          .as("bit_size_ok"),
+        (min(col("bits_set")) > 0L).as("all_shards_populated"),
+        (abs(sum(col("est_ids")) - nTrue) <= nTrue * 0.1).as("est_ids_ok"),
+        (max(col("fpp_now")) < lit(0.01)).as("fpp_under_target"))
+    }),
+
     // Hamming-index federation — the same signature-only merge for the
     // 64-bit perceptual space: crafted signatures make every distance
     // closed-form (B's 1L is hamming 1 from A's 0L -> cross-dup,
@@ -3354,6 +3393,12 @@ object Pipeline {
         |  WHERE vec_id NOT IN (SELECT vec_id FROM dropb))
         |SELECT vec_id, (SELECT count(*) FROM dropb) AS n_dropped
         |FROM keep ORDER BY vec_id""".stripMargin,
+    "q177_seen_filter_stats" ->
+      """SELECT 4 AS n_shards,
+        |  CAST(count(*) AS BIGINT) AS n_seen_ids,
+        |  TRUE AS bit_size_ok, TRUE AS all_shards_populated,
+        |  TRUE AS est_ids_ok, TRUE AS fpp_under_target
+        |FROM documents WHERE doc_id % 4 <> 0 OR doc_id < 100""".stripMargin,
     "q169_sentence_chunking" ->
       """WITH d AS (
         |  SELECT doc_id,

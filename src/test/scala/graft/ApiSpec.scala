@@ -2010,6 +2010,52 @@ class ApiSpec extends AnyFunSuite {
     assert(fps <= 70, s"sharded fp count $fps way over the 1% target")
   }
 
+  test("Dedup seen-filter stats: geometry, saturation, cardinality estimate") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-stats")
+      .resolve("ids").toString
+    Dedup.buildSeenFilter((0L until 2000L).toDF("id"), "id", path,
+      expectedItems = 10000L, shards = 4)
+    val s1 = Dedup.seenFilterStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(s1.size == 4, "one row per shard")
+    // the sketch's BitArray word-aligns: bitSize() = ceil(optimal/64)*64
+    val expBits = (org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(2500L, 0.01) + 63) / 64 * 64
+    s1.values.foreach { r =>
+      assert(r.getString(1).matches("v\\d+"), "version column is the pointer")
+      assert(r.getInt(2) == 4 && r.getLong(3) == 10000L && r.getDouble(4) == 0.01)
+      assert(r.getLong(5) == expBits, "per-shard bits sized for items/shards")
+      assert(r.getLong(6) > 0L, "xxhash routing must populate every shard")
+      assert(r.getDouble(8) < 0.01, "under-filled filter stays under target fpp")
+    }
+    val est1 = s1.values.map(_.getLong(9)).sum
+    assert(math.abs(est1 - 2000L) <= 200L,
+      s"Swamidass-Baldi estimate $est1 should land within 10% of 2000")
+    // re-appending the SAME ids sets the same bits: estimate unchanged,
+    // version advanced — distinct-insert semantics a row counter lacks
+    Dedup.appendToSeenFilter((0L until 2000L).toDF("id"), "id", path)
+    val s2 = Dedup.seenFilterStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(s2.values.map(_.getLong(9)).sum == est1)
+    assert((0 until 4).forall(s => s2(s).getLong(6) == s1(s).getLong(6)))
+    assert(s2(0).getString(1) != s1(0).getString(1), "append commits a version")
+    // new ids only grow set bits; the estimate tracks the union count
+    Dedup.appendToSeenFilter((2000L until 3000L).toDF("id"), "id", path)
+    val s3 = Dedup.seenFilterStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert((0 until 4).forall(s => s3(s).getLong(6) >= s2(s).getLong(6)))
+    val est3 = s3.values.map(_.getLong(9)).sum
+    assert(math.abs(est3 - 3000L) <= 300L, s"estimate $est3 vs 3000 true ids")
+    // an empty build reports zeros, not NaN/negatives
+    val empty = java.nio.file.Files.createTempDirectory("graft-seen-stats0")
+      .resolve("ids").toString
+    Dedup.buildSeenFilter(spark.range(0).toDF("id"), "id", empty, 1000L)
+    val e = Dedup.seenFilterStats(spark, empty).head()
+    assert(e.getLong(6) == 0L && e.getDouble(7) == 0.0 &&
+      e.getDouble(8) == 0.0 && e.getLong(9) == 0L)
+  }
+
   test("Dedup seen-filter: buildOrAppend creates then merges under one lock") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-seen-boa")

@@ -154,6 +154,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_index_integrity('bogus', '$idx')"))
     assert(e.getMessage.contains("neardup|hamming|ivf"))
+    // the Bloom tier reports through the same console
+    graft.api.Dedup.buildSeenFilter(
+      Seq(1L, 2L, 3L).toDF("id"), "id", s"$dir/seen", 1000L)
+    val sf = spark.sql(
+      s"SELECT shard, bits_set, est_ids FROM graft_seen_filter_stats('$dir/seen')")
+      .head()
+    assert(sf.getInt(0) == 0 && sf.getLong(1) > 0L && sf.getLong(2) == 3L)
   }
 
   test("suppress-explain TVFs reject non-literal paths and bad arity") {
