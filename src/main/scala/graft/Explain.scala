@@ -73,7 +73,11 @@ object Explain {
     "q173_hamming_suppress_explain", // chunk-keyed min-distance argmin evidence (r10)
     "q174_index_integrity",  // one keyed agg per store, no pair joins (r10)
     "q175_sql_suppress_explain", // the explain table via the SQL TVF surface (r11)
-    "q176_merge_ivf_indexes") // cell-keyed cross-index cosine federation (r11)
+    "q176_merge_ivf_indexes", // cell-keyed cross-index cosine federation (r11)
+    "q178_hybrid_rrf",       // bounded rankers + RRF full-outer fuse (r11)
+    "q179_tar_shard_manifest", // one shard exchange; manifest agg over re-read (r11)
+    "q180_weighted_interleave", // stratum-keyed WFQ window, no global rank (r11)
+    "q181_trade_pagerank")   // keyed power iteration, bounded lineage (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the curation companion to
+  * [[Dedup.keepOne]]'s connected components: once near-dup pairs (or
+  * citation/link edges) define a graph, CENTRALITY ranks the
+  * representatives worth keeping ([[Dedup.keepBest]] with a PageRank
+  * score keeps the most-linked member of each cluster, not just the
+  * lowest id).
+  *
+  * Determinism contract (oracle-replayable like everything in
+  * `graft.api`): fixed iteration count (no float-convergence test),
+  * every per-node inbound sum routed through DECIMAL(28,12) so
+  * partial-aggregation order cannot move a score, each iteration's
+  * scores rounded to 12 decimals — bit-identical across engines,
+  * cluster layouts, and reruns.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank. Scale shape: per iteration, ONE keyed
+    * equi-join (edges ⋈ ranks on src — rank and degree frames are
+    * node-keyed, never corpus-crossed) and ONE keyed aggregation
+    * (inbound sums on dst); each iteration `localCheckpoint`s so
+    * lineage stays bounded at any iteration count (the [[Dedup.keepOne]]
+    * hygiene), releasing the superseded iteration's blocks.
+    *
+    * Contract: nodes = endpoints of `edges`; initial score
+    * `round(1/N, 12)`; per iteration
+    * `score' = (1−d)/N + d·Σ_in round(score/out_deg, 12)`, rounded to
+    * 12 decimals. Dangling nodes (no out-edges) contribute nothing
+    * (their mass is NOT redistributed — the simple variant, stated so
+    * the oracle replays it exactly). Directed: pass both directions
+    * for an undirected similarity graph. Output: (node, score). */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    def ownRddId(df: DataFrame): Option[Int] =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint()
+    // (1 − d) via exact decimals: 1 − 0.85 in DOUBLE is
+    // 0.15000000000000002, while every SQL engine's literal 0.15 is
+    // the nearest double to decimal 0.15 — BigDecimal.valueOf keeps
+    // the decimal form so both sides evaluate the SAME base constant
+    val oneMinusD = (java.math.BigDecimal.ONE
+      .subtract(java.math.BigDecimal.valueOf(damping))).doubleValue()
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0) / lit(n.toDouble), 12).as("score"))
+    // id of the LOOP-OWNED checkpoint behind `ranks` — None for the
+    // initial frame, whose first LogicalRDD is the shared `nodes`
+    // checkpoint and must never be truncated from here
+    var ranksOwnedId: Option[Int] = None
+    (1 to iters).foreach { _ =>
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          round(col("score") / col("out_deg"), 12)
+            .cast("decimal(28,12)").as("c"))
+      val sums = contribs.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      // eager checkpoint: `next` is materialized HERE, so the
+      // superseded iteration's blocks are safe to release below
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(oneMinusD / n.toDouble) + lit(damping) *
+            coalesce(col("in_sum").cast("double"), lit(0.0)), 12).as("score"))
+        .localCheckpoint()
+      ranksOwnedId.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(false)))
+      ranksOwnedId = ownRddId(next)
+      ranks = next
+    }
+    // Final scores project at 6 decimals (the package rule): engines
+    // agree on a double's shortest representation but can disagree on
+    // ROUNDING it at digit 12 (half-up over the decimal string vs
+    // scaled float math) — the 12-digit intermediate keeps per-
+    // iteration error ~1e-12, far below the 6-digit output grain, so
+    // the output is bit-stable cross-engine while iteration dynamics
+    // stay fine-grained.
+    ranks.select(col("node"), round(col("score"), 6).as("score"))
+  }
+
+  /** Per-node degree profile: out/in degrees and the dangling flag —
+    * the pre-flight check for [[pageRank]] (how much mass the simple
+    * dangling contract will leak) and a curation signal by itself
+    * (hub/authority shape of a similarity graph). One keyed agg per
+    * direction, one node-keyed outer join. */
+  def degreeProfile(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("dangling", col("out_deg") === 0L)
+  }
+}

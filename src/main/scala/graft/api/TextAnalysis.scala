@@ -481,6 +481,41 @@ object TextAnalysis {
     * DECIMAL(18,6) — the one cross-stratum reduction is exact and
     * order-independent; shares divide in double afterwards, so every
     * engine computing the same recipe gets the same bits. */
+  /** Deterministic weighted interleave key — the data-ORDERING side of
+    * mixture control ([[temperatureSample]] decides WHAT to keep; this
+    * decides the sequence training reads it in, so every window of the
+    * stream realizes the target mixture instead of strata arriving in
+    * blocks). Stratum s with weight w emits its rn-th row at
+    * `position = (rn − 0.5) / w` — classic weighted fair queuing
+    * (WFQ virtual finish times): sorting by `position` yields a
+    * sequence whose every prefix holds each stratum's share within
+    * one row of w·len. Deterministic: rn is a row_number over
+    * (stratum, order by id), position a pure IEEE expression of it.
+    *
+    * Scale shape: one stratum-keyed window (hash exchange on the
+    * stratum), one codegen'd projection. No global window and no
+    * global rank — `position` IS the sort key; consumers range-sort
+    * by it (Spark's sort is a range exchange), or bucket it for
+    * sharded sequential reads. Rows whose stratum has no weight are
+    * dropped (flagged by the caller's coverage check, not silently
+    * mis-ordered). Output: (id, stratum, stratum_rn, position). */
+  def interleaveByWeight(df: DataFrame, strataCol: String, idCol: String,
+                         weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    val wCol = weights.tail.foldLeft(
+      when(col(strataCol) === lit(weights.head._1), lit(weights.head._2))) {
+      case (acc, (k, v)) => acc.when(col(strataCol) === lit(k), lit(v))
+    }
+    df.select(col(idCol), col(strataCol).as("stratum"),
+        row_number().over(w).as("stratum_rn"), wCol.as("__w"))
+      .filter(col("__w").isNotNull)
+      .withColumn("position",
+        round((col("stratum_rn") - lit(0.5)) / col("__w"), 6))
+      .drop("__w")
+  }
+
   def temperatureFractions(df: DataFrame, strataCol: String,
                            alpha: Double, targetDocs: Long): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")

@@ -1567,6 +1567,85 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval (RAG shape): q108's BM25 postings join + an
+    // exact dense cosine pass, fused by Reciprocal Rank Fusion. The
+    // query table carries both a text and a vector per query — the
+    // vectors are corpus embeddings picked by id, so the oracle can
+    // reconstruct them from the embeddings table alone. Fusion cost is
+    // O(queries·kEach) regardless of corpus size; the dense ranker
+    // swaps for IVF probes at scale (Retrieval.rrfFuse takes any
+    // bounded ranking).
+    "q178_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qtext = Seq((1, "spark join window"), (2, "hash merge"),
+        (3, "customer order data"), (4, "vector stream"))
+        .toDF("query_id", "query")
+      val qmap = Seq((1, 7L), (2, 42L), (3, 123L), (4, 321L))
+        .toDF("query_id", "vec_id")
+      val queries = qtext.join(qmap, "query_id")
+        .join(Tables.embeddings(s, d), "vec_id")
+        .select(col("query_id"), col("query"), col("embedding").as("qvec"))
+      graft.api.Retrieval.hybridSearchRrf(
+        Tables.documents(s, d), Tables.embeddings(s, d), queries,
+        k = 5, kEach = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // WebDataset-style tar shard export (the dataloader handoff for
+    // multimodal corpora): documents' UTF-8 bytes land as members of 8
+    // ustar archives, one writer task per shard, then the manifest is
+    // computed by RE-READING and parsing the tars — counts, payload
+    // bytes, and an order-independent 48-bit md5 XOR per shard. The
+    // oracle re-derives all three from the source table (q152's
+    // routing function + md5 over the same UTF-8 bytes): equality
+    // proves every document's bytes round-tripped through the archive
+    // format losslessly into its correct shard.
+    "q179_tar_shard_manifest" -> ((s, d) => {
+      val dirF = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-tarshards-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(dirF)
+      graft.core.TarShards.export(
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", shards = 8, dirF.getAbsolutePath, ext = ".txt")
+        .orderBy("shard")
+    }),
+
+    // Fixed-iteration PageRank + degree profile over the nation trade
+    // network (customer-nation → supplier-nation edges, thinned to a
+    // sparse asymmetric graph): the centrality side of graph curation
+    // (q63's keepOne finds clusters; this ranks who matters in them).
+    // Every inbound sum rides DECIMAL(28,12), every iteration rounds
+    // to 12 decimals — the oracle unrolls the same 5 iterations and
+    // matches bit-exact. Dangling mass is NOT redistributed (the
+    // documented simple variant; the profile's `dangling` flag shows
+    // exactly where it leaks).
+    "q181_trade_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 397 === 0)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .distinct()
+      graft.api.Graph.degreeProfile(edges)
+        .join(graft.api.Graph.pageRank(edges, iters = 5), "node")
+        .orderBy("node")
+    }),
+
+    // Weighted-fair-queuing interleave key (WFQ virtual finish times):
+    // the ordering half of mixture control — sorting by `position`
+    // realizes the 40/15/15/15/15 language mix in every prefix of the
+    // training stream, not just in aggregate. One stratum-keyed window
+    // + a codegen'd projection; no global rank (position IS the range
+    // sort key at scale).
+    "q180_weighted_interleave" -> ((s, d) =>
+      graft.api.TextAnalysis.interleaveByWeight(
+        Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.15))
+        .orderBy("position", "doc_id")),
+
     // Canonical text normalization (the first curation stage). The
     // fixture docs are clean ASCII, so messy rows are planted IN-PLAN —
     // combining accents (NFC), zero-widths, CRLF/CR endings, control
@@ -4448,6 +4527,194 @@ object Pipeline {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q108's BM25 CTEs (kEach=10) + the q47-style cosine CTE, RRF-fused:
+    // contributions round(1/(60+rank),6) decimal-summed, rank over
+    // (rrf desc, doc_id) — byte-for-byte the engine's fusion contract.
+    "q178_hybrid_rrf" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl FROM docs),
+        |postings AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM docs) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        |corpus AS (
+        |  SELECT count(*) * 1.0 AS n, (sum(dl) * 1.0) / count(*) AS avgdl
+        |  FROM dls),
+        |queries(query_id, query) AS (VALUES
+        |  (1, 'spark join window'), (2, 'hash merge'),
+        |  (3, 'customer order data'), (4, 'vector stream')),
+        |qmap(query_id, vec_id) AS (VALUES (1, 7), (2, 42), (3, 123), (4, 321)),
+        |qterms AS (
+        |  SELECT DISTINCT query_id, t AS term
+        |  FROM (SELECT query_id,
+        |          unnest(list_filter(string_split_regex(lower(query), '\s+'),
+        |                 x -> x <> '')) AS t
+        |        FROM queries)),
+        |sscored AS (
+        |  SELECT query_id, p.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+        |      6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM qterms q JOIN postings p ON q.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dls ON p.doc_id = dls.doc_id
+        |  CROSS JOIN corpus
+        |  GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS sr
+        |  FROM sscored),
+        |qv AS (
+        |  SELECT m.query_id, e.embedding AS qvec
+        |  FROM qmap m JOIN embeddings e ON e.vec_id = m.vec_id),
+        |dscored AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(q.qvec,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qvec,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+        |    END AS c
+        |  FROM embeddings e CROSS JOIN qv q),
+        |dense AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY c DESC, doc_id) AS dr
+        |  FROM dscored),
+        |fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |         s.sr AS sparse_rank, d.dr AS dense_rank,
+        |    CAST(coalesce(CAST(round(1.0/(60 + s.sr), 6) AS DECIMAL(18,6)), 0)
+        |       + coalesce(CAST(round(1.0/(60 + d.dr), 6) AS DECIMAL(18,6)), 0)
+        |      AS DOUBLE) AS rrf_score
+        |  FROM (SELECT * FROM sparse WHERE sr <= 10) s
+        |  FULL OUTER JOIN (SELECT * FROM dense WHERE dr <= 10) d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, rrf_score, sparse_rank, dense_rank,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score,
+        |  CAST(sparse_rank AS INT) AS sparse_rank,
+        |  CAST(dense_rank AS INT) AS dense_rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // shard routing + byte counts + content xor re-derived from the
+    // source table; engine equality proves the tar round-trip.
+    "q179_tar_shard_manifest" ->
+      """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_members,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |  bit_xor(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS content_xor
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // same WFQ position formula over the same per-lang row_number.
+    "q180_weighted_interleave" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15),
+        |  ('zh', 0.15)),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, lang AS stratum, CAST(rn AS INT) AS stratum_rn,
+        |  round((rn - 0.5) / wt, 6) AS position
+        |FROM r JOIN w USING (lang) ORDER BY position, doc_id""".stripMargin,
+
+    // the same 5 unrolled power iterations, decimal-summed.
+    "q181_trade_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE l_orderkey % 397 = 0),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        |p0 AS (SELECT node, round(1.0/cnt.n, 12) AS score
+        |       FROM nodes CROSS JOIN cnt),
+        |p1 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p0 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p2 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p1 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p3 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p2 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p4 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p3 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p5 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p4 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |deg AS (
+        |  SELECT nd.node,
+        |    coalesce(o.out_deg, 0) AS out_deg,
+        |    coalesce(i.in_deg, 0) AS in_deg
+        |  FROM nodes nd
+        |  LEFT JOIN outdeg o ON o.src = nd.node
+        |  LEFT JOIN (SELECT dst, count(*) AS in_deg FROM edges GROUP BY 1) i
+        |    ON i.dst = nd.node)
+        |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling,
+        |  round(p.score, 6) AS score
+        |FROM deg d JOIN p5 p ON p.node = d.node ORDER BY d.node""".stripMargin,
 
     // the same 7-step normalization chain, step for step:
     // nfc_normalize, then the identical RE2 regexes in the identical

@@ -2361,4 +2361,31 @@ class ApiSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("covered_tokens") == 0L, "docs shorter than n carry no grams")
     assert(out(4L).getAs[Boolean]("ok_dup_ngrams"))
   }
+
+  test("TextAnalysis.interleaveByWeight: WFQ positions, prefix mixture, unweighted strata dropped") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else if (i <= 30) "b" else "x"))
+      .toDF("id", "grp")
+    val out = TextAnalysis.interleaveByWeight(df, "grp", "id",
+      Map("a" -> 2.0, "b" -> 1.0)).collect()
+    // stratum x has no weight -> dropped, loudly absent
+    assert(out.length == 30 && !out.exists(_.getAs[String]("stratum") == "x"))
+    // WFQ finish times: a's rn-th row at (rn-.5)/2, b's at (rn-.5)/1
+    val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Double]("position")).toMap
+    assert(byId(1L) == 0.25 && byId(2L) == 0.75)     // a: rn 1, 2
+    assert(byId(21L) == 0.5 && byId(22L) == 1.5)     // b: rn 1, 2
+    // every prefix of the position-sorted sequence holds the 2:1 mix
+    // within one row per stratum
+    val seq = out.sortBy(r => (r.getAs[Double]("position"), r.getAs[Long]("id")))
+      .map(_.getAs[String]("stratum"))
+    (1 to seq.length).foreach { n =>
+      val a = seq.take(n).count(_ == "a").toDouble
+      assert(math.abs(a - n * 2.0 / 3.0) <= 1.0, s"prefix $n: a=$a")
+    }
+    // deterministic: second run identical
+    val again = TextAnalysis.interleaveByWeight(df, "grp", "id",
+      Map("a" -> 2.0, "b" -> 1.0)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("position")).toMap
+    assert(again == byId)
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graph
+
+/** PageRank/degree semantics on hand-computed graphs: exact one-step
+  * values, fixpoint stability, dangling contract, and block hygiene
+  * across iterations. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank one iteration matches hand computation on the 3-node star") {
+    // A(1)->B(2), A->C(3), B->A, C->A; N=3, d=0.85
+    // A' = 0.05 + 0.85*(1/3 + 1/3) = 0.616666666667 -> 0.616667
+    // B' = C' = 0.05 + 0.85*(1/6) = 0.191666666667 -> 0.191667
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("score")).toMap
+    assert(out(1L) == 0.616667)
+    assert(out(2L) == 0.191667 && out(3L) == 0.191667)
+  }
+
+  test("uniform score is the fixpoint of a symmetric cycle at any iteration count") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 20).collect()
+    out.foreach(r => assert(r.getAs[Double]("score") == 0.333333,
+      s"cycle node drifted: ${r}"))
+  }
+
+  test("dangling nodes keep only the base share (mass is not redistributed)") {
+    // 1->2 and 2 has no out-edges: after enough iterations node 1's
+    // inbound is empty -> base only; node 2 receives decayed mass
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("score")).toMap
+    assert(out(1L) == 0.075, "base share (1-d)/2 only")
+    // 2's score: 0.075 + 0.85*score(1) from the PREVIOUS iteration
+    assert(out(2L) == 0.13875)
+  }
+
+  test("degreeProfile: out/in degrees and dangling flag, custom columns") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.degreeProfile(edges, srcCol = "a", dstCol = "b").collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"),
+          r.getAs[Boolean]("dangling")))).toMap
+    assert(out(1L) == ((2L, 0L, false)))
+    assert(out(2L) == ((1L, 1L, false)))
+    assert(out(3L) == ((0L, 2L, true)))
+  }
+
+  test("iteration loop releases superseded checkpoint blocks") {
+    val edges = (1L to 100L).map(i => (i, i % 100 + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.pageRank(edges, iters = 8).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // edges + nodes + outDeg + the final ranks stay; the 7 superseded
+    // iterates must not
+    assert(after - before <= 4, s"leaked checkpoints: ${after - before}")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+}
