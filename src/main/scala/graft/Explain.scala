@@ -77,7 +77,8 @@ object Explain {
     "q178_hybrid_rrf",       // bounded rankers + RRF full-outer fuse (r11)
     "q179_tar_shard_manifest", // one shard exchange; manifest agg over re-read (r11)
     "q180_weighted_interleave", // stratum-keyed WFQ window, no global rank (r11)
-    "q181_trade_pagerank")   // keyed power iteration, bounded lineage (r11)
+    "q181_trade_pagerank",   // keyed power iteration, bounded lineage (r11)
+    "q182_freq_sketch_lifecycle") // sketch-table union, exact-gate join (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -182,6 +182,76 @@ object Profiling {
     }(enc)
   }
 
+  /** Mergeable HEAVY-HITTERS sketch table — the frequency third of
+    * the sketch-table family ([[cardinalitySketches]] = distinct,
+    * [[quantileSketches]] = rank): one DataSketches Frequent-Items
+    * sketch (Misra-Gries reverse-purge map, bounded at `maxMapSize`
+    * entries) per `partCols` group over `keyCol`. Build once per
+    * ingest partition, persist as parquet binary, answer "which
+    * terms/domains/users dominate ANY partition range?" from the
+    * sketch table alone — with one-sided guarantees (every item whose
+    * true count exceeds the merged sketch's max error IS reported;
+    * reported bounds always bracket the true count), where exact
+    * heavy-hitters would re-run a corpus-wide keyed aggregation. */
+  def frequencySketches(df: DataFrame, partCols: Seq[String],
+                        keyCol: String, maxMapSize: Int = 1024): DataFrame = {
+    require(partCols.nonEmpty, "frequencySketches needs partition columns")
+    val agg = udaf(new graft.functions.FreqAggregators.FreqSketchAgg(maxMapSize),
+      org.apache.spark.sql.Encoders.STRING)
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(partCols.map(col): _*)
+      .agg(agg(col(keyCol).cast("string")).as("sketch"))
+  }
+
+  /** Merge a frequency sketch table down to `groupCols` (empty = one
+    * global row) and report each merged group's frequent items: one
+    * row per item — (group..., item, estimate, lower_bound,
+    * upper_bound, max_error, stream_length). NO_FALSE_NEGATIVES
+    * reporting by default (complete above the error bound, possibly
+    * with borderline extras); only sketches move, never source rows.
+    * NOTE estimates/borderline membership depend on insertion order —
+    * gate downstream checks on the bounds and the coverage guarantee,
+    * not on raw estimates (unless the group's distinct keys fit the
+    * map, in which case the sketch is exact and max_error = 0). */
+  def estimateHeavyHitters(sketches: DataFrame, groupCols: Seq[String],
+                           sketchCol: String = "sketch",
+                           maxMapSize: Int = 1024,
+                           noFalseNegatives: Boolean = true): DataFrame = {
+    val merge = udaf(new graft.functions.FreqAggregators.FreqMergeAgg(maxMapSize),
+      org.apache.spark.sql.Encoders.BINARY)
+    val merged =
+      (if (groupCols.isEmpty) sketches.agg(merge(col(sketchCol)).as("__m"))
+       else sketches.groupBy(groupCols.map(col): _*)
+         .agg(merge(col(sketchCol)).as("__m")))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      merged.schema.fields.filterNot(_.name == "__m") ++ Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("estimate",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lower_bound",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("upper_bound",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("max_error",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("stream_length",
+          org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val n = merged.schema.fields.length - 1
+    merged.flatMap { r =>
+      val bytes = r.getAs[Array[Byte]]("__m")
+      val err = graft.functions.FreqAggregators.maxError(bytes)
+      val len = graft.functions.FreqAggregators.streamLength(bytes)
+      graft.functions.FreqAggregators
+        .heavyHittersOf(bytes, noFalseNegatives)
+        .map { case (item, est, lb, ub) =>
+          org.apache.spark.sql.Row.fromSeq(
+            (0 until n).map(r.get) ++ Seq(item, est, lb, ub, err, len))
+        }
+    }(enc)
+  }
+
   /** Estimated distinct-value overlap between two sketch tables
     * ([[cardinalitySketches]] output, any partitioning): |A∩B| by
     * inclusion–exclusion over the merged sketches — est(A) + est(B) −

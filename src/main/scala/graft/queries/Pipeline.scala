@@ -1611,6 +1611,55 @@ object Pipeline {
         .orderBy("shard")
     }),
 
+    // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
+    // the sketch-table family, after q150 HLL and q158 KLL): per-lang
+    // DataSketches Frequent-Items sketches of the q51 tokenizer's
+    // terms, PERSISTED to parquet binary, read back, merged globally,
+    // and validated IN-PLAN against the exact keyed aggregation. The
+    // fixture vocabulary (31 terms) fits the 64-entry map, so the
+    // merged sketch is EXACT (max_error 0) and every gate pins
+    // bit-exactly: all terms reported, every estimate equal to its
+    // exact count, bounds bracketing, stream length equal to the token
+    // count. (Purge-path guarantees under overflow are spec-pinned on
+    // planted skew — order-dependent estimates have no place in an
+    // oracle row.)
+    "q182_freq_sketch_lifecycle" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-freq-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val toks = Tables.documents(s, d).select(col("lang"),
+        explode(filter(wsTokens(lower(col("text"))), t => t =!= ""))
+          .as("term"))
+      graft.api.Profiling.frequencySketches(toks, Seq("lang"), "term",
+          maxMapSize = 64)
+        .write.mode("overwrite").parquet(dir)
+      val persisted = s.read.parquet(dir)
+      val hh = graft.api.Profiling.estimateHeavyHitters(persisted, Seq.empty,
+        maxMapSize = 64)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      val joined = hh.join(exact, col("item") === col("term"))
+      val gates = joined.agg(
+        count(lit(1)).as("n_reported"),
+        max(col("max_error")).as("max_err"),
+        max(col("stream_length")).as("stream_len"),
+        (sum(when(col("lower_bound") <= col("exact_cnt") &&
+          col("exact_cnt") <= col("upper_bound"), 0L).otherwise(1L)) === 0L)
+          .as("bounds_ok"),
+        (sum(when(col("estimate") === col("exact_cnt"), 0L).otherwise(1L))
+          === 0L).as("estimates_exact_ok"))
+      val ex = exact.agg(count(lit(1)).as("n_terms"),
+        sum(col("exact_cnt")).as("total_tokens"))
+      val top1 = exact.orderBy(col("exact_cnt").desc, col("term")).limit(1)
+        .select(col("term").as("top1_term"), col("exact_cnt").as("top1_count"))
+      persisted.agg(count(lit(1)).cast("int").as("n_sketches"))
+        .crossJoin(ex).crossJoin(top1).crossJoin(gates)
+        .select(col("n_sketches"), col("n_terms"), col("total_tokens"),
+          col("top1_term"), col("top1_count"),
+          (col("n_reported") === col("n_terms")).as("all_terms_reported"),
+          (col("max_err") === 0L).as("sketch_exact"),
+          (col("stream_len") === col("total_tokens")).as("stream_len_ok"),
+          col("bounds_ok"), col("estimates_exact_ok"))
+    }),
+
     // Fixed-iteration PageRank + degree profile over the nation trade
     // network (customer-nation → supplier-nation edges, thinned to a
     // sparse asymmetric graph): the centrality side of graph curation
@@ -4715,6 +4764,24 @@ object Pipeline {
         |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling,
         |  round(p.score, 6) AS score
         |FROM deg d JOIN p5 p ON p.node = d.node ORDER BY d.node""".stripMargin,
+
+    // exact term table + literal TRUE gates (q150's contract shape).
+    "q182_freq_sketch_lifecycle" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')) AS term
+        |  FROM documents),
+        |ex AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |top1 AS (SELECT term, c FROM ex ORDER BY c DESC, term LIMIT 1)
+        |SELECT CAST((SELECT count(DISTINCT lang) FROM toks) AS INT) AS n_sketches,
+        |  (SELECT count(*) FROM ex) AS n_terms,
+        |  CAST((SELECT sum(c) FROM ex) AS BIGINT) AS total_tokens,
+        |  (SELECT term FROM top1) AS top1_term,
+        |  (SELECT c FROM top1) AS top1_count,
+        |  true AS all_terms_reported, true AS sketch_exact,
+        |  true AS stream_len_ok, true AS bounds_ok,
+        |  true AS estimates_exact_ok""".stripMargin,
 
     // the same 7-step normalization chain, step for step:
     // nfc_normalize, then the identical RE2 regexes in the identical

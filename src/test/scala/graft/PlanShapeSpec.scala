@@ -404,4 +404,30 @@ class PlanShapeSpec extends AnyFunSuite {
           s"$q stage regressed to a product join:\n${p.take(3000)}")
       }
     }
+
+  test("q178 hybrid RRF: broadcast query side, keyed fusion, no cartesian") {
+    val p = plan("q178_hybrid_rrf")
+    // dense pass: corpus x broadcast(queries) — the fixed-size query
+    // table is the broadcast side, so the corpus streams once
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "a CartesianProduct means a broadcast was lost and a corpus side shuffles")
+  }
+
+  test("q180 weighted interleave: one stratum-keyed window, no join, no single partition") {
+    val p = plan("q180_weighted_interleave")
+    assert(p.contains("Window"), "WFQ rn must be a window, not a self-join")
+    assert(!p.contains("Join"), "the weight lookup is a projection, never a join")
+    // the operator itself introduces no SinglePartition exchange; the
+    // fixture's global orderBy is a range exchange (rangepartitioning)
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q181 pagerank outer frame: keyed equi-joins only") {
+    val p = plan("q181_trade_pagerank")
+    // iterations live behind localCheckpoints (bounded lineage); the
+    // degree/score assembly visible here must still be all keyed joins
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "degree profile + score join must be hash/sort-merge equi-joins")
+  }
 }
