@@ -78,7 +78,10 @@ object Explain {
     "q179_tar_shard_manifest", // one shard exchange; manifest agg over re-read (r11)
     "q180_weighted_interleave", // stratum-keyed WFQ window, no global rank (r11)
     "q181_trade_pagerank",   // keyed power iteration, bounded lineage (r11)
-    "q182_freq_sketch_lifecycle") // sketch-table union, exact-gate join (r11)
+    "q182_freq_sketch_lifecycle", // sketch-table union, exact-gate join (r11)
+    "q183_containment_pairs", // prefix-filtered containment join, posting-keyed (r11)
+    "q184_corpus_diff",      // fingerprints-only full-outer diff, text never shuffles (r11)
+    "q185_feature_drift")    // two keyed bin-count aggs, bins-sized spine (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -94,6 +94,33 @@ object Dedup {
     kept.select(col(idCol).as(s"keep_$idCol"), col("fp"))
   }
 
+  /** Content-level diff between two corpus SNAPSHOTS: one row per id
+    * present in either, classified `added` (id only in new), `removed`
+    * (id only in old), `changed` (both, content fingerprint differs),
+    * or `unchanged` — with both whitespace-normalized MD5 fingerprints
+    * carried for audit. The release-engineering answer to "what moved
+    * between corpus v1 and v2?" when the snapshots are arbitrary
+    * frames (different stores, a vendor drop vs the lakehouse, a
+    * rebuilt corpus) — complementing
+    * [[graft.core.Tables.committedViewDelta]], which diffs one
+    * transactional table's own commit history. Each side collapses to
+    * (id, 16-byte fingerprint) before a single id-keyed full-outer
+    * join — text never shuffles, so two 100 TB snapshots diff at the
+    * cost of their id sets. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__did"),
+      md5Fingerprint(col(textCol)).as("old_fp"))
+    val n = newDocs.select(col(idCol).as("__did"),
+      md5Fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("__did"), "full_outer")
+      .select(col("__did").as(idCol), col("old_fp"), col("new_fp"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** id + distinct lowercase word n-shingle set (+ set size) — the
     * shared representation for the Jaccard-based operators. Shingles
     * are stored as their sorted 64-bit hashes, not strings: set sizes
@@ -163,6 +190,60 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verify(joinBack(cand, sets), threshold)
+  }
+
+  /** EXACT directed CONTAINMENT pairs: (inner, outer) where
+    * |inner ∩ outer| / |inner| ≥ threshold over the word-shingle sets —
+    * the asymmetric cousin of [[nearDupPairsExact]] that catches
+    * quote-inclusion and concatenation duplicates (a document whose
+    * text is wholly embedded in a longer one has containment ≈ 1 but
+    * Jaccard ≈ n_inner/n_outer, far below any symmetric near-dup
+    * threshold). Both directions are reported independently; exact
+    * duplicates appear as two rows with containment 1.
+    *
+    * Candidate generation is the prefix-filtered containment join
+    * (PPJoin family, containment variant): order every doc's shingles
+    * by ASCENDING global document frequency (rare shingles first — the
+    * canonical ordering that minimizes posting collisions), index only
+    * the inner side's first ⌊(1−t)·n⌋+1 shingles (pigeonhole: a doc
+    * missing ≤ (1−t)·n of its shingles from some superset must share
+    * one of them), join against the full posting table with the length
+    * filter n_outer ≥ t·n_inner and the position filter
+    * min(n_in − pos_in, n_out − pos_out) ≥ t·n_inner (valid for the
+    * first common shingle in the shared ordering, which the prefix is
+    * guaranteed to contain — no false negatives), then verify
+    * candidates with the exact intersection. Cost ∝ Σ_prefix df(tok),
+    * never n²; every stage is a shingle-hash-keyed equi-join or a
+    * doc-keyed window. The threshold applies to the UNROUNDED ratio
+    * (the [[verify]] rule); the output column is rounded for
+    * presentation/oracle parity. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", threshold: Double = 0.8,
+                       shingle: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
+    val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val ranked = toks.join(dfc, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
+      .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+    val prefix = ranked.filter(col("pos") <= floor(col("n") * (1 - threshold)))
+    val cand = prefix.as("a").join(ranked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") >= col("a.n") * threshold &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            col("a.n") * threshold)
+      .select(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_inner"), col("sh").as("sh_a"),
+        col("n").as("n_inner")), "doc_inner")
+      .join(sets.select(col("doc_id").as("doc_outer"), col("sh").as("sh_b"),
+        col("n").as("n_outer")), "doc_outer")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") / col("n_inner") >= threshold)
+      .select(col("doc_inner"), col("doc_outer"), col("n_inner"), col("n_outer"),
+        round(col("inter").cast("double") / col("n_inner"), 6).as("containment"))
   }
 
   /** MinHash-LSH near-dup pairs: k min-hashes per doc, banded; docs

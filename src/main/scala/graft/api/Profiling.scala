@@ -182,6 +182,78 @@ object Profiling {
     }(enc)
   }
 
+  /** Population-Stability-Index feature drift between a REFERENCE
+    * frame (the distribution training/curation decisions were made
+    * against) and a CURRENT frame (this week's crawl, the post-filter
+    * corpus): per feature,
+    * `PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)` over `bins`
+    * equal-width bins anchored to the reference's [min, max] (current
+    * rows outside the reference range clamp into the edge bins — mass
+    * leaving the reference support is exactly what PSI must see).
+    * Proportions are Laplace-smoothed, `p = (count + 0.5) / (n +
+    * 0.5·bins)`, so empty bins never produce ln(0) and the statistic
+    * stays defined for disjoint supports. Output: (feature, n_ref,
+    * n_cur, psi), psi rounded to 6. Rule-of-thumb thresholds: < 0.1
+    * stable, 0.1–0.25 moderate, > 0.25 action. A reference feature
+    * with a single value degenerates to one bin and PSI 0 — profile
+    * such columns with [[columnProfile]] instead.
+    *
+    * Both sides reduce to (feature, bin) counts in one keyed
+    * aggregation each — two corpus scans total, nothing row-sized
+    * shuffles, the bin spine is features × bins rows. NULLs are
+    * excluded per feature (count the gap with [[columnProfile]]). */
+  def featureDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+                   bins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "featureDrift needs at least one column")
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    def melt(df: DataFrame): DataFrame = {
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"columns not in frame: $missing")
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("feature"), df(c).cast("double").as("v"))): _*))
+          .as("fv"))
+        .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+        .filter(col("v").isNotNull)
+    }
+    val refM = melt(ref)
+    // a single-valued reference feature has ONE bin (its spine and
+    // smoothing divisor shrink with it) — so identical degenerate
+    // frames score exactly 0 instead of smoothing noise
+    val edges = refM.groupBy("feature")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("nb", when(col("hi") === col("lo"), 1).otherwise(bins))
+    def binned(m: DataFrame): DataFrame =
+      m.join(edges, "feature")
+        .select(col("feature"),
+          when(col("hi") === col("lo"), 0)
+            .otherwise(least(lit(bins - 1), greatest(lit(0),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)
+                .cast("int")))).as("bin"))
+        .groupBy("feature", "bin").agg(count(lit(1)).as("cnt"))
+    val refC = binned(refM)
+    val curC = binned(melt(cur))
+    val spine = edges.select(col("feature"), col("nb"),
+      explode(sequence(lit(0), col("nb") - 1)).as("bin"))
+    val joined = spine
+      .join(refC, Seq("feature", "bin"), "left")
+      .withColumnRenamed("cnt", "ref_cnt")
+      .join(curC, Seq("feature", "bin"), "left")
+      .withColumnRenamed("cnt", "cur_cnt")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+    val withN = joined
+      .withColumn("n_ref", sum(col("ref_cnt"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("feature")))
+      .withColumn("n_cur", sum(col("cur_cnt"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("feature")))
+    val pr = (col("ref_cnt") + 0.5) / (col("n_ref") + col("nb") * 0.5)
+    val pc = (col("cur_cnt") + 0.5) / (col("n_cur") + col("nb") * 0.5)
+    withN
+      .withColumn("contrib", (pc - pr) * log(pc / pr))
+      .groupBy("feature")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum(col("contrib")), 6).as("psi"))
+  }
+
   /** Mergeable HEAVY-HITTERS sketch table — the frequency third of
     * the sketch-table family ([[cardinalitySketches]] = distinct,
     * [[quantileSketches]] = rank): one DataSketches Frequent-Items

@@ -1611,6 +1611,49 @@ object Pipeline {
         .orderBy("shard")
     }),
 
+    // Directed CONTAINMENT pairs (asymmetric near-dup): documents whose
+    // shingle set is ≥80% inside another document's — the
+    // quote-inclusion/concatenation duplicates symmetric Jaccard
+    // misses. Prefix-filtered containment join (df-ascending shingle
+    // ordering, inner-side prefix index, length + position filters,
+    // exact verification) — the oracle replays the exact definition
+    // with the q44 shingle CTE.
+    "q183_containment_pairs" -> ((s, d) =>
+      graft.api.Dedup.containmentPairs(Tables.documents(s, d),
+          threshold = 0.8)
+        .orderBy("doc_inner", "doc_outer")),
+
+    // Content-level corpus snapshot diff: two synthetic snapshots of
+    // the documents corpus (old = ids not divisible by 7; new = ids
+    // not divisible by 5, with every 11th doc's text revised) are
+    // diffed by id + whitespace-normalized MD5 fingerprint into
+    // added / removed / changed / unchanged — text never shuffles,
+    // only (id, 16-byte fp). All four statuses are exercised.
+    "q184_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.api.Dedup.corpusDiff(oldSnap, newSnap).orderBy("doc_id")
+    }),
+
+    // PSI feature drift between two eras of the orders table (pre/post
+    // 1998): equal-width bins anchored to the REFERENCE era's
+    // [min, max], Laplace-smoothed proportions, per-feature
+    // Population Stability Index — the quality-monitoring gate a
+    // weekly crawl refresh runs before retraining decisions. The
+    // oracle replays the identical binning + smoothing + ln sum.
+    "q185_feature_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      graft.api.Profiling.featureDrift(
+          o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut),
+          Seq("o_custkey", "o_orderkey", "o_totalprice"), bins = 10)
+        .orderBy("feature")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -4764,6 +4807,90 @@ object Pipeline {
         |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling,
         |  round(p.score, 6) AS score
         |FROM deg d JOIN p5 p ON p.node = d.node ORDER BY d.node""".stripMargin,
+
+    // the q44 shingle CTE with the asymmetric ratio: containment of the
+    // inner doc = shared shingles / inner's shingle count, both
+    // directions reported, threshold on the UNROUNDED ratio.
+    "q183_containment_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id doc_inner, b.doc_id doc_outer, count(*) inter,
+         |         any_value(a.n) na, any_value(b.n) nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1,2
+         |)
+         |SELECT doc_inner, doc_outer,
+         |       CAST(na AS INT) AS n_inner, CAST(nb AS INT) AS n_outer,
+         |       round(inter*1.0/na, 6) AS containment
+         |FROM pairs WHERE inter*1.0/na >= 0.8
+         |ORDER BY doc_inner, doc_outer""".stripMargin,
+
+    // the same two snapshot definitions, diffed with a FULL OUTER join
+    // on the q43 fingerprint expression.
+    "q184_corpus_diff" ->
+      """WITH oldc AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |newc AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END,
+        |    '\s+', ' ', 'g'))) fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  o.fp AS old_fp, n.fp AS new_fp,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same binning: edges off the reference era, clamped bins,
+    // Laplace smoothing, (pc-pr)*ln(pc/pr) summed per feature.
+    "q185_feature_drift" ->
+      """WITH refm AS (
+        |  SELECT feature, v FROM (
+        |    SELECT 'o_custkey' AS feature, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  ) WHERE v IS NOT NULL),
+        |curm AS (
+        |  SELECT feature, v FROM (
+        |    SELECT 'o_custkey' AS feature, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  ) WHERE v IS NOT NULL),
+        |edges AS (SELECT feature, min(v) AS lo, max(v) AS hi FROM refm GROUP BY 1),
+        |refb AS (
+        |  SELECT r.feature,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE least(9, greatest(0, CAST(floor((r.v - e.lo)/(e.hi - e.lo)*10) AS INT))) END AS bin,
+        |    count(*) AS cnt
+        |  FROM refm r JOIN edges e ON r.feature = e.feature GROUP BY 1,2),
+        |curb AS (
+        |  SELECT c.feature,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE least(9, greatest(0, CAST(floor((c.v - e.lo)/(e.hi - e.lo)*10) AS INT))) END AS bin,
+        |    count(*) AS cnt
+        |  FROM curm c JOIN edges e ON c.feature = e.feature GROUP BY 1,2),
+        |spine AS (SELECT feature, unnest(range(0,10)) AS bin FROM edges),
+        |j AS (
+        |  SELECT s.feature, s.bin, coalesce(r.cnt,0) AS rc, coalesce(c.cnt,0) AS cc
+        |  FROM spine s
+        |  LEFT JOIN refb r ON s.feature = r.feature AND s.bin = r.bin
+        |  LEFT JOIN curb c ON s.feature = c.feature AND s.bin = c.bin),
+        |n AS (SELECT feature, sum(rc) AS nr, sum(cc) AS nc FROM j GROUP BY 1),
+        |p AS (
+        |  SELECT j.feature, n.nr, n.nc,
+        |    (j.rc + 0.5)/(n.nr + 5.0) AS pr, (j.cc + 0.5)/(n.nc + 5.0) AS pc
+        |  FROM j JOIN n ON j.feature = n.feature)
+        |SELECT feature, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+        |FROM p GROUP BY feature, nr, nc ORDER BY feature""".stripMargin,
 
     // exact term table + literal TRUE gates (q150's contract shape).
     "q182_freq_sketch_lifecycle" ->

@@ -40,6 +40,53 @@ class ApiSpec extends AnyFunSuite {
     assert(exact.exists { case (a, b, j) => a == 10L && b == 12L && j == 1.0 })
   }
 
+  test("Dedup.corpusDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "stable text"), (2L, "gone text"), (3L, "before"))
+      .toDF("id", "body")
+    val newSnap = Seq((1L, "stable   TEXT"), (3L, "after"), (4L, "fresh"))
+      .toDF("id", "body")
+    val diff = Dedup.corpusDiff(oldSnap, newSnap, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    // fingerprint is whitespace-normalized + lowercased: 1 is unchanged
+    assert(diff == Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("Dedup.containmentPairs catches quote-inclusion that Jaccard misses") {
+    // doc 20 is wholly embedded in doc 21's much longer text: containment
+    // 1.0 inner→outer, but Jaccard ≈ |20|/|21| is far below 0.8
+    val quoted = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "intro words first alpha beta gamma delta epsilon zeta " +
+        "and then a very long unrelated tail keeps the union large " +
+        "one two three four five six seven eight nine ten eleven twelve"),
+      (22L, "completely unrelated text about something else entirely here"))
+      .toDF("id", "body")
+    val cont = Dedup.containmentPairs(quoted, "id", "body", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(cont.toSeq == Seq((20L, 21L, 1.0)),
+      s"only 20→21 at containment 1.0, got ${cont.toSeq}")
+    assert(Dedup.nearDupPairsExact(quoted, "id", "body", threshold = 0.8)
+      .collect().isEmpty, "symmetric Jaccard must miss the quote inclusion")
+  }
+
+  test("Dedup.containmentPairs matches the brute-force definition (no false negatives)") {
+    val df = corpus.toDF("id", "body")
+    val t = 0.5
+    val got = Dedup.containmentPairs(df, "id", "body", threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // brute force over the same shingle sets
+    val sets = Dedup.shingleSets(df, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+    assert(got == want, s"got $got, want $want")
+    // exact dups 10/12 appear in BOTH directions at containment 1.0
+    assert(got.contains((10L, 12L, 1.0)) && got.contains((12L, 10L, 1.0)))
+  }
+
   test("Dedup.simHashPairs finds identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(corpus.toDF("id", "body"), "id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -1680,6 +1727,41 @@ class ApiSpec extends AnyFunSuite {
     val tb = TextAnalysis.perplexityBuckets(tied, model)
       .select("ppl_bucket").as[String].collect()
     assert(tb.forall(_ == "head"), "equal scores share the better bucket")
+  }
+
+  test("Profiling.featureDrift: identical frames score 0, planted shift scores high") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => (i.toDouble % 100, i.toDouble % 7))
+      .toDF("stable", "shifty")
+    // identical distributions: every bin's pc == pr, so PSI is exactly 0
+    val same = graft.api.Profiling.featureDrift(ref, ref,
+      Seq("stable", "shifty")).collect()
+    assert(same.length == 2 && same.forall(_.getAs[Double]("psi") == 0.0))
+    // shift `shifty` entirely above the reference range: mass clamps
+    // into the top bin, PSI explodes; `stable` stays identical
+    val cur = (1 to 1000).map(i => (i.toDouble % 100, 100.0 + i % 7))
+      .toDF("stable", "shifty")
+    val drift = graft.api.Profiling.featureDrift(ref, cur,
+        Seq("stable", "shifty")).collect()
+      .map(r => r.getAs[String]("feature") -> r.getAs[Double]("psi")).toMap
+    assert(drift("stable") == 0.0)
+    assert(drift("shifty") > 1.0, s"clamped-out-of-range shift must alarm: $drift")
+    assert(same.forall(r => r.getAs[Long]("n_ref") == 1000L &&
+      r.getAs[Long]("n_cur") == 1000L))
+  }
+
+  test("Profiling.featureDrift: nulls drop per feature; degenerate column scores 0") {
+    import spark.implicits._
+    val ref = Seq((Some(1.0), 5.0), (None, 5.0), (Some(3.0), 5.0))
+      .toDF("gaps", "flat")
+    val cur = Seq((Some(2.0), 5.0), (Some(9.0), 5.0)).toDF("gaps", "flat")
+    val out = graft.api.Profiling.featureDrift(ref, cur, Seq("gaps", "flat"))
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("psi"))).toMap
+    assert(out("gaps")._1 == 2L && out("gaps")._2 == 2L, "nulls excluded")
+    // single-valued reference degenerates to one bin -> PSI 0
+    assert(out("flat") == ((3L, 2L, 0.0)))
   }
 
   test("Profiling.columnProfile: nulls, distincts, string-rendered bounds, one scan") {

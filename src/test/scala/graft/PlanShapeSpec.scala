@@ -423,6 +423,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("q183 containment pairs: shingle-keyed equi-joins, doc-keyed window, no product") {
+    val p = plan("q183_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a posting-keyed equi-join")
+    assert(!p.contains("SinglePartition"),
+      "the position rank is a doc-keyed window, never a global sort")
+  }
+
   test("q181 pagerank outer frame: keyed equi-joins only") {
     val p = plan("q181_trade_pagerank")
     // iterations live behind localCheckpoints (bounded lineage); the
