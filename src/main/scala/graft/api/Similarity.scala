@@ -1687,4 +1687,82 @@ object Similarity {
     assigned.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= perCell).drop("__r")
   }
+
+  /** Fitted PCA-whitening model: `mean` and the FULL eigensystem of
+    * the population covariance (eigenvalues descending,
+    * `basis(r)` = r-th eigenvector), with `components` selecting the
+    * top-k projection [[whitenEmbeddings]] applies. Whitened
+    * coordinates are decorrelated with unit variance — the
+    * preconditioning SemDeDup-style pipelines want before cosine
+    * thresholds, and the projection that makes Euclidean k-means
+    * (IVF fits) isotropic. */
+  final case class PcaWhitenModel(dim: Int, components: Int, n: Long,
+                                  mean: Array[Double],
+                                  eigenvalues: Array[Double],
+                                  basis: Array[Array[Double]],
+                                  eps: Double) {
+    def explainedVariance: Double = {
+      val tot = eigenvalues.sum
+      if (tot <= 0) 1.0 else eigenvalues.take(components).sum / tot
+    }
+    def trace: Double = eigenvalues.sum
+  }
+
+  /** Fit PCA whitening over an `array<float>` embedding column in ONE
+    * corpus scan: the covariance accumulates as numerically-stable
+    * centered co-moments (Welford update, Chan pairwise merge — a
+    * d + d(d+1)/2-double buffer per partition, map-side combined,
+    * never raw Σx·xᵀ and never a row collect), then the d×d matrix
+    * eigen-decomposes on the DRIVER by cyclic Jacobi — corpus size
+    * never enters the driver-side cost. Deterministic: fixed sweep
+    * order, eigenvalues descending, each eigenvector sign-normalized
+    * (largest-|component| positive). NULL embeddings are skipped;
+    * ragged lengths throw. */
+  def fitPcaWhitening(emb: DataFrame, components: Int,
+                      vecCol: String = "embedding",
+                      eps: Double = 1e-9): PcaWhitenModel = {
+    import graft.functions.MomentAggregators
+    val dim = emb.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "fitPcaWhitening: empty frame or all-null embeddings")
+    }
+    require(components >= 1 && components <= dim,
+      s"components must be in [1, $dim], got $components")
+    val agg = udaf(new MomentAggregators.CovarianceAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val stats = emb.filter(col(vecCol).isNotNull)
+      .agg(agg(col(vecCol)).as("s"))
+      .select(col("s.n").as("n"), col("s.mean").as("mean"), col("s.m2").as("m2"))
+      .collect()(0)
+    val cov = MomentAggregators.covarianceMatrix(
+      MomentAggregators.CovStats(stats.getAs[Long]("n"),
+        stats.getSeq[Double](1).toSeq, stats.getSeq[Double](2).toSeq))
+    val (vals, vecs) = MomentAggregators.symmetricEigen(cov)
+    PcaWhitenModel(dim, components, stats.getAs[Long]("n"),
+      stats.getSeq[Double](1).toArray, vals, vecs, eps)
+  }
+
+  /** Apply a fitted whitening model: `out_r = (x·U_r − μ·U_r) /
+    * √(λ_r + eps)` for the top `model.components` eigenpairs —
+    * `components` native codegen'd `vec_dot`s against eigenvector
+    * LITERALS plus a scalar shift/scale each; the model (a few KB)
+    * rides the plan, no join, no shuffle, whole-stage codegen intact.
+    * Output column is `array<double>` of length `model.components`. */
+  def whitenEmbeddings(emb: DataFrame, model: PcaWhitenModel,
+                       vecCol: String = "embedding",
+                       outCol: String = "whitened"): DataFrame = {
+    val comps = (0 until model.components).map { r =>
+      val u = model.basis(r)
+      val shift = {
+        var s = 0.0; var i = 0
+        while (i < model.dim) { s += model.mean(i) * u(i); i += 1 }
+        s
+      }
+      val scale = 1.0 / math.sqrt(model.eigenvalues(r) + model.eps)
+      ((dot(col(vecCol), lit(u.map(_.toFloat))) - shift) * scale).as(s"__w$r")
+    }
+    emb.withColumn(outCol, array(comps: _*))
+  }
 }

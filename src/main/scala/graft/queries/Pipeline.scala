@@ -1654,6 +1654,66 @@ object Pipeline {
         .orderBy("feature")
     }),
 
+    // PCA WHITENING contract over the embeddings corpus: covariance
+    // accumulated as stable centered co-moments in ONE pass (Welford/
+    // Chan mergeable aggregator — never raw Σx·xᵀ, never a row
+    // collect), eigen-decomposed driver-side by cyclic Jacobi, applied
+    // as native vec_dot projections against eigenvector literals.
+    // Oracle-anchored VALUES: n, dim, trace (= Σ per-dim var_pop —
+    // eigen-invariant), mean vector norm. Engine-proved GATES (oracle
+    // emits literal TRUE): the whitened frame's own one-pass
+    // covariance is the identity, whitened means are 0, the basis is
+    // orthonormal, eigenvalues descend, and 8 spot rows reconstruct
+    // back to their float inputs through μ + Σ y_r·√λ_r·U_r.
+    "q186_pca_whitening" -> ((s, d) => {
+      import graft.functions.MomentAggregators
+      val emb = Tables.embeddings(s, d)
+      val model = graft.api.Similarity.fitPcaWhitening(emb, components = 64)
+      val dim = model.dim
+      val wh = graft.api.Similarity.whitenEmbeddings(emb, model)
+        .localCheckpoint()
+      val aggD = udaf(new MomentAggregators.CovarianceAggDouble(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      val st = wh.agg(aggD(col("whitened")).as("s"))
+        .select(col("s.n"), col("s.mean"), col("s.m2")).collect()(0)
+      val n = st.getAs[Long](0)
+      val wMean = st.getSeq[Double](1)
+      val m2 = st.getSeq[Double](2)
+      def tri(i: Int, j: Int) = j * (j + 1) / 2 + i
+      val covErr = (for { j <- 0 until dim; i <- 0 to j } yield
+        math.abs(m2(tri(i, j)) / n - (if (i == j) 1.0 else 0.0))).max
+      val meanErr = wMean.map(math.abs).max
+      val orthoErr = (for { a <- 0 until dim; b <- a until dim } yield {
+        val dp = (0 until dim).map(i => model.basis(a)(i) * model.basis(b)(i)).sum
+        math.abs(dp - (if (a == b) 1.0 else 0.0))
+      }).max
+      val eigsDesc = model.eigenvalues.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      val reconErr = wh.orderBy("vec_id").limit(8)
+        .select(col("embedding"), col("whitened")).collect().map { r =>
+          val x = r.getSeq[Float](0); val y = r.getSeq[Double](1)
+          (0 until dim).map { i =>
+            val xi = model.mean(i) + (0 until dim).map(c =>
+              y(c) * math.sqrt(model.eigenvalues(c) + model.eps) *
+                model.basis(c)(i)).sum
+            math.abs(xi - x(i).toDouble)
+          }.max
+        }.max
+      val evr16 = model.eigenvalues.take(16).sum / model.trace
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, dim, 16, r6(model.trace), r6(evr16),
+        covErr < 1e-3, meanErr < 1e-8, orthoErr < 1e-10, eigsDesc,
+        reconErr < 1e-3))
+        .toDF("n", "dim", "k", "trace", "evr16_value",
+          "whitened_identity_ok", "whitened_mean_zero_ok",
+          "orthonormal_ok", "eigs_desc_ok", "recon_ok")
+        .withColumn("evr16_in_unit", col("evr16_value") > 0.0 &&
+          col("evr16_value") <= 1.0)
+        .drop("evr16_value")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -4807,6 +4867,21 @@ object Pipeline {
         |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling,
         |  round(p.score, 6) AS score
         |FROM deg d JOIN p5 p ON p.node = d.node ORDER BY d.node""".stripMargin,
+
+    // n, dim, k and the eigen-invariant trace (Σ per-dim variance);
+    // every whitening-specific gate is engine-proved, oracle TRUE.
+    "q186_pca_whitening" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+        |per AS (
+        |  SELECT d.d, var_pop(CAST(e.embedding[d.d] AS DOUBLE)) AS vd
+        |  FROM embeddings e, dims d GROUP BY d.d)
+        |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
+        |  64 AS dim, 16 AS k,
+        |  round(sum(vd), 6) AS trace,
+        |  true AS whitened_identity_ok, true AS whitened_mean_zero_ok,
+        |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
+        |  true AS evr16_in_unit
+        |FROM per""".stripMargin,
 
     // the q44 shingle CTE with the asymmetric ratio: containment of the
     // inner doc = shared shingles / inner's shingle count, both
