@@ -201,6 +201,38 @@ object GraftSparkExtensions {
       graft.api.Dedup.seenFilterStats(spark,
         strLit("graft_seen_filter_stats", "path", args(0)))
         .queryExecution.logical
+    },
+    tvf("graft_corpus_diff",
+      "graft_corpus_diff(oldTable, newTable[, idCol, textCol]) - " +
+        "content-level snapshot diff: one row per id with status " +
+        "added|removed|changed|unchanged and both fingerprints") { args =>
+      require(args.length == 2 || args.length == 4,
+        s"graft_corpus_diff expects (oldTable, newTable[, idCol, textCol]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val idCol = if (args.length > 2)
+        strLit("graft_corpus_diff", "idCol", args(2)) else "doc_id"
+      val textCol = if (args.length > 3)
+        strLit("graft_corpus_diff", "textCol", args(3)) else "text"
+      graft.api.Dedup.corpusDiff(
+        spark.table(strLit("graft_corpus_diff", "oldTable", args(0))),
+        spark.table(strLit("graft_corpus_diff", "newTable", args(1))),
+        idCol, textCol).queryExecution.logical
+    },
+    tvf("graft_feature_drift",
+      "graft_feature_drift(refTable, curTable, cols[, bins]) - " +
+        "per-feature Population Stability Index of curTable against " +
+        "refTable; cols is a comma-separated column list") { args =>
+      require(args.length == 3 || args.length == 4,
+        s"graft_feature_drift expects (refTable, curTable, cols[, bins]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cols = strLit("graft_feature_drift", "cols", args(2))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val bins = if (args.length > 3)
+        intLit("graft_feature_drift", "bins", args(3)) else 10
+      graft.api.Profiling.featureDrift(
+        spark.table(strLit("graft_feature_drift", "refTable", args(0))),
+        spark.table(strLit("graft_feature_drift", "curTable", args(1))),
+        cols, bins).queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

@@ -170,4 +170,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "SELECT * FROM graft_hamming_suppress_explain('a', 'b', 'c')"))
   }
+
+  test("corpus-diff and feature-drift TVFs match their API twins") {
+    import spark.implicits._
+    Seq((1L, "same"), (2L, "gone")).toDF("doc_id", "text")
+      .createOrReplaceTempView("snap_old")
+    Seq((1L, "same"), (3L, "new")).toDF("doc_id", "text")
+      .createOrReplaceTempView("snap_new")
+    val viaSql = spark.sql(
+      "SELECT doc_id, status FROM graft_corpus_diff('snap_old', 'snap_new') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == Seq((1L, "unchanged"), (2L, "removed"), (3L, "added")))
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("x").createOrReplaceTempView("drift_ref")
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("x").createOrReplaceTempView("drift_cur")
+    val psi = spark.sql(
+      "SELECT psi FROM graft_feature_drift('drift_ref', 'drift_cur', 'x', 4)")
+      .head().getDouble(0)
+    assert(psi == 0.0, "identical frames must score exactly 0")
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_feature_drift('drift_ref', 'drift_cur')"))
+  }
 }
