@@ -1744,6 +1744,47 @@ object Similarity {
       stats.getSeq[Double](1).toArray, vals, vecs, eps)
   }
 
+  /** Persist a fitted whitening model under the shared
+    * versioned-pointer layout: each save writes a complete
+    * `path/v<N>/model` parquet then atomically flips `path/_current` —
+    * a re-fit (the weekly refresh) publishes at exactly one commit
+    * point while readers of the previous version stay live, the same
+    * crash discipline as every persisted index in this package. The
+    * model is a few KB; one file. */
+  def savePcaWhitening(spark: org.apache.spark.sql.SparkSession,
+                       model: PcaWhitenModel, path: String): Unit = {
+    val next = VersionedIndex.nextVersion(spark, path)
+    import spark.implicits._
+    Seq((model.dim, model.components, model.n, model.mean.toSeq,
+        model.eigenvalues.toSeq, model.basis.map(_.toSeq).toSeq, model.eps))
+      .toDF("dim", "components", "n", "mean", "eigenvalues", "basis", "eps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$next/model")
+    VersionedIndex.commitPointer(spark, path, next)
+  }
+
+  /** Load the CURRENT version of a persisted whitening model. */
+  def loadPcaWhitening(spark: org.apache.spark.sql.SparkSession,
+                       path: String): PcaWhitenModel = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val r = spark.read.parquet(s"$root/model").collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalStateException(
+        s"corrupt whitening model at $path: ${rows.length} rows")
+    }
+    PcaWhitenModel(r.getAs[Int]("dim"), r.getAs[Int]("components"),
+      r.getAs[Long]("n"), r.getSeq[Double](r.fieldIndex("mean")).toArray,
+      r.getSeq[Double](r.fieldIndex("eigenvalues")).toArray,
+      r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("basis"))
+        .map(_.toArray).toArray,
+      r.getAs[Double]("eps"))
+  }
+
+  /** Drop superseded whitening-model versions (run when no reader may
+    * hold a pre-swap resolution). Returns what was deleted. */
+  def vacuumPcaWhitening(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[String] =
+    VersionedIndex.vacuum(spark, path, Seq.empty)
+
   /** Apply a fitted whitening model: `out_r = (x·U_r − μ·U_r) /
     * √(λ_r + eps)` for the top `model.components` eigenpairs —
     * `components` native codegen'd `vec_dot`s against eigenvector

@@ -83,6 +83,34 @@ class PcaSpec extends AnyFunSuite {
       "whitened means must be ~0")
   }
 
+  test("whitening model save/load/refit/vacuum: versioned atomic lifecycle") {
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(2f, 1f)),
+      (4L, Seq(3f, 4f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-spec").toString
+    val m1 = Similarity.fitPcaWhitening(df, components = 2)
+    Similarity.savePcaWhitening(spark, m1, dir)
+    val loaded = Similarity.loadPcaWhitening(spark, dir)
+    assert(loaded.dim == m1.dim && loaded.components == m1.components &&
+      loaded.n == m1.n && loaded.eps == m1.eps)
+    assert(loaded.mean.toSeq == m1.mean.toSeq)
+    assert(loaded.eigenvalues.toSeq == m1.eigenvalues.toSeq)
+    assert(loaded.basis.map(_.toSeq).toSeq == m1.basis.map(_.toSeq).toSeq)
+    // loaded model whitens identically to the in-memory one
+    val a = Similarity.whitenEmbeddings(df, m1).select("whitened").collect()
+      .map(_.getSeq[Double](0))
+    val b = Similarity.whitenEmbeddings(df, loaded).select("whitened").collect()
+      .map(_.getSeq[Double](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // refit on more data publishes v2; vacuum drops v1
+    val m2 = Similarity.fitPcaWhitening(
+      df.union(Seq((5L, Seq(9f, 9f))).toDF("vec_id", "embedding")),
+      components = 1)
+    Similarity.savePcaWhitening(spark, m2, dir)
+    assert(Similarity.loadPcaWhitening(spark, dir).n == 5L)
+    assert(Similarity.vacuumPcaWhitening(spark, dir) == Seq("v1"))
+    assert(Similarity.loadPcaWhitening(spark, dir).components == 1)
+  }
+
   test("fitPcaWhitening skips nulls and rejects bad component counts") {
     val df = Seq((1L, Some(Seq(1f, 2f))), (2L, None), (3L, Some(Seq(3f, 5f))))
       .toDF("vec_id", "embedding")
