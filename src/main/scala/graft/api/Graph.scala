@@ -90,6 +90,73 @@ object Graph {
     ranks.select(col("node"), round(col("score"), 6).as("score"))
   }
 
+  /** Fixed-iteration SYNCHRONOUS label propagation — community
+    * detection over a link/similarity graph (the coarse-grained
+    * companion to [[Dedup.keepOne]]'s exact components: LPA groups by
+    * link DENSITY, so one giant weakly-connected blob still splits
+    * into communities a curation pass can cap or sample per
+    * [[graft.api.Curation]] domain rules).
+    *
+    * Contract (integer-only — bit-exact cross-engine, no float
+    * grain): labels start as the node's own id; each iteration every
+    * node adopts the most frequent label among its IN-neighbors plus
+    * ITS OWN current label (the self-vote — an implicit self-loop;
+    * count desc, then SMALLEST label — a total order, so ties cannot
+    * flap with partitioning). Without the self-vote, synchronous LPA
+    * 2-cycles on every isolated pair (a↔b swap labels forever); with
+    * it, the tie resolves to min(a,b) and converges. Synchronous:
+    * iteration k+1 reads only iteration k's labels. Pass both edge
+    * directions for an undirected graph. Fixed `iters`, no
+    * convergence test — the oracle replays the exact dynamics.
+    *
+    * The edge set is treated as a SIMPLE graph (duplicate input edges
+    * collapse to one vote — encode multiplicity upstream if it should
+    * weight the vote).
+    *
+    * Scale shape: per iteration ONE keyed equi-join (edges ⋈ labels
+    * on src) + ONE (node, label) count aggregation + ONE node-keyed
+    * argmax window; each iteration `localCheckpoint`s and releases
+    * its predecessor, the [[pageRank]] lineage hygiene. Output:
+    * (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    def ownRddId(df: DataFrame): Option[Int] =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // the self-vote: one implicit self-loop per node (deduped against
+    // any explicit ones so a self-edge never double-counts)
+    val e = e0.union(nodes.select(col("node").as("src"),
+      col("node").as("dst"))).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labelsOwnedId: Option[Int] = None
+    (1 to iters).foreach { _ =>
+      val cand = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
+      val best = cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      val next = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+      labelsOwnedId.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(false)))
+      labelsOwnedId = ownRddId(next)
+      labels = next
+    }
+    labels
+  }
+
   /** Per-node degree profile: out/in degrees and the dangling flag —
     * the pre-flight check for [[pageRank]] (how much mass the simple
     * dangling contract will leak) and a curation signal by itself

@@ -1714,6 +1714,25 @@ object Pipeline {
         .drop("evr16_value")
     }),
 
+    // Synchronous label-propagation communities over the NEAR-DUP
+    // similarity graph (exact Jaccard pairs at 0.6, both directions):
+    // the density-based companion to q63's exact connected
+    // components — integer-only dynamics (self-vote, count-desc/
+    // min-label tie rule), so the oracle replays all 4 iterations
+    // bit-exactly. Output: every node with its community label and
+    // the community's size.
+    "q187_label_propagation" -> ((s, d) => {
+      val pairs = graft.api.Dedup.nearDupPairsExact(
+        Tables.documents(s, d), threshold = 0.6)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val lp = graft.api.Graph.labelPropagation(edges, iters = 4)
+      val sizes = lp.groupBy("label").agg(count(lit(1)).as("community_size"))
+      lp.join(sizes, "label")
+        .select(col("node"), col("label"), col("community_size"))
+        .orderBy("node")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -4882,6 +4901,42 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // the q44 shingle CTE builds the same pair graph; four unrolled
+    // LPA iterations with the identical self-vote + tie rule.
+    "q187_label_propagation" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter,
+         |         any_value(a.n) na, any_value(b.n) nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2
+         |), pe AS (
+         |  SELECT doc_a, doc_b FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.6),
+         |base AS (SELECT doc_a AS src, doc_b AS dst FROM pe UNION SELECT doc_b, doc_a FROM pe),
+         |nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+         |und AS (SELECT src, dst FROM base UNION SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |c1 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l0 l ON l.node = e.src GROUP BY 1,2),
+         |b1 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c1) WHERE rn = 1),
+         |l1 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l0 p LEFT JOIN b1 b ON b.node = p.node),
+         |c2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l1 l ON l.node = e.src GROUP BY 1,2),
+         |b2 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c2) WHERE rn = 1),
+         |l2 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l1 p LEFT JOIN b2 b ON b.node = p.node),
+         |c3 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l2 l ON l.node = e.src GROUP BY 1,2),
+         |b3 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c3) WHERE rn = 1),
+         |l3 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l2 p LEFT JOIN b3 b ON b.node = p.node),
+         |c4 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l3 l ON l.node = e.src GROUP BY 1,2),
+         |b4 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c4) WHERE rn = 1),
+         |l4 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l3 p LEFT JOIN b4 b ON b.node = p.node),
+         |sz AS (SELECT label, count(*) AS community_size FROM l4 GROUP BY 1)
+         |SELECT l.node, l.label, sz.community_size
+         |FROM l4 l JOIN sz ON sz.label = l.label ORDER BY l.node""".stripMargin,
 
     // the q44 shingle CTE with the asymmetric ratio: containment of the
     // inner doc = shared shingles / inner's shingle count, both

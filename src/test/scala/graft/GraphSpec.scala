@@ -22,6 +22,41 @@ class GraphSpec extends AnyFunSuite {
     assert(out(2L) == 0.191667 && out(3L) == 0.191667)
   }
 
+  test("labelPropagation: isolated pair converges via self-vote (no 2-cycle)") {
+    // undirected pair 7-9: without the self-vote, synchronous LPA
+    // swaps labels forever; with it, iteration 1 ties 1:1 and the
+    // min label 7 wins on both sides — stable at every later count
+    val edges = Seq((7L, 9L), (9L, 7L)).toDF("src", "dst")
+    for (it <- Seq(1, 2, 5)) {
+      val out = Graph.labelPropagation(edges, iters = it).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 7L, 9L -> 7L), s"iters=$it got $out")
+    }
+  }
+
+  test("labelPropagation splits a barbell into its two dense communities") {
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10
+    def undirected(ps: Seq[(Long, Long)]) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    val edges = undirected(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)))
+    val out = Graph.labelPropagation(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(out) == Set(1L), s"left triangle: $out")
+    assert(Set(10L, 11L, 12L).map(out) == Set(10L), s"right triangle: $out")
+  }
+
+  test("labelPropagation treats duplicate edges as one vote (simple graph)") {
+    // 5 duplicate edges 2->1 must not outvote {3,4}->1 + self
+    val edges = (Seq.fill(5)((2L, 1L)) ++ Seq((3L, 1L), (4L, 1L)))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 sees labels {2,3,4,self=1} each once -> min label 1 wins
+    assert(out(1L) == 1L, s"got $out")
+  }
+
   test("uniform score is the fixpoint of a symmetric cycle at any iteration count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val out = Graph.pageRank(edges, iters = 20).collect()
