@@ -273,4 +273,30 @@ object Curation {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
       .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
   }
+
+  /** Outbound links of an HTML column — one row per `href` attribute
+    * (double- then single-quoted matches, document order within each),
+    * with `is_absolute` (scheme-prefixed) and, for absolute links, the
+    * [[registeredDomain]] of the target (NULL for relative links —
+    * resolve them against the page URL upstream if needed). The feeder
+    * for link-graph curation: absolute links keyed by (page domain,
+    * target domain) are the edge list [[Graph.pageRank]] /
+    * [[Graph.labelPropagation]] rank and cluster.
+    *
+    * Same lenient-regex contract as [[htmlToText]] (corpus HTML is
+    * truncated/invalid; a parser dependency would be less
+    * deterministic, not more). A narrow staged-regex projection +
+    * explode — no shuffle, codegen intact. */
+  def extractLinks(df: DataFrame, idCol: String = "doc_id",
+                   htmlCol: String = "html"): DataFrame = {
+    val dq = regexp_extract_all(col(htmlCol),
+      lit("(?i)href\\s*=\\s*\"([^\"]+)\""), lit(1))
+    val sq = regexp_extract_all(col(htmlCol),
+      lit("(?i)href\\s*=\\s*'([^']+)'"), lit(1))
+    val isAbs = col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    df.select(col(idCol), explode(concat(dq, sq)).as("href"))
+      .withColumn("is_absolute", isAbs)
+      .withColumn("domain", when(isAbs, registeredDomain(col("href")))
+        .otherwise(lit(null).cast("string")))
+  }
 }

@@ -1733,6 +1733,32 @@ object Pipeline {
         .orderBy("node")
     }),
 
+    // Outbound-link extraction from HTML (the feeder for link-graph
+    // curation): pages are planted IN-PLAN with closed-form hrefs —
+    // a double-quoted absolute link on every doc, a single-quoted
+    // RELATIVE link on every 3rd, an upper-cased HREF with mixed-case
+    // scheme/host and a fragment on every 5th — so the oracle emits
+    // each expected (href, is_absolute, domain) row directly and the
+    // regex/domain logic is pinned against construction, not against
+    // itself.
+    "q188_link_extraction" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"))
+      val html = concat(
+        lit("<html><body><p>intro</p><a class=\"x\" href=\"https://"),
+        col("source"), lit("-site.com/p/"), col("doc_id").cast("string"),
+        lit("\">main</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href='/relative/"), col("doc_id").cast("string"),
+            lit("'>rel</a>"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<A HREF=\"HTTPS://Blog."), col("source"),
+            lit("-press.co.uk/x?y=1#f\">blog</A>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.api.Curation.extractLinks(base.withColumn("html", html))
+        .orderBy("doc_id", "href")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -4901,6 +4927,24 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // closed-form expected links per construction shape.
+    "q188_link_extraction" ->
+      """WITH links AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '-site.com/p/' || CAST(doc_id AS VARCHAR) AS href,
+        |    true AS is_absolute, source || '-site.com' AS domain
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id, '/relative/' || CAST(doc_id AS VARCHAR),
+        |    false, NULL
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'HTTPS://Blog.' || source || '-press.co.uk/x?y=1#f',
+        |    true, source || '-press.co.uk'
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0)
+        |SELECT doc_id, href, is_absolute, domain
+        |FROM links ORDER BY doc_id, href""".stripMargin,
 
     // the q44 shingle CTE builds the same pair graph; four unrolled
     // LPA iterations with the identical self-vote + tie rule.

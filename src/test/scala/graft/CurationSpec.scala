@@ -127,4 +127,19 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.api.Curation.removeBoilerplateLines(docs, minDocs = 1))
   }
+
+  test("extractLinks: quote styles, case, relative vs absolute, domain") {
+    val pages = Seq(
+      (1L, """<a href="https://a.example.com/x">1</a> mid """ +
+        """<A Href = 'HTTP://B.co.uk:8080/y#frag'>2</A>"""),
+      (2L, """<a href='/rel/path'>r</a><a name="x">no href</a>"""),
+      (3L, "no links at all")).toDF("id", "page")
+    val out = Curation.extractLinks(pages, "id", "page").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        Option(r.getString(3))))
+    assert(out.toSet == Set(
+      (1L, "https://a.example.com/x", true, Some("example.com")),
+      (1L, "HTTP://B.co.uk:8080/y#frag", true, Some("b.co.uk")),
+      (2L, "/rel/path", false, None)), s"got ${out.toSeq}")
+  }
 }
