@@ -83,7 +83,8 @@ object Explain {
     "q184_corpus_diff",      // fingerprints-only full-outer diff, text never shuffles (r11)
     "q185_feature_drift",    // two keyed bin-count aggs, bins-sized spine (r11)
     "q187_label_propagation", // integer LPA: keyed vote agg + argmax window per iter (r11)
-    "q188_link_extraction")  // staged-regex projection + explode, no shuffle (r11)
+    "q188_link_extraction",  // staged-regex projection + explode, no shuffle (r11)
+    "q189_frozen_drift")     // frozen edges/counts as literals, one batch scan (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -204,34 +204,43 @@ object Profiling {
     * excluded per feature (count the gap with [[columnProfile]]). */
   def featureDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
                    bins: Int = 10): DataFrame = {
-    require(cols.nonEmpty, "featureDrift needs at least one column")
     require(bins >= 2, s"need at least 2 bins, got $bins")
-    def melt(df: DataFrame): DataFrame = {
-      val missing = cols.filterNot(df.columns.contains)
-      require(missing.isEmpty, s"columns not in frame: $missing")
-      df.select(explode(array(cols.map(c =>
-          struct(lit(c).as("feature"), df(c).cast("double").as("v"))): _*))
-          .as("fv"))
-        .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
-        .filter(col("v").isNotNull)
-    }
-    val refM = melt(ref)
+    val refM = meltFeatures(ref, cols)
     // a single-valued reference feature has ONE bin (its spine and
     // smoothing divisor shrink with it) — so identical degenerate
     // frames score exactly 0 instead of smoothing noise
     val edges = refM.groupBy("feature")
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       .withColumn("nb", when(col("hi") === col("lo"), 1).otherwise(bins))
-    def binned(m: DataFrame): DataFrame =
-      m.join(edges, "feature")
-        .select(col("feature"),
-          when(col("hi") === col("lo"), 0)
-            .otherwise(least(lit(bins - 1), greatest(lit(0),
-              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)
-                .cast("int")))).as("bin"))
-        .groupBy("feature", "bin").agg(count(lit(1)).as("cnt"))
-    val refC = binned(refM)
-    val curC = binned(melt(cur))
+    driftFromParts(edges, binFeatures(refM, edges, bins), cur, cols, bins)
+  }
+
+  private def meltFeatures(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "featureDrift needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("feature"), df(c).cast("double").as("v"))): _*))
+        .as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+      .filter(col("v").isNotNull)
+  }
+
+  private def binFeatures(m: DataFrame, edges: DataFrame, bins: Int): DataFrame =
+    m.join(edges, "feature")
+      .select(col("feature"),
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(lit(bins - 1), greatest(lit(0),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)
+              .cast("int")))).as("bin"))
+      .groupBy("feature", "bin").agg(count(lit(1)).as("cnt"))
+
+  /** Shared PSI tail: reference edges + reference bin counts (live or
+    * frozen) against a current frame. */
+  private def driftFromParts(edges: DataFrame, refC: DataFrame,
+                             cur: DataFrame, cols: Seq[String],
+                             bins: Int): DataFrame = {
+    val curC = binFeatures(meltFeatures(cur, cols), edges, bins)
     val spine = edges.select(col("feature"), col("nb"),
       explode(sequence(lit(0), col("nb") - 1)).as("bin"))
     val joined = spine
@@ -253,6 +262,67 @@ object Profiling {
       .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
         round(sum(col("contrib")), 6).as("psi"))
   }
+
+  /** FROZEN drift reference: the edges and bin counts of the
+    * reference era, collected once (features × bins rows — metadata-
+    * sized) so every later batch scores against the SAME yardstick.
+    * Re-fitting edges per batch would let the yardstick drift with
+    * the drift — the monitoring bug frozen references exist to
+    * prevent (the [[graft.api.Similarity]] frozen-quantizer rule,
+    * applied to quality monitoring). */
+  final case class DriftReference(bins: Int, features: Seq[String],
+      edges: Seq[(String, Double, Double, Int)],
+      counts: Seq[(String, Int, Long)])
+
+  /** Fit a [[DriftReference]] over the reference frame — two keyed
+    * aggregations, one tiny collect. */
+  def fitDriftReference(ref: DataFrame, cols: Seq[String],
+                        bins: Int = 10): DriftReference = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val refM = meltFeatures(ref, cols)
+    val edges = refM.groupBy("feature")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("nb", when(col("hi") === col("lo"), 1).otherwise(bins))
+    val e = edges.collect().map(r => (r.getString(0), r.getDouble(1),
+      r.getDouble(2), r.getInt(3))).toSeq.sortBy(_._1)
+    val c = binFeatures(refM, edges, bins).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(x => (x._1, x._2))
+    DriftReference(bins, cols, e, c)
+  }
+
+  /** PSI of a current frame against a FROZEN reference — identical
+    * output to [[featureDrift]] on the frames the reference was fit
+    * from (the frozen parts are the same edges and counts, re-entered
+    * as literals). The per-batch scoring path of
+    * [[featureDriftStream]]. */
+  def featureDriftFrozen(cur: DataFrame, ref: DriftReference): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val edges = ref.edges.toDF("feature", "lo", "hi", "nb")
+    val refC = ref.counts.toDF("feature", "bin", "cnt")
+    driftFromParts(edges, refC, cur, ref.features, ref.bins)
+  }
+
+  /** Continuous drift monitoring: score every micro-batch against the
+    * frozen reference and APPEND (batch_id, feature, n_ref, n_cur,
+    * psi) to a parquet ledger — the alert feed a weekly-crawl
+    * pipeline tails (PSI > 0.25 on any feature = stop and look).
+    * Per batch: one narrow scan of the batch + features × bins
+    * literals; the ledger grows by features rows per batch. */
+  def featureDriftStream(stream: DataFrame, ref: DriftReference,
+                         ledgerPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        featureDriftFrozen(batch, ref)
+          .withColumn("batch_id", lit(batchId))
+          .select(col("batch_id"), col("feature"), col("n_ref"),
+            col("n_cur"), col("psi"))
+          .write.mode("append").parquet(ledgerPath)
+      }
+      .start()
 
   /** Mergeable HEAVY-HITTERS sketch table — the frequency third of
     * the sketch-table family ([[cardinalitySketches]] = distinct,

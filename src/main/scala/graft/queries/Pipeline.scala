@@ -1759,6 +1759,31 @@ object Pipeline {
         .orderBy("doc_id", "href")
     }),
 
+    // FROZEN-reference drift (the q185 statistic, production-shaped):
+    // fit the reference era's edges + bin counts ONCE
+    // (fitDriftReference — the frozen-quantizer rule applied to
+    // monitoring: a yardstick re-fit per batch would drift with the
+    // drift), score the current era against the frozen literals, and
+    // engine-prove bit-parity with the direct two-frame computation.
+    // The streaming wrapper (featureDriftStream) appends exactly these
+    // rows per micro-batch; its lifecycle is spec-pinned.
+    "q189_frozen_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cols = Seq("o_custkey", "o_orderkey", "o_totalprice")
+      val ref = o.filter(col("o_orderdate") < cut)
+      val cur = o.filter(col("o_orderdate") >= cut)
+      val frozen = graft.api.Profiling.fitDriftReference(ref, cols, bins = 10)
+      val viaFrozen = graft.api.Profiling.featureDriftFrozen(cur, frozen)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val matches = rows(viaFrozen) ==
+        rows(graft.api.Profiling.featureDrift(ref, cur, cols, bins = 10))
+      viaFrozen.withColumn("frozen_matches_direct", lit(matches))
+        .orderBy("feature")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -3346,6 +3371,47 @@ object Pipeline {
       |LEFT JOIN idup i ON f.doc_id = i.doc_id
       |LEFT JOIN bdup bb ON f.doc_id = bb.doc_id
       |ORDER BY f.doc_id""".stripMargin
+
+  /** Shared PSI-drift oracle CTE (q185 direct, q189 frozen parity):
+    * DuckDB replays edges-off-reference binning, Laplace smoothing,
+    * and the (pc-pr)*ln(pc/pr) sum; callers append the SELECT. */
+  private val psiDriftCte =
+    """WITH refm AS (
+        |  SELECT feature, v FROM (
+        |    SELECT 'o_custkey' AS feature, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  ) WHERE v IS NOT NULL),
+        |curm AS (
+        |  SELECT feature, v FROM (
+        |    SELECT 'o_custkey' AS feature, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  ) WHERE v IS NOT NULL),
+        |edges AS (SELECT feature, min(v) AS lo, max(v) AS hi FROM refm GROUP BY 1),
+        |refb AS (
+        |  SELECT r.feature,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE least(9, greatest(0, CAST(floor((r.v - e.lo)/(e.hi - e.lo)*10) AS INT))) END AS bin,
+        |    count(*) AS cnt
+        |  FROM refm r JOIN edges e ON r.feature = e.feature GROUP BY 1,2),
+        |curb AS (
+        |  SELECT c.feature,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE least(9, greatest(0, CAST(floor((c.v - e.lo)/(e.hi - e.lo)*10) AS INT))) END AS bin,
+        |    count(*) AS cnt
+        |  FROM curm c JOIN edges e ON c.feature = e.feature GROUP BY 1,2),
+        |spine AS (SELECT feature, unnest(range(0,10)) AS bin FROM edges),
+        |j AS (
+        |  SELECT s.feature, s.bin, coalesce(r.cnt,0) AS rc, coalesce(c.cnt,0) AS cc
+        |  FROM spine s
+        |  LEFT JOIN refb r ON s.feature = r.feature AND s.bin = r.bin
+        |  LEFT JOIN curb c ON s.feature = c.feature AND s.bin = c.bin),
+        |n AS (SELECT feature, sum(rc) AS nr, sum(cc) AS nc FROM j GROUP BY 1),
+        |p AS (
+        |  SELECT j.feature, n.nr, n.nc,
+        |    (j.rc + 0.5)/(n.nr + 5.0) AS pr, (j.cc + 0.5)/(n.nc + 5.0) AS pc
+        |  FROM j JOIN n ON j.feature = n.feature)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
@@ -5025,46 +5091,21 @@ object Pipeline {
 
     // the same binning: edges off the reference era, clamped bins,
     // Laplace smoothing, (pc-pr)*ln(pc/pr) summed per feature.
-    "q185_feature_drift" ->
-      """WITH refm AS (
-        |  SELECT feature, v FROM (
-        |    SELECT 'o_custkey' AS feature, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
-        |    UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
-        |    UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
-        |  ) WHERE v IS NOT NULL),
-        |curm AS (
-        |  SELECT feature, v FROM (
-        |    SELECT 'o_custkey' AS feature, CAST(o_custkey AS DOUBLE) AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-        |    UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-        |    UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-        |  ) WHERE v IS NOT NULL),
-        |edges AS (SELECT feature, min(v) AS lo, max(v) AS hi FROM refm GROUP BY 1),
-        |refb AS (
-        |  SELECT r.feature,
-        |    CASE WHEN e.hi = e.lo THEN 0
-        |         ELSE least(9, greatest(0, CAST(floor((r.v - e.lo)/(e.hi - e.lo)*10) AS INT))) END AS bin,
-        |    count(*) AS cnt
-        |  FROM refm r JOIN edges e ON r.feature = e.feature GROUP BY 1,2),
-        |curb AS (
-        |  SELECT c.feature,
-        |    CASE WHEN e.hi = e.lo THEN 0
-        |         ELSE least(9, greatest(0, CAST(floor((c.v - e.lo)/(e.hi - e.lo)*10) AS INT))) END AS bin,
-        |    count(*) AS cnt
-        |  FROM curm c JOIN edges e ON c.feature = e.feature GROUP BY 1,2),
-        |spine AS (SELECT feature, unnest(range(0,10)) AS bin FROM edges),
-        |j AS (
-        |  SELECT s.feature, s.bin, coalesce(r.cnt,0) AS rc, coalesce(c.cnt,0) AS cc
-        |  FROM spine s
-        |  LEFT JOIN refb r ON s.feature = r.feature AND s.bin = r.bin
-        |  LEFT JOIN curb c ON s.feature = c.feature AND s.bin = c.bin),
-        |n AS (SELECT feature, sum(rc) AS nr, sum(cc) AS nc FROM j GROUP BY 1),
-        |p AS (
-        |  SELECT j.feature, n.nr, n.nc,
-        |    (j.rc + 0.5)/(n.nr + 5.0) AS pr, (j.cc + 0.5)/(n.nc + 5.0) AS pc
-        |  FROM j JOIN n ON j.feature = n.feature)
+    "q185_feature_drift" -> (psiDriftCte +
+      """
         |SELECT feature, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
         |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
-        |FROM p GROUP BY feature, nr, nc ORDER BY feature""".stripMargin,
+        |FROM p GROUP BY feature, nr, nc ORDER BY feature""".stripMargin),
+
+    // the frozen path re-enters the SAME edges and reference counts as
+    // literals, so the oracle is q185's plus the parity gate.
+    "q189_frozen_drift" -> (psiDriftCte +
+      """
+        |SELECT feature, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi,
+        |  true AS frozen_matches_direct
+        |FROM p GROUP BY feature, nr, nc ORDER BY feature""".stripMargin),
+
 
     // exact term table + literal TRUE gates (q150's contract shape).
     "q182_freq_sketch_lifecycle" ->
