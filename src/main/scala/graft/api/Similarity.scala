@@ -1700,7 +1700,12 @@ object Similarity {
                                   mean: Array[Double],
                                   eigenvalues: Array[Double],
                                   basis: Array[Array[Double]],
-                                  eps: Double) {
+                                  eps: Double,
+                                  m2: Array[Double]) {
+    /** The model's running co-moment record — what incremental refits
+      * merge with a fresh batch's. */
+    def stats: graft.functions.MomentAggregators.CovStats =
+      graft.functions.MomentAggregators.CovStats(n, mean.toSeq, m2.toSeq)
     def explainedVariance: Double = {
       val tot = eigenvalues.sum
       if (tot <= 0) 1.0 else eigenvalues.take(components).sum / tot
@@ -1721,6 +1726,13 @@ object Similarity {
   def fitPcaWhitening(emb: DataFrame, components: Int,
                       vecCol: String = "embedding",
                       eps: Double = 1e-9): PcaWhitenModel = {
+    val stats = covStatsOf(emb, vecCol)
+    modelFromStats(stats, components, eps)
+  }
+
+  /** One-pass co-moment aggregation of an `array<float>` column. */
+  private def covStatsOf(emb: DataFrame, vecCol: String)
+      : graft.functions.MomentAggregators.CovStats = {
     import graft.functions.MomentAggregators
     val dim = emb.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("d")).limit(1).collect() match {
@@ -1728,20 +1740,26 @@ object Similarity {
       case _ => throw new IllegalArgumentException(
         "fitPcaWhitening: empty frame or all-null embeddings")
     }
-    require(components >= 1 && components <= dim,
-      s"components must be in [1, $dim], got $components")
     val agg = udaf(new MomentAggregators.CovarianceAgg(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     val stats = emb.filter(col(vecCol).isNotNull)
       .agg(agg(col(vecCol)).as("s"))
       .select(col("s.n").as("n"), col("s.mean").as("mean"), col("s.m2").as("m2"))
       .collect()(0)
-    val cov = MomentAggregators.covarianceMatrix(
-      MomentAggregators.CovStats(stats.getAs[Long]("n"),
-        stats.getSeq[Double](1).toSeq, stats.getSeq[Double](2).toSeq))
-    val (vals, vecs) = MomentAggregators.symmetricEigen(cov)
-    PcaWhitenModel(dim, components, stats.getAs[Long]("n"),
-      stats.getSeq[Double](1).toArray, vals, vecs, eps)
+    MomentAggregators.CovStats(stats.getAs[Long]("n"),
+      stats.getSeq[Double](1).toSeq, stats.getSeq[Double](2).toSeq)
+  }
+
+  private def modelFromStats(stats: graft.functions.MomentAggregators.CovStats,
+                             components: Int, eps: Double): PcaWhitenModel = {
+    import graft.functions.MomentAggregators
+    val dim = stats.mean.length
+    require(components >= 1 && components <= dim,
+      s"components must be in [1, $dim], got $components")
+    val (vals, vecs) = MomentAggregators.symmetricEigen(
+      MomentAggregators.covarianceMatrix(stats))
+    PcaWhitenModel(dim, components, stats.n, stats.mean.toArray, vals, vecs,
+      eps, stats.m2.toArray)
   }
 
   /** Persist a fitted whitening model under the shared
@@ -1756,8 +1774,10 @@ object Similarity {
     val next = VersionedIndex.nextVersion(spark, path)
     import spark.implicits._
     Seq((model.dim, model.components, model.n, model.mean.toSeq,
-        model.eigenvalues.toSeq, model.basis.map(_.toSeq).toSeq, model.eps))
-      .toDF("dim", "components", "n", "mean", "eigenvalues", "basis", "eps")
+        model.eigenvalues.toSeq, model.basis.map(_.toSeq).toSeq, model.eps,
+        model.m2.toSeq))
+      .toDF("dim", "components", "n", "mean", "eigenvalues", "basis", "eps",
+        "m2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$next/model")
     VersionedIndex.commitPointer(spark, path, next)
   }
@@ -1776,7 +1796,30 @@ object Similarity {
       r.getSeq[Double](r.fieldIndex("eigenvalues")).toArray,
       r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("basis"))
         .map(_.toArray).toArray,
-      r.getAs[Double]("eps"))
+      r.getAs[Double]("eps"),
+      r.getSeq[Double](r.fieldIndex("m2")).toArray)
+  }
+
+  /** INCREMENTAL whitening refit: merge the persisted model's running
+    * co-moment record with a fresh batch's (one scan of the BATCH
+    * only — Chan's merge is exactly what executors run between
+    * partial buffers, so a daily-append corpus re-fits without ever
+    * re-scanning history), re-eigen-decompose driver-side, and
+    * publish as a new version. Returns the refreshed model. Readers
+    * of the previous version stay live until the atomic pointer
+    * flip. */
+  def appendToPcaWhitening(spark: org.apache.spark.sql.SparkSession,
+                           fresh: DataFrame, path: String,
+                           vecCol: String = "embedding"): PcaWhitenModel = {
+    import graft.functions.MomentAggregators
+    val prev = loadPcaWhitening(spark, path)
+    val batch = covStatsOf(fresh, vecCol)
+    require(batch.mean.length == prev.dim,
+      s"embedding dim ${batch.mean.length} != model dim ${prev.dim}")
+    val merged = MomentAggregators.mergeStats(prev.stats, batch)
+    val next = modelFromStats(merged, prev.components, prev.eps)
+    savePcaWhitening(spark, next, path)
+    next
   }
 
   /** Drop superseded whitening-model versions (run when no reader may

@@ -56,33 +56,7 @@ object MomentAggregators {
       b
     }
 
-    override def merge(a: CovBuf, b: CovBuf): CovBuf = {
-      if (b.n == 0L) return a
-      if (a.n == 0L) return b
-      val n = a.n + b.n
-      val fa = a.n.toDouble / n
-      val fb = b.n.toDouble / n
-      val scale = a.n.toDouble * b.n.toDouble / n
-      val delta = new Array[Double](dim)
-      var i = 0
-      while (i < dim) {
-        delta(i) = b.mean(i) - a.mean(i)
-        a.mean(i) = a.mean(i) * fa + b.mean(i) * fb
-        i += 1
-      }
-      var j = 0
-      while (j < dim) {
-        var k = 0
-        while (k <= j) {
-          val t = tri(k, j)
-          a.m2(t) += b.m2(t) + delta(k) * delta(j) * scale
-          k += 1
-        }
-        j += 1
-      }
-      a.n = n
-      a
-    }
+    override def merge(a: CovBuf, b: CovBuf): CovBuf = chanMerge(dim, a, b)
 
     override def finish(b: CovBuf): CovStats =
       CovStats(b.n, b.mean.toSeq, b.m2.toSeq)
@@ -97,6 +71,48 @@ object MomentAggregators {
   /** `array<double>` input (whitened/derived columns). */
   final class CovarianceAggDouble(dim: Int)
       extends CovarianceAggBase[Double](dim)(identity)
+
+  /** Chan pairwise merge of two co-moment buffers (in place into `a`).
+    * Exactly what executors run between partial buffers — exposed so a
+    * PERSISTED stats record can merge with a fresh batch's without
+    * re-scanning the rows behind it (incremental PCA refits). */
+  private[graft] def chanMerge(dim: Int, a: CovBuf, b: CovBuf): CovBuf = {
+    if (b.n == 0L) return a
+    if (a.n == 0L) return b
+    val n = a.n + b.n
+    val fa = a.n.toDouble / n
+    val fb = b.n.toDouble / n
+    val scale = a.n.toDouble * b.n.toDouble / n
+    val delta = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      delta(i) = b.mean(i) - a.mean(i)
+      a.mean(i) = a.mean(i) * fa + b.mean(i) * fb
+      i += 1
+    }
+    var j = 0
+    while (j < dim) {
+      var k = 0
+      while (k <= j) {
+        val t = tri(k, j)
+        a.m2(t) += b.m2(t) + delta(k) * delta(j) * scale
+        k += 1
+      }
+      j += 1
+    }
+    a.n = n
+    a
+  }
+
+  /** [[chanMerge]] over immutable [[CovStats]] records. */
+  def mergeStats(a: CovStats, b: CovStats): CovStats = {
+    require(a.mean.length == b.mean.length,
+      s"dim mismatch: ${a.mean.length} vs ${b.mean.length}")
+    val buf = chanMerge(a.mean.length,
+      CovBuf(a.n, a.mean.toArray, a.m2.toArray),
+      CovBuf(b.n, b.mean.toArray, b.m2.toArray))
+    CovStats(buf.n, buf.mean.toSeq, buf.m2.toSeq)
+  }
 
   /** Expand a [[CovStats]] upper triangle into the full symmetric
     * population covariance matrix (M2 / n). */

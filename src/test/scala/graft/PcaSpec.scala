@@ -111,6 +111,28 @@ class PcaSpec extends AnyFunSuite {
     assert(Similarity.loadPcaWhitening(spark, dir).components == 1)
   }
 
+  test("appendToPcaWhitening: incremental refit == full refit, batch-only scan") {
+    val rnd = new scala.util.Random(23)
+    val all = Seq.fill(600)(Seq.fill(3)((rnd.nextGaussian() * 2).toFloat))
+    val (half1, half2) = all.splitAt(350)
+    def df(rows: Seq[Seq[Float]]) = rows.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-inc").toString
+    Similarity.savePcaWhitening(spark,
+      Similarity.fitPcaWhitening(df(half1), components = 3), dir)
+    val inc = Similarity.appendToPcaWhitening(spark, df(half2), dir)
+    val full = Similarity.fitPcaWhitening(df(all), components = 3)
+    assert(inc.n == 600L && full.n == 600L)
+    // merge order differs from the one-pass plan, so equality is to
+    // floating tolerance, not bit-exact
+    inc.eigenvalues.zip(full.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eig $a vs $b") }
+    inc.mean.zip(full.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // the published version is the merged one
+    assert(Similarity.loadPcaWhitening(spark, dir).n == 600L)
+  }
+
   test("fitPcaWhitening skips nulls and rejects bad component counts") {
     val df = Seq((1L, Some(Seq(1f, 2f))), (2L, None), (3L, Some(Seq(3f, 5f))))
       .toDF("vec_id", "embedding")
