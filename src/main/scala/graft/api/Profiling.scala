@@ -517,6 +517,44 @@ object Profiling {
     * Output: one row per check — (check, target, observed, passed),
     * `observed` rounded to 6 dp, ordered by (check, target) so a suite
     * report is stable across runs and engines. */
+  /** ROW-LEVEL expectations (the write-path twin of [[runChecks]]'s
+    * scan-level suite — Delta-Live-Tables-style `expect_or_drop`
+    * semantics): tag every row with the names of the rules it
+    * violates (`violations: array<string>`, rule order = argument
+    * order) and a `quarantined` flag. Supported rules are the
+    * row-decidable ones — [[Check.NotNull]] (hard: any null violates,
+    * `minRate` is a scan-level knob and is ignored here),
+    * [[Check.InSet]], [[Check.InRange]] (non-castable values violate,
+    * like runChecks) — corpus-shaped rules (Unique, RowCountBetween,
+    * ReferencedIn) throw: a ROW cannot know them. Splitting is then
+    * `filter(!quarantined)` / `filter(quarantined)` — the valid slice
+    * proceeds to the committed write, the quarantine slice lands in a
+    * side table WITH its rule names, so ingestion never silently
+    * drops and the quarantine is re-processable after a rule fix.
+    * One codegen'd projection, no shuffle. */
+  def applyExpectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "applyExpectations needs at least one rule")
+    import Check._
+    val tags = checks.map {
+      case NotNull(c, _) =>
+        when(col(c).isNull, lit(s"not_null($c)"))
+      case InSet(c, allowed) =>
+        when(col(c).isNotNull && !col(c).isin(allowed: _*),
+          lit(s"in_set($c)"))
+      case InRange(c, lo, hi) =>
+        when(col(c).isNotNull &&
+          (col(c).try_cast("double").isNull ||
+            col(c).try_cast("double") < lo ||
+            col(c).try_cast("double") > hi),
+          lit(s"in_range($c)"))
+      case other => throw new IllegalArgumentException(
+        s"applyExpectations supports row-decidable rules " +
+          s"(NotNull/InSet/InRange), got $other")
+    }
+    df.withColumn("violations", array_compact(array(tags: _*)))
+      .withColumn("quarantined", size(col("violations")) > 0)
+  }
+
   def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "runChecks needs at least one check")
     import Check._

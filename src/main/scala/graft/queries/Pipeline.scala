@@ -1784,6 +1784,35 @@ object Pipeline {
         .orderBy("feature")
     }),
 
+    // Write-path expectations (expect-or-drop semantics): every row
+    // tagged with the names of the rules it violates — planted rows
+    // exercise null status, bad enum, below/above range, and a
+    // double violation; the oracle replays each rule as a CASE and
+    // joins the names in the same argument order. Ingestion splits on
+    // `quarantined`: valid rows to the committed write, violators to
+    // a side table WITH their rule names (never a silent drop).
+    "q190_write_expectations" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val planted = Seq(
+        (9000001L, null.asInstanceOf[String], 10.0),
+        (9000002L, "Z", 10.0),
+        (9000003L, "O", -5.0),
+        (9000004L, "F", 1.0e12),
+        (9000005L, null.asInstanceOf[String], -1.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      import graft.api.Profiling.Check
+      graft.api.Profiling.applyExpectations(base.union(planted), Seq(
+          Check.NotNull("o_orderstatus"),
+          Check.InSet("o_orderstatus", Seq("O", "F", "P")),
+          Check.InRange("o_totalprice", 0.0, 1.0e9)))
+        .select(col("o_orderkey"),
+          array_join(col("violations"), ",").as("violations"),
+          col("quarantined"))
+        .orderBy("o_orderkey")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -4993,6 +5022,39 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // each rule as a CASE, names joined in argument order; quarantined
+    // = any rule fired (empty-string test — concat_ws skips NULLs).
+    "q190_write_expectations" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, NULL, 10.0), (9000002, 'Z', 10.0),
+        |    (9000003, 'O', -5.0), (9000004, 'F', 1000000000000.0),
+        |    (9000005, NULL, -1.0))
+        |    v(o_orderkey, o_orderstatus, o_totalprice))
+        |SELECT o_orderkey,
+        |  concat_ws(',',
+        |    CASE WHEN o_orderstatus IS NULL
+        |      THEN 'not_null(o_orderstatus)' END,
+        |    CASE WHEN o_orderstatus IS NOT NULL
+        |           AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 'in_set(o_orderstatus)' END,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |           AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+        |      THEN 'in_range(o_totalprice)' END) AS violations,
+        |  concat_ws(',',
+        |    CASE WHEN o_orderstatus IS NULL
+        |      THEN 'x' END,
+        |    CASE WHEN o_orderstatus IS NOT NULL
+        |           AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 'x' END,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |           AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+        |      THEN 'x' END) <> '' AS quarantined
+        |FROM all_rows ORDER BY o_orderkey""".stripMargin,
 
     // closed-form expected links per construction shape.
     "q188_link_extraction" ->

@@ -1764,6 +1764,34 @@ class ApiSpec extends AnyFunSuite {
     assert(out("flat") == ((3L, 2L, 0.0)))
   }
 
+  test("Profiling.applyExpectations: rule tagging, split, corpus rules rejected") {
+    import spark.implicits._
+    import graft.api.Profiling.Check
+    val df = Seq(
+      (1L, Some("ok"), Some(5.0)),
+      (2L, None, Some(5.0)),          // null tag
+      (3L, Some("bad"), Some(5.0)),   // enum tag
+      (4L, Some("ok"), Some(-1.0)),   // range tag
+      (5L, None, Some(99.0))          // two tags
+    ).toDF("id", "tag", "v")
+    val out = graft.api.Profiling.applyExpectations(df, Seq(
+        Check.NotNull("tag"), Check.InSet("tag", Seq("ok")),
+        Check.InRange("v", 0.0, 10.0)))
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getSeq[String](r.fieldIndex("violations")).toList,
+        r.getBoolean(r.fieldIndex("quarantined")))).toMap
+    assert(m(1L) == ((Nil, false)))
+    assert(m(2L) == ((List("not_null(tag)"), true)))
+    assert(m(3L) == ((List("in_set(tag)"), true)))
+    assert(m(4L) == ((List("in_range(v)"), true)))
+    assert(m(5L) == ((List("not_null(tag)", "in_range(v)"), true)),
+      "tags keep rule argument order")
+    assert(out.filter(!col("quarantined")).count() == 1L)
+    intercept[IllegalArgumentException] {
+      graft.api.Profiling.applyExpectations(df, Seq(Check.Unique(Seq("id"))))
+    }
+  }
+
   test("Profiling.columnProfile: nulls, distincts, string-rendered bounds, one scan") {
     import spark.implicits._
     val df = Seq(
