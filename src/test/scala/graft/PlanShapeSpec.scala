@@ -431,6 +431,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "the position rank is a doc-keyed window, never a global sort")
   }
 
+  test("q184 corpus diff: one id-keyed full-outer join of fingerprint projections") {
+    val p = plan("q184_corpus_diff")
+    assert(p.contains("FullOuter"), "the diff is one full-outer id join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // text reduces to md5 BEFORE the join: no text column crosses the exchange
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q185/q189 drift: keyed bin-count aggs, feature-keyed windows, no product") {
+    for (q <- Seq("q185_feature_drift", "q189_frozen_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: edge/count joins must stay keyed")
+      assert(!p.contains("SinglePartition"),
+        s"$q: per-feature windows must not funnel to one partition")
+    }
+  }
+
+  test("q187 label propagation outer frame: keyed joins only, no product") {
+    val p = plan("q187_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q188/q190 tagging projections introduce no shuffle before the final sort") {
+    for (q <- Seq("q188_link_extraction", "q190_write_expectations")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q is join-free")
+      // exactly the output-ordering exchange, nothing operator-induced
+      assert(p.split("Exchange").length - 1 <= 1,
+        s"$q must shuffle only for the final orderBy:\n${p.take(1500)}")
+    }
+  }
+
   test("q181 pagerank outer frame: keyed equi-joins only") {
     val p = plan("q181_trade_pagerank")
     // iterations live behind localCheckpoints (bounded lineage); the
