@@ -223,10 +223,13 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, shingle).cache()
     val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
     val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    // cached: the posting table feeds BOTH join sides (prefix slice and
+    // full index) — without it the df-join + window would compute twice
     val ranked = toks.join(dfc, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
       .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+      .cache()
     val prefix = ranked.filter(col("pos") <= floor(col("n") * (1 - threshold)))
     val cand = prefix.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
