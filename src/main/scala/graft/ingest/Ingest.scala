@@ -72,6 +72,18 @@ final case class IngestConfig(
     // a Bloom filter never shrinks; overshooting costs bits, not
     // correctness).
     seenFilterExpectedItems: Long = 10000000L,
+    // Write-path expectations (graft.api.Profiling.applyExpectations,
+    // row-decidable rules only): rows violating any rule divert to
+    // `quarantinePath/batch=<token>` WITH their rule names before the
+    // commit marker lands (overwrite-by-token — replays rewrite their
+    // own quarantine dir, never duplicate it); only clean rows publish
+    // to the table, and only they count as committed. Ingestion never
+    // silently drops: the quarantine is re-processable after a rule
+    // fix. Empty = no tagging, zero overhead. Quarantined rows' ids
+    // still enter the seen filter (over-flagging is allowed by its
+    // contract; the engine DID see them).
+    expectations: Seq[graft.api.Profiling.Check] = Nil,
+    quarantinePath: Option[String] = None,
     format: String = "orc",
     // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
     // synthetic-load sink where compression ratio is not the point
@@ -287,8 +299,27 @@ object Ingest {
     // Batch size, counted up front: the raw batch is just the rate
     // micro-batch's (value, pid) range — nearly free.
     val n = batch.count()
+    // Expectations split: tag the PROJECTED rows, land the violators
+    // in the quarantine (their own token dir, overwritten on replay)
+    // before anything publishes, and stage only the clean slice.
+    val (toStage, nCommitted) =
+      if (cfg.expectations.isEmpty) (routeAndProject(batch, cfg), n)
+      else {
+        val qp = cfg.quarantinePath.getOrElse(sys.error(
+          "ingest expectations configured without quarantinePath"))
+        val tagged = graft.api.Profiling
+          .applyExpectations(routeAndProject(batch, cfg), cfg.expectations)
+        tagged.filter(col("quarantined"))
+          .withColumn("violations", array_join(col("violations"), ","))
+          .drop("quarantined")
+          .withColumn("batch_token", lit(token))
+          .write.mode("overwrite").parquet(s"$qp/batch=$token")
+        val nq = spark.read.parquet(s"$qp/batch=$token").count()
+        (tagged.filter(!col("quarantined"))
+          .drop("violations", "quarantined"), n - nq)
+      }
     val staging = new Path(s"$path/_staging/$token")
-    routeAndProject(batch, cfg)
+    toStage
       .write.mode("overwrite").format(cfg.format)
       .option("compression", cfg.compression)
       .options(orcWriteOptions(cfg))
@@ -323,8 +354,30 @@ object Ingest {
     if (n > 0) cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
     fs.mkdirs(marker.getParent)
     fs.create(marker).close()
-    n
+    nCommitted
   }
+
+  /** Upfront validation of ingest expectations — a bad rule column or
+    * a missing quarantine path fails at startup, not mid-commit. */
+  private def validateExpectations(cfg: IngestConfig): Unit =
+    if (cfg.expectations.nonEmpty) {
+      require(cfg.quarantinePath.isDefined,
+        "ingest expectations configured without quarantinePath")
+      import graft.api.Profiling.Check._
+      val have = (dataColumns(cfg) ++ Gen.partitionColumns).map(_.name).toSet
+      cfg.expectations.foreach { c =>
+        val colName = c match {
+          case NotNull(x, _) => x
+          case InSet(x, _) => x
+          case InRange(x, _, _) => x
+          case other => sys.error(
+            s"ingest expectations support row-decidable rules, got $other")
+        }
+        require(have.contains(colName),
+          s"expectation column '$colName' is not a generated column " +
+            s"(have: ${have.mkString(", ")})")
+      }
+    }
 
   /** Resolve (and VALIDATE) the seen-filter id column against the
     * generated schema. Called upfront by [[run]]/[[runBatchCommitted]]
@@ -352,8 +405,9 @@ object Ingest {
 
   /** Run the streaming engine for `timeoutMs`, then report. */
   def run(spark: SparkSession, cfg: IngestConfig): IngestResult = {
-    // fail a bad seen-filter column BEFORE any stream starts
+    // fail a bad seen-filter column or expectation BEFORE any stream starts
     cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
+    validateExpectations(cfg)
     // startup log parity (`Culvert.java:102,109`)
     System.err.println(s"Starting culvert: ${cfg.name}")
     (0 until cfg.parallelism).foreach(i => System.err.println(s"Starting stream: stream-$i"))
@@ -473,8 +527,9 @@ object Ingest {
     val path = cfg.outputPath.getOrElse(
       sys.error("batch ingest requires an output path"))
     require(batches > 0 && numRows >= 0)
-    // fail a bad seen-filter column before any batch publishes
+    // fail a bad seen-filter column or expectation before any batch publishes
     cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
+    validateExpectations(cfg)
     val t0 = System.nanoTime()
     val per = math.max(1L, numRows / batches)
     var committed = 0L

@@ -1813,6 +1813,46 @@ object Pipeline {
         .orderBy("o_orderkey")
     }),
 
+    // Expectations wired INTO the ingest commit path (the q190 rules
+    // at the q161 wiring point): 'purchase' events violate the InSet
+    // rule, divert to the quarantine WITH the rule name and batch
+    // token before each marker lands, and only clean rows publish or
+    // count as committed. Every gate is engine-proved over the tables
+    // the run actually produced; the totals are closed-form.
+    "q191_ingest_expectations" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ingest-exp-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val table = new java.io.File(base, "table").toString
+      val qdir = new java.io.File(base, "quarantine").toString
+      import graft.api.Profiling.Check
+      val cfg = graft.ingest.IngestConfig(
+        outputPath = Some(table), parallelism = 2, buckets = 2,
+        expectations = Seq(Check.InSet("event_type", Seq("view", "click"))),
+        quarantinePath = Some(qdir))
+      val res = graft.ingest.Ingest.runBatchCommitted(s, cfg, 4000, batches = 2)
+      val committed = graft.core.Tables.committedView(s, table)
+      val quar = s.read.parquet(qdir)
+      committed.agg(
+          count(lit(1)).as("n_committed"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) === 0L)
+            .as("committed_clean"))
+        .crossJoin(quar.agg(
+          count(lit(1)).as("n_quarantined"),
+          (sum(when(col("violations") =!= "in_set(event_type)", 1L)
+            .otherwise(0L)) === 0L).as("quarantine_tagged"),
+          (sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)) === 0L)
+            .as("quarantine_only_purchases"),
+          countDistinct(col("batch_token")).as("n_batch_tokens")))
+        .select(
+          (col("n_committed") + col("n_quarantined")).as("n_total"),
+          (lit(res.rowsCommitted) === col("n_committed")).as("result_matches"),
+          col("committed_clean"), col("quarantine_tagged"),
+          col("quarantine_only_purchases"),
+          (col("n_quarantined") > 0L).as("rule_fired"),
+          (col("n_batch_tokens") === 2L).as("both_batches_tokened"))
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -5022,6 +5062,13 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // closed-form totals + engine-proved gates (the q161 shape).
+    "q191_ingest_expectations" ->
+      """SELECT CAST(4000 AS BIGINT) AS n_total,
+        |  TRUE AS result_matches, TRUE AS committed_clean,
+        |  TRUE AS quarantine_tagged, TRUE AS quarantine_only_purchases,
+        |  TRUE AS rule_fired, TRUE AS both_batches_tokened""".stripMargin,
 
     // each rule as a CASE, names joined in argument order; quarantined
     // = any rule fired (empty-string test — concat_ws skips NULLs).

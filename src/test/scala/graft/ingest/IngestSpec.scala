@@ -101,6 +101,39 @@ class IngestSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_staging/7").exists)
   }
 
+  test("expectations split the commit: clean rows publish, violators quarantine with rule names") {
+    val dir = tmp(); val q = tmp() + "/quarantine"
+    import graft.api.Profiling.Check
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2,
+      expectations = Seq(Check.InSet("event_type", Seq("view", "click"))),
+      quarantinePath = Some(q))
+    val raw = spark.range(0, 1000, 1, 2)
+      .selectExpr("id as value", "cast(0 as int) as __pid")
+    val committed = Ingest.commitBatch(cfg, dir, raw, batchId = 3)
+    val table = spark.read.orc(dir)
+    val quar = spark.read.parquet(q)
+    val nq = quar.count()
+    assert(nq > 0, "the 3-value event_type dict must produce 'purchase' rows")
+    assert(committed == 1000 - nq, "committed counts only clean rows")
+    assert(table.count() == committed)
+    assert(table.filter(col("event_type") === "purchase").count() == 0)
+    assert(quar.filter(col("event_type") =!= "purchase").count() == 0)
+    assert(quar.filter(col("violations") =!= "in_set(event_type)").count() == 0)
+    assert(quar.filter(col("batch_token") =!= "3").count() == 0)
+    // replay with the marker present: no-op on table AND quarantine
+    assert(Ingest.commitBatch(cfg, dir, raw, batchId = 3) == 0)
+    assert(spark.read.parquet(q).count() == nq)
+    // a bad rule column fails at startup, before any batch publishes
+    intercept[Exception] {
+      Ingest.runBatchCommitted(spark, cfg.copy(expectations =
+        Seq(Check.NotNull("nope"))), 10)
+    }
+    // expectations without a quarantine path fail upfront too
+    intercept[Exception] {
+      Ingest.runBatchCommitted(spark, cfg.copy(quarantinePath = None), 10)
+    }
+  }
+
   test("bucketed files are hash-disjoint in user_id (one bucket per file)") {
     // the `clustered by (user_id) into N buckets` contract: every data
     // file holds exactly one pmod(hash(user_id), N) value — pins the
