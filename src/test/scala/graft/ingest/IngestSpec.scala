@@ -355,6 +355,25 @@ class IngestSpec extends AnyFunSuite {
     assert(res.throughputRowsPerSec == res.rowsCommitted / (cfg.timeoutMs / 1000))
   }
 
+  test("streaming ingest honors expectations: sink clean, quarantine tagged, accounting consistent") {
+    val dir = tmp(); val q = tmp() + "/quarantine"
+    import graft.api.Profiling.Check
+    val cfg = IngestConfig(
+      outputPath = Some(dir), parallelism = 2, eventsPerSecond = 2000,
+      commitAfterNRows = 500, timeoutMs = 15000, buckets = 2,
+      expectations = Seq(Check.InSet("event_type", Seq("view", "click"))),
+      quarantinePath = Some(q))
+    val res = Ingest.run(spark, cfg)
+    assert(res.rowsCommitted > 0, "no rows committed within timeout")
+    val back = spark.read.orc(dir)
+    assert(back.count() == res.rowsCommitted,
+      "committed accounting counts only the clean slice in the sink")
+    assert(back.filter(col("event_type") === "purchase").count() == 0)
+    val quar = spark.read.parquet(q)
+    assert(quar.count() > 0 &&
+      quar.filter(col("violations") =!= "in_set(event_type)").count() == 0)
+  }
+
   test("runBatchCommitted publishes through the commit protocol, replay-safe") {
     val dir = tmp()
     val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2, buckets = 2)
