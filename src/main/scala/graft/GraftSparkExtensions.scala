@@ -233,6 +233,41 @@ object GraftSparkExtensions {
         spark.table(strLit("graft_feature_drift", "refTable", args(0))),
         spark.table(strLit("graft_feature_drift", "curTable", args(1))),
         cols, bins).queryExecution.logical
+    },
+    tvf("graft_heavy_hitters",
+      "graft_heavy_hitters(sketchTable[, maxMapSize]) - merge a persisted " +
+        "Frequent-Items sketch table globally and report heavy hitters " +
+        "with (lower, upper) bounds; NO_FALSE_NEGATIVES") { args =>
+      require(args.length == 1 || args.length == 2,
+        s"graft_heavy_hitters expects (sketchTable[, maxMapSize]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val mms = if (args.length > 1)
+        intLit("graft_heavy_hitters", "maxMapSize", args(1)) else 1024
+      graft.api.Profiling.estimateHeavyHitters(
+        spark.table(strLit("graft_heavy_hitters", "sketchTable", args(0))),
+        Seq.empty, maxMapSize = mms).queryExecution.logical
+    },
+    tvf("graft_estimate_distinct",
+      "graft_estimate_distinct(sketchTable) - merge a persisted HLL " +
+        "sketch table globally and report the distinct estimate") { args =>
+      require(args.length == 1,
+        s"graft_estimate_distinct expects (sketchTable), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.api.Profiling.estimateDistinct(
+        spark.table(strLit("graft_estimate_distinct", "sketchTable", args(0))),
+        Seq.empty).queryExecution.logical
+    },
+    tvf("graft_estimate_quantiles",
+      "graft_estimate_quantiles(sketchTable, ranks) - merge a persisted " +
+        "KLL sketch table globally and report the comma-separated ranks") { args =>
+      require(args.length == 2,
+        s"graft_estimate_quantiles expects (sketchTable, ranks), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val qs = strLit("graft_estimate_quantiles", "ranks", args(1))
+        .split(',').map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      graft.api.Profiling.estimateQuantiles(
+        spark.table(strLit("graft_estimate_quantiles", "sketchTable", args(0))),
+        Seq.empty, qs).queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

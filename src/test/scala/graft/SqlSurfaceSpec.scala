@@ -190,4 +190,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "SELECT * FROM graft_feature_drift('drift_ref', 'drift_cur')"))
   }
+
+  test("sketch-table TVFs: heavy hitters, distinct, quantiles from SQL") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => ("p" + i % 2, "k" + i % 5, i.toDouble))
+      .toDF("part", "key", "x")
+    graft.api.Profiling.frequencySketches(rows, Seq("part"), "key",
+      maxMapSize = 64).createOrReplaceTempView("fs_sql")
+    val hh = spark.sql(
+      "SELECT item, estimate FROM graft_heavy_hitters('fs_sql', 64) ORDER BY item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("k0" -> 60L, "k1" -> 60L, "k2" -> 60L, "k3" -> 60L,
+      "k4" -> 60L))
+    graft.api.Profiling.cardinalitySketches(rows, Seq("part"), "key")
+      .createOrReplaceTempView("cs_sql")
+    val d = spark.sql("SELECT * FROM graft_estimate_distinct('cs_sql')")
+      .head().getLong(0)
+    assert(d == 5L, s"5 distinct keys, got $d")
+    graft.api.Profiling.quantileSketches(rows, Seq("part"), "x")
+      .createOrReplaceTempView("qs_sql")
+    val med = spark.sql(
+      "SELECT * FROM graft_estimate_quantiles('qs_sql', '0.5')")
+      .collect()
+    assert(med.length == 1 && math.abs(med.head.getDouble(0) - 150.0) < 10.0)
+  }
 }
