@@ -86,7 +86,8 @@ object Explain {
     "q188_link_extraction",  // staged-regex projection + explode, no shuffle (r11)
     "q189_frozen_drift",     // frozen edges/counts as literals, one batch scan (r11)
     "q190_write_expectations", // one codegen'd tagging projection, no shuffle (r11)
-    "q191_ingest_expectations") // quarantine-before-marker commit split (r11)
+    "q191_ingest_expectations", // quarantine-before-marker commit split (r11)
+    "q192_domain_communities") // extract→edges→LPA+degree chain, all keyed (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -1853,6 +1853,33 @@ object Pipeline {
           (col("n_batch_tokens") === 2L).as("both_batches_tokened"))
     }),
 
+    // LINK-GRAPH CURATION pipeline — the round's graph pieces chained:
+    // pages planted per strong (source, lang) affiliation (≥ 6 docs,
+    // closed-form for the oracle) → extractLinks harvests the hrefs →
+    // registered-domain edges, undirected → labelPropagation
+    // communities + degreeProfile, joined per domain. Sources sharing
+    // language hubs cluster; hub degree ranks them — the curation
+    // signal [[Curation.capPerDomain]]/keepBest act on at corpus
+    // scale. The oracle replays the group filter, the link
+    // construction, and all 3 LPA iterations bit-exactly.
+    "q192_domain_communities" -> ((s, d) => {
+      val groups = Tables.documents(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 6)
+      val pages = groups.select(
+        concat(col("source"), lit("-site.com")).as("page_domain"),
+        concat(lit("<a href=\"https://"), col("lang"),
+          lit("-hub.org/x\">l</a>")).as("html"))
+      val links = graft.api.Curation.extractLinks(pages, "page_domain", "html")
+      val edges = links.filter(col("is_absolute"))
+        .select(col("page_domain").as("src"), col("domain").as("dst"))
+        .distinct()
+      val und = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      graft.api.Graph.degreeProfile(und)
+        .join(graft.api.Graph.labelPropagation(und, iters = 3), "node")
+        .orderBy("node")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -5062,6 +5089,34 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // closed-form affiliation edges + 3 unrolled self-vote LPA
+    // iterations + degree CTE, all bit-exact.
+    "q192_domain_communities" ->
+      """WITH grp AS (
+        |  SELECT source, lang FROM documents GROUP BY 1, 2 HAVING count(*) >= 6),
+        |e AS (SELECT DISTINCT source || '-site.com' AS src,
+        |             lang || '-hub.org' AS dst FROM grp),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
+        |u2 AS (SELECT src, dst FROM und UNION SELECT node, node FROM nodes),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |c1 AS (SELECT e2.dst AS node, l.label, count(*) AS cnt FROM u2 e2 JOIN l0 l ON l.node = e2.src GROUP BY 1,2),
+        |b1 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c1) WHERE rn = 1),
+        |l1 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l0 p LEFT JOIN b1 b ON b.node = p.node),
+        |c2 AS (SELECT e2.dst AS node, l.label, count(*) AS cnt FROM u2 e2 JOIN l1 l ON l.node = e2.src GROUP BY 1,2),
+        |b2 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c2) WHERE rn = 1),
+        |l2 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l1 p LEFT JOIN b2 b ON b.node = p.node),
+        |c3 AS (SELECT e2.dst AS node, l.label, count(*) AS cnt FROM u2 e2 JOIN l2 l ON l.node = e2.src GROUP BY 1,2),
+        |b3 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c3) WHERE rn = 1),
+        |l3 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l2 p LEFT JOIN b3 b ON b.node = p.node),
+        |deg AS (
+        |  SELECT n.node, coalesce(o.od, 0) AS out_deg, coalesce(i.ind, 0) AS in_deg
+        |  FROM nodes n
+        |  LEFT JOIN (SELECT src, count(*) AS od FROM und GROUP BY 1) o ON o.src = n.node
+        |  LEFT JOIN (SELECT dst, count(*) AS ind FROM und GROUP BY 1) i ON i.dst = n.node)
+        |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling, l.label
+        |FROM deg d JOIN l3 l ON l.node = d.node ORDER BY d.node""".stripMargin,
 
     // closed-form totals + engine-proved gates (the q161 shape).
     "q191_ingest_expectations" ->
