@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,5 +97,57 @@ object Retrieval {
     val dense = denseTopKForQueries(emb, queries, embIdCol, vecCol,
       queryIdCol, queryVecCol, k = kEach)
     rrfFuse(sparse, dense, k, k0)
+  }
+
+  /** Binary-relevance ranking metrics at cutoff k — the eval harness
+    * every retrieval change ships behind: per query, `n_rel`, `hits`
+    * (relevant results at rank ≤ k), `recall_k`, `precision_k`, `mrr`
+    * (1/rank of the first relevant hit, 0 when none ranked), and
+    * `ndcg_k` (binary DCG with 1/log₂(rank+1) gains against the ideal
+    * prefix). Queries with no qrels are DROPPED (their recall is
+    * undefined — an eval set bug, not a zero). Determinism: DCG/IDCG
+    * terms round to 12 decimals and sum as DECIMAL(28,12) (the
+    * package rule — aggregation order can never move a score);
+    * outputs round to 6.
+    *
+    * Scale shape: one rank-filtered equi-join of the ranking against
+    * the qrels on (query, doc), one keyed aggregation, an
+    * ideal-prefix spine of ≤ k rows per query — rankings and qrels
+    * are the eval-sized frames, the corpus never enters. */
+  def rankingMetrics(ranked: DataFrame, qrels: DataFrame, k: Int = 10,
+                     queryIdCol: String = "query_id",
+                     docIdCol: String = "doc_id",
+                     rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val rel = qrels.select(col(queryIdCol).as("query_id"),
+      col(docIdCol).as("doc_id")).distinct()
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    def gainAt(r: Column): Column =
+      round(lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))), 12)
+        .cast("decimal(28,12)")
+    val hits = ranked
+      .select(col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"),
+        col(rankCol).as("rank"))
+      .filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+    val perQ = hits.groupBy("query_id").agg(
+      count(lit(1)).as("hits"),
+      min(col("rank")).as("first_rel"),
+      sum(gainAt(col("rank"))).as("dcg"))
+    val ideal = nrel.select(col("query_id"),
+        explode(sequence(lit(1), least(col("n_rel"), lit(k)))).as("i"))
+      .groupBy("query_id").agg(sum(gainAt(col("i"))).as("idcg"))
+    nrel.join(ideal, "query_id").join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_rel"), 6)
+          .as("recall_k"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        round(when(col("idcg") > 0,
+            coalesce(col("dcg"), lit(0).cast("decimal(28,12)"))
+              .cast("double") / col("idcg").cast("double"))
+          .otherwise(0.0), 6).as("ndcg_k"))
   }
 }

@@ -1880,6 +1880,27 @@ object Pipeline {
         .orderBy("node")
     }),
 
+    // Retrieval EVAL harness: recall@k / precision@k / MRR / nDCG@k of
+    // the q108 BM25 rankings against planted binary qrels
+    // (doc_id % 50 == query_id — closed-form for the oracle, and
+    // deliberately NOT aligned with lexical relevance, so zero-hit
+    // and partial-hit paths both exercise). DCG terms are
+    // decimal-summed (aggregation order can never move a metric);
+    // the oracle replays the q108 posting join AND every metric.
+    "q193_ranking_metrics" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "spark join window"), (2, "hash merge"),
+        (3, "customer order data"), (4, "vector stream"))
+        .toDF("query_id", "query")
+      val ranked = graft.api.TextAnalysis.searchBm25All(
+        Tables.documents(s, d), qs, k = 10)
+      val qrels = qs.select(col("query_id"))
+        .crossJoin(Tables.documents(s, d).select(col("doc_id")))
+        .filter(col("doc_id") % 50 === col("query_id"))
+      graft.api.Retrieval.rankingMetrics(ranked, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -5089,6 +5110,80 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // the q108 posting-join CTEs at k=10, planted qrels, and every
+    // metric replayed (decimal-summed DCG/IDCG, round-6 outputs).
+    "q193_ranking_metrics" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl FROM docs),
+        |postings AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM docs) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        |corpus AS (
+        |  SELECT count(*) * 1.0 AS n, (sum(dl) * 1.0) / count(*) AS avgdl
+        |  FROM dls),
+        |queries(query_id, query) AS (VALUES
+        |  (1, 'spark join window'), (2, 'hash merge'),
+        |  (3, 'customer order data'), (4, 'vector stream')),
+        |qterms AS (
+        |  SELECT DISTINCT query_id, t AS term
+        |  FROM (SELECT query_id,
+        |          unnest(list_filter(string_split_regex(lower(query), '\s+'),
+        |                 x -> x <> '')) AS t
+        |        FROM queries)),
+        |scored AS (
+        |  SELECT query_id, p.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+        |      6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM qterms q JOIN postings p ON q.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dls ON p.doc_id = dls.doc_id
+        |  CROSS JOIN corpus
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored),
+        |qrels AS (
+        |  SELECT q.query_id, d.doc_id
+        |  FROM queries q CROSS JOIN (SELECT doc_id FROM documents) d
+        |  WHERE d.doc_id % 50 = q.query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+        |hits AS (
+        |  SELECT r.query_id, r.rank FROM r
+        |  JOIN qrels ON r.query_id = qrels.query_id AND r.doc_id = qrels.doc_id
+        |  WHERE r.rank <= 10),
+        |perq AS (
+        |  SELECT query_id, count(*) AS hits_k, min(rank) AS first_rel,
+        |    sum(CAST(round(1.0 / (ln(rank + 1.0) / ln(2.0)), 12)
+        |        AS DECIMAL(28,12))) AS dcg
+        |  FROM hits GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id,
+        |    sum(CAST(round(1.0 / (ln(i + 1.0) / ln(2.0)), 12)
+        |        AS DECIMAL(28,12))) AS idcg
+        |  FROM (SELECT query_id, unnest(range(1, least(n_rel, 10) + 1)) AS i
+        |        FROM nrel)
+        |  GROUP BY 1)
+        |SELECT n.query_id, n.n_rel,
+        |  coalesce(p.hits_k, 0) AS hits,
+        |  round(coalesce(p.hits_k, 0) * 1.0 / n.n_rel, 6) AS recall_k,
+        |  round(coalesce(p.hits_k, 0) / 10.0, 6) AS precision_k,
+        |  round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+        |  round(CASE WHEN i.idcg > 0
+        |    THEN CAST(coalesce(p.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS ndcg_k
+        |FROM nrel n JOIN ideal i ON i.query_id = n.query_id
+        |LEFT JOIN perq p ON p.query_id = n.query_id
+        |ORDER BY n.query_id""".stripMargin,
 
     // closed-form affiliation edges + 3 unrolled self-vote LPA
     // iterations + degree CTE, all bit-exact.

@@ -82,4 +82,35 @@ class RetrievalSpec extends AnyFunSuite {
     val out = Retrieval.rrfFuse(sparse, dense, k = 5)
     assert(out.count() == 5)
   }
+
+  test("rankingMetrics: hand-computed recall/precision/MRR/nDCG at k=3") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1, 10L, 1), (1, 20L, 2), (1, 30L, 3), (1, 20L, 9), // rank>k ignored
+      (2, 5L, 1), (2, 6L, 2),
+      (3, 7L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 20L), (1, 99L), (2, 5L), (3, 8L), (4, 1L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.rankingMetrics(ranked, qrels, k = 3).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // q1: 1 of 2 relevant found at rank 2
+    val q1 = out(1)
+    assert(q1.getAs[Long]("hits") == 1L)
+    assert(q1.getAs[Double]("recall_k") == 0.5)
+    assert(q1.getAs[Double]("precision_k") == 0.333333)
+    assert(q1.getAs[Double]("mrr") == 0.5)
+    assert(q1.getAs[Double]("ndcg_k") == 0.386853) // (1/lg3)/(1+1/lg3)
+    // q2: the single relevant doc at rank 1 — perfect
+    val q2 = out(2)
+    assert(q2.getAs[Double]("recall_k") == 1.0 &&
+      q2.getAs[Double]("mrr") == 1.0 && q2.getAs[Double]("ndcg_k") == 1.0)
+    // q3: ranked but nothing relevant found — all-zero path
+    val q3 = out(3)
+    assert(q3.getAs[Long]("hits") == 0L && q3.getAs[Double]("mrr") == 0.0 &&
+      q3.getAs[Double]("ndcg_k") == 0.0)
+    // q4 has qrels but NO ranking rows: zero metrics, still reported
+    assert(out(4).getAs[Long]("hits") == 0L)
+    // a query with rankings but no qrels is dropped (recall undefined)
+    assert(!out.contains(5) && out.size == 4)
+  }
 }
