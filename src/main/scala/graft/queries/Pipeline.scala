@@ -1894,9 +1894,9 @@ object Pipeline {
         .toDF("query_id", "query")
       val ranked = graft.api.TextAnalysis.searchBm25All(
         Tables.documents(s, d), qs, k = 10)
-      val qrels = qs.select(col("query_id"))
-        .crossJoin(Tables.documents(s, d).select(col("doc_id")))
-        .filter(col("doc_id") % 50 === col("query_id"))
+      val qrels = Tables.documents(s, d)
+        .select((col("doc_id") % 50).cast("int").as("query_id"), col("doc_id"))
+        .filter(col("query_id").between(1, 4))
       graft.api.Retrieval.rankingMetrics(ranked, qrels, k = 10)
         .orderBy("query_id")
     }),
