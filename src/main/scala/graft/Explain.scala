@@ -88,7 +88,8 @@ object Explain {
     "q190_write_expectations", // one codegen'd tagging projection, no shuffle (r11)
     "q191_ingest_expectations", // quarantine-before-marker commit split (r11)
     "q192_domain_communities", // extract→edges→LPA+degree chain, all keyed (r11)
-    "q193_ranking_metrics")  // rank-filtered qrels join + keyed metric agg (r11)
+    "q193_ranking_metrics",  // rank-filtered qrels join + keyed metric agg (r11)
+    "q194_containment_filter") // fresh-prefix x corpus-posting join, anti-join exit (r11)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -249,6 +249,57 @@ object Dedup {
         round(col("inter").cast("double") / col("n_inner"), 6).as("containment"))
   }
 
+  /** Incremental form of [[containmentPairs]] — the ingestion filter:
+    * drop every FRESH doc whose shingle set is ≥ `threshold` contained
+    * in some CORPUS doc (quote-wrappers, boilerplate-padded reposts,
+    * concatenations of existing content), return the survivors with
+    * their original columns. The prefix ordering is the global
+    * df-ascending order over BOTH frames' shingles (any shared total
+    * order is correct — no false negatives; df-ascending minimizes
+    * posting collisions), the fresh side indexes only its
+    * ⌊(1−t)·n⌋+1-shingle prefix, and the corpus side is a full
+    * posting table with positions — at a growing 100 TB corpus the
+    * posting table is the persisted artifact to maintain
+    * incrementally, exactly like [[exactAgainstCorpus]]'s fingerprint
+    * set. Cost ∝ Σ_fresh-prefix df(tok); every stage keyed. */
+  def containmentAgainstCorpus(corpus: DataFrame, fresh: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               threshold: Double = 0.8,
+                               shingle: Int = 3): DataFrame = {
+    val cs = shingleSets(corpus, idCol, textCol, shingle).cache()
+    val fs = shingleSets(fresh, idCol, textCol, shingle).cache()
+    val toks = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      .withColumn("side", lit("c"))
+      .union(fs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+        .withColumn("side", lit("f")))
+    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val ranked = toks.join(dfc, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("side"), col("doc_id"))
+          .orderBy(col("dfc"), col("tok"))) - 1)
+      .select(col("side"), col("doc_id"), col("n"), col("tok"), col("pos"))
+      .cache()
+    val freshPrefix = ranked.filter(col("side") === "f" &&
+      col("pos") <= floor(col("n") * (1 - threshold)))
+    val corpusPost = ranked.filter(col("side") === "c")
+    val cand = freshPrefix.as("a").join(corpusPost.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("b.n") >= col("a.n") * threshold &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            col("a.n") * threshold)
+      .select(col("a.doc_id").as("doc_f"), col("b.doc_id").as("doc_c"))
+      .distinct()
+    val flagged = cand
+      .join(fs.select(col("doc_id").as("doc_f"), col("sh").as("sh_a"),
+        col("n").as("n_f")), "doc_f")
+      .join(cs.select(col("doc_id").as("doc_c"), col("sh").as("sh_b")), "doc_c")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        col("n_f") >= threshold)
+      .select(col("doc_f").as(idCol)).distinct()
+    fresh.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-LSH near-dup pairs: k min-hashes per doc, banded; docs
     * colliding in any band become candidates; candidates are verified
     * with EXACT Jaccard, so the only error mode is a missed pair

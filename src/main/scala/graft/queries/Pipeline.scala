@@ -1901,6 +1901,21 @@ object Pipeline {
         .orderBy("query_id")
     }),
 
+    // Containment INGESTION filter (q183's incremental form): fresh
+    // docs (ids < 250) that are ≥80% shingle-contained in some corpus
+    // doc (ids ≥ 250) are dropped — quote-wrappers and reposts of
+    // existing content never enter; survivors keep their original
+    // columns. The oracle replays the q44 shingle CTE with the
+    // asymmetric ratio across the same split.
+    "q194_containment_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.api.Dedup.containmentAgainstCorpus(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -5110,6 +5125,25 @@ object Pipeline {
         |  true AS orthonormal_ok, true AS eigs_desc_ok, true AS recon_ok,
         |  true AS evr16_in_unit
         |FROM per""".stripMargin,
+
+    // the q44 shingle CTE, asymmetric ratio, fresh-vs-corpus split,
+    // anti-joined survivors with their original columns.
+    "q194_containment_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), flagged AS (
+         |  SELECT a.doc_id
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |    AND a.doc_id < 250 AND b.doc_id >= 250
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) * 1.0 / any_value(a.n) >= 0.8)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id < 250 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
 
     // the q108 posting-join CTEs at k=10, planted qrels, and every
     // metric replayed (decimal-summed DCG/IDCG, round-6 outputs).

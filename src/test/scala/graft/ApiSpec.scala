@@ -70,6 +70,26 @@ class ApiSpec extends AnyFunSuite {
       .collect().isEmpty, "symmetric Jaccard must miss the quote inclusion")
   }
 
+  test("Dedup.containmentAgainstCorpus drops quote-contained fresh docs only") {
+    val corpus = Seq(
+      (100L, "intro words first alpha beta gamma delta epsilon zeta " +
+        "and then a very long unrelated tail keeps the union large " +
+        "one two three four five six seven eight nine ten eleven twelve"),
+      (101L, "some other corpus document about spark planning"))
+      .toDF("id", "body")
+    val fresh = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contained in 100
+      (2L, "completely novel content that matches nothing at all here"),
+      (3L, "some other corpus document about spark planning")) // exact dup
+      .toDF("id", "body")
+    val out = Dedup.containmentAgainstCorpus(corpus, fresh, "id", "body",
+      threshold = 0.8).collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L), s"1 is quoted, 3 is an exact repost; got $out")
+    // survivors keep their original columns
+    assert(Dedup.containmentAgainstCorpus(corpus, fresh, "id", "body")
+      .columns.toSeq == Seq("id", "body"))
+  }
+
   test("Dedup.containmentPairs matches the brute-force definition (no false negatives)") {
     val df = corpus.toDF("id", "body")
     val t = 0.5
