@@ -268,6 +268,20 @@ object GraftSparkExtensions {
       graft.api.Profiling.estimateQuantiles(
         spark.table(strLit("graft_estimate_quantiles", "sketchTable", args(0))),
         Seq.empty, qs).queryExecution.logical
+    },
+    tvf("graft_ranking_metrics",
+      "graft_ranking_metrics(rankedTable, qrelsTable[, k]) - per-query " +
+        "recall@k/precision@k/MRR/nDCG@k of a (query_id, doc_id, rank) " +
+        "table against binary qrels") { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_ranking_metrics expects (rankedTable, qrelsTable[, k]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val k = if (args.length > 2)
+        intLit("graft_ranking_metrics", "k", args(2)) else 10
+      graft.api.Retrieval.rankingMetrics(
+        spark.table(strLit("graft_ranking_metrics", "rankedTable", args(0))),
+        spark.table(strLit("graft_ranking_metrics", "qrelsTable", args(1))),
+        k).queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

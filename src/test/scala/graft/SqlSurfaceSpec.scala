@@ -214,4 +214,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()
     assert(med.length == 1 && math.abs(med.head.getDouble(0) - 150.0) < 10.0)
   }
+
+  test("graft_ranking_metrics TVF matches the Scala API") {
+    import spark.implicits._
+    Seq((1, 10L, 1), (1, 20L, 2)).toDF("query_id", "doc_id", "rank")
+      .createOrReplaceTempView("rk_sql")
+    Seq((1, 20L)).toDF("query_id", "doc_id")
+      .createOrReplaceTempView("qr_sql")
+    val r = spark.sql(
+      "SELECT * FROM graft_ranking_metrics('rk_sql', 'qr_sql', 2)").head()
+    assert(r.getAs[Long]("hits") == 1L && r.getAs[Double]("recall_k") == 1.0 &&
+      r.getAs[Double]("mrr") == 0.5 && r.getAs[Double]("ndcg_k") == 0.63093)
+  }
 }
