@@ -19,6 +19,16 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Slack for REAL-VALUED candidate-generation bounds in the
+    * prefix-filtered joins: user thresholds (0.8, …) are not exact
+    * doubles, so expressions like n·(1−t) can land a hair below an
+    * exact integer and a floor/comparison silently drops a boundary
+    * candidate — a FALSE NEGATIVE exact verification can never win
+    * back. Padding by 1e-6 only admits extra candidates (verified
+    * exactly afterwards) and dominates the rounding error of t·n for
+    * any real document (~1e-16·n ⇒ safe past n = 10⁹ shingles). */
+  private val candEps = 1e-6
+
   /** Exact dedup on the whitespace-normalized lowercase MD5 fingerprint:
     * one row per distinct content with the lowest id as survivor.
     * Output: (fingerprint, keep_<idCol>, dup_count). One keyed shuffle. */
@@ -173,20 +183,29 @@ object Dedup {
     * materialization itself (an internal `.cache()` would pin blocks
     * per micro-batch for the stream's lifetime). */
   private def pairsFromSets(sets: DataFrame, threshold: Double): DataFrame = {
-    val prefixLen = (floor(col("n") * (1 - threshold)) + 1).cast("int")
+    // `candEps` pads every REAL-VALUED candidate bound: thresholds
+    // like 0.8 are not exact doubles, so n·(1−t) can land a hair BELOW
+    // an exact integer (10·(1−0.8) = 1.9999999999999996) — flooring
+    // would then undersize the prefix and silently DROP a boundary
+    // pair (found at sf0.1: a doc missing exactly ⌊(1−t)n⌋ of its
+    // shingles). The slack only loosens candidate generation — exact
+    // verification still applies the unrounded threshold — and 1e-6
+    // dominates the rounding error of t·n for any real document
+    // (relative error ~1e-16·n ⇒ safe past n = 10⁹ shingles).
+    val prefixLen = (floor(col("n") * (1 - threshold) + candEps) + 1).cast("int")
     // sh is already the sorted hash set — the prefix is a plain slice
     val prefix = sets.select(col("doc_id"), col("n"),
         slice(col("sh"), lit(1), prefixLen).as("pre"))
       .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos", "tok")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") * threshold <= col("a.n") &&
-          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n") + candEps &&
+          col("a.n") * threshold <= col("b.n") + candEps &&
           // PPJoin position filter: overlap ≤ min(n_a - pos_a, n_b - pos_b)
           // for the first common prefix token (pos 0-based); J ≥ t needs
           // overlap ≥ t/(1+t)·(n_a+n_b) — provably no false negatives
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-            (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)))
+            (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - candEps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verify(joinBack(cand, sets), threshold)
@@ -230,12 +249,15 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
       .select(col("doc_id"), col("n"), col("tok"), col("pos"))
       .cache()
-    val prefix = ranked.filter(col("pos") <= floor(col("n") * (1 - threshold)))
+    // candEps slack: see pairsFromSets — inexact t makes n·(1−t) land
+    // below exact integers; padding only loosens candidate generation
+    val prefix = ranked.filter(
+      col("pos") <= floor(col("n") * (1 - threshold) + candEps))
     val cand = prefix.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n") >= col("a.n") * threshold &&
+          col("b.n") >= col("a.n") * threshold - candEps &&
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-            col("a.n") * threshold)
+            col("a.n") * threshold - candEps)
       .select(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"))
       .distinct()
     cand
@@ -281,13 +303,13 @@ object Dedup {
       .select(col("side"), col("doc_id"), col("n"), col("tok"), col("pos"))
       .cache()
     val freshPrefix = ranked.filter(col("side") === "f" &&
-      col("pos") <= floor(col("n") * (1 - threshold)))
+      col("pos") <= floor(col("n") * (1 - threshold) + candEps))
     val corpusPost = ranked.filter(col("side") === "c")
     val cand = freshPrefix.as("a").join(corpusPost.as("b"),
         col("a.tok") === col("b.tok") &&
-          col("b.n") >= col("a.n") * threshold &&
+          col("b.n") >= col("a.n") * threshold - candEps &&
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-            col("a.n") * threshold)
+            col("a.n") * threshold - candEps)
       .select(col("a.doc_id").as("doc_f"), col("b.doc_id").as("doc_c"))
       .distinct()
     val flagged = cand

@@ -90,6 +90,23 @@ class ApiSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "body"))
   }
 
+  test("Dedup.containmentPairs boundary: containment EXACTLY t with the missing shingles rarest") {
+    // regression for the sf0.1 false negative: inner has 10 shingles,
+    // exactly 8 shared (containment 0.8 == t) and the 2 missing ones
+    // have df=1 — they sort FIRST in the df-ascending prefix, so an
+    // undersized prefix (floor(10·(1−0.8)) = floor(1.9999…) = 1 under
+    // double rounding) indexes ONLY missing shingles and drops the pair
+    val words = (1 to 12).map(i => s"w$i")
+    val inner = words.mkString(" ")                      // 10 shingles
+    val outer = words.drop(2).mkString(" ") +            // shares 8
+      " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9"             // unrelated tail
+    val df = Seq((1L, inner), (2L, outer)).toDF("id", "body")
+    val got = Dedup.containmentPairs(df, "id", "body", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 2L, 0.8)),
+      s"boundary pair at containment exactly t must survive: ${got.toSeq}")
+  }
+
   test("Dedup.containmentPairs matches the brute-force definition (no false negatives)") {
     val df = corpus.toDF("id", "body")
     val t = 0.5
