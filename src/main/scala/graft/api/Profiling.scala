@@ -506,17 +506,6 @@ object Profiling {
                                   parentKey: String) extends Check
   }
 
-  /** Evaluate a constraint suite against `df` in one pass: every
-    * scan-shaped check (null rates, set/range membership, uniqueness,
-    * row count) compiles into a single wide aggregation — ONE table
-    * scan regardless of suite size; each [[Check.ReferencedIn]] adds
-    * one keys-only join (both sides collapse to distinct keys first,
-    * so the join is O(distinct keys), never O(rows) — the
-    * [[graft.api.Joins.integrityProfile]] shape).
-    *
-    * Output: one row per check — (check, target, observed, passed),
-    * `observed` rounded to 6 dp, ordered by (check, target) so a suite
-    * report is stable across runs and engines. */
   /** ROW-LEVEL expectations (the write-path twin of [[runChecks]]'s
     * scan-level suite — Delta-Live-Tables-style `expect_or_drop`
     * semantics): tag every row with the names of the rules it
@@ -555,6 +544,17 @@ object Profiling {
       .withColumn("quarantined", size(col("violations")) > 0)
   }
 
+  /** Evaluate a constraint suite against `df` in one pass: every
+    * scan-shaped check (null rates, set/range membership, uniqueness,
+    * row count) compiles into a single wide aggregation — ONE table
+    * scan regardless of suite size; each [[Check.ReferencedIn]] adds
+    * one keys-only join (both sides collapse to distinct keys first,
+    * so the join is O(distinct keys), never O(rows) — the
+    * [[graft.api.Joins.integrityProfile]] shape).
+    *
+    * Output: one row per check — (check, target, observed, passed),
+    * `observed` rounded to 6 dp, ordered by (check, target) so a suite
+    * report is stable across runs and engines. */
   def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "runChecks needs at least one check")
     import Check._

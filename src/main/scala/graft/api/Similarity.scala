@@ -713,7 +713,11 @@ object Similarity {
             if (!repair) toIndex
             else {
               // crash-window repair: write only ids missing from their
-              // assigned cells (cell-pruned id-column read)
+              // assigned cells (cell-pruned id-column read). Unlike the
+              // band/chunk stores this needs NO committer atomicity: a
+              // vector has exactly ONE row, at its deterministically
+              // assigned cell, so a doc-granular diff pruned to the
+              // batch's assigned cells is row-exact.
               val assigned = toIndex.select("cell").distinct()
                 .collect().map(_.getInt(0)).toSeq
               val have = spark.read.parquet(s"$root/vectors")
@@ -1840,8 +1844,13 @@ object Similarity {
     val comps = (0 until model.components).map { r =>
       val u = model.basis(r)
       val shift = {
+        // same basis on both sides of (x·U − μ·U): the dot evaluates
+        // against the FLOAT-truncated eigenvector literal, so the μ·U
+        // shift must use the identical truncation — a full-double shift
+        // leaves a systematic ~1e-7·‖x‖ offset on every output and
+        // whitened means that are not zero (ADVICE r11)
         var s = 0.0; var i = 0
-        while (i < model.dim) { s += model.mean(i) * u(i); i += 1 }
+        while (i < model.dim) { s += model.mean(i) * u(i).toFloat.toDouble; i += 1 }
         s
       }
       val scale = 1.0 / math.sqrt(model.eigenvalues(r) + model.eps)
