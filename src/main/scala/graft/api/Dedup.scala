@@ -322,6 +322,262 @@ object Dedup {
     fresh.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Persisted CONTAINMENT posting index — the artifact
+    * [[containmentAgainstCorpus]]'s docstring promises: the corpus'
+    * df-ordered posting table written ONCE, so a per-batch ingestion
+    * filter never re-shingles, re-ranks, or caches the corpus again
+    * (the containment analogue of the near-dup index's signature
+    * state). Layout under `path`:
+    *   params/   one row (shingle) — increments provably shingle the
+    *             way the corpus did
+    *   dfreq/    (tok, dfc) — the document frequencies FROZEN at build
+    *             time. The prefix-filter theory needs only a SHARED
+    *             total order over shingles (df-ascending is the
+    *             collision-minimizing choice, not a correctness
+    *             requirement), so the order is frozen as
+    *             key(tok) = (dfc_at_build | 0 if unseen, tok) and every
+    *             append/filter ranks against it — positions stay
+    *             mutually consistent forever. As appends drift the true
+    *             dfs away from the frozen ones the filter stays EXACT
+    *             and only the candidate count degrades toward a
+    *             less-optimal ordering; rebuild to re-freeze (the
+    *             quantizer-drift/reindex discipline).
+    *   postings/ (doc_id, n, tok, pos) — every corpus doc's full
+    *             shingle posting list with its frozen-order position;
+    *             the candidate-join side
+    *   sketches/ (doc_id, sh, n) — sorted shingle-hash sets for exact
+    *             verification (orphan-inert: written BEFORE postings on
+    *             append, like the near-dup index's sketch-first rule)
+    *
+    * A fresh build writes the legacy layout at `path`; once
+    * [[deleteFromContainmentIndex]] has versioned it (v-dirs +
+    * `_current`, the [[graft.api.Similarity.reindex]] discipline)
+    * every rewrite commits atomically. */
+  def buildContainmentIndex(docs: DataFrame, path: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            shingle: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val versioned = VersionedIndex.resolveRoot(spark, path) != path
+    val next = if (versioned) Some(VersionedIndex.nextVersion(spark, path)) else None
+    val target = next.fold(path)(v => s"$path/$v")
+    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
+    try {
+      Seq(Tuple1(shingle)).toDF("shingle")
+        .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
+      val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+        .localCheckpoint() // feeds the dfreq write AND the ranking join
+      try {
+        dfc.write.mode("overwrite").parquet(s"$target/dfreq")
+        toks.join(dfc, "tok")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
+          .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+          .write.mode("overwrite").parquet(s"$target/postings")
+        sets.write.mode("overwrite").parquet(s"$target/sketches")
+      } finally releaseCheckpoint(dfc)
+      next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
+    } finally releaseCheckpoint(sets)
+  }
+
+  private def readContainmentParams(spark: org.apache.spark.sql.SparkSession,
+                                    root: String): Int = {
+    val rows = spark.read.parquet(s"$root/params").select("shingle").collect()
+    require(rows.length == 1, s"no containment index at $root")
+    rows(0).getInt(0)
+  }
+
+  /** Rank a (doc_id, n, tok) token frame under a containment index's
+    * FROZEN total order: key = (dfc at build | 0 for unseen, tok).
+    * Unseen toks can never match a corpus posting, so their order slot
+    * only affects which toks occupy the prefix — any fixed rule is
+    * correct; 0 sorts them first (rarest-like, the df-ascending
+    * spirit). */
+  private def rankUnderFrozenOrder(toks: DataFrame, dfreq: DataFrame): DataFrame =
+    toks.join(dfreq, Seq("tok"), "left")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(coalesce(col("dfc"), lit(0L)), col("tok"))) - 1)
+      .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+
+  /** Append documents to a persisted containment index under its own
+    * frozen parameters and shingle order. Sketches land BEFORE
+    * postings: a crash in between leaves orphan sketch rows (inert —
+    * only postings generate candidates); the reverse would leave
+    * candidates that can never verify, silently admitting contained
+    * docs. Append the survivors of [[containmentFilterAgainstIndex]]
+    * to keep the index containment-free. */
+  def appendToContainmentIndex(docs: DataFrame, path: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val shingle = readContainmentParams(spark, root)
+    val dfreq = spark.read.parquet(s"$root/dfreq")
+    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
+    try {
+      sets.write.mode("append").parquet(s"$root/sketches")
+      rankUnderFrozenOrder(
+          sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok")),
+          dfreq)
+        .write.mode("append").parquet(s"$root/postings")
+    } finally releaseCheckpoint(sets)
+  }
+
+  /** The containment INGESTION filter against a persisted index: drop
+    * every fresh doc whose shingle set is ≥ `threshold` contained in
+    * some indexed doc, return the survivors with their original
+    * columns — [[containmentAgainstCorpus]] with the corpus-sized work
+    * already paid at build time. Per batch this touches corpus TEXT
+    * zero times: the fresh side shingles and ranks itself against the
+    * frozen `dfreq` order, indexes only its ⌊(1−t)·n⌋+1-shingle
+    * prefix, equi-joins the persisted posting table on the shingle
+    * hash (the batch side is commit-sized — AQE broadcasts it, so the
+    * posting table never shuffles), and verifies candidates against
+    * the persisted sketches. Cost ∝ Σ_fresh-prefix df(tok) + one
+    * column-pruned scan of the signature tables.
+    *
+    * Returns MATERIALIZED survivors (the suppressor contract): consume
+    * them, then call [[releaseMaterialized]]. */
+  def containmentFilterAgainstIndex(fresh: DataFrame, path: String,
+                                    threshold: Double = 0.8,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame = {
+    val spark = fresh.sparkSession
+    val root = VersionedIndex.resolveRoot(spark, path)
+    val shingle = readContainmentParams(spark, root)
+    val dfreq = spark.read.parquet(s"$root/dfreq")
+    val b = PlanAudit.checkpoint(fresh)
+    val fs = PlanAudit.checkpoint(shingleSets(b, idCol, textCol, shingle))
+    try {
+      val franked = rankUnderFrozenOrder(
+        fs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok")), dfreq)
+      val freshPrefix = franked.filter(
+        col("pos") <= floor(col("n") * (1 - threshold) + candEps))
+      val post = spark.read.parquet(s"$root/postings")
+      // candEps slack on every real-valued bound: see pairsFromSets
+      val cand = freshPrefix.as("a").join(post.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("b.n") >= col("a.n") * threshold - candEps &&
+            least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+              col("a.n") * threshold - candEps)
+        .select(col("a.doc_id").as("doc_f"), col("b.doc_id").as("doc_c"))
+        .distinct()
+      val sketches = spark.read.parquet(s"$root/sketches")
+      val flagged = cand
+        .join(fs.select(col("doc_id").as("doc_f"), col("sh").as("sh_a"),
+          col("n").as("n_f")), "doc_f")
+        .join(sketches.select(col("doc_id").as("doc_c"), col("sh").as("sh_b")),
+          "doc_c")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          col("n_f") >= threshold)
+        .select(col("doc_f").as("__flagged")).distinct()
+      PlanAudit.checkpoint(
+        b.join(flagged, b(idCol) === col("__flagged"), "left_anti"))
+    } finally Seq(b, fs).foreach(releaseCheckpoint)
+  }
+
+  /** Delete documents from a persisted containment index (takedowns):
+    * one anti-join pass over postings and sketches, committed as a
+    * fresh version behind the atomic `_current` pointer (the
+    * [[deleteFromNearDupIndex]] discipline). `params` and `dfreq` copy
+    * through unchanged — the frozen order is immutable by design, so a
+    * delete never re-ranks surviving docs. Returns docs removed; 0
+    * leaves the index untouched. */
+  def deleteFromContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, ids: DataFrame,
+                                 idCol: String = "doc_id"): Long = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    readContainmentParams(spark, root) // loud on a missing index
+    val sketches = spark.read.parquet(s"$root/sketches")
+    val idType = sketches.schema("doc_id").dataType
+    val del = ids.select(col(idCol).cast(idType).as("__del_id")).distinct()
+      .localCheckpoint()
+    try {
+      val nDel = sketches
+        .join(del, sketches("doc_id") === del("__del_id"), "left_semi").count()
+      if (nDel == 0) return 0L
+      val next = VersionedIndex.nextVersion(spark, path)
+      val vdir = s"$path/$next"
+      spark.read.parquet(s"$root/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+      spark.read.parquet(s"$root/dfreq")
+        .write.mode("overwrite").parquet(s"$vdir/dfreq")
+      sketches
+        .join(del, sketches("doc_id") === del("__del_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$vdir/sketches")
+      val post = spark.read.parquet(s"$root/postings")
+      post.join(del, post("doc_id") === del("__del_id"), "left_anti")
+        .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+      VersionedIndex.commitPointer(spark, path, next)
+      nDel
+    } finally releaseCheckpoint(del)
+  }
+
+  /** Compact a persisted containment index: per-batch appends leave a
+    * file set per batch; rewrite the CURRENT version's tables into
+    * `files` files each behind the atomic pointer (layout changes,
+    * data identical — the [[compactNearDupIndex]] contract). */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, files: Int = 8): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val root = VersionedIndex.resolveRoot(spark, path)
+    readContainmentParams(spark, root)
+    val next = VersionedIndex.nextVersion(spark, path)
+    val vdir = s"$path/$next"
+    spark.read.parquet(s"$root/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    spark.read.parquet(s"$root/dfreq")
+      .repartition(files).write.mode("overwrite").parquet(s"$vdir/dfreq")
+    spark.read.parquet(s"$root/sketches")
+      .repartition(files).write.mode("overwrite").parquet(s"$vdir/sketches")
+    spark.read.parquet(s"$root/postings")
+      .repartition(files).write.mode("overwrite").parquet(s"$vdir/postings")
+    VersionedIndex.commitPointer(spark, path, next)
+  }
+
+  /** Vacuum superseded containment index versions (run only when no
+    * reader may hold a pre-swap resolution). */
+  def vacuumContainmentIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Seq[String] =
+    VersionedIndex.vacuum(spark, path,
+      Seq("params", "dfreq", "sketches", "postings"))
+
+  /** Integrity report for a persisted containment index: n_docs,
+    * structure_ok (each doc has exactly one sketch row and exactly n
+    * posting rows with positions 0..n−1 — a torn append leaves a doc
+    * sketch-only: candidate-invisible), consistency_ok (posting and
+    * sketch doc sets are equal). Aggregation-only; no text, no pair
+    * joins. */
+  def containmentIndexIntegrity(spark: org.apache.spark.sql.SparkSession,
+                                path: String): DataFrame = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    readContainmentParams(spark, root)
+    val sk = spark.read.parquet(s"$root/sketches")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sk"), max(col("n")).as("n_decl"))
+    val po = spark.read.parquet(s"$root/postings")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_po"),
+        min(col("pos")).as("p_min"), max(col("pos")).as("p_max"),
+        countDistinct(col("pos")).as("p_dist"))
+    sk.join(po, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("n_sk").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs"),
+        (coalesce(sum(when(col("n_sk") =!= 1 ||
+            coalesce(col("n_po"), lit(-1L)) =!= col("n_decl") ||
+            coalesce(col("p_min"), lit(-1L)) =!= 0L ||
+            coalesce(col("p_max"), lit(-1L)) =!= col("n_decl") - 1 ||
+            coalesce(col("p_dist"), lit(-1L)) =!= col("n_decl"), 1L)
+          .otherwise(0L)), lit(0L)) === 0L).as("structure_ok"),
+        (coalesce(sum(when(col("n_sk").isNull || col("n_po").isNull, 1L)
+          .otherwise(0L)), lit(0L)) === 0L).as("consistency_ok"))
+      .select(lit("containment").as("store"), col("n_docs"),
+        col("structure_ok"), col("consistency_ok"))
+  }
+
   /** MinHash-LSH near-dup pairs: k min-hashes per doc, banded; docs
     * colliding in any band become candidates; candidates are verified
     * with EXACT Jaccard, so the only error mode is a missed pair
@@ -661,6 +917,8 @@ object Dedup {
           val sk = freshSets.join(keepIds, "doc_id")
           (if (!repair) sk
            else {
+             // sketches hold exactly ONE row per doc, so a doc-granular
+             // diff IS row-granular — no committer atomicity assumed
              val haveSk = spark.read.parquet(s"$root/sketches")
                .select(col("doc_id").as("__have")).distinct()
              sk.join(haveSk, col("doc_id") === col("__have"), "left_anti")
@@ -668,13 +926,20 @@ object Dedup {
           val bd = freshBands.join(keepIds, "doc_id")
           (if (!repair) bd
            else {
-             // a doc's band rows land in one job (all-or-nothing), so
-             // the band=0 partition alone carries the full have-set —
-             // the repair read prunes to 1/bands of the id rows
+             // repair diffs at (doc_id, band) granularity against the
+             // FULL band table: a doc's band rows only land atomically
+             // under a v1 committer with no crash during job commit —
+             // with committer v2 (object stores) or a crash mid-commit,
+             // SOME of a doc's bands can be visible, and a doc-granular
+             // diff pruned to band=0 would either re-append rows that
+             // landed (duplicates) or leave higher bands permanently
+             // missing (ADVICE r11). Repair is the rare path — the full
+             // id-column read is the price of being committer-agnostic.
              val haveBd = spark.read.parquet(s"$root/bands")
-               .filter(col("band") === 0)
-               .select(col("doc_id").as("__have")).distinct()
-             bd.join(haveBd, col("doc_id") === col("__have"), "left_anti")
+               .select(col("doc_id").as("__have_id"),
+                 col("band").as("__have_band"))
+             bd.join(haveBd, col("doc_id") === col("__have_id") &&
+               col("band") === col("__have_band"), "left_anti")
            }).select(col("doc_id"), col("bkey"), col("band"))
             .write.mode("append").partitionBy("band").parquet(s"$root/bands")
         }
@@ -1260,10 +1525,16 @@ object Dedup {
             .join(keep.select(col(idCol).as("doc_id")), "doc_id")
           (if (!repair) rows
            else {
+             // (doc_id, chunk)-granular diff against the FULL chunk
+             // table — same committer-v2/mid-commit-crash reasoning as
+             // the near-dup band repair (ADVICE r11): a doc's chunk
+             // rows are not guaranteed all-or-nothing, so a doc-level
+             // diff pruned to chunk=0 can duplicate or orphan rows.
              val have = spark.read.parquet(s"$root/chunks")
-               .filter(col("chunk") === 0)
-               .select(col("doc_id").as("__have")).distinct()
-             rows.join(have, col("doc_id") === col("__have"), "left_anti")
+               .select(col("doc_id").as("__have_id"),
+                 col("chunk").as("__have_chunk"))
+             rows.join(have, col("doc_id") === col("__have_id") &&
+               col("chunk") === col("__have_chunk"), "left_anti")
            }).select(col("doc_id"), col("sig"), col("cval"), col("chunk"))
             .write.mode("append").partitionBy("chunk").parquet(s"$root/chunks")
         }

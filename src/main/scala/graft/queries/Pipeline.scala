@@ -1916,6 +1916,33 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Persisted containment posting index lifecycle (build → APPEND →
+    // ingestion filter): the corpus' df-ordered posting table is
+    // written once (built on the %3==0 docs, the %3==1 third appended
+    // under the FROZEN build-time order), then the fresh %3==2 batch
+    // filters against the INDEX — per batch, corpus text is never
+    // re-shingled or cached (q194's scale gap closed; the
+    // no-corpus-read property is spec-pinned via inputFiles). The
+    // oracle replays the q194 asymmetric-containment ground truth over
+    // corpus = the two indexed thirds — candidate generation, frozen
+    // ordering, and verification all collapse to the same exact set.
+    "q195_containment_index" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ctidx-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      rmTree(new java.io.File(dir))
+      val docs = Tables.documents(s, d)
+      val m3 = col("doc_id") % 3
+      graft.api.Dedup.buildContainmentIndex(
+        docs.filter(m3 === 0).select(col("doc_id"), col("text")), dir)
+      graft.api.Dedup.appendToContainmentIndex(
+        docs.filter(m3 === 1).select(col("doc_id"), col("text")), dir)
+      val kept = graft.api.Dedup.containmentFilterAgainstIndex(
+        docs.filter(m3 === 2), dir, threshold = 0.8)
+      try kept.select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id").localCheckpoint()
+      finally graft.api.Dedup.releaseMaterialized(kept)
+    }),
+
     // Mergeable HEAVY-HITTERS sketch lifecycle (the frequency third of
     // the sketch-table family, after q150 HLL and q158 KLL): per-lang
     // DataSketches Frequent-Items sketches of the q51 tokenizer's
@@ -5143,6 +5170,27 @@ object Pipeline {
          |  HAVING count(*) * 1.0 / any_value(a.n) >= 0.8)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id < 250 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the q194 ground truth over the indexed two-thirds: the persisted
+    // posting table / frozen ordering / prefix filter are candidate
+    // OPTIMIZATIONS — the exact verification makes the survivor set
+    // identical to the direct asymmetric-containment definition.
+    "q195_containment_index" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), flagged AS (
+         |  SELECT a.doc_id
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |    AND a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) * 1.0 / any_value(a.n) >= 0.8)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM flagged)
          |ORDER BY doc_id""".stripMargin,
 
     // the q108 posting-join CTEs at k=10, planted qrels, and every
