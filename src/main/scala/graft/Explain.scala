@@ -89,19 +89,26 @@ object Explain {
     "q191_ingest_expectations", // quarantine-before-marker commit split (r11)
     "q192_domain_communities", // extract→edges→LPA+degree chain, all keyed (r11)
     "q193_ranking_metrics",  // rank-filtered qrels join + keyed metric agg (r11)
-    "q194_containment_filter") // fresh-prefix x corpus-posting join, anti-join exit (r11)
+    "q194_containment_filter", // fresh-prefix x corpus-posting join, anti-join exit (r11)
+    "q195_containment_index") // persisted-posting filter, zero corpus re-read (r12)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan
     * ExistingRDD` (VERDICT r10 #4). For these, the PlanAudit probe
     * captures each stage's REAL pre-checkpoint plan and the dump
     * appends them, so PLANS.md shows the candidate joins the scale
-    * story rests on. */
+    * story rests on. Since r12 the batch pair operators share the
+    * suppressors' checkpoint-and-release discipline, so their queries
+    * are in this family too. */
   private val suppressorFamily = Set(
     "q164_streaming_neardup_suppress", "q168_streaming_semantic_suppress",
     "q170_suppress_explain", "q171_semantic_suppress_explain",
     "q172_hamming_suppress", "q173_hamming_suppress_explain",
-    "q175_sql_suppress_explain")
+    "q175_sql_suppress_explain",
+    // batch pair operators (checkpointed since r12)
+    "q44_near_dup_pairs", "q45_minhash_lsh", "q48_ann_hyperplane",
+    "q57_ann_ivf", "q183_containment_pairs", "q194_containment_filter",
+    "q195_containment_index", "q187_label_propagation")
 
   private def cap(s: String): String = s.linesIterator
     .map(l => if (l.length > 300) l.take(300) + " ...<truncated>" else l)

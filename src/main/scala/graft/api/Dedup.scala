@@ -170,12 +170,21 @@ object Dedup {
     * smallest shingle hashes per doc (symmetric prefix filter — no
     * false negatives), apply the length filter and the PPJoin position
     * filter in the join, verify candidates with exact Jaccard.
-    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, unordered. */
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, unordered.
+    *
+    * Returns MATERIALIZED pairs (the suppressor contract,
+    * [[releaseMaterialized]]): the shingle sets feed four subplans, so
+    * they materialize once and are RELEASED before returning — the old
+    * internal `.cache()` pinned corpus-sized blocks for the JVM's
+    * lifetime in long-lived sessions. Consume the result, then call
+    * [[releaseMaterialized]]. */
   def nearDupPairsExact(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", threshold: Double = 0.8,
-                        shingle: Int = 3): DataFrame =
-    pairsFromSets(shingleSets(docs, idCol, textCol, shingle).cache(),
-      threshold)
+                        shingle: Int = 3): DataFrame = {
+    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
+    try PlanAudit.checkpoint(pairsFromSets(sets, threshold))
+    finally releaseCheckpoint(sets)
+  }
 
   /** The PPJoin body of [[nearDupPairsExact]] over an ALREADY-built
     * (doc_id, sh, n) sets frame — shared with the streaming
@@ -239,36 +248,44 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", threshold: Double = 0.8,
                        shingle: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
-    val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    // cached: the posting table feeds BOTH join sides (prefix slice and
-    // full index) — without it the df-join + window would compute twice
-    val ranked = toks.join(dfc, "tok")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
-      .select(col("doc_id"), col("n"), col("tok"), col("pos"))
-      .cache()
-    // candEps slack: see pairsFromSets — inexact t makes n·(1−t) land
-    // below exact integers; padding only loosens candidate generation
-    val prefix = ranked.filter(
-      col("pos") <= floor(col("n") * (1 - threshold) + candEps))
-    val cand = prefix.as("a").join(ranked.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n") >= col("a.n") * threshold - candEps &&
-          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-            col("a.n") * threshold - candEps)
-      .select(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"))
-      .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("doc_inner"), col("sh").as("sh_a"),
-        col("n").as("n_inner")), "doc_inner")
-      .join(sets.select(col("doc_id").as("doc_outer"), col("sh").as("sh_b"),
-        col("n").as("n_outer")), "doc_outer")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("inter").cast("double") / col("n_inner") >= threshold)
-      .select(col("doc_inner"), col("doc_outer"), col("n_inner"), col("n_outer"),
-        round(col("inter").cast("double") / col("n_inner"), 6).as("containment"))
+    // sets feed the verify joins twice, the posting table feeds BOTH
+    // candidate sides (prefix slice and full index): each materializes
+    // once and is released at exit; the result is returned MATERIALIZED
+    // under the [[releaseMaterialized]] contract (internal `.cache()`
+    // would pin corpus-sized blocks for the session)
+    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
+    try {
+      val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      val ranked = PlanAudit.checkpoint(toks.join(dfc, "tok")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
+        .select(col("doc_id"), col("n"), col("tok"), col("pos")))
+      try {
+        // candEps slack: see pairsFromSets — inexact t makes n·(1−t) land
+        // below exact integers; padding only loosens candidate generation
+        val prefix = ranked.filter(
+          col("pos") <= floor(col("n") * (1 - threshold) + candEps))
+        val cand = prefix.as("a").join(ranked.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
+              col("b.n") >= col("a.n") * threshold - candEps &&
+              least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+                col("a.n") * threshold - candEps)
+          .select(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"))
+          .distinct()
+        PlanAudit.checkpoint(cand
+          .join(sets.select(col("doc_id").as("doc_inner"), col("sh").as("sh_a"),
+            col("n").as("n_inner")), "doc_inner")
+          .join(sets.select(col("doc_id").as("doc_outer"), col("sh").as("sh_b"),
+            col("n").as("n_outer")), "doc_outer")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .filter(col("inter").cast("double") / col("n_inner") >= threshold)
+          .select(col("doc_inner"), col("doc_outer"), col("n_inner"),
+            col("n_outer"),
+            round(col("inter").cast("double") / col("n_inner"), 6)
+              .as("containment")))
+      } finally releaseCheckpoint(ranked)
+    } finally releaseCheckpoint(sets)
   }
 
   /** Incremental form of [[containmentPairs]] — the ingestion filter:
@@ -280,46 +297,58 @@ object Dedup {
     * order is correct — no false negatives; df-ascending minimizes
     * posting collisions), the fresh side indexes only its
     * ⌊(1−t)·n⌋+1-shingle prefix, and the corpus side is a full
-    * posting table with positions — at a growing 100 TB corpus the
-    * posting table is the persisted artifact to maintain
-    * incrementally, exactly like [[exactAgainstCorpus]]'s fingerprint
-    * set. Cost ∝ Σ_fresh-prefix df(tok); every stage keyed. */
+    * posting table with positions — at a growing 100 TB corpus that
+    * posting table is the persisted artifact to maintain incrementally:
+    * [[buildContainmentIndex]] / [[appendToContainmentIndex]] /
+    * [[containmentFilterAgainstIndex]] are exactly that lifecycle, and
+    * the right form for a recurring per-batch filter. Cost ∝
+    * Σ_fresh-prefix df(tok); every stage keyed. */
   def containmentAgainstCorpus(corpus: DataFrame, fresh: DataFrame,
                                idCol: String = "doc_id",
                                textCol: String = "text",
                                threshold: Double = 0.8,
                                shingle: Int = 3): DataFrame = {
-    val cs = shingleSets(corpus, idCol, textCol, shingle).cache()
-    val fs = shingleSets(fresh, idCol, textCol, shingle).cache()
-    val toks = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-      .withColumn("side", lit("c"))
-      .union(fs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-        .withColumn("side", lit("f")))
-    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val ranked = toks.join(dfc, "tok")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("side"), col("doc_id"))
-          .orderBy(col("dfc"), col("tok"))) - 1)
-      .select(col("side"), col("doc_id"), col("n"), col("tok"), col("pos"))
-      .cache()
-    val freshPrefix = ranked.filter(col("side") === "f" &&
-      col("pos") <= floor(col("n") * (1 - threshold) + candEps))
-    val corpusPost = ranked.filter(col("side") === "c")
-    val cand = freshPrefix.as("a").join(corpusPost.as("b"),
-        col("a.tok") === col("b.tok") &&
-          col("b.n") >= col("a.n") * threshold - candEps &&
-          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-            col("a.n") * threshold - candEps)
-      .select(col("a.doc_id").as("doc_f"), col("b.doc_id").as("doc_c"))
-      .distinct()
-    val flagged = cand
-      .join(fs.select(col("doc_id").as("doc_f"), col("sh").as("sh_a"),
-        col("n").as("n_f")), "doc_f")
-      .join(cs.select(col("doc_id").as("doc_c"), col("sh").as("sh_b")), "doc_c")
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        col("n_f") >= threshold)
-      .select(col("doc_f").as(idCol)).distinct()
-    fresh.join(flagged, Seq(idCol), "left_anti")
+    // one-shot form: both shingle-set frames and the ranked posting
+    // table feed multiple subplans — materialize once, RELEASE at exit,
+    // return MATERIALIZED survivors ([[releaseMaterialized]] contract).
+    // For a RECURRING ingestion filter use the persisted index
+    // ([[buildContainmentIndex]] → [[containmentFilterAgainstIndex]]):
+    // this form re-shingles the corpus per call by construction.
+    val cs = PlanAudit.checkpoint(shingleSets(corpus, idCol, textCol, shingle))
+    val fs = PlanAudit.checkpoint(shingleSets(fresh, idCol, textCol, shingle))
+    try {
+      val toks = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+        .withColumn("side", lit("c"))
+        .union(fs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+          .withColumn("side", lit("f")))
+      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      val ranked = PlanAudit.checkpoint(toks.join(dfc, "tok")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("side"), col("doc_id"))
+            .orderBy(col("dfc"), col("tok"))) - 1)
+        .select(col("side"), col("doc_id"), col("n"), col("tok"), col("pos")))
+      try {
+        val freshPrefix = ranked.filter(col("side") === "f" &&
+          col("pos") <= floor(col("n") * (1 - threshold) + candEps))
+        val corpusPost = ranked.filter(col("side") === "c")
+        val cand = freshPrefix.as("a").join(corpusPost.as("b"),
+            col("a.tok") === col("b.tok") &&
+              col("b.n") >= col("a.n") * threshold - candEps &&
+              least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+                col("a.n") * threshold - candEps)
+          .select(col("a.doc_id").as("doc_f"), col("b.doc_id").as("doc_c"))
+          .distinct()
+        val flagged = cand
+          .join(fs.select(col("doc_id").as("doc_f"), col("sh").as("sh_a"),
+            col("n").as("n_f")), "doc_f")
+          .join(cs.select(col("doc_id").as("doc_c"), col("sh").as("sh_b")),
+            "doc_c")
+          .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            col("n_f") >= threshold)
+          .select(col("doc_f").as(idCol)).distinct()
+        PlanAudit.checkpoint(fresh.join(flagged, Seq(idCol), "left_anti"))
+      } finally releaseCheckpoint(ranked)
+    } finally Seq(cs, fs).foreach(releaseCheckpoint)
   }
 
   /** Persisted CONTAINMENT posting index — the artifact
@@ -605,14 +634,20 @@ object Dedup {
                       textCol: String = "text", threshold: Double = 0.8,
                       shingle: Int = 3, hashes: Int = 64,
                       bands: Int = 16): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingle).cache()
-    val bb = bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
-    val cand = bb.as("a").join(bb.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verify(joinBack(cand, sets), threshold)
+    // sets verify twice, the banded signatures feed both sides of the
+    // candidate self-join (previously recomputed): materialize once,
+    // release at exit; MATERIALIZED result, [[releaseMaterialized]]
+    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
+    val bb = PlanAudit.checkpoint(
+      bandedSignatures(docs, idCol, textCol, shingle, hashes, bands))
+    try {
+      val cand = bb.as("a").join(bb.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      PlanAudit.checkpoint(verify(joinBack(cand, sets), threshold))
+    } finally Seq(sets, bb).foreach(releaseCheckpoint)
   }
 
   /** Persisted MinHash-LSH near-dup index — the signature state of an
@@ -1384,14 +1419,21 @@ object Dedup {
 
   def hammingPairs(sigs: DataFrame, idCol: String = "doc_id",
                    sigCol: String = "sig", maxHamming: Int = 3): DataFrame = {
-    val chunks = sigChunks(sigs.cache(), idCol, sigCol, maxHamming)
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // the signature frame feeds both sides of the chunk self-join (and
+    // may itself be an expensive projection, e.g. simHash64 over text):
+    // materialize once, release at exit; MATERIALIZED result,
+    // [[releaseMaterialized]]
+    val sg = PlanAudit.checkpoint(sigs.select(col(idCol), col(sigCol)))
+    try {
+      val chunks = sigChunks(sg, idCol, sigCol, maxHamming)
+      PlanAudit.checkpoint(chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
+    } finally releaseCheckpoint(sg)
   }
 
   /** Persisted HAMMING near-dup index — the third member of the index
@@ -2134,6 +2176,11 @@ object Dedup {
       labels = next.select("node", "label")
       iter += 1
     }
+    // the edge materialization only feeds the loop — release it; the
+    // final labels stay MATERIALIZED for the caller
+    // ([[releaseMaterialized]] contract)
+    ownRddId(edges).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     require(converged,
       s"connected-components did not converge within $maxIter iterations")
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))

@@ -120,7 +120,11 @@ object Similarity {
                         // 12 → 0.53 at ~60% of the cost, 8 → 0.39 —
                         // 12 is the knee (q70 contracts recall ≥ 0.3)
                         tables: Int = 12, planes: Int = 6): DataFrame = {
-    val e = withNorm(emb, idCol, vecCol).cache()
+    // normed vectors feed the signature projection plus two re-attach
+    // joins: materialize once, release at exit (Dedup's batch-operator
+    // discipline); MATERIALIZED result, Dedup.releaseMaterialized
+    val e = PlanAudit.checkpoint(withNorm(emb, idCol, vecCol))
+    try {
     // dimension probe: one metadata-sized lookup so the plane weights
     // can be precomputed as literals (hyperplaneSignatureFast). An
     // empty corpus short-circuits to an empty result with the standard
@@ -152,7 +156,8 @@ object Similarity {
       .join(e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb")), "neighbor_id")
       .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-    topK(pairs, k)
+    PlanAudit.checkpoint(topK(pairs, k))
+    } finally Dedup.releaseCheckpoint(e)
   }
 
   /** Fit the coarse k-means quantizer DRIVER-SIDE on a bounded,
@@ -243,26 +248,31 @@ object Similarity {
                  cells: Int = 16, nprobe: Int = 1,
                  seed: Long = 42, maxIter: Int = 5): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells)
-    val e = withNorm(emb, idCol, vecCol).cache()
-    // empty corpus → empty result (there is nothing to fit)
-    if (e.head(1).isEmpty) return emptyTopK(emb.sparkSession, e)
-    val centroids = fitCentroids(e, cells, seed, maxIter)
-    val withCell = e.withColumn("cell", nearestCell(col("embedding"), centroids))
-    val probeSide =
-      if (nprobe == 1)
-        withCell.select(col("cell"), col("vec_id"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-      else
-        e.select(col("vec_id"), col("embedding"), col("nrm"),
-            explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
-          .select(col("cell"), col("vec_id"),
+    // normed vectors feed the quantizer sample, the assignment, and
+    // both join sides: materialize once, release at exit;
+    // MATERIALIZED result, Dedup.releaseMaterialized
+    val e = PlanAudit.checkpoint(withNorm(emb, idCol, vecCol))
+    try {
+      // empty corpus → empty result (there is nothing to fit)
+      if (e.head(1).isEmpty) return emptyTopK(emb.sparkSession, e)
+      val centroids = fitCentroids(e, cells, seed, maxIter)
+      val withCell = e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val probeSide =
+        if (nprobe == 1)
+          withCell.select(col("cell"), col("vec_id"),
             col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = probeSide.join(b, Seq("cell"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
-    topK(pairs, k)
+        else
+          e.select(col("vec_id"), col("embedding"), col("nrm"),
+              explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+            .select(col("cell"), col("vec_id"),
+              col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withCell.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = probeSide.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      PlanAudit.checkpoint(topK(pairs, k))
+    } finally Dedup.releaseCheckpoint(e)
   }
 
   /** Build a PERSISTENT IVF index under `path`: fit the coarse

@@ -1202,30 +1202,40 @@ object TextAnalysis {
                         alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be positive for smoothing, got $alpha")
     val buckets = math.pow(2.0, 32) // 16^8 hashed feature space
-    val tgtCounts = hashedFeatureCounts(target, textCol)
-      .withColumnRenamed("c", "ct")
-    val rawCounts = hashedFeatureCounts(raw, textCol)
-      .withColumnRenamed("c", "cr")
-    val totals = tgtCounts.agg(sum(col("ct")).as("nt"))
-      .crossJoin(rawCounts.agg(sum(col("cr")).as("nr")))
-    val grams = raw.select(col(idCol).as("__id"),
-      explode(hashedNgramFeatures(col(textCol))).as("f"))
-    val term = round(
-      log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + alpha * buckets))
-        - log((col("cr") + alpha) / (col("nr") + alpha * buckets)),
-      6).cast("decimal(18,6)")
-    val scored = grams
-      .join(tgtCounts, Seq("f"), "left")
-      .join(rawCounts, Seq("f")) // inner: a raw gram is always counted
-      .crossJoin(totals)
-      .withColumn("__w", term)
-      .groupBy("__id")
-      .agg(sum(col("__w")).cast("double").as("dsir_logw"),
-           count(lit(1)).as("n_features"))
-    raw.join(scored, raw(idCol) === scored("__id"), "left")
-      .drop("__id")
-      .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
-      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+    // the raw corpus' gram table feeds its OWN count fit AND the
+    // scoring join — materialize it once (the batch-operator
+    // checkpoint-and-release discipline) instead of exploding +
+    // md5-hashing the corpus text twice in one plan; released at exit,
+    // result returned MATERIALIZED ([[graft.api.Dedup.releaseMaterialized]])
+    val grams = graft.api.PlanAudit.checkpoint(
+      raw.select(col(idCol).as("__id"),
+        explode(hashedNgramFeatures(col(textCol))).as("f")))
+    try {
+      val tgtCounts = hashedFeatureCounts(target, textCol)
+        .withColumnRenamed("c", "ct")
+      // identical by construction to hashedFeatureCounts(raw): the same
+      // explode, id column dropped before the map-side-combined count
+      val rawCounts = grams.groupBy("f").agg(count(lit(1)).as("cr"))
+      val totals = tgtCounts.agg(sum(col("ct")).as("nt"))
+        .crossJoin(rawCounts.agg(sum(col("cr")).as("nr")))
+      val term = round(
+        log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + alpha * buckets))
+          - log((col("cr") + alpha) / (col("nr") + alpha * buckets)),
+        6).cast("decimal(18,6)")
+      val scored = grams
+        .join(tgtCounts, Seq("f"), "left")
+        .join(rawCounts, Seq("f")) // inner: a raw gram is always counted
+        .crossJoin(totals)
+        .withColumn("__w", term)
+        .groupBy("__id")
+        .agg(sum(col("__w")).cast("double").as("dsir_logw"),
+             count(lit(1)).as("n_features"))
+      graft.api.PlanAudit.checkpoint(
+        raw.join(scored, raw(idCol) === scored("__id"), "left")
+          .drop("__id")
+          .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
+          .withColumn("n_features", coalesce(col("n_features"), lit(0L))))
+    } finally graft.api.Dedup.releaseCheckpoint(grams)
   }
 
   /** Freeze the DSIR model: per-feature 6dp-rounded log-ratio terms as

@@ -6,18 +6,22 @@ package graft
   * The `graft.queries` fixture queries are the oracle-checked
   * instantiations of these operators.
   *
-  * ==Caching side effect==
-  * Several operators (`Dedup.nearDupPairsExact`, `minHashLshPairs`,
-  * `simHashPairs`, `keepOne`; `Similarity.hyperplaneAnnTopK`,
-  * `ivfAnnTopK`) `cache()` or `localCheckpoint()` an intermediate that
-  * the returned plan references more than once (shingle sets, norms,
-  * the edge list) — without it the corpus would be re-scanned and
-  * re-tokenized per reference. Spark offers no hook to unpersist a
-  * lazily-returned frame after its action completes, so those blocks
-  * stay pinned until the caller releases them: call
-  * `spark.catalog.clearCache()` (and unpersist via
-  * `sparkContext.getPersistentRDDs`) between operator invocations when
-  * memory pressure matters — exactly what `graft.Verify` and
-  * `graft.Bench` do per query.
+  * ==Materialized results==
+  * Operators whose plan references an intermediate more than once
+  * (shingle sets, norms, posting tables, the edge list —
+  * `Dedup.nearDupPairsExact`, `minHashLshPairs`, `simHashPairs`/
+  * `hammingPairs`, `containmentPairs`, `containmentAgainstCorpus`,
+  * `containmentFilterAgainstIndex`, `keepOne`, the suppress-and-index
+  * family; `Similarity.hyperplaneAnnTopK`, `ivfAnnTopK`) materialize
+  * those intermediates via `localCheckpoint`, RELEASE them before
+  * returning, and return a MATERIALIZED result frame: work happens at
+  * call time, and the only storage still pinned afterwards is the
+  * result itself. Consume it, then call `Dedup.releaseMaterialized`
+  * (idempotent, no-op on non-checkpointed frames) — a long-lived
+  * session that skips the release accumulates result-sized blocks per
+  * call, never corpus-sized ones (the pre-r12 internal `cache()`s
+  * pinned corpus-sized intermediates with no release path at all).
+  * `graft.Verify` and `graft.Bench` clear everything between queries
+  * via `clearCache` + `getPersistentRDDs` unpersist.
   */
 package object api

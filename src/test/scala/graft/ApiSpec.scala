@@ -1135,6 +1135,36 @@ class ApiSpec extends AnyFunSuite {
       "the stream-static model join must reproduce batch weights exactly")
   }
 
+  test("TextAnalysis.fitImportanceModel is deterministic and parquet-round-trip exact") {
+    // soundness pin for the q123/q125 per-JVM model cache: two
+    // independent fits agree bit-exactly, and the persisted form scores
+    // identically to the in-memory form
+    val dir = TestSpark.sf
+    val docs = graft.core.Tables.documents(spark, dir)
+    val target = docs.filter(col("doc_id") % 11 === 3)
+    val (m1, d1) = TextAnalysis.fitImportanceModel(docs, target)
+    val (m2, d2) = TextAnalysis.fitImportanceModel(docs, target)
+    assert(d1 == d2)
+    def modelSet(m: org.apache.spark.sql.DataFrame) =
+      m.select(col("f"), col("w")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val s1 = modelSet(m1)
+    assert(s1.nonEmpty && s1 == modelSet(m2))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dsir-model").toString
+    m1.write.mode("overwrite").parquet(tmp)
+    val persisted = spark.read.parquet(tmp)
+    assert(modelSet(persisted) == s1,
+      "persisted model must round-trip the decimal weights bit-exactly")
+    val a = TextAnalysis.scoreImportance(docs, m1, d1)
+      .select("doc_id", "dsir_logw", "n_features").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val b = TextAnalysis.scoreImportance(docs, persisted, d1)
+      .select("doc_id", "dsir_logw", "n_features").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(a == b, "scoring under the persisted model must be bit-identical")
+  }
+
   test("Similarity.clusterBalancedSample keeps per-cell prototypes or outliers") {
     // two well-separated blobs; within each, distance-to-mean ordering
     // is unambiguous

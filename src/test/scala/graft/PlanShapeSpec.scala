@@ -33,17 +33,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "global quartiles must not collapse to one partition")
   }
 
-  test("q45 LSH candidate generation is an equi-join, not a product") {
-    val p = plan("q45_minhash_lsh")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "band join must be a keyed equi-join")
-  }
-
-  test("q48 ANN candidate generation is an equi-join, not a product") {
-    val p = plan("q48_ann_hyperplane")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "signature join must be a keyed equi-join")
-  }
+  // q44/q45/q48/q57/q183: the batch pair operators share the
+  // suppressors' checkpoint-and-release discipline (r12), so their
+  // outer frames dump as Scan ExistingRDD — their inner stages are
+  // pinned probe-side in the "inner stages" section below.
 
   test("q47 brute-force baseline broadcasts the right side (no shuffle product)") {
     val p = plan("q47_cosine_topk")
@@ -70,18 +63,6 @@ class PlanShapeSpec extends AnyFunSuite {
       "as-of must be union+window, not a range join product")
   }
 
-  test("q44 shingle join is a keyed equi-join with partial aggregation") {
-    val p = plan("q44_near_dup_pairs")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("HashAggregate"), "pair counting should partial-aggregate")
-  }
-
-  test("q57 IVF cell join is a keyed equi-join, not a product") {
-    val p = plan("q57_ann_ivf")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "cell join must be a keyed equi-join")
-  }
-
   test("q73 salted join stays a hash equi-join on (key, salt)") {
     val p = plan("q73_salted_skew_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -93,9 +74,9 @@ class PlanShapeSpec extends AnyFunSuite {
   // broadcast hint: at 100 TB a forced broadcast of a corpus-sized side
   // OOMs the build side. AQE may still CHOOSE broadcast when the side
   // fits — the assertion is on the hint (analyzed plan), not the
-  // strategy.
-  for (q <- Seq("q44_near_dup_pairs", "q48_ann_hyperplane", "q57_ann_ivf",
-      "q47_cosine_topk", "q62_embedding_neardup", "q61_tfidf"))
+  // strategy. q44/q48/q57 are checkpoint-materialized (r12), so their
+  // hint check runs over the probed pre-checkpoint stages below.
+  for (q <- Seq("q47_cosine_topk", "q62_embedding_neardup", "q61_tfidf"))
     test(s"$q carries no user broadcast hint on corpus-sized sides") {
       val analyzed =
         SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.toString
@@ -378,11 +359,16 @@ class PlanShapeSpec extends AnyFunSuite {
   // candidate stages (banded / cell-keyed / chunk-keyed equi-joins) of
   // the whole family: no BroadcastNestedLoopJoin, no CartesianProduct
   // anywhere in any stage.
-  private def capturedPlans(run: => Unit): Seq[String] = {
-    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def capturedPlans(run: => Unit): Seq[String] =
+    capturedBoth(run).map(_._1)
+
+  /** (executedPlan, analyzed) of every PlanAudit-checkpointed stage. */
+  private def capturedBoth(run: => Unit): Seq[(String, String)] = {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     graft.api.PlanAudit.probe =
       Some(df => captured.synchronized {
-        captured += df.queryExecution.executedPlan.toString; ()
+        captured += ((df.queryExecution.executedPlan.toString,
+          df.queryExecution.analyzed.toString)); ()
       })
     try run finally graft.api.PlanAudit.probe = None
     captured.synchronized(captured.toSeq)
@@ -405,6 +391,56 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
 
+  // --- batch pair operators: same checkpoint discipline since r12, so
+  // the same probe pins their inner candidate stages: keyed equi-joins
+  // only, and NO user broadcast hint on a corpus-sized side (AQE may
+  // still choose broadcast; the hint is what would OOM at 100 TB).
+  // q47/q162's deliberate brute-force broadcasts are NOT in this list.
+  for (q <- Seq("q44_near_dup_pairs", "q45_minhash_lsh",
+      "q48_ann_hyperplane", "q57_ann_ivf", "q183_containment_pairs",
+      "q194_containment_filter", "q195_containment_index"))
+    test(s"$q inner stages: keyed equi-joins, no product, no broadcast hint") {
+      val plans = capturedBoth {
+        SparkEntry.queries(q)(spark, sf).queryExecution.toRdd.count()
+      }
+      assert(plans.nonEmpty, "PlanAudit captured no stages — did the " +
+        "pair operators stop routing through PlanAudit.checkpoint?")
+      plans.foreach { case (p, a) =>
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q stage regressed to a product join:\n${p.take(3000)}")
+        assert(!a.contains("ResolvedHint"),
+          s"$q must leave join-strategy choice to AQE")
+      }
+    }
+
+  test("q44 pair verification partial-aggregates (probed inner stage)") {
+    val plans = capturedPlans {
+      SparkEntry.queries("q44_near_dup_pairs")(spark, sf)
+        .queryExecution.toRdd.count()
+    }
+    assert(plans.exists(_.contains("HashAggregate")),
+      "pair counting should partial-aggregate in some stage")
+  }
+
+  test("batch pair operators release every internal materialization") {
+    // the r11 internal .cache()s pinned corpus-sized blocks for the
+    // session with no release path (VERDICT r11 #2); now: consume the
+    // result, releaseMaterialized, nothing stays pinned
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    for (q <- Seq("q44_near_dup_pairs", "q45_minhash_lsh",
+        "q183_containment_pairs", "q194_containment_filter",
+        "q195_containment_index")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.queryExecution.toRdd.count()
+      graft.api.Dedup.releaseMaterialized(df)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$q left pinned storage after consume + releaseMaterialized: " +
+          spark.sparkContext.getPersistentRDDs.keys.mkString(","))
+    }
+  }
+
   test("q178 hybrid RRF: broadcast query side, keyed fusion, no cartesian") {
     val p = plan("q178_hybrid_rrf")
     // dense pass: corpus x broadcast(queries) — the fixed-size query
@@ -421,14 +457,6 @@ class PlanShapeSpec extends AnyFunSuite {
     // the operator itself introduces no SinglePartition exchange; the
     // fixture's global orderBy is a range exchange (rangepartitioning)
     assert(!p.contains("SinglePartition"))
-  }
-
-  test("q183 containment pairs: shingle-keyed equi-joins, doc-keyed window, no product") {
-    val p = plan("q183_containment_pairs")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "candidate generation must stay a posting-keyed equi-join")
-    assert(!p.contains("SinglePartition"),
-      "the position rank is a doc-keyed window, never a global sort")
   }
 
   test("q184 corpus diff: one id-keyed full-outer join of fingerprint projections") {
