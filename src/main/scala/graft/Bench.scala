@@ -70,13 +70,15 @@ private[graft] object BenchLine {
     * than every kept one), and only as a last resort dropping the map
     * entirely — never printing an over-length line. The full-precision
     * complete map always lands in bench_result.json. */
-  def compact(h: Headline, results: Seq[(String, Double)]): String = {
+  def compact(h: Headline, results: Seq[(String, Double)],
+              alwaysExtras: String = ""): String = {
     val f1 = (v: Double) => "%.1f".formatLocal(Locale.ROOT, v)
     def at(fmt: Double => String, subset: Seq[(String, Double)]): String = {
       val omitted = results.size - subset.size
       render(h, results,
         subset.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) },
-        if (omitted > 0) s""","q_omitted":$omitted""" else "")
+        alwaysExtras +
+          (if (omitted > 0) s""","q_omitted":$omitted""" else ""))
     }
     val c2 = at(f2, results)
     if (c2.length <= MaxLen) return c2
@@ -90,7 +92,7 @@ private[graft] object BenchLine {
       keep = keep.dropRight(math.max(1, keep.size / 10))
       line = at(f1, keep)
     }
-    if (keep.isEmpty) render(h, results, Seq.empty, "") else line
+    if (keep.isEmpty) render(h, results, Seq.empty, alwaysExtras) else line
   }
 }
 
@@ -286,10 +288,15 @@ object Bench {
       l
     }
     val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
-    var streamBest: (Long, Long) = (-1L, -1L)
-    // the 1-min loadavg of the window that produced the RECORDED best —
-    // the judge-facing provenance for the headline number
-    var streamBestLoad1 = -1.0
+    // HEADLINE = best rep from a GATE-PASSING window (VERDICT r11 #3:
+    // a headline taken under load1 15.9 is a valid lower bound but not
+    // self-defending); the absolute max across all windows is kept as
+    // a separate field. Falls back to the absolute max — honestly
+    // flagged by its recorded load1 — only if NO window cleared the gate.
+    var streamBestGated: (Long, Long) = (-1L, -1L)
+    var streamBestGatedLoad1 = -1.0
+    var streamBestAbs: (Long, Long) = (-1L, -1L)
+    var streamBestAbsLoad1 = -1.0
     var streamZeroRetries = 0
     // per-rep load1, recorded for EVERY stream rep — the contamination
     // audit the batch windows already have (the r9 post-mortem hinged
@@ -306,7 +313,10 @@ object Bench {
         // let it stand); retry once before recording
         if (r._1 <= 0) { streamZeroRetries += 1; r = streamOnce() }
         streamSamples += r._2
-        if (r._2 > streamBest._2) { streamBest = r; streamBestLoad1 = l }
+        if (r._2 > streamBestAbs._2) { streamBestAbs = r; streamBestAbsLoad1 = l }
+        if (l >= 0 && l < streamLoadGate && r._2 > streamBestGated._2) {
+          streamBestGated = r; streamBestGatedLoad1 = l
+        }
       }
     def streamWindowGated(reps: Int): Unit = {
       var l = load1Now()
@@ -405,9 +415,31 @@ object Bench {
     batchWindow(1)
     streamWindow(2 + streamSkipped)
 
+    // Scale smoke (VERDICT r11 #5): sf0.1 is 17 MB — drive the heavy
+    // pipeline operators through one batch each against a multi-GB
+    // generated corpus, AFTER every probe window so its load cannot
+    // contaminate a headline. 0 disables.
+    val smokeRows =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE_ROWS", "50000000").toLong
+    val smokeTimes: Seq[(String, Double)] =
+      if (smokeRows <= 0) Seq.empty
+      else try ScaleSmoke.run(spark, smokeRows)
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] scale smoke FAILED — ${t.getClass.getSimpleName}: ${t.getMessage}")
+          Seq("smoke_error" -> -1.0)
+      }
+    val scaleSmokeJson = if (smokeTimes.isEmpty) "" else
+      s""","scale_smoke":{"rows":$smokeRows,${smokeTimes.map { case (k, v) =>
+        "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(v) }.mkString(",")}}"""
+
     val ingestRate = bucketedSamples.max
     val ingestRateUnbucketed = unbucketedSamples.max
-    val (streamRows, streamRate) = streamBest
+    val gatedHeadline = streamBestGated._2 > 0
+    val (streamRows, streamRate) =
+      if (gatedHeadline) streamBestGated else streamBestAbs
+    val streamBestLoad1 =
+      if (gatedHeadline) streamBestGatedLoad1 else streamBestAbsLoad1
     val load1 = load1Now()
 
     val head = BenchLine.Headline(sfDir = sfDir, load1 = load1,
@@ -427,13 +459,13 @@ object Bench {
       "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(l)
     }.mkString("{", ",", "}")
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_zero_committed_retries":$streamZeroRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"query_load1":$queryLoads"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_zero_committed_retries":$streamZeroRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"query_load1":$queryLoads$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)
     try Files.writeString(java.nio.file.Paths.get("bench_result.json"), full + "\n")
     catch { case _: Throwable => () }
-    val compact = BenchLine.compact(head, results)
+    val compact = BenchLine.compact(head, results, scaleSmokeJson)
     println(compact)
     System.out.flush()
     spark.stop()
