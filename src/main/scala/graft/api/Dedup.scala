@@ -1091,13 +1091,19 @@ object Dedup {
     * Compaction commits behind the index's atomic `_current` pointer
     * (data identical, crash leaves the old version live); superseded
     * versions are NOT vacuumed here — external searchers may still
-    * hold a pre-swap resolution; vacuum on the operator's schedule. */
+    * hold a pre-swap resolution; vacuum on the operator's schedule.
+    * The compaction hook ALSO retention-vacuums the append ledger
+    * (keep the newest `ledgerKeepLast` completed markers): without it
+    * the ledger gains two tiny files per batch forever — safe here
+    * because the streaming checkpoint replays at most the most recent
+    * uncommitted batches ([[vacuumSuppressorAppendLedger]]). */
   def nearDupSuppressStream(stream: DataFrame, indexPath: String,
                             outPath: String, checkpointDir: String,
                             threshold: Double = 0.8,
                             idCol: String = "doc_id",
                             textCol: String = "text",
-                            compactEveryBatches: Int = 0)
+                            compactEveryBatches: Int = 0,
+                            ledgerKeepLast: Int = 100000)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1107,8 +1113,12 @@ object Dedup {
         try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         finally releaseMaterialized(keep)
         if (compactEveryBatches > 0 &&
-            (batchId + 1) % compactEveryBatches == 0)
+            (batchId + 1) % compactEveryBatches == 0) {
           compactNearDupIndex(batch.sparkSession, indexPath)
+          vacuumSuppressorAppendLedger(batch.sparkSession, indexPath,
+            ledgerKeepLast)
+          ()
+        }
       }
       .start()
 
@@ -1652,12 +1662,15 @@ object Dedup {
     * survivors land under `outPath/batch=<id>/`, and
     * `compactEveryBatches` > 0 runs [[compactHammingIndex]] every Nth
     * batch (per-batch appends add a file set per chunk partition —
-    * the same small-file scale story as the other two suppressors). */
+    * the same small-file scale story as the other two suppressors)
+    * and retention-vacuums the append ledger to `ledgerKeepLast`
+    * completed markers ([[vacuumSuppressorAppendLedger]]). */
   def hammingSuppressStream(stream: DataFrame, indexPath: String,
                             outPath: String, checkpointDir: String,
                             idCol: String = "doc_id",
                             sigCol: String = "sig",
-                            compactEveryBatches: Int = 0)
+                            compactEveryBatches: Int = 0,
+                            ledgerKeepLast: Int = 100000)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1666,8 +1679,12 @@ object Dedup {
         try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         finally releaseMaterialized(keep)
         if (compactEveryBatches > 0 &&
-            (batchId + 1) % compactEveryBatches == 0)
+            (batchId + 1) % compactEveryBatches == 0) {
           compactHammingIndex(batch.sparkSession, indexPath)
+          vacuumSuppressorAppendLedger(batch.sparkSession, indexPath,
+            ledgerKeepLast)
+          ()
+        }
       }
       .start()
 
@@ -2454,7 +2471,17 @@ object Dedup {
     * holder leaves a stale `_lock`, which an operator must remove
     * manually after confirming no writer is live — deadlocking a
     * correctness-critical writer beats silently stealing a live
-    * holder's lock. */
+    * holder's lock.
+    *
+    * Automated break path (VERDICT r11 #8, OPT-IN): set
+    * `spark.graft.seenFilter.lockStaleMs` > 0 and a lock whose file is
+    * older than that is treated as crashed — deleted with a loud WARN,
+    * acquisition retried. Off by default because no age proves a
+    * holder dead: only enable it above the longest commit the
+    * deployment can legitimately run (a live holder's lock file age IS
+    * its commit duration). Either way the failure message now reports
+    * the lock's age, so the alert carries the evidence the manual call
+    * needs. */
   private def withSeenPathLock[T](spark: org.apache.spark.sql.SparkSession,
                                   path: String)(body: => T): T = {
     import org.apache.hadoop.fs.Path
@@ -2462,19 +2489,41 @@ object Dedup {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(base)
     val lock = new Path(base, "_lock")
+    val staleMs = spark.conf
+      .getOption("spark.graft.seenFilter.lockStaleMs").map(_.toLong)
+      .getOrElse(0L)
+    def lockAgeMs(): Option[Long] =
+      try Some(System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime)
+      catch { case _: java.io.IOException => None } // racing holder released
     var acquired = false
     var attempts = 0
     while (!acquired) {
       try { fs.create(lock, false).close(); acquired = true }
       catch {
         case _: java.io.IOException =>
-          attempts += 1
-          if (attempts >= 100) throw new IllegalStateException(
-            s"could not acquire seen-filter lock $lock after ~10 s — " +
-              "another writer holds it, or a crashed writer left it " +
-              "behind (remove the stale _lock manually after confirming " +
-              "no writer is live)")
-          Thread.sleep(100)
+          val age = lockAgeMs()
+          if (staleMs > 0 && age.exists(_ > staleMs)) {
+            // break-or-alert: the operator opted into an age bound, and
+            // this lock has outlived it — declare the holder crashed
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"breaking stale seen-filter lock $lock (age ${age.get} ms " +
+                s"> spark.graft.seenFilter.lockStaleMs=$staleMs) — if a " +
+                "writer was live, its commit may now race this one")
+            fs.delete(lock, false)
+            // loop retries the exclusive create — another waiter may
+            // win the broken lock first, which is fine
+          } else {
+            attempts += 1
+            if (attempts >= 100) throw new IllegalStateException(
+              s"could not acquire seen-filter lock $lock after ~10 s — " +
+                "another writer holds it, or a crashed writer left it " +
+                s"behind (lock age: ${age.map(_ + " ms").getOrElse("unknown")}; " +
+                "remove the stale _lock manually after confirming no " +
+                "writer is live, or opt into automated breaking via " +
+                "spark.graft.seenFilter.lockStaleMs)")
+            Thread.sleep(100)
+          }
       }
     }
     try body finally { fs.delete(lock, false); () }

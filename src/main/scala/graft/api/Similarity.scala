@@ -1015,13 +1015,16 @@ object Similarity {
     * when the stream's distribution wanders. `compactEveryBatches` > 0
     * runs [[compactIvfIndex]] after every Nth batch — at micro-batch
     * cadence the per-append small-file accumulation is the scale
-    * story, exactly as on the text side. */
+    * story, exactly as on the text side — and retention-vacuums the
+    * append ledger to `ledgerKeepLast` completed markers
+    * ([[graft.api.Dedup.vacuumSuppressorAppendLedger]]). */
   def semanticSuppressStream(stream: DataFrame, indexPath: String,
                              outPath: String, checkpointDir: String,
                              threshold: Double = 0.9, nprobe: Int = 2,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
-                             compactEveryBatches: Int = 0)
+                             compactEveryBatches: Int = 0,
+                             ledgerKeepLast: Int = 100000)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1031,8 +1034,12 @@ object Similarity {
         try keep.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         finally Dedup.releaseMaterialized(keep)
         if (compactEveryBatches > 0 &&
-            (batchId + 1) % compactEveryBatches == 0)
+            (batchId + 1) % compactEveryBatches == 0) {
           compactIvfIndex(batch.sparkSession, indexPath)
+          Dedup.vacuumSuppressorAppendLedger(batch.sparkSession, indexPath,
+            ledgerKeepLast)
+          ()
+        }
       }
       .start()
 

@@ -2095,6 +2095,30 @@ class ApiSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "the lock must release after a commit")
     assert(Dedup.markSeen(spark, (0L until 200L).toDF("id"), "id", path)
       .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
+    // the alert carries the evidence: the failure message reports the
+    // lock's age and names the opt-in break conf
+    assert(e.getMessage.contains("lockStaleMs"),
+      "the failure must name the automated-break opt-in")
+  }
+
+  test("Dedup seen-filter: opt-in age bound breaks a stale _lock and commits") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-seen-stale")
+      .resolve("ids").toString
+    Dedup.buildSeenFilter((0L until 100L).toDF("id"), "id", path, 10000L)
+    val lock = new org.apache.hadoop.fs.Path(path, "_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    Thread.sleep(150)
+    spark.conf.set("spark.graft.seenFilter.lockStaleMs", "100")
+    try {
+      // the crashed writer's lock is older than the bound: broken,
+      // append proceeds, no manual removal
+      Dedup.appendToSeenFilter((100L until 200L).toDF("id"), "id", path)
+      assert(!fs.exists(lock), "the broken-then-reacquired lock must release")
+      assert(Dedup.markSeen(spark, (0L until 200L).toDF("id"), "id", path)
+        .filter(!org.apache.spark.sql.functions.col("probably_seen")).isEmpty)
+    } finally spark.conf.unset("spark.graft.seenFilter.lockStaleMs")
   }
 
   test("Dedup seen-filter merge: union flags both inputs' ids; geometry guard") {

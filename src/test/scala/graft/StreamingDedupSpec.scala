@@ -138,6 +138,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("in-stream ledger vacuum: marker count stays bounded across batches") {
+    val idx = freshIndex()
+    val out = Files.createTempDirectory("graft-ndvac-out").toString
+    val ckpt = Files.createTempDirectory("graft-ndvac-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.nearDupSuppressStream(
+      ms.toDF().toDF("doc_id", "text"), idx, s"$out/kept", ckpt,
+      compactEveryBatches = 1, ledgerKeepLast = 2)
+    try {
+      (0 until 5).foreach { i =>
+        ms.addData(Seq((1000L + i) -> words(s"batch$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // without the vacuum hook the ledger holds one done marker per
+    // batch forever (5 here); the hook caps it at ledgerKeepLast
+    val done = new java.io.File(s"$idx/_appends").listFiles()
+      .count(_.getName.endsWith(".done"))
+    assert(done == 2, s"expected 2 done markers after vacuum, got $done")
+    // results unaffected: every unique doc survived and was indexed
+    assert((1000L until 1005L).toSet.subsetOf(indexedIds(idx)))
+  }
+
   // --- embedding-space mirror: Similarity.semanticSuppressAndIndex ---
 
   private def vec(axis: Int): Array[Float] = {
