@@ -282,6 +282,49 @@ object GraftSparkExtensions {
         spark.table(strLit("graft_ranking_metrics", "rankedTable", args(0))),
         spark.table(strLit("graft_ranking_metrics", "qrelsTable", args(1))),
         k).queryExecution.logical
+    },
+    // The graph-curation console (VERDICT r11 #8): the same fixed-
+    // iteration dynamics the Scala API runs ([[graft.api.Graph]]),
+    // reachable from one SELECT. Edge tables carry (src, dst) — the
+    // library contract; project/rename upstream in the view.
+    tvf("graft_page_rank",
+      "graft_page_rank(edgesTable[, damping, iters]) - fixed-iteration " +
+        "PageRank over an (src, dst) edge table; dangling mass not " +
+        "redistributed; scores at the 6-decimal output grain") { args =>
+      require(args.length >= 1 && args.length <= 3,
+        s"graft_page_rank expects (edgesTable[, damping, iters]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val damping = if (args.length > 1)
+        dblLit("graft_page_rank", "damping", args(1)) else 0.85
+      val iters = if (args.length > 2)
+        intLit("graft_page_rank", "iters", args(2)) else 5
+      graft.api.Graph.pageRank(
+        spark.table(strLit("graft_page_rank", "edgesTable", args(0))),
+        damping = damping, iters = iters).queryExecution.logical
+    },
+    tvf("graft_label_propagation",
+      "graft_label_propagation(edgesTable[, iters]) - synchronous " +
+        "label-propagation communities over an (src, dst) edge table " +
+        "(self-vote, count-desc/min-label ties); output (node, label)") { args =>
+      require(args.length == 1 || args.length == 2,
+        s"graft_label_propagation expects (edgesTable[, iters]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val iters = if (args.length > 1)
+        intLit("graft_label_propagation", "iters", args(1)) else 4
+      graft.api.Graph.labelPropagation(
+        spark.table(strLit("graft_label_propagation", "edgesTable", args(0))),
+        iters = iters).queryExecution.logical
+    },
+    tvf("graft_degree_profile",
+      "graft_degree_profile(edgesTable) - per-node out/in degree and " +
+        "dangling flag of an (src, dst) edge table — the pre-flight " +
+        "check for graft_page_rank's dangling-mass leak") { args =>
+      require(args.length == 1,
+        s"graft_degree_profile expects (edgesTable), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.api.Graph.degreeProfile(
+        spark.table(strLit("graft_degree_profile", "edgesTable", args(0))))
+        .queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

@@ -1772,6 +1772,27 @@ object Pipeline {
         .orderBy("node")
     }),
 
+    // q187's communities through the graft_label_propagation SQL TVF
+    // (the q196 console's density half): identical dynamics by
+    // construction — the TVF routes through Graph.labelPropagation —
+    // with the size join done in plain SQL over the TVF's output.
+    "q197_sql_label_propagation" -> ((s, d) => {
+      val pairs = graft.api.Dedup.nearDupPairsExact(
+        Tables.documents(s, d), threshold = 0.6)
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .createOrReplaceTempView("graft_q197_edges")
+      s.sql(
+        """WITH lp AS (
+          |  SELECT node, label
+          |  FROM graft_label_propagation('graft_q197_edges', 4)),
+          |sz AS (SELECT label, count(*) AS community_size
+          |       FROM lp GROUP BY label)
+          |SELECT lp.node, lp.label, sz.community_size
+          |FROM lp JOIN sz ON sz.label = lp.label
+          |ORDER BY lp.node""".stripMargin)
+    }),
+
     // Outbound-link extraction from HTML (the feeder for link-graph
     // curation): pages are planted IN-PLAN with closed-form hrefs —
     // a double-quoted absolute link on every doc, a single-quoted
@@ -2051,6 +2072,28 @@ object Pipeline {
       graft.api.Graph.degreeProfile(edges)
         .join(graft.api.Graph.pageRank(edges, iters = 5), "node")
         .orderBy("node")
+    }),
+
+    // q181's centrality table through PURE SQL — the q175 parity
+    // pattern lifted to graphs: the session extension registers
+    // graft_degree_profile / graft_page_rank (+ the LPA twin) as SQL
+    // TVFs routing through the identical Graph operators, so a
+    // SQL-only user gets q181's table from one SELECT. Same edges,
+    // same oracle — parity bit-exact by the shared hash.
+    "q196_sql_graph_console" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 397 === 0)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .distinct()
+        .createOrReplaceTempView("graft_q196_edges")
+      s.sql("""SELECT d.node, d.out_deg, d.in_deg, d.dangling, p.score
+              |FROM graft_degree_profile('graft_q196_edges') d
+              |JOIN graft_page_rank('graft_q196_edges', 0.85, 5) p
+              |  ON p.node = d.node
+              |ORDER BY d.node""".stripMargin)
     }),
 
     // Weighted-fair-queuing interleave key (WFQ virtual finish times):
@@ -3621,6 +3664,127 @@ object Pipeline {
         |    (j.rc + 0.5)/(n.nr + 5.0) AS pr, (j.cc + 0.5)/(n.nc + 5.0) AS pc
         |  FROM j JOIN n ON j.feature = n.feature)""".stripMargin
 
+  /** Shared oracle for q181 (Scala API) and q196 (the same trade
+    * graph through the graft_degree_profile/graft_page_rank SQL
+    * TVFs): 5 unrolled decimal-summed power iterations. */
+  private val tradeGraphOracle: String =
+    """WITH edges AS (
+        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE l_orderkey % 397 = 0),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        |p0 AS (SELECT node, round(1.0/cnt.n, 12) AS score
+        |       FROM nodes CROSS JOIN cnt),
+        |p1 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p0 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p2 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p1 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p3 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p2 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p4 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p3 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |p5 AS (
+        |  SELECT nd.node,
+        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
+        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
+        |  FROM nodes nd CROSS JOIN cnt
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
+        |    FROM edges e JOIN p4 p ON p.node = e.src
+        |    JOIN outdeg od ON od.src = e.src
+        |    GROUP BY 1) s ON s.node = nd.node),
+        |deg AS (
+        |  SELECT nd.node,
+        |    coalesce(o.out_deg, 0) AS out_deg,
+        |    coalesce(i.in_deg, 0) AS in_deg
+        |  FROM nodes nd
+        |  LEFT JOIN outdeg o ON o.src = nd.node
+        |  LEFT JOIN (SELECT dst, count(*) AS in_deg FROM edges GROUP BY 1) i
+        |    ON i.dst = nd.node)
+        |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling,
+        |  round(p.score, 6) AS score
+        |FROM deg d JOIN p5 p ON p.node = d.node ORDER BY d.node""".stripMargin
+
+  /** Shared oracle for q187 (Scala API) and q196 (the same LPA
+    * communities through the graft_label_propagation SQL TVF): the
+    * q44 shingle pair graph + four unrolled LPA iterations with the
+    * self-vote and count-desc/min-label tie rule. */
+  private val labelPropagationOracle: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter,
+         |         any_value(a.n) na, any_value(b.n) nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2
+         |), pe AS (
+         |  SELECT doc_a, doc_b FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.6),
+         |base AS (SELECT doc_a AS src, doc_b AS dst FROM pe UNION SELECT doc_b, doc_a FROM pe),
+         |nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+         |und AS (SELECT src, dst FROM base UNION SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |c1 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l0 l ON l.node = e.src GROUP BY 1,2),
+         |b1 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c1) WHERE rn = 1),
+         |l1 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l0 p LEFT JOIN b1 b ON b.node = p.node),
+         |c2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l1 l ON l.node = e.src GROUP BY 1,2),
+         |b2 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c2) WHERE rn = 1),
+         |l2 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l1 p LEFT JOIN b2 b ON b.node = p.node),
+         |c3 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l2 l ON l.node = e.src GROUP BY 1,2),
+         |b3 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c3) WHERE rn = 1),
+         |l3 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l2 p LEFT JOIN b3 b ON b.node = p.node),
+         |c4 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l3 l ON l.node = e.src GROUP BY 1,2),
+         |b4 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c4) WHERE rn = 1),
+         |l4 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l3 p LEFT JOIN b4 b ON b.node = p.node),
+         |sz AS (SELECT label, count(*) AS community_size FROM l4 GROUP BY 1)
+         |SELECT l.node, l.label, sz.community_size
+         |FROM l4 l JOIN sz ON sz.label = l.label ORDER BY l.node""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -5107,85 +5271,11 @@ object Pipeline {
         |FROM r JOIN w USING (lang) ORDER BY position, doc_id""".stripMargin,
 
     // the same 5 unrolled power iterations, decimal-summed.
-    "q181_trade_pagerank" ->
-      """WITH edges AS (
-        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
-        |  FROM lineitem
-        |  JOIN orders ON o_orderkey = l_orderkey
-        |  JOIN customer ON c_custkey = o_custkey
-        |  JOIN supplier ON s_suppkey = l_suppkey
-        |  WHERE l_orderkey % 397 = 0),
-        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
-        |p0 AS (SELECT node, round(1.0/cnt.n, 12) AS score
-        |       FROM nodes CROSS JOIN cnt),
-        |p1 AS (
-        |  SELECT nd.node,
-        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
-        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
-        |  FROM nodes nd CROSS JOIN cnt
-        |  LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
-        |    FROM edges e JOIN p0 p ON p.node = e.src
-        |    JOIN outdeg od ON od.src = e.src
-        |    GROUP BY 1) s ON s.node = nd.node),
-        |p2 AS (
-        |  SELECT nd.node,
-        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
-        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
-        |  FROM nodes nd CROSS JOIN cnt
-        |  LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
-        |    FROM edges e JOIN p1 p ON p.node = e.src
-        |    JOIN outdeg od ON od.src = e.src
-        |    GROUP BY 1) s ON s.node = nd.node),
-        |p3 AS (
-        |  SELECT nd.node,
-        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
-        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
-        |  FROM nodes nd CROSS JOIN cnt
-        |  LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
-        |    FROM edges e JOIN p2 p ON p.node = e.src
-        |    JOIN outdeg od ON od.src = e.src
-        |    GROUP BY 1) s ON s.node = nd.node),
-        |p4 AS (
-        |  SELECT nd.node,
-        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
-        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
-        |  FROM nodes nd CROSS JOIN cnt
-        |  LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
-        |    FROM edges e JOIN p3 p ON p.node = e.src
-        |    JOIN outdeg od ON od.src = e.src
-        |    GROUP BY 1) s ON s.node = nd.node),
-        |p5 AS (
-        |  SELECT nd.node,
-        |    round(CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE) *
-        |      CAST(coalesce(s.in_sum, 0) AS DOUBLE), 12) AS score
-        |  FROM nodes nd CROSS JOIN cnt
-        |  LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      sum(CAST(round(p.score / od.out_deg, 12) AS DECIMAL(28,12))) AS in_sum
-        |    FROM edges e JOIN p4 p ON p.node = e.src
-        |    JOIN outdeg od ON od.src = e.src
-        |    GROUP BY 1) s ON s.node = nd.node),
-        |deg AS (
-        |  SELECT nd.node,
-        |    coalesce(o.out_deg, 0) AS out_deg,
-        |    coalesce(i.in_deg, 0) AS in_deg
-        |  FROM nodes nd
-        |  LEFT JOIN outdeg o ON o.src = nd.node
-        |  LEFT JOIN (SELECT dst, count(*) AS in_deg FROM edges GROUP BY 1) i
-        |    ON i.dst = nd.node)
-        |SELECT d.node, d.out_deg, d.in_deg, d.out_deg = 0 AS dangling,
-        |  round(p.score, 6) AS score
-        |FROM deg d JOIN p5 p ON p.node = d.node ORDER BY d.node""".stripMargin,
+    "q181_trade_pagerank" -> tradeGraphOracle,
+    // the q181 dynamics replayed through the SQL TVF console (the
+    // q175 parity pattern for graphs): same edges view, same oracle
+    // — parity bit-exact by the shared hash.
+    "q196_sql_graph_console" -> tradeGraphOracle,
 
     // n, dim, k and the eigen-invariant trace (Σ per-dim variance);
     // every whitening-specific gate is engine-proved, oracle TRUE.
@@ -5404,39 +5494,10 @@ object Pipeline {
 
     // the q44 shingle CTE builds the same pair graph; four unrolled
     // LPA iterations with the identical self-vote + tie rule.
-    "q187_label_propagation" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
-         |), sh AS (
-         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
-         |), ex AS (
-         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
-         |), pairs AS (
-         |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter,
-         |         any_value(a.n) na, any_value(b.n) nb
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2
-         |), pe AS (
-         |  SELECT doc_a, doc_b FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.6),
-         |base AS (SELECT doc_a AS src, doc_b AS dst FROM pe UNION SELECT doc_b, doc_a FROM pe),
-         |nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
-         |und AS (SELECT src, dst FROM base UNION SELECT node, node FROM nodes),
-         |l0 AS (SELECT node, node AS label FROM nodes),
-         |c1 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l0 l ON l.node = e.src GROUP BY 1,2),
-         |b1 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c1) WHERE rn = 1),
-         |l1 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l0 p LEFT JOIN b1 b ON b.node = p.node),
-         |c2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l1 l ON l.node = e.src GROUP BY 1,2),
-         |b2 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c2) WHERE rn = 1),
-         |l2 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l1 p LEFT JOIN b2 b ON b.node = p.node),
-         |c3 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l2 l ON l.node = e.src GROUP BY 1,2),
-         |b3 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c3) WHERE rn = 1),
-         |l3 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l2 p LEFT JOIN b3 b ON b.node = p.node),
-         |c4 AS (SELECT e.dst AS node, l.label, count(*) AS cnt FROM und e JOIN l3 l ON l.node = e.src GROUP BY 1,2),
-         |b4 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) rn FROM c4) WHERE rn = 1),
-         |l4 AS (SELECT p.node, coalesce(b.label, p.label) AS label FROM l3 p LEFT JOIN b4 b ON b.node = p.node),
-         |sz AS (SELECT label, count(*) AS community_size FROM l4 GROUP BY 1)
-         |SELECT l.node, l.label, sz.community_size
-         |FROM l4 l JOIN sz ON sz.label = l.label ORDER BY l.node""".stripMargin,
+    "q187_label_propagation" -> labelPropagationOracle,
+    // the q187 communities through the SQL TVF console — shared
+    // oracle, parity bit-exact by the shared hash.
+    "q197_sql_label_propagation" -> labelPropagationOracle,
 
     // the q44 shingle CTE with the asymmetric ratio: containment of the
     // inner doc = shared shingles / inner's shingle count, both

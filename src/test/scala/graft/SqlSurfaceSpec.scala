@@ -226,4 +226,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("hits") == 1L && r.getAs[Double]("recall_k") == 1.0 &&
       r.getAs[Double]("mrr") == 0.5 && r.getAs[Double]("ndcg_k") == 0.63093)
   }
+
+  test("graph TVFs match the Scala API: page_rank, label_propagation, degree_profile") {
+    import spark.implicits._
+    // a 2-3 cycle with a dangling sink: exercises dangling-mass leak,
+    // asymmetric degrees, and a non-trivial community split
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 4L -> 5L, 5L -> 4L)
+      .toDF("src", "dst")
+    edges.createOrReplaceTempView("graph_sql")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(collectMap(spark.sql(
+        "SELECT node, score FROM graft_page_rank('graph_sql', 0.85, 5)")) ==
+      collectMap(graft.api.Graph.pageRank(edges, damping = 0.85, iters = 5)))
+    assert(collectMap(spark.sql(
+        "SELECT node, label FROM graft_label_propagation('graph_sql', 4)")) ==
+      collectMap(graft.api.Graph.labelPropagation(edges, iters = 4)))
+    val prof = spark.sql(
+      "SELECT node, out_deg, in_deg, dangling FROM " +
+        "graft_degree_profile('graph_sql') ORDER BY node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(prof.toSeq == Seq((1L, 1L, 1L, false), (2L, 2L, 1L, false),
+      (3L, 0L, 1L, true), (4L, 1L, 1L, false), (5L, 1L, 1L, false)))
+    // defaults apply with table-only arity
+    assert(spark.sql("SELECT * FROM graft_page_rank('graph_sql')").count() == 5)
+  }
 }
