@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,20 @@ object Similarity {
   private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       norm(col(vecCol)).as("nrm"))
+
+  /** `round(cos, 6) >= threshold` with the BigDecimal-backed `round()`
+    * kept OFF the per-candidate hot path. Spark's double `round` goes
+    * through `BigDecimal.valueOf` → `Double.toString` — ~100× the cost
+    * of the 16–64-dim dot product it follows, and an IVF probe scores
+    * MANY candidates per match. A plain double pre-compare admits only
+    * the ≥ threshold − 2e-6 boundary band (any pair whose ROUNDED
+    * cosine clears the threshold has raw cosine ≥ threshold − 5e-7, so
+    * nothing the exact compare keeps is ever dropped; the 1.5e-6 gap
+    * dwarfs double-literal representation error), then the exact
+    * rounded compare decides — results identical to rounding every
+    * candidate, with round() evaluated only on near-threshold pairs. */
+  private def roundedAtLeast(cos: Column, threshold: Double): Column =
+    cos >= lit(threshold - 2e-6) && round(cos, 6) >= threshold
 
   /** Empty result with the top-k output schema (id types preserved). */
   private def emptyTopK(s: org.apache.spark.sql.SparkSession, e: DataFrame): DataFrame = {
@@ -682,8 +696,8 @@ object Similarity {
         .join(bIds, col("vec_id") === col("__bid"), "left_anti")
         .select(col("cell"), col("embedding").as("eb"), col("nrm").as("nb"))
       val flagged = q.join(index, Seq("cell"))
-        .filter(round(cosinePrenormed(dot(col("ea"), col("eb")),
-          col("na"), col("nb")), 6) >= threshold)
+        .filter(roundedAtLeast(cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), threshold))
         .select(col("vec_id").as("__dup_id")).distinct()
       val afterIndex =
         b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
@@ -703,9 +717,9 @@ object Similarity {
           val dropped = xProbe.as("x").join(aAssigned.as("y"),
               col("x.cell") === col("y.cell") &&
                 col("y.vec_id") < col("x.vec_id") &&
-                round(cosinePrenormed(
+                roundedAtLeast(cosinePrenormed(
                   dot(col("x.ea"), col("y.embedding")),
-                  col("x.na"), col("y.nrm")), 6) >= threshold)
+                  col("x.na"), col("y.nrm")), threshold))
             .select(col("x.vec_id").as("__drop_id")).distinct()
           PlanAudit.checkpoint(afterIndex
             .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti"))
@@ -791,8 +805,12 @@ object Similarity {
             col("mid").as("mid"))).as("w"))
         .select(col("vec_id"), col("w.mid").as("match_id"), col("score"))
       val idxBest = PlanAudit.checkpoint(bestMatch(q.join(index, Seq("cell"))
-        .withColumn("cos", round(cosinePrenormed(dot(col("ea"), col("eb")),
-          col("na"), col("nb")), 6))
+        .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")))
+        // cheap unrounded pre-filter, then the exact rounded compare —
+        // see roundedAtLeast; round() runs only on near-threshold pairs
+        .filter(col("cos") >= lit(threshold - 2e-6))
+        .withColumn("cos", round(col("cos"), 6))
         .filter(col("cos") >= threshold)
         .select(col("vec_id"), col("__iid").as("mid"), col("cos"))))
       idxBestChk = Some(idxBest)
@@ -809,9 +827,11 @@ object Similarity {
         afterIndex.select(col(idCol).as("vec_id")), Seq("vec_id"))
       val batchBest = bestMatch(xProbe.as("x").join(aAssigned.as("y"),
           col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
-        .withColumn("cos", round(cosinePrenormed(
+        .withColumn("cos", cosinePrenormed(
           dot(col("x.ea"), col("y.embedding")),
-          col("x.na"), col("y.nrm")), 6))
+          col("x.na"), col("y.nrm")))
+        .filter(col("cos") >= lit(threshold - 2e-6))
+        .withColumn("cos", round(col("cos"), 6))
         .filter(col("cos") >= threshold)
         .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("mid"),
           col("cos")))
@@ -917,8 +937,12 @@ object Similarity {
         col("nrm").as("nb"),
         explode(nearestCells(col("embedding"), cA, nprobe)).as("cell"))
     b.join(a, Seq("cell"))
-      .withColumn("cos", round(cosinePrenormed(dot(col("ea"), col("eb")),
-        col("na"), col("nb")), 6))
+      .withColumn("cos", cosinePrenormed(dot(col("ea"), col("eb")),
+        col("na"), col("nb")))
+      // cheap unrounded pre-filter before the exact rounded compare —
+      // see roundedAtLeast; identical pairs, round() off the hot path
+      .filter(col("cos") >= lit(threshold - 2e-6))
+      .withColumn("cos", round(col("cos"), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -1537,10 +1561,15 @@ object Similarity {
         col("embedding").as("eb"), col("nrm").as("nb"))
     q.join(index, Seq("cell"))
       .withColumn("cos",
-        round(cosinePrenormed(dot(col("ea"), col("eb")),
-          col("na"), col("nb")), 6))
+        cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")))
       // threshold BEFORE the argmax: the aggregation sees only the
-      // (rare) contaminated candidates, not every scored pair
+      // (rare) contaminated candidates, not every scored pair — and the
+      // cheap unrounded pre-filter runs before the exact rounded
+      // compare (roundedAtLeast), so round() never touches the
+      // far-below-threshold bulk
+      .filter(col("cos") >= lit(threshold - 2e-6))
+      .withColumn("cos", round(col("cos"), 6))
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
       .agg(max(col("cos")).as("max_bench_cos"),

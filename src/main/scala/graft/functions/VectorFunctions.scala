@@ -63,25 +63,21 @@ object VectorFunctions {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Per-centroid relative squared-euclidean distances as an array of
-    * (dist, cell) structs. `dist = |c|² − 2·⟨e,c⟩` — the row's own |e|²
-    * term is constant within the row and cannot change any ordering, so
-    * it is dropped; each remaining term is one native codegen'd dot
-    * against a centroid literal (the model is KB-sized — at cluster
-    * scale this is the standard broadcast-model formulation). */
-  private def centroidDists(emb: Column, centroids: Array[Array[Float]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val cc = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      struct((lit(cc) - lit(2.0) * dot(emb, lit(c))).as("dist"), lit(i).as("cell"))
-    }.toSeq
-
-  /** Cell id of the nearest centroid (squared euclidean; ties → lowest
-    * cell id, via struct ordering on (dist, cell)). */
+  /** Cell id of the nearest centroid (relative squared euclidean
+    * `|c|² − 2·⟨e,c⟩`; ties → lowest cell id) — one native expression
+    * over the KB-sized centroid model (the standard broadcast-model
+    * formulation). The earlier `least(struct(dist, cell)…)` Column
+    * shape built `cells` dot-product subtrees per row — a
+    * thousand-field expression at wide quantizers, the reason a
+    * 10M-vector index build sat 15+ minutes in its assignment
+    * projection. Arithmetic order, tie-breaks, and the degenerate
+    * null-embedding behavior are bit-preserved — see
+    * [[graft.functions.expr.CellGeom]]. */
   def nearestCell(emb: Column, centroids: Array[Array[Float]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroidDists(emb, centroids)
-    if (scored.length == 1) lit(0)
-    else least(scored: _*).getField("cell")
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.NearestCellId(
+        org.apache.spark.sql.GraftExprBridge.expression(emb), centroids))
   }
 
   /** (cell, d2) of the nearest centroid: the cell id plus the TRUE
@@ -91,18 +87,18 @@ object VectorFunctions {
     * what intra-cell prototype/outlier ranking needs. */
   def nearestCellDist(emb: Column, centroids: Array[Array[Float]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroidDists(emb, centroids)
-    val best = if (scored.length == 1) scored.head else least(scored: _*)
-    struct(best.getField("cell").as("cell"),
-      (best.getField("dist") + normSq(emb)).as("d2"))
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.NearestCellD2(
+        org.apache.spark.sql.GraftExprBridge.expression(emb), centroids))
   }
 
   /** The `nprobe` nearest cell ids, nearest first — the multi-probe
     * query side of an IVF search. */
   def nearestCells(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column = {
     require(nprobe >= 1 && nprobe <= centroids.length)
-    transform(slice(array_sort(array(centroidDists(emb, centroids): _*)), 1, nprobe),
-      s => s.getField("cell"))
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.NearestCellIds(
+        org.apache.spark.sql.GraftExprBridge.expression(emb), centroids, nprobe))
   }
 
   /** splitmix64 — the standard 64-bit finalizer, used to derive

@@ -56,4 +56,86 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val s2 = df2.select(hyperplaneSignature(col("emb"), 8)).collect().last.getLong(0)
     assert(s1 == s2)
   }
+
+  // --- native quantizer-assignment expressions (round 12): the
+  // `least(struct(dist, cell)…)` Column formulation they replaced,
+  // rebuilt here verbatim as the bit-parity oracle ---
+
+  private def refCentroidDists(emb: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]]): Seq[org.apache.spark.sql.Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct((lit(cc) - lit(2.0) * dot(emb, lit(c))).as("dist"), lit(i).as("cell"))
+    }.toSeq
+
+  private def refNearestCell(emb: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    val scored = refCentroidDists(emb, centroids)
+    if (scored.length == 1) lit(0) else least(scored: _*).getField("cell")
+  }
+
+  private def refNearestCells(emb: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]], nprobe: Int): org.apache.spark.sql.Column =
+    transform(slice(array_sort(array(refCentroidDists(emb, centroids): _*)),
+      1, nprobe), s => s.getField("cell"))
+
+  private def refNearestCellDist(emb: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    val scored = refCentroidDists(emb, centroids)
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    struct(best.getField("cell").as("cell"),
+      (best.getField("dist") + normSq(emb)).as("d2"))
+  }
+
+  test("native nearest-cell trio is bit-identical to the least(struct) formulation") {
+    // deterministic messy sample: clustered + uniform + short/long rows
+    // + exact duplicates of centroid points (distance-0 rows)
+    def f(i: Int, j: Int): Float =
+      (math.sin(i * 37 + j * 11) * 3).toFloat
+    for (dim <- Seq(4, 16); nc <- Seq(1, 3, 64)) {
+      // duplicate centroid 0 as centroid 1 (when nc > 1): forces exact
+      // dist ties, the lowest-cell-wins contract
+      val cents = Array.tabulate(nc, dim)((c, j) =>
+        if (c == 1) f(0, j) else f(c, j))
+      val rows = (0 until 200).map { i =>
+        val len = if (i % 19 == 0) dim / 2 else dim // short rows: min-len dot
+        (i.toLong, Array.tabulate(len)(j =>
+          if (i % 7 == 0) cents(i % nc)(j % dim) else f(i + 100, j)))
+      }
+      val df = rows.toDF("id", "emb")
+      val nprobe = math.min(2, nc)
+      val got = df.select(col("id"), nearestCell(col("emb"), cents).as("c"),
+          nearestCells(col("emb"), cents, nprobe).as("cs"),
+          nearestCellDist(col("emb"), cents).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Int](2).toSeq, (r.getStruct(3).getInt(0), r.getStruct(3).getDouble(1))))
+      val want = df.select(col("id"), refNearestCell(col("emb"), cents).as("c"),
+          refNearestCells(col("emb"), cents, nprobe).as("cs"),
+          refNearestCellDist(col("emb"), cents).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Int](2).toSeq, (r.getStruct(3).getInt(0), r.getStruct(3).getDouble(1))))
+      assert(got.toSeq == want.toSeq, s"divergence at dim=$dim cells=$nc")
+    }
+  }
+
+  test("native nearest-cell trio preserves the degenerate null-embedding path") {
+    val cents = Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f))
+    val df = Seq((1L, Array(0.9f, 0.1f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "emb")
+    val r = df.orderBy("id").select(nearestCell(col("emb"), cents),
+      nearestCells(col("emb"), cents, 2), nearestCellDist(col("emb"), cents))
+      .collect()
+    // null embedding: all dists null → least(struct) resolved to cell 0,
+    // probes [0, 1], d2 null — the Column formulation's exact behavior,
+    // re-derived from the reference shape below, not just asserted
+    val ref = df.orderBy("id").select(refNearestCell(col("emb"), cents),
+      refNearestCells(col("emb"), cents, 2), refNearestCellDist(col("emb"), cents))
+      .collect()
+    assert(ref(1).getInt(0) == 0 && r(1).getInt(0) == 0)
+    assert(ref(1).getSeq[Int](1).toSeq == Seq(0, 1) &&
+      r(1).getSeq[Int](1).toSeq == Seq(0, 1))
+    assert(ref(1).getStruct(2).getInt(0) == 0 && ref(1).getStruct(2).isNullAt(1))
+    assert(r(1).getStruct(2).getInt(0) == 0 && r(1).getStruct(2).isNullAt(1))
+    assert(r(0).getInt(0) == 0) // sanity: (0.9, 0.1) is nearest (1, 0)
+  }
 }
