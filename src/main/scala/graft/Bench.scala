@@ -418,9 +418,12 @@ object Bench {
     // Scale smoke (VERDICT r11 #5): sf0.1 is 17 MB — drive the heavy
     // pipeline operators through one batch each against a multi-GB
     // generated corpus, AFTER every probe window so its load cannot
-    // contaminate a headline. 0 disables.
+    // contaminate a headline. 0 disables. Default 20M rows (~3 GB of
+    // corpus+embeddings, every stage exercised, ~4-5 min); the 50M
+    // form passes at SPARK_DRIVER_MEM=24g in ~13 min — run it via
+    // SPARK_GRAFT_SCALE_SMOKE_ROWS when the round budget allows.
     val smokeRows =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE_ROWS", "50000000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE_ROWS", "20000000").toLong
     val smokeTimes: Seq[(String, Double)] =
       if (smokeRows <= 0) Seq.empty
       else try ScaleSmoke.run(spark, smokeRows)

@@ -100,7 +100,11 @@ object ScaleSmoke {
                        name: String)(body: => A): A = {
     val t0 = System.nanoTime()
     val r = body
-    buf += name -> (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    buf += name -> sec
+    // progress line per stage (stderr, not the bench JSON): a failed
+    // run shows WHERE it died, not just that it died
+    System.err.println(f"[smoke] $name%-24s $sec%8.1f s")
     r
   }
 
@@ -217,7 +221,6 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val times = run(spark, rows)
-    times.foreach { case (n, t) => println(f"[smoke] $n%-24s $t%8.1f s") }
     println(f"[smoke] TOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s (rows=$rows)")
     spark.stop()
   }

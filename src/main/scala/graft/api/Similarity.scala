@@ -212,11 +212,16 @@ object Similarity {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding over the sample (seeded, deterministic)
+    // k-means++ seeding over the sample (seeded, deterministic). The
+    // per-sample min distance to the chosen centers is maintained
+    // INCREMENTALLY — only the newest center is scored each round,
+    // O(n·k) total instead of the naive O(n·k²) (which at a 2048-cell
+    // quantizer was tens of seconds of driver time); min is exact, so
+    // the selection (and the rnd draw sequence) is unchanged.
     val rnd = new java.util.Random(seed)
     val centers = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+    val w = sample.map(v => d2(v, centers(0)))
     while (centers.length < k) {
-      val w = sample.map(v => centers.map(c => d2(v, c)).min)
       val total = w.sum
       centers += (if (total <= 0.0) sample(rnd.nextInt(sample.length)) else {
         val r = rnd.nextDouble() * total
@@ -224,6 +229,13 @@ object Similarity {
         while (i < sample.length - 1 && acc + w(i) < r) { acc += w(i); i += 1 }
         sample(i)
       })
+      val c = centers.last
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), c)
+        if (d < w(i)) w(i) = d
+        i += 1
+      }
     }
     // Lloyd's: assign (ties → lowest cell) / re-mean; empty cells keep
     // their previous centroid
@@ -312,6 +324,12 @@ object Similarity {
     // assignment is a narrow codegen'd projection over centroid
     // literals — one pass over the corpus, no fit/assignment joins
     e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      // one shuffle keyed on cell before the partitioned write: without
+      // it every task holds most cells and the dynamic writer emits
+      // ~tasks x cells files (65k at a 2048-cell, 32-thread build) --
+      // metadata that slows every subsequent index listing; keyed, the
+      // layout is one file set per cell (the compactIvfIndex shape)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -498,6 +516,12 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      // one shuffle keyed on cell before the partitioned write: without
+      // it every task holds most cells and the dynamic writer emits
+      // ~tasks x cells files (65k at a 2048-cell, 32-thread build) --
+      // metadata that slows every subsequent index listing; keyed, the
+      // layout is one file set per cell (the compactIvfIndex shape)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     codebooks.zipWithIndex.flatMap { case (cb, i) =>
       cb.zipWithIndex.map { case (w, c) => (i, c, w.toSeq) }
@@ -580,6 +604,7 @@ object Similarity {
         org.apache.spark.sql.Row(r.get(0), codes.toSeq, math.sqrt(rn), cell)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+      .repartition(col("cell")) // one file set per cell, not per task x cell
       .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -606,6 +631,7 @@ object Similarity {
         s"appended dim $d != index dim ${centroids.head.length}")
     }
     e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .repartition(col("cell")) // one file set per cell, not per task x cell
       .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
   }
 
@@ -751,6 +777,7 @@ object Similarity {
               toIndex.join(have, col("vec_id") === col("__have"), "left_anti")
             }
           rows.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+            .repartition(col("cell")) // one file set per cell per batch
             .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
         }
       } catch { case t: Throwable => Dedup.releaseCheckpoint(keep); throw t }
@@ -1021,6 +1048,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("nrm"),
           nearestCell(col("embedding"), cA).as("cell"))
       a.unionByName(bKeep)
+        .repartition(col("cell")) // one file set per cell, not per task x cell
         .write.mode("overwrite").partitionBy("cell").parquet(s"$target/vectors")
       next.foreach(v => VersionedIndex.commitPointer(spark, outPath, v))
       nDrop
@@ -1201,6 +1229,7 @@ object Similarity {
         s"appended dim $d != index dim ${centroids.head.length}")
     }
     e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .repartition(col("cell")) // one file set per cell, not per task x cell
       .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
     writeCodes(e, centroids, codebooks, root, "append")
   }
