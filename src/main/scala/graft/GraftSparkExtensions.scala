@@ -325,6 +325,18 @@ object GraftSparkExtensions {
       graft.api.Graph.degreeProfile(
         spark.table(strLit("graft_degree_profile", "edgesTable", args(0))))
         .queryExecution.logical
+    },
+    tvf("graft_connected_components",
+      "graft_connected_components(edgesTable) - exact connected " +
+        "components of an (src, dst) edge table (edges symmetrized); " +
+        "output (node, component) with component = min reachable node " +
+        "id — the dedup-group resolution kernel as a graph primitive") { args =>
+      require(args.length == 1,
+        s"graft_connected_components expects (edgesTable), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.api.Graph.connectedComponents(
+        spark.table(strLit("graft_connected_components", "edgesTable", args(0))))
+        .queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

@@ -173,4 +173,25 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .withColumn("dangling", col("out_deg") === 0L)
   }
+
+  /** Connected components of an UNDIRECTED graph: (node, component)
+    * with component = the smallest node id reachable from `node` —
+    * iterative min-label propagation with pointer doubling
+    * (O(log diameter) rounds), the exact kernel the dedup family's
+    * group resolution runs ([[graft.api.Dedup.keepOne]]); exposed here
+    * because component resolution is a graph primitive in its own
+    * right (edge = near-dup pair, shared host, citation). Edges are
+    * symmetrized internally — pass either direction; only nodes
+    * appearing in an edge are labeled (an isolated node is its own
+    * trivial component — union it in upstream if it must appear).
+    * Converges exactly (no fixed iteration count to replay): at the
+    * fixpoint every label equals its component minimum, so the output
+    * is a pure function of the edge SET. Returns a MATERIALIZED frame
+    * — consume, then [[graft.api.Dedup.releaseMaterialized]]. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIter: Int = 50): DataFrame =
+    graft.api.Dedup.keepOne(
+      edges.select(col(srcCol).as("doc_a"), col(dstCol).as("doc_b")), maxIter)
+      .select(col("doc_id").as("node"), col("canonical_id").as("component"))
 }

@@ -1793,6 +1793,25 @@ object Pipeline {
           |ORDER BY lp.node""".stripMargin)
     }),
 
+    // Exact connected components over the same near-dup pair graph,
+    // through the graft_connected_components SQL TVF — the dedup-group
+    // resolution kernel (Dedup.keepOne's min-label propagation with
+    // pointer doubling) exposed as a graph primitive. Unlike q197's
+    // fixed-iteration LPA heuristic this converges exactly, so the
+    // oracle is pure reachability (a recursive CTE), not an iteration
+    // replay: component = min reachable node id, sizes via one window.
+    "q198_sql_connected_components" -> ((s, d) => {
+      val pairs = graft.api.Dedup.nearDupPairsExact(
+        Tables.documents(s, d), threshold = 0.6)
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .createOrReplaceTempView("graft_q198_edges")
+      s.sql(
+        """SELECT node, component,
+          |       count(*) OVER (PARTITION BY component) AS component_size
+          |FROM graft_connected_components('graft_q198_edges')
+          |ORDER BY node""".stripMargin)
+    }),
+
     // Outbound-link extraction from HTML (the feeder for link-graph
     // curation): pages are planted IN-PLAN with closed-form hrefs —
     // a double-quoted absolute link on every doc, a single-quoted
@@ -3785,6 +3804,35 @@ object Pipeline {
          |SELECT l.node, l.label, sz.community_size
          |FROM l4 l JOIN sz ON sz.label = l.label ORDER BY l.node""".stripMargin
 
+  /** q198: exact connected components over the q197 edge set — pure
+    * reachability (recursive CTE), no iteration replay: the operator
+    * converges exactly, so component = min reachable node id is a
+    * function of the edge set alone. */
+  private val connectedComponentsOracle: String =
+    s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter,
+         |         any_value(a.n) na, any_value(b.n) nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2
+         |), pe AS (
+         |  SELECT doc_a, doc_b FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.6),
+         |base AS (SELECT doc_a AS src, doc_b AS dst FROM pe UNION SELECT doc_b, doc_a FROM pe),
+         |nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+         |reach AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, r.lbl FROM base e JOIN reach r ON r.node = e.src
+         |),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT node, component, count(*) OVER (PARTITION BY component) AS component_size
+         |FROM comp ORDER BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -5498,6 +5546,7 @@ object Pipeline {
     // the q187 communities through the SQL TVF console — shared
     // oracle, parity bit-exact by the shared hash.
     "q197_sql_label_propagation" -> labelPropagationOracle,
+    "q198_sql_connected_components" -> connectedComponentsOracle,
 
     // the q44 shingle CTE with the asymmetric ratio: containment of the
     // inner doc = shared shingles / inner's shingle count, both

@@ -86,6 +86,18 @@ class GraphSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 2L, true)))
   }
 
+  test("connectedComponents: chain + pair resolve to min ids; direction ignored") {
+    // chain 5-4-3-2-1 given in MIXED directions, plus a separate pair;
+    // component = min reachable id regardless of edge orientation
+    val edges = Seq((5L, 4L), (3L, 4L), (3L, 2L), (1L, 2L), (9L, 7L))
+      .toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges)
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 9L -> 7L))
+    graft.api.Dedup.releaseMaterialized(cc)
+  }
+
   test("iteration loop releases superseded checkpoint blocks") {
     val edges = (1L to 100L).map(i => (i, i % 100 + 1)).toDF("src", "dst")
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -251,4 +251,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // defaults apply with table-only arity
     assert(spark.sql("SELECT * FROM graft_page_rank('graph_sql')").count() == 5)
   }
+
+  test("graft_connected_components TVF matches the Scala API exactly") {
+    import spark.implicits._
+    val edges = Seq(5L -> 4L, 3L -> 4L, 3L -> 2L, 1L -> 2L, 9L -> 7L)
+      .toDF("src", "dst")
+    edges.createOrReplaceTempView("cc_sql")
+    val viaSql = spark.sql(
+      "SELECT node, component FROM graft_connected_components('cc_sql')")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val api = graft.api.Graph.connectedComponents(edges)
+    val viaApi = api.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.api.Dedup.releaseMaterialized(api)
+    assert(viaSql == viaApi && viaSql(5L) == 1L && viaSql(9L) == 7L)
+  }
 }
