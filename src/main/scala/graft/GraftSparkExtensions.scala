@@ -337,6 +337,26 @@ object GraftSparkExtensions {
       graft.api.Graph.connectedComponents(
         spark.table(strLit("graft_connected_components", "edgesTable", args(0))))
         .queryExecution.logical
+    },
+    // the persisted-index family's ingestion filter from one SELECT:
+    // fresh rows >= threshold contained in a corpus doc (by the
+    // index's frozen shingle order) are dropped, survivors keep their
+    // columns — the q195 lifecycle's filter step on the ops console
+    tvf("graft_containment_filter",
+      "graft_containment_filter(freshTable, indexPath[, threshold]) - " +
+        "drop fresh docs whose shingle set is >= threshold contained " +
+        "in some doc of a persisted containment posting index " +
+        "(Dedup.buildContainmentIndex); survivors keep their columns, " +
+        "corpus text is never read") { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_containment_filter expects (freshTable, indexPath[, threshold]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val threshold = if (args.length > 2)
+        dblLit("graft_containment_filter", "threshold", args(2)) else 0.8
+      graft.api.Dedup.containmentFilterAgainstIndex(
+        spark.table(strLit("graft_containment_filter", "freshTable", args(0))),
+        strLit("graft_containment_filter", "indexPath", args(1)),
+        threshold = threshold).queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

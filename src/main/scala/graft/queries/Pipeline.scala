@@ -1812,6 +1812,30 @@ object Pipeline {
           |ORDER BY node""".stripMargin)
     }),
 
+    // The q195 lifecycle's filter step through the
+    // graft_containment_filter SQL TVF: same build + append via the
+    // Scala API (index maintenance is an operator job), but the
+    // per-batch ingestion filter — the step a SQL-facing operator
+    // actually runs repeatedly — from one SELECT. Identical semantics
+    // by construction (the TVF routes through
+    // containmentFilterAgainstIndex), so q195's oracle is shared.
+    "q199_sql_containment_filter" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ctsql-" + d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      rmTree(new java.io.File(dir))
+      val docs = Tables.documents(s, d)
+      val m3 = col("doc_id") % 3
+      graft.api.Dedup.buildContainmentIndex(
+        docs.filter(m3 === 0).select(col("doc_id"), col("text")), dir)
+      graft.api.Dedup.appendToContainmentIndex(
+        docs.filter(m3 === 1).select(col("doc_id"), col("text")), dir)
+      docs.filter(m3 === 2).createOrReplaceTempView("graft_q199_fresh")
+      s.sql(
+        s"""SELECT doc_id, lang, source
+           |FROM graft_containment_filter('graft_q199_fresh', '$dir', 0.8)
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Outbound-link extraction from HTML (the feeder for link-graph
     // curation): pages are planted IN-PLAN with closed-form hrefs —
     // a double-quoted absolute link on every doc, a single-quoted
@@ -3833,6 +3857,27 @@ object Pipeline {
          |SELECT node, component, count(*) OVER (PARTITION BY component) AS component_size
          |FROM comp ORDER BY node""".stripMargin
 
+  /** Shared oracle for q195 (Scala API lifecycle) and q199 (the
+    * same filter step through the graft_containment_filter SQL
+    * TVF): survivors of the m3==2 batch against the m3!=2 corpus
+    * at containment >= 0.8. */
+  private val containmentIndexOracle: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
+         |), flagged AS (
+         |  SELECT a.doc_id
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |    AND a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) * 1.0 / any_value(a.n) >= 0.8)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -5363,22 +5408,9 @@ object Pipeline {
     // posting table / frozen ordering / prefix filter are candidate
     // OPTIMIZATIONS — the exact verification makes the survivor set
     // identical to the direct asymmetric-containment definition.
-    "q195_containment_index" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents
-         |), sh AS (
-         |  SELECT doc_id, list_distinct((CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END)) shingles FROM toks
-         |), ex AS (
-         |  SELECT doc_id, unnest(shingles) s, len(shingles) n FROM sh
-         |), flagged AS (
-         |  SELECT a.doc_id
-         |  FROM ex a JOIN ex b ON a.s = b.s
-         |    AND a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
-         |  GROUP BY a.doc_id, b.doc_id
-         |  HAVING count(*) * 1.0 / any_value(a.n) >= 0.8)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM flagged)
-         |ORDER BY doc_id""".stripMargin,
+    "q195_containment_index" -> containmentIndexOracle,
+    "q199_sql_containment_filter" -> containmentIndexOracle,
+
 
     // the q108 posting-join CTEs at k=10, planted qrels, and every
     // metric replayed (decimal-summed DCG/IDCG, round-6 outputs).

@@ -234,6 +234,33 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(kept == explained.collect { case (id, ("kept", _)) => id }.toSet)
   }
 
+  test("semantic threshold boundary: raw cosine just UNDER t that rounds to t still flags") {
+    import spark.implicits._
+    // cos(a, b) = 0.8999996214... ∈ (t − 5e-7, t): strictly below the
+    // 0.9 threshold unrounded, but rounds HALF_UP at 6 decimals to
+    // exactly 0.900000 — the contract thresholds the ROUNDED cosine,
+    // so this pair MUST flag. Regression net for the roundedAtLeast
+    // pre-filter: a margin tighter than 5e-7 would silently drop it.
+    val b = Array(0.8999996185302734f, 0.43589067459106445f)
+    val a = Array(1.0f, 0.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-edge").toString
+    graft.api.Similarity.buildIvfIndex(
+      Seq(100L -> b).toDF("vec_id", "embedding"), dir)
+    val explained = graft.api.Similarity.semanticSuppressExplain(
+        Seq(1L -> a).toDF("vec_id", "embedding"), dir, threshold = 0.9)
+      .collect()
+    assert(explained.length == 1)
+    val r = explained.head
+    assert(r.getString(1) == "index_dup",
+      s"boundary pair must flag, got ${r.getString(1)}")
+    assert(r.getDouble(3) == 0.9, s"score is the rounded grid value, got ${r.getDouble(3)}")
+    // and the real pass agrees
+    val kept = graft.api.Similarity.semanticSuppressAndIndex(
+        Seq(2L -> a).toDF("vec_id", "embedding"), dir, threshold = 0.9)
+    assert(kept.isEmpty)
+    graft.api.Dedup.releaseMaterialized(kept)
+  }
+
   test("semantic suppress streaming wrapper == sequential batch replay") {
     import spark.implicits._
     val idxStream = freshIvf()
