@@ -357,6 +357,23 @@ object GraftSparkExtensions {
         spark.table(strLit("graft_containment_filter", "freshTable", args(0))),
         strLit("graft_containment_filter", "indexPath", args(1)),
         threshold = threshold).queryExecution.logical
+    },
+    // the core dedup primitive itself: exact Jaccard near-dup pairs
+    // via the prefix-filtered similarity join (PPJoin family) — the
+    // operator every suppressor/index builds on, from one SELECT
+    tvf("graft_near_dup_pairs",
+      "graft_near_dup_pairs(docsTable[, threshold]) - exact " +
+        "word-3-shingle Jaccard near-dup pairs of a (doc_id, text) " +
+        "table at >= threshold (default 0.8), via the prefix-filtered " +
+        "similarity join; output (doc_a, doc_b, jaccard)") { args =>
+      require(args.length == 1 || args.length == 2,
+        s"graft_near_dup_pairs expects (docsTable[, threshold]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val threshold = if (args.length > 1)
+        dblLit("graft_near_dup_pairs", "threshold", args(1)) else 0.8
+      graft.api.Dedup.nearDupPairsExact(
+        spark.table(strLit("graft_near_dup_pairs", "docsTable", args(0))),
+        threshold = threshold).queryExecution.logical
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

@@ -1836,6 +1836,17 @@ object Pipeline {
            |ORDER BY doc_id""".stripMargin)
     }),
 
+    // q44 through the graft_near_dup_pairs SQL TVF — the core dedup
+    // primitive (prefix-filtered exact-Jaccard pair join) on the ops
+    // console; identical semantics by construction, q44's oracle.
+    "q200_sql_near_dup_pairs" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_q200_docs")
+      s.sql(
+        """SELECT doc_a, doc_b, jaccard
+          |FROM graft_near_dup_pairs('graft_q200_docs', 0.8)
+          |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
     // Outbound-link extraction from HTML (the feeder for link-graph
     // curation): pages are planted IN-PLAN with closed-form hrefs —
     // a double-quoted absolute link on every doc, a single-quoted
@@ -3885,6 +3896,7 @@ object Pipeline {
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
     "q44_near_dup_pairs" -> shingleCte,
     "q45_minhash_lsh" -> shingleCte,
+    "q200_sql_near_dup_pairs" -> shingleCte,
     "q128_neardup_index" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0

@@ -265,4 +265,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.api.Dedup.releaseMaterialized(api)
     assert(viaSql == viaApi && viaSql(5L) == 1L && viaSql(9L) == 7L)
   }
+
+  test("graft_near_dup_pairs TVF matches the Scala API, threshold applies") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+      3L -> "completely different text with no shared shingles at all")
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ndp_sql")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaSql = pairs(spark.sql(
+      "SELECT doc_a, doc_b, jaccard FROM graft_near_dup_pairs('ndp_sql', 0.6)"))
+    val api = graft.api.Dedup.nearDupPairsExact(docs, threshold = 0.6)
+    val viaApi = pairs(api)
+    graft.api.Dedup.releaseMaterialized(api)
+    assert(viaSql == viaApi && viaSql.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // default arity: threshold 0.8 excludes the 0.6-grade pair
+    assert(spark.sql(
+      "SELECT * FROM graft_near_dup_pairs('ndp_sql')").isEmpty)
+  }
 }
