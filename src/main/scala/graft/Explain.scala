@@ -91,7 +91,8 @@ object Explain {
     "q193_ranking_metrics",  // rank-filtered qrels join + keyed metric agg (r11)
     "q194_containment_filter", // fresh-prefix x corpus-posting join, anti-join exit (r11)
     "q195_containment_index", // persisted-posting filter, zero corpus re-read (r12)
-    "q196_sql_graph_console") // degree+pagerank TVFs in one SELECT, all keyed (r12)
+    "q196_sql_graph_console", // degree+pagerank TVFs in one SELECT, all keyed (r12)
+    "q198_sql_connected_components") // pointer-doubled CC via TVF + size window (r12)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan
