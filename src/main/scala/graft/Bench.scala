@@ -414,6 +414,10 @@ object Bench {
     waitForQuiet(waitQuietMs / 2)
     batchWindow(1)
     streamWindow(2 + streamSkipped)
+    // headline ambient-load provenance: captured HERE, right after the
+    // last probe window — the multi-minute scale smoke below would
+    // otherwise inflate it and make every clean window look contaminated
+    val load1 = load1Now()
 
     // Scale smoke (VERDICT r11 #5): sf0.1 is 17 MB — drive the heavy
     // pipeline operators through one batch each against a multi-GB
@@ -443,7 +447,6 @@ object Bench {
       if (gatedHeadline) streamBestGated else streamBestAbs
     val streamBestLoad1 =
       if (gatedHeadline) streamBestGatedLoad1 else streamBestAbsLoad1
-    val load1 = load1Now()
 
     val head = BenchLine.Headline(sfDir = sfDir, load1 = load1,
       queryErrors = queryErrors.size, ingestRate = ingestRate,
@@ -462,7 +465,7 @@ object Bench {
       "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(l)
     }.mkString("{", ",", "}")
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_zero_committed_retries":$streamZeroRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"query_load1":$queryLoads$scaleSmokeJson"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_zero_committed_retries":$streamZeroRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"query_load1":$queryLoads$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)

@@ -103,11 +103,62 @@ object GraftSparkExtensions {
       s"$fn: $arg must be a numeric literal, got: $other")
   }
 
+  /** Session-scoped registry of the checkpoint RDDs pinned by TVF
+    * results (ADVICE r12): several table functions route through
+    * operators that EAGERLY execute and localCheckpoint at function
+    * RESOLUTION time — the price of exposing whole operators as SQL
+    * (a TVF must hand Catalyst a resolved plan; note this means
+    * EXPLAIN, or defining a view over such a TVF, also executes the
+    * operator). API callers release the pinned blocks via
+    * [[graft.api.Dedup.releaseMaterialized]]; SQL callers have no
+    * handle on the frame, so every SELECT would otherwise pin a
+    * result-sized RDD block for the session's lifetime — a recurring
+    * per-batch ops-console use of graft_containment_filter would
+    * accumulate unbounded pinned storage. Each TVF call registers its
+    * result's checkpoint RDD ids here; `SELECT * FROM
+    * graft_release_materialized()` unpersists them all. Release only
+    * AFTER consuming results: a localCheckpoint'd frame is not
+    * recomputable once its blocks are dropped. */
+  private val tvfPinned =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Set[Int]]()
+
+  private def materialized(df: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val sc = df.sparkSession.sparkContext
+    val pinned = sc.getPersistentRDDs
+    val ids = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.filter(pinned.contains)
+    if (ids.nonEmpty) tvfPinned.synchronized {
+      val set = Option(tvfPinned.get(df.sparkSession)).getOrElse {
+        val s = scala.collection.mutable.Set.empty[Int]
+        tvfPinned.put(df.sparkSession, s); s
+      }
+      set ++= ids
+    }
+    df.queryExecution.logical
+  }
+
+  /** Unpersist every TVF-pinned checkpoint RDD of `spark` that is
+    * still persisted; returns how many were released. */
+  private[graft] def releaseTvfMaterialized(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val ids = tvfPinned.synchronized {
+      val s = Option(tvfPinned.get(spark)).map(_.toSeq).getOrElse(Seq.empty)
+      Option(tvfPinned.get(spark)).foreach(_.clear())
+      s
+    }
+    ids.count(id => spark.sparkContext.getPersistentRDDs.get(id) match {
+      case Some(rdd) => rdd.unpersist(blocking = false); true
+      case None => false
+    })
+  }
+
   private def tvf(name: String, usage: String)(
-      builder: Seq[Expression] => LogicalPlan) =
+      builder: Seq[Expression] => org.apache.spark.sql.DataFrame) =
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.api", null, name, usage, ""),
-      builder)
+      (args: Seq[Expression]) => materialized(builder(args)))
 
   /** SQL TABLE functions — the suppressor family's dry-run decision
     * tables for SQL-only users (`SELECT * FROM
@@ -133,7 +184,7 @@ object GraftSparkExtensions {
         dblLit("graft_suppress_explain", "threshold", args(2)) else 0.8
       graft.api.Dedup.nearDupSuppressExplain(batch,
         strLit("graft_suppress_explain", "indexPath", args(1)), threshold)
-        .queryExecution.logical
+        
     },
     tvf("graft_semantic_suppress_explain",
       "graft_semantic_suppress_explain(table, indexPath[, threshold[, nprobe]]) - " +
@@ -150,7 +201,7 @@ object GraftSparkExtensions {
         intLit("graft_semantic_suppress_explain", "nprobe", args(3)) else 2
       graft.api.Similarity.semanticSuppressExplain(batch,
         strLit("graft_semantic_suppress_explain", "indexPath", args(1)),
-        threshold, nprobe).queryExecution.logical
+        threshold, nprobe)
     },
     tvf("graft_hamming_suppress_explain",
       "graft_hamming_suppress_explain(table, indexPath) - per-signature " +
@@ -162,7 +213,7 @@ object GraftSparkExtensions {
         strLit("graft_hamming_suppress_explain", "table", args(0)))
       graft.api.Dedup.hammingSuppressExplain(batch,
         strLit("graft_hamming_suppress_explain", "indexPath", args(1)))
-        .queryExecution.logical
+        
     },
     tvf("graft_index_integrity",
       "graft_index_integrity(kind, path) - one-row integrity report " +
@@ -178,7 +229,7 @@ object GraftSparkExtensions {
         case "ivf" => graft.api.Similarity.ivfIndexIntegrity(spark, path)
         case other => throw new IllegalArgumentException(
           s"graft_index_integrity: kind must be neardup|hamming|ivf, got '$other'")
-      }).queryExecution.logical
+      })
     },
     tvf("graft_suppressor_append_ledger",
       "graft_suppressor_append_ledger(path) - (batch_token, state) append " +
@@ -189,7 +240,7 @@ object GraftSparkExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.api.Dedup.suppressorAppendLedger(spark,
         strLit("graft_suppressor_append_ledger", "path", args(0)))
-        .queryExecution.logical
+        
     },
     tvf("graft_seen_filter_stats",
       "graft_seen_filter_stats(path) - per-shard saturation report of a " +
@@ -200,7 +251,7 @@ object GraftSparkExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.api.Dedup.seenFilterStats(spark,
         strLit("graft_seen_filter_stats", "path", args(0)))
-        .queryExecution.logical
+        
     },
     tvf("graft_corpus_diff",
       "graft_corpus_diff(oldTable, newTable[, idCol, textCol]) - " +
@@ -216,7 +267,7 @@ object GraftSparkExtensions {
       graft.api.Dedup.corpusDiff(
         spark.table(strLit("graft_corpus_diff", "oldTable", args(0))),
         spark.table(strLit("graft_corpus_diff", "newTable", args(1))),
-        idCol, textCol).queryExecution.logical
+        idCol, textCol)
     },
     tvf("graft_feature_drift",
       "graft_feature_drift(refTable, curTable, cols[, bins]) - " +
@@ -232,7 +283,7 @@ object GraftSparkExtensions {
       graft.api.Profiling.featureDrift(
         spark.table(strLit("graft_feature_drift", "refTable", args(0))),
         spark.table(strLit("graft_feature_drift", "curTable", args(1))),
-        cols, bins).queryExecution.logical
+        cols, bins)
     },
     tvf("graft_heavy_hitters",
       "graft_heavy_hitters(sketchTable[, maxMapSize]) - merge a persisted " +
@@ -245,7 +296,7 @@ object GraftSparkExtensions {
         intLit("graft_heavy_hitters", "maxMapSize", args(1)) else 1024
       graft.api.Profiling.estimateHeavyHitters(
         spark.table(strLit("graft_heavy_hitters", "sketchTable", args(0))),
-        Seq.empty, maxMapSize = mms).queryExecution.logical
+        Seq.empty, maxMapSize = mms)
     },
     tvf("graft_estimate_distinct",
       "graft_estimate_distinct(sketchTable) - merge a persisted HLL " +
@@ -255,7 +306,7 @@ object GraftSparkExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.api.Profiling.estimateDistinct(
         spark.table(strLit("graft_estimate_distinct", "sketchTable", args(0))),
-        Seq.empty).queryExecution.logical
+        Seq.empty)
     },
     tvf("graft_estimate_quantiles",
       "graft_estimate_quantiles(sketchTable, ranks) - merge a persisted " +
@@ -267,7 +318,7 @@ object GraftSparkExtensions {
         .split(',').map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
       graft.api.Profiling.estimateQuantiles(
         spark.table(strLit("graft_estimate_quantiles", "sketchTable", args(0))),
-        Seq.empty, qs).queryExecution.logical
+        Seq.empty, qs)
     },
     tvf("graft_ranking_metrics",
       "graft_ranking_metrics(rankedTable, qrelsTable[, k]) - per-query " +
@@ -281,7 +332,7 @@ object GraftSparkExtensions {
       graft.api.Retrieval.rankingMetrics(
         spark.table(strLit("graft_ranking_metrics", "rankedTable", args(0))),
         spark.table(strLit("graft_ranking_metrics", "qrelsTable", args(1))),
-        k).queryExecution.logical
+        k)
     },
     // The graph-curation console (VERDICT r11 #8): the same fixed-
     // iteration dynamics the Scala API runs ([[graft.api.Graph]]),
@@ -300,7 +351,7 @@ object GraftSparkExtensions {
         intLit("graft_page_rank", "iters", args(2)) else 5
       graft.api.Graph.pageRank(
         spark.table(strLit("graft_page_rank", "edgesTable", args(0))),
-        damping = damping, iters = iters).queryExecution.logical
+        damping = damping, iters = iters)
     },
     tvf("graft_label_propagation",
       "graft_label_propagation(edgesTable[, iters]) - synchronous " +
@@ -313,7 +364,7 @@ object GraftSparkExtensions {
         intLit("graft_label_propagation", "iters", args(1)) else 4
       graft.api.Graph.labelPropagation(
         spark.table(strLit("graft_label_propagation", "edgesTable", args(0))),
-        iters = iters).queryExecution.logical
+        iters = iters)
     },
     tvf("graft_degree_profile",
       "graft_degree_profile(edgesTable) - per-node out/in degree and " +
@@ -324,7 +375,7 @@ object GraftSparkExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.api.Graph.degreeProfile(
         spark.table(strLit("graft_degree_profile", "edgesTable", args(0))))
-        .queryExecution.logical
+        
     },
     tvf("graft_connected_components",
       "graft_connected_components(edgesTable) - exact connected " +
@@ -336,7 +387,7 @@ object GraftSparkExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.api.Graph.connectedComponents(
         spark.table(strLit("graft_connected_components", "edgesTable", args(0))))
-        .queryExecution.logical
+        
     },
     // the persisted-index family's ingestion filter from one SELECT:
     // fresh rows >= threshold contained in a corpus doc (by the
@@ -356,7 +407,7 @@ object GraftSparkExtensions {
       graft.api.Dedup.containmentFilterAgainstIndex(
         spark.table(strLit("graft_containment_filter", "freshTable", args(0))),
         strLit("graft_containment_filter", "indexPath", args(1)),
-        threshold = threshold).queryExecution.logical
+        threshold = threshold)
     },
     // the core dedup primitive itself: exact Jaccard near-dup pairs
     // via the prefix-filtered similarity join (PPJoin family) — the
@@ -373,7 +424,25 @@ object GraftSparkExtensions {
         dblLit("graft_near_dup_pairs", "threshold", args(1)) else 0.8
       graft.api.Dedup.nearDupPairsExact(
         spark.table(strLit("graft_near_dup_pairs", "docsTable", args(0))),
-        threshold = threshold).queryExecution.logical
+        threshold = threshold)
+    },
+    // the SQL caller's end of the releaseMaterialized contract: the
+    // operator-backed TVFs above execute eagerly and localCheckpoint
+    // their results (resolution IS execution — EXPLAIN over them runs
+    // the operator too); without this, a recurring ops-console SELECT
+    // pins a result-sized RDD per call for the session's lifetime
+    tvf("graft_release_materialized",
+      "graft_release_materialized() - unpersist every checkpoint RDD " +
+        "pinned by this session's earlier operator-backed TVF calls " +
+        "(suppress-explain / containment / pair-join / graph family); " +
+        "returns (released_rdds). Call AFTER consuming those results - " +
+        "a released TVF frame cannot be re-read") { args =>
+      require(args.isEmpty,
+        s"graft_release_materialized expects no arguments, got ${args.length}")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val n = releaseTvfMaterialized(spark)
+      import spark.implicits._
+      Seq(n).toDF("released_rdds")
     })
 
   def register(ext: SparkSessionExtensions): Unit = {

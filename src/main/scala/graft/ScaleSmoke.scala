@@ -56,16 +56,25 @@ object ScaleSmoke {
 
   /** (doc_id, text): ~12-word docs; id%10==0 copies its predecessor's
     * words + one marker token (a near-dup), id%7==0 keeps only the
-    * first 6 words of its own sequence (a containment seed for longer
-    * replays). `offset` shifts ids (fresh batches); `replayEvery`
-    * plants cross-frame duplicates. */
+    * first 6 words of its sequence (a containment seed for longer
+    * copies). `offset` shifts ids (fresh batches); `replayEvery`
+    * plants cross-frame duplicates.
+    *
+    * The FULL word count is keyed on gid — the content id — not the
+    * row's own id (ADVICE r12): a near-dup/replay row must reproduce
+    * its source's full word sequence, or the planted pair is a mere
+    * prefix (Jaccard ≈ 0.62, below the suppressors' 0.8) and the
+    * claimed ~10% true-positive density is not realized. Only the
+    * containment TRUNCATION stays keyed on the row's own id — that is
+    * what plants proper-subset pairs (a 6-word row vs a full copy of
+    * the same sequence elsewhere). */
   private def docs(spark: SparkSession, rows: Long, offset: Long = 0L,
                    replayEvery: Long = 0L): DataFrame = {
     val id = col("id") + offset
     val nearDup = (col("id") % 10) === 0 && col("id") > 0
     val gid = contentId(rows, offset, replayEvery)
     val nWords = when(col("id") % 7 === 0, lit(6))
-      .otherwise(lit(10) + pmod(col("id"), lit(5)))
+      .otherwise(lit(10) + pmod(gid, lit(5)))
     spark.range(rows).select(
       id.as("doc_id"),
       concat_ws(" ",

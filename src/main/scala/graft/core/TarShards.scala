@@ -228,7 +228,20 @@ object TarShards {
       var off = 0
       while (off < Block) {
         val r = in.read(h, off, Block - off)
-        if (r < 0) return off > 0 // truncated trailer: treat EOF as end
+        if (r < 0) {
+          // EOF mid-block: tolerate ONLY a truncated all-zero trailer.
+          // Accepting any partial block would hand advance() a header
+          // whose tail still holds stale bytes from the previous block
+          // — a truncated archive would yield a garbage member name or
+          // size instead of a clean error.
+          var i = 0
+          while (i < off) {
+            if (h(i) != 0) throw new java.io.EOFException(
+              s"truncated tar: EOF $off bytes into a $Block-byte block")
+            i += 1
+          }
+          return false
+        }
         off += r
       }
       true

@@ -286,4 +286,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT * FROM graft_near_dup_pairs('ndp_sql')").isEmpty)
   }
+
+  test("graft_release_materialized unpins TVF checkpoint storage") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h", 2L -> "a b c d e f g x").toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rel_sql")
+    // drain pins left by earlier TVF tests so the delta is this test's
+    spark.sql("SELECT * FROM graft_release_materialized()").collect()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    spark.sql("SELECT * FROM graft_near_dup_pairs('rel_sql', 0.5)").collect()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty,
+      "the operator-backed TVF should pin checkpoint RDDs at resolution")
+    val released = spark.sql(
+      "SELECT released_rdds FROM graft_release_materialized()")
+      .collect().head.getInt(0)
+    assert(released >= pinned.size)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty,
+      "every RDD the TVF pinned must be unpersisted after release")
+    // idempotent: a second release finds nothing
+    assert(spark.sql("SELECT * FROM graft_release_materialized()")
+      .collect().head.getInt(0) == 0)
+  }
 }

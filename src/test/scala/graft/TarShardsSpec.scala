@@ -90,6 +90,24 @@ class TarShardsSpec extends AnyFunSuite {
       expected(r.getAs[Long]("shard"))))
   }
 
+  test("truncated archives: zero-trailer EOF tolerated, partial header rejected") {
+    // a full valid archive, via the writer itself
+    val h = TarShards.header("a.txt", 4L)
+    val payload = "body".getBytes("US-ASCII") ++ new Array[Byte](508)
+    val trailer = new Array[Byte](1024)
+    val full = h ++ payload ++ trailer
+    assert(TarShards.parse(full).map(_._1) == Seq("a.txt"))
+    // EOF inside the all-zero trailer: a tolerated truncation (the
+    // member itself is intact) — parse ends cleanly
+    assert(TarShards.parse(full.dropRight(1000)).map(_._1) == Seq("a.txt"))
+    // EOF mid-HEADER of a second member: the partial block must be
+    // REJECTED, not parsed against stale bytes from the previous block
+    // (a garbage name/size, or a silent stop)
+    val torn = h ++ payload ++ TarShards.header("b.txt", 4L).take(100)
+    val e = intercept[java.io.EOFException] { TarShards.parse(torn).toList }
+    assert(e.getMessage.contains("truncated tar"))
+  }
+
   test("null payload becomes a zero-byte member, not a crash") {
     val withNull = Seq((1L, "x".getBytes("UTF-8")), (2L, null))
       .toDF("doc_id", "payload")
