@@ -85,6 +85,11 @@ object GraftSparkExtensions {
     fd("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization") { args =>
       arity("nfc_normalize", 1, args)
       NfcNormalize(args(0))
+    },
+    fd("hashed_gram_features",
+      "hashed_gram_features(text) - md5-bucketed unigram+bigram feature keys (DSIR)") { args =>
+      arity("hashed_gram_features", 1, args)
+      HashedGramFeatures(args(0))
     })
 
   private def strLit(fn: String, arg: String, e: Expression): String = e match {

@@ -107,7 +107,20 @@ object Similarity {
   def cosineTopKExact(emb: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", k: Int = 3): DataFrame = {
     val e = withNorm(emb, idCol, vecCol)
-    val a = e.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    // spread the STREAMED side before the product: the corpus often
+    // arrives as one small file = one partition, and a BNLJ inherits
+    // the streamed side's partitioning — without this every one of the
+    // n² dot products runs on a single task while the other cores
+    // idle. The count is EXPLICIT because the row payload is tiny: AQE
+    // would coalesce a bytes-based exchange right back to one
+    // partition, blind to the n× per-row join work behind each row. A
+    // keyed exchange of n rows is noise next to the n² it parallelizes
+    // (this operator is the documented bounded-fixture-scale oracle
+    // baseline either way — the production paths are the indexed ANNs).
+    val shufflePartitions =
+      emb.sparkSession.sessionState.conf.numShufflePartitions
+    val a = e.repartition(shufflePartitions, col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
     // the full ordered product, scored directly: an A/B that scored
     // each unordered pair once (`<` join) and mirrored via explode was

@@ -1156,7 +1156,18 @@ object TextAnalysis {
     * md5 — a STRING key, deliberately: it is engine-portable (no
     * hex→int arithmetic to replicate) and collision-folding is part of
     * the method's contract, not an accident. */
-  private def hashedNgramFeatures(text: org.apache.spark.sql.Column) = {
+  /** The DSIR feature extraction: md5-bucketed unigrams + bigrams.
+    * Routed through the native one-pass expression
+    * ([[graft.functions.expr.HashedGramFeatures]]) — the HOF
+    * formulation below is bit-identical (ApiSpec pins it) but
+    * CodegenFallback with three SQL-array allocations per document,
+    * and it dominated both DSIR bench queries. */
+  private[graft] def hashedNgramFeatures(text: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.hashedGramFeatures(text)
+
+  /** The original higher-order-function formulation, kept ONLY as the
+    * independent parity oracle for the native expression (ApiSpec). */
+  private[graft] def hashedNgramFeaturesHof(text: org.apache.spark.sql.Column) = {
     val toks = filter(wsTokens(lower(text)), t => t =!= "")
     val bigrams = when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),

@@ -141,6 +141,14 @@ object TextFunctions {
       graft.functions.expr.CharBigramScore(
         org.apache.spark.sql.GraftExprBridge.expression(text), model))
 
+  /** md5-bucketed unigram+bigram feature keys (the DSIR hashed-feature
+    * contract: first 8 hex chars of each gram's md5). Native
+    * expression, one pass with a reused digest. */
+  def hashedGramFeatures(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.HashedGramFeatures(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
+
   /** Unicode NFC normalization (native expression, codegen'd; ASCII /
     * already-composed text short-circuits with zero allocation). */
   def nfcNormalize(text: Column): Column =

@@ -192,6 +192,79 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** md5-bucketed unigram+bigram feature keys of a document — the DSIR
+  * hashed-feature extraction ([[graft.api.TextAnalysis]]): lowercase,
+  * whitespace-tokenize, emit every unigram then every space-joined
+  * bigram as the first 8 hex chars of its md5. Bit-identical to the
+  * HOF formulation it replaces —
+  * `transform(toks ++ bigrams, g => substring(md5(g), 1, 8))` — which
+  * was CodegenFallback AND allocated three SQL arrays per document;
+  * this is one pass with a reused digest, ~10x less per-gram cost on
+  * the scoring path every DSIR query walks (md5 itself, the feature
+  * CONTRACT, is unchanged — the DuckDB oracle replays it). Lowercase
+  * goes through UTF8String.toLowerCase — the exact `lower()` mapping —
+  * and tokenization through the same split("\\s+", -1) as wsTokens. */
+case class HashedGramFeatures(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hashed_gram_features needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val raw = TextHash.tokens(
+      input.asInstanceOf[UTF8String].toLowerCase.toString)
+    // drop empties (split with limit -1 keeps a leading "" on
+    // leading-whitespace text), exactly like filter(toks, t => t != "")
+    var n = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(n) = raw(i); n += 1 }
+      i += 1
+    }
+    val out = new Array[UTF8String](if (n >= 2) 2 * n - 1 else n)
+    val md = HashedGramFeatures.digest.get()
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < n) {
+      out(i) = HashedGramFeatures.md5Prefix8(md, raw(i))
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      sb.setLength(0)
+      sb.append(raw(i)).append(' ').append(raw(i + 1))
+      out(n + i) = HashedGramFeatures.md5Prefix8(md, sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): HashedGramFeatures = copy(child = c)
+  override def prettyName: String = "hashed_gram_features"
+}
+
+object HashedGramFeatures {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** First 8 lowercase hex chars of md5(utf8(s)) — bit-identical to
+    * `substring(md5(cast(s as binary)), 1, 8)`. */
+  private def md5Prefix8(md: java.security.MessageDigest,
+                         s: String): UTF8String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val c = new Array[Byte](8)
+    var i = 0
+    while (i < 4) {
+      c(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+      c(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(c)
+  }
+}
+
 /** Shared char-bigram language-model kernel (27 symbols: space + a-z,
   * case-folded, with space-run collapse so punctuation/whitespace salvos
   * count once). Training and scoring use the SAME normalization, so a

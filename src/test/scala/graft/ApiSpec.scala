@@ -2589,4 +2589,33 @@ class ApiSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("id") -> r.getAs[Double]("position")).toMap
     assert(again == byId)
   }
+
+  test("native hashed-gram features are bit-identical to the HOF formulation") {
+    // the DSIR feature contract: lowercase, ws-tokenize, unigrams then
+    // bigrams, each as md5's first 8 hex chars. Edge cases: leading/
+    // trailing/multi whitespace (split keeps empties that must drop),
+    // tabs/newlines, single token (no bigrams), empty, whitespace-only,
+    // null, Unicode case folding (İ, ß, Σ word-final), repeated grams
+    val texts = Seq(
+      "The Quick BROWN fox", "one", "", "   ", "  padded   both ends  ",
+      "tab\tand\nnewline mix", "Σ ΣΟΦΟΣ İstanbul STRASSE ß",
+      "dup dup dup", "a b a b a", null).toDF("t")
+    val both = texts.select(
+      graft.api.TextAnalysis.hashedNgramFeatures(col("t")).as("native"),
+      graft.api.TextAnalysis.hashedNgramFeaturesHof(col("t")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0).toSeq == r.getSeq[String](1).toSeq,
+          s"native ${r.getSeq[String](0)} != hof ${r.getSeq[String](1)}")
+    }
+    // and on real fixture text, end to end
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf).limit(200)
+    val diff = docs.select(
+      graft.api.TextAnalysis.hashedNgramFeatures(col("text")).as("a"),
+      graft.api.TextAnalysis.hashedNgramFeaturesHof(col("text")).as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.isEmpty)
+  }
 }
