@@ -92,7 +92,10 @@ object Explain {
     "q194_containment_filter", // fresh-prefix x corpus-posting join, anti-join exit (r11)
     "q195_containment_index", // persisted-posting filter, zero corpus re-read (r12)
     "q196_sql_graph_console", // degree+pagerank TVFs in one SELECT, all keyed (r12)
-    "q198_sql_connected_components") // pointer-doubled CC via TVF + size window (r12)
+    "q197_sql_label_propagation", // LPA via TVF + size join, keyed per iter (r13)
+    "q198_sql_connected_components", // pointer-doubled CC via TVF + size window (r12)
+    "q199_sql_containment_filter", // index-only filter via TVF, zero corpus re-read (r13)
+    "q200_sql_near_dup_pairs") // PPJoin pair join via TVF, posting-keyed (r13)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan
@@ -110,7 +113,11 @@ object Explain {
     // batch pair operators (checkpointed since r12)
     "q44_near_dup_pairs", "q45_minhash_lsh", "q48_ann_hyperplane",
     "q57_ann_ivf", "q183_containment_pairs", "q194_containment_filter",
-    "q195_containment_index", "q187_label_propagation")
+    "q195_containment_index", "q187_label_propagation",
+    // TVF console queries: resolution executes the operator, so the
+    // outer frame is Scan ExistingRDD — the probed stages are the plan
+    "q197_sql_label_propagation", "q199_sql_containment_filter",
+    "q200_sql_near_dup_pairs")
 
   private def cap(s: String): String = s.linesIterator
     .map(l => if (l.length > 300) l.take(300) + " ...<truncated>" else l)

@@ -2153,9 +2153,8 @@ object Dedup {
       df.queryExecution.analyzed.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    val edges = PlanAudit.checkpoint(pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var prevId: Option[Int] = None
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -2184,9 +2183,8 @@ object Dedup {
         .select(propagated("node"),
           least(propagated("label"),
             coalesce(col("plabel"), propagated("label"))).as("label"))
-      val next = chased
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .localCheckpoint()
+      val next = PlanAudit.checkpoint(chased
+        .join(labels.withColumnRenamed("label", "old"), "node"))
       converged = next.filter(col("label") =!= col("old")).isEmpty
       prevId.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       prevId = ownRddId(next)

@@ -42,13 +42,13 @@ object Graph {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = PlanAudit.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = PlanAudit.checkpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint()
+    val outDeg = PlanAudit.checkpoint(
+      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")))
     // (1 − d) via exact decimals: 1 − 0.85 in DOUBLE is
     // 0.15000000000000002, while every SQL engine's literal 0.15 is
     // the nearest double to decimal 0.15 — BigDecimal.valueOf keeps
@@ -70,11 +70,10 @@ object Graph {
       val sums = contribs.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
       // eager checkpoint: `next` is materialized HERE, so the
       // superseded iteration's blocks are safe to release below
-      val next = nodes.join(sums, Seq("node"), "left")
+      val next = PlanAudit.checkpoint(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           round(lit(oneMinusD / n.toDouble) + lit(damping) *
-            coalesce(col("in_sum").cast("double"), lit(0.0)), 12).as("score"))
-        .localCheckpoint()
+            coalesce(col("in_sum").cast("double"), lit(0.0)), 12).as("score")))
       ranksOwnedId.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(false)))
       ranksOwnedId = ownRddId(next)
@@ -126,14 +125,14 @@ object Graph {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
     val spark = edges.sparkSession
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e0 = PlanAudit.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = PlanAudit.checkpoint(e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct())
     // the self-vote: one implicit self-loop per node (deduped against
     // any explicit ones so a self-edge never double-counts)
-    val e = e0.union(nodes.select(col("node").as("src"),
-      col("node").as("dst"))).distinct().localCheckpoint()
+    val e = PlanAudit.checkpoint(e0.union(nodes.select(col("node").as("src"),
+      col("node").as("dst"))).distinct())
     var labels = nodes.select(col("node"), col("node").as("label"))
     var labelsOwnedId: Option[Int] = None
     (1 to iters).foreach { _ =>
@@ -145,10 +144,9 @@ object Graph {
       val best = cand.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("node"), col("label").as("new_label"))
-      val next = labels.join(best, Seq("node"), "left")
+      val next = PlanAudit.checkpoint(labels.join(best, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
+          coalesce(col("new_label"), col("label")).as("label")))
       labelsOwnedId.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(false)))
       labelsOwnedId = ownRddId(next)
