@@ -419,15 +419,16 @@ object Bench {
     // otherwise inflate it and make every clean window look contaminated
     val load1 = load1Now()
 
-    // Scale smoke (VERDICT r11 #5): sf0.1 is 17 MB — drive the heavy
-    // pipeline operators through one batch each against a multi-GB
-    // generated corpus, AFTER every probe window so its load cannot
-    // contaminate a headline. 0 disables. Default 20M rows (~3 GB of
-    // corpus+embeddings, every stage exercised, ~4-5 min); the 50M
-    // form passes at SPARK_DRIVER_MEM=24g in ~13 min — run it via
-    // SPARK_GRAFT_SCALE_SMOKE_ROWS when the round budget allows.
+    // Scale smoke (VERDICT r11 #5, r12 #1): sf0.1 is 17 MB — drive the
+    // heavy pipeline operators through one batch each against a
+    // multi-GB generated corpus, AFTER every probe window so its load
+    // cannot contaminate a headline. 0 disables. Default 50M rows
+    // (~7 GB of corpus+embeddings, every stage exercised incl. the
+    // 10M-node graph family and the commit-protocol soak, ~14 min at
+    // the 24g default heap); SPARK_GRAFT_SCALE_SMOKE_ROWS overrides
+    // for local iteration (20M ≈ 6 min, 2M ≈ 2 min).
     val smokeRows =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE_ROWS", "20000000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE_ROWS", "50000000").toLong
     val smokeTimes: Seq[(String, Double)] =
       if (smokeRows <= 0) Seq.empty
       else try ScaleSmoke.run(spark, smokeRows)

@@ -223,7 +223,7 @@ object GraftSparkExtensions {
     tvf("graft_index_integrity",
       "graft_index_integrity(kind, path) - one-row integrity report " +
         "(n_docs, structure_ok, consistency_ok) for a persisted index; " +
-        "kind in ('neardup', 'hamming', 'ivf')") { args =>
+        "kind in ('neardup', 'hamming', 'ivf', 'containment')") { args =>
       require(args.length == 2,
         s"graft_index_integrity expects (kind, path), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
@@ -232,8 +232,11 @@ object GraftSparkExtensions {
         case "neardup" => graft.api.Dedup.nearDupIndexIntegrity(spark, path)
         case "hamming" => graft.api.Dedup.hammingIndexIntegrity(spark, path)
         case "ivf" => graft.api.Similarity.ivfIndexIntegrity(spark, path)
+        case "containment" =>
+          graft.api.Dedup.containmentIndexIntegrity(spark, path)
         case other => throw new IllegalArgumentException(
-          s"graft_index_integrity: kind must be neardup|hamming|ivf, got '$other'")
+          "graft_index_integrity: kind must be neardup|hamming|ivf|containment, " +
+            s"got '$other'")
       })
     },
     tvf("graft_suppressor_append_ledger",

@@ -1847,6 +1847,42 @@ object Pipeline {
           |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // Stream-STATIC join against committedView — the one SURVEY join
+    // shape previously exercised only in specs (VERDICT r12 #7): a
+    // LIVE events stream enriches each event with the committed row
+    // count of its routing key's partition, from a table the engine's
+    // own staged-publish protocol just committed (3 batches × 2
+    // streams → months {0,1} × 3000 rows each, exact by the range
+    // split). The static side is re-resolved per micro-batch (standard
+    // stream-static semantics); the aggregation runs Complete. The
+    // committed side's 3000-per-month is CLOSED-FORM (like q101), so
+    // the oracle replays the event half exactly and pins the joined
+    // count as a constant.
+    "q201_stream_static_commit_join" -> ((s, d) => {
+      import graft.ingest.{Ingest, IngestConfig}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ssj-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val path = dir.getAbsolutePath
+      val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
+      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+      val dim = graft.core.Tables.committedView(s, path)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("committed_rows"))
+      val ev = graft.streaming.EventStreams.eventsStream(s, d)
+        .withColumn("m", pmod(col("user_id"), lit(2)))
+      val joined = ev.join(dim, ev("m") === dim("month"))
+        .groupBy(col("m"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("committed_rows")).as("committed_rows"))
+      graft.streaming.EventStreams.runToMemory(s, joined, "q201_ssj",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("m", "event_type")
+    }),
+
     // Outbound-link extraction from HTML (the feeder for link-graph
     // curation): pages are planted IN-PLAN with closed-form hrefs —
     // a double-quoted absolute link on every doc, a single-quoted
@@ -4558,6 +4594,12 @@ object Pipeline {
     "q101_commit_log" ->
       ("SELECT CAST(3 AS INT) AS n_commits, CAST(1 AS INT) AS n_compactions, " +
         "CAST(6000 AS BIGINT) AS committed_rows"),
+    // the event half replays exactly; the committed half is the q101
+    // closed form (3 batches x 2 even range slices -> 3000 per month)
+    "q201_stream_static_commit_join" ->
+      """SELECT user_id % 2 AS m, event_type,
+        |  count(*) AS n_events, CAST(3000 AS BIGINT) AS committed_rows
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q111_snapshot_delta" ->
       ("SELECT CAST(4000 AS BIGINT) AS delta_rows, " +
         "TRUE AS equals_snapshot_diff, TRUE AS empty_window_is_empty, " +

@@ -150,10 +150,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val ledger = spark.sql(
       s"SELECT * FROM graft_suppressor_append_ledger('$idx')").collect()
     assert(ledger.length == 1 && ledger.head.getString(1) == "done")
+    // the containment posting index reports through the same console
+    val ct = s"$dir/ct"
+    graft.api.Dedup.buildContainmentIndex(
+      Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text"), ct)
+    val ctRep = spark.sql(
+      s"SELECT * FROM graft_index_integrity('containment', '$ct')").head()
+    assert(ctRep.getString(0) == "containment" && ctRep.getLong(1) == 2L &&
+      ctRep.getBoolean(2) && ctRep.getBoolean(3))
     // unknown kind fails loudly at analysis
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_index_integrity('bogus', '$idx')"))
-    assert(e.getMessage.contains("neardup|hamming|ivf"))
+    assert(e.getMessage.contains("neardup|hamming|ivf|containment"))
     // the Bloom tier reports through the same console
     graft.api.Dedup.buildSeenFilter(
       Seq(1L, 2L, 3L).toDF("id"), "id", s"$dir/seen", 1000L)
