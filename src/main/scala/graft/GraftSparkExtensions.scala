@@ -180,7 +180,8 @@ object GraftSparkExtensions {
   private val tableFunctions = Seq(
     tvf("graft_suppress_explain",
       "graft_suppress_explain(table, indexPath[, threshold]) - per-doc " +
-        "near-dup suppression verdicts (Jaccard) against a persisted index") { args =>
+        "near-dup suppression verdicts (Jaccard) against a persisted index" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length == 2 || args.length == 3,
         s"graft_suppress_explain expects (table, indexPath[, threshold]), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
@@ -193,7 +194,8 @@ object GraftSparkExtensions {
     },
     tvf("graft_semantic_suppress_explain",
       "graft_semantic_suppress_explain(table, indexPath[, threshold[, nprobe]]) - " +
-        "per-vector cosine suppression verdicts against a persisted IVF index") { args =>
+        "per-vector cosine suppression verdicts against a persisted IVF index" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length >= 2 && args.length <= 4,
         "graft_semantic_suppress_explain expects (table, indexPath[, threshold[, nprobe]]), " +
           s"got ${args.length} args")
@@ -210,7 +212,8 @@ object GraftSparkExtensions {
     },
     tvf("graft_hamming_suppress_explain",
       "graft_hamming_suppress_explain(table, indexPath) - per-signature " +
-        "hamming suppression verdicts against a persisted chunk index") { args =>
+        "hamming suppression verdicts against a persisted chunk index" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length == 2,
         s"graft_hamming_suppress_explain expects (table, indexPath), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
@@ -389,7 +392,8 @@ object GraftSparkExtensions {
       "graft_connected_components(edgesTable) - exact connected " +
         "components of an (src, dst) edge table (edges symmetrized); " +
         "output (node, component) with component = min reachable node " +
-        "id — the dedup-group resolution kernel as a graph primitive") { args =>
+        "id — the dedup-group resolution kernel as a graph primitive" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length == 1,
         s"graft_connected_components expects (edgesTable), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
@@ -406,7 +410,8 @@ object GraftSparkExtensions {
         "drop fresh docs whose shingle set is >= threshold contained " +
         "in some doc of a persisted containment posting index " +
         "(Dedup.buildContainmentIndex); survivors keep their columns, " +
-        "corpus text is never read") { args =>
+        "corpus text is never read" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length == 2 || args.length == 3,
         s"graft_containment_filter expects (freshTable, indexPath[, threshold]), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
@@ -424,7 +429,8 @@ object GraftSparkExtensions {
       "graft_near_dup_pairs(docsTable[, threshold]) - exact " +
         "word-3-shingle Jaccard near-dup pairs of a (doc_id, text) " +
         "table at >= threshold (default 0.8), via the prefix-filtered " +
-        "similarity join; output (doc_a, doc_b, jaccard)") { args =>
+        "similarity join; output (doc_a, doc_b, jaccard)" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length == 1 || args.length == 2,
         s"graft_near_dup_pairs expects (docsTable[, threshold]), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
