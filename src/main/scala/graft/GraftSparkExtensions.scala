@@ -87,9 +87,13 @@ object GraftSparkExtensions {
       NfcNormalize(args(0))
     },
     fd("hashed_gram_features",
-      "hashed_gram_features(text) - md5-bucketed unigram+bigram feature keys (DSIR)") { args =>
+      "hashed_gram_features(text) - md5-bucketed lowercased unigram+bigram feature keys (DSIR)") { args =>
       arity("hashed_gram_features", 1, args)
-      HashedGramFeatures(args(0))
+      // lowercase via Spark's OWN Lower (not inside the expression):
+      // UTF8String.toLowerCase applies Java's context-sensitive Greek
+      // final-sigma rule, lower() does not — see HashedGramFeatures doc
+      HashedGramFeatures(
+        org.apache.spark.sql.catalyst.expressions.Lower(args(0)))
     })
 
   private def strLit(fn: String, arg: String, e: Expression): String = e match {

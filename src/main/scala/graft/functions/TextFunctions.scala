@@ -142,12 +142,14 @@ object TextFunctions {
         org.apache.spark.sql.GraftExprBridge.expression(text), model))
 
   /** md5-bucketed unigram+bigram feature keys (the DSIR hashed-feature
-    * contract: first 8 hex chars of each gram's md5). Native
-    * expression, one pass with a reused digest. */
+    * contract: first 8 hex chars of each lowercased gram's md5).
+    * Native expression, one pass with a reused digest; the lowercase
+    * is Spark's own `lower()` composed ABOVE the expression — see the
+    * expression scaladoc for why it must not lowercase internally. */
   def hashedGramFeatures(text: Column): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       graft.functions.expr.HashedGramFeatures(
-        org.apache.spark.sql.GraftExprBridge.expression(text)))
+        org.apache.spark.sql.GraftExprBridge.expression(lower(text))))
 
   /** Unicode NFC normalization (native expression, codegen'd; ASCII /
     * already-composed text short-circuits with zero allocation). */

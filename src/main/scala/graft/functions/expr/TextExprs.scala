@@ -193,7 +193,7 @@ case class SimHash64(child: Expression)
 }
 
 /** md5-bucketed unigram+bigram feature keys of a document — the DSIR
-  * hashed-feature extraction ([[graft.api.TextAnalysis]]): lowercase,
+  * hashed-feature extraction ([[graft.api.TextAnalysis]]):
   * whitespace-tokenize, emit every unigram then every space-joined
   * bigram as the first 8 hex chars of its md5. Bit-identical to the
   * HOF formulation it replaces —
@@ -201,9 +201,15 @@ case class SimHash64(child: Expression)
   * was CodegenFallback AND allocated three SQL arrays per document;
   * this is one pass with a reused digest, ~10x less per-gram cost on
   * the scoring path every DSIR query walks (md5 itself, the feature
-  * CONTRACT, is unchanged — the DuckDB oracle replays it). Lowercase
-  * goes through UTF8String.toLowerCase — the exact `lower()` mapping —
-  * and tokenization through the same split("\\s+", -1) as wsTokens. */
+  * CONTRACT, is unchanged — the DuckDB oracle replays it).
+  *
+  * Expects ALREADY-LOWERCASED input: the wrappers compose Spark's own
+  * `Lower` above this expression rather than lowercasing inside it.
+  * The obvious-looking internal `UTF8String.toLowerCase` is NOT
+  * `lower()` — it applies Java's context-sensitive SpecialCasing
+  * (Greek word-final Σ→ς where `lower()` maps Σ→σ unconditionally), a
+  * divergence the random-unicode fuzz spec caught on real hashes.
+  * Tokenization is the same split("\\s+", -1) as wsTokens. */
 case class HashedGramFeatures(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -212,8 +218,7 @@ case class HashedGramFeatures(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"hashed_gram_features needs string, got $t")
   }
   override def nullSafeEval(input: Any): Any = {
-    val raw = TextHash.tokens(
-      input.asInstanceOf[UTF8String].toLowerCase.toString)
+    val raw = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
     // drop empties (split with limit -1 keeps a leading "" on
     // leading-whitespace text), exactly like filter(toks, t => t != "")
     var n = 0
@@ -249,11 +254,15 @@ object HashedGramFeatures {
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** First 8 lowercase hex chars of md5(utf8(s)) — bit-identical to
-    * `substring(md5(cast(s as binary)), 1, 8)`. */
+    * `substring(md5(cast(s as binary)), 1, 8)`. The bytes hashed are
+    * UTF8String's encoding, NOT String.getBytes(UTF_8): they differ on
+    * unpaired surrogates (getBytes substitutes '?', UTF8String keeps
+    * its own decodable representation — found by the random-unicode
+    * fuzz spec, first token hash diverging on a lone-surrogate word). */
   private def md5Prefix8(md: java.security.MessageDigest,
                          s: String): UTF8String = {
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest(UTF8String.fromString(s).getBytes)
     val c = new Array[Byte](8)
     var i = 0
     while (i < 4) {

@@ -2618,4 +2618,26 @@ class ApiSpec extends AnyFunSuite {
       .filter(not(col("a") === col("b")))
     assert(diff.isEmpty)
   }
+
+  test("hashed-gram features: seeded random-unicode fuzz parity with the HOF form") {
+    // 500 deterministic strings over a unicode-rich alphabet (ASCII,
+    // case-mapping specials, combining marks, CJK, surrogate-pair
+    // emoji, every whitespace class split() treats as \s) — the edge
+    // surface a hand-picked list can miss
+    val alphabet = ("abcXYZ09 \t\n\f\r" +
+      "İıßΣσς́éK" + "汉字日本語한국" + "😀🌉").toCharArray
+    val rnd = new scala.util.Random(20260815L)
+    val texts = (1 to 500).map { _ =>
+      val n = rnd.nextInt(40)
+      Tuple1(String.valueOf(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))))
+    }
+    val df = texts.toDF("t")
+    val bad = df.select(
+        graft.api.TextAnalysis.hashedNgramFeatures(col("t")).as("a"),
+        graft.api.TextAnalysis.hashedNgramFeaturesHof(col("t")).as("b"),
+        col("t"))
+      .filter(not(col("a") === col("b")))
+      .collect()
+    assert(bad.isEmpty, s"native/HOF divergence on: ${bad.take(3).mkString("; ")}")
+  }
 }

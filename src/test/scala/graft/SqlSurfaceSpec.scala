@@ -58,6 +58,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
         r.getSeq[Long](3), r.getInt(4))).toSeq ==
       viaCol.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getSeq[Long](3), r.getInt(4))).toSeq)
+    // the DSIR feature extraction: SQL form lowercases like the
+    // Column form (Lower is composed INSIDE the registered builder)
+    val gSql = spark.sql(
+      """SELECT hashed_gram_features(text) AS g FROM docs_sql
+        |ORDER BY doc_id LIMIT 20""".stripMargin)
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val gCol = {
+      import org.apache.spark.sql.functions._
+      docs.select(graft.functions.TextFunctions
+          .hashedGramFeatures(col("text")).as("g"), col("doc_id"))
+        .orderBy("doc_id").limit(20)
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    }
+    assert(gSql == gCol)
   }
 
   test("a pure-SQL near-dup pipeline runs on the registered functions") {
