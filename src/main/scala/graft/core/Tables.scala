@@ -113,6 +113,40 @@ object Tables {
     live
   }
 
+
+  /** Recursive data-file walk via per-directory `listStatus` — NOT
+    * `fs.listFiles`: that returns LocatedFileStatus, whose constructor
+    * eagerly loads permissions, which Hadoop's local filesystem
+    * implements by FORKING `ls` once per file (~3.6 ms each; 9 s to
+    * walk a 2.5k-file table, measured r14 — 92× slower than this walk
+    * at the same file count). `listStatus` stays lazy about
+    * permissions on every scheme. Hidden (`_`/`.`) directories are
+    * not descended unless `descendHidden` (the committedView schema-
+    * donor peek into `_staging` needs them). Missing directories read
+    * as empty — a concurrent vacuum/compaction may remove a dir
+    * mid-walk. */
+  private[graft] def walkStatuses(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  descendHidden: Boolean = false)
+      (visit: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    def rec(p: org.apache.hadoop.fs.Path): Unit = {
+      val kids =
+        try fs.listStatus(p)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus]
+        }
+      kids.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (descendHidden || !(n.startsWith("_") || n.startsWith(".")))
+            rec(st.getPath)
+        } else visit(st)
+      }
+    }
+    rec(root)
+  }
+
   /** Recursive listing of the data files belonging to a given set of
     * batch tokens (the `b<token>-*` naming contract), hidden dirs
     * skipped — the resolution step shared by snapshot reads and the
@@ -121,16 +155,10 @@ object Tables {
   private[graft] def tokenDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path,
                                     tokens: Set[String]): Seq[String] = {
-    val rootQualified = fs.makeQualified(root).toString
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
-      val segs = rel.split('/')
-      val visible = !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      f.getName match {
-        case batchFileRe(id) if visible && tokens(id) => files += f.toString
+    walkStatuses(fs, root) { st =>
+      st.getPath.getName match {
+        case batchFileRe(id) if tokens(id) => files += st.getPath.toString
         case _ => ()
       }
     }
@@ -207,18 +235,13 @@ object Tables {
         .filter(_.nonEmpty).toSeq
       finally in.close()
     }.toSet
-    val rootQualified = fs.makeQualified(root).toString
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
     val tokensSeen = scala.collection.mutable.Set.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
-      val segs = rel.split('/')
-      val visible = !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      f.getName match {
-        case batchFileRe(id) if visible && wanted(id) =>
-          files += f.toString; tokensSeen += id
+    walkStatuses(fs, root) { st =>
+      st.getPath.getName match {
+        case batchFileRe(id) if wanted(id) =>
+          files += st; tokensSeen += id
         case _ => ()
       }
     }
@@ -232,7 +255,7 @@ object Tables {
           "vacuumed — historical reads survive compaction only until vacuum")
     }
     if (files.nonEmpty)
-      batchReader(spark, path, format, mergeSchemas).load(files.toSeq: _*)
+      manifestFrame(spark, path, files.toSeq, format, mergeSchemas)
     else committedView(spark, path, format, schema, mergeSchemas).limit(0)
   }
 
@@ -245,6 +268,27 @@ object Tables {
     * whichever file the sampler picked. Off by default: merging reads
     * every file's footer up front, which a fixed-schema table need
     * not pay. */
+  /** Frame over a resolved committed-file manifest. Default path: a
+    * manifest-backed FileIndex (org.apache.spark.sql.execution
+    * .datasources.GraftCommitFileIndex) serving the statuses the
+    * commit-log walk already holds — NO re-listing, no per-file
+    * getFileStatus, no parallel-discovery job (13 s per view at 2.5k
+    * files before r14; a listing storm per reader at object-store
+    * scale). The DataFrameReader path remains for schema-merging
+    * reads (every footer must be consulted anyway) and non-columnar
+    * formats. */
+  private[graft] def manifestFrame(spark: SparkSession, path: String,
+                            files: Seq[org.apache.hadoop.fs.FileStatus],
+                            format: String,
+                            mergeSchemas: Boolean): DataFrame = {
+    val fast =
+      if (mergeSchemas) None
+      else org.apache.spark.sql.execution.datasources.GraftCommitFileIndex
+        .frame(spark, path, files, format)
+    fast.getOrElse(batchReader(spark, path, format, mergeSchemas)
+      .load(files.map(_.getPath.toString): _*))
+  }
+
   private def batchReader(spark: SparkSession, path: String, format: String,
                           mergeSchemas: Boolean): org.apache.spark.sql.DataFrameReader = {
     val r = spark.read.format(format).option("basePath", path)
@@ -260,20 +304,20 @@ object Tables {
     val committed = liveTokens(fs, root)
     val batchFile = batchFileRe
     val rootQualified = fs.makeQualified(root).toString
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
     // (file, basePath) of some data file to borrow a schema from when no
     // batch is committed: a half-published b<id>-* file sits in the real
     // partition layout (basePath = table root); a staged file sits under
     // _staging/<id>/<partition dirs> (basePath = the staging batch dir)
     var schemaDonor: Option[(String, String)] = None
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
+    walkStatuses(fs, root, descendHidden = true) { st =>
+      val f = st.getPath
       val rel = f.toString.stripPrefix(rootQualified).stripPrefix("/")
       val segs = rel.split('/')
       val visible = !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
       f.getName match {
-        case batchFile(id) if visible && committed(id) => files += f.toString
+        case batchFile(id) if visible && committed(id) => files += st
         case _ => ()
       }
       if (schemaDonor.isEmpty && !f.getName.startsWith(".") && !f.getName.startsWith("_")) {
@@ -285,7 +329,7 @@ object Tables {
       }
     }
     if (files.nonEmpty)
-      batchReader(spark, path, format, mergeSchemas).load(files.toSeq: _*)
+      manifestFrame(spark, path, files.toSeq, format, mergeSchemas)
     else schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)

@@ -326,9 +326,10 @@ object Ingest {
       .partitionBy("year", "month")
       .save(staging.toString)
     val stagingQualified = fs.makeQualified(staging).toString
-    val files = fs.listFiles(staging, true)
-    while (files.hasNext) {
-      val f = files.next().getPath
+    val stagedFiles = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    graft.core.Tables.walkStatuses(fs, staging)(st => stagedFiles += st.getPath)
+    stagedFiles.foreach { f =>
       if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
         // staging/<year=Y/month=M>/part-… → path/<year=Y/month=M>/b<id>-part-…
         val rel = f.toString.stripPrefix(stagingQualified).stripPrefix("/")

@@ -261,13 +261,13 @@ object Mutate {
     val live = Tables.liveTokens(fs, root)
     if (live.isEmpty) return None
     val files = Compact.listDataFiles(fs, root)
-      .collect { case (f, t) if live.contains(t) => (f.toString, t) }
+      .collect { case (f, t) if live.contains(t) => (f, t) }
     if (files.isEmpty) return None
     // bind the file-path pseudo-column BEFORE the probe runs: _metadata
     // exists only on the scan relation, and a probe that joins (merge)
     // would drop it from its output otherwise
-    val full = spark.read.format(format).option("basePath", path)
-      .load(files.map(_._1): _*)
+    val full = Tables.manifestFrame(spark, path, files.map(_._1), format,
+        mergeSchemas = false)
       .withColumn("__fp", col("_metadata.file_path"))
     val affectedFiles = probe(full)
       .select(col("__fp")).distinct()
@@ -286,8 +286,8 @@ object Mutate {
       val affectedPaths = files.collect {
         case (f, t) if affectedTokens.contains(t) => f
       }
-      val affectedDf = spark.read.format(format).option("basePath", path)
-        .load(affectedPaths: _*)
+      val affectedDf = Tables.manifestFrame(spark, path, affectedPaths,
+        format, mergeSchemas = false)
       Some((fs, root, affectedTokens, affectedDf))
     }
   }

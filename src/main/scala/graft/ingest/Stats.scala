@@ -59,14 +59,14 @@ object Stats {
     val missing = live.filter(t => !fs.exists(manifest(root, t)))
     if (missing.isEmpty) return 0
     val files = Compact.listDataFiles(fs, root)
-      .collect { case (f, t) if missing.contains(t) => f.toString }
+      .collect { case (f, t) if missing.contains(t) => f }
     if (files.isEmpty) return 0
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
       sum(when(col(c).isNull, 1).otherwise(0)).as(s"__nulls_$c")))
-    val loaded = spark.read.format(format).option("basePath", path)
-      .load(files: _*)
+    val loaded = graft.core.Tables.manifestFrame(spark, path, files, format,
+      mergeSchemas = false)
     // the declared type rides in the manifest: pruning may compare
     // numerically ONLY for numeric columns — a string column's
     // lexicographic min/max can happen to parse as numbers ("10" < "9")
@@ -137,7 +137,7 @@ object Stats {
     val live = Tables.liveTokens(fs, root)
     val predicate = col(column).between(lit(lo), lit(hi))
     val files = Compact.listDataFiles(fs, root)
-      .collect { case (f, t) if live.contains(t) => (f.toString, t) }
+      .collect { case (f, t) if live.contains(t) => (f, t) }
     if (files.isEmpty)
       return Tables.committedView(spark, path, format).filter(predicate)
     val stats: Map[String, FileStat] = files.map(_._2).distinct.flatMap { t =>
@@ -161,7 +161,7 @@ object Stats {
     }.toMap
     val (loN, hiN) = (parseNum(String.valueOf(lo)), parseNum(String.valueOf(hi)))
     val survivors = files.map(_._1).filter { f =>
-      stats.get(new Path(f).getName) match {
+      stats.get(f.getPath.getName) match {
         case Some(st) if st.rows > 0 && st.nulls == st.rows =>
           false // entirely NULL: BETWEEN cannot match, any type
         case Some(FileStat(tpe, Some(mn), Some(mx), _, _)) if numericType(tpe) =>
@@ -176,7 +176,7 @@ object Stats {
     if (survivors.isEmpty)
       Tables.committedView(spark, path, format).limit(0).filter(predicate)
     else
-      spark.read.format(format).option("basePath", path)
-        .load(survivors: _*).filter(predicate)
+      graft.core.Tables.manifestFrame(spark, path, survivors, format,
+        mergeSchemas = false).filter(predicate)
   }
 }

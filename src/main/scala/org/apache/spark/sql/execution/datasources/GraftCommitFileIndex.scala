@@ -1,0 +1,85 @@
+package org.apache.spark.sql.execution.datasources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{classic, DataFrame, SparkSession}
+
+/** Manifest-backed [[FileIndex]] for graft's committed ingest tables.
+  *
+  * `Tables.committedView` resolves the live file set from the commit
+  * markers — it already holds every data file's `FileStatus` when it
+  * builds the frame. Handing those files to `DataFrameReader.load` as
+  * per-file roots made Spark RE-DISCOVER what the commit log already
+  * knew: above the parallel-discovery threshold (32 roots) every view
+  * construction launched a distributed listing job over thousands of
+  * tiny paths — ~13 s per `committedView` call at 2.5k files, billed
+  * to every count/compaction/CDC read, and at 100 TB (millions of
+  * files on object storage) a listing storm per reader. Every
+  * log-structured table format converges on the same answer: the
+  * commit log IS the file index. This index serves the prebuilt
+  * statuses straight to the planner — zero listing calls, zero
+  * `getFileStatus` round trips — while inheriting
+  * [[PartitioningAwareFileIndex]]'s partition inference and
+  * partition/data pruning, so `year=.../month=...` columns type,
+  * prune, and order exactly as the reader-based path did.
+  *
+  * Lives in Spark's package namespace solely to satisfy `private[sql]`
+  * access on the relation plumbing (the [[org.apache.spark.sql.GraftExprBridge]]
+  * pattern); no Spark internals are modified. */
+class GraftCommitFileIndex(
+    spark: SparkSession,
+    base: Path,
+    statuses: Seq[FileStatus])
+  extends PartitioningAwareFileIndex(
+    spark, Map("basePath" -> base.toString), None) {
+
+  private val cachedLeafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+    mutable.LinkedHashMap(statuses.map(f => f.getPath -> f): _*)
+
+  private val cachedDirToFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override def rootPaths: Seq[Path] = Seq(base)
+
+  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+    cachedLeafFiles
+
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    cachedDirToFiles
+
+  private val cachedPartitionSpec: PartitionSpec = inferPartitioning()
+
+  override def partitionSpec(): PartitionSpec = cachedPartitionSpec
+
+  /** The manifest is immutable for the life of the frame (a new view
+    * resolves a new manifest) — nothing to refresh. */
+  override def refresh(): Unit = ()
+}
+
+object GraftCommitFileIndex {
+
+  /** DataFrame over an explicit committed-file manifest. Returns None
+    * for formats without a V1 FileFormat here (caller falls back to
+    * the reader path) — the committed-table formats are orc/parquet.
+    * Schema comes from ONE footer (the manifest's files share a
+    * schema by the commit protocol's contract; schema-evolving reads
+    * go through the mergeSchema reader path instead). */
+  def frame(spark: SparkSession, basePath: String, files: Seq[FileStatus],
+            format: String,
+            options: Map[String, String] = Map.empty): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    val fmt: FileFormat = format match {
+      case "orc" => new orc.OrcFileFormat
+      case "parquet" => new parquet.ParquetFileFormat
+      case _ => return None
+    }
+    val dataSchema = fmt.inferSchema(spark, options, files.take(1))
+      .getOrElse(return None)
+    val index = new GraftCommitFileIndex(spark, new Path(basePath), files)
+    val rel = HadoopFsRelation(index, index.partitionSpec().partitionColumns,
+      dataSchema, None, fmt, options)(spark)
+    Some(classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], LogicalRelation(rel)))
+  }
+}
