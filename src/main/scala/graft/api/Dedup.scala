@@ -2137,11 +2137,30 @@ object Dedup {
     * constant across every edge and the min node's own label (≤ itself,
     * ≥ component min) forces the constant to be the component min.
     *
-    * Scale hygiene: the edge set is materialized once via
-    * localCheckpoint; each iteration checkpoints its labels (bounded
-    * lineage), releases the superseded iteration's blocks, and reads
-    * convergence off the SAME materialization (no second propagation
-    * job). Fails loudly if convergence exceeds maxIter. */
+    * Scale hygiene and per-round shape (re-derived from the r14
+    * stage-timing A/B at 10M chain nodes — `graft.tools.ProbeCC`):
+    *  - the edge set is materialized once via localCheckpoint,
+    *    SYMMETRIZED, SELF-LOOPED, and PRE-PARTITIONED on the per-round
+    *    join key (localCheckpoint preserves the physical partitioning,
+    *    so the edge rows shuffle once for the whole run, not once per
+    *    round). The self-loops fold each node's own label into the
+    *    neighborhood-min aggregation, so a round's propagate step is
+    *    ONE keyed join + ONE keyed agg — the pre-r14 shape paid an
+    *    extra node-keyed left join (two more 10M-row exchanges per
+    *    round) to merge own labels back in;
+    *  - each round chases the label pointer TWICE (label :=
+    *    label(label), twice): reach grows ×4 per round instead of ×2,
+    *    so a diameter-D component converges in ~log₄(D) rounds; a
+    *    chase is one cheap self-join on the materialized labels
+    *    (~1.3 s at 10M nodes) while a full round is 4-6 s — halving
+    *    the round count for two extra chases wins ~40%;
+    *  - convergence reads off the label SUM (exact decimal, one scan
+    *    of the round's own materialization): labels are member ids,
+    *    per-node monotonically non-increasing, so the sum strictly
+    *    decreases until the fixpoint and equality IS convergence — no
+    *    old-label column, no convergence join;
+    *  - superseded rounds release their blocks.
+    * Fails loudly if convergence exceeds maxIter. */
   def keepOne(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // The checkpointed RDD behind a localCheckpoint()'d frame, read off
@@ -2153,42 +2172,55 @@ object Dedup {
       df.queryExecution.analyzed.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
-    val edges = PlanAudit.checkpoint(pairs.select(col("doc_a"), col("doc_b"))
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    def release(id: Option[Int]): Unit = id.foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+    val sym = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = PlanAudit.checkpoint(sym
+      .union(sym.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
+      .repartition(col("doc_b")))
     var prevId: Option[Int] = None
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
+    // decimal(38,0) exact sum: strictly decreasing until fixpoint (ids
+    // can be any long; 1e10 rows × 9e18 ids still fits 38 digits)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
+      // neighborhood min over the self-looped edges: the self-loop row
+      // carries the node's own label into the same aggregation,
+      // partially aggregated map-side before the exchange
+      val stepped = PlanAudit.checkpoint(edges
         .join(labels, edges("doc_b") === labels("node"))
-        .select(col("doc_a").as("node"), col("label"))
-      val propagated = labels.select(col("node"), col("label"))
-        .union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
-      // pointer doubling: chase one label hop (label := min(label,
-      // label(label))) — the left join is keyed on the label (a member
-      // id, so at most one match); coalesce keeps already-minimal
-      // labels whose target row carries no smaller value. As labels
+        .groupBy(col("doc_a").as("node")).agg(min("label").as("label")))
+      // pointer doubling, chased twice: label := min(label,
+      // label(label)) — the join is keyed on the label (a member id
+      // whose row always exists, so exactly one match). As labels
       // converge this key distribution degenerates toward the
       // component minima (a giant component funnels its rows onto one
       // key) — deliberately un-hinted so AQE's skew-join split (on by
       // default) re-splits those partitions; the per-key match side is
       // a single row, the duplicable case the splitter handles.
-      val byNode = propagated
-        .select(col("node").as("pnode"), col("label").as("plabel"))
-      val chased = propagated
-        .join(byNode, propagated("label") === byNode("pnode"), "left")
-        .select(propagated("node"),
-          least(propagated("label"),
-            coalesce(col("plabel"), propagated("label"))).as("label"))
-      val next = PlanAudit.checkpoint(chased
-        .join(labels.withColumnRenamed("label", "old"), "node"))
-      converged = next.filter(col("label") =!= col("old")).isEmpty
-      prevId.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      def chase(df: DataFrame): DataFrame = {
+        val byNode = df.select(col("node").as("pnode"), col("label").as("plabel"))
+        PlanAudit.checkpoint(df
+          .join(byNode, df("label") === byNode("pnode"))
+          .select(df("node"), least(df("label"), col("plabel")).as("label")))
+      }
+      val chased1 = chase(stepped)
+      release(ownRddId(stepped))
+      val next = chase(chased1)
+      release(ownRddId(chased1))
+      val s = labelSum(next)
+      converged = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      release(prevId)
       prevId = ownRddId(next)
-      labels = next.select("node", "label")
+      labels = next
       iter += 1
     }
     // the edge materialization only feeds the loop — release it; the
