@@ -380,7 +380,20 @@ object ScaleSmoke {
         }
         val expCt = batchRows - batchR.count(r =>
           carr(r.gid).exists(c => containment(r, c) >= 0.8))
-        assertCount("containment_survivors", containSurv, expCt, expCt)
+        // threshold-boundary rows (ADVICE r13): id%210==0 plants
+        // truncated+marker+replay rows whose best containment is
+        // EXACTLY 4/5 = 0.8 — dropped under the >= contract, but a
+        // benign operator reformulation of the comparison (e.g.
+        // inter >= threshold*n in floats) could flip them to
+        // survivors; widen the upper bound by their count instead of
+        // demanding bit-equality of two double divisions
+        val nBoundary = batchR.count { r =>
+          val best = carr(r.gid).foldLeft(0.0)((m, c) =>
+            math.max(m, containment(r, c)))
+          math.abs(best - 0.8) < 1e-9
+        }
+        assertCount("containment_survivors", containSurv,
+          expCt, expCt + nBoundary)
 
         // 6. semantic dedup over an embedding slice (cells ~√slice —
         // the function's own 100 TB sizing note): keep-lowest-id over
@@ -474,17 +487,32 @@ object ScaleSmoke {
         val per = math.max(1000000L, rows / 50)
         val nBatches = 5
         var committed = 0L
+        // Per-phase attribution (VERDICT r13 #2): the r13 soak bundled
+        // commits + compaction + replay + two full-view counts + vacuum
+        // into ONE 370 s number, leaving the commit protocol's actual
+        // write amplification invisible. Each phase now times
+        // separately; soak_committed_rows_per_sec is the committed-path
+        // rate directly comparable to the raw bucketed write probe.
+        var commitSec = 0.0
+        def phase[A](buf: Double => Unit)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val r = body
+          buf((System.nanoTime() - t0) / 1e9)
+          r
+        }
         (0 until nBatches).foreach { i =>
           val raw = spark.range(i * per, (i + 1) * per, 1, cfg.parallelism)
             .select(col("id").as("value"), spark_partition_id().as("__pid"))
-          committed += graft.ingest.Ingest.commitBatch(cfg, soakPath, raw, i)
-          if (i == 2) {
+          committed += phase(s => commitSec += s) {
+            graft.ingest.Ingest.commitBatch(cfg, soakPath, raw, i)
+          }
+          if (i == 2) phase(s => times += "soak_compact_sec" -> s) {
             // mid-run compaction: later commits land AFTER a rewrite
             val c = graft.ingest.Compact.compact(spark, soakPath)
             require(c.exists(_.rows == 3 * per),
               s"soak compaction rewrote ${c.map(_.rows)} rows, expected ${3 * per}")
           }
-          if (i == 3) {
+          if (i == 3) phase(s => times += "soak_replay_sec" -> s) {
             // replay an already-committed batch: marker makes it a no-op
             val replay = spark.range(per, 2 * per, 1, cfg.parallelism)
               .select(col("id").as("value"), spark_partition_id().as("__pid"))
@@ -492,21 +520,34 @@ object ScaleSmoke {
             require(n == 0L, s"replayed batch committed $n rows, expected 0")
           }
         }
+        times += "soak_commit_sec" -> commitSec
+        times += "soak_committed_rows_per_sec" ->
+          (committed / math.max(commitSec, 1e-9))
         require(committed == nBatches * per,
           s"soak committed $committed rows, expected ${nBatches * per}")
         // row-count accounting: a replay that published twice inflates
         // it, a lost publish deflates it (the view projects the event
         // schema — pool-based columns, so counts ARE the accounting)
-        val viewRows = graft.core.Tables.committedView(spark, soakPath).count()
-        require(viewRows == committed,
-          s"soak committedView: $viewRows rows, expected $committed " +
-            "(duplicate or lost rows)")
-        graft.ingest.Compact.vacuum(spark, soakPath)
-        val afterVacuum = graft.core.Tables.committedView(spark, soakPath).count()
-        require(afterVacuum == committed,
-          s"soak after vacuum: $afterVacuum rows, expected $committed")
+        phase(s => times += "soak_verify_sec" -> s) {
+          val viewRows = graft.core.Tables.committedView(spark, soakPath).count()
+          require(viewRows == committed,
+            s"soak committedView: $viewRows rows, expected $committed " +
+              "(duplicate or lost rows)")
+        }
+        phase(s => times += "soak_vacuum_sec" -> s) {
+          graft.ingest.Compact.vacuum(spark, soakPath)
+        }
+        phase(s => times += "soak_verify2_sec" -> s) {
+          val afterVacuum =
+            graft.core.Tables.committedView(spark, soakPath).count()
+          require(afterVacuum == committed,
+            s"soak after vacuum: $afterVacuum rows, expected $committed")
+        }
         record("soak_committed_rows", committed)
       }
+
+      // 9. cross-process race soak (VERDICT r13 #4)
+      raceSoak(spark, times, p)
 
       times.toSeq
     } finally {
@@ -516,15 +557,129 @@ object ScaleSmoke {
     }
   }
 
+  /** Cross-process race soak (VERDICT r13 #4): the commit protocol
+    * and the seen-filter CAS were spec-proven against a SIMULATED
+    * racer inside one JVM; this stage forks a REAL second JVM
+    * (graft.tools.RaceChild) and races it on the same paths.
+    *  (a) concurrent staged-publish commits, disjoint batch ids —
+    *      exact row accounting across both processes, plus a
+    *      CROSS-PROCESS replay (parent replays the child's batch:
+    *      the marker must make it a 0-row no-op);
+    *  (b) a deterministic conflicting append pair on the seen
+    *      filter — the child stages on a stale version while the
+    *      parent commits in between; exactly the child must fail
+    *      LOUDLY (IllegalStateException), and its documented retry
+    *      must land every id (no false negatives after the race). */
+  private def raceSoak(spark: SparkSession,
+                       times: scala.collection.mutable.ArrayBuffer[(String, Double)],
+                       p: String => String): Unit = {
+    def record(name: String, actual: Long): Unit = times += name -> actual.toDouble
+    timed(times, "race_soak") {
+        import java.nio.file.{Files, Paths}
+        val raceTable = p("racetbl")
+        val raceFilter = p("racefilter")
+        val rv = p("racerv")
+        Files.createDirectories(Paths.get(rv))
+        val perB = 200000L
+        val nB = 3
+        // (a) concurrent commits
+        val commitOut = new java.io.File(s"$rv/commit.out")
+        val commitChild = graft.tools.RaceChild.spawn(
+          Seq("race-commit", raceTable, "100", nB.toString, perB.toString),
+          commitOut)
+        val cfg = graft.ingest.IngestConfig(
+          outputPath = Some(raceTable), parallelism = 4)
+        var parentRows = 0L
+        (0 until nB).foreach { i =>
+          val raw = spark.range(i * perB, (i + 1) * perB, 1, cfg.parallelism)
+            .select(col("id").as("value"), spark_partition_id().as("__pid"))
+          parentRows += graft.ingest.Ingest.commitBatch(cfg, raceTable, raw, i)
+        }
+        require(commitChild.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+          && commitChild.exitValue() == 0,
+          s"race-commit child failed (exit ${commitChild.exitValue()}):\n" +
+            new String(Files.readAllBytes(commitOut.toPath), "UTF-8").takeRight(3000))
+        val childOut = new String(Files.readAllBytes(commitOut.toPath), "UTF-8")
+        require(childOut.contains(s"CHILD_COMMITTED=${nB * perB}"),
+          s"race-commit child under-committed: $childOut")
+        require(parentRows == nB * perB,
+          s"race parent committed $parentRows, expected ${nB * perB}")
+        val raceView =
+          graft.core.Tables.committedView(spark, raceTable).count()
+        require(raceView == 2L * nB * perB,
+          s"race table has $raceView rows, expected ${2L * nB * perB} " +
+            "(a cross-process commit was lost or duplicated)")
+        // cross-process replay: the parent replays the CHILD's batch —
+        // the marker the other process wrote must make it a no-op
+        val replayRaw = spark.range(100L * perB, 101L * perB, 1, cfg.parallelism)
+          .select(col("id").as("value"), spark_partition_id().as("__pid"))
+        val replayed =
+          graft.ingest.Ingest.commitBatch(cfg, raceTable, replayRaw, 100L)
+        require(replayed == 0L,
+          s"cross-process replay committed $replayed rows, expected 0")
+        record("race_committed_rows", raceView)
+
+        // (b) the deterministic conflicting append pair
+        val idsPer = 50000L
+        locally {
+          import spark.implicits._
+          graft.api.Dedup.buildSeenFilter(
+            (0L until idsPer).toDF("doc_id"), "doc_id", raceFilter)
+        }
+        val appendOut = new java.io.File(s"$rv/append.out")
+        val appendChild = graft.tools.RaceChild.spawn(
+          Seq("race-append", raceFilter, rv,
+            (2 * idsPer).toString, idsPer.toString), appendOut)
+        // wait for the child's stale read, then move the pointer
+        val deadline = System.currentTimeMillis() + 120000
+        while (!Files.exists(Paths.get(rv, "child_read")) &&
+               System.currentTimeMillis() < deadline) Thread.sleep(100)
+        require(Files.exists(Paths.get(rv, "child_read")),
+          "race-append child never read the filter state")
+        locally {
+          import spark.implicits._
+          graft.api.Dedup.buildOrAppendSeenFilter(
+            (idsPer until 2 * idsPer).toDF("doc_id"), "doc_id", raceFilter)
+        }
+        Files.createFile(Paths.get(rv, "go"))
+        require(appendChild.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+          && appendChild.exitValue() == 0,
+          s"race-append child failed (exit ${appendChild.exitValue()}):\n" +
+            new String(Files.readAllBytes(appendOut.toPath), "UTF-8").takeRight(3000))
+        val appendLog = new String(Files.readAllBytes(appendOut.toPath), "UTF-8")
+        require(appendLog.contains("CONFLICT_LOUD") &&
+          !appendLog.contains("CONFLICT_SILENT_WIN") &&
+          appendLog.contains("RETRY_OK"),
+          s"race-append child protocol violation: $appendLog")
+        // no lost ids across the race: every id either side appended
+        // must flag (the no-false-negatives contract)
+        import spark.implicits._
+        val allIds = (0L until 3 * idsPer).toDF("doc_id")
+        val flagged = graft.api.Dedup
+          .markSeen(spark, allIds, "doc_id", raceFilter)
+          .filter(col("probably_seen")).count()
+        require(flagged == 3 * idsPer,
+          s"race lost ids: $flagged of ${3 * idsPer} flagged after the race")
+        record("race_conflict_loud", 1L)
+    }
+  }
+
   /** Standalone entry for local iteration:
     * runMain graft.ScaleSmoke [rows] */
   def main(args: Array[String]): Unit = {
-    val rows = args.headOption.map(_.toLong).getOrElse(50000000L)
     val spark = graft.core.Sessions.local("graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val times = run(spark, rows)
-    println(f"[smoke] TOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s (rows=$rows)")
+    val times =
+      if (args.headOption.contains("race-only")) {
+        // quick loop for the cross-process stage alone
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val root = java.nio.file.Files.createTempDirectory("graft-race-only")
+        try { raceSoak(spark, buf, n => s"$root/$n"); buf.toSeq }
+        finally IngestProbes.rmrfQuiet(root.toFile)
+      } else run(spark, args.headOption.map(_.toLong).getOrElse(50000000L))
+    times.foreach { case (k, v) => println(f"[smoke] $k%-28s $v%12.2f") }
+    println(f"[smoke] TOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s (${args.mkString(" ")})")
     spark.stop()
   }
 }
