@@ -234,6 +234,52 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
 
+    // AMBIENT load estimator (VERDICT r13 #1): the 1-min loadavg right
+    // after a timed query mostly measures the suite's OWN just-finished
+    // work, so a fixed load1 gate rejects windows that are genuinely
+    // quiet — r13's best window (1.04× baseline) missed the 4.0 gate at
+    // load1 5.88 on a box whose EXTERNAL load was near zero. A daemon
+    // thread samples this process's CPU usage every 2 s and folds it
+    // into an EWMA with the same 60 s time constant the kernel's 1-min
+    // loadavg uses; ambient = max(0, load1 − ownEwma) estimates the
+    // load OTHER processes put on the box — the thing that actually
+    // contends with a probe. Gates run on ambient; raw load1 is still
+    // recorded per window (stream_load1_windows keeps its semantics,
+    // stream_ambient_windows carries the gate's input).
+    val ownLoadEwma = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToLongBits(0.0))
+    locally {
+      val t = new Thread(() => {
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        var last = System.nanoTime()
+        while (true) {
+          Thread.sleep(2000)
+          val now = System.nanoTime()
+          val dt = (now - last) / 1e9
+          last = now
+          val own = os match {
+            case b: com.sun.management.OperatingSystemMXBean =>
+              val f = b.getProcessCpuLoad
+              if (f >= 0) f * cpus.toInt else -1.0
+            case _ => -1.0
+          }
+          if (own >= 0) {
+            val prev = java.lang.Double.longBitsToDouble(ownLoadEwma.get)
+            val next = prev + (own - prev) * (1 - math.exp(-dt / 60.0))
+            ownLoadEwma.set(java.lang.Double.doubleToLongBits(next))
+          }
+        }
+      }, "graft-ambient-load")
+      t.setDaemon(true)
+      t.start()
+    }
+    def ownLoadNow(): Double =
+      java.lang.Double.longBitsToDouble(ownLoadEwma.get)
+    def ambientNow(): Double = {
+      val l = load1Now()
+      if (l < 0) l else math.max(0.0, l - ownLoadNow())
+    }
+
     // Warmup the write path (codegen, ORC writer classes, shuffle
     // machinery) with a small throwaway run, then take the first probe
     // window while the machine is at its quietest.
@@ -267,7 +313,6 @@ object Bench {
     // windows that reproduced 1.7M+ all sat under load1 5).
     val streamLoadGate = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOAD_GATE",
       math.max(2, cpus.toInt / 8).toString).toDouble
-    var streamSkipped = 0
     // Bounded wait-for-quiet (VERDICT r10 #1c): before the probe
     // windows that decide the record, poll load1 until one window
     // clears the gate or the budget runs out — a 10-minute wait that
@@ -278,11 +323,11 @@ object Bench {
     val quietWaits = scala.collection.mutable.ArrayBuffer.empty[Double]
     def waitForQuiet(budgetMs: Long): Double = {
       val t0 = System.currentTimeMillis()
-      var l = load1Now()
+      var l = ambientNow()
       while (l >= 0 && l > streamLoadGate &&
              System.currentTimeMillis() - t0 < budgetMs) {
         Thread.sleep(15000)
-        l = load1Now()
+        l = ambientNow()
       }
       quietWaits += (System.currentTimeMillis() - t0) / 1000.0
       l
@@ -298,14 +343,24 @@ object Bench {
     var streamBestAbs: (Long, Long) = (-1L, -1L)
     var streamBestAbsLoad1 = -1.0
     var streamZeroRetries = 0
-    // per-rep load1, recorded for EVERY stream rep — the contamination
-    // audit the batch windows already have (the r9 post-mortem hinged
-    // on exactly this signal for the reps it lacked)
+    // stall retries tracked SEPARATELY from zero-commit retries
+    // (ADVICE r13): r10-r12 telemetry counted only zero-commit events
+    // under stream_zero_committed_retries — conflating the two would
+    // muddy cross-round comparisons
+    var streamStallRetries = 0
+    // per-rep load1 + ambient, recorded for EVERY stream rep — the
+    // contamination audit the batch windows already have (the r9
+    // post-mortem hinged on exactly this signal for the reps it lacked)
     val streamLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val streamAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var streamGatePassing = 0
+    var streamBestGatedAmbient = -1.0
     def streamWindow(reps: Int): Unit =
       (1 to reps).foreach { _ =>
         val l = load1Now()
+        val amb = ambientNow()
         streamLoads += l
+        streamAmbients += amb
         var r = streamOnce()
         // committed == 0 means the probe never saw a commit land — a
         // 20 s window in which not one commit finished is a measurement
@@ -319,37 +374,40 @@ object Bench {
         // windows all measured 1M+ — the gate then preferred the
         // stall. Retry once, like the zero-commit case.
         if (r._1 > 0 && streamBestAbs._2 > 0 && r._2 * 3 < streamBestAbs._2) {
-          streamZeroRetries += 1
+          streamStallRetries += 1
           val r2 = streamOnce()
           if (r2._2 > r._2) r = r2
         }
         streamSamples += r._2
         if (r._2 > streamBestAbs._2) { streamBestAbs = r; streamBestAbsLoad1 = l }
-        if (l >= 0 && l < streamLoadGate && r._2 > streamBestGated._2) {
-          streamBestGated = r; streamBestGatedLoad1 = l
+        if (amb >= 0 && amb < streamLoadGate) {
+          streamGatePassing += 1
+          if (r._2 > streamBestGated._2) {
+            streamBestGated = r; streamBestGatedLoad1 = l
+            streamBestGatedAmbient = amb
+          }
         }
       }
-    def streamWindowGated(reps: Int): Unit = {
-      var l = load1Now()
-      if (l >= 0 && l > streamLoadGate) {
-        // right after a timed query the 1-min loadavg mostly measures
-        // the suite's OWN just-finished work — give it one decay
-        // interval before deciding; a genuinely slammed box stays
-        // above the gate
-        Thread.sleep(20000)
-        l = load1Now()
-      }
-      if (l >= 0 && l > streamLoadGate) streamSkipped += reps
-      else streamWindow(reps)
-    }
+    // Target count of gate-passing stream windows for the session
+    // (VERDICT r13 #1): the record needs either a ≥1.5M gated headline
+    // or ≥8 sub-gate windows proving the ceiling is the engine's.
+    val streamGateTarget =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_GATE_TARGET", "8").toInt
     // Pre-suite record window: wait (bounded) for the box to clear the
     // gate, THEN warm the stream path, THEN take the timed reps — the
     // quiet stretch covers warmup and reps together. Warmup is 15 s,
     // not 5: steady state needs several commits, and a cold first rep
-    // is exactly how r8 under-recorded the streaming headline.
+    // is exactly how r8 under-recorded the streaming headline. The
+    // window extends adaptively while the box stays ambient-quiet and
+    // the session still lacks gate-passing reps.
     waitForQuiet(waitQuietMs)
     streamOnce(timeoutMs = 15000)
     streamWindow(streamReps)
+    var preExtra = 0
+    while (streamGatePassing < 3 && preExtra < 2 &&
+           { val a = ambientNow(); a >= 0 && a < streamLoadGate }) {
+      streamWindow(1); preExtra += 1
+    }
     // batch probes follow the stream window (same pre-query quiet
     // stretch, ~1 min later)
     batchWindow(probeReps)
@@ -359,6 +417,22 @@ object Bench {
       "q47_cosine_topk", "q37_tumbling_window")
       .foreach(q => try materialize(q) catch { case _: Throwable => () })
     dropCaches()
+
+    // Fixture warm pass (VERDICT r13 #3): build every per-JVM fixture
+    // index BEFORE the timed loop by materializing the queries that
+    // own a first-touch build, so no timed number ever charges the
+    // fixture factory — q163 recorded 1.4 s for two rounds while its
+    // steady state was 0.69 s. Build times land in the JSON as
+    // fixture_build_sec (total) via Pipeline's build log; the timed
+    // loop asserts zero NEW fixture keys afterwards.
+    Seq("q123_dsir_weights", "q163_semantic_decontaminate_indexed",
+      "q164_streaming_neardup_suppress", "q174_index_integrity",
+      "q171_semantic_suppress_explain", "q165_merge_neardup_indexes",
+      "q176_merge_ivf_indexes")
+      .filter(SparkEntry.queries.contains)
+      .foreach(q => try materialize(q) catch { case _: Throwable => () })
+    dropCaches()
+    val fixtureKeysWarm = graft.queries.Pipeline.fixtureCacheKeys
 
     val sortedNames = SparkEntry.queries.keys.toSeq.sorted
     // Failure visibility (VERDICT r7 #3): a query that throws records
@@ -383,17 +457,23 @@ object Bench {
       try materialize(sortedNames.head) catch { case _: Throwable => () }
       dropCaches()
     }
-    val quarter = math.max(1, sortedNames.length / 4)
+    val half = math.max(1, sortedNames.length / 2)
+    // Opportunistic mid-suite stream windows (VERDICT r13 #1): instead
+    // of three fixed slots that mostly landed on loaded stretches, the
+    // suite POLLS ambient load at every query boundary and takes a rep
+    // whenever the box is actually quiet, the session still lacks its
+    // target of gate-passing windows, and the last rep was ≥45 s ago
+    // (spacing keeps the added wall-clock bounded; ambient gating makes
+    // the probe's own prior burst invisible to the decision).
+    var lastStreamNs = System.nanoTime()
     val firstPass = sortedNames.zipWithIndex.map { case (name, i) =>
-      // Probe windows spread across the suite (r5 #1, r9 #3): the
-      // mid-suite window keeps batch+stream; two extra STREAM windows
-      // at the quarter marks maximize the odds that at least one
-      // stream rep lands on a quiet stretch (the r9 record's one
-      // weakness). All mid-suite stream reps are load-gated.
-      if (i == quarter || i == 3 * quarter) {
-        streamWindowGated(1); settle()
-      } else if (i == 2 * quarter) {
-        batchWindow(1); streamWindowGated(1); settle()
+      if (i == half) { batchWindow(1); settle() }
+      val sinceLast = (System.nanoTime() - lastStreamNs) / 1e9
+      if (streamGatePassing < streamGateTarget && sinceLast >= 45.0 &&
+          { val a = ambientNow(); a >= 0 && a < streamLoadGate }) {
+        streamWindow(1)
+        lastStreamNs = System.nanoTime()
+        settle()
       }
       (name, timeOne(name), load1Now())
     }
@@ -414,17 +494,27 @@ object Bench {
     if (queryErrors.nonEmpty)
       System.err.println(s"[bench] ${queryErrors.size} queries FAILED: ${queryErrors.mkString(", ")}")
 
+    // Fixture-clean attribution assert (VERDICT r13 #3): the timed
+    // loop must not have built any fixture the warm pass missed — a
+    // non-zero count here means some recorded time still charges a
+    // fixture build.
+    val fixtureKeysAfter = graft.queries.Pipeline.fixtureCacheKeys
+    val fixtureBuildsDuringTimed = (fixtureKeysAfter -- fixtureKeysWarm).size
+    if (fixtureBuildsDuringTimed > 0)
+      System.err.println(s"[bench] WARNING: $fixtureBuildsDuringTimed fixture" +
+        s" build(s) during the timed pass: ${(fixtureKeysAfter -- fixtureKeysWarm).mkString(", ")}")
+
     // Post-suite window: the load profile an hour into a driver session
     // differs from the first minute — keep whichever window was
-    // quietest. Waits (half budget) for quiet first — the suite's own
-    // load1 tail would otherwise contaminate it — then runs UNGATED
-    // with TWO reps (the second rep of a window is consistently warmer
-    // — commit pipeline at steady state), plus a make-up rep for every
-    // mid-suite stream window the load gate skipped, so the record
-    // always carries its full rep budget.
+    // quietest. Waits (half budget) for ambient-quiet first, then runs
+    // enough reps to top the session up toward its gate-passing target
+    // (min 2 — the second rep of a window is consistently warmer,
+    // commit pipeline at steady state; max 6 bounds the added
+    // wall-clock).
     waitForQuiet(waitQuietMs / 2)
     batchWindow(1)
-    streamWindow(2 + streamSkipped)
+    streamWindow(
+      math.min(6, math.max(2, streamGateTarget - streamGatePassing)))
     // headline ambient-load provenance: captured HERE, right after the
     // last probe window — the multi-minute scale smoke below would
     // otherwise inflate it and make every clean window look contaminated
@@ -476,8 +566,12 @@ object Bench {
     val queryLoads = firstPass.map { case (k, _, l) =>
       "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(l)
     }.mkString("{", ",", "}")
+    val fixtureLog = graft.queries.Pipeline.fixtureBuildLog
+    val fixtureJson =
+      s""","fixture_build_sec":${BenchLine.f2(fixtureLog.map(_._2).sum)},"fixture_builds":${fixtureLog.map { case (k, v) =>
+        "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(v) }.mkString("{", ",", "}")},"fixture_builds_during_timed":$fixtureBuildsDuringTimed"""
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_zero_committed_retries":$streamZeroRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"stream_reps_skipped_on_load":$streamSkipped,"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"query_load1":$queryLoads$scaleSmokeJson"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"query_load1":$queryLoads$fixtureJson$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)

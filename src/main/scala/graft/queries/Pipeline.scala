@@ -166,15 +166,33 @@ object Pipeline {
       new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     /** Absolute path of the cached fixture for (kind, sfDir), building
-      * it on first use. */
+      * it on first use. Build wall-time lands in [[buildLog]] so the
+      * bench can attribute fixture construction separately from query
+      * time (VERDICT r13 #3: q163 recorded 1.4 s for two rounds while
+      * its steady state is 0.69 s — the first-run index build was
+      * billed to whichever query touched the fixture first). */
     def dir(kind: String, d: String)(build: String => Unit): String =
       built.computeIfAbsent(s"$kind|$d", { _ =>
         val base = new java.io.File(System.getProperty("java.io.tmpdir"),
           "graft-fix-" + kind + "-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
         rmTree(base)
+        val t0 = System.nanoTime()
         build(base.getAbsolutePath)
+        buildLog.synchronized {
+          buildLog += kind -> (System.nanoTime() - t0) / 1e9
+        }
         base.getAbsolutePath
       })
+
+    /** (kind, build seconds) of every fixture built in this JVM. */
+    val buildLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    /** Snapshot of the cache keys — lets the bench assert that its
+      * warm pass covered every fixture the timed pass touches. */
+    def keys: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      built.keySet.asScala.toSet
+    }
 
     /** Fresh working copy of a cached fixture for queries that MUTATE
       * the index (the suppress-and-append replays): every run starts
@@ -201,6 +219,14 @@ object Pipeline {
       ()
     }
   }
+
+  /** Bench hooks on the fixture cache (VERDICT r13 #3): snapshot the
+    * built-fixture keys around the timed query pass and read the
+    * per-kind build times, so the recorded numbers measure queries,
+    * never the fixture factory. */
+  private[graft] def fixtureCacheKeys: Set[String] = FixtureCache.keys
+  private[graft] def fixtureBuildLog: Seq[(String, Double)] =
+    FixtureCache.buildLog.synchronized { FixtureCache.buildLog.toSeq }
 
   /** The q123/q125 DSIR importance model, fitted ONCE per (JVM, sf-dir)
     * and PERSISTED (model parquet + one-row default) through
@@ -1845,6 +1871,53 @@ object Pipeline {
         """SELECT doc_a, doc_b, jaccard
           |FROM graft_near_dup_pairs('graft_q200_docs', 0.8)
           |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
+    // Ops-console parity for the profiling family (VERDICT r13 #8):
+    // the one-scan column profile through the graft_column_profile SQL
+    // TVF — identical semantics by construction (the TVF routes
+    // through Profiling.columnProfile); ordered for the oracle.
+    "q202_sql_column_profile" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_q202_docs")
+      s.sql(
+        """SELECT * FROM
+          |graft_column_profile('graft_q202_docs', 'lang,source,n_chars')
+          |ORDER BY `column`""".stripMargin)
+    }),
+
+    // The one-scan constraint suite through graft_run_checks: six rule
+    // kinds incl. a referential check against customer — the suite an
+    // ops console actually schedules, from one SELECT.
+    "q203_sql_run_checks" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_q203_orders")
+      Tables.customer(s, d).createOrReplaceTempView("graft_q203_customer")
+      s.sql(
+        """SELECT * FROM graft_run_checks('graft_q203_orders',
+          |  'not_null:o_custkey;unique:o_orderkey;in_set:o_orderstatus:O|F|P;in_range:o_totalprice:0:1000000;row_count_between:1:100000000;referenced_in:o_custkey:graft_q203_customer:c_custkey')
+          |ORDER BY `check`, target""".stripMargin)
+    }),
+
+    // Commit history from one SELECT (the q101 contract on the ops
+    // console): 3 staged-publish commits + a compaction through the
+    // engine's own protocol, then the graft_commit_log TVF over the
+    // DSv2 commit-marker source — kind/live resolution per marker.
+    // Deterministic projection only (mtime_ms excluded); the live
+    // resolution is CLOSED-FORM: the compaction supersedes all three
+    // commit tokens, so exactly the c-token is live.
+    "q204_sql_commit_log" -> ((s, d) => {
+      import graft.ingest.{Compact, Ingest, IngestConfig}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-clogsql-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(dir)
+      val path = dir.getAbsolutePath
+      val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
+      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+      Compact.compact(s, path)
+      s.sql(
+        s"""SELECT kind, count(*) AS n_markers,
+           |       sum(CASE WHEN live THEN 1 ELSE 0 END) AS n_live
+           |FROM graft_commit_log('$path')
+           |GROUP BY kind ORDER BY kind""".stripMargin)
     }),
 
     // Stream-STATIC join against committedView — the one SURVEY join
@@ -3933,6 +4006,61 @@ object Pipeline {
     "q44_near_dup_pairs" -> shingleCte,
     "q45_minhash_lsh" -> shingleCte,
     "q200_sql_near_dup_pairs" -> shingleCte,
+    "q202_sql_column_profile" -> Seq("lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+    "q203_sql_run_checks" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT o_orderkey) AS dk,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL
+        |             AND o_orderstatus NOT IN ('O','F','P')
+        |        THEN 1 ELSE 0 END) AS setv,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |             AND (o_totalprice < 0 OR o_totalprice > 1000000)
+        |        THEN 1 ELSE 0 END) AS rngv
+        |  FROM orders
+        |), orph AS (
+        |  SELECT count(DISTINCT o.o_custkey) AS k FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL
+        |    AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                            WHERE c_custkey IS NOT NULL)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'in_range' AS "check", 'o_totalprice' AS target,
+        |         round(CAST(rngv AS DOUBLE), 6) AS observed, rngv = 0 AS passed
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus',
+        |         round(CAST(setv AS DOUBLE), 6), setv = 0 FROM s
+        |  UNION ALL
+        |  SELECT 'not_null', 'o_custkey',
+        |         round(CAST(nn AS DOUBLE) / n, 6),
+        |         CAST(nn AS DOUBLE) / n >= 1.0 FROM s
+        |  UNION ALL
+        |  SELECT 'referenced_in', 'o_custkey',
+        |         round(CAST(k AS DOUBLE), 6), k = 0 FROM orph
+        |  UNION ALL
+        |  SELECT 'row_count', '*',
+        |         round(CAST(n AS DOUBLE), 6),
+        |         n BETWEEN 1 AND 100000000 FROM s
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |         round(CAST(n - dk AS DOUBLE), 6), n - dk = 0 FROM s
+        |) ORDER BY "check", target""".stripMargin,
+    "q204_sql_commit_log" ->
+      """SELECT * FROM (
+        |  SELECT 'commit' AS kind, CAST(3 AS BIGINT) AS n_markers,
+        |         CAST(0 AS BIGINT) AS n_live
+        |  UNION ALL
+        |  SELECT 'compaction', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |) ORDER BY kind""".stripMargin,
     "q128_neardup_index" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
