@@ -95,7 +95,10 @@ object Explain {
     "q197_sql_label_propagation", // LPA via TVF + size join, keyed per iter (r13)
     "q198_sql_connected_components", // pointer-doubled CC via TVF + size window (r12)
     "q199_sql_containment_filter", // index-only filter via TVF, zero corpus re-read (r13)
-    "q200_sql_near_dup_pairs") // PPJoin pair join via TVF, posting-keyed (r13)
+    "q200_sql_near_dup_pairs", // PPJoin pair join via TVF, posting-keyed (r13)
+    "q202_sql_column_profile", // ONE-scan k-column profile via TVF (r14)
+    "q203_sql_run_checks",     // ONE-scan suite + keys-only ref join via TVF (r14)
+    "q204_sql_commit_log")     // marker-source history via TVF, metadata-sized (r14)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

@@ -128,8 +128,15 @@ object GraftSparkExtensions {
     * graft_release_materialized()` unpersists them all. Release only
     * AFTER consuming results: a localCheckpoint'd frame is not
     * recomputable once its blocks are dropped. */
+  // Keyed by SparkContext, NOT SparkSession (ADVICE r13): persisted
+  // RDD blocks live in the context, which cloned sessions
+  // (newSession / streaming micro-batch sessions) share — keying by
+  // session let a register-under-clone / release-under-active pair
+  // miss each other, and a GC'd clone dropped its WeakHashMap entry
+  // while its blocks stayed pinned in the shared context with no
+  // remaining release handle.
   private val tvfPinned =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
       scala.collection.mutable.Set[Int]]()
 
   private def materialized(df: org.apache.spark.sql.DataFrame): LogicalPlan = {
@@ -139,22 +146,23 @@ object GraftSparkExtensions {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }.filter(pinned.contains)
     if (ids.nonEmpty) tvfPinned.synchronized {
-      val set = Option(tvfPinned.get(df.sparkSession)).getOrElse {
+      val set = Option(tvfPinned.get(sc)).getOrElse {
         val s = scala.collection.mutable.Set.empty[Int]
-        tvfPinned.put(df.sparkSession, s); s
+        tvfPinned.put(sc, s); s
       }
       set ++= ids
     }
     df.queryExecution.logical
   }
 
-  /** Unpersist every TVF-pinned checkpoint RDD of `spark` that is
-    * still persisted; returns how many were released. */
+  /** Unpersist every TVF-pinned checkpoint RDD of `spark`'s CONTEXT
+    * that is still persisted; returns how many were released. */
   private[graft] def releaseTvfMaterialized(
       spark: org.apache.spark.sql.SparkSession): Int = {
+    val sc = spark.sparkContext
     val ids = tvfPinned.synchronized {
-      val s = Option(tvfPinned.get(spark)).map(_.toSeq).getOrElse(Seq.empty)
-      Option(tvfPinned.get(spark)).foreach(_.clear())
+      val s = Option(tvfPinned.get(sc)).map(_.toSeq).getOrElse(Seq.empty)
+      Option(tvfPinned.get(sc)).foreach(_.clear())
       s
     }
     ids.count(id => spark.sparkContext.getPersistentRDDs.get(id) match {
@@ -444,6 +452,91 @@ object GraftSparkExtensions {
         spark.table(strLit("graft_near_dup_pairs", "docsTable", args(0))),
         threshold = threshold)
     },
+    // ops-console parity for the profiling family (VERDICT r13 #8):
+    // the same one-scan operators the Scala API runs, reachable from
+    // one SELECT. All dry-run/read-only — nothing mutates.
+    tvf("graft_column_profile",
+      "graft_column_profile(table, cols[, approxDistinct]) - per-column " +
+        "(n_rows, n_nulls, n_distinct, min, max) profile in ONE scan; " +
+        "cols is a comma-separated list; approxDistinct=true rides HLL " +
+        "sketches instead of exact multi-distinct") { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_column_profile expects (table, cols[, approxDistinct]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cols = strLit("graft_column_profile", "cols", args(1))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val approx = args.length > 2 && (args(2) match {
+        case Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"graft_column_profile: approxDistinct must be a boolean literal, got $other")
+      })
+      graft.api.Profiling.columnProfile(
+        spark.table(strLit("graft_column_profile", "table", args(0))),
+        cols, approx)
+    },
+    tvf("graft_run_checks",
+      "graft_run_checks(table, suite) - evaluate a constraint suite in " +
+        "ONE scan; suite is ';'-separated rules: not_null:col[:minRate], " +
+        "unique:c1,c2, in_set:col:v1|v2, in_range:col:lo:hi, " +
+        "row_count_between:lo:hi, referenced_in:col:parentTable:parentKey. " +
+        "Output (check, target, observed, passed)") { args =>
+      require(args.length == 2,
+        s"graft_run_checks expects (table, suite), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val suite = strLit("graft_run_checks", "suite", args(1))
+        .split(';').map(_.trim).filter(_.nonEmpty).toSeq
+      import graft.api.Profiling.Check
+      val checks: Seq[Check] = suite.map { r =>
+        r.split(':').map(_.trim).toList match {
+          case "not_null" :: c :: Nil => Check.NotNull(c)
+          case "not_null" :: c :: rate :: Nil => Check.NotNull(c, rate.toDouble)
+          case "unique" :: cs :: Nil =>
+            Check.Unique(cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          case "in_set" :: c :: vs :: Nil =>
+            Check.InSet(c, vs.split('|').toSeq)
+          case "in_range" :: c :: lo :: hi :: Nil =>
+            Check.InRange(c, lo.toDouble, hi.toDouble)
+          case "row_count_between" :: lo :: hi :: Nil =>
+            Check.RowCountBetween(lo.toLong, hi.toLong)
+          case "referenced_in" :: c :: parent :: key :: Nil =>
+            Check.ReferencedIn(c, spark.table(parent), key)
+          case other => throw new IllegalArgumentException(
+            s"graft_run_checks: unparseable rule '$r' " +
+              "(grammar: not_null:col[:minRate]; unique:c1,c2; " +
+              "in_set:col:v1|v2; in_range:col:lo:hi; " +
+              "row_count_between:lo:hi; referenced_in:col:parentTable:key)")
+        }
+      }
+      graft.api.Profiling.runChecks(
+        spark.table(strLit("graft_run_checks", "table", args(0))), checks)
+    },
+    // the commit protocol's history from one SELECT: rides the DSv2
+    // commit-marker source (format "graft-commits"), enriched with the
+    // marker kind and the LIVE resolution (a compaction supersedes its
+    // input tokens) — so the release registry, integrity checks, and
+    // commit history are all SELECT-reachable
+    tvf("graft_commit_log",
+      "graft_commit_log(tablePath) - commit history of a staged-publish " +
+        "ingest table: one row per marker (token, mtime_ms, kind " +
+        "commit|compaction, live); live=false means a compaction " +
+        "superseded the token (its files are vacuum candidates)") { args =>
+      require(args.length == 1,
+        s"graft_commit_log expects (tablePath), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = strLit("graft_commit_log", "tablePath", args(0))
+      import org.apache.spark.sql.functions._
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = graft.core.Tables.liveTokens(fs, root).toSeq
+      val markers = spark.read.format("graft-commits").load(s"$path/_commits")
+      // live is commit-count-sized metadata (bytes per commit) — an
+      // in-plan literal set, never a data-sized structure
+      markers.select(col("token"), col("mtime_ms"),
+        when(col("token").rlike("^c\\d+$"), lit("compaction"))
+          .otherwise(lit("commit")).as("kind"),
+        (if (live.isEmpty) lit(false) else col("token").isin(live: _*))
+          .as("live"))
+    },
     // the SQL caller's end of the releaseMaterialized contract: the
     // operator-backed TVFs above execute eagerly and localCheckpoint
     // their results (resolution IS execution — EXPLAIN over them runs
@@ -453,7 +546,12 @@ object GraftSparkExtensions {
       "graft_release_materialized() - unpersist every checkpoint RDD " +
         "pinned by this session's earlier operator-backed TVF calls " +
         "(suppress-explain / containment / pair-join / graph family); " +
-        "returns (released_rdds). Call AFTER consuming those results - " +
+        "returns (released_rdds). Call AFTER consuming those results, " +
+        "and ONLY as its own standalone statement: like every " +
+        "materializing graft TVF it runs at RESOLUTION time, so " +
+        "EXPLAINing it, defining a view over it, or composing it in " +
+        "the same SELECT as another graft TVF releases that TVF's " +
+        "non-recomputable blocks before execution reads them - " +
         "a released TVF frame cannot be re-read") { args =>
       require(args.isEmpty,
         s"graft_release_materialized expects no arguments, got ${args.length}")

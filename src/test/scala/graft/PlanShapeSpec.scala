@@ -567,4 +567,53 @@ class PlanShapeSpec extends AnyFunSuite {
       graft.api.Dedup.releaseMaterialized(d)
     }(s"SELECT * FROM graft_containment_filter('tvfplan_fresh', '$idx')")
   }
+
+  // --- non-materializing TVF == Scala-twin plan equality (VERDICT r13
+  // #8): the profiling/commit-log TVFs return LAZY plans (no
+  // checkpoint stages to probe), so the pin compares the full physical
+  // plan of the SELECT against the Scala twin's — identical modulo
+  // run-varying ids.
+  test("profiling/commit-log TVF plans are operator-identical to their Scala twins") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    def physical(df: org.apache.spark.sql.DataFrame): String = normalizePlan(
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    def pin(name: String, sql: String,
+            twin: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = physical(spark.sql(sql))
+      val viaApi = physical(twin)
+      assert(viaSql == viaApi,
+        s"$name diverged between TVF and API form:\n--- TVF ---\n" +
+          s"${viaSql.take(2000)}\n--- API ---\n${viaApi.take(2000)}")
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("tvfplan_prof_docs")
+    pin("column_profile",
+      "SELECT * FROM graft_column_profile('tvfplan_prof_docs', 'lang,n_chars')",
+      graft.api.Profiling.columnProfile(
+        spark.table("tvfplan_prof_docs"), Seq("lang", "n_chars")))
+    import graft.api.Profiling.Check
+    pin("run_checks",
+      "SELECT * FROM graft_run_checks('tvfplan_prof_docs', " +
+        "'not_null:lang;unique:doc_id;in_range:n_chars:0:100000')",
+      graft.api.Profiling.runChecks(spark.table("tvfplan_prof_docs"),
+        Seq(Check.NotNull("lang"), Check.Unique(Seq("doc_id")),
+          Check.InRange("n_chars", 0, 100000))))
+    // commit_log: tiny staged-publish fixture through the engine's own
+    // protocol, then TVF vs the explicit marker-source construction
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tvfplan-clog").toString
+    graft.ingest.Ingest.runBatchCommitted(spark,
+      graft.ingest.IngestConfig(outputPath = Some(dir), parallelism = 2,
+        buckets = 2), 200, batches = 2)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.core.Tables.liveTokens(fs, root).toSeq
+    val twinLog = spark.read.format("graft-commits").load(s"$dir/_commits")
+      .select(col("token"), col("mtime_ms"),
+        when(col("token").rlike("^c\\d+$"), lit("compaction"))
+          .otherwise(lit("commit")).as("kind"),
+        col("token").isin(live: _*).as("live"))
+    pin("commit_log", s"SELECT * FROM graft_commit_log('$dir')", twinLog)
+  }
 }
