@@ -510,6 +510,25 @@ object GraftSparkExtensions {
       graft.api.Profiling.runChecks(
         spark.table(strLit("graft_run_checks", "table", args(0))), checks)
     },
+    tvf("graft_redact_pii",
+      "graft_redact_pii(table[, textCol[, types]]) - redact PII in " +
+        "textCol (default 'text') in place with per-type n_<type> " +
+        "match counts; types is a comma-separated subset of " +
+        "email,cc,ssn,ip,phone (default all, applied in that order). " +
+        "Patterns are Java-regex/RE2-dialect-portable by contract") { args =>
+      require(args.length >= 1 && args.length <= 3,
+        s"graft_redact_pii expects (table[, textCol[, types]]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val textCol = if (args.length > 1)
+        strLit("graft_redact_pii", "textCol", args(1)) else "text"
+      val types = if (args.length > 2)
+        strLit("graft_redact_pii", "types", args(2))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      else graft.api.Curation.PiiPatterns.map(_._1)
+      graft.api.Curation.redactPii(
+        spark.table(strLit("graft_redact_pii", "table", args(0))),
+        textCol, types)
+    },
     // the commit protocol's history from one SELECT: rides the DSv2
     // commit-marker source (format "graft-commits"), enriched with the
     // marker kind and the LIVE resolution (a compaction supersedes its

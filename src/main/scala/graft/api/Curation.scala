@@ -299,4 +299,101 @@ object Curation {
       .withColumn("domain", when(isAbs, registeredDomain(col("href")))
         .otherwise(lit(null).cast("string")))
   }
+
+  /** PII patterns for [[redactPii]]/[[piiProfile]], in APPLICATION
+    * ORDER (earlier redactions change later counts — e.g. an email's
+    * digits must not later count as a phone): (type, regex,
+    * replacement token). Every pattern is deliberately in the
+    * Java-regex ∩ RE2 dialect — no lookaround, no backreferences, no
+    * possessive quantifiers — so a SQL oracle (DuckDB, BigQuery,
+    * anything RE2-based) replays the redaction bit-exactly; that
+    * parity is the operator's correctness gate (q205), not an
+    * accident. Recall trade-offs are documented per type, precision
+    * over recall throughout (a redactor that eats prose is worse than
+    * one that misses an exotic format — layer a learned NER pass
+    * downstream if the corpus needs it):
+    *  - email: practical RFC-lite (dot-atoms @ domain with a TLD);
+    *  - cc: 16 digits in 4-groups with separators (spaced/dashed
+    *    card-shaped strings; UNSEPARATED 16-digit runs are left —
+    *    they are usually ids — and no Luhn check: a regex pass is a
+    *    redactor, not a validator);
+    *  - ssn: the 3-2-4 dashed shape;
+    *  - ipv4: dotted quad with per-octet range checks (no bare-int
+    *    hosts);
+    *  - phone: +country-prefixed groups only (unprefixed local
+    *    numbers are indistinguishable from prose digits at regex
+    *    level). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("cc", "\\b[0-9]{4}([ -][0-9]{4}){3}\\b", "<CC>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ip",
+      "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])" +
+        "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b",
+      "<IP>"),
+    ("phone", "\\+[0-9]{1,3}[- ][0-9]{2,4}([- ][0-9]{2,4}){2}",
+      "<PHONE>"))
+
+  /** Redact PII in `textCol` IN PLACE and count what was removed:
+    * for each requested type (default: all of [[PiiPatterns]], in
+    * that order) the row gains `n_<type>` = the number of
+    * non-overlapping matches redacted, and `textCol` is rewritten
+    * with the type's replacement token. Counting happens against the
+    * text AS ALREADY REDACTED by earlier types — the counts sum to
+    * the number of redactions actually made, never double-counting a
+    * span two patterns both cover.
+    *
+    * Scale shape: one staged-regex codegen projection (Spark's
+    * regexp_count/regexp_replace are codegen'd) — no shuffle, no UDF;
+    * at 100 TB this runs at scan speed alongside any other
+    * projection. */
+  def redactPii(df: DataFrame, textCol: String = "text",
+                types: Seq[String] = PiiPatterns.map(_._1)): DataFrame = {
+    val byName = PiiPatterns.map(p => p._1 -> p).toMap
+    val unknown = types.filterNot(byName.contains)
+    require(unknown.isEmpty,
+      s"unknown PII type(s): ${unknown.mkString(", ")} " +
+        s"(have: ${PiiPatterns.map(_._1).mkString(", ")})")
+    // keep PiiPatterns order regardless of argument order — the
+    // sequential count-then-redact semantics depend on it
+    PiiPatterns.filter(p => types.contains(p._1)).foldLeft(df) {
+      case (d, (name, pat, tok)) =>
+        // long counts: SQL engines count matches in 64-bit (DuckDB
+        // len(), BigQuery ARRAY_LENGTH) — keeping the schema
+        // oracle-identical costs nothing
+        d.withColumn(s"n_$name",
+            regexp_count(col(textCol), lit(pat)).cast("long"))
+          .withColumn(textCol, regexp_replace(col(textCol), pat, tok))
+    }
+  }
+
+  /** Corpus-level PII exposure profile: one row per type with the
+    * total redactable match count and the number of documents
+    * affected — the decision table for whether a corpus needs the
+    * redaction pass at all (and the regression gate after it: a
+    * profile of redacted output must be all zeros). ONE scan, one
+    * explode of a types-sized array — the [[Profiling.columnProfile]]
+    * one-pass shape. */
+  def piiProfile(df: DataFrame, textCol: String = "text",
+                 types: Seq[String] = PiiPatterns.map(_._1)): DataFrame = {
+    val redacted = redactPii(df, textCol, types)
+    val ordered = PiiPatterns.map(_._1).filter(types.contains)
+    val aggs = ordered.flatMap { t =>
+      Seq(sum(col(s"n_$t")).as(s"__m_$t"),
+        sum(when(col(s"n_$t") > 0, 1L).otherwise(0L)).as(s"__d_$t"))
+    }
+    val one = redacted.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val rows = ordered.map(t =>
+      struct(lit(t).as("pii_type"),
+        coalesce(col(s"__m_$t"), lit(0L)).as("n_matches"),
+        coalesce(col(s"__d_$t"), lit(0L)).as("n_docs"),
+        col("__rows").as("n_rows")))
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.pii_type").as("pii_type"),
+        col("__r.n_matches").as("n_matches"),
+        col("__r.n_docs").as("n_docs"),
+        col("__r.n_rows").as("n_rows"))
+  }
 }

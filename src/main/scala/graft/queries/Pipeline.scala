@@ -1920,6 +1920,23 @@ object Pipeline {
            |GROUP BY kind ORDER BY kind""".stripMargin)
     }),
 
+    // PII redaction (round 14): the standard pre-training scrub pass —
+    // emails/cards/SSNs/IPs/+phones redacted in one staged-regex
+    // codegen projection with per-type counts. The fixture text
+    // carries no PII, so the query PLANTS it deterministically from
+    // doc_id (the oracle builds the identical augmented text in SQL);
+    // every pattern lives in the Java∩RE2 regex dialect precisely so
+    // the DuckDB oracle replays the redaction bit-exactly — that
+    // parity IS the correctness contract.
+    "q205_pii_redaction" -> ((s, d) =>
+      graft.api.Curation.redactPii(piiAugmented(s, d)).orderBy("doc_id")),
+
+    // Corpus-level PII exposure profile: one row per type with total
+    // matches + affected docs, ONE scan (the columnProfile shape) —
+    // the decision table for whether a corpus needs the scrub pass.
+    "q206_pii_profile" -> ((s, d) =>
+      graft.api.Curation.piiProfile(piiAugmented(s, d)).orderBy("pii_type")),
+
     // Stream-STATIC join against committedView — the one SURVEY join
     // shape previously exercised only in specs (VERDICT r12 #7): a
     // LIVE events stream enriches each event with the committed row
@@ -3998,6 +4015,50 @@ object Pipeline {
          |WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM flagged)
          |ORDER BY doc_id""".stripMargin
 
+  /** q205/q206 fixture: documents slice with DETERMINISTIC planted
+    * PII (doc_id-derived email; fixed-shape phone/IP/SSN/CC on id
+    * strides) — the oracle rebuilds the identical text in SQL. */
+  private def piiAugmented(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          when(col("doc_id") % 40 === 0, lit("+44-20-7946-0958"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 30 === 0, lit("10.1.255.7")).otherwise(lit("")),
+          when(col("doc_id") % 70 === 0, lit("123-45-6789")).otherwise(lit("")),
+          when(col("doc_id") % 50 === 0, lit("4111 1111 1111 1111"))
+            .otherwise(lit(""))).as("text"))
+
+  /** The same planted-PII text in DuckDB SQL, and the sequential
+    * count-then-redact chain — generated FROM Curation.PiiPatterns so
+    * the oracle cannot drift from the operator. */
+  private val piiAugmentedSql: String =
+    """SELECT doc_id, concat_ws(' ', text,
+      |    'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+      |    CASE WHEN doc_id % 40 = 0 THEN '+44-20-7946-0958' ELSE '' END,
+      |    CASE WHEN doc_id % 30 = 0 THEN '10.1.255.7' ELSE '' END,
+      |    CASE WHEN doc_id % 70 = 0 THEN '123-45-6789' ELSE '' END,
+      |    CASE WHEN doc_id % 50 = 0 THEN '4111 1111 1111 1111' ELSE '' END
+      |  ) AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Staged CTEs s0..sN: s<i+1> = s<i> with type i counted then
+    * redacted — the exact sequential semantics of redactPii. */
+  private val piiStagesSql: String = {
+    val pats = graft.api.Curation.PiiPatterns
+    val stages = pats.zipWithIndex.map { case ((name, pat, tok), i) =>
+      val esc = pat.replace("'", "''")
+      s"""s${i + 1} AS (
+         |  SELECT * REPLACE (regexp_replace(text, '$esc', '$tok', 'g') AS text),
+         |         len(regexp_extract_all(text, '$esc')) AS n_$name
+         |  FROM s$i
+         |)""".stripMargin
+    }
+    s"WITH s0 AS (\n$piiAugmentedSql\n), " + stages.mkString(", ")
+  }
+
   val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -4006,6 +4067,21 @@ object Pipeline {
     "q44_near_dup_pairs" -> shingleCte,
     "q45_minhash_lsh" -> shingleCte,
     "q200_sql_near_dup_pairs" -> shingleCte,
+    "q205_pii_redaction" ->
+      (piiStagesSql +
+        s"\nSELECT * FROM s${graft.api.Curation.PiiPatterns.size} ORDER BY doc_id"),
+    "q206_pii_profile" ->
+      (piiStagesSql + s"""
+         |SELECT * FROM (
+         |""".stripMargin +
+        graft.api.Curation.PiiPatterns.map { case (name, _, _) =>
+          s"""  SELECT '$name' AS pii_type,
+             |    CAST(sum(n_$name) AS BIGINT) AS n_matches,
+             |    CAST(sum(CASE WHEN n_$name > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             |    count(*) AS n_rows
+             |  FROM s${graft.api.Curation.PiiPatterns.size}""".stripMargin
+        }.mkString("\n  UNION ALL\n") +
+        "\n) ORDER BY pii_type"),
     "q202_sql_column_profile" -> Seq("lang", "source", "n_chars").map(c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

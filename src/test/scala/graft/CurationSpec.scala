@@ -142,4 +142,50 @@ class CurationSpec extends AnyFunSuite {
       (1L, "HTTP://B.co.uk:8080/y#frag", true, Some("b.co.uk")),
       (2L, "/rel/path", false, None)), s"got ${out.toSeq}")
   }
+
+  test("redactPii: sequential count-then-redact, no double counting, long counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org and card 4111 1111 1111 1111 ok"),
+      (2L, "ssn 123-45-6789 ip 255.255.0.1 call +44-20-7946-0958"),
+      (3L, "no pii here, just 1234 numbers and a dot. end"),
+      (4L, "two mails x@y.io z@w.co and ip 10.1.255.7 10.1.255.8")
+    ).toDF("doc_id", "text")
+    val r = graft.api.Curation.redactPii(df).orderBy("doc_id").collect()
+    val schema = graft.api.Curation.redactPii(df).schema
+    Seq("n_email", "n_cc", "n_ssn", "n_ip", "n_phone").foreach(c =>
+      assert(schema(c).dataType.typeName == "long", s"$c must be long"))
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getString(1) ==
+      "mail <EMAIL> and card <CC> ok")
+    assert(byId(2L).getString(1) == "ssn <SSN> ip <IP> call <PHONE>")
+    assert(byId(3L).getString(1) ==
+      "no pii here, just 1234 numbers and a dot. end")
+    assert(byId(4L).getString(1) == "two mails <EMAIL> <EMAIL> and ip <IP> <IP>")
+    def counts(row: org.apache.spark.sql.Row) =
+      Seq("n_email", "n_cc", "n_ssn", "n_ip", "n_phone")
+        .map(c => row.getLong(row.fieldIndex(c)))
+    assert(counts(byId(1L)) == Seq(1L, 1L, 0L, 0L, 0L))
+    assert(counts(byId(2L)) == Seq(0L, 0L, 1L, 1L, 1L))
+    assert(counts(byId(3L)) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(counts(byId(4L)) == Seq(2L, 0L, 0L, 2L, 0L))
+    // sequential semantics: a card-shaped span is redacted by the cc
+    // stage FIRST, so the later phone stage cannot double-count it
+    val tricky = Seq((9L, "call +1-4111 1111 1111 1111 now")).toDF("doc_id", "text")
+    val t = graft.api.Curation.redactPii(tricky).collect()(0)
+    assert(t.getString(1) == "call +1-<CC> now")
+    assert(t.getLong(t.fieldIndex("n_cc")) == 1L)
+    assert(t.getLong(t.fieldIndex("n_phone")) == 0L)
+    // profile: one row per type, matches/docs exact over the fixture
+    val prof = graft.api.Curation.piiProfile(df).orderBy("pii_type").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(prof.toSeq == Seq(
+      ("cc", 1L, 1L, 4L), ("email", 3L, 2L, 4L), ("ip", 3L, 2L, 4L),
+      ("phone", 1L, 1L, 4L), ("ssn", 1L, 1L, 4L)))
+    // unknown type fails loudly
+    intercept[IllegalArgumentException] {
+      graft.api.Curation.redactPii(df, types = Seq("dna"))
+    }
+  }
 }

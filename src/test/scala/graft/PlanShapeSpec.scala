@@ -615,5 +615,9 @@ class PlanShapeSpec extends AnyFunSuite {
           .otherwise(lit("commit")).as("kind"),
         col("token").isin(live: _*).as("live"))
     pin("commit_log", s"SELECT * FROM graft_commit_log('$dir')", twinLog)
+    pin("redact_pii",
+      "SELECT * FROM graft_redact_pii('tvfplan_prof_docs', 'text', 'email,ip')",
+      graft.api.Curation.redactPii(
+        spark.table("tvfplan_prof_docs"), "text", Seq("email", "ip")))
   }
 }
