@@ -50,6 +50,48 @@ object ProbeCommit {
           graft.ingest.Ingest.commitBatch(cfg, root.toString, raw(i), i)
         }
       }
+      // stage B2: the protocol's own phases, hand-unrolled — where the
+      // per-commit fixed cost sits (count / staged write / publish
+      // renames / marker)
+      locally {
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(root.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val batch = raw(50)
+        t("phase_count") { batch.count() }
+        val staging = new Path(s"$root/_staging/50")
+        t("phase_staged_write") {
+          graft.ingest.Ingest.routeAndProject(batch, cfg)
+            .write.mode("overwrite").format(cfg.format)
+            .option("compression", cfg.compression)
+            .options(Map("orc.compress.size" -> "32768",
+              "orc.dictionary.key.threshold" -> "0"))
+            .partitionBy("year", "month")
+            .save(staging.toString)
+        }
+        val moved = t("phase_publish_renames") {
+          var nMoved = 0
+          val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+          graft.core.Tables.walkStatuses(fs, staging)(st => files += st.getPath)
+          files.foreach { f =>
+            if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+              val rel = f.toString
+                .stripPrefix(fs.makeQualified(staging).toString).stripPrefix("/")
+              val relDir = rel.split('/').dropRight(1).mkString("/")
+              val destDir = new Path(s"$root/$relDir")
+              fs.mkdirs(destDir)
+              fs.rename(f, new Path(destDir, s"b50-${f.getName}"))
+              nMoved += 1
+            }
+          }
+          nMoved
+        }
+        println(s"moved=$moved")
+        t("phase_marker") {
+          fs.mkdirs(new Path(s"$root/_commits"))
+          fs.create(new Path(s"$root/_commits/50")).close()
+        }
+      }
       t("fs_walk") {
         val fs = new org.apache.hadoop.fs.Path(root.toString)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
