@@ -546,8 +546,18 @@ object ScaleSmoke {
         record("soak_committed_rows", committed)
       }
 
-      // 9. cross-process race soak (VERDICT r13 #4)
-      raceSoak(spark, times, p)
+      // 9. cross-process race soak (VERDICT r13 #4). Soft-failed into
+      // a -1 sentinel: this stage depends on forking a second JVM —
+      // an environment that cannot spawn must not erase the seven
+      // stages of smoke evidence already collected (the sentinel plus
+      // the stderr message keep the failure loud in the record).
+      try raceSoak(spark, times, p)
+      catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[smoke] race_soak FAILED - ${t.getClass.getSimpleName}: ${t.getMessage}")
+          times += "race_error" -> -1.0
+      }
 
       times.toSeq
     } finally {
