@@ -1,0 +1,97 @@
+package graft
+
+/** Ambient-load estimator shared by [[Bench]], [[ScaleSmoke]], and the
+  * standalone probe tools (VERDICT r13 #1, generalized r15): the 1-min
+  * loadavg right after a timed stage mostly measures the suite's OWN
+  * just-finished work, so a raw-load1 gate rejects windows that are
+  * genuinely quiet. A daemon thread samples THIS process's CPU usage
+  * every 2 s and folds it into an EWMA with the same 60 s time constant
+  * the kernel's 1-min loadavg uses;
+  * `ambient = max(0, load1 − ownEwma)` estimates the load OTHER
+  * processes put on the box — the thing that actually contends with a
+  * probe.
+  *
+  * Known blind spots, recorded here as the field's provenance (ADVICE
+  * r14): (a) the sampler measures only THIS JVM — CPU burned by
+  * processes this suite forks (RaceChild JVMs, the DuckDB oracle)
+  * counts as "ambient" even though it is the suite's own work, so
+  * ambient read DURING the race stage overstates external load;
+  * (b) loadavg on Linux includes D-state (uninterruptible IO) tasks
+  * while process CPU does not, so this JVM's own IO-bound stalls also
+  * read as ambient. Both biases are conservative for gating (they can
+  * only make a quiet box look busy, never a busy box look quiet).
+  *
+  * Sampler robustness (ADVICE r14): the sampling loop is
+  * exception-guarded — one OS-bean quirk must not silently kill the
+  * thread and freeze the EWMA at a stale value with no trace in the
+  * record. Errors count in [[samplerErrors]]; a dead sampler thread
+  * (only possible via an Error the catch refuses) flips
+  * [[samplerDead]], and both land in the bench JSON.
+  */
+private[graft] object AmbientLoad {
+  private val ownEwmaBits = new java.util.concurrent.atomic.AtomicLong(
+    java.lang.Double.doubleToLongBits(0.0))
+  private val errors = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var dead = false
+  @volatile private var started = false
+
+  private def cpus: Int =
+    try Runtime.getRuntime.availableProcessors() catch { case _: Throwable => 1 }
+
+  /** Idempotent: the first caller starts the daemon sampler. */
+  def start(): Unit = synchronized {
+    if (started) return
+    started = true
+    val t = new Thread(() => {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      var last = System.nanoTime()
+      try {
+        while (true) {
+          Thread.sleep(2000)
+          try {
+            val now = System.nanoTime()
+            val dt = (now - last) / 1e9
+            last = now
+            val own = os match {
+              case b: com.sun.management.OperatingSystemMXBean =>
+                val f = b.getProcessCpuLoad
+                if (f >= 0) f * cpus else -1.0
+              case _ => -1.0
+            }
+            if (own >= 0) {
+              val prev = java.lang.Double.longBitsToDouble(ownEwmaBits.get)
+              val next = prev + (own - prev) * (1 - math.exp(-dt / 60.0))
+              ownEwmaBits.set(java.lang.Double.doubleToLongBits(next))
+            }
+          } catch {
+            case _: InterruptedException => throw new InterruptedException
+            case t: Throwable =>
+              errors.incrementAndGet()
+              System.err.println(
+                s"[ambient] sampler error (continuing): ${t.getClass.getSimpleName}: ${t.getMessage}")
+          }
+        }
+      } catch { case _: Throwable => dead = true }
+    }, "graft-ambient-load")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def load1Now(): Double = try {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+  } catch { case _: Throwable => -1.0 }
+
+  def ownEwma(): Double =
+    java.lang.Double.longBitsToDouble(ownEwmaBits.get)
+
+  /** External-load estimate; −1 when loadavg itself is unavailable.
+    * Callers that never called [[start]] get raw load1 (EWMA 0). */
+  def ambientNow(): Double = {
+    val l = load1Now()
+    if (l < 0) l else math.max(0.0, l - ownEwma())
+  }
+
+  def samplerErrors: Long = errors.get
+  def samplerDead: Boolean = dead
+}

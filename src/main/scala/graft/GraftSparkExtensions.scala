@@ -308,6 +308,25 @@ object GraftSparkExtensions {
         spark.table(strLit("graft_feature_drift", "curTable", args(1))),
         cols, bins)
     },
+    tvf("graft_funnel",
+      "graft_funnel(eventsTable, userCol, tsCol, typeCol, steps) - " +
+        "sequential funnel: per step-prefix reach (users who performed " +
+        "the steps IN ORDER, each strictly after the previous), " +
+        "conversion from the previous step, and the exact summed " +
+        "time-to-convert in integer microseconds; steps is a " +
+        "comma-separated event-type list") { args =>
+      require(args.length == 5,
+        s"graft_funnel expects (eventsTable, userCol, tsCol, typeCol, steps), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val steps = strLit("graft_funnel", "steps", args(4))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      graft.api.Profiling.funnel(
+        spark.table(strLit("graft_funnel", "eventsTable", args(0))),
+        strLit("graft_funnel", "userCol", args(1)),
+        strLit("graft_funnel", "tsCol", args(2)),
+        strLit("graft_funnel", "typeCol", args(3)),
+        steps)
+    },
     tvf("graft_heavy_hitters",
       "graft_heavy_hitters(sketchTable[, maxMapSize]) - merge a persisted " +
         "Frequent-Items sketch table globally and report heavy hitters " +
@@ -538,23 +557,19 @@ object GraftSparkExtensions {
       "graft_commit_log(tablePath) - commit history of a staged-publish " +
         "ingest table: one row per marker (token, mtime_ms, kind " +
         "commit|compaction, live); live=false means a compaction " +
-        "superseded the token (its files are vacuum candidates)") { args =>
+        "superseded the token (its files are vacuum candidates). Rows " +
+        "and live flags come from ONE snapshot of the marker dir, " +
+        "taken at resolution time" +
+        "; materializes at resolution - release via graft_release_materialized()") { args =>
       require(args.length == 1,
         s"graft_commit_log expects (tablePath), got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
-      val path = strLit("graft_commit_log", "tablePath", args(0))
-      import org.apache.spark.sql.functions._
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val live = graft.core.Tables.liveTokens(fs, root).toSeq
-      val markers = spark.read.format("graft-commits").load(s"$path/_commits")
-      // live is commit-count-sized metadata (bytes per commit) — an
-      // in-plan literal set, never a data-sized structure
-      markers.select(col("token"), col("mtime_ms"),
-        when(col("token").rlike("^c\\d+$"), lit("compaction"))
-          .otherwise(lit("commit")).as("kind"),
-        (if (live.isEmpty) lit(false) else col("token").isin(live: _*))
-          .as("live"))
+      // rows + liveness from one consistent marker-scan snapshot
+      // (ADVICE r14): Tables.commitLog materializes the scan and
+      // derives both from it — no separate eager liveTokens pass that
+      // a concurrent commit/compaction could straddle
+      graft.core.Tables.commitLog(spark,
+        strLit("graft_commit_log", "tablePath", args(0)))
     },
     // the SQL caller's end of the releaseMaterialized contract: the
     // operator-backed TVFs above execute eagerly and localCheckpoint

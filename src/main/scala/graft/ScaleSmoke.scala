@@ -202,15 +202,28 @@ object ScaleSmoke {
   private def cellsFor(n: Long, lo: Int, hi: Int): Int =
     math.max(lo, math.min(hi, math.sqrt(n.toDouble).toInt))
 
+  /** Stage timer WITH load provenance (VERDICT r14 #1: the smoke was
+    * the one bench section with zero load fields, so three recorded
+    * stage regressions were unattributable). Each stage records
+    * `<name>_amb` (the shared [[AmbientLoad]] external-load estimate at
+    * stage end — the suite's own just-finished burst is discounted by
+    * the EWMA) and `<name>_load1` (raw loadavg at stage end, the
+    * undiscounted context). A stage time recorded at ambient < 4 is an
+    * engine number; at higher ambient it is a busy-box number and says
+    * so in the artifact. */
   private def timed[A](buf: scala.collection.mutable.ArrayBuffer[(String, Double)],
                        name: String)(body: => A): A = {
     val t0 = System.nanoTime()
     val r = body
     val sec = (System.nanoTime() - t0) / 1e9
+    val amb = AmbientLoad.ambientNow()
+    val l1 = AmbientLoad.load1Now()
     buf += name -> sec
+    buf += s"${name}_amb" -> amb
+    buf += s"${name}_load1" -> l1
     // progress line per stage (stderr, not the bench JSON): a failed
     // run shows WHERE it died, not just that it died
-    System.err.println(f"[smoke] $name%-24s $sec%8.1f s")
+    System.err.println(f"[smoke] $name%-24s $sec%8.1f s  (amb $amb%.2f, load1 $l1%.2f)")
     r
   }
 
@@ -220,6 +233,7 @@ object ScaleSmoke {
     * micro-batch does not grow with the corpus — that is the point of
     * incremental suppressors). */
   def run(spark: SparkSession, rows: Long): Seq[(String, Double)] = {
+    AmbientLoad.start()
     val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def record(name: String, actual: Long): Unit = times += name -> actual.toDouble
     def assertCount(name: String, actual: Long, lo: Long, hi: Long): Unit = {
@@ -546,17 +560,27 @@ object ScaleSmoke {
         record("soak_committed_rows", committed)
       }
 
-      // 9. cross-process race soak (VERDICT r13 #4). Soft-failed into
-      // a -1 sentinel: this stage depends on forking a second JVM —
-      // an environment that cannot spawn must not erase the seven
-      // stages of smoke evidence already collected (the sentinel plus
-      // the stderr message keep the failure loud in the record).
+      // 9. cross-process race soak (VERDICT r13 #4). The soft-fail is
+      // scoped to SPAWN/ENVIRONMENT failures only (ADVICE r14): an
+      // environment that cannot fork a second JVM must not erase the
+      // seven stages of smoke evidence already collected, but the
+      // require()-based PROTOCOL assertions this stage exists for
+      // (lost cross-process commits, CONFLICT_SILENT_WIN, lost ids
+      // after retry) propagate and fail the smoke loudly. Either way
+      // a `race_error` entry also lands in the record, which Bench
+      // counts as a query error (VERDICT r14 #4) — spawn failures
+      // turn the board red too, just without destroying the rest of
+      // the smoke's evidence.
       try raceSoak(spark, times, p)
       catch {
-        case t: Throwable =>
+        case t @ (_: java.io.IOException | _: SecurityException |
+                  _: UnsupportedOperationException) =>
           System.err.println(
-            s"[smoke] race_soak FAILED - ${t.getClass.getSimpleName}: ${t.getMessage}")
+            s"[smoke] race_soak SPAWN-FAILED - ${t.getClass.getSimpleName}: ${t.getMessage}")
           times += "race_error" -> -1.0
+        case t: Throwable =>
+          times += "race_error" -> -1.0
+          throw t
       }
 
       times.toSeq

@@ -154,11 +154,25 @@ object Tables {
     * file-source listing. */
   private[graft] def tokenDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path,
-                                    tokens: Set[String]): Seq[String] = {
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+                                    tokens: Set[String]): Seq[String] =
+    tokenDataStatuses(fs, root, tokens).map(_.getPath.toString)
+
+  /** Status-preserving form of [[tokenDataFiles]] — callers that go on
+    * to BUILD A FRAME over the resolved files must use this +
+    * [[manifestFrame]], not per-file `load(paths: _*)`: above 32 roots
+    * the reader path launches a distributed listing job re-discovering
+    * statuses this walk already holds (the r14 committedView bug; a
+    * commit-log STREAM hits it once per micro-batch at production
+    * commit sizes — 512-file commits are the bench's own shape). */
+  private[graft] def tokenDataStatuses(fs: org.apache.hadoop.fs.FileSystem,
+                                       root: org.apache.hadoop.fs.Path,
+                                       tokens: Set[String])
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
     walkStatuses(fs, root) { st =>
       st.getPath.getName match {
-        case batchFileRe(id) if tokens(id) => files += st.getPath.toString
+        case batchFileRe(id) if tokens(id) => files += st
         case _ => ()
       }
     }
@@ -293,6 +307,39 @@ object Tables {
                           mergeSchemas: Boolean): org.apache.spark.sql.DataFrameReader = {
     val r = spark.read.format(format).option("basePath", path)
     if (mergeSchemas) r.option("mergeSchema", "true") else r
+  }
+
+  /** Commit history of a staged-publish ingest table: one row per
+    * marker — (token, mtime_ms, kind ∈ commit|compaction, live).
+    * `live=false` means a compaction superseded the token (its files
+    * are vacuum candidates) or the file is not a protocol marker.
+    *
+    * Consistency (ADVICE r14): rows AND live flags derive from ONE
+    * materialized scan of the `graft-commits` source — the scan is
+    * localCheckpoint'd and liveness is an anti-join of the tokens
+    * against the SAME snapshot's `superseded` lists, so a commit or
+    * compaction landing mid-query can never pair a marker row with a
+    * stale flag. Liveness algebra: tokens are unique and a compaction
+    * only lists tokens that predate it, so `live = protocol-marker ∧
+    * token ∉ ⋃(compaction contents)` — exactly [[liveTokens]]'s
+    * fold. Markers are bytes-per-commit metadata; the checkpoint and
+    * join are metadata-sized. Returns a MATERIALIZED frame — consume,
+    * then [[graft.api.Dedup.releaseMaterialized]] (SQL callers:
+    * `graft_release_materialized()`). */
+  def commitLog(spark: SparkSession, path: String): DataFrame = {
+    val markers = graft.api.PlanAudit.checkpoint(
+      spark.read.format("graft-commits").load(s"$path/_commits"))
+    val dead = markers
+      .select(explode(col("superseded")).as("token"))
+      .distinct()
+      .withColumn("__dead", lit(true))
+    markers.join(dead, Seq("token"), "left")
+      .select(col("token"), col("mtime_ms"),
+        when(col("token").rlike("^c\\d+$"), lit("compaction"))
+          .otherwise(lit("commit")).as("kind"),
+        (col("__dead").isNull &&
+          (col("token").rlike("^(?:g\\d+-)?\\d+$") ||
+            col("token").rlike("^c\\d+$"))).as("live"))
   }
 
   def committedView(spark: SparkSession, path: String, format: String = "orc",

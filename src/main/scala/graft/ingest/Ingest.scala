@@ -84,6 +84,19 @@ final case class IngestConfig(
     // contract; the engine DID see them).
     expectations: Seq[graft.api.Profiling.Check] = Nil,
     quarantinePath: Option[String] = None,
+    // PII scrub wired INTO the commit path (VERDICT r14 #8, the q205
+    // pass at the q161/q191 wiring point): each named generated STRING
+    // column is redacted by graft.api.Curation.redactPii (all types,
+    // staged-regex codegen projection) right after projection — BEFORE
+    // the expectations split, so neither the published table nor the
+    // quarantine ever persists un-redacted PII. Per-batch per-type
+    // redaction counts land in a `_pii/<token>` ledger entry before
+    // the commit marker (overwritten on crash-replay — deterministic
+    // content, so replays are idempotent; marker-skipped replays never
+    // rewrite it). Read back via [[Ingest.piiLedger]]. Cost when
+    // enabled: one extra aggregate pass over the projected batch (the
+    // count action); empty = zero overhead.
+    redactPiiColumns: Seq[String] = Nil,
     format: String = "orc",
     // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
     // synthetic-load sink where compression ratio is not the point
@@ -299,16 +312,20 @@ object Ingest {
     // Batch size, counted up front: the raw batch is just the rate
     // micro-batch's (value, pid) range — nearly free.
     val n = batch.count()
+    // PII scrub FIRST (policy is absolute: quarantined rows persist
+    // too, so they must be as redacted as published ones), then the
+    // expectations split on the scrubbed frame.
+    val (scrubbed, piiCounts) = redactAndCount(routeAndProject(batch, cfg), cfg)
     // Expectations split: tag the PROJECTED rows, land the violators
     // in the quarantine (their own token dir, overwritten on replay)
     // before anything publishes, and stage only the clean slice.
     val (toStage, nCommitted) =
-      if (cfg.expectations.isEmpty) (routeAndProject(batch, cfg), n)
+      if (cfg.expectations.isEmpty) (scrubbed, n)
       else {
         val qp = cfg.quarantinePath.getOrElse(sys.error(
           "ingest expectations configured without quarantinePath"))
         val tagged = graft.api.Profiling
-          .applyExpectations(routeAndProject(batch, cfg), cfg.expectations)
+          .applyExpectations(scrubbed, cfg.expectations)
         tagged.filter(col("quarantined"))
           .withColumn("violations", array_join(col("violations"), ","))
           .drop("quarantined")
@@ -353,9 +370,80 @@ object Ingest {
     // above, so ids append exactly once per logical commit. Empty
     // batches (a stream's warm-up triggers) have no ids to record.
     if (n > 0) cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
+    // PII ledger entry BEFORE the marker (same ordering argument as
+    // the seen filter: a crash between the two is repaired by the
+    // replay overwriting the same deterministic content; a committed
+    // batch can never lack its redaction accounting)
+    if (cfg.redactPiiColumns.nonEmpty) {
+      val ledger = new Path(s"$path/_pii/$token")
+      fs.mkdirs(ledger.getParent)
+      val out = fs.create(ledger, true)
+      try out.write(piiCounts.map { case (t, c) => s"$t=$c" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     fs.mkdirs(marker.getParent)
     fs.create(marker).close()
     nCommitted
+  }
+
+  /** The commit-path PII scrub (cfg.redactPiiColumns): redact each
+    * named column with [[graft.api.Curation.redactPii]], SUM the
+    * per-type match counts across the batch (one aggregate action),
+    * and drop the count columns so the staged schema is identical to
+    * the un-redacted path's. Returns (scrubbed frame, per-type totals
+    * in PiiPatterns order). */
+  private def redactAndCount(projected: DataFrame, cfg: IngestConfig)
+      : (DataFrame, Seq[(String, Long)]) = {
+    if (cfg.redactPiiColumns.isEmpty) return (projected, Nil)
+    val types = graft.api.Curation.PiiPatterns.map(_._1)
+    var d = projected
+    val aliases = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    cfg.redactPiiColumns.foreach { c =>
+      d = graft.api.Curation.redactPii(d, c)
+      types.foreach { t =>
+        val a = s"__pii_${c}_$t"
+        d = d.withColumnRenamed(s"n_$t", a)
+        aliases += ((a, t))
+      }
+    }
+    val sums = d.agg(
+      count(lit(1)).as("__n"),
+      aliases.toSeq.map { case (a, _) => sum(col(a)).as(a) }: _*).head()
+    val totals = types.map { t =>
+      t -> aliases.filter(_._2 == t).map { case (a, _) =>
+        val i = sums.fieldIndex(a)
+        if (sums.isNullAt(i)) 0L else sums.getLong(i)
+      }.sum
+    }
+    (d.drop(aliases.map(_._1).toSeq: _*), totals)
+  }
+
+  /** The `_pii` redaction ledger of an ingest table: one row per
+    * (committed batch, PII type) — (batch_token, pii_type,
+    * n_redacted). Ledger entries are written before their commit
+    * marker; tokens with no entry predate the redaction config (or it
+    * was off). Metadata-sized: bytes per commit, read driver-side like
+    * [[graft.core.Tables.liveTokens]]. */
+  def piiLedger(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = new Path(s"$path/_pii")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(String, String, Long)]
+      else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+        val in = fs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.collect {
+          case l if l.contains('=') =>
+            val Array(t, c) = l.split('=')
+            (st.getPath.getName, t, c.toLong)
+        }
+      }
+    rows.toDF("batch_token", "pii_type", "n_redacted")
   }
 
   /** Upfront validation of ingest expectations — a bad rule column or
@@ -377,6 +465,23 @@ object Ingest {
         require(have.contains(colName),
           s"expectation column '$colName' is not a generated column " +
             s"(have: ${have.mkString(", ")})")
+      }
+    }
+
+  /** Upfront validation of the commit-path PII scrub — a typo'd or
+    * non-string column fails at startup, not mid-commit. */
+  private def validateRedactPii(cfg: IngestConfig): Unit =
+    if (cfg.redactPiiColumns.nonEmpty) {
+      import Gen.ColType._
+      val stringTypes: Set[Gen.ColType] = Set(StringName, StringDict,
+        StringIp, StringUuidPool, TimestampIso)
+      val byName = dataColumns(cfg).map(s => s.name -> s).toMap
+      cfg.redactPiiColumns.foreach { c =>
+        val spec = byName.getOrElse(c, sys.error(
+          s"redactPii column '$c' is not a generated data column " +
+            s"(have: ${byName.keys.mkString(", ")})"))
+        require(stringTypes.contains(spec.tpe),
+          s"redactPii column '$c' is not a string column (${spec.tpe})")
       }
     }
 
@@ -409,6 +514,7 @@ object Ingest {
     // fail a bad seen-filter column or expectation BEFORE any stream starts
     cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
     validateExpectations(cfg)
+    validateRedactPii(cfg)
     // startup log parity (`Culvert.java:102,109`)
     System.err.println(s"Starting culvert: ${cfg.name}")
     (0 until cfg.parallelism).foreach(i => System.err.println(s"Starting stream: stream-$i"))
@@ -531,6 +637,7 @@ object Ingest {
     // fail a bad seen-filter column or expectation before any batch publishes
     cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
     validateExpectations(cfg)
+    validateRedactPii(cfg)
     val t0 = System.nanoTime()
     val per = math.max(1L, numRows / batches)
     var committed = 0L

@@ -1904,20 +1904,101 @@ object Pipeline {
     // Deterministic projection only (mtime_ms excluded); the live
     // resolution is CLOSED-FORM: the compaction supersedes all three
     // commit tokens, so exactly the c-token is live.
+    // Fixture via FixtureCache (ADVICE r14): the commit table + its
+    // compaction build ONCE per (JVM, sf-dir) in the bench's warm
+    // pass, so the timed number measures the marker-source SELECT —
+    // not 3 staged-publish commits + a compaction of ingest I/O
+    // (the r14 closure rebuilt them on every invocation, bypassing
+    // the fixture-warm assert). Read-only thereafter: graft_commit_log
+    // never mutates the table.
     "q204_sql_commit_log" -> ((s, d) => {
-      import graft.ingest.{Compact, Ingest, IngestConfig}
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-clogsql-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      rmTree(dir)
-      val path = dir.getAbsolutePath
-      val cfg = IngestConfig(outputPath = Some(path), parallelism = 2, buckets = 2)
-      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
-      Compact.compact(s, path)
+      val path = FixtureCache.dir("clogsql", d) { p =>
+        import graft.ingest.{Compact, Ingest, IngestConfig}
+        val cfg = IngestConfig(outputPath = Some(p), parallelism = 2, buckets = 2)
+        Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+        Compact.compact(s, p)
+        ()
+      }
       s.sql(
         s"""SELECT kind, count(*) AS n_markers,
            |       sum(CASE WHEN live THEN 1 ELSE 0 END) AS n_live
            |FROM graft_commit_log('$path')
            |GROUP BY kind ORDER BY kind""".stripMargin)
+    }),
+
+    // The q185 PSI drift through the graft_feature_drift SQL TVF
+    // (VERDICT r14 #7 — close the profiling TVF family): identical
+    // semantics by construction (the TVF routes through
+    // Profiling.featureDrift), same oracle as q185. Dry-run only —
+    // the TVF reads two catalog views, mutates nothing.
+    "q207_sql_feature_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      o.filter(col("o_orderdate") < cut)
+        .createOrReplaceTempView("graft_q207_ref")
+      o.filter(col("o_orderdate") >= cut)
+        .createOrReplaceTempView("graft_q207_cur")
+      s.sql(
+        """SELECT * FROM graft_feature_drift('graft_q207_ref',
+          |  'graft_q207_cur', 'o_custkey,o_orderkey,o_totalprice', 10)
+          |ORDER BY feature""".stripMargin)
+    }),
+
+    // The q154 sequential funnel through the graft_funnel SQL TVF:
+    // same first-20-events-per-user restriction (registered as the
+    // view), same steps, same oracle.
+    "q208_sql_funnel" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20).drop("__rn")
+        .createOrReplaceTempView("graft_q208_ev")
+      s.sql(
+        """SELECT * FROM graft_funnel('graft_q208_ev', 'user_id', 'ts',
+          |  'event_type', 'signup,view,click,purchase')""".stripMargin)
+    }),
+
+    // PII scrub at the commit wiring point (VERDICT r14 #8 — the q205
+    // redaction pass composed into the ingest loop the way
+    // expectations were in q191): the default schema's ip_address
+    // column (StringIp — every generated row carries exactly one
+    // IPv4) is redacted pre-stage, so the published table never holds
+    // an un-redacted address, and each commit writes its per-type
+    // redaction counts to the `_pii/<token>` ledger BEFORE its
+    // marker. Totals are closed-form (2 batches × 2000 rows → 4000
+    // ip redactions, 0 of every other type); the replay leg re-runs
+    // the same batch ids — the markers make it a 0-row no-op with the
+    // ledger byte-stable (replay idempotence).
+    "q209_ingest_pii_redaction" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ingest-pii-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val table = new java.io.File(base, "table").toString
+      val cfg = graft.ingest.IngestConfig(
+        outputPath = Some(table), parallelism = 2, buckets = 2,
+        redactPiiColumns = Seq("ip_address"))
+      val res = graft.ingest.Ingest.runBatchCommitted(s, cfg, 4000, batches = 2)
+      val replay = graft.ingest.Ingest.runBatchCommitted(s, cfg, 4000, batches = 2)
+      val ledger = graft.ingest.Ingest.piiLedger(s, table)
+      graft.core.Tables.committedView(s, table).agg(
+          count(lit(1)).as("n_committed"),
+          (sum(when(col("ip_address") === "<IP>", 1L).otherwise(0L)) ===
+            count(lit(1))).as("all_redacted"),
+          (sum(when(col("ip_address")
+            .rlike("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"), 1L)
+            .otherwise(0L)) === 0L).as("no_residual_ip"))
+        .crossJoin(ledger.agg(
+          sum(when(col("pii_type") === "ip", col("n_redacted"))
+            .otherwise(0L)).as("ip_redactions"),
+          sum(when(col("pii_type") =!= "ip", col("n_redacted"))
+            .otherwise(0L)).as("other_redactions"),
+          countDistinct(col("batch_token")).as("n_ledger_tokens")))
+        .select(col("n_committed"), col("ip_redactions"),
+          col("other_redactions"), col("n_ledger_tokens"),
+          col("all_redacted"), col("no_residual_ip"),
+          (lit(res.rowsCommitted) === col("n_committed")).as("result_matches"),
+          lit(replay.rowsCommitted == 0L).as("replay_noop"))
     }),
 
     // PII redaction (round 14): the standard pre-training scrub pass —
@@ -4137,6 +4218,24 @@ object Pipeline {
         |  UNION ALL
         |  SELECT 'compaction', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         |) ORDER BY kind""".stripMargin,
+    // the TVF form replays q185's oracle verbatim — same eras, same
+    // binning, same Laplace smoothing, same ln sum
+    "q207_sql_feature_drift" -> (psiDriftCte +
+      """
+        |SELECT feature, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+        |FROM p GROUP BY feature, nr, nc ORDER BY feature""".stripMargin),
+    // the TVF form replays q154's oracle verbatim (Events.scala owns
+    // the original; referenced here so the two can never drift)
+    "q208_sql_funnel" -> graft.queries.Events.oracles("q154_event_funnel"),
+    // closed-form totals + engine-proved gates (the q191 shape)
+    "q209_ingest_pii_redaction" ->
+      """SELECT CAST(4000 AS BIGINT) AS n_committed,
+        |  CAST(4000 AS BIGINT) AS ip_redactions,
+        |  CAST(0 AS BIGINT) AS other_redactions,
+        |  CAST(2 AS BIGINT) AS n_ledger_tokens,
+        |  TRUE AS all_redacted, TRUE AS no_residual_ip,
+        |  TRUE AS result_matches, TRUE AS replay_noop""".stripMargin,
     "q128_neardup_index" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0

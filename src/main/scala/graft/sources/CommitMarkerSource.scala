@@ -29,9 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * everything downstream of it (resolving tokens to data files,
   * reading rows) stays on built-in parquet/ORC scans.
   *
-  * Shape: one row per marker file — (token, mtime_ms). Markers are
-  * bytes-sized driver metadata; the listing is one small-directory
-  * enumeration per micro-batch, never a data scan. Streaming offsets
+  * Shape: one row per marker file — (token, mtime_ms, superseded),
+  * where `superseded` is a compaction marker's content (the tokens its
+  * rewrite replaced; empty for plain commits), loaded in the same
+  * listing pass so liveness is resolvable from ONE consistent scan.
+  * Markers are bytes-sized driver metadata; the listing is one
+  * small-directory enumeration per micro-batch, never a data scan. Streaming offsets
   * are the SET of consumed marker names (markers are never renamed or
   * deleted by the protocol — compaction adds `c<stamp>` markers, vacuum
   * deletes only data files — so replay after restart re-resolves the
@@ -50,7 +53,9 @@ class CommitMarkerSource extends TableProvider with DataSourceRegister {
 object CommitMarkerSource {
   val schema: StructType = StructType(Seq(
     StructField("token", StringType, nullable = false),
-    StructField("mtime_ms", LongType, nullable = false)))
+    StructField("mtime_ms", LongType, nullable = false),
+    StructField("superseded", org.apache.spark.sql.types.ArrayType(
+      StringType, containsNull = false), nullable = false)))
 
   /** (name, mtimeMs) of every file currently in the marker dir. */
   private def listMarkers(dir: String): Seq[(String, Long)] = {
@@ -61,6 +66,33 @@ object CommitMarkerSource {
     else fs.listStatus(p).toSeq.collect {
       case st if st.isFile => (st.getPath.getName, st.getModificationTime)
     }
+  }
+
+  /** Row payload: (token, mtimeMs, superseded tokens). `superseded` is
+    * the CONTENT of a compaction marker — the tokens its rewrite
+    * replaced (empty for plain commits) — loaded in the SAME listing
+    * pass so a consumer can resolve liveness from one consistent scan
+    * (ADVICE r14: graft_commit_log previously read liveness in a
+    * separate eager pass that could straddle a concurrent compaction).
+    * Contents are bytes-per-commit metadata; only `c<stamp>` names are
+    * opened. A foreign unreadable c-file reads as empty rather than
+    * failing the scan. */
+  private def loadRows(dir: String,
+                       names: Seq[(String, Long)]): Array[(String, Long, Array[String])] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    names.map { case (n, m) =>
+      val superseded =
+        if (!n.matches("c\\d+")) Array.empty[String]
+        else try {
+          val in = fs.open(new Path(p, n))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toArray
+          finally in.close()
+        } catch { case _: java.io.IOException => Array.empty[String] }
+      (n, m, superseded)
+    }.toArray
   }
 
   private class MarkerTable(path: String) extends Table with SupportsRead {
@@ -81,7 +113,7 @@ object CommitMarkerSource {
 
   /** A bundle of marker rows, shipped whole to the single reader task
     * (markers are metadata-sized; there is nothing to split). */
-  private case class MarkerPartition(rows: Array[(String, Long)])
+  private case class MarkerPartition(rows: Array[(String, Long, Array[String])])
       extends InputPartition
 
   private object MarkerReaderFactory extends PartitionReaderFactory {
@@ -91,7 +123,9 @@ object CommitMarkerSource {
         private var i = -1
         override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow = new GenericInternalRow(
-          Array[Any](UTF8String.fromString(rows(i)._1), rows(i)._2))
+          Array[Any](UTF8String.fromString(rows(i)._1), rows(i)._2,
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              rows(i)._3.map(UTF8String.fromString): Array[Any])))
         override def close(): Unit = ()
       }
     }
@@ -99,7 +133,7 @@ object CommitMarkerSource {
 
   private class MarkerBatch(path: String) extends Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(MarkerPartition(listMarkers(path).sortBy(_._1).toArray))
+      Array(MarkerPartition(loadRows(path, listMarkers(path).sortBy(_._1))))
     override def createReaderFactory(): PartitionReaderFactory = MarkerReaderFactory
   }
 
@@ -130,8 +164,8 @@ object CommitMarkerSource {
         // replay after restart finds the same files (a foreign deletion
         // surfaces as mtime 0, not a crash)
         val byName = listMarkers(path).toMap
-        Array(MarkerPartition(
-          newNames.toSeq.sorted.map(n => (n, byName.getOrElse(n, 0L))).toArray))
+        Array(MarkerPartition(loadRows(path,
+          newNames.toSeq.sorted.map(n => (n, byName.getOrElse(n, 0L))))))
       }
     }
     override def createReaderFactory(): PartitionReaderFactory = MarkerReaderFactory

@@ -77,10 +77,10 @@ object CommitLogStream {
           import org.apache.hadoop.fs.Path
           val root = new Path(table)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val files = Tables.tokenDataFiles(fs, root, toks.toSet)
-          val found: Set[String] = files.flatMap { p =>
-            val n = new Path(p).getName
-            n match { case Tables.batchFileRe(id) => Some(id); case _ => None }
+          val files = Tables.tokenDataStatuses(fs, root, toks.toSet)
+          val found: Set[String] = files.flatMap { st =>
+            st.getPath.getName match {
+              case Tables.batchFileRe(id) => Some(id); case _ => None }
           }.toSet
           // a token with no files is either a legitimately empty commit
           // or a batch whose originals were compacted away and vacuumed
@@ -97,10 +97,14 @@ object CommitLogStream {
                   "cannot be replayed; restart from Tables.committedView with " +
                   "a fresh checkpoint")
           }
+          // manifest-backed frame (r15, same fix as committedView's):
+          // the walk above already holds every status — per-file
+          // load() roots would re-discover them with a distributed
+          // listing job once past 32 files, ONCE PER MICRO-BATCH
           val rows =
             if (files.nonEmpty)
-              spark.read.format(format).option("basePath", table)
-                .load(files: _*)
+              Tables.manifestFrame(spark, table, files, format,
+                mergeSchemas = false)
             else Tables.committedView(spark, table, format).limit(0)
           f(rows, toks, epochId)
         }

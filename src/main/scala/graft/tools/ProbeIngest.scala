@@ -20,8 +20,9 @@ object ProbeIngest {
     val reps = argAt(1, 3).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.Sessions.local("graft-probe")
-    def load1 = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    graft.AmbientLoad.start()
+    def load1 = graft.AmbientLoad.load1Now()
+    def ambient = graft.AmbientLoad.ambientNow()
     var best = -1L
     mode match {
       case "stream" =>
@@ -42,10 +43,11 @@ object ProbeIngest {
         IngestProbes.streamOnce(spark, cpus, warmupMs, eps, commitRows, par, groups)
         (1 to reps).foreach { i =>
           val l0 = load1
+          val a0 = ambient
           val (rows, rate) = IngestProbes.streamOnce(
             spark, cpus, timeoutMs, eps, commitRows, par, groups)
           if (rate > best) best = rate
-          println(f"[probe] stream rep$i: $rate%,d rows/s ($rows%,d committed, load1 $l0%.1f)")
+          println(f"[probe] stream rep$i: $rate%,d rows/s ($rows%,d committed, load1 $l0%.1f, ambient $a0%.2f)")
         }
       case "batch" =>
         val buckets = argAt(2, 32).toInt
@@ -53,9 +55,10 @@ object ProbeIngest {
         IngestProbes.batchOnce(spark, cpus, buckets, 512 * 1024)
         (1 to reps).foreach { i =>
           val l0 = load1
+          val a0 = ambient
           val rate = IngestProbes.batchOnce(spark, cpus, buckets, rows)
           if (rate > best) best = rate
-          println(f"[probe] batch($buckets) rep$i: $rate%,d rows/s (load1 $l0%.1f)")
+          println(f"[probe] batch($buckets) rep$i: $rate%,d rows/s (load1 $l0%.1f, ambient $a0%.2f)")
         }
       case other => sys.error(s"unknown mode $other")
     }

@@ -16,8 +16,10 @@ object QTime {
       SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    graft.AmbientLoad.start()
     names.headOption.foreach(once) // warmup
-    names.foreach(n => println(f"[qtime] $n%-26s ${once(n)}%6.2f s"))
+    names.foreach(n => println(
+      f"[qtime] $n%-26s ${once(n)}%6.2f s  (amb ${graft.AmbientLoad.ambientNow()}%.2f)"))
     spark.stop()
   }
 }

@@ -93,4 +93,35 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() == 2.0)
     assert(node.get("queries").get("q2").asDouble() == -1.0)
   }
+
+  // VERDICT r14 #4: the race stage's accounting must exist in the
+  // emitted JSON and a race failure must have a red path to the
+  // driver gate (query_errors), not just a -1 field nothing reads.
+  test("race accounting fields survive into the smoke JSON with ambient provenance") {
+    val entries = Seq(
+      "race_soak" -> 48.7, "race_soak_amb" -> 1.2, "race_soak_load1" -> 9.0,
+      "race_committed_rows" -> 1200000.0, "race_conflict_loud" -> 1.0)
+    val json = BenchLine.smokeJson(50000000L, entries)
+    val node = parse("{" + json.stripPrefix(",") + "}")
+    val smoke = node.get("scale_smoke")
+    Seq("race_soak", "race_soak_amb", "race_soak_load1",
+      "race_committed_rows", "race_conflict_loud").foreach(f =>
+      assert(smoke.has(f), s"smoke JSON lost the race accounting field $f"))
+    assert(smoke.get("race_conflict_loud").asDouble() == 1.0)
+    assert(BenchLine.smokeJson(1L, Seq.empty) == "")
+  }
+
+  test("smoke-stage error sentinels count as query errors (the red path)") {
+    assert(BenchLine.smokeErrorKeys(Seq(
+      "neardup_index" -> 112.0, "race_error" -> -1.0, "smoke_error" -> -1.0))
+      == Seq("race_error", "smoke_error"))
+    // a completed race stage is NOT an error
+    assert(BenchLine.smokeErrorKeys(Seq(
+      "race_soak" -> 48.7, "race_conflict_loud" -> 1.0)).isEmpty)
+    // and the headline carries the count where the driver reads it
+    val line = BenchLine.render(
+      headline("/x").copy(queryErrors = 1), Seq("q1_a" -> 2.0),
+      Seq("q1" -> "2.00"), "")
+    assert(parse(line).get("query_errors").asInt() == 1)
+  }
 }

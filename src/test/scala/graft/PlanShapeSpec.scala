@@ -566,6 +566,34 @@ class PlanShapeSpec extends AnyFunSuite {
       val d = graft.api.Dedup.containmentFilterAgainstIndex(fresh, idx)
       graft.api.Dedup.releaseMaterialized(d)
     }(s"SELECT * FROM graft_containment_filter('tvfplan_fresh', '$idx')")
+
+    // commit_log moved to the materializing family (r15): rows + live
+    // flags now derive from ONE localCheckpoint'd marker scan (ADVICE
+    // r14 consistency fix), so the pin compares the captured
+    // pre-checkpoint stage plans like every other materializing TVF.
+    val clog = java.nio.file.Files
+      .createTempDirectory("graft-tvfplan-clog").toString
+    graft.ingest.Ingest.runBatchCommitted(spark,
+      graft.ingest.IngestConfig(outputPath = Some(clog), parallelism = 2,
+        buckets = 2), 200, batches = 2)
+    graft.ingest.Compact.compact(spark, clog)
+    tvfMatchesTwin("commit_log") {
+      val d = graft.core.Tables.commitLog(spark, clog)
+      graft.api.Dedup.releaseMaterialized(d)
+    }(s"SELECT * FROM graft_commit_log('$clog')")
+    // and the one-snapshot liveness algebra matches the fold liveTokens
+    // runs (live = protocol marker ∉ any compaction's superseded list)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(clog)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val expected = graft.core.Tables.liveTokens(fs, root)
+      val d = graft.core.Tables.commitLog(spark, clog)
+      val got = d.filter(org.apache.spark.sql.functions.col("live"))
+        .select("token").collect().map(_.getString(0)).toSet
+      graft.api.Dedup.releaseMaterialized(d)
+      assert(got == expected,
+        s"commitLog live set $got != liveTokens fold $expected")
+    }
   }
 
   // --- non-materializing TVF == Scala-twin plan equality (VERDICT r13
@@ -599,25 +627,30 @@ class PlanShapeSpec extends AnyFunSuite {
       graft.api.Profiling.runChecks(spark.table("tvfplan_prof_docs"),
         Seq(Check.NotNull("lang"), Check.Unique(Seq("doc_id")),
           Check.InRange("n_chars", 0, 100000))))
-    // commit_log: tiny staged-publish fixture through the engine's own
-    // protocol, then TVF vs the explicit marker-source construction
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-tvfplan-clog").toString
-    graft.ingest.Ingest.runBatchCommitted(spark,
-      graft.ingest.IngestConfig(outputPath = Some(dir), parallelism = 2,
-        buckets = 2), 200, batches = 2)
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = graft.core.Tables.liveTokens(fs, root).toSeq
-    val twinLog = spark.read.format("graft-commits").load(s"$dir/_commits")
-      .select(col("token"), col("mtime_ms"),
-        when(col("token").rlike("^c\\d+$"), lit("compaction"))
-          .otherwise(lit("commit")).as("kind"),
-        col("token").isin(live: _*).as("live"))
-    pin("commit_log", s"SELECT * FROM graft_commit_log('$dir')", twinLog)
+    // (commit_log moved to the materializing-TVF test above — its rows
+    // and live flags now come from one checkpointed marker scan)
     pin("redact_pii",
       "SELECT * FROM graft_redact_pii('tvfplan_prof_docs', 'text', 'email,ip')",
       graft.api.Curation.redactPii(
         spark.table("tvfplan_prof_docs"), "text", Seq("email", "ip")))
+    // feature_drift + funnel (VERDICT r14 #7): both lazy TVFs, full
+    // physical-plan equality against their Profiling twins
+    val halfA = docs.filter(col("doc_id") % 2 === 0)
+    val halfB = docs.filter(col("doc_id") % 2 === 1)
+    halfA.createOrReplaceTempView("tvfplan_drift_ref")
+    halfB.createOrReplaceTempView("tvfplan_drift_cur")
+    pin("feature_drift",
+      "SELECT * FROM graft_feature_drift('tvfplan_drift_ref', " +
+        "'tvfplan_drift_cur', 'n_chars,doc_id', 8)",
+      graft.api.Profiling.featureDrift(
+        spark.table("tvfplan_drift_ref"), spark.table("tvfplan_drift_cur"),
+        Seq("n_chars", "doc_id"), bins = 8))
+    val fev = graft.core.Tables.events(spark, sf)
+    fev.createOrReplaceTempView("tvfplan_funnel_ev")
+    pin("funnel",
+      "SELECT * FROM graft_funnel('tvfplan_funnel_ev', 'user_id', 'ts', " +
+        "'event_type', 'signup,view,click')",
+      graft.api.Profiling.funnel(spark.table("tvfplan_funnel_ev"),
+        "user_id", "ts", "event_type", Seq("signup", "view", "click")))
   }
 }

@@ -213,6 +213,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_feature_drift('drift_ref', 'drift_cur')"))
   }
 
+  test("graft_funnel TVF matches the Scala API") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, "signup", ts(0)), (1L, "view", ts(5)), (1L, "click", ts(9)),
+      (2L, "signup", ts(1)), (2L, "view", ts(2)),
+      (3L, "view", ts(0)), (3L, "signup", ts(3)), // view BEFORE signup: no step-1
+      (4L, "signup", ts(0)), (4L, "click", ts(1)) // skips view: no step-1
+    ).toDF("user_id", "event_type", "ts")
+    ev.createOrReplaceTempView("funnel_sql_ev")
+    val viaSql = spark.sql(
+      "SELECT step, event_type, users, sum_gap_micros, conv_from_prev " +
+        "FROM graft_funnel('funnel_sql_ev', 'user_id', 'ts', 'event_type', " +
+        "'signup,view,click') ORDER BY step").collect()
+    val viaApi = graft.api.Profiling.funnel(ev, "user_id", "ts",
+      "event_type", Seq("signup", "view", "click")).collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
+      Seq((0, 4L), (1, 2L), (2, 1L)))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_funnel('funnel_sql_ev', 'user_id', 'ts', 'event_type')"))
+  }
+
   test("sketch-table TVFs: heavy hitters, distinct, quantiles from SQL") {
     import spark.implicits._
     val rows = (1 to 300).map(i => ("p" + i % 2, "k" + i % 5, i.toDouble))

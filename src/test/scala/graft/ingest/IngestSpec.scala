@@ -389,6 +389,65 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.orc(dir).count() == 5000, "no duplicate files either")
   }
 
+  test("commit-path PII scrub: sink redacted, ledger exact, replay idempotent") {
+    val dir = tmp()
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2, redactPiiColumns = Seq("ip_address"))
+    val res = Ingest.runBatchCommitted(spark, cfg, 3000, batches = 3)
+    assert(res.rowsCommitted == 3000)
+    val back = graft.core.Tables.committedView(spark, dir)
+    // every generated row carries exactly one IPv4; the sink must
+    // hold only the replacement token
+    assert(back.filter(col("ip_address") =!= "<IP>").count() == 0)
+    // ledger: one entry per batch, written before the marker; ip
+    // totals sum to the row count, every other type zero
+    val ledger = Ingest.piiLedger(spark, dir)
+    assert(ledger.select("batch_token").distinct().count() == 3)
+    val byType = ledger.groupBy("pii_type")
+      .agg(sum("n_redacted").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("ip") == 3000L, s"ip ledger total: $byType")
+    assert(byType.filter(_._1 != "ip").values.forall(_ == 0L), s"$byType")
+    // replay: markers make it a 0-row no-op and the ledger stays
+    // byte-stable (same tokens, same totals)
+    val replay = Ingest.runBatchCommitted(spark, cfg, 3000, batches = 3)
+    assert(replay.rowsCommitted == 0)
+    assert(Ingest.piiLedger(spark, dir).agg(sum("n_redacted")).head.getLong(0)
+      == byType.values.sum)
+    assert(graft.core.Tables.committedView(spark, dir).count() == 3000)
+  }
+
+  test("PII scrub composes with expectations: quarantine is redacted too") {
+    val dir = tmp(); val q = tmp() + "/quarantine"
+    import graft.api.Profiling.Check
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2, redactPiiColumns = Seq("ip_address"),
+      expectations = Seq(Check.InSet("event_type", Seq("view", "click"))),
+      quarantinePath = Some(q))
+    val res = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 1)
+    val quar = spark.read.parquet(q)
+    assert(quar.count() > 0, "the InSet rule should quarantine purchases")
+    assert(quar.filter(col("ip_address") =!= "<IP>").count() == 0,
+      "quarantined rows must be scrubbed before they persist")
+    // the ledger counts the WHOLE batch (published + quarantined)
+    val ipTotal = Ingest.piiLedger(spark, dir)
+      .filter(col("pii_type") === "ip")
+      .agg(sum("n_redacted")).head.getLong(0)
+    assert(ipTotal == 2000L)
+    assert(res.rowsCommitted + quar.count() == 2000L)
+  }
+
+  test("PII scrub validates upfront: unknown or non-string column fails fast") {
+    val dir = tmp()
+    intercept[Exception](Ingest.runBatchCommitted(spark,
+      IngestConfig(outputPath = Some(dir), parallelism = 1, buckets = 0,
+        redactPiiColumns = Seq("nope")), 10))
+    intercept[Exception](Ingest.runBatchCommitted(spark,
+      IngestConfig(outputPath = Some(dir), parallelism = 1, buckets = 0,
+        columns = Some(Seq(Gen.ColSpec("k", Gen.ColType.LongT))),
+        redactPiiColumns = Seq("k")), 10))
+  }
+
   test("commit loop maintains the seen filter: committed ids flag, others don't") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()
