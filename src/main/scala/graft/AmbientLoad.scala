@@ -11,15 +11,22 @@ package graft
   * processes put on the box — the thing that actually contends with a
   * probe.
   *
-  * Known blind spots, recorded here as the field's provenance (ADVICE
-  * r14): (a) the sampler measures only THIS JVM — CPU burned by
-  * processes this suite forks (RaceChild JVMs, the DuckDB oracle)
-  * counts as "ambient" even though it is the suite's own work, so
-  * ambient read DURING the race stage overstates external load;
-  * (b) loadavg on Linux includes D-state (uninterruptible IO) tasks
-  * while process CPU does not, so this JVM's own IO-bound stalls also
-  * read as ambient. Both biases are conservative for gating (they can
-  * only make a quiet box look busy, never a busy box look quiet).
+  * Own-work accounting covers this JVM plus its DIRECT child
+  * processes (r15): the race soak forks RaceChild JVMs whose CPU the
+  * process-MXBean cannot see, and on an otherwise-idle box the race
+  * stage's ambient read ~6 — permanently "contaminated" in the
+  * record. Child CPU is summed from `/proc/<pid>/stat` utime+stime of
+  * processes whose ppid is this JVM (Linux; degrades to JVM-only
+  * elsewhere), so a forked probe's burst is the suite's own load, not
+  * ambient.
+  *
+  * Remaining blind spots, recorded here as the field's provenance
+  * (ADVICE r14): (a) grandchildren and children that exit between
+  * 2 s samples are partially missed; (b) loadavg on Linux includes
+  * D-state (uninterruptible IO) tasks while process CPU does not, so
+  * this JVM's own IO-bound stalls read as ambient. Both biases are
+  * conservative for gating (they can only make a quiet box look busy,
+  * never a busy box look quiet).
   *
   * Sampler robustness (ADVICE r14): the sampling loop is
   * exception-guarded — one OS-bean quirk must not silently kill the
@@ -38,6 +45,33 @@ private[graft] object AmbientLoad {
   private def cpus: Int =
     try Runtime.getRuntime.availableProcessors() catch { case _: Throwable => 1 }
 
+  /** Total utime+stime jiffies of this process's DIRECT children, read
+    * from /proc (Linux); -1 where /proc is unavailable. A full scan of
+    * /proc/[0-9]* every 2 s is ~1 ms of driver-side work. */
+  private[graft] def childJiffies(): Long = {
+    val self = try ProcessHandle.current().pid()
+      catch { case _: Throwable => return -1L }
+    val proc = new java.io.File("/proc")
+    val kids = proc.listFiles()
+    if (kids == null) return -1L
+    var total = 0L
+    kids.foreach { d =>
+      val n = d.getName
+      if (n.nonEmpty && n.forall(_.isDigit)) {
+        try {
+          val stat = new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(d, "stat").toPath), "UTF-8")
+          // fields after the parenthesized comm (which may contain
+          // spaces): state ppid pgrp ... utime(11) stime(12)
+          val rest = stat.substring(stat.lastIndexOf(')') + 2).split(' ')
+          if (rest.length > 12 && rest(1).toLong == self)
+            total += rest(11).toLong + rest(12).toLong
+        } catch { case _: Throwable => () }
+      }
+    }
+    total
+  }
+
   /** Idempotent: the first caller starts the daemon sampler. */
   def start(): Unit = synchronized {
     if (started) return
@@ -45,6 +79,7 @@ private[graft] object AmbientLoad {
     val t = new Thread(() => {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       var last = System.nanoTime()
+      var lastChild = childJiffies()
       try {
         while (true) {
           Thread.sleep(2000)
@@ -52,10 +87,18 @@ private[graft] object AmbientLoad {
             val now = System.nanoTime()
             val dt = (now - last) / 1e9
             last = now
+            // children: USER_HZ is 100 on Linux /proc regardless of the
+            // kernel tick; an exiting child drops out of the cumulative
+            // sum (negative delta) — clamp, never subtract own work
+            val curChild = childJiffies()
+            val childCores =
+              if (curChild < 0 || lastChild < 0 || dt <= 0) 0.0
+              else math.max(0.0, (curChild - lastChild) / 100.0 / dt)
+            lastChild = curChild
             val own = os match {
               case b: com.sun.management.OperatingSystemMXBean =>
                 val f = b.getProcessCpuLoad
-                if (f >= 0) f * cpus else -1.0
+                if (f >= 0) f * cpus + childCores else -1.0
               case _ => -1.0
             }
             if (own >= 0) {

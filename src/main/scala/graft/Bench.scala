@@ -34,8 +34,12 @@ import graft.ingest.{Ingest, IngestConfig}
   * rather than EVER exceeding the parse-window budget. */
 private[graft] object BenchLine {
   /** Stdout-line budget: the driver keeps only the final 2000 chars of
-    * the log; 1900 leaves ~100 for any trailer after the line. */
-  val MaxLen = 1900
+    * the log, and the compact line is the ABSOLUTE last output (printed
+    * again after spark.stop(), flushed) — so line + newline must fit
+    * 2000 with margin for nothing else. 1950 leaves 49 spare; r15
+    * raised it from 1900 after the per-stage ambient fields (a verdict
+    * done-bar) squeezed the per-query map to 33 entries. */
+  val MaxLen = 1950
 
   final case class Headline(sfDir: String, load1: Double, queryErrors: Int,
                             ingestRate: Long, ingestRateUnbucketed: Long,
@@ -80,7 +84,12 @@ private[graft] object BenchLine {
   def smokeJson(smokeRows: Long, entries: Seq[(String, Double)]): String =
     if (entries.isEmpty) "" else
       s""","scale_smoke":{"rows":$smokeRows,${entries.map { case (k, v) =>
-        "\"" + esc(k) + "\":" + f2(v) }.mkString(",")}}"""
+        // ambient/load context carries at 1 decimal — the gate is
+        // "< 4", not a 10-ms measurement; the chars buy query slots
+        "\"" + esc(k) + "\":" + (if (k.endsWith("_amb") || k.endsWith("_load1")) f1(v) else f2(v))
+      }.mkString(",")}}"""
+
+  def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
 
   /** Compact line for the log: `q44_near_dup_pairs` → `q44`, 10 ms
     * precision, no sample arrays — degrading precision, then SHEDDING

@@ -703,6 +703,9 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local("graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
+    // race-only bypasses run(), which is where the sampler normally
+    // starts — without it ambient degrades to raw load1
+    AmbientLoad.start()
     val t0 = System.nanoTime()
     val times =
       if (args.headOption.contains("race-only")) {
