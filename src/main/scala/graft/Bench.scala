@@ -493,7 +493,7 @@ object Bench {
         lastStreamNs = System.nanoTime()
         settle()
       }
-      (name, timeOne(name), load1Now())
+      (name, timeOne(name), load1Now(), ambientNow())
     }
     // Load-robust per-query times (VERDICT r9 #2): r9's record showed
     // 14× phantom regressions from SINGLE-SHOT timings on a box whose
@@ -502,7 +502,7 @@ object Bench {
     // off a deterministic batch query, never manufacture speed. Cost:
     // one extra run of only the slow tail, not the whole suite.
     val retrySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_RETRY_SEC", "2.0").toDouble
-    val results = firstPass.map { case (name, t1, _) =>
+    val results = firstPass.map { case (name, t1, _, _) =>
       if (t1 >= retrySec) {
         val t2 = timeOne(name)
         name -> (if (t2 >= 0) math.min(t1, t2) else t1)
@@ -604,8 +604,15 @@ object Bench {
     // query_load1: the 1-min loadavg right after each query's FIRST
     // timing — the contamination audit for per-query times, same role
     // the per-window loads play for the probes.
-    val queryLoads = firstPass.map { case (k, _, l) =>
+    val queryLoads = firstPass.map { case (k, _, l, _) =>
       "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(l)
+    }.mkString("{", ",", "}")
+    // query_amb: the ambient estimate right after each query's first
+    // timing — query_load1's gate-grade counterpart (r15): load1 after
+    // a timed query mostly measures the query itself; ambient is the
+    // contamination signal a drift adjudication should read
+    val queryAmbs = firstPass.map { case (k, _, _, a) =>
+      "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(a)
     }.mkString("{", ",", "}")
     val fixtureLog = graft.queries.Pipeline.fixtureBuildLog
     val fixtureJson =
@@ -617,7 +624,7 @@ object Bench {
     val ingestGateJson =
       s""","ingest_ambient_samples":${bucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_max_rows_per_sec":${if (bucketedSamples.nonEmpty) bucketedSamples.max else -1L}"""
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads$fixtureJson$ingestGateJson$scaleSmokeJson"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)

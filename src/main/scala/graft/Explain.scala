@@ -98,7 +98,10 @@ object Explain {
     "q200_sql_near_dup_pairs", // PPJoin pair join via TVF, posting-keyed (r13)
     "q202_sql_column_profile", // ONE-scan k-column profile via TVF (r14)
     "q203_sql_run_checks",     // ONE-scan suite + keys-only ref join via TVF (r14)
-    "q204_sql_commit_log")     // marker-source history via TVF, metadata-sized (r14)
+    "q204_sql_commit_log",     // marker-source history via TVF, metadata-sized (r14)
+    "q207_sql_feature_drift",  // two melt-aggs + bin-spine joins via TVF (r15)
+    "q208_sql_funnel",         // co-keyed shrinking step joins via TVF (r15)
+    "q209_ingest_pii_redaction") // pre-stage scrub + _pii ledger commit path (r15)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

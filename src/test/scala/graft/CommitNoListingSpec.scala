@@ -97,4 +97,39 @@ class CommitNoListingSpec extends AnyFunSuite {
       IngestProbes.rmrfQuiet(local.toFile)
     }
   }
+
+  test("foreachCommit delivers batch rows without a per-micro-batch listing job") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-nolist-str")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nolist-ck")
+    val path = s"graftcount://$local"
+    try {
+      // one 48-file commit — past the 32-root threshold where the old
+      // per-file load() path planned a listing job PER MICRO-BATCH
+      graft.ingest.Ingest.runBatchCommitted(spark,
+        graft.ingest.IngestConfig(outputPath = Some(path), parallelism = 4,
+          buckets = 4), 1000, batches = 1)
+      CountingFileSystem.reset()
+      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.CommitLogStream.foreachCommit(
+        spark, path, ckpt.toString) { (rows, _, _) =>
+        seen.addAndGet(rows.count())
+        ()
+      }
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (seen.get() < 1000L && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+      } finally q.stop()
+      assert(seen.get() == 1000L, s"stream delivered ${seen.get()} rows")
+      val execList = CountingFileSystem.executorListCalls.get
+      assert(execList == 0L,
+        s"$execList listing call(s) on executor threads — the commit " +
+          "stream's per-micro-batch listing job is back")
+    } finally {
+      IngestProbes.rmrfQuiet(local.toFile)
+      IngestProbes.rmrfQuiet(ckpt.toFile)
+    }
+  }
 }
