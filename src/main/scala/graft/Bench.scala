@@ -446,7 +446,8 @@ object Bench {
     Seq("q123_dsir_weights", "q163_semantic_decontaminate_indexed",
       "q164_streaming_neardup_suppress", "q174_index_integrity",
       "q171_semantic_suppress_explain", "q165_merge_neardup_indexes",
-      "q176_merge_ivf_indexes", "q204_sql_commit_log")
+      "q176_merge_ivf_indexes", "q204_sql_commit_log",
+      "q211_sql_pii_ledger")
       .filter(SparkEntry.queries.contains)
       .foreach(q => try materialize(q) catch { case _: Throwable => () })
     dropCaches()

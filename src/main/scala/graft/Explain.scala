@@ -101,7 +101,9 @@ object Explain {
     "q204_sql_commit_log",     // marker-source history via TVF, metadata-sized (r14)
     "q207_sql_feature_drift",  // two melt-aggs + bin-spine joins via TVF (r15)
     "q208_sql_funnel",         // co-keyed shrinking step joins via TVF (r15)
-    "q209_ingest_pii_redaction") // pre-stage scrub + _pii ledger commit path (r15)
+    "q209_ingest_pii_redaction", // pre-stage scrub + _pii ledger commit path (r15)
+    "q210_sql_snapshot",       // time travel via TVF, manifest-backed (r15)
+    "q211_sql_pii_ledger")     // redaction ledger via TVF, metadata-sized (r15)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan

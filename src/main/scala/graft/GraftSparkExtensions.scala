@@ -571,6 +571,56 @@ object GraftSparkExtensions {
       graft.core.Tables.commitLog(spark,
         strLit("graft_commit_log", "tablePath", args(0)))
     },
+    // time travel on the ops console (r15): the commit protocol's
+    // snapshot/delta reads from one SELECT — both lazy manifest-backed
+    // frames (GraftCommitFileIndex; no listing beyond the commit-log
+    // walk, no materialization). File resolution happens at TVF
+    // resolution time against the marker set then on disk — the same
+    // snapshot-at-resolution semantics the API calls have.
+    tvf("graft_snapshot",
+      "graft_snapshot(tablePath, upToBatch[, format]) - the committed " +
+        "table AS OF ingest batch upToBatch (time travel): the files " +
+        "of every batch with id <= upToBatch; compaction rewrites " +
+        "never participate, and once vacuum has destroyed a needed " +
+        "original this FAILS LOUDLY instead of returning a partial " +
+        "snapshot") { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_snapshot expects (tablePath, upToBatch[, format]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val format = if (args.length > 2)
+        strLit("graft_snapshot", "format", args(2)) else "orc"
+      graft.core.Tables.committedViewAsOf(spark,
+        strLit("graft_snapshot", "tablePath", args(0)),
+        intLit("graft_snapshot", "upToBatch", args(1)).toLong, format)
+    },
+    tvf("graft_snapshot_delta",
+      "graft_snapshot_delta(tablePath, fromBatch, toBatch[, format]) - " +
+        "the rows ADDED between two batch boundaries (exclusive/" +
+        "inclusive): an O(delta) read of exactly those batches' " +
+        "original files - no join, no scan of either snapshot; same " +
+        "vacuum contract as graft_snapshot") { args =>
+      require(args.length == 3 || args.length == 4,
+        s"graft_snapshot_delta expects (tablePath, fromBatch, toBatch[, format]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val format = if (args.length > 3)
+        strLit("graft_snapshot_delta", "format", args(3)) else "orc"
+      graft.core.Tables.committedViewDelta(spark,
+        strLit("graft_snapshot_delta", "tablePath", args(0)),
+        intLit("graft_snapshot_delta", "fromBatch", args(1)).toLong,
+        intLit("graft_snapshot_delta", "toBatch", args(2)).toLong, format)
+    },
+    tvf("graft_pii_ledger",
+      "graft_pii_ledger(tablePath) - the commit path's PII redaction " +
+        "ledger (cfg.redactPiiColumns): one row per (committed batch, " +
+        "type) - (batch_token, pii_type, n_redacted); entries land " +
+        "before their commit marker, so a committed batch never lacks " +
+        "its accounting") { args =>
+      require(args.length == 1,
+        s"graft_pii_ledger expects (tablePath), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ingest.Ingest.piiLedger(spark,
+        strLit("graft_pii_ledger", "tablePath", args(0)))
+    },
     // the SQL caller's end of the releaseMaterialized contract: the
     // operator-backed TVFs above execute eagerly and localCheckpoint
     // their results (resolution IS execution — EXPLAIN over them runs

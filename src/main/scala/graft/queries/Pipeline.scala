@@ -1959,6 +1959,50 @@ object Pipeline {
           |  'event_type', 'signup,view,click,purchase')""".stripMargin)
     }),
 
+    // Time travel on the ops console (r15): the q106/q111 snapshot
+    // contracts through the graft_snapshot / graft_snapshot_delta
+    // TVFs, over the SAME compacted commit-log fixture q204 uses
+    // (FixtureCache "clogsql": 3 committed batches × 2000 rows + a
+    // compaction) — so the SQL surface also proves snapshots SURVIVE
+    // compaction (originals still on disk pre-vacuum). All counts
+    // closed-form.
+    "q210_sql_snapshot" -> ((s, d) => {
+      val path = FixtureCache.dir("clogsql", d) { p =>
+        import graft.ingest.{Compact, Ingest, IngestConfig}
+        val cfg = IngestConfig(outputPath = Some(p), parallelism = 2, buckets = 2)
+        Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+        Compact.compact(s, p)
+        ()
+      }
+      s.sql(
+        s"""SELECT s0.n AS snap0_rows, s1.n AS snap1_rows, s2.n AS snap2_rows,
+           |       d.n AS delta_rows, e.n AS empty_delta_rows
+           |FROM (SELECT count(*) AS n FROM graft_snapshot('$path', 0)) s0,
+           |     (SELECT count(*) AS n FROM graft_snapshot('$path', 1)) s1,
+           |     (SELECT count(*) AS n FROM graft_snapshot('$path', 2)) s2,
+           |     (SELECT count(*) AS n FROM graft_snapshot_delta('$path', 0, 2)) d,
+           |     (SELECT count(*) AS n FROM graft_snapshot_delta('$path', 2, 2)) e""".stripMargin)
+    }),
+
+    // The PII redaction ledger from one SELECT: its own fixture
+    // (FixtureCache — ip_address scrubbed over 3 committed batches of
+    // 1000), per-type totals closed-form: every generated row carries
+    // exactly one IPv4 and nothing matching any other type.
+    "q211_sql_pii_ledger" -> ((s, d) => {
+      val path = FixtureCache.dir("piiledger", d) { p =>
+        import graft.ingest.{Ingest, IngestConfig}
+        val cfg = IngestConfig(outputPath = Some(p), parallelism = 2,
+          buckets = 2, redactPiiColumns = Seq("ip_address"))
+        Ingest.runBatchCommitted(s, cfg, 3000, batches = 3)
+        ()
+      }
+      s.sql(
+        s"""SELECT pii_type, sum(n_redacted) AS n_redacted,
+           |       count(*) AS n_batches
+           |FROM graft_pii_ledger('$path')
+           |GROUP BY pii_type ORDER BY pii_type""".stripMargin)
+    }),
+
     // PII scrub at the commit wiring point (VERDICT r14 #8 — the q205
     // redaction pass composed into the ingest loop the way
     // expectations were in q191): the default schema's ip_address
@@ -4228,6 +4272,23 @@ object Pipeline {
     // the TVF form replays q154's oracle verbatim (Events.scala owns
     // the original; referenced here so the two can never drift)
     "q208_sql_funnel" -> graft.queries.Events.oracles("q154_event_funnel"),
+    // the clogsql fixture: 3 batches x 2000 rows, compacted (originals
+    // on disk) - snapshots and deltas are pure batch arithmetic
+    "q210_sql_snapshot" ->
+      """SELECT CAST(2000 AS BIGINT) AS snap0_rows,
+        |  CAST(4000 AS BIGINT) AS snap1_rows,
+        |  CAST(6000 AS BIGINT) AS snap2_rows,
+        |  CAST(4000 AS BIGINT) AS delta_rows,
+        |  CAST(0 AS BIGINT) AS empty_delta_rows""".stripMargin,
+    // 3 batches x 1000 rows, one IPv4 per row, no other type matches
+    "q211_sql_pii_ledger" ->
+      """SELECT * FROM (VALUES
+        |  ('cc', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('email', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('ip', CAST(3000 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('phone', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('ssn', CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+        |) v(pii_type, n_redacted, n_batches) ORDER BY pii_type""".stripMargin,
     // closed-form totals + engine-proved gates (the q191 shape)
     "q209_ingest_pii_redaction" ->
       """SELECT CAST(4000 AS BIGINT) AS n_committed,

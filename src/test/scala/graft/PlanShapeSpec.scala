@@ -652,5 +652,19 @@ class PlanShapeSpec extends AnyFunSuite {
         "'event_type', 'signup,view,click')",
       graft.api.Profiling.funnel(spark.table("tvfplan_funnel_ev"),
         "user_id", "ts", "event_type", Seq("signup", "view", "click")))
+    // snapshot TVFs (r15): lazy manifest-backed frames — plan equality
+    // against the committedViewAsOf/Delta twins proves the SQL surface
+    // rides the SAME GraftCommitFileIndex, no reader-path fork
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-tvfplan-snap").toString
+    graft.ingest.Ingest.runBatchCommitted(spark,
+      graft.ingest.IngestConfig(outputPath = Some(snapDir), parallelism = 2,
+        buckets = 2), 300, batches = 3)
+    pin("snapshot",
+      s"SELECT * FROM graft_snapshot('$snapDir', 1)",
+      graft.core.Tables.committedViewAsOf(spark, snapDir, 1))
+    pin("snapshot_delta",
+      s"SELECT * FROM graft_snapshot_delta('$snapDir', 0, 2)",
+      graft.core.Tables.committedViewDelta(spark, snapDir, 0, 2))
   }
 }

@@ -237,6 +237,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_funnel('funnel_sql_ev', 'user_id', 'ts', 'event_type')"))
   }
 
+  test("snapshot/delta/pii-ledger TVFs: time travel + redaction ledger from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlsnap").toString
+    graft.ingest.Ingest.runBatchCommitted(spark,
+      graft.ingest.IngestConfig(outputPath = Some(dir), parallelism = 2,
+        buckets = 2, redactPiiColumns = Seq("ip_address")), 900, batches = 3)
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(one(s"SELECT count(*) FROM graft_snapshot('$dir', 0)") == 300L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot('$dir', 2)") == 900L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_delta('$dir', 0, 2)") == 600L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_delta('$dir', 1, 1)") == 0L)
+    // TVF == API, row-identical
+    val viaApi = graft.core.Tables.committedViewAsOf(spark, dir, 1)
+      .select("user_id").collect().map(_.getString(0)).sorted.toSeq
+    val viaSql = spark.sql(
+      s"SELECT user_id FROM graft_snapshot('$dir', 1)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaSql == viaApi && viaSql.length == 600)
+    // the redaction ledger: 3 batches, 300 ip redactions each
+    val ip = spark.sql(
+      s"""SELECT batch_token, n_redacted FROM graft_pii_ledger('$dir')
+         |WHERE pii_type = 'ip' ORDER BY batch_token""".stripMargin).collect()
+    assert(ip.map(_.getString(0)).toSeq == Seq("0", "1", "2"))
+    assert(ip.map(_.getLong(1)).toSeq == Seq(300L, 300L, 300L))
+    intercept[Exception](spark.sql(s"SELECT * FROM graft_snapshot('$dir')"))
+    intercept[Exception](spark.sql("SELECT * FROM graft_pii_ledger()"))
+  }
+
   test("sketch-table TVFs: heavy hitters, distinct, quantiles from SQL") {
     import spark.implicits._
     val rows = (1 to 300).map(i => ("p" + i % 2, "k" + i % 5, i.toDouble))
