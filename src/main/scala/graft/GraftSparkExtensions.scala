@@ -577,6 +577,28 @@ object GraftSparkExtensions {
     // walk, no materialization). File resolution happens at TVF
     // resolution time against the marker set then on disk — the same
     // snapshot-at-resolution semantics the API calls have.
+    tvf("graft_table",
+      "graft_table(tablePath[, format[, mergeSchemas]]) - the CURRENT " +
+        "committed view of a staged-publish ingest table: only files " +
+        "whose commit marker exists (a crash mid-publish is invisible, " +
+        "a compaction supersedes its inputs); lazy manifest-backed " +
+        "frame, no listing beyond the commit-log walk. " +
+        "mergeSchemas=true unions schemas by name across commits " +
+        "(reads every footer)") { args =>
+      require(args.length >= 1 && args.length <= 3,
+        s"graft_table expects (tablePath[, format[, mergeSchemas]]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val format = if (args.length > 1)
+        strLit("graft_table", "format", args(1)) else "orc"
+      val merge = args.length > 2 && (args(2) match {
+        case Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"graft_table: mergeSchemas must be a boolean literal, got $other")
+      })
+      graft.core.Tables.committedView(spark,
+        strLit("graft_table", "tablePath", args(0)), format,
+        mergeSchemas = merge)
+    },
     tvf("graft_snapshot",
       "graft_snapshot(tablePath, upToBatch[, format]) - the committed " +
         "table AS OF ingest batch upToBatch (time travel): the files " +

@@ -666,5 +666,8 @@ class PlanShapeSpec extends AnyFunSuite {
     pin("snapshot_delta",
       s"SELECT * FROM graft_snapshot_delta('$snapDir', 0, 2)",
       graft.core.Tables.committedViewDelta(spark, snapDir, 0, 2))
+    pin("table",
+      s"SELECT * FROM graft_table('$snapDir')",
+      graft.core.Tables.committedView(spark, snapDir))
   }
 }

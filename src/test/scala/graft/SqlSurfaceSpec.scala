@@ -262,6 +262,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ip.map(_.getLong(1)).toSeq == Seq(300L, 300L, 300L))
     intercept[Exception](spark.sql(s"SELECT * FROM graft_snapshot('$dir')"))
     intercept[Exception](spark.sql("SELECT * FROM graft_pii_ledger()"))
+    // the current committed view itself: graft_table == committedView,
+    // and a compaction changes neither rows nor the TVF's answer
+    assert(one(s"SELECT count(*) FROM graft_table('$dir')") == 900L)
+    graft.ingest.Compact.compact(spark, dir)
+    assert(one(s"SELECT count(*) FROM graft_table('$dir')") == 900L)
+    val apiRows = graft.core.Tables.committedView(spark, dir)
+      .select("user_id").collect().map(_.getString(0)).sorted.toSeq
+    val sqlRows = spark.sql(s"SELECT user_id FROM graft_table('$dir')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(sqlRows == apiRows)
   }
 
   test("sketch-table TVFs: heavy hitters, distinct, quantiles from SQL") {
