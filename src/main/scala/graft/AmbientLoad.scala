@@ -31,9 +31,11 @@ package graft
   * Sampler robustness (ADVICE r14): the sampling loop is
   * exception-guarded — one OS-bean quirk must not silently kill the
   * thread and freeze the EWMA at a stale value with no trace in the
-  * record. Errors count in [[samplerErrors]]; a dead sampler thread
-  * (only possible via an Error the catch refuses) flips
-  * [[samplerDead]], and both land in the bench JSON.
+  * record. Recoverable exceptions (NonFatal) count in
+  * [[samplerErrors]] and the loop continues; a fatal Error or a
+  * thread interrupt kills the loop and flips [[samplerDead]] — both
+  * land in the bench JSON, so a frozen EWMA is always attributable
+  * from the artifact.
   */
 private[graft] object AmbientLoad {
   private val ownEwmaBits = new java.util.concurrent.atomic.AtomicLong(
@@ -45,29 +47,29 @@ private[graft] object AmbientLoad {
   private def cpus: Int =
     try Runtime.getRuntime.availableProcessors() catch { case _: Throwable => 1 }
 
-  /** Total utime+stime jiffies of this process's DIRECT children, read
-    * from /proc (Linux); -1 where /proc is unavailable. A full scan of
-    * /proc/[0-9]* every 2 s is ~1 ms of driver-side work. */
+  /** Total utime+stime jiffies of this process's DIRECT children:
+    * enumerated via ProcessHandle.current().children() (exactly the
+    * direct children — no /proc-wide scan filtering by ppid, which on
+    * a busy multi-tenant box would open thousands of stat files every
+    * 2 s), jiffies read from each child's /proc/<pid>/stat (Linux);
+    * -1 where either is unavailable. */
   private[graft] def childJiffies(): Long = {
-    val self = try ProcessHandle.current().pid()
-      catch { case _: Throwable => return -1L }
-    val proc = new java.io.File("/proc")
-    val kids = proc.listFiles()
-    if (kids == null) return -1L
+    val kids = try {
+      import scala.jdk.CollectionConverters._
+      ProcessHandle.current().children().iterator().asScala.toSeq
+    } catch { case _: Throwable => return -1L }
+    if (!new java.io.File("/proc/self/stat").exists()) return -1L
     var total = 0L
-    kids.foreach { d =>
-      val n = d.getName
-      if (n.nonEmpty && n.forall(_.isDigit)) {
-        try {
-          val stat = new String(java.nio.file.Files.readAllBytes(
-            new java.io.File(d, "stat").toPath), "UTF-8")
-          // fields after the parenthesized comm (which may contain
-          // spaces): state ppid pgrp ... utime(11) stime(12)
-          val rest = stat.substring(stat.lastIndexOf(')') + 2).split(' ')
-          if (rest.length > 12 && rest(1).toLong == self)
-            total += rest(11).toLong + rest(12).toLong
-        } catch { case _: Throwable => () }
-      }
+    kids.foreach { h =>
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/${h.pid()}/stat")), "UTF-8")
+        // fields after the parenthesized comm (which may contain
+        // spaces): state ppid pgrp ... utime(11) stime(12)
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(' ')
+        if (rest.length > 12)
+          total += rest(11).toLong + rest(12).toLong
+      } catch { case _: Throwable => () } // child exited mid-read
     }
     total
   }
@@ -107,8 +109,10 @@ private[graft] object AmbientLoad {
               ownEwmaBits.set(java.lang.Double.doubleToLongBits(next))
             }
           } catch {
-            case _: InterruptedException => throw new InterruptedException
-            case t: Throwable =>
+            // NonFatal only: an Error (OOM, etc.) must not keep a
+            // possibly-corrupted sampler alive reporting healthy — it
+            // propagates to the outer catch and flips samplerDead
+            case scala.util.control.NonFatal(t) =>
               errors.incrementAndGet()
               System.err.println(
                 s"[ambient] sampler error (continuing): ${t.getClass.getSimpleName}: ${t.getMessage}")

@@ -24,8 +24,9 @@ import graft.ingest.{Ingest, IngestConfig}
   * ENTIRELY — r6's line ran ~2048 chars (126 queries + per-rep sample
   * arrays) and lost its opening brace. The stdout line therefore uses
   * short query keys (`qNN`), 10 ms precision, and no sample arrays,
-  * with a length guard at 1900 chars; the full-name, full-precision,
-  * full-samples record is mirrored to `bench_result.json`.
+  * with a length guard at BenchLine.MaxLen chars; the full-name,
+  * full-precision, full-samples record is mirrored to
+  * `bench_result.json`.
   */
 /** The driver-facing JSON result line, extracted pure so the format
   * contract is unit-testable without a Spark session (BenchLineSpec):
@@ -100,7 +101,6 @@ private[graft] object BenchLine {
     * complete map always lands in bench_result.json. */
   def compact(h: Headline, results: Seq[(String, Double)],
               alwaysExtras: String = ""): String = {
-    val f1 = (v: Double) => "%.1f".formatLocal(Locale.ROOT, v)
     def at(fmt: Double => String, subset: Seq[(String, Double)]): String = {
       val omitted = results.size - subset.size
       render(h, results,
@@ -564,8 +564,8 @@ object Bench {
     // node / row counts — they already failed the run loudly if wrong)
     // and the raw per-stage load1 (the gate's input — per-stage `_amb`
     // — stays; VERDICT r14 #1) so their chars buy more per-query slots
-    // in the 1900-char parse window; the full set always lands in
-    // bench_result.json
+    // in the BenchLine.MaxLen parse window; the full set always lands
+    // in bench_result.json
     val scaleSmokeJsonCompact = smokeJson(smokeTimes.filterNot { case (k, _) =>
       k.endsWith("_survivors") || k.endsWith("_nodes") ||
         k.endsWith("_dangling") || k.endsWith("_conflict_loud") ||

@@ -407,9 +407,10 @@ object Ingest {
         aliases += ((a, t))
       }
     }
-    val sums = d.agg(
-      count(lit(1)).as("__n"),
-      aliases.toSeq.map { case (a, _) => sum(col(a)).as(a) }: _*).head()
+    // aliases is non-empty whenever redactPiiColumns is (every column
+    // contributes one alias per type), so head/tail is total
+    val aggCols = aliases.toSeq.map { case (a, _) => sum(col(a)).as(a) }
+    val sums = d.agg(aggCols.head, aggCols.tail: _*).head()
     val totals = types.map { t =>
       t -> aliases.filter(_._2 == t).map { case (a, _) =>
         val i = sums.fieldIndex(a)

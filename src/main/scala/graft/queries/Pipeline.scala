@@ -220,6 +220,22 @@ object Pipeline {
     }
   }
 
+  /** The commit-log console fixture shared by q204 (graft_commit_log)
+    * and q210 (graft_snapshot/_delta): 3 staged-publish batches × 2000
+    * rows + one compaction, built ONCE per (JVM, sf-dir). A single
+    * builder — not two identical closures — so both queries'
+    * closed-form oracles (3 superseded commits + 1 live compaction;
+    * snapshots 2000/4000/6000) are anchored to the same fixture no
+    * matter which query touches the cache first. */
+  private def clogsqlFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("clogsql", d) { p =>
+      import graft.ingest.{Compact, Ingest, IngestConfig}
+      val cfg = IngestConfig(outputPath = Some(p), parallelism = 2, buckets = 2)
+      Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
+      Compact.compact(s, p)
+      ()
+    }
+
   /** Bench hooks on the fixture cache (VERDICT r13 #3): snapshot the
     * built-fixture keys around the timed query pass and read the
     * per-kind build times, so the recorded numbers measure queries,
@@ -1910,15 +1926,11 @@ object Pipeline {
     // not 3 staged-publish commits + a compaction of ingest I/O
     // (the r14 closure rebuilt them on every invocation, bypassing
     // the fixture-warm assert). Read-only thereafter: graft_commit_log
-    // never mutates the table.
+    // never mutates the table. The ONE builder (clogsqlFixture) is
+    // shared with q210 so their closed-form oracles can never see
+    // different fixtures depending on execution order.
     "q204_sql_commit_log" -> ((s, d) => {
-      val path = FixtureCache.dir("clogsql", d) { p =>
-        import graft.ingest.{Compact, Ingest, IngestConfig}
-        val cfg = IngestConfig(outputPath = Some(p), parallelism = 2, buckets = 2)
-        Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
-        Compact.compact(s, p)
-        ()
-      }
+      val path = clogsqlFixture(s, d)
       s.sql(
         s"""SELECT kind, count(*) AS n_markers,
            |       sum(CASE WHEN live THEN 1 ELSE 0 END) AS n_live
@@ -1967,13 +1979,7 @@ object Pipeline {
     // compaction (originals still on disk pre-vacuum). All counts
     // closed-form.
     "q210_sql_snapshot" -> ((s, d) => {
-      val path = FixtureCache.dir("clogsql", d) { p =>
-        import graft.ingest.{Compact, Ingest, IngestConfig}
-        val cfg = IngestConfig(outputPath = Some(p), parallelism = 2, buckets = 2)
-        Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
-        Compact.compact(s, p)
-        ()
-      }
+      val path = clogsqlFixture(s, d)
       s.sql(
         s"""SELECT s0.n AS snap0_rows, s1.n AS snap1_rows, s2.n AS snap2_rows,
            |       d.n AS delta_rows, e.n AS empty_delta_rows

@@ -75,8 +75,15 @@ object CommitMarkerSource {
     * (ADVICE r14: graft_commit_log previously read liveness in a
     * separate eager pass that could straddle a concurrent compaction).
     * Contents are bytes-per-commit metadata; only `c<stamp>` names are
-    * opened. A foreign unreadable c-file reads as empty rather than
-    * failing the scan. */
+    * opened. An unreadable compaction marker FAILS the scan loudly —
+    * swallowing it would report every token that compaction superseded
+    * as live, silently diverging from the strict [[graft.core.Tables
+    * .liveTokens]] fold that vacuum decisions run on (a file named
+    * `c<stamp>` is protocol-owned by contract; there is no legitimate
+    * foreign-but-unreadable case to degrade for). The one benign read
+    * failure is a marker deleted between listing and open (only a
+    * foreign actor deletes markers): surfaced as FileNotFoundException
+    * to keep the cause visible. */
   private def loadRows(dir: String,
                        names: Seq[(String, Long)]): Array[(String, Long, Array[String])] = {
     val p = new Path(dir)
@@ -85,12 +92,12 @@ object CommitMarkerSource {
     names.map { case (n, m) =>
       val superseded =
         if (!n.matches("c\\d+")) Array.empty[String]
-        else try {
+        else {
           val in = fs.open(new Path(p, n))
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
             .filter(_.nonEmpty).toArray
           finally in.close()
-        } catch { case _: java.io.IOException => Array.empty[String] }
+        }
       (n, m, superseded)
     }.toArray
   }

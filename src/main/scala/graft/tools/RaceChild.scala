@@ -74,10 +74,21 @@ object RaceChild {
     } finally spark.stop()
   }
 
+  /** Thrown when the second JVM cannot be LAUNCHED (ProcessBuilder
+    * refused: no fork permission, missing java binary, resource
+    * exhaustion) — the one failure class the race soak soft-fails on.
+    * Tagged at the spawn call-site precisely so an IOException from
+    * the commit protocol itself (e.g. a publish-rename failure —
+    * exactly what the stage exists to catch) can never be
+    * misclassified as an environment problem. */
+  final class SpawnUnavailable(cause: Throwable)
+    extends RuntimeException(s"cannot fork a second JVM: ${cause.getMessage}", cause)
+
   /** Launch a RaceChild JVM with this process's graft classes plus the
     * Spark distribution jars (the same classpath recipe whether the
     * parent runs from sbt's classes dir or a packaged jar). Returns
-    * the Process; stdout is captured to `outFile`. */
+    * the Process; stdout is captured to `outFile`. Launch failures
+    * throw [[SpawnUnavailable]]. */
   def spawn(args: Seq[String], outFile: java.io.File): Process = {
     def locOf(c: Class[_]): java.io.File =
       new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
@@ -109,9 +120,14 @@ object RaceChild {
     System.err.println(s"[race] spawning: ${cmd.mkString(" ")}")
     // stderr merged into the capture file: a child failure must leave
     // its stack trace somewhere the parent can print
-    new ProcessBuilder(cmd: _*)
+    try new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
       .redirectOutput(outFile)
       .start()
+    catch {
+      case t @ (_: java.io.IOException | _: SecurityException |
+                _: UnsupportedOperationException) =>
+        throw new SpawnUnavailable(t)
+    }
   }
 }
