@@ -96,21 +96,30 @@ private[graft] object BenchLine {
     * precision, no sample arrays — degrading precision, then SHEDDING
     * THE FASTEST queries (the slow ones are the performance signal;
     * `"q_omitted":N` records the shed count, every omitted query faster
-    * than every kept one), and only as a last resort dropping the map
-    * entirely — never printing an over-length line. The full-precision
-    * complete map always lands in bench_result.json. */
+    * than every kept one), then dropping the map entirely, and as the
+    * FINAL rungs shedding `extras` segments from the END (ADVICE r15:
+    * the always-on extras grow linearly with probe reps and smoke
+    * stage count, so with elevated reps even the no-map render could
+    * overflow — the never-over-length contract needs a hard guard
+    * below the map, not just around it). `extras` is ordered
+    * most-important-first; a shed is recorded as `"extras_omitted":N`.
+    * The full-precision complete record always lands in
+    * bench_result.json regardless of what the line sheds. */
   def compact(h: Headline, results: Seq[(String, Double)],
-              alwaysExtras: String = ""): String = {
-    def at(fmt: Double => String, subset: Seq[(String, Double)]): String = {
-      val omitted = results.size - subset.size
+              extras: Seq[String] = Nil): String = {
+    def at(fmt: Double => String, subset: Seq[(String, Double)],
+           keepExtras: Int): String = {
+      val exOmitted = extras.size - keepExtras
+      val qOmitted = results.size - subset.size
       render(h, results,
         subset.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) },
-        alwaysExtras +
-          (if (omitted > 0) s""","q_omitted":$omitted""" else ""))
+        extras.take(keepExtras).mkString +
+          (if (exOmitted > 0) s""","extras_omitted":$exOmitted""" else "") +
+          (if (qOmitted > 0) s""","q_omitted":$qOmitted""" else ""))
     }
-    val c2 = at(f2, results)
+    val c2 = at(f2, results, extras.size)
     if (c2.length <= MaxLen) return c2
-    val c1 = at(f1, results)
+    val c1 = at(f1, results, extras.size)
     if (c1.length <= MaxLen) return c1
     // shed fastest-first: failures (-1) sort as slowest so they are
     // never shed — a red query must stay visible in the map
@@ -118,9 +127,17 @@ private[graft] object BenchLine {
     var line = c1
     while (line.length > MaxLen && keep.nonEmpty) {
       keep = keep.dropRight(math.max(1, keep.size / 10))
-      line = at(f1, keep)
+      line = at(f1, keep, extras.size)
     }
-    if (keep.isEmpty) render(h, results, Seq.empty, alwaysExtras) else line
+    // map fully shed and still over budget: the extras did it — drop
+    // segments from the end until the line fits. The bare headline
+    // plus "extras_omitted" is a few hundred chars and always fits.
+    var keepExtras = extras.size
+    while (line.length > MaxLen && keepExtras > 0) {
+      keepExtras -= 1
+      line = at(f1, Seq.empty, keepExtras)
+    }
+    line
   }
 }
 
@@ -621,31 +638,49 @@ object Bench {
         "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(v) }.mkString("{", ",", "}")},"fixture_builds_during_timed":$fixtureBuildsDuringTimed"""
     // Batch-probe gating provenance (VERDICT r14 #3) — these travel on
     // the COMPACT line too: the gated headline is only auditable if the
-    // per-sample ambients ride with it.
+    // per-sample ambients ride with it. The COMPACT variant caps the
+    // ambient array at the last 12 samples (ADVICE r15: the array grows
+    // linearly with SPARK_GRAFT_PROBE_REPS and was un-sheddable); the
+    // full array always rides in bench_result.json.
     val ingestGateJson =
       s""","ingest_ambient_samples":${bucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_max_rows_per_sec":${if (bucketedSamples.nonEmpty) bucketedSamples.max else -1L}"""
+    val ambCap = 12
+    val ingestGateJsonCompact =
+      if (bucketedAmbients.size <= ambCap) ingestGateJson
+      else
+        s""","ingest_ambient_samples":${bucketedAmbients.takeRight(ambCap).map(BenchLine.f2).mkString("[", ",", "]")},"ingest_ambient_samples_capped":${bucketedAmbients.size - ambCap},"ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_max_rows_per_sec":${if (bucketedSamples.nonEmpty) bucketedSamples.max else -1L}"""
     val samples =
       s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)
-    try Files.writeString(java.nio.file.Paths.get("bench_result.json"), full + "\n")
-    catch { case _: Throwable => () }
+    val fullMapWritten =
+      try {
+        Files.writeString(java.nio.file.Paths.get("bench_result.json"), full + "\n")
+        true
+      } catch { case _: Throwable => false }
     // Full-map binding (VERDICT r14 #5): 206+ query times at any JSON
     // precision cannot physically fit the driver's 2000-char parse
     // window alongside the headline + smoke fields, so the complete map
     // lives in bench_result.json — and the compact line carries that
-    // file's sha256 so "committed and in sync" is VERIFIABLE, not
-    // hoped: the BENCH artifact of record names the exact full-map
-    // bytes it summarizes.
+    // file's sha256 (FIRST 8 BYTES = 16 hex chars, hence the _16
+    // suffix; ADVICE r15) so "committed and in sync" is VERIFIABLE,
+    // not hoped. If the file write FAILED, the line must not name
+    // full-map bytes that were never persisted — it carries
+    // full_map_write_failed instead (ADVICE r15).
     val fullSha = {
       val d = java.security.MessageDigest.getInstance("SHA-256")
         .digest((full + "\n").getBytes("UTF-8"))
       d.take(8).map(b => f"$b%02x").mkString
     }
+    val shaSegment =
+      if (fullMapWritten) s""","full_map_sha256_16":"$fullSha""""
+      else s""","full_map_write_failed":true"""
+    // extras ordered most-important-first: the shed ladder drops from
+    // the END (smoke summary first, gate provenance second, the
+    // full-map binding last — it is what makes the rest auditable)
     val compact = BenchLine.compact(head, results,
-      ingestGateJson +
-        s""","full_map_sha256":"$fullSha"""" + scaleSmokeJsonCompact)
+      Seq(shaSegment, ingestGateJsonCompact, scaleSmokeJsonCompact))
     println(compact)
     System.out.flush()
     spark.stop()

@@ -315,6 +315,17 @@ object Ingest {
     // PII scrub FIRST (policy is absolute: quarantined rows persist
     // too, so they must be as redacted as published ones), then the
     // expectations split on the scrubbed frame.
+    //
+    // DETERMINISM INVARIANT (ADVICE r15): redactAndCount executes the
+    // batch once for the ledger counts, and the staged/quarantine
+    // writes execute it again — the `_pii` ledger matches the
+    // published bytes ONLY because the generator is deterministic per
+    // (token, row index): Gen's pools are pure functions of the row
+    // value and every replay of a token reproduces identical text.
+    // Caching the scrubbed micro-batch would buy nothing here and tax
+    // the hot commit path; any FUTURE nondeterministic source wired
+    // into this loop MUST persist the scrubbed frame across the
+    // count+write pair instead, or the ledger silently desynchronizes.
     val (scrubbed, piiCounts) = redactAndCount(routeAndProject(batch, cfg), cfg)
     // Expectations split: tag the PROJECTED rows, land the violators
     // in the quarantine (their own token dir, overwritten on replay)
@@ -438,10 +449,21 @@ object Ingest {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        lines.collect {
-          case l if l.contains('=') =>
-            val Array(t, c) = l.split('=')
-            (st.getPath.getName, t, c.toLong)
+        // malformed lines (foreign edits, partial writes) are skipped
+        // with a loud note rather than failing the whole ledger read
+        // (ADVICE r15: the old `val Array(t, c) = split('=')` threw on
+        // any extra '=' or non-numeric count, making every batch's
+        // accounting unreadable for one bad line)
+        lines.filter(_.nonEmpty).flatMap { l =>
+          val kv = l.split('=')
+          val parsed = if (kv.length == 2) kv(1).toLongOption else None
+          parsed match {
+            case Some(c) => Some((st.getPath.getName, kv(0), c))
+            case None =>
+              System.err.println(s"[ingest] malformed _pii ledger line in" +
+                s" ${st.getPath}: '$l' — skipped")
+              None
+          }
         }
       }
     rows.toDF("batch_token", "pii_type", "n_redacted")

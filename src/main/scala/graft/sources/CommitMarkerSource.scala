@@ -82,21 +82,32 @@ object CommitMarkerSource {
     * `c<stamp>` is protocol-owned by contract; there is no legitimate
     * foreign-but-unreadable case to degrade for). The one benign read
     * failure is a marker deleted between listing and open (only a
-    * foreign actor deletes markers): surfaced as FileNotFoundException
-    * to keep the cause visible. */
-  private def loadRows(dir: String,
-                       names: Seq[(String, Long)]): Array[(String, Long, Array[String])] = {
+    * foreign actor deletes markers). In the BATCH path it surfaces as
+    * FileNotFoundException to keep the cause visible; the STREAMING
+    * path passes `lenient = true` and degrades the vanished marker to
+    * an empty superseded list with a loud stderr note instead — a
+    * long-running query must not die for a foreign deletion the same
+    * path already tolerates at the re-stat step (mtime 0), and the
+    * contract there documents exactly that (ADVICE r15). */
+  private def loadRows(dir: String, names: Seq[(String, Long)],
+                       lenient: Boolean = false): Array[(String, Long, Array[String])] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
     names.map { case (n, m) =>
       val superseded =
         if (!n.matches("c\\d+")) Array.empty[String]
-        else {
+        else try {
           val in = fs.open(new Path(p, n))
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
             .filter(_.nonEmpty).toArray
           finally in.close()
+        } catch {
+          case e: java.io.FileNotFoundException if lenient =>
+            System.err.println(s"[graft-commits] compaction marker $dir/$n" +
+              s" vanished between listing and open (foreign deletion?) —" +
+              s" emitting it with an empty superseded list: ${e.getMessage}")
+            Array.empty[String]
         }
       (n, m, superseded)
     }.toArray
@@ -169,10 +180,12 @@ object CommitMarkerSource {
       else {
         // re-stat for mtimes: markers are never renamed/deleted, so a
         // replay after restart finds the same files (a foreign deletion
-        // surfaces as mtime 0, not a crash)
+        // surfaces as mtime 0, not a crash — and lenient loadRows keeps
+        // the same promise for a marker deleted between list and open)
         val byName = listMarkers(path).toMap
         Array(MarkerPartition(loadRows(path,
-          newNames.toSeq.sorted.map(n => (n, byName.getOrElse(n, 0L))))))
+          newNames.toSeq.sorted.map(n => (n, byName.getOrElse(n, 0L))),
+          lenient = true)))
       }
     }
     override def createReaderFactory(): PartitionReaderFactory = MarkerReaderFactory

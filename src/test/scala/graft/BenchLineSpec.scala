@@ -111,6 +111,37 @@ class BenchLineSpec extends AnyFunSuite {
     assert(BenchLine.smokeJson(1L, Seq.empty) == "")
   }
 
+  // ADVICE r15 (medium): the always-on extras grow linearly with probe
+  // reps and smoke stage count — with the map fully shed, the line must
+  // shed extras segments from the END rather than EVER print over-length.
+  test("oversized extras are shed from the end, line never over-length") {
+    val hugeSmoke = "," + "\"scale_smoke\":{" +
+      (1 to 120).map(i => s""""stage${i}_io_stall":0.42""").mkString(",") + "}"
+    val gate = s""","ingest_headline_gated":true,"ingest_best_ambient":1.50"""
+    val sha = s""","full_map_sha256_16":"0123456789abcdef""""
+    val results = (1 to 150).map(i => (f"q$i%03d_op", 1.0 + (i % 20)))
+    val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results,
+      Seq(sha, gate, hugeSmoke))
+    assert(line.length <= BenchLine.MaxLen, s"line ran ${line.length} chars")
+    val node = parse(line)
+    // the LAST segment (the huge smoke map) sheds first; the sha — the
+    // full-map binding — survives longest
+    assert(node.has("full_map_sha256_16"), "most-important extra was shed first")
+    assert(!node.has("scale_smoke"), "the oversized segment must shed")
+    assert(node.get("extras_omitted").asInt() >= 1)
+    assert(node.get("ingest_rows_per_sec").asLong() == 1500000L)
+  }
+
+  test("extras that fit ride unchanged with no extras_omitted") {
+    val results = (1 to 20).map(i => (f"q$i%02d_op", 1.5))
+    val line = BenchLine.compact(headline("/x"), results,
+      Seq(s""","full_map_sha256_16":"00ff""""))
+    val node = parse(line)
+    assert(node.get("full_map_sha256_16").asText() == "00ff")
+    assert(!node.has("extras_omitted"))
+    assert(node.get("queries").size() == 20)
+  }
+
   test("smoke-stage error sentinels count as query errors (the red path)") {
     assert(BenchLine.smokeErrorKeys(Seq(
       "neardup_index" -> 112.0, "race_error" -> -1.0, "smoke_error" -> -1.0))
