@@ -142,3 +142,119 @@ private[graft] object AmbientLoad {
   def samplerErrors: Long = errors.get
   def samplerDead: Boolean = dead
 }
+
+/** IO-pressure and IO-volume provenance (VERDICT r15 #1): the
+  * CPU-based [[AmbientLoad]] estimator cannot see page-cache or
+  * writeback (D-state) pressure, which made the IO-bound index-build
+  * smoke stages swing ±60% with no attributable cause in the record
+  * (containment_index: 360.7 s at CPU-ambient 0.1 vs 166–199 s in
+  * quiet legs). Three Linux sources, each optional (−1 when absent):
+  *
+  *  - `/proc/pressure/io` PSI totals (µs any-task-stalled "some" and
+  *    all-tasks-stalled "full") — SYSTEM-WIDE IO pressure; a stage's
+  *    delta ÷ wall is the fraction of the window the box spent
+  *    IO-stalled. Includes our own IO, so it attributes "this window
+  *    was IO-pressured", not who caused it — exactly the signal the
+  *    CPU ambient lacks.
+  *  - `/proc/self/io` read_bytes / write_bytes — bytes this process
+  *    PHYSICALLY moved through the block layer (read_bytes counts
+  *    page-cache MISSES only; write_bytes is accounted at
+  *    page-dirtying time), so a stage re-run that jumps from ~0 to
+  *    corpus-sized read_bytes was a cold-cache run.
+  *  - Hadoop [[org.apache.hadoop.fs.GlobalStorageStatistics]]
+  *    bytesRead / bytesWritten summed over schemes — the LOGICAL
+  *    bytes the stage pushed through the FileSystem API (local mode:
+  *    executor threads share this JVM, so the totals are complete).
+  *    Deterministic per plan; the denominator for "did the rewrite
+  *    actually shrink the IO". CAVEAT (measured): `bytesWritten` is
+  *    complete, but Spark's vectorized parquet reader pulls data
+  *    pages outside the statistics-wrapped stream — reading an
+  *    8.4 MB parquet moves `bytesRead` by only ~24 KB (footers).
+  *    Use `fs_wmb` for write-volume A/Bs and `io_rmb` (physical,
+  *    cache-miss) for the read side.
+  */
+private[graft] object IoLoad {
+  final case class Snap(psiSomeUs: Long, psiFullUs: Long,
+                        procReadBytes: Long, procWriteBytes: Long,
+                        fsReadBytes: Long, fsWriteBytes: Long,
+                        atNanos: Long)
+
+  private def readProcFile(path: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+    catch { case _: Throwable => None }
+
+  /** (someTotalUs, fullTotalUs) from /proc/pressure/io; (-1,-1) when
+    * PSI is unavailable (non-Linux, CONFIG_PSI off). */
+  private[graft] def psiTotals(): (Long, Long) =
+    readProcFile("/proc/pressure/io").map { txt =>
+      def total(line: String): Long =
+        line.split(' ').collectFirst {
+          case f if f.startsWith("total=") => f.stripPrefix("total=").toLong
+        }.getOrElse(-1L)
+      val lines = txt.split('\n')
+      (lines.find(_.startsWith("some")).map(total).getOrElse(-1L),
+       lines.find(_.startsWith("full")).map(total).getOrElse(-1L))
+    }.getOrElse((-1L, -1L))
+
+  /** (read_bytes, write_bytes) from /proc/self/io; (-1,-1) elsewhere. */
+  private[graft] def procIo(): (Long, Long) =
+    readProcFile("/proc/self/io").map { txt =>
+      def field(k: String): Long = txt.split('\n')
+        .find(_.startsWith(k + ":"))
+        .map(_.split(':')(1).trim.toLong).getOrElse(-1L)
+      (field("read_bytes"), field("write_bytes"))
+    }.getOrElse((-1L, -1L))
+
+  /** (bytesRead, bytesWritten) summed over every Hadoop FS scheme's
+    * global storage statistics; (-1,-1) if the walk throws. */
+  private[graft] def fsBytes(): (Long, Long) =
+    try {
+      var r = 0L; var w = 0L
+      val it = org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        val br = s.getLong("bytesRead"); val bw = s.getLong("bytesWritten")
+        if (br != null) r += br.longValue()
+        if (bw != null) w += bw.longValue()
+      }
+      (r, w)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  def snap(): Snap = {
+    val (ps, pf) = psiTotals()
+    val (pr, pw) = procIo()
+    val (fr, fw) = fsBytes()
+    Snap(ps, pf, pr, pw, fr, fw, System.nanoTime())
+  }
+
+  /** PSI "some" 10-second average (%, 0–100) — the gate-grade instant
+    * IO-pressure read, PSI's own EWMA over the last 10 s; −1 when
+    * unavailable. The IO analogue of [[AmbientLoad.ambientNow]], minus
+    * the own-work subtraction (PSI cannot attribute stall to a
+    * process — callers gate on "the box is IO-quiet", which own
+    * writeback from a prior rep delays but quiet-waiting absorbs). */
+  def ioSome10Now(): Double =
+    readProcFile("/proc/pressure/io").flatMap { txt =>
+      txt.split('\n').find(_.startsWith("some")).flatMap(_.split(' ')
+        .collectFirst { case f if f.startsWith("avg10=") =>
+          f.stripPrefix("avg10=").toDouble })
+    }.getOrElse(-1.0)
+
+  /** Per-stage delta fields: stall percentages of the wall window plus
+    * physical and logical MB moved. −1 where a source was absent. */
+  def stageFields(prefix: String, before: Snap, after: Snap): Seq[(String, Double)] = {
+    val wallUs = math.max(1L, (after.atNanos - before.atNanos) / 1000L)
+    def pct(b: Long, a: Long): Double =
+      if (b < 0 || a < 0) -1.0 else 100.0 * math.max(0L, a - b) / wallUs
+    def mb(b: Long, a: Long): Double =
+      if (b < 0 || a < 0) -1.0 else math.max(0L, a - b) / 1048576.0
+    Seq(
+      s"${prefix}_io_stall" -> pct(before.psiSomeUs, after.psiSomeUs),
+      s"${prefix}_io_full" -> pct(before.psiFullUs, after.psiFullUs),
+      s"${prefix}_io_rmb" -> mb(before.procReadBytes, after.procReadBytes),
+      s"${prefix}_io_wmb" -> mb(before.procWriteBytes, after.procWriteBytes),
+      s"${prefix}_fs_rmb" -> mb(before.fsReadBytes, after.fsReadBytes),
+      s"${prefix}_fs_wmb" -> mb(before.fsWriteBytes, after.fsWriteBytes))
+  }
+}

@@ -85,9 +85,12 @@ private[graft] object BenchLine {
   def smokeJson(smokeRows: Long, entries: Seq[(String, Double)]): String =
     if (entries.isEmpty) "" else
       s""","scale_smoke":{"rows":$smokeRows,${entries.map { case (k, v) =>
-        // ambient/load context carries at 1 decimal — the gate is
-        // "< 4", not a 10-ms measurement; the chars buy query slots
-        "\"" + esc(k) + "\":" + (if (k.endsWith("_amb") || k.endsWith("_load1")) f1(v) else f2(v))
+        // ambient/load/IO context carries at 1 decimal — the gates are
+        // coarse ("< 4", "stalled or not"), not 10-ms measurements;
+        // the chars buy query slots
+        val coarse = k.endsWith("_amb") || k.endsWith("_load1") ||
+          k.contains("_io_") || k.contains("_fs_")
+        "\"" + esc(k) + "\":" + (if (coarse) f1(v) else f2(v))
       }.mkString(",")}}"""
 
   def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
@@ -291,6 +294,59 @@ object Bench {
     def load1Now(): Double = AmbientLoad.load1Now()
     def ownLoadNow(): Double = AmbientLoad.ownEwma()
     def ambientNow(): Double = AmbientLoad.ambientNow()
+    // IO-pressure gate input (VERDICT r15 #1/#6): PSI io "some" avg10
+    // (%) read immediately before a sample — the D-state/writeback
+    // signal the CPU-ambient estimator is blind to (r15's quietest
+    // CPU-ambient batch sample was the SLOWEST: 320k rows/s at amb
+    // 1.02, because writeback pressure doesn't show in loadavg-minus-
+    // own-CPU). A sample is gate-passing only if CPU-ambient < gate
+    // AND io10 < ioGate; −1 (PSI unavailable) degrades to CPU-only
+    // gating rather than failing every gate.
+    def io10Now(): Double = IoLoad.ioSome10Now()
+    val ioGate = sys.env.getOrElse("SPARK_GRAFT_IO_GATE", "10.0").toDouble
+    def ioOk(io: Double): Boolean = io < 0 || io < ioGate
+
+    // Forked fresh-JVM batch probe (VERDICT r15 #3): the in-suite
+    // probe inherits the suite's hot heap and dirty page cache — r15's
+    // quietest-ambient in-suite sample was its SLOWEST (320k rows/s at
+    // amb 1.02) while the standalone tool measured 2.1M at comparable
+    // ambient. Fork ProbeIngest into a fresh JVM FIRST — the freshest
+    // machine state the session will ever see — and let its samples
+    // compete for the gated headline under the same ambient+IO gates
+    // (the child measures both right before each rep). Spawn failure
+    // or timeout soft-fails to the in-suite samples, loudly recorded.
+    val forkedBatchSamples = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val forkedBatchAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val forkedBatchIos = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var forkedBatchError = ""
+    val forkedReps = sys.env.getOrElse("SPARK_GRAFT_FORKED_BATCH_REPS", "3").toInt
+    if (forkedReps > 0) {
+      val out = java.io.File.createTempFile("graft-forked-batch", ".log")
+      try {
+        val p = graft.tools.RaceChild.spawn(
+          Seq("batch", forkedReps.toString, "32", ingestRows.toString),
+          out, mainClass = "graft.tools.ProbeIngest", xmx = "12g")
+        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); forkedBatchError = "timeout"
+        }
+        val src = scala.io.Source.fromFile(out, "UTF-8")
+        val lines = try src.getLines().toList finally src.close()
+        lines.filter(_.startsWith("PROBE_BATCH_SAMPLE=")).foreach { l =>
+          val f = l.stripPrefix("PROBE_BATCH_SAMPLE=").split(',')
+          forkedBatchSamples += f(0).toLong
+          forkedBatchAmbients += f(1).toDouble
+          forkedBatchIos += f(2).toDouble
+        }
+        if (forkedBatchSamples.isEmpty && forkedBatchError.isEmpty)
+          forkedBatchError = s"no samples (exit ${p.exitValue()}); tail: " +
+            lines.takeRight(3).mkString(" | ").take(300)
+      } catch {
+        case t: Throwable =>
+          forkedBatchError = s"${t.getClass.getSimpleName}: ${t.getMessage}"
+      } finally out.delete()
+      if (forkedBatchError.nonEmpty)
+        System.err.println(s"[bench] forked batch probe soft-failed: $forkedBatchError")
+    }
 
     // Warmup the write path (codegen, ORC writer classes, shuffle
     // machinery) with a small throwaway run, then take the first probe
@@ -307,23 +363,31 @@ object Bench {
     // only when no sample ran on a quiet box.
     val bucketedAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
     val unbucketedAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bucketedIos = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val unbucketedIos = scala.collection.mutable.ArrayBuffer.empty[Double]
     def batchWindow(reps: Int): Unit = {
       loadWindows += load1Now()
       (1 to reps).foreach { _ =>
         bucketedAmbients += ambientNow()
+        bucketedIos += io10Now()
         bucketedSamples += probeOnce(32)
         unbucketedAmbients += ambientNow()
+        unbucketedIos += io10Now()
         unbucketedSamples += probeOnce(0)
       }
     }
-    def gatedBest(samples: Seq[Long], ambients: Seq[Double], gate: Double)
-        : (Long, Double, Boolean) = {
-      val gated = samples.zip(ambients).filter { case (r, a) =>
-        r > 0 && a >= 0 && a < gate }
-      if (gated.nonEmpty) { val (r, a) = gated.maxBy(_._1); (r, a, true) }
-      else {
+    def gatedBest(samples: Seq[Long], ambients: Seq[Double], ios: Seq[Double],
+                  gate: Double): (Long, Double, Double, Boolean) = {
+      val gated = samples.indices.filter { i =>
+        samples(i) > 0 && ambients(i) >= 0 && ambients(i) < gate &&
+          ioOk(ios.lift(i).getOrElse(-1.0)) }
+      if (gated.nonEmpty) {
+        val i = gated.maxBy(samples(_))
+        (samples(i), ambients(i), ios.lift(i).getOrElse(-1.0), true)
+      } else {
         val i = samples.indices.maxBy(samples(_))
-        (samples(i), ambients.lift(i).getOrElse(-1.0), false)
+        (samples(i), ambients.lift(i).getOrElse(-1.0),
+          ios.lift(i).getOrElse(-1.0), false)
       }
     }
 
@@ -356,10 +420,13 @@ object Bench {
     val waitQuietMs =
       sys.env.getOrElse("SPARK_GRAFT_WAIT_QUIET_MS", "600000").toLong
     val quietWaits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // quiet = CPU-ambient under the gate AND the box not IO-stalled
+    // (r16): a window that passes the CPU gate mid-writeback records a
+    // depressed number the gate then prefers — the exact r15 failure
     def waitForQuiet(budgetMs: Long): Double = {
       val t0 = System.currentTimeMillis()
       var l = ambientNow()
-      while (l >= 0 && l > streamLoadGate &&
+      while ((l >= 0 && l > streamLoadGate || !ioOk(io10Now())) &&
              System.currentTimeMillis() - t0 < budgetMs) {
         Thread.sleep(15000)
         l = ambientNow()
@@ -388,14 +455,18 @@ object Bench {
     // post-mortem hinged on exactly this signal for the reps it lacked)
     val streamLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val streamAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val streamIos = scala.collection.mutable.ArrayBuffer.empty[Double]
     var streamGatePassing = 0
     var streamBestGatedAmbient = -1.0
+    var streamBestGatedIo = -1.0
     def streamWindow(reps: Int): Unit =
       (1 to reps).foreach { _ =>
         val l = load1Now()
         val amb = ambientNow()
+        val io = io10Now()
         streamLoads += l
         streamAmbients += amb
+        streamIos += io
         var r = streamOnce()
         // committed == 0 means the probe never saw a commit land — a
         // 20 s window in which not one commit finished is a measurement
@@ -415,11 +486,12 @@ object Bench {
         }
         streamSamples += r._2
         if (r._2 > streamBestAbs._2) { streamBestAbs = r; streamBestAbsLoad1 = l }
-        if (amb >= 0 && amb < streamLoadGate) {
+        if (amb >= 0 && amb < streamLoadGate && ioOk(io)) {
           streamGatePassing += 1
           if (r._2 > streamBestGated._2) {
             streamBestGated = r; streamBestGatedLoad1 = l
             streamBestGatedAmbient = amb
+            streamBestGatedIo = io
           }
         }
       }
@@ -440,7 +512,8 @@ object Bench {
     streamWindow(streamReps)
     var preExtra = 0
     while (streamGatePassing < 3 && preExtra < 2 &&
-           { val a = ambientNow(); a >= 0 && a < streamLoadGate }) {
+           { val a = ambientNow(); a >= 0 && a < streamLoadGate } &&
+           ioOk(io10Now())) {
       streamWindow(1); preExtra += 1
     }
     // batch probes follow the stream window (same pre-query quiet
@@ -506,7 +579,8 @@ object Bench {
       if (i == half) { batchWindow(1); settle() }
       val sinceLast = (System.nanoTime() - lastStreamNs) / 1e9
       if (streamGatePassing < streamGateTarget && sinceLast >= 45.0 &&
-          { val a = ambientNow(); a >= 0 && a < streamLoadGate }) {
+          { val a = ambientNow(); a >= 0 && a < streamLoadGate } &&
+          ioOk(io10Now())) {
         streamWindow(1)
         lastStreamNs = System.nanoTime()
         settle()
@@ -583,10 +657,18 @@ object Bench {
     // — stays; VERDICT r14 #1) so their chars buy more per-query slots
     // in the BenchLine.MaxLen parse window; the full set always lands
     // in bench_result.json
+    // IO fields on the COMPACT line: `_io_stall` rides for every stage
+    // (the attribution signal VERDICT r15 #1 asked for in the record);
+    // the volume fields ride only for the IO-bound `_index` build
+    // stages whose variance they attribute — everything else is
+    // file-only (sha-bound), the chars buy per-query slots
     val scaleSmokeJsonCompact = smokeJson(smokeTimes.filterNot { case (k, _) =>
       k.endsWith("_survivors") || k.endsWith("_nodes") ||
         k.endsWith("_dangling") || k.endsWith("_conflict_loud") ||
         k.endsWith("_load1") ||
+        k.endsWith("_io_full") || k.contains("_fs_") ||
+        ((k.endsWith("_io_rmb") || k.endsWith("_io_wmb")) &&
+          !k.contains("_index_io_")) ||
         (k.endsWith("_rows") && !k.endsWith("_rows_per_sec"))
     })
 
@@ -599,10 +681,17 @@ object Bench {
     if (smokeErrors.nonEmpty)
       System.err.println(s"[bench] smoke stage error(s) counted as query errors: ${smokeErrors.mkString(", ")}")
 
-    val (ingestRate, ingestBestAmbient, ingestGated) =
-      gatedBest(bucketedSamples.toSeq, bucketedAmbients.toSeq, streamLoadGate)
-    val (ingestRateUnbucketed, ingestUnbAmbient, ingestUnbGated) =
-      gatedBest(unbucketedSamples.toSeq, unbucketedAmbients.toSeq, streamLoadGate)
+    // the forked fresh-JVM samples compete for the bucketed headline
+    // under the same gates (listed first: on equal rates the fresh-JVM
+    // number is the representative one)
+    val (ingestRate, ingestBestAmbient, ingestBestIo, ingestGated) =
+      gatedBest((forkedBatchSamples ++ bucketedSamples).toSeq,
+        (forkedBatchAmbients ++ bucketedAmbients).toSeq,
+        (forkedBatchIos ++ bucketedIos).toSeq, streamLoadGate)
+    val ingestHeadlineForked = forkedBatchSamples.contains(ingestRate)
+    val (ingestRateUnbucketed, ingestUnbAmbient, ingestUnbIo, ingestUnbGated) =
+      gatedBest(unbucketedSamples.toSeq, unbucketedAmbients.toSeq,
+        unbucketedIos.toSeq, streamLoadGate)
     val gatedHeadline = streamBestGated._2 > 0
     val (streamRows, streamRate) =
       if (gatedHeadline) streamBestGated else streamBestAbs
@@ -642,15 +731,18 @@ object Bench {
     // ambient array at the last 12 samples (ADVICE r15: the array grows
     // linearly with SPARK_GRAFT_PROBE_REPS and was un-sheddable); the
     // full array always rides in bench_result.json.
+    val allBucketed = forkedBatchSamples ++ bucketedSamples
+    val gateTail =
+      s""","ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_best_io10":${BenchLine.f1(ingestBestIo)},"ingest_headline_forked":$ingestHeadlineForked,"ingest_max_rows_per_sec":${if (allBucketed.nonEmpty) allBucketed.max else -1L}"""
     val ingestGateJson =
-      s""","ingest_ambient_samples":${bucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_max_rows_per_sec":${if (bucketedSamples.nonEmpty) bucketedSamples.max else -1L}"""
+      s""","ingest_ambient_samples":${bucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_io10_samples":${bucketedIos.map(BenchLine.f1).mkString("[", ",", "]")}$gateTail"""
     val ambCap = 12
     val ingestGateJsonCompact =
       if (bucketedAmbients.size <= ambCap) ingestGateJson
       else
-        s""","ingest_ambient_samples":${bucketedAmbients.takeRight(ambCap).map(BenchLine.f2).mkString("[", ",", "]")},"ingest_ambient_samples_capped":${bucketedAmbients.size - ambCap},"ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_max_rows_per_sec":${if (bucketedSamples.nonEmpty) bucketedSamples.max else -1L}"""
+        s""","ingest_ambient_samples":${bucketedAmbients.takeRight(ambCap).map(BenchLine.f2).mkString("[", ",", "]")},"ingest_io10_samples":${bucketedIos.takeRight(ambCap).map(BenchLine.f1).mkString("[", ",", "]")},"ingest_ambient_samples_capped":${bucketedAmbients.size - ambCap}$gateTail"""
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_forked_samples":${forkedBatchSamples.mkString("[", ",", "]")},"ingest_forked_ambient_samples":${forkedBatchAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_forked_io10_samples":${forkedBatchIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_forked_error":"${BenchLine.esc(forkedBatchError)}","ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_io10_samples":${unbucketedIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_unbucketed_best_io10":${BenchLine.f1(ingestUnbIo)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_io10_windows":${streamIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_streaming_best_io10":${BenchLine.f1(streamBestGatedIo)},"io_gate":${BenchLine.f1(ioGate)},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)

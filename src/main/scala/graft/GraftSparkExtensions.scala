@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 import graft.functions.expr._
 
@@ -100,6 +100,34 @@ object GraftSparkExtensions {
     case Literal(v, StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a string literal, got: $other")
+  }
+
+  /** Epoch-millis from a timestamp-ish literal: an int/long (epoch
+    * millis), a TIMESTAMP literal (Catalyst micros), or a string —
+    * ISO-8601 instant ("2026-08-16T12:00:00Z") or SQL timestamp
+    * ("2026-08-16 12:00:00[.SSS]"), the space form read as UTC (the
+    * session timezone every graft session pins). */
+  private def tsLit(fn: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Long, TimestampType) => v / 1000L // micros → millis
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case Literal(v, StringType) if v != null =>
+      val s = v.toString.trim
+      try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime
+            .parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"$fn: $arg is not a parseable timestamp: '$s' (want epoch " +
+                  "millis, ISO-8601 instant, or 'yyyy-MM-dd HH:mm:ss' UTC)")
+          }
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a timestamp, epoch-millis, or string literal, got: $other")
   }
 
   private def dblLit(fn: String, arg: String, e: Expression): Double = e match {
@@ -614,6 +642,23 @@ object GraftSparkExtensions {
       graft.core.Tables.committedViewAsOf(spark,
         strLit("graft_snapshot", "tablePath", args(0)),
         intLit("graft_snapshot", "upToBatch", args(1)).toLong, format)
+    },
+    tvf("graft_snapshot_at",
+      "graft_snapshot_at(tablePath, ts[, format]) - the committed " +
+        "table AS OF a timestamp (the standard lakehouse read): ts " +
+        "resolves to the max batch whose commit-marker stamp <= ts, " +
+        "then reads like graft_snapshot. ts is epoch millis, an " +
+        "ISO-8601 instant, a 'yyyy-MM-dd HH:mm:ss' UTC string, or a " +
+        "TIMESTAMP literal. A ts before the first commit FAILS " +
+        "LOUDLY, as does a vacuumed-away snapshot") { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_snapshot_at expects (tablePath, ts[, format]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val format = if (args.length > 2)
+        strLit("graft_snapshot_at", "format", args(2)) else "orc"
+      graft.core.Tables.committedViewAt(spark,
+        strLit("graft_snapshot_at", "tablePath", args(0)),
+        tsLit("graft_snapshot_at", "ts", args(1)), format)
     },
     tvf("graft_snapshot_delta",
       "graft_snapshot_delta(tablePath, fromBatch, toBatch[, format]) - " +

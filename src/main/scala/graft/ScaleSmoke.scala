@@ -91,8 +91,8 @@ object ScaleSmoke {
     * containment TRUNCATION stays keyed on the row's own id — that is
     * what plants proper-subset pairs (a 6-word row vs a full copy of
     * the same sequence elsewhere). */
-  private def docs(spark: SparkSession, rows: Long, offset: Long = 0L,
-                   replayEvery: Long = 0L): DataFrame = {
+  private[graft] def docs(spark: SparkSession, rows: Long, offset: Long = 0L,
+                          replayEvery: Long = 0L): DataFrame = {
     val id = col("id") + offset
     val nearDup = (col("id") % 10) === 0 && col("id") > 0
     val gid = contentId(rows, offset, replayEvery)
@@ -213,17 +213,28 @@ object ScaleSmoke {
     * so in the artifact. */
   private def timed[A](buf: scala.collection.mutable.ArrayBuffer[(String, Double)],
                        name: String)(body: => A): A = {
+    val io0 = IoLoad.snap()
     val t0 = System.nanoTime()
     val r = body
     val sec = (System.nanoTime() - t0) / 1e9
     val amb = AmbientLoad.ambientNow()
     val l1 = AmbientLoad.load1Now()
+    // IO provenance per stage (VERDICT r15 #1): the CPU-ambient gate
+    // provably cannot adjudicate the IO-bound index builds — PSI stall
+    // says whether the WINDOW was IO-pressured, proc read-MB says
+    // whether THIS run hit a cold page cache, FS MB say how much the
+    // stage logically moved (the denominator for IO-shrink A/Bs)
+    val io = IoLoad.stageFields(name, io0, IoLoad.snap())
     buf += name -> sec
     buf += s"${name}_amb" -> amb
     buf += s"${name}_load1" -> l1
+    buf ++= io
+    val ioMap = io.toMap
     // progress line per stage (stderr, not the bench JSON): a failed
     // run shows WHERE it died, not just that it died
-    System.err.println(f"[smoke] $name%-24s $sec%8.1f s  (amb $amb%.2f, load1 $l1%.2f)")
+    System.err.println(f"[smoke] $name%-24s $sec%8.1f s  (amb $amb%.2f, load1 $l1%.2f," +
+      f" iostall ${ioMap(s"${name}_io_stall")}%.1f%%, pr ${ioMap(s"${name}_io_rmb")}%.0fMB," +
+      f" pw ${ioMap(s"${name}_io_wmb")}%.0fMB, fsw ${ioMap(s"${name}_fs_wmb")}%.0fMB)")
     r
   }
 

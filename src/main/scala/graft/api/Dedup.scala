@@ -391,24 +391,34 @@ object Dedup {
     val versioned = VersionedIndex.resolveRoot(spark, path) != path
     val next = if (versioned) Some(VersionedIndex.nextVersion(spark, path)) else None
     val target = next.fold(path)(v => s"$path/$v")
-    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
+    Seq(Tuple1(shingle)).toDF("shingle")
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
+    // sketches land FIRST, straight from the shingling plan: one pass
+    // over the corpus text into compressed columnar output. This
+    // REPLACES the corpus-sized localCheckpoint the build used to pin
+    // (VERDICT r15 #2): at 50M the deserialized MEMORY_AND_DISK spill
+    // physically wrote a multiple of the final parquet bytes and made
+    // the stage's wall time a function of page-cache/writeback state.
+    // The token passes below re-read the snappy parquet instead —
+    // two column-pruned scans of data the write just warmed. Order
+    // also now matches the append path's sketch-first crash rule
+    // (orphan sketches are inert; postings without sketches would
+    // generate candidates that can never verify).
+    shingleSets(docs, idCol, textCol, shingle)
+      .write.mode("overwrite").parquet(s"$target/sketches")
+    val sets = spark.read.parquet(s"$target/sketches")
+    val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      .localCheckpoint() // vocabulary-sized; feeds the dfreq write AND the ranking join
     try {
-      Seq(Tuple1(shingle)).toDF("shingle")
-        .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
-      val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-        .localCheckpoint() // feeds the dfreq write AND the ranking join
-      try {
-        dfc.write.mode("overwrite").parquet(s"$target/dfreq")
-        toks.join(dfc, "tok")
-          .withColumn("pos", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
-          .select(col("doc_id"), col("n"), col("tok"), col("pos"))
-          .write.mode("overwrite").parquet(s"$target/postings")
-        sets.write.mode("overwrite").parquet(s"$target/sketches")
-      } finally releaseCheckpoint(dfc)
-      next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
-    } finally releaseCheckpoint(sets)
+      dfc.write.mode("overwrite").parquet(s"$target/dfreq")
+      toks.join(dfc, "tok")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
+        .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+        .write.mode("overwrite").parquet(s"$target/postings")
+    } finally releaseCheckpoint(dfc)
+    next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
   }
 
   private def readContainmentParams(spark: org.apache.spark.sql.SparkSession,

@@ -200,6 +200,51 @@ object Tables {
     committedViewRange(spark, path, Long.MinValue, upToBatch, format, schema,
       mergeSchemas)
 
+  /** Resolve an AS-OF timestamp to a batch id: the max batch id among
+    * commit markers whose mtime ≤ `tsMillis`. Markers are written at
+    * commit time and never touched again, so the mtime IS the commit
+    * stamp. A timestamp that predates the FIRST commit fails loudly —
+    * "the table as it stood before it existed" is a caller bug, not an
+    * empty table. Commit-group caveat (single-writer sequential ids
+    * have none): groups commit the same batch id at different moments,
+    * and the snapshot-by-id contract then includes every id ≤ the
+    * resolved one even if some group's marker for a smaller id landed
+    * after `tsMillis` — resolution is by marker stamp, inclusion by
+    * batch id, the same rule [[committedViewAsOf]] documents. */
+  def resolveBatchAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val commitsDir = new Path(new Path(path), "_commits")
+    val fs = commitsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchToken = "(?:g\\d+-)?(\\d+)".r
+    val stamps =
+      if (!fs.exists(commitsDir)) Array.empty[(Long, Long)]
+      else fs.listStatus(commitsDir).flatMap { st =>
+        st.getPath.getName match {
+          case batchToken(id) => Some((id.toLong, st.getModificationTime))
+          case _ => None
+        }
+      }
+    require(stamps.nonEmpty, s"no commits at $path — nothing to time-travel to")
+    val eligible = stamps.collect { case (id, m) if m <= tsMillis => id }
+    if (eligible.isEmpty) {
+      val first = stamps.minBy(_._2)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first commit to $path " +
+          s"(batch ${first._1} at ${first._2}) — there is no table state to read")
+    }
+    eligible.max
+  }
+
+  /** Timestamp-addressed snapshot ([[committedViewAsOf]] with the
+    * batch id resolved by [[resolveBatchAt]]) — the standard lakehouse
+    * AS-OF-timestamp read; same vacuum-fails-loudly contract. */
+  def committedViewAt(spark: SparkSession, path: String, tsMillis: Long,
+                      format: String = "orc",
+                      schema: Option[org.apache.spark.sql.types.StructType] = None,
+                      mergeSchemas: Boolean = false): DataFrame =
+    committedViewAsOf(spark, path, resolveBatchAt(spark, path, tsMillis),
+      format, schema, mergeSchemas)
+
   /** Snapshot DIFF: the rows ADDED between two batch boundaries — the
     * table as of `toBatch` minus the table as of `fromBatch`
     * (exclusive/inclusive). The commit log is append-only (compaction

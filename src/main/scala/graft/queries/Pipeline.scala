@@ -233,6 +233,19 @@ object Pipeline {
       val cfg = IngestConfig(outputPath = Some(p), parallelism = 2, buckets = 2)
       Ingest.runBatchCommitted(s, cfg, 6000, batches = 3)
       Compact.compact(s, p)
+      // pin the batch markers' commit stamps (mtimes) to fixed epochs
+      // so q212's AS-OF-timestamp reads are closed-form: batch i
+      // committed at (i+1)·1,000,000 ms. Wall-clock stamps would make
+      // the snapshot_at oracle depend on when the fixture was built —
+      // and could even tie at millisecond granularity. Markers are
+      // write-once (nothing re-stamps them), so this is the one
+      // legitimate mtime edit.
+      val root = new org.apache.hadoop.fs.Path(p, "_commits")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      (0 to 2).foreach { i =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(root, i.toString),
+          (i + 1) * 1000000L, -1)
+      }
       ()
     }
 
@@ -1988,6 +2001,26 @@ object Pipeline {
            |     (SELECT count(*) AS n FROM graft_snapshot('$path', 2)) s2,
            |     (SELECT count(*) AS n FROM graft_snapshot_delta('$path', 0, 2)) d,
            |     (SELECT count(*) AS n FROM graft_snapshot_delta('$path', 2, 2)) e""".stripMargin)
+    }),
+
+    // AS-OF-timestamp time travel (VERDICT r15 #5 — the read Delta and
+    // Iceberg both ship): same clogsql fixture, whose batch-marker
+    // stamps the builder pins to (i+1)·1e6 ms, so every resolution is
+    // closed-form — 1,500,000 → batch 0 (2000 rows), 2,999,999 →
+    // batch 1 (4000), and the string forms exercise both accepted
+    // parses ('yyyy-MM-dd HH:mm:ss' UTC = 3,000,000 → batch 2, ISO
+    // instant = 2,000,000 → batch 1, marker-stamp equality inclusive).
+    // Pre-history timestamps fail loudly — spec-pinned (SqlSurfaceSpec),
+    // not oracle-testable.
+    "q212_sql_snapshot_at" -> ((s, d) => {
+      val path = clogsqlFixture(s, d)
+      s.sql(
+        s"""SELECT a0.n AS at0_rows, a1.n AS at1_rows,
+           |       a2.n AS at_str_rows, a3.n AS at_iso_rows
+           |FROM (SELECT count(*) AS n FROM graft_snapshot_at('$path', 1500000)) a0,
+           |     (SELECT count(*) AS n FROM graft_snapshot_at('$path', 2999999)) a1,
+           |     (SELECT count(*) AS n FROM graft_snapshot_at('$path', '1970-01-01 00:50:00')) a2,
+           |     (SELECT count(*) AS n FROM graft_snapshot_at('$path', '1970-01-01T00:33:20Z')) a3""".stripMargin)
     }),
 
     // The PII redaction ledger from one SELECT: its own fixture
@@ -4286,6 +4319,12 @@ object Pipeline {
         |  CAST(6000 AS BIGINT) AS snap2_rows,
         |  CAST(4000 AS BIGINT) AS delta_rows,
         |  CAST(0 AS BIGINT) AS empty_delta_rows""".stripMargin,
+    // pinned marker stamps (i+1)e6 ms: pure batch arithmetic
+    "q212_sql_snapshot_at" ->
+      """SELECT CAST(2000 AS BIGINT) AS at0_rows,
+        |  CAST(4000 AS BIGINT) AS at1_rows,
+        |  CAST(6000 AS BIGINT) AS at_str_rows,
+        |  CAST(4000 AS BIGINT) AS at_iso_rows""".stripMargin,
     // 3 batches x 1000 rows, one IPv4 per row, no other type matches
     "q211_sql_pii_ledger" ->
       """SELECT * FROM (VALUES

@@ -56,9 +56,14 @@ object ProbeIngest {
         (1 to reps).foreach { i =>
           val l0 = load1
           val a0 = ambient
+          val io0 = graft.IoLoad.ioSome10Now()
           val rate = IngestProbes.batchOnce(spark, cpus, buckets, rows)
           if (rate > best) best = rate
-          println(f"[probe] batch($buckets) rep$i: $rate%,d rows/s (load1 $l0%.1f, ambient $a0%.2f)")
+          println(f"[probe] batch($buckets) rep$i: $rate%,d rows/s (load1 $l0%.1f, ambient $a0%.2f, io10 $io0%.1f)")
+          // machine-parseable sample line: Bench forks this main into a
+          // fresh JVM (VERDICT r15 #3) and reads rate + the gate inputs
+          // measured in THIS process right before the rep
+          println(f"PROBE_BATCH_SAMPLE=$rate%d,$a0%.2f,$io0%.1f")
         }
       case other => sys.error(s"unknown mode $other")
     }

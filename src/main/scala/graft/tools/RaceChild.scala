@@ -84,12 +84,18 @@ object RaceChild {
   final class SpawnUnavailable(cause: Throwable)
     extends RuntimeException(s"cannot fork a second JVM: ${cause.getMessage}", cause)
 
-  /** Launch a RaceChild JVM with this process's graft classes plus the
+  /** Launch a child JVM with this process's graft classes plus the
     * Spark distribution jars (the same classpath recipe whether the
     * parent runs from sbt's classes dir or a packaged jar). Returns
     * the Process; stdout is captured to `outFile`. Launch failures
-    * throw [[SpawnUnavailable]]. */
-  def spawn(args: Seq[String], outFile: java.io.File): Process = {
+    * throw [[SpawnUnavailable]]. `mainClass`/`xmx` default to the race
+    * soak's; Bench's forked batch probe (VERDICT r15 #3: the in-suite
+    * probe inherits a hot heap and dirty page cache from ~200 queries,
+    * so its samples are systematically depressed) reuses this spawner
+    * for `graft.tools.ProbeIngest` on a bigger heap. */
+  def spawn(args: Seq[String], outFile: java.io.File,
+            mainClass: String = "graft.tools.RaceChild",
+            xmx: String = "6g"): Process = {
     def locOf(c: Class[_]): java.io.File =
       new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
     val graftCp = locOf(RaceChild.getClass).getAbsolutePath
@@ -114,10 +120,10 @@ object RaceChild {
       "jdk.internal.ref", "sun.nio.ch", "sun.nio.cs",
       "sun.security.action", "sun.util.calendar")
       .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
-    val cmd = Seq(javaBin, "-Xmx6g", "-XX:+IgnoreUnrecognizedVMOptions") ++
+    val cmd = Seq(javaBin, s"-Xmx$xmx", "-XX:+IgnoreUnrecognizedVMOptions") ++
       opens ++
-      Seq("-cp", s"$graftCp:$sparkJars", "graft.tools.RaceChild") ++ args
-    System.err.println(s"[race] spawning: ${cmd.mkString(" ")}")
+      Seq("-cp", s"$graftCp:$sparkJars", mainClass) ++ args
+    System.err.println(s"[fork] spawning: ${cmd.mkString(" ")}")
     // stderr merged into the capture file: a child failure must leave
     // its stack trace somewhere the parent can print
     try new ProcessBuilder(cmd: _*)

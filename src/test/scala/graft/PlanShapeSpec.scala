@@ -663,6 +663,15 @@ class PlanShapeSpec extends AnyFunSuite {
     pin("snapshot",
       s"SELECT * FROM graft_snapshot('$snapDir', 1)",
       graft.core.Tables.committedViewAsOf(spark, snapDir, 1))
+    // AS-OF-timestamp (r16): after ts→batch resolution the read IS the
+    // batch-addressed one — plan equality against BOTH the Scala twin
+    // and the batch-N TVF pins that snapshot_at adds no reader fork
+    pin("snapshot_at",
+      s"SELECT * FROM graft_snapshot_at('$snapDir', ${System.currentTimeMillis()})",
+      graft.core.Tables.committedViewAsOf(spark, snapDir, 2))
+    pin("snapshot_at_vs_batch_tvf",
+      s"SELECT * FROM graft_snapshot_at('$snapDir', ${System.currentTimeMillis()})",
+      spark.sql(s"SELECT * FROM graft_snapshot('$snapDir', 2)"))
     pin("snapshot_delta",
       s"SELECT * FROM graft_snapshot_delta('$snapDir', 0, 2)",
       graft.core.Tables.committedViewDelta(spark, snapDir, 0, 2))

@@ -274,6 +274,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sqlRows == apiRows)
   }
 
+  test("graft_snapshot_at: AS-OF-timestamp resolution, all literal forms, pre-history fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlsnapat").toString
+    graft.ingest.Ingest.runBatchCommitted(spark,
+      graft.ingest.IngestConfig(outputPath = Some(dir), parallelism = 2,
+        buckets = 2), 900, batches = 3)
+    // pin the three batch markers' commit stamps: batch i at (i+1)·1e6 ms
+    val commits = new org.apache.hadoop.fs.Path(dir, "_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach(i => fs.setTimes(
+      new org.apache.hadoop.fs.Path(commits, i.toString), (i + 1) * 1000000L, -1))
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    // epoch-millis forms: mid-window and marker-stamp-inclusive
+    assert(one(s"SELECT count(*) FROM graft_snapshot_at('$dir', 1500000)") == 300L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_at('$dir', 2000000)") == 600L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_at('$dir', 2999999)") == 600L)
+    // string forms: 'yyyy-MM-dd HH:mm:ss' UTC and ISO instant
+    assert(one(s"SELECT count(*) FROM graft_snapshot_at('$dir', '1970-01-01 00:50:00')") == 900L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_at('$dir', '1970-01-01T00:33:20Z')") == 600L)
+    // TIMESTAMP literal (Catalyst micros under the UTC session tz)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_at('$dir', TIMESTAMP '1970-01-01 00:25:00')") == 300L)
+    // TVF == API == batch-addressed twin, row-identical
+    val viaApi = graft.core.Tables.committedViewAt(spark, dir, 2500000L)
+      .select("user_id").collect().map(_.getString(0)).sorted.toSeq
+    val viaSql = spark.sql(s"SELECT user_id FROM graft_snapshot_at('$dir', 2500000)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaBatch = spark.sql(s"SELECT user_id FROM graft_snapshot('$dir', 1)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaSql == viaApi && viaSql == viaBatch && viaSql.length == 600)
+    // pre-history: loudly names the first commit, never an empty table
+    val pre = intercept[IllegalArgumentException](
+      spark.sql(s"SELECT count(*) FROM graft_snapshot_at('$dir', 999999)"))
+    assert(pre.getMessage.contains("predates the first commit"))
+    // garbage timestamp string: loud parse failure, not epoch-0
+    val bad = intercept[IllegalArgumentException](
+      spark.sql(s"SELECT count(*) FROM graft_snapshot_at('$dir', 'not-a-time')"))
+    assert(bad.getMessage.contains("not a parseable timestamp"))
+  }
+
   test("sketch-table TVFs: heavy hitters, distinct, quantiles from SQL") {
     import spark.implicits._
     val rows = (1 to 300).map(i => ("p" + i % 2, "k" + i % 5, i.toDouble))
