@@ -676,6 +676,19 @@ object GraftSparkExtensions {
         intLit("graft_snapshot_delta", "fromBatch", args(1)).toLong,
         intLit("graft_snapshot_delta", "toBatch", args(2)).toLong, format)
     },
+    tvf("graft_dedup_ledger",
+      "graft_dedup_ledger(tablePath) - the commit path's near-dup " +
+        "suppression ledger (cfg.suppressNearDups): one row per " +
+        "committed batch - (batch_token, based_on_version, " +
+        "suppressed_within, suppressed_seen, kept); entries pin the " +
+        "fingerprint-filter version each commit consulted and land " +
+        "before its marker, so replays reproduce the same decision") { args =>
+      require(args.length == 1,
+        s"graft_dedup_ledger expects (tablePath), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ingest.Ingest.dedupLedger(spark,
+        strLit("graft_dedup_ledger", "tablePath", args(0)))
+    },
     tvf("graft_pii_ledger",
       "graft_pii_ledger(tablePath) - the commit path's PII redaction " +
         "ledger (cfg.redactPiiColumns): one row per (committed batch, " +

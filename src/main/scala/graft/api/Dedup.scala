@@ -2430,10 +2430,12 @@ object Dedup {
     * bloom probe per row. */
   def markSeen(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                idCol: String, path: String,
-               flagCol: String = "probably_seen"): DataFrame = {
+               flagCol: String = "probably_seen",
+               version: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.GraftExprBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    val st = readSeenState(spark, path)
+    val st = version.fold(readSeenState(spark, path))(
+      readSeenStateAt(spark, path, _))
     def mc(bf: org.apache.spark.util.sketch.BloomFilter): Column = {
       val os = new java.io.ByteArrayOutputStream()
       bf.writeTo(os)
@@ -2679,6 +2681,41 @@ object Dedup {
       finally in.close()
     }
     SeenFilterState(root.stripPrefix(s"$path/"), shards, items, fpp, filters)
+  }
+
+  /** Current committed seen-filter version name at `path`, None when
+    * no filter exists — the handle a replay-deterministic consumer
+    * (the ingest near-dup suppressor's `_dedup` ledger) pins before
+    * consulting. */
+  private[graft] def seenFilterVersion(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Option[String] = {
+    val root = VersionedIndex.resolveRoot(spark, path)
+    if (root == path) None else Some(root.stripPrefix(s"$path/"))
+  }
+
+  /** [[readSeenState]] pinned to an explicit version dir — the replay
+    * path of version-recorded consumers. A vacuumed-away version fails
+    * loudly (the vacuum-breaks-replay contract every version-pinned
+    * read shares), never silently reads a different state. */
+  private[graft] def readSeenStateAt(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, version: String): SeenFilterState = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path, version)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "_meta")),
+      s"seen-filter version $version at $path no longer exists (vacuumed?) — " +
+        "a version-pinned replay cannot proceed")
+    val metaIn = new java.io.DataInputStream(fs.open(new Path(root, "_meta")))
+    val (shards, items, fpp) =
+      try (metaIn.readInt(), metaIn.readLong(), metaIn.readDouble())
+      finally metaIn.close()
+    val filters = (0 until shards).map { s =>
+      val in = new java.io.DataInputStream(
+        fs.open(new Path(root, f"filter-$s%04d")))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }
+    SeenFilterState(version, shards, items, fpp, filters)
   }
 
   /** Triangle census of a similarity graph — the structural health

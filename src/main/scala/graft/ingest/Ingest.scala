@@ -97,6 +97,24 @@ final case class IngestConfig(
     // enabled: one extra aggregate pass over the projected batch (the
     // count action); empty = zero overhead.
     redactPiiColumns: Seq[String] = Nil,
+    // Near-dup suppression wired INTO the commit path (VERDICT r15 #7,
+    // the q161/q209 wiring point): name a generated STRING column and
+    // every commit drops (a) within-batch rows whose min-shingle
+    // fingerprint (graft.api.Dedup.fingerprintStreaming's sketch)
+    // repeats an earlier row's — keep-first by row value, deterministic
+    // — and (b) rows whose fingerprint a PRIOR commit already admitted,
+    // consulted from a persisted seen-filter of fingerprints at
+    // `<outputPath>/_neardup_filter`. Replay-exact by construction:
+    // each commit writes a `_dedup/<token>` ledger entry recording the
+    // filter VERSION it consulted plus its suppression counts BEFORE
+    // appending its own fingerprints, so a crash-replay re-reads the
+    // pinned version and reproduces the identical decision (same
+    // Bloom-filter semantics as the seen filter: a false positive
+    // over-suppresses at the configured fpp, never under; fingerprints
+    // are computed on PRE-scrub generated content). Suppressed rows
+    // never publish, never quarantine, and do not count as committed;
+    // their ids still enter the seen-ids filter (the engine saw them).
+    suppressNearDups: Option[String] = None,
     format: String = "orc",
     // lz4 over Spark 4's zstd default: ~1.7× write throughput for a
     // synthetic-load sink where compression ratio is not the point
@@ -309,9 +327,19 @@ object Ingest {
     // readers. Partition layout is always <year=Y>/<month=M>, two levels.
     val stale = fs.globStatus(new Path(s"$path/*/*/b$token-*"))
     if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+    // Near-dup suppression FIRST (cfg.suppressNearDups): rows a prior
+    // commit (or an earlier row of this batch) already admitted under
+    // the same content fingerprint are dropped before anything else
+    // sees them — they neither publish, nor quarantine, nor count.
+    val dedupInfo =
+      if (cfg.suppressNearDups.isEmpty) None
+      else Some(suppressNearDupRows(cfg, path, token, batch, fs))
+    val working = dedupInfo.fold(batch)(_.kept)
     // Batch size, counted up front: the raw batch is just the rate
-    // micro-batch's (value, pid) range — nearly free.
-    val n = batch.count()
+    // micro-batch's (value, pid) range — nearly free. With suppression
+    // on, the count is the suppressor's kept total (already computed
+    // in its one accounting aggregate).
+    val n = dedupInfo.fold(batch.count())(_.nKept)
     // PII scrub FIRST (policy is absolute: quarantined rows persist
     // too, so they must be as redacted as published ones), then the
     // expectations split on the scrubbed frame.
@@ -326,7 +354,7 @@ object Ingest {
     // the hot commit path; any FUTURE nondeterministic source wired
     // into this loop MUST persist the scrubbed frame across the
     // count+write pair instead, or the ledger silently desynchronizes.
-    val (scrubbed, piiCounts) = redactAndCount(routeAndProject(batch, cfg), cfg)
+    val (scrubbed, piiCounts) = redactAndCount(routeAndProject(working, cfg), cfg)
     // Expectations split: tag the PROJECTED rows, land the violators
     // in the quarantine (their own token dir, overwritten on replay)
     // before anything publishes, and stage only the clean slice.
@@ -393,9 +421,131 @@ object Ingest {
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
+    // Dedup ledger, then fingerprint-filter append, then marker — the
+    // order IS the replay-exactness argument: the ledger pins the
+    // filter version this commit CONSULTED, so a crash anywhere after
+    // it replays against the same state and reproduces the identical
+    // suppression (a crash between append and marker re-appends the
+    // same fingerprints — content-idempotent, a fresh version of equal
+    // bits). Ledger content is deterministic per token: replays
+    // overwrite byte-identically.
+    dedupInfo.foreach { info =>
+      val dl = new Path(s"$path/_dedup/$token")
+      fs.mkdirs(dl.getParent)
+      val out = fs.create(dl, true)
+      try out.write((s"basedOnVersion=${info.basedOn.getOrElse("none")}\n" +
+        s"suppressed_within=${info.nWithin}\n" +
+        s"suppressed_seen=${info.nSeen}\n" +
+        s"kept=${info.nKept}").getBytes("UTF-8"))
+      finally out.close()
+      if (info.nKept > 0)
+        graft.api.Dedup.buildOrAppendSeenFilter(info.keptFps, "fp",
+          s"$path/_neardup_filter", expectedItems = cfg.seenFilterExpectedItems)
+    }
     fs.mkdirs(marker.getParent)
     fs.create(marker).close()
     nCommitted
+  }
+
+  /** One commit's near-dup suppression decision: the raw rows kept,
+    * their fingerprints (for the post-publish filter append), the
+    * consulted filter version, and the accounting triple. */
+  private final case class DedupDecision(
+      kept: DataFrame, keptFps: DataFrame, basedOn: Option[String],
+      nWithin: Long, nSeen: Long, nKept: Long)
+
+  /** The commit-path near-dup suppressor (cfg.suppressNearDups): one
+    * min-shingle fingerprint per row over the named generated column
+    * (computed from the row value exactly like [[appendSeenIds]] —
+    * PRE-scrub content), keep-first within the batch (min row value
+    * per fingerprint — deterministic under replay), then a codegen'd
+    * Bloom probe against the PINNED version of the fingerprint filter
+    * for cross-batch suppression. One accounting aggregate per commit;
+    * the kept frame re-derives deterministically for the downstream
+    * stage/publish executions (the redactAndCount determinism
+    * invariant, same argument). */
+  private def suppressNearDupRows(cfg: IngestConfig, path: String,
+                                  token: String, batch: DataFrame,
+                                  fs: org.apache.hadoop.fs.FileSystem)
+      : DedupDecision = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val colName = cfg.suppressNearDups.get
+    val spec = dataColumns(cfg).find(_.name == colName).getOrElse(sys.error(
+      s"suppressNearDups column '$colName' is not a generated data column"))
+    val fpPath = s"$path/_neardup_filter"
+    // replay: a prior attempt's ledger pins the filter version it
+    // consulted — re-consult THAT state, not whatever is current now
+    // (our own crashed append may already have advanced it)
+    val ledger = new Path(s"$path/_dedup/$token")
+    val basedOn: Option[String] =
+      if (fs.exists(ledger)) {
+        val in = fs.open(ledger)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.collectFirst { case l if l.startsWith("basedOnVersion=") =>
+          l.stripPrefix("basedOnVersion=") }.filter(_ != "none")
+      } else graft.api.Dedup.seenFilterVersion(spark, fpPath)
+    val fp = graft.functions.TextFunctions.minShingleHash(
+      lower(Gen.expr(spec, cfg.seed, col("value"))), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("value"))
+    val ranked = batch.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+    val flagged = basedOn match {
+      case Some(v) => graft.api.Dedup.markSeen(spark, ranked, "__fp", fpPath,
+        "__seen", version = Some(v))
+      case None => ranked.withColumn("__seen", lit(false))
+    }
+    val acc = flagged.agg(
+      sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("w"),
+      sum(when(col("__rn") === 1 && col("__seen"), 1L).otherwise(0L)).as("s"),
+      count(lit(1)).as("t")).head()
+    def at(i: Int): Long = if (acc.isNullAt(i)) 0L else acc.getLong(i)
+    val (nWithin, nSeen, total) = (at(0), at(1), at(2))
+    val keptFlagged = flagged.filter(col("__rn") === 1 && !col("__seen"))
+    DedupDecision(
+      kept = keptFlagged.drop("__fp", "__rn", "__seen"),
+      keptFps = keptFlagged.select(col("__fp").as("fp")),
+      basedOn = basedOn, nWithin = nWithin, nSeen = nSeen,
+      nKept = total - nWithin - nSeen)
+  }
+
+  /** The `_dedup` suppression ledger of an ingest table: one row per
+    * committed batch — (batch_token, based_on_version,
+    * suppressed_within, suppressed_seen, kept). Written before the
+    * fingerprint-filter append and the marker; metadata-sized, read
+    * driver-side like [[piiLedger]]. Malformed lines skip loudly. */
+  def dedupLedger(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = new Path(s"$path/_dedup")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(String, String, Long, Long, Long)]
+      else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+        val in = fs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val kv = lines.flatMap { l =>
+          val p = l.split('=')
+          if (p.length == 2) Some(p(0) -> p(1)) else None
+        }.toMap
+        val parsed = for {
+          v <- kv.get("basedOnVersion")
+          w <- kv.get("suppressed_within").flatMap(_.toLongOption)
+          s <- kv.get("suppressed_seen").flatMap(_.toLongOption)
+          k <- kv.get("kept").flatMap(_.toLongOption)
+        } yield (st.getPath.getName, v, w, s, k)
+        if (parsed.isEmpty)
+          System.err.println(s"[ingest] malformed _dedup ledger entry" +
+            s" ${st.getPath} — skipped")
+        parsed
+      }
+    rows.toDF("batch_token", "based_on_version", "suppressed_within",
+      "suppressed_seen", "kept")
   }
 
   /** The commit-path PII scrub (cfg.redactPiiColumns): redact each
@@ -508,6 +658,21 @@ object Ingest {
       }
     }
 
+  /** Upfront validation of the commit-path near-dup suppressor — a
+    * typo'd or non-string column fails at startup, not mid-commit. */
+  private def validateSuppressNearDups(cfg: IngestConfig): Unit =
+    cfg.suppressNearDups.foreach { c =>
+      import Gen.ColType._
+      val stringTypes: Set[Gen.ColType] = Set(StringName, StringDict,
+        StringIp, StringUuidPool, TimestampIso)
+      val byName = dataColumns(cfg).map(s => s.name -> s).toMap
+      val spec = byName.getOrElse(c, sys.error(
+        s"suppressNearDups column '$c' is not a generated data column " +
+          s"(have: ${byName.keys.mkString(", ")})"))
+      require(stringTypes.contains(spec.tpe),
+        s"suppressNearDups column '$c' is not a string column (${spec.tpe})")
+    }
+
   /** Resolve (and VALIDATE) the seen-filter id column against the
     * generated schema. Called upfront by [[run]]/[[runBatchCommitted]]
     * so a typo'd column name fails in milliseconds at startup, not
@@ -538,6 +703,7 @@ object Ingest {
     cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
     validateExpectations(cfg)
     validateRedactPii(cfg)
+    validateSuppressNearDups(cfg)
     // startup log parity (`Culvert.java:102,109`)
     System.err.println(s"Starting culvert: ${cfg.name}")
     (0 until cfg.parallelism).foreach(i => System.err.println(s"Starting stream: stream-$i"))
@@ -661,6 +827,7 @@ object Ingest {
     cfg.seenFilterPath.foreach(_ => seenFilterSpec(cfg))
     validateExpectations(cfg)
     validateRedactPii(cfg)
+    validateSuppressNearDups(cfg)
     val t0 = System.nanoTime()
     val per = math.max(1L, numRows / batches)
     var committed = 0L

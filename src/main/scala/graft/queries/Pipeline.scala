@@ -2003,6 +2003,54 @@ object Pipeline {
            |     (SELECT count(*) AS n FROM graft_snapshot_delta('$path', 2, 2)) e""".stripMargin)
     }),
 
+    // Near-dup suppression at the commit wiring point (VERDICT r15 #7 —
+    // the q161/q209 composition): a custom schema whose `text` column
+    // is a 5-entry round-robin dictionary (Gen's `row % dict.size`
+    // contract) makes every count closed-form: batch 0 (rows 0..999)
+    // carries each text 200×, keep-first admits exactly 5; batch 1
+    // (rows 1000..1999) re-renders the same 5 texts, all suppressed
+    // against the fingerprint filter batch 0 appended. The `_dedup`
+    // ledger (read via the graft_dedup_ledger TVF) pins the consulted
+    // filter version per commit; the replay leg re-runs both batch ids
+    // — a marker-skipped 0-row no-op with the ledger byte-stable.
+    "q213_ingest_neardup_suppress" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ingest-neardup-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmTree(base)
+      val table = new java.io.File(base, "table").toString
+      import graft.ingest.Gen.{ColSpec, ColType}
+      val dict = Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump today",
+        "sphinx of black quartz judge my vow now",
+        "the five boxing wizards jump quickly tonight")
+      val cfg = graft.ingest.IngestConfig(
+        outputPath = Some(table), parallelism = 2, buckets = 2,
+        columns = Some(Seq(
+          ColSpec("user_id", ColType.StringUuidPool),
+          ColSpec("text", ColType.StringDict, dict = dict))),
+        suppressNearDups = Some("text"))
+      val res = graft.ingest.Ingest.runBatchCommitted(s, cfg, 2000, batches = 2)
+      val replay = graft.ingest.Ingest.runBatchCommitted(s, cfg, 2000, batches = 2)
+      graft.core.Tables.committedView(s, table).agg(
+          count(lit(1)).as("n_committed"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        .crossJoin(s.sql(
+          s"""SELECT count(*) AS n_ledger_batches,
+             |  sum(suppressed_within) AS suppressed_within,
+             |  sum(suppressed_seen) AS suppressed_seen,
+             |  sum(kept) AS kept_total,
+             |  sum(CASE WHEN based_on_version = 'none' THEN 1 ELSE 0 END)
+             |    AS n_unconsulted
+             |FROM graft_dedup_ledger('$table')""".stripMargin))
+        .select(col("n_committed"), col("n_distinct_texts"),
+          col("n_ledger_batches"), col("suppressed_within"),
+          col("suppressed_seen"), col("kept_total"), col("n_unconsulted"),
+          lit(res.rowsCommitted).as("first_run_committed"),
+          lit(replay.rowsCommitted).as("replay_committed"))
+    }),
+
     // AS-OF-timestamp time travel (VERDICT r15 #5 — the read Delta and
     // Iceberg both ship): same clogsql fixture, whose batch-marker
     // stamps the builder pins to (i+1)·1e6 ms, so every resolution is
@@ -4319,6 +4367,19 @@ object Pipeline {
         |  CAST(6000 AS BIGINT) AS snap2_rows,
         |  CAST(4000 AS BIGINT) AS delta_rows,
         |  CAST(0 AS BIGINT) AS empty_delta_rows""".stripMargin,
+    // 2 batches x 1000 rows over a 5-text round-robin dict: batch 0
+    // keeps 5 (keep-first), batch 1 keeps 0 (all seen); batch 0
+    // consulted no filter (none existed yet), batch 1 consulted v1
+    "q213_ingest_neardup_suppress" ->
+      """SELECT CAST(5 AS BIGINT) AS n_committed,
+        |  CAST(5 AS BIGINT) AS n_distinct_texts,
+        |  CAST(2 AS BIGINT) AS n_ledger_batches,
+        |  CAST(1990 AS BIGINT) AS suppressed_within,
+        |  CAST(5 AS BIGINT) AS suppressed_seen,
+        |  CAST(5 AS BIGINT) AS kept_total,
+        |  CAST(1 AS BIGINT) AS n_unconsulted,
+        |  CAST(5 AS BIGINT) AS first_run_committed,
+        |  CAST(0 AS BIGINT) AS replay_committed""".stripMargin,
     // pinned marker stamps (i+1)e6 ms: pure batch arithmetic
     "q212_sql_snapshot_at" ->
       """SELECT CAST(2000 AS BIGINT) AS at0_rows,

@@ -448,6 +448,96 @@ class IngestSpec extends AnyFunSuite {
         redactPiiColumns = Seq("k")), 10))
   }
 
+  test("commit-path near-dup suppression: keep-first, cross-batch filter, ledger, replay no-op") {
+    val dir = tmp()
+    val dict = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today",
+      "sphinx of black quartz judge my vow now",
+      "the five boxing wizards jump quickly tonight")
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2,
+      columns = Some(Seq(
+        Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+        Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
+      suppressNearDups = Some("text"))
+    // batch 0 (rows 0..999): each dict text 200x, keep-first admits 5;
+    // batch 1 (rows 1000..1999): the same 5 texts, all already in the
+    // fingerprint filter — kept 0
+    val res = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(res.rowsCommitted == 5, s"committed ${res.rowsCommitted}")
+    val back = graft.core.Tables.committedView(spark, dir)
+    assert(back.count() == 5)
+    assert(back.select("text").distinct().count() == 5)
+    val ledger = Ingest.dedupLedger(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(ledger.keySet == Set("0", "1"))
+    assert(ledger("0")._1 == "none" && ledger("0")._2 == 995L &&
+      ledger("0")._3 == 0L && ledger("0")._4 == 5L, s"$ledger")
+    assert(ledger("1")._1 != "none" && ledger("1")._2 == 995L &&
+      ledger("1")._3 == 5L && ledger("1")._4 == 0L, s"$ledger")
+    // replay: marker-skipped no-op, ledger byte-stable
+    val replay = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(replay.rowsCommitted == 0)
+    assert(Ingest.dedupLedger(spark, dir).count() == 2)
+    assert(graft.core.Tables.committedView(spark, dir).count() == 5)
+  }
+
+  test("near-dup suppression crash-replay reproduces the PINNED decision, no data loss") {
+    val dir = tmp()
+    // 3000 distinct texts: batches hit disjoint dict ranges, so batch 1
+    // legitimately keeps all 1000 of its rows — whose fingerprints then
+    // land in the filter. A replay of batch 1 (marker destroyed, the
+    // crash-before-marker shape) consults the filter version its
+    // _dedup ledger PINNED, not the current one that already contains
+    // batch 1's own fingerprints — an unpinned consult would suppress
+    // the entire batch and silently lose 1000 committed rows.
+    // every word carries the index: texts share NO 3-word shingle, so
+    // each gets a distinct min-shingle fingerprint (a shared prefix
+    // like "alpha beta gamma tok$i" would make ~2/3 of texts share
+    // fp = min(prefix-shingle hashes) — legitimate suppression, wrong
+    // test)
+    val dict = (0 until 3000).map(i => s"a$i b$i c$i d$i e$i")
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2,
+      columns = Some(Seq(
+        Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+        Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
+      suppressNearDups = Some("text"))
+    val res = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(res.rowsCommitted == 2000)
+    val ledgerBefore = Ingest.dedupLedger(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ledgerBefore("1").getLong(4) == 1000L)
+    // simulate the crash: marker 1 never landed (files + ledger +
+    // filter append did)
+    val marker = new java.io.File(dir, "_commits/1")
+    assert(marker.exists); assert(marker.delete())
+    assert(graft.core.Tables.committedView(spark, dir).count() == 1000)
+    val replay = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(replay.rowsCommitted == 1000,
+      s"pinned replay must re-admit batch 1's rows, got ${replay.rowsCommitted}")
+    assert(graft.core.Tables.committedView(spark, dir).count() == 2000)
+    val ledgerAfter = Ingest.dedupLedger(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ledgerAfter("1").getString(1) == ledgerBefore("1").getString(1),
+      "replay must pin the same consulted version")
+    assert(ledgerAfter("1").getLong(4) == 1000L)
+  }
+
+  test("near-dup suppression validates upfront: unknown or non-string column fails fast") {
+    val dir = tmp()
+    intercept[Exception](Ingest.runBatchCommitted(spark,
+      IngestConfig(outputPath = Some(dir), parallelism = 1, buckets = 0,
+        suppressNearDups = Some("nope")), 10))
+    intercept[Exception](Ingest.runBatchCommitted(spark,
+      IngestConfig(outputPath = Some(dir), parallelism = 1, buckets = 0,
+        columns = Some(Seq(Gen.ColSpec("k", Gen.ColType.LongT))),
+        suppressNearDups = Some("k")), 10))
+  }
+
   test("commit loop maintains the seen filter: committed ids flag, others don't") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()
