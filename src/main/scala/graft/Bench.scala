@@ -95,6 +95,40 @@ private[graft] object BenchLine {
 
   def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
 
+  /** COMPACT smoke segment for the stdout line: one ARRAY per stage —
+    * `"<stage>":[sec, amb, io_stall]`, index-build stages append
+    * `[io_rmb, io_wmb]` — instead of one suffixed field per metric.
+    * The r16 IO fields made the suffixed form ~1.9k chars (the whole
+    * parse window): repeating a 17-char stage name three-to-five
+    * times per stage was most of it. A `scale_smoke_v` legend names
+    * the element order; −1 marks an unavailable source. Scalars
+    * (counter echoes already filtered upstream, `_error` sentinels,
+    * `*_rows_per_sec`) stay plain fields. The FULL suffixed set
+    * always lands in bench_result.json. */
+  def smokeCompactJson(smokeRows: Long, entries: Seq[(String, Double)]): String = {
+    if (entries.isEmpty) return ""
+    val m = entries.toMap
+    val stageSet = entries.collect {
+      case (k, _) if m.contains(s"${k}_amb") => k }.toSet
+    val suffixes = Seq("_amb", "_load1", "_io_stall", "_io_full",
+      "_io_rmb", "_io_wmb", "_fs_rmb", "_fs_wmb")
+    def isSuffixOfStage(k: String): Boolean = suffixes.exists(s =>
+      k.endsWith(s) && stageSet(k.stripSuffix(s)))
+    val parts = entries.flatMap { case (k, v) =>
+      if (stageSet(k)) {
+        val base = Seq(v, m.getOrElse(s"${k}_amb", -1.0),
+          m.getOrElse(s"${k}_io_stall", -1.0))
+        val vol = if (k.endsWith("_index"))
+          Seq(m.getOrElse(s"${k}_io_rmb", -1.0), m.getOrElse(s"${k}_io_wmb", -1.0))
+        else Nil
+        Some("\"" + esc(k) + "\":[" + (base ++ vol).map(f1).mkString(",") + "]")
+      }
+      else if (isSuffixOfStage(k)) None
+      else Some("\"" + esc(k) + "\":" + f2(v))
+    }
+    s""","scale_smoke_v":"sec,amb,io_stall[,io_rmb,io_wmb]","scale_smoke":{"rows":$smokeRows,${parts.mkString(",")}}"""
+  }
+
   /** Compact line for the log: `q44_near_dup_pairs` → `q44`, 10 ms
     * precision, no sample arrays — degrading precision, then SHEDDING
     * THE FASTEST queries (the slow ones are the performance signal;
@@ -120,9 +154,20 @@ private[graft] object BenchLine {
           (if (exOmitted > 0) s""","extras_omitted":$exOmitted""" else "") +
           (if (qOmitted > 0) s""","q_omitted":$qOmitted""" else ""))
     }
-    val c2 = at(f2, results, extras.size)
+    // Extras-first budget (r16): the per-query map is the performance
+    // signal and must never shed to ZERO because the extras alone ate
+    // the window (the first r16 full-dress line shipped q_omitted=213
+    // — every query gone — with the IO-field smoke segment at ~1.9k
+    // chars). Commit to the largest extras prefix that leaves at least
+    // `QueryReserve` chars of map room, THEN run the precision/shed
+    // ladder against the remainder.
+    var keepExtras = extras.size
+    while (keepExtras > 0 &&
+           at(f1, Seq.empty, keepExtras).length > MaxLen - QueryReserve)
+      keepExtras -= 1
+    val c2 = at(f2, results, keepExtras)
     if (c2.length <= MaxLen) return c2
-    val c1 = at(f1, results, extras.size)
+    val c1 = at(f1, results, keepExtras)
     if (c1.length <= MaxLen) return c1
     // shed fastest-first: failures (-1) sort as slowest so they are
     // never shed — a red query must stay visible in the map
@@ -130,18 +175,21 @@ private[graft] object BenchLine {
     var line = c1
     while (line.length > MaxLen && keep.nonEmpty) {
       keep = keep.dropRight(math.max(1, keep.size / 10))
-      line = at(f1, keep, extras.size)
+      line = at(f1, keep, keepExtras)
     }
-    // map fully shed and still over budget: the extras did it — drop
-    // segments from the end until the line fits. The bare headline
-    // plus "extras_omitted" is a few hundred chars and always fits.
-    var keepExtras = extras.size
+    // map fully shed and still over budget (extras grew between the
+    // reserve check and here cannot happen — extras are fixed — but
+    // a pathological headline could): hard guard, drop extras too.
     while (line.length > MaxLen && keepExtras > 0) {
       keepExtras -= 1
       line = at(f1, Seq.empty, keepExtras)
     }
     line
   }
+
+  /** Minimum chars the extras budget must leave for the per-query map
+    * (~15 f1-precision entries) before extras segments shed instead. */
+  val QueryReserve = 250
 }
 
 /** The two ingest throughput probes, shared by [[Bench]] and the
@@ -657,20 +705,17 @@ object Bench {
     // — stays; VERDICT r14 #1) so their chars buy more per-query slots
     // in the BenchLine.MaxLen parse window; the full set always lands
     // in bench_result.json
-    // IO fields on the COMPACT line: `_io_stall` rides for every stage
-    // (the attribution signal VERDICT r15 #1 asked for in the record);
-    // the volume fields ride only for the IO-bound `_index` build
-    // stages whose variance they attribute — everything else is
-    // file-only (sha-bound), the chars buy per-query slots
-    val scaleSmokeJsonCompact = smokeJson(smokeTimes.filterNot { case (k, _) =>
-      k.endsWith("_survivors") || k.endsWith("_nodes") ||
-        k.endsWith("_dangling") || k.endsWith("_conflict_loud") ||
-        k.endsWith("_load1") ||
-        k.endsWith("_io_full") || k.contains("_fs_") ||
-        ((k.endsWith("_io_rmb") || k.endsWith("_io_wmb")) &&
-          !k.contains("_index_io_")) ||
-        (k.endsWith("_rows") && !k.endsWith("_rows_per_sec"))
-    })
+    // COMPACT smoke form: array-packed per stage ([sec, amb, io_stall]
+    // + [io_rmb, io_wmb] on index builds — VERDICT r15 #1's fields in
+    // the record without the suffixed-key overhead that blew the r16
+    // first-dress line to 1.9k chars); count echoes and _load1 stay
+    // file-only, `_error` sentinels and rows_per_sec ride as scalars
+    val scaleSmokeJsonCompact = BenchLine.smokeCompactJson(smokeRows,
+      smokeTimes.filterNot { case (k, _) =>
+        k.endsWith("_survivors") || k.endsWith("_nodes") ||
+          k.endsWith("_dangling") || k.endsWith("_conflict_loud") ||
+          (k.endsWith("_rows") && !k.endsWith("_rows_per_sec"))
+      })
 
     // A failed smoke stage is a red signal the driver gate must see
     // (VERDICT r14 #4): race_error/smoke_error previously landed as -1

@@ -142,6 +142,53 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries").size() == 20)
   }
 
+  // r16: the compact smoke packs [sec, amb, io_stall] (+[rmb, wmb] on
+  // index builds) per stage — suffixed keys blew the first r16 line to
+  // ~1.9k chars and shed the ENTIRE query map (q_omitted=213)
+  test("smokeCompactJson packs stage arrays, keeps scalars, drops suffix fields") {
+    val entries = Seq(
+      "neardup_index" -> 162.9, "neardup_index_amb" -> 0.3,
+      "neardup_index_load1" -> 7.1, "neardup_index_io_stall" -> 1.3,
+      "neardup_index_io_full" -> 1.3, "neardup_index_io_rmb" -> 0.0,
+      "neardup_index_io_wmb" -> 2626.2, "neardup_index_fs_wmb" -> 2623.5,
+      "graph_cc" -> 128.4, "graph_cc_amb" -> 0.8, "graph_cc_io_stall" -> 0.2,
+      "graph_cc_io_wmb" -> 14682.0,
+      "soak_committed_rows_per_sec" -> 241000.0, "race_error" -> -1.0)
+    val json = BenchLine.smokeCompactJson(50000000L, entries)
+    val node = parse("{" + json.stripPrefix(",") + "}")
+    assert(node.get("scale_smoke_v").asText() == "sec,amb,io_stall[,io_rmb,io_wmb]")
+    val smoke = node.get("scale_smoke")
+    val nd = smoke.get("neardup_index")
+    assert(nd.isArray && nd.size() == 5, s"index stage wants 5 elements: $nd")
+    assert(nd.get(0).asDouble() == 162.9 && nd.get(1).asDouble() == 0.3 &&
+      nd.get(2).asDouble() == 1.3 && nd.get(4).asDouble() == 2626.2)
+    val cc = smoke.get("graph_cc")
+    assert(cc.isArray && cc.size() == 3, s"non-index stage wants 3: $cc")
+    // a non-index stage's io_wmb is file-only — not a separate line field
+    assert(!smoke.has("graph_cc_io_wmb") && !smoke.has("neardup_index_amb"))
+    assert(smoke.get("soak_committed_rows_per_sec").asDouble() == 241000.0)
+    assert(smoke.get("race_error").asDouble() == -1.0)
+    assert(BenchLine.smokeCompactJson(1L, Seq.empty) == "")
+  }
+
+  test("extras commit to a prefix that reserves query-map room") {
+    // a realistic r16 shape: 213 queries + a ~1.1k-char smoke segment —
+    // the line must keep SOME queries (shed extras first if needed),
+    // never ship q_omitted == results.size with room to spare
+    val smoke = "," + "\"scale_smoke\":{" +
+      (1 to 45).map(i => s""""stage$i":[12.3,0.4,0.1]""").mkString(",") + "}"
+    val gate = s""","ingest_headline_gated":true,"ingest_best_ambient":1.50"""
+    val sha = s""","full_map_sha256_16":"0123456789abcdef""""
+    val results = (1 to 213).map(i => (f"q$i%03d_op", 1.0 + (i % 20)))
+    val line = BenchLine.compact(headline("/root/testdata/sf0.1"), results,
+      Seq(sha, gate, smoke))
+    assert(line.length <= BenchLine.MaxLen)
+    val node = parse(line)
+    val kept = node.get("queries").size()
+    assert(kept >= 10, s"reserve must keep a query tail, kept $kept")
+    assert(node.has("full_map_sha256_16"))
+  }
+
   test("smoke-stage error sentinels count as query errors (the red path)") {
     assert(BenchLine.smokeErrorKeys(Seq(
       "neardup_index" -> 112.0, "race_error" -> -1.0, "smoke_error" -> -1.0))
