@@ -660,6 +660,24 @@ object GraftSparkExtensions {
         strLit("graft_snapshot_at", "tablePath", args(0)),
         tsLit("graft_snapshot_at", "ts", args(1)), format)
     },
+    tvf("graft_snapshot_delta_at",
+      "graft_snapshot_delta_at(tablePath, fromTs, toTs[, format]) - " +
+        "the rows ADDED in the time window (fromTs, toTs]: both " +
+        "boundaries resolve against commit-marker stamps like " +
+        "graft_snapshot_at; a fromTs before the first commit means " +
+        "'everything up to toTs', a toTs before the first commit " +
+        "fails loudly. Same O(delta) read and vacuum contract as " +
+        "graft_snapshot_delta") { args =>
+      require(args.length == 3 || args.length == 4,
+        s"graft_snapshot_delta_at expects (tablePath, fromTs, toTs[, format]), got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val format = if (args.length > 3)
+        strLit("graft_snapshot_delta_at", "format", args(3)) else "orc"
+      graft.core.Tables.committedViewDeltaAt(spark,
+        strLit("graft_snapshot_delta_at", "tablePath", args(0)),
+        tsLit("graft_snapshot_delta_at", "fromTs", args(1)),
+        tsLit("graft_snapshot_delta_at", "toTs", args(2)), format)
+    },
     tvf("graft_snapshot_delta",
       "graft_snapshot_delta(tablePath, fromBatch, toBatch[, format]) - " +
         "the rows ADDED between two batch boundaries (exclusive/" +

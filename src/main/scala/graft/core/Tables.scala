@@ -245,6 +245,30 @@ object Tables {
     committedViewAsOf(spark, path, resolveBatchAt(spark, path, tsMillis),
       format, schema, mergeSchemas)
 
+  /** Timestamp-addressed snapshot DIFF: the rows ADDED in the time
+    * window `(fromTs, toTs]` — [[committedViewDelta]] with both
+    * boundaries resolved by [[resolveBatchAt]]. Asymmetric pre-history
+    * handling, deliberately: a `fromTs` BEFORE the first commit means
+    * "everything up to toTs" (the from-boundary resolves to
+    * before-all-batches — asking for changes since before the table
+    * existed is a meaningful window), while a `toTs` before the first
+    * commit still fails loudly through resolveBatchAt (an EMPTY window
+    * ending in pre-history is indistinguishable from a caller bug).
+    * Same O(delta) read and vacuum contract as the batch form. */
+  def committedViewDeltaAt(spark: SparkSession, path: String,
+                           fromTs: Long, toTs: Long,
+                           format: String = "orc",
+                           schema: Option[org.apache.spark.sql.types.StructType] = None,
+                           mergeSchemas: Boolean = false): DataFrame = {
+    require(fromTs <= toTs, s"fromTs $fromTs must be <= toTs $toTs")
+    val to = resolveBatchAt(spark, path, toTs)
+    val from =
+      try resolveBatchAt(spark, path, fromTs)
+      catch { case _: IllegalArgumentException => Long.MinValue }
+    committedViewDelta(spark, path, math.min(from, to), to, format, schema,
+      mergeSchemas)
+  }
+
   /** Snapshot DIFF: the rows ADDED between two batch boundaries — the
     * table as of `toBatch` minus the table as of `fromBatch`
     * (exclusive/inclusive). The commit log is append-only (compaction

@@ -2071,6 +2071,22 @@ object Pipeline {
            |     (SELECT count(*) AS n FROM graft_snapshot_at('$path', '1970-01-01T00:33:20Z')) a3""".stripMargin)
     }),
 
+    // Timestamp-addressed snapshot DIFF (r16, completing the
+    // time-travel SQL surface): same pinned-stamp fixture; every
+    // window is pure batch arithmetic. The pre-history FROM case is
+    // the documented asymmetry — "changes since before the table
+    // existed" = the full snapshot up to toTs.
+    "q214_sql_snapshot_delta_at" -> ((s, d) => {
+      val path = clogsqlFixture(s, d)
+      s.sql(
+        s"""SELECT w1.n AS window_rows, pre.n AS prehistory_from_rows,
+           |       e.n AS empty_window_rows, str.n AS str_window_rows
+           |FROM (SELECT count(*) AS n FROM graft_snapshot_delta_at('$path', 1500000, 2999999)) w1,
+           |     (SELECT count(*) AS n FROM graft_snapshot_delta_at('$path', 500000, 1500000)) pre,
+           |     (SELECT count(*) AS n FROM graft_snapshot_delta_at('$path', 2000000, 2000000)) e,
+           |     (SELECT count(*) AS n FROM graft_snapshot_delta_at('$path', '1970-01-01T00:16:40Z', '1970-01-01 00:50:00')) str""".stripMargin)
+    }),
+
     // The PII redaction ledger from one SELECT: its own fixture
     // (FixtureCache — ip_address scrubbed over 3 committed batches of
     // 1000), per-type totals closed-form: every generated row carries
@@ -4380,6 +4396,12 @@ object Pipeline {
         |  CAST(1 AS BIGINT) AS n_unconsulted,
         |  CAST(5 AS BIGINT) AS first_run_committed,
         |  CAST(0 AS BIGINT) AS replay_committed""".stripMargin,
+    // pinned marker stamps (i+1)e6 ms: windows are batch arithmetic
+    "q214_sql_snapshot_delta_at" ->
+      """SELECT CAST(2000 AS BIGINT) AS window_rows,
+        |  CAST(2000 AS BIGINT) AS prehistory_from_rows,
+        |  CAST(0 AS BIGINT) AS empty_window_rows,
+        |  CAST(4000 AS BIGINT) AS str_window_rows""".stripMargin,
     // pinned marker stamps (i+1)e6 ms: pure batch arithmetic
     "q212_sql_snapshot_at" ->
       """SELECT CAST(2000 AS BIGINT) AS at0_rows,

@@ -672,6 +672,9 @@ class PlanShapeSpec extends AnyFunSuite {
     pin("snapshot_at_vs_batch_tvf",
       s"SELECT * FROM graft_snapshot_at('$snapDir', ${System.currentTimeMillis()})",
       spark.sql(s"SELECT * FROM graft_snapshot('$snapDir', 2)"))
+    pin("snapshot_delta_at",
+      s"SELECT * FROM graft_snapshot_delta_at('$snapDir', 0, ${System.currentTimeMillis()})",
+      graft.core.Tables.committedViewDelta(spark, snapDir, Long.MinValue, 2))
     pin("snapshot_delta",
       s"SELECT * FROM graft_snapshot_delta('$snapDir', 0, 2)",
       graft.core.Tables.committedViewDelta(spark, snapDir, 0, 2))

@@ -310,6 +310,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](
       spark.sql(s"SELECT count(*) FROM graft_snapshot_at('$dir', 'not-a-time')"))
     assert(bad.getMessage.contains("not a parseable timestamp"))
+    // timestamp-addressed delta: window, pre-history-from (= snapshot),
+    // empty window, and the to-before-history loud failure
+    assert(one(s"SELECT count(*) FROM graft_snapshot_delta_at('$dir', 1500000, 2999999)") == 300L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_delta_at('$dir', 500000, 1500000)") == 300L)
+    assert(one(s"SELECT count(*) FROM graft_snapshot_delta_at('$dir', 2000000, 2000000)") == 0L)
+    val deltaApi = graft.core.Tables
+      .committedViewDeltaAt(spark, dir, 1500000L, 3500000L).count()
+    assert(deltaApi == 600L)
+    val preTo = intercept[IllegalArgumentException](
+      spark.sql(s"SELECT count(*) FROM graft_snapshot_delta_at('$dir', 1000, 999999)"))
+    assert(preTo.getMessage.contains("predates the first commit"))
   }
 
   test("sketch-table TVFs: heavy hitters, distinct, quantiles from SQL") {
