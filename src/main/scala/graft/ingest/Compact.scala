@@ -186,7 +186,19 @@ object Compact {
       marked.contains(t) && !live.contains(t)
     }
     superseded.foreach { case (f, _) => fs.delete(f.getPath, false) }
-    superseded.size
+    // the commit loop's ingest-owned filters version once PER COMMIT
+    // (each fp/id append leaves the superseded Bloom on disk — MBs per
+    // commit at production sizing): vacuum them under the same call,
+    // same caveat as data files — only when no uncommitted batch may
+    // still replay (a _dedup ledger pinned to a vacuumed version fails
+    // loudly rather than recomputing a different suppression)
+    val filterVacuumed = Seq("_neardup_filter").map { n =>
+      val p = new Path(root, n)
+      if (fs.exists(p) && graft.api.Dedup.seenFilterExists(spark, p.toString))
+        graft.api.Dedup.vacuumSeenFilter(spark, p.toString).size
+      else 0
+    }.sum
+    superseded.size + filterVacuumed
   }
 
   /** Operational entry point: `runMain graft.ingest.Compact <dir>

@@ -527,6 +527,68 @@ class IngestSpec extends AnyFunSuite {
     assert(ledgerAfter("1").getLong(4) == 1000L)
   }
 
+  test("near-dup suppression works through the STREAMING commit path") {
+    // rawStream and rawBatch share the (value, __pid) shape, so the
+    // suppressor composes into run() via the same commitBatch — prove
+    // it end to end: a 5-text dictionary stream commits exactly the 5
+    // distinct texts no matter how many micro-batches land, and the
+    // ledger's kept-sum agrees.
+    val dir = tmp()
+    val dict = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today",
+      "sphinx of black quartz judge my vow now",
+      "the five boxing wizards jump quickly tonight")
+    val cfg = IngestConfig(
+      outputPath = Some(dir), parallelism = 2, eventsPerSecond = 2000,
+      commitAfterNRows = 500, timeoutMs = 15000, buckets = 2,
+      columns = Some(Seq(
+        Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+        Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
+      suppressNearDups = Some("text"))
+    val res = Ingest.run(spark, cfg)
+    assert(res.commits > 0, "no commits within timeout")
+    assert(res.rowsCommitted == 5,
+      s"a 5-text stream must commit exactly 5 rows, got ${res.rowsCommitted}")
+    val back = graft.core.Tables.committedView(spark, dir)
+    assert(back.count() == 5 && back.select("text").distinct().count() == 5)
+    val ledger = Ingest.dedupLedger(spark, dir)
+    assert(ledger.agg(sum("kept")).head.getLong(0) == 5L)
+    assert(ledger.count() >= 1)
+  }
+
+  test("vacuum collapses commit-loop filter versions; a vacuumed pinned replay fails loudly") {
+    val dir = tmp()
+    val dict = (0 until 3000).map(i => s"va$i vb$i vc$i vd$i ve$i")
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2,
+      columns = Some(Seq(
+        Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+        Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
+      suppressNearDups = Some("text"))
+    assert(Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+      .rowsCommitted == 2000)
+    // every commit's fp append left a superseded Bloom version behind
+    val fdir = new java.io.File(dir, "_neardup_filter")
+    def versions() = fdir.listFiles().count(f =>
+      f.isDirectory && !f.getName.startsWith("_"))
+    assert(versions() >= 2, s"expected >=2 filter versions, got ${versions()}")
+    val vacuumed = Compact.vacuum(spark, dir)
+    assert(vacuumed >= 1, "vacuum must count the collapsed filter versions")
+    assert(versions() == 1)
+    // the surviving current version still serves new commits
+    assert(Ingest.runBatchCommitted(spark, cfg, 3000, batches = 3)
+      .rowsCommitted == 1000, "batch 2 commits its disjoint 1000 texts")
+    // but a crash-replay pinned to a vacuumed version is LOUD, never a
+    // silently different suppression decision
+    assert(new java.io.File(dir, "_commits/1").delete())
+    val e = intercept[Exception](
+      Ingest.runBatchCommitted(spark, cfg, 3000, batches = 3))
+    assert(e.getMessage.contains("no longer exists"),
+      s"wanted the vacuumed-version message, got: ${e.getMessage}")
+  }
+
   test("near-dup suppression validates upfront: unknown or non-string column fails fast") {
     val dir = tmp()
     intercept[Exception](Ingest.runBatchCommitted(spark,
