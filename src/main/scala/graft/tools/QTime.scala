@@ -27,7 +27,7 @@ object QTime {
     graft.AmbientLoad.start()
     names.headOption.foreach(once) // warmup
     names.foreach(n => println(
-      f"[qtime] $n%-26s ${once(n)}%6.2f s  (amb ${graft.AmbientLoad.ambientNow()}%.2f)"))
+      f"[qtime] $n%-26s ${once(n)}%6.2f s  (amb ${graft.AmbientLoad.ambientNow()}%.2f, io10 ${graft.IoLoad.ioSome10Now()}%.1f)"))
     spark.stop()
   }
 }
