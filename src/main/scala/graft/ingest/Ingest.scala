@@ -509,18 +509,25 @@ object Ingest {
         "__seen", version = Some(v))
       case None => ranked.withColumn("__seen", lit(false))
     }).localCheckpoint()
-    val acc = flagged.agg(
-      sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("w"),
-      sum(when(col("__rn") === 1 && col("__seen"), 1L).otherwise(0L)).as("s"),
-      count(lit(1)).as("t")).head()
-    def at(i: Int): Long = if (acc.isNullAt(i)) 0L else acc.getLong(i)
-    val (nWithin, nSeen, total) = (at(0), at(1), at(2))
-    val keptFlagged = flagged.filter(col("__rn") === 1 && !col("__seen"))
-    DedupDecision(
-      kept = keptFlagged.drop("__fp", "__rn", "__seen"),
-      keptFps = keptFlagged.select(col("__fp").as("fp")),
-      basedOn = basedOn, nWithin = nWithin, nSeen = nSeen,
-      nKept = total - nWithin - nSeen, release = flagged)
+    try {
+      val acc = flagged.agg(
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("w"),
+        sum(when(col("__rn") === 1 && col("__seen"), 1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("t")).head()
+      def at(i: Int): Long = if (acc.isNullAt(i)) 0L else acc.getLong(i)
+      val (nWithin, nSeen, total) = (at(0), at(1), at(2))
+      val keptFlagged = flagged.filter(col("__rn") === 1 && !col("__seen"))
+      DedupDecision(
+        kept = keptFlagged.drop("__fp", "__rn", "__seen"),
+        keptFps = keptFlagged.select(col("__fp").as("fp")),
+        basedOn = basedOn, nWithin = nWithin, nSeen = nSeen,
+        nKept = total - nWithin - nSeen, release = flagged)
+    } catch {
+      // an accounting failure must not leak the commit-sized
+      // checkpoint: commitBatch's finally only sees a RETURNED decision
+      case t: Throwable =>
+        flagged.unpersist(blocking = false); throw t
+    }
   }
 
   /** The `_dedup` suppression ledger of an ingest table: one row per
