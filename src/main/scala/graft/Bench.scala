@@ -377,17 +377,34 @@ object Bench {
         if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
           p.destroyForcibly(); forkedBatchError = "timeout"
         }
-        val src = scala.io.Source.fromFile(out, "UTF-8")
-        val lines = try src.getLines().toList finally src.close()
-        lines.filter(_.startsWith("PROBE_BATCH_SAMPLE=")).foreach { l =>
-          val f = l.stripPrefix("PROBE_BATCH_SAMPLE=").split(',')
-          forkedBatchSamples += f(0).toLong
-          forkedBatchAmbients += f(1).toDouble
-          forkedBatchIos += f(2).toDouble
+        // atomic per-line parse, and none at all after a kill (review
+        // r16): a line truncated by destroyForcibly must not leave the
+        // sample array one longer than its ambient/io arrays — a
+        // misalignment that would gate every in-suite sample against
+        // the wrong ambient and crash gatedBest on the last index
+        if (forkedBatchError != "timeout") {
+          val src = scala.io.Source.fromFile(out, "UTF-8")
+          val lines = try src.getLines().toList finally src.close()
+          lines.filter(_.startsWith("PROBE_BATCH_SAMPLE=")).foreach { l =>
+            val f = l.stripPrefix("PROBE_BATCH_SAMPLE=").split(',')
+            val parsed =
+              if (f.length == 3)
+                for (r <- f(0).toLongOption; a <- f(1).toDoubleOption;
+                     i <- f(2).toDoubleOption) yield (r, a, i)
+              else None
+            parsed match {
+              case Some((r, a, i)) =>
+                forkedBatchSamples += r
+                forkedBatchAmbients += a
+                forkedBatchIos += i
+              case None =>
+                System.err.println(s"[bench] malformed forked sample line skipped: $l")
+            }
+          }
+          if (forkedBatchSamples.isEmpty && forkedBatchError.isEmpty)
+            forkedBatchError = s"no samples (exit ${p.exitValue()}); tail: " +
+              lines.takeRight(3).mkString(" | ").take(300)
         }
-        if (forkedBatchSamples.isEmpty && forkedBatchError.isEmpty)
-          forkedBatchError = s"no samples (exit ${p.exitValue()}); tail: " +
-            lines.takeRight(3).mkString(" | ").take(300)
       } catch {
         case t: Throwable =>
           forkedBatchError = s"${t.getClass.getSimpleName}: ${t.getMessage}"

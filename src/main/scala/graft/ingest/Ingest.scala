@@ -408,8 +408,13 @@ object Ingest {
     // of identical ids is idempotent) — committed ids can never end up
     // unflagged. An already-committed replay (marker exists) returned
     // above, so ids append exactly once per logical commit. Empty
-    // batches (a stream's warm-up triggers) have no ids to record.
-    if (n > 0) cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
+    // batches (a stream's warm-up triggers) have no ids to record —
+    // but the guard is on the RAW batch size, not the kept count: a
+    // fully near-dup-suppressed batch still SAW its ids, and the
+    // seen-filter contract ("their ids still enter the filter")
+    // forbids skipping them (review r16).
+    val rawN = dedupInfo.fold(n)(i => i.nWithin + i.nSeen + i.nKept)
+    if (rawN > 0) cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
     // PII ledger entry BEFORE the marker (same ordering argument as
     // the seen filter: a crash between the two is repaired by the
     // replay overwriting the same deterministic content; a committed
@@ -489,8 +494,19 @@ object Ingest {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        lines.collectFirst { case l if l.startsWith("basedOnVersion=") =>
-          l.stripPrefix("basedOnVersion=") }.filter(_ != "none")
+        val pinned = lines.collectFirst {
+          case l if l.startsWith("basedOnVersion=") =>
+            l.stripPrefix("basedOnVersion=") }
+        // a ledger file with no pin line is a truncated crash artifact:
+        // treating it as "consulted no filter" would silently disable
+        // cross-batch suppression for the replay and re-admit
+        // duplicates forever (review r16) — fail loudly instead; the
+        // operator deletes the torn ledger to let the replay re-consult
+        if (pinned.isEmpty) throw new IllegalStateException(
+          s"_dedup ledger $ledger exists but carries no basedOnVersion " +
+            "line (truncated write?) — delete it to let the replay " +
+            "re-consult the current filter state")
+        pinned.filter(_ != "none")
       } else graft.api.Dedup.seenFilterVersion(spark, fpPath)
     val fp = graft.functions.TextFunctions.minShingleHash(
       lower(Gen.expr(spec, cfg.seed, col("value"))), 3)
@@ -536,32 +552,19 @@ object Ingest {
     * fingerprint-filter append and the marker; metadata-sized, read
     * driver-side like [[piiLedger]]. Malformed lines skip loudly. */
   def dedupLedger(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val dir = new Path(s"$path/_dedup")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows =
-      if (!fs.exists(dir)) Seq.empty[(String, String, Long, Long, Long)]
-      else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
-        val in = fs.open(st.getPath)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        val kv = lines.flatMap { l =>
-          val p = l.split('=')
-          if (p.length == 2) Some(p(0) -> p(1)) else None
-        }.toMap
-        val parsed = for {
-          v <- kv.get("basedOnVersion")
-          w <- kv.get("suppressed_within").flatMap(_.toLongOption)
-          s <- kv.get("suppressed_seen").flatMap(_.toLongOption)
-          k <- kv.get("kept").flatMap(_.toLongOption)
-        } yield (st.getPath.getName, v, w, s, k)
-        if (parsed.isEmpty)
-          System.err.println(s"[ingest] malformed _dedup ledger entry" +
-            s" ${st.getPath} — skipped")
-        parsed
-      }
+    val rows = readLedgerDir(spark, path, "_dedup").flatMap { case (token, kv) =>
+      val parsed = for {
+        v <- kv.get("basedOnVersion")
+        w <- kv.get("suppressed_within").flatMap(_.toLongOption)
+        s <- kv.get("suppressed_seen").flatMap(_.toLongOption)
+        k <- kv.get("kept").flatMap(_.toLongOption)
+      } yield (token, v, w, s, k)
+      if (parsed.isEmpty)
+        System.err.println(s"[ingest] malformed _dedup ledger entry" +
+          s" $path/_dedup/$token — skipped")
+      parsed
+    }
     rows.toDF("batch_token", "based_on_version", "suppressed_within",
       "suppressed_seen", "kept")
   }
@@ -606,35 +609,48 @@ object Ingest {
     * was off). Metadata-sized: bytes per commit, read driver-side like
     * [[graft.core.Tables.liveTokens]]. */
   def piiLedger(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val dir = new Path(s"$path/_pii")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows =
-      if (!fs.exists(dir)) Seq.empty[(String, String, Long)]
-      else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
-        val in = fs.open(st.getPath)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        // malformed lines (foreign edits, partial writes) are skipped
-        // with a loud note rather than failing the whole ledger read
-        // (ADVICE r15: the old `val Array(t, c) = split('=')` threw on
-        // any extra '=' or non-numeric count, making every batch's
-        // accounting unreadable for one bad line)
-        lines.filter(_.nonEmpty).flatMap { l =>
-          val kv = l.split('=')
-          val parsed = if (kv.length == 2) kv(1).toLongOption else None
-          parsed match {
-            case Some(c) => Some((st.getPath.getName, kv(0), c))
-            case None =>
-              System.err.println(s"[ingest] malformed _pii ledger line in" +
-                s" ${st.getPath}: '$l' — skipped")
-              None
-          }
+    val rows = readLedgerDir(spark, path, "_pii").flatMap { case (token, kv) =>
+      kv.flatMap { case (t, c) =>
+        c.toLongOption match {
+          case Some(n) => Some((token, t, n))
+          case None =>
+            System.err.println(s"[ingest] non-numeric _pii ledger count in" +
+              s" $path/_pii/$token: '$t=$c' — skipped")
+            None
         }
       }
+    }
     rows.toDF("batch_token", "pii_type", "n_redacted")
+  }
+
+  /** Driver-side read of a `<path>/<sub>` ledger dir: one (fileName,
+    * key→value map) per file — '='-separated lines, malformed lines
+    * skipped with a loud note rather than failing the whole read
+    * (ADVICE r15; shared by the `_pii` and `_dedup` readers so the
+    * tolerance is implemented once — review r16). */
+  private def readLedgerDir(spark: SparkSession, path: String, sub: String)
+      : Seq[(String, Map[String, String])] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$path/$sub")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val kv = lines.filter(_.nonEmpty).flatMap { l =>
+        val p = l.split('=')
+        if (p.length == 2) Some(p(0) -> p(1))
+        else {
+          System.err.println(s"[ingest] malformed $sub ledger line in" +
+            s" ${st.getPath}: '$l' — skipped")
+          None
+        }
+      }.toMap
+      (st.getPath.getName, kv)
+    }
   }
 
   /** Upfront validation of ingest expectations — a bad rule column or
@@ -689,6 +705,16 @@ object Ingest {
           s"(have: ${byName.keys.mkString(", ")})"))
       require(stringTypes.contains(spec.tpe),
         s"suppressNearDups column '$c' is not a string column (${spec.tpe})")
+      // single committer required (review r16): concurrent commit
+      // groups could both pin the same filter version, neither seeing
+      // the other's fingerprints — the same content admitted twice,
+      // nondeterministically by interleaving. Reject rather than
+      // under-suppress silently.
+      require(cfg.commitGroups <= 1,
+        s"suppressNearDups requires a single commit group " +
+          s"(commitGroups=${cfg.commitGroups}): concurrent groups can " +
+          "pin the same fingerprint-filter version and each admit the " +
+          "same content")
     }
 
   /** Resolve (and VALIDATE) the seen-filter id column against the

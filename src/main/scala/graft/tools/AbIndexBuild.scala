@@ -52,9 +52,7 @@ object AbIndexBuild {
     } finally sets.unpersist(blocking = true)
   }
 
-  private def rmrf(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf); f.delete()
-  }
+  private def rmrf(f: java.io.File): Unit = graft.IngestProbes.rmrfQuiet(f)
 
   def main(args: Array[String]): Unit = {
     def argAt(i: Int, default: String): String =

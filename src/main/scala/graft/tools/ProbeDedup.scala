@@ -30,9 +30,7 @@ object ProbeDedup {
         Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
         Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
       suppressNearDups = if (dedup) Some("text") else None)
-    def rmrf(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf); f.delete()
-    }
+    def rmrf(f: java.io.File): Unit = graft.IngestProbes.rmrfQuiet(f)
     def leg(dedup: Boolean, rep: Int, n: Long = rows): Unit = {
       val dir = java.nio.file.Files.createTempDirectory("graft-probe-dedup")
       val amb = graft.AmbientLoad.ambientNow()

@@ -62,8 +62,11 @@ object ProbeIngest {
           println(f"[probe] batch($buckets) rep$i: $rate%,d rows/s (load1 $l0%.1f, ambient $a0%.2f, io10 $io0%.1f)")
           // machine-parseable sample line: Bench forks this main into a
           // fresh JVM (VERDICT r15 #3) and reads rate + the gate inputs
-          // measured in THIS process right before the rep
-          println(f"PROBE_BATCH_SAMPLE=$rate%d,$a0%.2f,$io0%.1f")
+          // measured in THIS process right before the rep. Locale.ROOT
+          // (review r16): a comma-decimal default locale would corrupt
+          // the comma-separated fields Bench splits on
+          println("PROBE_BATCH_SAMPLE=%d,%.2f,%.1f"
+            .formatLocal(java.util.Locale.ROOT, rate, a0, io0))
         }
       case other => sys.error(s"unknown mode $other")
     }

@@ -589,6 +589,59 @@ class IngestSpec extends AnyFunSuite {
       s"wanted the vacuumed-version message, got: ${e.getMessage}")
   }
 
+  test("fully-suppressed batches still enter the seen-ids filter; torn _dedup ledgers are loud") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val filter = new java.io.File(tmp(), "seen").toString
+    val dict = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today",
+      "sphinx of black quartz judge my vow now",
+      "the five boxing wizards jump quickly tonight")
+    val cols = Seq(
+      Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+      Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2, columns = Some(cols),
+      seenFilterPath = Some(filter), seenFilterExpectedItems = 100000L,
+      suppressNearDups = Some("text"))
+    val res = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(res.rowsCommitted == 5) // batch 1 keeps ZERO rows
+    // the seen-ids contract: batch 1's user_ids were SEEN even though
+    // every row was suppressed — they must flag (review r16: the guard
+    // briefly tested kept-count and skipped exactly this batch)
+    val batch1Ids = spark.range(1000L, 2000L)
+      .select(Gen.expr(cols.head, cfg.seed, col("id")).as("user_id"))
+    assert(graft.api.Dedup.markSeen(spark, batch1Ids, "user_id", filter)
+      .filter(!col("probably_seen")).isEmpty,
+      "a fully-suppressed batch's ids must still enter the seen filter")
+    // a truncated _dedup ledger (crash artifact with no pin line) must
+    // fail the replay loudly, never silently disable suppression
+    assert(new java.io.File(dir, "_commits/1").delete())
+    // through the Hadoop FS (raw java.io would orphan the .crc sidecar
+    // and read back as ChecksumException, not the torn-ledger path)
+    val hp = new org.apache.hadoop.fs.Path(dir, "_dedup/1")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = hfs.create(hp, true)
+    try torn.write("suppressed_within=995\n".getBytes("UTF-8"))
+    finally torn.close()
+    val e = intercept[IllegalStateException](
+      Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2))
+    assert(e.getMessage.contains("no basedOnVersion"),
+      s"wanted the torn-ledger message, got: ${e.getMessage}")
+  }
+
+  test("near-dup suppression rejects concurrent commit groups upfront") {
+    intercept[Exception](Ingest.run(spark,
+      IngestConfig(outputPath = Some(tmp()), parallelism = 4,
+        commitGroups = 2, timeoutMs = 3000,
+        columns = Some(Seq(
+          Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+          Gen.ColSpec("text", Gen.ColType.StringName))),
+        suppressNearDups = Some("text"))))
+  }
+
   test("near-dup suppression validates upfront: unknown or non-string column fails fast") {
     val dir = tmp()
     intercept[Exception](Ingest.runBatchCommitted(spark,
