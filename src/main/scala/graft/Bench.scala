@@ -184,7 +184,13 @@ private[graft] object BenchLine {
       keepExtras -= 1
       line = at(f1, Seq.empty, keepExtras)
     }
-    line
+    // FINAL clamp (ADVICE r16): with map and extras both gone, only a
+    // pathological headline (e.g. an absurd sf path) can still exceed
+    // the budget — truncate rather than ship an over-length line the
+    // driver's 2000-char tail window would mangle into parse failure
+    // anyway. A truncated line is equally unparseable but bounded, and
+    // the never-over-length contract holds unconditionally.
+    if (line.length > MaxLen) line.take(MaxLen) else line
   }
 
   /** Minimum chars the extras budget must leave for the per-query map
@@ -354,64 +360,111 @@ object Bench {
     val ioGate = sys.env.getOrElse("SPARK_GRAFT_IO_GATE", "10.0").toDouble
     def ioOk(io: Double): Boolean = io < 0 || io < ioGate
 
-    // Forked fresh-JVM batch probe (VERDICT r15 #3): the in-suite
-    // probe inherits the suite's hot heap and dirty page cache — r15's
-    // quietest-ambient in-suite sample was its SLOWEST (320k rows/s at
-    // amb 1.02) while the standalone tool measured 2.1M at comparable
-    // ambient. Fork ProbeIngest into a fresh JVM FIRST — the freshest
-    // machine state the session will ever see — and let its samples
-    // compete for the gated headline under the same ambient+IO gates
-    // (the child measures both right before each rep). Spawn failure
-    // or timeout soft-fails to the in-suite samples, loudly recorded.
-    val forkedBatchSamples = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val forkedBatchAmbients = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val forkedBatchIos = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var forkedBatchError = ""
-    val forkedReps = sys.env.getOrElse("SPARK_GRAFT_FORKED_BATCH_REPS", "3").toInt
-    if (forkedReps > 0) {
-      val out = java.io.File.createTempFile("graft-forked-batch", ".log")
+    // Load gate for probe reps (VERDICT r9 #3, r10 #1; definition
+    // hoisted above the forked probes, which now take it as an
+    // argument): cpus/8 = 4 is the bar a window must clear to count as
+    // quiet on this box (the r10 A/B windows that reproduced 1.7M+ all
+    // sat under load1 5).
+    val streamLoadGate = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOAD_GATE",
+      math.max(2, cpus.toInt / 8).toString).toDouble
+    val waitQuietMs =
+      sys.env.getOrElse("SPARK_GRAFT_WAIT_QUIET_MS", "600000").toLong
+
+    // Forked fresh-JVM ingest probes (VERDICT r15 #3, widened r16 #1):
+    // the in-suite probes inherit the suite's hot heap and dirty page
+    // cache — r15's quietest-ambient in-suite sample was its SLOWEST
+    // (320k rows/s at amb 1.02) while the standalone tool measured
+    // 2.1M at comparable ambient. Fork ProbeIngest into fresh JVMs
+    // FIRST — the freshest machine state the session will ever see —
+    // and let their samples compete for the gated headlines under the
+    // same ambient+IO gates (the child measures both right before each
+    // rep). r16 lesson: a FIXED 3-shot fork on a busy hour had every
+    // shot gate-rejected and the record fell back to a depressed
+    // hot-heap sample — the child now waits (bounded) for a quiet
+    // window before each rep and RETRIES past the base reps (up to
+    // maxAttempts) until one sample passes the gates it was given.
+    // Spawn failure or timeout soft-fails to the in-suite samples,
+    // loudly recorded. Returns the per-sample field arrays.
+    def runForkedProbe(tag: String, probeArgs: Seq[String], linePrefix: String,
+                       nFields: Int, timeoutMin: Long): (Seq[Seq[Double]], String) = {
+      var error = ""
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      val out = java.io.File.createTempFile(s"graft-forked-$tag", ".log")
       try {
-        val p = graft.tools.RaceChild.spawn(
-          Seq("batch", forkedReps.toString, "32", ingestRows.toString),
-          out, mainClass = "graft.tools.ProbeIngest", xmx = "12g")
-        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-          p.destroyForcibly(); forkedBatchError = "timeout"
+        val p = graft.tools.RaceChild.spawn(probeArgs, out,
+          mainClass = "graft.tools.ProbeIngest", xmx = "12g")
+        if (!p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); error = "timeout"
         }
         // atomic per-line parse, and none at all after a kill (review
         // r16): a line truncated by destroyForcibly must not leave the
         // sample array one longer than its ambient/io arrays — a
         // misalignment that would gate every in-suite sample against
         // the wrong ambient and crash gatedBest on the last index
-        if (forkedBatchError != "timeout") {
+        if (error != "timeout") {
           val src = scala.io.Source.fromFile(out, "UTF-8")
           val lines = try src.getLines().toList finally src.close()
-          lines.filter(_.startsWith("PROBE_BATCH_SAMPLE=")).foreach { l =>
-            val f = l.stripPrefix("PROBE_BATCH_SAMPLE=").split(',')
+          lines.filter(_.startsWith(linePrefix)).foreach { l =>
+            val f = l.stripPrefix(linePrefix).split(',')
             val parsed =
-              if (f.length == 3)
-                for (r <- f(0).toLongOption; a <- f(1).toDoubleOption;
-                     i <- f(2).toDoubleOption) yield (r, a, i)
-              else None
+              if (f.length == nFields) {
+                val ds = f.map(_.toDoubleOption)
+                if (ds.forall(_.isDefined)) Some(ds.map(_.get).toSeq) else None
+              } else None
             parsed match {
-              case Some((r, a, i)) =>
-                forkedBatchSamples += r
-                forkedBatchAmbients += a
-                forkedBatchIos += i
+              case Some(fields) => samples += fields
               case None =>
                 System.err.println(s"[bench] malformed forked sample line skipped: $l")
             }
           }
-          if (forkedBatchSamples.isEmpty && forkedBatchError.isEmpty)
-            forkedBatchError = s"no samples (exit ${p.exitValue()}); tail: " +
+          if (samples.isEmpty && error.isEmpty)
+            error = s"no samples (exit ${p.exitValue()}); tail: " +
               lines.takeRight(3).mkString(" | ").take(300)
         }
       } catch {
         case t: Throwable =>
-          forkedBatchError = s"${t.getClass.getSimpleName}: ${t.getMessage}"
+          error = s"${t.getClass.getSimpleName}: ${t.getMessage}"
       } finally out.delete()
-      if (forkedBatchError.nonEmpty)
-        System.err.println(s"[bench] forked batch probe soft-failed: $forkedBatchError")
+      if (error.nonEmpty)
+        System.err.println(s"[bench] forked $tag probe soft-failed: $error")
+      (samples.toSeq, error)
     }
+    val forkedWaitMs =
+      sys.env.getOrElse("SPARK_GRAFT_FORKED_WAIT_QUIET_MS", "60000").toLong
+    def fmtGate(v: Double): String = BenchLine.f2(v)
+
+    // STREAMING forked probe first — the streaming number is the
+    // round's weak headline and deserves the freshest JVM + quietest
+    // pre-suite window (VERDICT r16 #1b). Fields per sample:
+    // rows, rate, ambient, io10, load1.
+    val forkedStreamReps =
+      sys.env.getOrElse("SPARK_GRAFT_FORKED_STREAM_REPS", "2").toInt
+    val forkedStreamMax =
+      sys.env.getOrElse("SPARK_GRAFT_FORKED_STREAM_MAX_ATTEMPTS", "6").toInt
+    val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "20000").toLong
+    val (forkedStreamSamples, forkedStreamError) =
+      if (forkedStreamReps <= 0) (Seq.empty[Seq[Double]], "")
+      else runForkedProbe("stream",
+        Seq("stream", forkedStreamReps.toString, streamMs.toString,
+          "200000", "1000000", "0", "0", "15000",
+          fmtGate(streamLoadGate), fmtGate(ioGate),
+          forkedStreamMax.toString, forkedWaitMs.toString),
+        "PROBE_STREAM_SAMPLE=", nFields = 5, timeoutMin = 15)
+
+    // BATCH forked probe. Fields per sample: rate, ambient, io10.
+    val forkedReps = sys.env.getOrElse("SPARK_GRAFT_FORKED_BATCH_REPS", "3").toInt
+    val forkedBatchMax =
+      sys.env.getOrElse("SPARK_GRAFT_FORKED_BATCH_MAX_ATTEMPTS", "8").toInt
+    val (forkedBatchFields, forkedBatchError) =
+      if (forkedReps <= 0) (Seq.empty[Seq[Double]], "")
+      else runForkedProbe("batch",
+        Seq("batch", forkedReps.toString, "32", ingestRows.toString,
+          fmtGate(streamLoadGate), fmtGate(ioGate),
+          forkedBatchMax.toString, forkedWaitMs.toString),
+        "PROBE_BATCH_SAMPLE=", nFields = 3, timeoutMin = 20)
+    val forkedBatchSamples = forkedBatchFields.map(_(0).toLong)
+    val forkedBatchAmbients = forkedBatchFields.map(_(1))
+    val forkedBatchIos = forkedBatchFields.map(_(2))
 
     // Warmup the write path (codegen, ORC writer classes, shuffle
     // machinery) with a small throwaway run, then take the first probe
@@ -441,18 +494,21 @@ object Bench {
         unbucketedSamples += probeOnce(0)
       }
     }
+    // returns (rate, ambient, io10, gate-passing, WINNING INDEX) — the
+    // index is what provenance flags derive from (ADVICE r16: value
+    // equality against the forked sample list could mislabel a tie)
     def gatedBest(samples: Seq[Long], ambients: Seq[Double], ios: Seq[Double],
-                  gate: Double): (Long, Double, Double, Boolean) = {
+                  gate: Double): (Long, Double, Double, Boolean, Int) = {
       val gated = samples.indices.filter { i =>
         samples(i) > 0 && ambients(i) >= 0 && ambients(i) < gate &&
           ioOk(ios.lift(i).getOrElse(-1.0)) }
       if (gated.nonEmpty) {
         val i = gated.maxBy(samples(_))
-        (samples(i), ambients(i), ios.lift(i).getOrElse(-1.0), true)
+        (samples(i), ambients(i), ios.lift(i).getOrElse(-1.0), true, i)
       } else {
         val i = samples.indices.maxBy(samples(_))
         (samples(i), ambients.lift(i).getOrElse(-1.0),
-          ios.lift(i).getOrElse(-1.0), false)
+          ios.lift(i).getOrElse(-1.0), false, i)
       }
     }
 
@@ -466,24 +522,15 @@ object Bench {
     // it ahead of the batch probes too — the streaming number is the
     // round's weak headline and deserves the best window); best of N —
     // a contended box recovers in later windows.
-    val streamMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "20000").toLong
     def streamOnce(timeoutMs: Long = streamMs): (Long, Long) =
       IngestProbes.streamOnce(spark, cpus.toInt, timeoutMs)
-    // Load gate for stream reps (VERDICT r9 #3, r10 #1): r10's gate of
-    // cpus/2 = 16 skipped NOTHING — all 7 windows ran at load1 3.5-21.4
-    // and recorded 0.16x the engine's quiet-window truth, and r9's own
-    // postmortem called load1 16.6 "loaded". cpus/8 = 4 is the bar a
-    // window must clear to count as quiet on this box (the r10 A/B
-    // windows that reproduced 1.7M+ all sat under load1 5).
-    val streamLoadGate = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOAD_GATE",
-      math.max(2, cpus.toInt / 8).toString).toDouble
     // Bounded wait-for-quiet (VERDICT r10 #1c): before the probe
     // windows that decide the record, poll load1 until one window
     // clears the gate or the budget runs out — a 10-minute wait that
     // buys a clean window beats seven contaminated reps. Returns the
     // load reached; every wait's duration is recorded in the JSON.
-    val waitQuietMs =
-      sys.env.getOrElse("SPARK_GRAFT_WAIT_QUIET_MS", "600000").toLong
+    // (streamLoadGate / waitQuietMs are defined above the forked
+    // probes, which take them as child arguments.)
     val quietWaits = scala.collection.mutable.ArrayBuffer.empty[Double]
     // quiet = CPU-ambient under the gate AND the box not IO-stalled
     // (r16): a window that passes the CPU gate mid-writeback records a
@@ -524,6 +571,35 @@ object Bench {
     var streamGatePassing = 0
     var streamBestGatedAmbient = -1.0
     var streamBestGatedIo = -1.0
+    // provenance: whether the current best gated/abs sample came from
+    // the forked fresh-JVM probe (cleared when an in-suite rep
+    // overtakes it) — index-free, so ties can't mislabel (ADVICE r16)
+    var streamBestGatedForked = false
+    var streamBestAbsForked = false
+    // fold the forked fresh-JVM stream samples in FIRST (they ran
+    // before anything in-suite): same gate logic as streamWindow, with
+    // the child's own ambient/io/load1 measured right before each rep
+    forkedStreamSamples.foreach { f =>
+      val (sRows, sRate) = (f(0).toLong, f(1).toLong)
+      val (amb, io, l1) = (f(2), f(3), f(4))
+      streamSamples += sRate
+      streamLoads += l1
+      streamAmbients += amb
+      streamIos += io
+      if (sRate > streamBestAbs._2) {
+        streamBestAbs = (sRows, sRate); streamBestAbsLoad1 = l1
+        streamBestAbsForked = true
+      }
+      if (amb >= 0 && amb < streamLoadGate && ioOk(io)) {
+        streamGatePassing += 1
+        if (sRate > streamBestGated._2) {
+          streamBestGated = (sRows, sRate); streamBestGatedLoad1 = l1
+          streamBestGatedAmbient = amb
+          streamBestGatedIo = io
+          streamBestGatedForked = true
+        }
+      }
+    }
     def streamWindow(reps: Int): Unit =
       (1 to reps).foreach { _ =>
         val l = load1Now()
@@ -550,13 +626,17 @@ object Bench {
           if (r2._2 > r._2) r = r2
         }
         streamSamples += r._2
-        if (r._2 > streamBestAbs._2) { streamBestAbs = r; streamBestAbsLoad1 = l }
+        if (r._2 > streamBestAbs._2) {
+          streamBestAbs = r; streamBestAbsLoad1 = l
+          streamBestAbsForked = false
+        }
         if (amb >= 0 && amb < streamLoadGate && ioOk(io)) {
           streamGatePassing += 1
           if (r._2 > streamBestGated._2) {
             streamBestGated = r; streamBestGatedLoad1 = l
             streamBestGatedAmbient = amb
             streamBestGatedIo = io
+            streamBestGatedForked = false
           }
         }
       }
@@ -731,7 +811,12 @@ object Bench {
       smokeTimes.filterNot { case (k, _) =>
         k.endsWith("_survivors") || k.endsWith("_nodes") ||
           k.endsWith("_dangling") || k.endsWith("_conflict_loud") ||
-          (k.endsWith("_rows") && !k.endsWith("_rows_per_sec"))
+          (k.endsWith("_rows") && !k.endsWith("_rows_per_sec")) ||
+          // the hot-JVM audit leg + the race children's IO accounts
+          // (r17): file-only — the record numbers are the forked
+          // fresh-JVM stages and the race phase walls; the audit twins
+          // stay in bench_result.json
+          k.contains("_insuite") || k.contains("_child_")
       })
 
     // A failed smoke stage is a red signal the driver gate must see
@@ -746,12 +831,15 @@ object Bench {
     // the forked fresh-JVM samples compete for the bucketed headline
     // under the same gates (listed first: on equal rates the fresh-JVM
     // number is the representative one)
-    val (ingestRate, ingestBestAmbient, ingestBestIo, ingestGated) =
+    val (ingestRate, ingestBestAmbient, ingestBestIo, ingestGated, ingestWinIdx) =
       gatedBest((forkedBatchSamples ++ bucketedSamples).toSeq,
         (forkedBatchAmbients ++ bucketedAmbients).toSeq,
         (forkedBatchIos ++ bucketedIos).toSeq, streamLoadGate)
-    val ingestHeadlineForked = forkedBatchSamples.contains(ingestRate)
-    val (ingestRateUnbucketed, ingestUnbAmbient, ingestUnbIo, ingestUnbGated) =
+    // index-derived provenance (ADVICE r16): the winner is forked iff
+    // its index falls in the forked prefix of the concatenated list
+    val ingestHeadlineForked = ingestWinIdx >= 0 &&
+      ingestWinIdx < forkedBatchSamples.size
+    val (ingestRateUnbucketed, ingestUnbAmbient, ingestUnbIo, ingestUnbGated, _) =
       gatedBest(unbucketedSamples.toSeq, unbucketedAmbients.toSeq,
         unbucketedIos.toSeq, streamLoadGate)
     val gatedHeadline = streamBestGated._2 > 0
@@ -759,6 +847,8 @@ object Bench {
       if (gatedHeadline) streamBestGated else streamBestAbs
     val streamBestLoad1 =
       if (gatedHeadline) streamBestGatedLoad1 else streamBestAbsLoad1
+    val streamHeadlineForked =
+      if (gatedHeadline) streamBestGatedForked else streamBestAbsForked
 
     val head = BenchLine.Headline(sfDir = sfDir, load1 = load1,
       queryErrors = allErrors.size, ingestRate = ingestRate,
@@ -794,8 +884,12 @@ object Bench {
     // linearly with SPARK_GRAFT_PROBE_REPS and was un-sheddable); the
     // full array always rides in bench_result.json.
     val allBucketed = forkedBatchSamples ++ bucketedSamples
+    // gate-starvation is named EXPLICITLY (VERDICT r16 #1c): when every
+    // sample of a class failed the ambient+io gates, the line says so
+    // rather than letting a silently-ungated fallback number read as a
+    // clean measurement
     val gateTail =
-      s""","ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_best_io10":${BenchLine.f1(ingestBestIo)},"ingest_headline_forked":$ingestHeadlineForked,"ingest_max_rows_per_sec":${if (allBucketed.nonEmpty) allBucketed.max else -1L}"""
+      s""","ingest_headline_gated":$ingestGated,"ingest_best_ambient":${BenchLine.f2(ingestBestAmbient)},"ingest_best_io10":${BenchLine.f1(ingestBestIo)},"ingest_headline_forked":$ingestHeadlineForked,"ingest_gate_starved":${!ingestGated},"ingest_streaming_headline_forked":$streamHeadlineForked,"stream_gate_starved":${!gatedHeadline},"ingest_max_rows_per_sec":${if (allBucketed.nonEmpty) allBucketed.max else -1L}"""
     val ingestGateJson =
       s""","ingest_ambient_samples":${bucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_io10_samples":${bucketedIos.map(BenchLine.f1).mkString("[", ",", "]")}$gateTail"""
     val ambCap = 12
@@ -804,7 +898,7 @@ object Bench {
       else
         s""","ingest_ambient_samples":${bucketedAmbients.takeRight(ambCap).map(BenchLine.f2).mkString("[", ",", "]")},"ingest_io10_samples":${bucketedIos.takeRight(ambCap).map(BenchLine.f1).mkString("[", ",", "]")},"ingest_ambient_samples_capped":${bucketedAmbients.size - ambCap}$gateTail"""
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_forked_samples":${forkedBatchSamples.mkString("[", ",", "]")},"ingest_forked_ambient_samples":${forkedBatchAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_forked_io10_samples":${forkedBatchIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_forked_error":"${BenchLine.esc(forkedBatchError)}","ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_io10_samples":${unbucketedIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_unbucketed_best_io10":${BenchLine.f1(ingestUnbIo)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_io10_windows":${streamIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_streaming_best_io10":${BenchLine.f1(streamBestGatedIo)},"io_gate":${BenchLine.f1(ioGate)},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_forked_samples":${forkedBatchSamples.mkString("[", ",", "]")},"ingest_forked_ambient_samples":${forkedBatchAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_forked_io10_samples":${forkedBatchIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_forked_error":"${BenchLine.esc(forkedBatchError)}","ingest_forked_stream_samples":${forkedStreamSamples.map(f => f.map(BenchLine.f2).mkString("[", ",", "]")).mkString("[", ",", "]")},"ingest_forked_stream_error":"${BenchLine.esc(forkedStreamError)}","ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_io10_samples":${unbucketedIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_unbucketed_best_io10":${BenchLine.f1(ingestUnbIo)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_io10_windows":${streamIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_streaming_best_io10":${BenchLine.f1(streamBestGatedIo)},"io_gate":${BenchLine.f1(ioGate)},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)

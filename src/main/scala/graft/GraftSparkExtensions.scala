@@ -105,8 +105,12 @@ object GraftSparkExtensions {
   /** Epoch-millis from a timestamp-ish literal: an int/long (epoch
     * millis), a TIMESTAMP literal (Catalyst micros), or a string —
     * ISO-8601 instant ("2026-08-16T12:00:00Z") or SQL timestamp
-    * ("2026-08-16 12:00:00[.SSS]"), the space form read as UTC (the
-    * session timezone every graft session pins). */
+    * ("2026-08-16 12:00:00[.SSS]"), the space form resolved in the
+    * SESSION timezone (ADVICE r16: a TIMESTAMP literal reaching here
+    * as Catalyst micros was already session-tz-resolved, so the string
+    * form must agree — a hard-coded UTC read would make the same
+    * wall-clock text name two different instants in a non-UTC session;
+    * graft sessions pin UTC, where the two readings coincide). */
   private def tsLit(fn: String, arg: String, e: Expression): Long = e match {
     case Literal(v: Long, TimestampType) => v / 1000L // micros → millis
     case Literal(v: Int, IntegerType) => v.toLong
@@ -116,14 +120,17 @@ object GraftSparkExtensions {
       try java.time.Instant.parse(s).toEpochMilli
       catch {
         case _: java.time.format.DateTimeParseException =>
+          val sessionZone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
           try java.time.LocalDateTime
             .parse(s.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            .atZone(sessionZone).toInstant.toEpochMilli
           catch {
             case _: java.time.format.DateTimeParseException =>
               throw new IllegalArgumentException(
                 s"$fn: $arg is not a parseable timestamp: '$s' (want epoch " +
-                  "millis, ISO-8601 instant, or 'yyyy-MM-dd HH:mm:ss' UTC)")
+                  "millis, ISO-8601 instant, or 'yyyy-MM-dd HH:mm:ss' in " +
+                  "the session timezone)")
           }
       }
     case other => throw new IllegalArgumentException(

@@ -109,8 +109,8 @@ object ScaleSmoke {
     * per-ROW jitter so planted duplicates (id%10==0 copies its
     * predecessor's direction; `replayEvery` replays corpus directions)
     * score ~0.998, never bit-equal. */
-  private def embeddings(spark: SparkSession, rows: Long, offset: Long = 0L,
-                         replayEvery: Long = 0L): DataFrame = {
+  private[graft] def embeddings(spark: SparkSession, rows: Long, offset: Long = 0L,
+                                replayEvery: Long = 0L): DataFrame = {
     val id = col("id") + offset
     val gid = contentId(rows, offset, replayEvery)
     spark.range(rows).select(
@@ -199,7 +199,7 @@ object ScaleSmoke {
   }
 
   /** √n clamped to [lo, hi] — the standard IVF cell-count sizing. */
-  private def cellsFor(n: Long, lo: Int, hi: Int): Int =
+  private[graft] def cellsFor(n: Long, lo: Int, hi: Int): Int =
     math.max(lo, math.min(hi, math.sqrt(n.toDouble).toInt))
 
   /** Stage timer WITH load provenance (VERDICT r14 #1: the smoke was
@@ -211,8 +211,8 @@ object ScaleSmoke {
     * undiscounted context). A stage time recorded at ambient < 4 is an
     * engine number; at higher ambient it is a busy-box number and says
     * so in the artifact. */
-  private def timed[A](buf: scala.collection.mutable.ArrayBuffer[(String, Double)],
-                       name: String)(body: => A): A = {
+  private[graft] def timed[A](buf: scala.collection.mutable.ArrayBuffer[(String, Double)],
+                              name: String)(body: => A): A = {
     val io0 = IoLoad.snap()
     val t0 = System.nanoTime()
     val r = body
@@ -364,11 +364,19 @@ object ScaleSmoke {
         // approximate BY CONTRACT (a jittered copy near a Voronoi
         // boundary can sit outside its source's probed cells). Slack:
         // 2% of the planted count each way.
-        timed(times, "ivf_index") {
-          graft.api.Similarity.buildIvfIndex(
-            emb.filter(col("vec_id") < indexRows), p("ivf"),
-            cells = ivfCells)
-        }
+        //
+        // The IVF build + the graph family run in a FORKED FRESH JVM
+        // for the record (VERDICT r16 #2): the in-suite numbers
+        // measure ~50 minutes of heap history, not the engine — the
+        // r16 A/B pinned lpa 94.2 s in-suite vs 27.2 s fresh-JVM and
+        // ivf 164 vs 84.4, both at quiet CPU AND quiet IO, and
+        // graph_lpa failed its ≤60 s bar in the record on hot-JVM
+        // inflation alone. The child builds the ivf index at the SAME
+        // path the suppressor consumes below; an optional in-suite
+        // audit leg re-runs the stages as `<stage>_insuite` so every
+        // record carries its own hot-vs-fresh A/B evidence.
+        runForkedStages(spark, times, p("emb"), p("ivf"), rows, indexRows,
+          ivfCells)
         val semanticSurv = timed(times, "semantic_suppress") {
           val k = graft.api.Similarity.semanticSuppressAndIndex(
             embBatch, p("ivf"), threshold = 0.97)
@@ -440,65 +448,11 @@ object ScaleSmoke {
         graft.api.Dedup.releaseMaterialized(embBatch)
       }
 
-      // 7. graph family at corpus scale (VERDICT r12 #1): the planted
-      // duplicate pairs alone give trivial 2-node components, which
-      // exercise nothing iterative — so the graph smoke runs on a
-      // closed-form CHAIN graph (gNodes/1000 chains of length 1000):
-      // deep components drive keepOne's pointer doubling through
-      // ~log₂(1000) full-graph iterations, and every operator's output
-      // has an exact closed form to assert against.
-      val chainL = 1000L
-      val gNodes = indexRows - indexRows % chainL
-      if (gNodes >= chainL) {
-        val edges = spark.range(gNodes - 1)
-          .filter(col("id") % chainL =!= chainL - 1)
-          .select(col("id").as("src"), (col("id") + 1).as("dst"))
-        timed(times, "graph_cc") {
-          val cc = graft.api.Graph.connectedComponents(edges)
-          val bad = cc.filter(col("component") =!=
-            col("node") - pmod(col("node"), lit(chainL))).count()
-          val n = cc.count()
-          graft.api.Dedup.releaseMaterialized(cc)
-          require(bad == 0 && n == gNodes,
-            s"graph_cc drift: $bad mislabeled nodes, $n labeled (expected $gNodes)")
-          record("graph_cc_nodes", n)
-        }
-        timed(times, "graph_pagerank") {
-          // after 5 iterations a node's score depends only on
-          // min(position-in-chain, 5) upstream hops → at most 6
-          // distinct score values across ALL chains
-          val pr = graft.api.Graph.pageRank(edges, iters = 5)
-          val n = pr.count()
-          val distinct = pr.select(col("score")).distinct().count()
-          graft.api.Dedup.releaseMaterialized(pr)
-          require(n == gNodes && distinct <= 6,
-            s"graph_pagerank drift: $n rows (expected $gNodes), " +
-              s"$distinct distinct scores (expected <= 6)")
-          record("graph_pagerank_nodes", n)
-        }
-        timed(times, "graph_lpa") {
-          // directed chain + self-vote: each iteration every node ties
-          // (in-neighbor's label vs own) and takes the min → after 4
-          // iterations label(x) = max(x − 4, chain start), exactly
-          val lpa = graft.api.Graph.labelPropagation(edges, iters = 4)
-          val bad = lpa.filter(col("label") =!=
-            greatest(col("node") - 4,
-              col("node") - pmod(col("node"), lit(chainL)))).count()
-          val n = lpa.count()
-          graft.api.Dedup.releaseMaterialized(lpa)
-          require(bad == 0 && n == gNodes,
-            s"graph_lpa drift: $bad mislabeled nodes, $n labeled (expected $gNodes)")
-          record("graph_lpa_nodes", n)
-        }
-        timed(times, "graph_degree") {
-          // dangling nodes = exactly the chain tails
-          val dangling = graft.api.Graph.degreeProfile(edges)
-            .filter(col("dangling")).count()
-          require(dangling == gNodes / chainL,
-            s"graph_degree drift: $dangling dangling (expected ${gNodes / chainL})")
-          record("graph_degree_dangling", dangling)
-        }
-      }
+      // 7. graph family at corpus scale (VERDICT r12 #1): runs in the
+      // forked child leg above (stage 4's runForkedStages) — the chain
+      // graph is generator-defined, so it needs nothing from this
+      // process but indexRows. See [[graphStages]] for the closed-form
+      // assert rationale.
 
       // 8. commit-protocol soak (VERDICT r12 #6): the staged-publish
       // protocol at ≥1M rows/batch — N commits, a MID-RUN compaction,
@@ -607,6 +561,165 @@ object ScaleSmoke {
     }
   }
 
+  /** The IVF index-build stage — shared verbatim by the forked child
+    * (the record leg), the in-suite audit leg (`suffix = "_insuite"`),
+    * and the spawn-failure fallback, so every leg measures the same
+    * work. */
+  private[graft] def ivfStage(spark: SparkSession,
+                              times: scala.collection.mutable.ArrayBuffer[(String, Double)],
+                              embPath: String, target: String,
+                              indexRows: Long, ivfCells: Int,
+                              suffix: String = ""): Unit =
+    timed(times, s"ivf_index$suffix") {
+      graft.api.Similarity.buildIvfIndex(
+        spark.read.parquet(embPath).filter(col("vec_id") < indexRows),
+        target, cells = ivfCells)
+    }
+
+  /** Graph family at corpus scale (VERDICT r12 #1): the planted
+    * duplicate pairs alone give trivial 2-node components, which
+    * exercise nothing iterative — so the graph smoke runs on a
+    * closed-form CHAIN graph (gNodes/1000 chains of length 1000):
+    * deep components drive keepOne's pointer doubling through
+    * ~log₂(1000) full-graph iterations, and every operator's output
+    * has an exact closed form to assert against. Edges are
+    * generator-defined, so the stage needs nothing but `indexRows` —
+    * which is what lets a fresh child JVM run it bit-identically. */
+  private[graft] def graphStages(spark: SparkSession,
+                                 times: scala.collection.mutable.ArrayBuffer[(String, Double)],
+                                 indexRows: Long, suffix: String = ""): Unit = {
+    def record(name: String, actual: Long): Unit = times += name -> actual.toDouble
+    val chainL = 1000L
+    val gNodes = indexRows - indexRows % chainL
+    if (gNodes < chainL) return
+    val edges = spark.range(gNodes - 1)
+      .filter(col("id") % chainL =!= chainL - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    timed(times, s"graph_cc$suffix") {
+      val cc = graft.api.Graph.connectedComponents(edges)
+      val bad = cc.filter(col("component") =!=
+        col("node") - pmod(col("node"), lit(chainL))).count()
+      val n = cc.count()
+      graft.api.Dedup.releaseMaterialized(cc)
+      require(bad == 0 && n == gNodes,
+        s"graph_cc drift: $bad mislabeled nodes, $n labeled (expected $gNodes)")
+      record(s"graph_cc${suffix}_nodes", n)
+    }
+    timed(times, s"graph_pagerank$suffix") {
+      // after 5 iterations a node's score depends only on
+      // min(position-in-chain, 5) upstream hops → at most 6
+      // distinct score values across ALL chains
+      val pr = graft.api.Graph.pageRank(edges, iters = 5)
+      val n = pr.count()
+      val distinct = pr.select(col("score")).distinct().count()
+      graft.api.Dedup.releaseMaterialized(pr)
+      require(n == gNodes && distinct <= 6,
+        s"graph_pagerank drift: $n rows (expected $gNodes), " +
+          s"$distinct distinct scores (expected <= 6)")
+      record(s"graph_pagerank${suffix}_nodes", n)
+    }
+    timed(times, s"graph_lpa$suffix") {
+      // directed chain + self-vote: each iteration every node ties
+      // (in-neighbor's label vs own) and takes the min → after 4
+      // iterations label(x) = max(x − 4, chain start), exactly
+      val lpa = graft.api.Graph.labelPropagation(edges, iters = 4)
+      val bad = lpa.filter(col("label") =!=
+        greatest(col("node") - 4,
+          col("node") - pmod(col("node"), lit(chainL)))).count()
+      val n = lpa.count()
+      graft.api.Dedup.releaseMaterialized(lpa)
+      require(bad == 0 && n == gNodes,
+        s"graph_lpa drift: $bad mislabeled nodes, $n labeled (expected $gNodes)")
+      record(s"graph_lpa${suffix}_nodes", n)
+    }
+    timed(times, s"graph_degree$suffix") {
+      // dangling nodes = exactly the chain tails
+      val dangling = graft.api.Graph.degreeProfile(edges)
+        .filter(col("dangling")).count()
+      require(dangling == gNodes / chainL,
+        s"graph_degree drift: $dangling dangling (expected ${gNodes / chainL})")
+      record(s"graph_degree${suffix}_dangling", dangling)
+    }
+  }
+
+  /** Record-leg orchestration for the IVF-build + graph stages
+    * (VERDICT r16 #2): fork `graft.tools.SmokeStagesChild` — a fresh
+    * JVM, the variance class no box-level gate can see — and merge its
+    * per-stage fields (sec, amb, load1, the six IO fields, the count
+    * asserts' echoes) into `times` under the CANONICAL stage names;
+    * then optionally re-run the same stages in-suite as
+    * `<stage>_insuite` audit fields so the record carries its own
+    * hot-vs-fresh evidence. A spawn failure or child death records
+    * `smoke_fork_*error` (red, like the race stage's) and falls back
+    * to the in-suite leg for the record so survivor exactness and
+    * stage coverage never regress. The child builds the IVF index at
+    * `ivfTarget` — the same path the semantic suppressor consumes. */
+  private def runForkedStages(spark: SparkSession,
+                              times: scala.collection.mutable.ArrayBuffer[(String, Double)],
+                              embPath: String, ivfTarget: String,
+                              rows: Long, indexRows: Long,
+                              ivfCells: Int): Unit = {
+    val forkWanted = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FORK", "1") == "1"
+    var forked = false
+    if (forkWanted) {
+      val out = java.io.File.createTempFile("graft-smoke-child", ".log")
+      try {
+        val pr = graft.tools.RaceChild.spawn(
+          Seq(embPath, ivfTarget, indexRows.toString, ivfCells.toString),
+          out, mainClass = "graft.tools.SmokeStagesChild", xmx = "16g")
+        val finished = pr.waitFor(40, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) pr.destroyForcibly()
+        val src = scala.io.Source.fromFile(out, "UTF-8")
+        val lines = try src.getLines().toList finally src.close()
+        // progress transparency: the child's own [smoke] stage lines
+        // (its Spark INFO startup chatter stays in the temp log only)
+        lines.filter(l => l.contains("[smoke]") || l.contains("Exception") ||
+            l.contains("ERROR"))
+          .foreach(l => System.err.println(s"[smoke-child] $l"))
+        if (finished && pr.exitValue() == 0) {
+          val fields = lines.filter(_.startsWith("SMOKE_CHILD_FIELD="))
+            .flatMap { l =>
+              l.stripPrefix("SMOKE_CHILD_FIELD=").split(',') match {
+                case Array(k, v) => v.toDoubleOption.map(k -> _)
+                case _ =>
+                  System.err.println(s"[smoke] malformed child field skipped: $l")
+                  None
+              }
+            }
+          if (fields.nonEmpty) { times ++= fields; forked = true }
+          else times += "smoke_fork_error" -> -1.0
+        } else {
+          System.err.println(s"[smoke] forked stages child " +
+            (if (finished) s"exited ${pr.exitValue()}" else "timed out"))
+          times += "smoke_fork_error" -> -1.0
+        }
+      } catch {
+        case t: graft.tools.RaceChild.SpawnUnavailable =>
+          System.err.println(s"[smoke] forked stages SPAWN-FAILED - ${t.getMessage}")
+          times += "smoke_fork_spawn_error" -> -1.0
+        case t: Throwable =>
+          System.err.println(s"[smoke] forked stages failed - " +
+            s"${t.getClass.getSimpleName}: ${t.getMessage}")
+          times += "smoke_fork_error" -> -1.0
+      } finally { out.delete(); () }
+    }
+    times += "smoke_forked_stages" -> (if (forked) 1.0 else 0.0)
+    if (!forked) {
+      // record numbers fall back to the in-suite leg — coverage and
+      // survivor exactness never depend on fork availability
+      ivfStage(spark, times, embPath, ivfTarget, indexRows, ivfCells)
+      graphStages(spark, times, indexRows)
+    } else if (sys.env.getOrElse("SPARK_GRAFT_SMOKE_INSUITE_AB", "1") == "1") {
+      // the audit leg: same stages, hot JVM, `_insuite` names —
+      // file-only fields (Bench filters them off the stdout line)
+      val abTarget = s"${ivfTarget}_insuite_ab"
+      ivfStage(spark, times, embPath, abTarget, indexRows, ivfCells,
+        suffix = "_insuite")
+      IngestProbes.rmrfQuiet(new java.io.File(abTarget))
+      graphStages(spark, times, indexRows, suffix = "_insuite")
+    }
+  }
+
   /** Cross-process race soak (VERDICT r13 #4): the commit protocol
     * and the seen-filter CAS were spec-proven against a SIMULATED
     * racer inside one JVM; this stage forks a REAL second JVM
@@ -624,6 +737,28 @@ object ScaleSmoke {
                        times: scala.collection.mutable.ArrayBuffer[(String, Double)],
                        p: String => String): Unit = {
     def record(name: String, actual: Long): Unit = times += name -> actual.toDouble
+    // Per-phase attribution (VERDICT r16 #4: the stage doubled 42→84 s
+    // with no way to name the phase — the children's CPU counts as
+    // parent own-load, so ambient could not explain it): each phase
+    // records its own wall, and each child prints its own physical IO
+    // + exit-time PSI io10 (CHILD_IO), folded in as
+    // race_<phase>_child_* fields.
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      times += s"race_${name}_sec" -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def childIo(name: String, log: String): Unit =
+      log.linesIterator.find(_.startsWith("CHILD_IO=")).foreach { l =>
+        l.stripPrefix("CHILD_IO=").split(',') match {
+          case Array(r, w, io10) =>
+            for (v <- r.toDoubleOption) times += s"race_${name}_child_rmb" -> v
+            for (v <- w.toDoubleOption) times += s"race_${name}_child_wmb" -> v
+            for (v <- io10.toDoubleOption) times += s"race_${name}_child_io10" -> v
+          case _ => ()
+        }
+      }
     timed(times, "race_soak") {
         import java.nio.file.{Files, Paths}
         val raceTable = p("racetbl")
@@ -634,83 +769,96 @@ object ScaleSmoke {
         val nB = 3
         // (a) concurrent commits
         val commitOut = new java.io.File(s"$rv/commit.out")
-        val commitChild = graft.tools.RaceChild.spawn(
+        val commitChild = phase("spawn")(graft.tools.RaceChild.spawn(
           Seq("race-commit", raceTable, "100", nB.toString, perB.toString),
-          commitOut)
+          commitOut))
         val cfg = graft.ingest.IngestConfig(
           outputPath = Some(raceTable), parallelism = 4)
         var parentRows = 0L
-        (0 until nB).foreach { i =>
-          val raw = spark.range(i * perB, (i + 1) * perB, 1, cfg.parallelism)
-            .select(col("id").as("value"), spark_partition_id().as("__pid"))
-          parentRows += graft.ingest.Ingest.commitBatch(cfg, raceTable, raw, i)
+        phase("commit") {
+          (0 until nB).foreach { i =>
+            val raw = spark.range(i * perB, (i + 1) * perB, 1, cfg.parallelism)
+              .select(col("id").as("value"), spark_partition_id().as("__pid"))
+            parentRows += graft.ingest.Ingest.commitBatch(cfg, raceTable, raw, i)
+          }
         }
-        require(commitChild.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
-          && commitChild.exitValue() == 0,
-          s"race-commit child failed (exit ${commitChild.exitValue()}):\n" +
-            new String(Files.readAllBytes(commitOut.toPath), "UTF-8").takeRight(3000))
+        phase("commit_wait") {
+          require(commitChild.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+            && commitChild.exitValue() == 0,
+            s"race-commit child failed (exit ${commitChild.exitValue()}):\n" +
+              new String(Files.readAllBytes(commitOut.toPath), "UTF-8").takeRight(3000))
+        }
         val childOut = new String(Files.readAllBytes(commitOut.toPath), "UTF-8")
+        childIo("commit", childOut)
         require(childOut.contains(s"CHILD_COMMITTED=${nB * perB}"),
           s"race-commit child under-committed: $childOut")
         require(parentRows == nB * perB,
           s"race parent committed $parentRows, expected ${nB * perB}")
-        val raceView =
-          graft.core.Tables.committedView(spark, raceTable).count()
-        require(raceView == 2L * nB * perB,
-          s"race table has $raceView rows, expected ${2L * nB * perB} " +
-            "(a cross-process commit was lost or duplicated)")
-        // cross-process replay: the parent replays the CHILD's batch —
-        // the marker the other process wrote must make it a no-op
-        val replayRaw = spark.range(100L * perB, 101L * perB, 1, cfg.parallelism)
-          .select(col("id").as("value"), spark_partition_id().as("__pid"))
-        val replayed =
-          graft.ingest.Ingest.commitBatch(cfg, raceTable, replayRaw, 100L)
-        require(replayed == 0L,
-          s"cross-process replay committed $replayed rows, expected 0")
-        record("race_committed_rows", raceView)
+        phase("replay_verify") {
+          val raceView =
+            graft.core.Tables.committedView(spark, raceTable).count()
+          require(raceView == 2L * nB * perB,
+            s"race table has $raceView rows, expected ${2L * nB * perB} " +
+              "(a cross-process commit was lost or duplicated)")
+          // cross-process replay: the parent replays the CHILD's batch —
+          // the marker the other process wrote must make it a no-op
+          val replayRaw = spark.range(100L * perB, 101L * perB, 1, cfg.parallelism)
+            .select(col("id").as("value"), spark_partition_id().as("__pid"))
+          val replayed =
+            graft.ingest.Ingest.commitBatch(cfg, raceTable, replayRaw, 100L)
+          require(replayed == 0L,
+            s"cross-process replay committed $replayed rows, expected 0")
+          record("race_committed_rows", raceView)
+        }
 
         // (b) the deterministic conflicting append pair
-        val idsPer = 50000L
-        locally {
-          import spark.implicits._
-          graft.api.Dedup.buildSeenFilter(
-            (0L until idsPer).toDF("doc_id"), "doc_id", raceFilter)
+        val appendLog = phase("append") {
+          val idsPer = 50000L
+          locally {
+            import spark.implicits._
+            graft.api.Dedup.buildSeenFilter(
+              (0L until idsPer).toDF("doc_id"), "doc_id", raceFilter)
+          }
+          val appendOut = new java.io.File(s"$rv/append.out")
+          val appendChild = graft.tools.RaceChild.spawn(
+            Seq("race-append", raceFilter, rv,
+              (2 * idsPer).toString, idsPer.toString), appendOut)
+          // wait for the child's stale read, then move the pointer
+          val deadline = System.currentTimeMillis() + 120000
+          while (!Files.exists(Paths.get(rv, "child_read")) &&
+                 System.currentTimeMillis() < deadline) Thread.sleep(100)
+          require(Files.exists(Paths.get(rv, "child_read")),
+            "race-append child never read the filter state")
+          locally {
+            import spark.implicits._
+            graft.api.Dedup.buildOrAppendSeenFilter(
+              (idsPer until 2 * idsPer).toDF("doc_id"), "doc_id", raceFilter)
+          }
+          Files.createFile(Paths.get(rv, "go"))
+          require(appendChild.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+            && appendChild.exitValue() == 0,
+            s"race-append child failed (exit ${appendChild.exitValue()}):\n" +
+              new String(Files.readAllBytes(appendOut.toPath), "UTF-8").takeRight(3000))
+          new String(Files.readAllBytes(appendOut.toPath), "UTF-8")
         }
-        val appendOut = new java.io.File(s"$rv/append.out")
-        val appendChild = graft.tools.RaceChild.spawn(
-          Seq("race-append", raceFilter, rv,
-            (2 * idsPer).toString, idsPer.toString), appendOut)
-        // wait for the child's stale read, then move the pointer
-        val deadline = System.currentTimeMillis() + 120000
-        while (!Files.exists(Paths.get(rv, "child_read")) &&
-               System.currentTimeMillis() < deadline) Thread.sleep(100)
-        require(Files.exists(Paths.get(rv, "child_read")),
-          "race-append child never read the filter state")
-        locally {
-          import spark.implicits._
-          graft.api.Dedup.buildOrAppendSeenFilter(
-            (idsPer until 2 * idsPer).toDF("doc_id"), "doc_id", raceFilter)
-        }
-        Files.createFile(Paths.get(rv, "go"))
-        require(appendChild.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
-          && appendChild.exitValue() == 0,
-          s"race-append child failed (exit ${appendChild.exitValue()}):\n" +
-            new String(Files.readAllBytes(appendOut.toPath), "UTF-8").takeRight(3000))
-        val appendLog = new String(Files.readAllBytes(appendOut.toPath), "UTF-8")
+        childIo("append", appendLog)
         require(appendLog.contains("CONFLICT_LOUD") &&
           !appendLog.contains("CONFLICT_SILENT_WIN") &&
           appendLog.contains("RETRY_OK"),
           s"race-append child protocol violation: $appendLog")
-        // no lost ids across the race: every id either side appended
-        // must flag (the no-false-negatives contract)
-        import spark.implicits._
-        val allIds = (0L until 3 * idsPer).toDF("doc_id")
-        val flagged = graft.api.Dedup
-          .markSeen(spark, allIds, "doc_id", raceFilter)
-          .filter(col("probably_seen")).count()
-        require(flagged == 3 * idsPer,
-          s"race lost ids: $flagged of ${3 * idsPer} flagged after the race")
-        record("race_conflict_loud", 1L)
+        phase("verify") {
+          // no lost ids across the race: every id either side appended
+          // must flag (the no-false-negatives contract)
+          val idsPer = 50000L
+          import spark.implicits._
+          val allIds = (0L until 3 * idsPer).toDF("doc_id")
+          val flagged = graft.api.Dedup
+            .markSeen(spark, allIds, "doc_id", raceFilter)
+            .filter(col("probably_seen")).count()
+          require(flagged == 3 * idsPer,
+            s"race lost ids: $flagged of ${3 * idsPer} flagged after the race")
+          record("race_conflict_loud", 1L)
+        }
     }
   }
 

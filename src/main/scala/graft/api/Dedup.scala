@@ -2417,10 +2417,14 @@ object Dedup {
   }
 
   /** Delete superseded filter versions (every append leaves one). Run
-    * only when no reader may still hold a pre-swap resolution. */
+    * only when no reader may still hold a pre-swap resolution.
+    * `keepVersions` names superseded versions a version-pinned replay
+    * may still need (the ingest `_dedup` ledger's pins — ADVICE r16):
+    * they survive the vacuum. */
   def vacuumSeenFilter(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Seq[String] =
-    VersionedIndex.vacuum(spark, path, Seq.empty)
+                       path: String,
+                       keepVersions: Set[String] = Set.empty): Seq[String] =
+    VersionedIndex.vacuum(spark, path, Seq.empty, keepVersions)
 
   /** Flag each row's id against the persisted filter: `flagCol` true =
     * PROBABLY seen (verify exactly), false = GUARANTEED new. The
@@ -2434,8 +2438,16 @@ object Dedup {
                version: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.GraftExprBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    val st = version.fold(readSeenState(spark, path))(
-      readSeenStateAt(spark, path, _))
+    // Version-pinned reads hit a small READ-ONLY cache (ADVICE r16): a
+    // committed version dir is immutable, and the ingest suppressor
+    // consults the same pinned version on every commit of a quiet
+    // stretch — re-deserializing a multi-MB Bloom from disk per commit
+    // was pure waste. Only the PINNED branch caches: the unpinned read
+    // returns state the append paths MUTATE via mergeInPlace, which
+    // must never alias a cached copy.
+    val st = version.fold(readSeenState(spark, path))(v =>
+      seenStateCache.computeIfAbsent((path, v),
+        _ => readSeenStateAt(spark, path, v)))
     def mc(bf: org.apache.spark.util.sketch.BloomFilter): Column = {
       val os = new java.io.ByteArrayOutputStream()
       bf.writeTo(os)
@@ -2493,6 +2505,28 @@ object Dedup {
       "expected_items", "fpp", "bit_size", "bits_set", "saturation",
       "fpp_now", "est_ids")
   }
+
+  /** Read-only cache of version-PINNED filter states for [[markSeen]]
+    * (ADVICE r16). Bounded: entries evict once the map exceeds 8 —
+    * the suppressor pins one version per quiet stretch, so 8 covers
+    * several concurrently-suppressing tables with margin while keeping
+    * worst-case residency a few filter sizes. Never handed to a
+    * mutating path (mergeInPlace aliasing would corrupt the cache). */
+  private val seenStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SeenFilterState]() {
+      override def computeIfAbsent(
+          k: (String, String),
+          f: java.util.function.Function[_ >: (String, String), _ <: SeenFilterState])
+          : SeenFilterState = {
+        if (size() > 8) clear() // coarse, correct: cache is pure read-through
+        super.computeIfAbsent(k, f)
+      }
+    }
+
+  /** Test hook: drop the pinned-state cache, simulating the fresh
+    * process a real crash-replay runs in (the vacuumed-pin loud-failure
+    * specs need the uncached read path). */
+  private[graft] def clearSeenStateCache(): Unit = seenStateCache.clear()
 
   /** Per-path append locks: in-process writers serialize here; the CAS
     * on the `_current` pointer plus [[withSeenPathLock]] catch

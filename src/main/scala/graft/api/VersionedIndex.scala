@@ -64,16 +64,22 @@ private[graft] object VersionedIndex {
 
   /** Delete every superseded version dir (and, once a pointer exists,
     * the named legacy root-layout tables) — run only when no reader may
-    * still hold a pre-swap resolution. Returns what was deleted. */
+    * still hold a pre-swap resolution. `keep` names superseded versions
+    * that must SURVIVE the vacuum: version-pinned replay consumers (the
+    * ingest `_dedup` ledger) record the version their crashed commit
+    * consulted, and deleting it would wedge the otherwise-automatic
+    * replay (ADVICE r16). Returns what was deleted. */
   def vacuum(spark: SparkSession, path: String,
-             legacyTables: Seq[String]): Seq[String] = {
+             legacyTables: Seq[String],
+             keep: Set[String] = Set.empty): Seq[String] = {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = resolveRoot(spark, path)
     if (current == path) return Seq.empty // unversioned: nothing superseded
     val currentName = current.stripPrefix(s"$path/")
     val doomed = fs.listStatus(base).map(_.getPath.getName).filter { n =>
-      (n.matches("v\\d+") && n != currentName) || legacyTables.contains(n)
+      ((n.matches("v\\d+") && n != currentName) || legacyTables.contains(n)) &&
+        !keep.contains(n)
     }.toSeq
     doomed.foreach(n => fs.delete(new Path(base, n), true))
     doomed.sorted

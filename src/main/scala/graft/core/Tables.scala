@@ -411,6 +411,70 @@ object Tables {
             col("token").rlike("^c\\d+$"))).as("live"))
   }
 
+  /** BUCKET-AWARE committed view (VERDICT r16 #3): the ingest write
+    * side produces `buckets` hash-disjoint files per partition dir on
+    * the cluster key (the reference DDL's `clustered by (user_id) into
+    * 32 buckets`, README.md:62-63) and stamps each published file with
+    * Spark's `_NNNNN` bucket suffix + a `_bucketspec` manifest —
+    * this reader hands that layout to the planner as a real
+    * BucketSpec, so repeated joins/aggregations on the cluster key
+    * read bucket-aligned partitions and plan with ZERO Exchange on the
+    * committed side. At 100 TB that is the difference between
+    * shuffling the corpus per join and never shuffling it: the one
+    * hash exchange was paid at write time.
+    *
+    * Falls back LOUDLY (stderr) to the plain [[committedView]] when
+    * the layout cannot be trusted end-to-end: no `_bucketspec`, a
+    * compaction rewrite in the live set (compaction repartitions by
+    * partition dir, destroying bucket discipline), or any file whose
+    * name parses to no bucket / an out-of-range bucket — a bucketed
+    * scan over such a set would silently DROP those files' rows
+    * (FileSourceScanExec keys files by parsed bucket id), which is
+    * never an acceptable trade for a saved shuffle. Results are
+    * identical either way; only the plan shape differs. */
+  def committedViewBucketed(spark: SparkSession, path: String,
+                            format: String = "orc"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fallback(why: String): DataFrame = {
+      System.err.println(
+        s"[tables] committedViewBucketed($path): $why — using the unbucketed read")
+      committedView(spark, path, format)
+    }
+    val specFile = new Path(root, "_bucketspec")
+    if (!fs.exists(specFile)) return fallback("no _bucketspec manifest")
+    val in = fs.open(specFile)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l =>
+          l.split('=') match { case Array(k, v) => Some(k -> v); case _ => None }
+        }.toMap
+      finally in.close()
+    val spec = for {
+      b <- kv.get("buckets").flatMap(_.toIntOption) if b > 0
+      c <- kv.get("column")
+    } yield (b, c)
+    if (spec.isEmpty) return fallback(s"unparseable _bucketspec: $kv")
+    val (buckets, bucketCol) = spec.get
+    val committed = liveTokens(fs, root)
+    val files = tokenDataStatuses(fs, root, committed)
+    if (files.isEmpty) return committedView(spark, path, format)
+    val unattributable = files.filter { st =>
+      org.apache.spark.sql.execution.datasources.GraftCommitFileIndex
+        .bucketIdOf(st.getPath.getName).forall(id => id < 0 || id >= buckets)
+    }
+    if (unattributable.nonEmpty)
+      return fallback(s"${unattributable.size} file(s) without a valid " +
+        s"bucket id (e.g. ${unattributable.head.getPath.getName}) — " +
+        "compaction rewrite or pre-bucket-suffix commit")
+    val bucketSpec = org.apache.spark.sql.catalyst.catalog.BucketSpec(
+      buckets, Seq(bucketCol), Nil)
+    org.apache.spark.sql.execution.datasources.GraftCommitFileIndex
+      .frame(spark, path, files, format, bucketSpec = Some(bucketSpec))
+      .getOrElse(fallback(s"no V1 FileFormat for '$format'"))
+  }
+
   def committedView(spark: SparkSession, path: String, format: String = "orc",
                     schema: Option[org.apache.spark.sql.types.StructType] = None,
                     mergeSchemas: Boolean = false): DataFrame = {

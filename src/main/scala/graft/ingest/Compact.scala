@@ -188,17 +188,45 @@ object Compact {
     superseded.foreach { case (f, _) => fs.delete(f.getPath, false) }
     // the commit loop's ingest-owned filters version once PER COMMIT
     // (each fp/id append leaves the superseded Bloom on disk — MBs per
-    // commit at production sizing): vacuum them under the same call,
-    // same caveat as data files — only when no uncommitted batch may
-    // still replay (a _dedup ledger pinned to a vacuumed version fails
-    // loudly rather than recomputing a different suppression)
+    // commit at production sizing): vacuum them under the same call.
+    // Replay safety (ADVICE r16): a `_dedup` ledger whose commit marker
+    // is ABSENT belongs to a crashed-mid-commit batch that WILL replay
+    // against its pinned filter version — those versions are passed as
+    // the keep-set so the vacuum can never wedge the otherwise-
+    // automatic replay protocol (data-file vacuum has no such hazard:
+    // it only ever touches superseded-and-marked tokens).
     val filterVacuumed = Seq("_neardup_filter").map { n =>
       val p = new Path(root, n)
       if (fs.exists(p) && graft.api.Dedup.seenFilterExists(spark, p.toString))
-        graft.api.Dedup.vacuumSeenFilter(spark, p.toString).size
+        graft.api.Dedup.vacuumSeenFilter(spark, p.toString,
+          keepVersions = replayPinnedFilterVersions(fs, root)).size
       else 0
     }.sum
     superseded.size + filterVacuumed
+  }
+
+  /** Filter versions pinned by `_dedup` ledgers of batches whose commit
+    * marker has NOT landed — the set a crashed commit's replay will
+    * re-consult (`Ingest.suppressNearDupRows`); metadata-sized read. */
+  private[ingest] def replayPinnedFilterVersions(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
+    val dedupDir = new Path(root, "_dedup")
+    if (!fs.exists(dedupDir)) return Set.empty
+    fs.listStatus(dedupDir).toSeq.filter(_.isFile).flatMap { st =>
+      val token = st.getPath.getName
+      if (fs.exists(new Path(root, s"_commits/$token"))) None
+      else {
+        val in = fs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.collectFirst {
+          case l if l.startsWith("basedOnVersion=") &&
+            l.stripPrefix("basedOnVersion=") != "none" =>
+            l.stripPrefix("basedOnVersion=")
+        }
+      }
+    }.toSet
   }
 
   /** Operational entry point: `runMain graft.ingest.Compact <dir>

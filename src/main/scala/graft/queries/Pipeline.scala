@@ -2051,6 +2051,42 @@ object Pipeline {
           lit(replay.rowsCommitted).as("replay_committed"))
     }),
 
+    // Bucket-aware committed read (VERDICT r16 #3): the ingest write
+    // side produces `buckets` hash-disjoint files per partition dir on
+    // user_id and (r17) stamps each with Spark's bucket-file suffix —
+    // committedViewBucketed hands that layout to the planner as a real
+    // BucketSpec, so this self-join on the cluster key plans with ZERO
+    // Exchange on the committed side (BucketedJoinSpec pins the plan
+    // shape; this query pins the RESULTS through the oracle gate).
+    // Closed-form: user_id is a 40-entry round-robin dict over 4000
+    // rows → each key 100×; self-join pairs = 40 · 100² = 400,000.
+    "q215_bucketed_commit_join" -> ((s, d) => {
+      val path = FixtureCache.dir("bktcommit", d) { p =>
+        import graft.ingest.{Ingest, IngestConfig}
+        import graft.ingest.Gen.{ColSpec, ColType}
+        val cfg = IngestConfig(outputPath = Some(p), parallelism = 2,
+          buckets = 8,
+          columns = Some(Seq(
+            ColSpec("user_id", ColType.StringDict,
+              dict = (0 until 40).map(i => f"user-$i%02d")),
+            ColSpec("v", ColType.LongT))))
+        Ingest.runBatchCommitted(s, cfg, 4000, batches = 2)
+        ()
+      }
+      val t = graft.core.Tables.committedViewBucketed(s, path)
+      // merge hints, not a conf flip: at fixture scale the planner
+      // would broadcast (a BroadcastExchange — still an Exchange), and
+      // a query must not mutate shared session conf (VERDICT r1 #5);
+      // the SMJ over two bucket-aligned scans is the 100 TB shape
+      val a = t.select(col("user_id"))
+      val b = t.select(col("user_id").as("uid2"))
+      a.hint("merge").join(b.hint("merge"), col("user_id") === col("uid2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_keys"))
+        .crossJoin(t.agg(count(lit(1)).as("n_rows")))
+        .select(col("n_rows"), col("n_keys"), col("n_pairs"))
+    }),
+
     // AS-OF-timestamp time travel (VERDICT r15 #5 — the read Delta and
     // Iceberg both ship): same clogsql fixture, whose batch-marker
     // stamps the builder pins to (i+1)·1e6 ms, so every resolution is
@@ -4396,6 +4432,13 @@ object Pipeline {
         |  CAST(1 AS BIGINT) AS n_unconsulted,
         |  CAST(5 AS BIGINT) AS first_run_committed,
         |  CAST(0 AS BIGINT) AS replay_committed""".stripMargin,
+    // 40-key round-robin dict over 4000 committed rows: 100 rows/key,
+    // self-join pairs 40·100² — the bucketed read changes the PLAN
+    // (zero Exchange), never the numbers
+    "q215_bucketed_commit_join" ->
+      """SELECT CAST(4000 AS BIGINT) AS n_rows,
+        |  CAST(40 AS BIGINT) AS n_keys,
+        |  CAST(400000 AS BIGINT) AS n_pairs""".stripMargin,
     // pinned marker stamps (i+1)e6 ms: windows are batch arithmetic
     "q214_sql_snapshot_delta_at" ->
       """SELECT CAST(2000 AS BIGINT) AS window_rows,

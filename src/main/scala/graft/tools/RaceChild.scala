@@ -29,6 +29,17 @@ object RaceChild {
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local("graft-race-child", "8")
+    // the child's OWN IO account (VERDICT r16 #4: race_soak doubled
+    // with no attribution — the children's CPU counts as parent
+    // own-load, but their IO was invisible): physical MB moved by this
+    // process plus the box's PSI io10 at exit, printed for the parent
+    // to fold into the race stage record
+    val io0 = graft.IoLoad.snap()
+    def printIo(): Unit = {
+      val io = graft.IoLoad.stageFields("c", io0, graft.IoLoad.snap()).toMap
+      println("CHILD_IO=%.1f,%.1f,%.1f".formatLocal(java.util.Locale.ROOT,
+        io("c_io_rmb"), io("c_io_wmb"), graft.IoLoad.ioSome10Now()))
+    }
     try args.toList match {
       case "race-commit" :: table :: first :: n :: rows :: Nil =>
         val cfg = graft.ingest.IngestConfig(
@@ -44,6 +55,7 @@ object RaceChild {
             graft.ingest.Ingest.commitBatch(cfg, table, raw, batchId)
         }
         println(s"CHILD_COMMITTED=$committed")
+        printIo()
       case "race-append" :: path :: rv :: idStart :: idCount :: Nil =>
         import java.nio.file.{Files, Paths}
         // 1. read the live state (this is the based-on version)
@@ -69,6 +81,7 @@ object RaceChild {
           .toDF("doc_id")
         graft.api.Dedup.buildOrAppendSeenFilter(ids, "doc_id", path)
         println("RETRY_OK")
+        printIo()
       case other =>
         sys.error(s"unknown RaceChild args: ${other.mkString(" ")}")
     } finally spark.stop()

@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{classic, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
 
 /** Manifest-backed [[FileIndex]] for graft's committed ingest tables.
   *
@@ -64,10 +65,19 @@ object GraftCommitFileIndex {
     * the reader path) — the committed-table formats are orc/parquet.
     * Schema comes from ONE footer (the manifest's files share a
     * schema by the commit protocol's contract; schema-evolving reads
-    * go through the mergeSchema reader path instead). */
+    * go through the mergeSchema reader path instead).
+    *
+    * `bucketSpec` (VERDICT r16 #3): when the ingest layout's bucket
+    * discipline is known (every file carries Spark's `_NNNNN` bucket
+    * suffix and rows were routed by pmod(hash(col), n) — the commit
+    * protocol's own write contract), passing it here makes the scan a
+    * real bucketed read: FileSourceScanExec reports
+    * HashPartitioning(col, n), and joins/aggregations on the cluster
+    * key plan with ZERO Exchange on this side. */
   def frame(spark: SparkSession, basePath: String, files: Seq[FileStatus],
             format: String,
-            options: Map[String, String] = Map.empty): Option[DataFrame] = {
+            options: Map[String, String] = Map.empty,
+            bucketSpec: Option[BucketSpec] = None): Option[DataFrame] = {
     if (files.isEmpty) return None
     val fmt: FileFormat = format match {
       case "orc" => new orc.OrcFileFormat
@@ -78,8 +88,15 @@ object GraftCommitFileIndex {
       .getOrElse(return None)
     val index = new GraftCommitFileIndex(spark, new Path(basePath), files)
     val rel = HadoopFsRelation(index, index.partitionSpec().partitionColumns,
-      dataSchema, None, fmt, options)(spark)
+      dataSchema, bucketSpec, fmt, options)(spark)
     Some(classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], LogicalRelation(rel)))
   }
+
+  /** Spark's bucket-file-name parse (`..._NNNNN.<ext>`), re-exported
+    * for graft's read-side layout checks — a file the planner could
+    * not attribute to a bucket would fail the bucketed scan at
+    * execution time, so callers verify the whole manifest first. */
+  def bucketIdOf(fileName: String): Option[Int] =
+    BucketingUtils.getBucketId(fileName)
 }

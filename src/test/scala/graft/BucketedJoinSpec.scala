@@ -48,4 +48,76 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bkt")
     }
   }
+
+  // ---- the COMMIT PROTOCOL's own tables (VERDICT r16 #3): the write
+  // side's 32-hash-disjoint-files layout reaches the planner through
+  // committedViewBucketed, so the zero-Exchange property above now
+  // holds on staged-publish ingest output, not just bucketBy catalog
+  // tables.
+
+  private def commitFixture(buckets: Int): String = {
+    val dir = Files.createTempDirectory("graft-bktcommit").toString + "/t"
+    val cfg = graft.ingest.IngestConfig(outputPath = Some(dir),
+      parallelism = 2, buckets = buckets)
+    graft.ingest.Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    dir
+  }
+
+  test("committed-table self-join on the cluster key plans without a shuffle") {
+    val dir = commitFixture(buckets = 8)
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = graft.core.Tables.committedViewBucketed(spark, dir)
+      val joined = t.select(col("user_id"))
+        .join(t.select(col("user_id").as("u2")), col("user_id") === col("u2"))
+      // result parity first: the bucketed read must see exactly the
+      // committed rows (the fallback-on-doubt contract means a silent
+      // fallback would still pass THIS — the plan asserts catch it)
+      val expected = {
+        val v = graft.core.Tables.committedView(spark, dir).select(col("user_id"))
+        v.join(v.select(col("user_id").as("u2")), col("user_id") === col("u2"))
+          .count()
+      }
+      assert(joined.count() == expected)
+      joined.collect() // finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed committed-table join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"expected bucketed scans over the committed files:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+  }
+
+  test("every published file's bucket suffix matches its rows' hash bucket") {
+    val dir = commitFixture(buckets = 4)
+    val perFile = graft.core.Tables.committedView(spark, dir)
+      .select(input_file_name().as("file"),
+        pmod(hash(col("user_id")), lit(4)).as("rowbucket"))
+      .groupBy("file").agg(countDistinct(col("rowbucket")).as("nb"),
+        first(col("rowbucket")).as("rb"))
+      .collect()
+    assert(perFile.nonEmpty)
+    perFile.foreach { r =>
+      val name = r.getString(0).split('/').last
+      val tagged = org.apache.spark.sql.execution.datasources
+        .GraftCommitFileIndex.bucketIdOf(name)
+      assert(r.getLong(1) == 1L, s"$name holds ${r.getLong(1)} hash buckets")
+      assert(tagged.contains(r.getInt(2)),
+        s"$name tagged $tagged but holds hash bucket ${r.getInt(2)}")
+    }
+  }
+
+  test("committedViewBucketed falls back (loudly, correctly) after a compaction rewrite") {
+    val dir = commitFixture(buckets = 8)
+    val before = graft.core.Tables.committedView(spark, dir).count()
+    graft.ingest.Compact.compact(spark, dir)
+    // the compacted rewrite has no bucket discipline: the read must
+    // fall back to the plain view rather than silently drop files
+    val t = graft.core.Tables.committedViewBucketed(spark, dir)
+    assert(t.count() == before)
+    t.queryExecution.executedPlan.toString // plan shape irrelevant: parity is the contract
+  }
 }

@@ -581,12 +581,56 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.runBatchCommitted(spark, cfg, 3000, batches = 3)
       .rowsCommitted == 1000, "batch 2 commits its disjoint 1000 texts")
     // but a crash-replay pinned to a vacuumed version is LOUD, never a
-    // silently different suppression decision
+    // silently different suppression decision. (This marker-deleted-
+    // after-vacuum ordering is synthetic — the protocol never unwrites
+    // a marker, and the torn-ledger keep-set protects every REAL
+    // crash ordering — so this pins the defense-in-depth failure mode
+    // of an operator vacuuming the filter directly.) The cache clear
+    // simulates the fresh process a real replay runs in: in-process,
+    // markSeen's pinned-version cache would otherwise serve the
+    // vacuumed state and correctly reproduce the decision.
     assert(new java.io.File(dir, "_commits/1").delete())
+    graft.api.Dedup.clearSeenStateCache()
     val e = intercept[Exception](
       Ingest.runBatchCommitted(spark, cfg, 3000, batches = 3))
     assert(e.getMessage.contains("no longer exists"),
       s"wanted the vacuumed-version message, got: ${e.getMessage}")
+  }
+
+  test("vacuum between a crash and its replay keeps the pinned filter version (ADVICE r16)") {
+    val dir = tmp()
+    val dict = (0 until 3000).map(i => s"ka$i kb$i kc$i kd$i ke$i")
+    val cfg = IngestConfig(outputPath = Some(dir), parallelism = 2,
+      buckets = 2,
+      columns = Some(Seq(
+        Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+        Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
+      suppressNearDups = Some("text"))
+    assert(Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+      .rowsCommitted == 2000)
+    val pinned = Ingest.dedupLedger(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("1")
+    assert(pinned != "none")
+    // crash shape: batch 1's marker never landed (ledger + filter
+    // append did) — and THEN a vacuum runs. The torn ledger's pinned
+    // version must survive the filter vacuum or the replay is wedged
+    // until an operator deletes the ledger (the one vacuum action that
+    // could break the otherwise-automatic replay protocol).
+    assert(new java.io.File(dir, "_commits/1").delete())
+    Compact.vacuum(spark, dir)
+    assert(new java.io.File(dir, s"_neardup_filter/$pinned").isDirectory,
+      "vacuum must keep the crash-replay's pinned filter version")
+    val replay = Ingest.runBatchCommitted(spark, cfg, 2000, batches = 2)
+    assert(replay.rowsCommitted == 1000,
+      s"replay after vacuum must re-admit batch 1's rows, got ${replay.rowsCommitted}")
+    assert(Ingest.dedupLedger(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("1") == pinned,
+      "replay must still pin the same consulted version")
+    // with the marker back, the next vacuum is free to collapse it
+    Compact.vacuum(spark, dir)
+    val fdir = new java.io.File(dir, "_neardup_filter")
+    assert(fdir.listFiles().count(f =>
+      f.isDirectory && !f.getName.startsWith("_")) == 1)
   }
 
   test("fully-suppressed batches still enter the seen-ids filter; torn _dedup ledgers are loud") {
