@@ -676,14 +676,46 @@ class IngestSpec extends AnyFunSuite {
       s"wanted the torn-ledger message, got: ${e.getMessage}")
   }
 
-  test("near-dup suppression rejects concurrent commit groups upfront") {
-    intercept[Exception](Ingest.run(spark,
-      IngestConfig(outputPath = Some(tmp()), parallelism = 4,
-        commitGroups = 2, timeoutMs = 3000,
-        columns = Some(Seq(
-          Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
-          Gen.ColSpec("text", Gen.ColType.StringName))),
-        suppressNearDups = Some("text"))))
+  test("near-dup suppression composes with concurrent commit groups: no double-admit") {
+    // VERDICT r16 #7: two commit groups stream the SAME 5-text
+    // dictionary concurrently (each group's rate source re-renders the
+    // same round-robin texts). Without the per-filter-path critical
+    // section both groups' first commits could pin the same filter
+    // version and each admit all 5 texts — 10 committed rows. With it,
+    // whichever group consults first admits; the other sees its
+    // fingerprints and suppresses — exactly 5 rows, ever, regardless
+    // of interleaving.
+    val dir = tmp()
+    val dict = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today",
+      "sphinx of black quartz judge my vow now",
+      "the five boxing wizards jump quickly tonight")
+    val cfg = IngestConfig(
+      outputPath = Some(dir), parallelism = 2, commitGroups = 2,
+      eventsPerSecond = 2000, commitAfterNRows = 500, timeoutMs = 15000,
+      buckets = 2,
+      columns = Some(Seq(
+        Gen.ColSpec("user_id", Gen.ColType.StringUuidPool),
+        Gen.ColSpec("text", Gen.ColType.StringDict, dict = dict))),
+      suppressNearDups = Some("text"))
+    val res = Ingest.run(spark, cfg)
+    assert(res.commits > 0, "no commits within timeout")
+    assert(res.rowsCommitted == 5,
+      s"two suppressing groups over one 5-text dict must admit exactly 5 " +
+        s"rows, got ${res.rowsCommitted} (a double-admit means the " +
+        "critical section failed)")
+    val back = graft.core.Tables.committedView(spark, dir)
+    assert(back.count() == 5 && back.select("text").distinct().count() == 5)
+    val ledger = Ingest.dedupLedger(spark, dir)
+    assert(ledger.agg(sum("kept")).head.getLong(0) == 5L)
+    // both groups must actually have committed (group-tagged ledger
+    // entries) — otherwise this proved single-group behavior again
+    val groups = ledger.collect().map(_.getString(0).takeWhile(_ != '-'))
+      .filter(_.startsWith("g")).toSet
+    assert(groups == Set("g0", "g1"),
+      s"expected commits from both groups, saw tokens for: $groups")
   }
 
   test("near-dup suppression validates upfront: unknown or non-string column fails fast") {
