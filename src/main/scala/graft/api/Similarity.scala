@@ -197,14 +197,14 @@ object Similarity {
     * 100 TB a distributed fit would pay maxIter full-corpus passes for
     * a model whose only job is to partition space roughly evenly.
     * Deterministic in (seed, corpus) — no RNG order-dependence. */
-  private[api] def fitCentroids(e: DataFrame, cells: Int, seed: Long,
+  private[graft] def fitCentroids(e: DataFrame, cells: Int, seed: Long,
                                 maxIter: Int, sampleN: Int = 4096): Array[Array[Float]] =
     lloyds(sampleVectors(e, cells, seed, sampleN), cells, seed, maxIter)
 
   /** Bounded deterministic sample of the embedding column: hash-order
     * by xxhash64(id, seed), take the first `sampleN` — one TakeOrdered
     * job, driver memory bounded at any corpus size. */
-  private[api] def sampleVectors(e: DataFrame, atLeast: Int, seed: Long,
+  private[graft] def sampleVectors(e: DataFrame, atLeast: Int, seed: Long,
                                  sampleN: Int): Array[Array[Double]] =
     e.select(col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)))
@@ -216,7 +216,7 @@ object Similarity {
     * centroid; if the sample is smaller than `cells` the trailing
     * centroids repeat (ties break to the lowest cell id, extras stay
     * empty). */
-  private def lloyds(sample: Array[Array[Double]], cells: Int, seed: Long,
+  private[graft] def lloyds(sample: Array[Array[Double]], cells: Int, seed: Long,
                      maxIter: Int): Array[Array[Float]] = {
     val dim = sample.head.length
     val k = math.min(cells, sample.length)
@@ -327,24 +327,34 @@ object Similarity {
                     cells: Int = 16, seed: Long = 42, maxIter: Int = 5): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = withNorm(emb, idCol, vecCol)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     require(e.head(1).nonEmpty, "cannot build an IVF index over an empty corpus")
     val centroids = fitCentroids(e, cells, seed, maxIter)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // assignment is a narrow codegen'd projection over centroid
-    // literals — one pass over the corpus, no fit/assignment joins
-    e.withColumn("cell", nearestCell(col("embedding"), centroids))
-      // one shuffle keyed on cell before the partitioned write: without
-      // it every task holds most cells and the dynamic writer emits
-      // ~tasks x cells files (65k at a 2048-cell, 32-thread build) --
-      // metadata that slows every subsequent index listing; keyed, the
-      // layout is one file set per cell (the compactIvfIndex shape)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    writeVectors(e, centroids, path, "overwrite")
   }
+
+  /** The cell-partitioned `vectors/` write shared by the IVF builds
+    * (sketch-first discipline, r17): assignment is one narrow
+    * codegen'd projection over centroid literals — no fit/assignment
+    * joins — and the ONE corpus exchange carries only (vec_id,
+    * embedding, cell); the stored norm is computed POST-shuffle, so a
+    * derived column never rides the wire (recomputing 16–64 mults per
+    * row is cheaper than shuffling 8 more bytes × corpus). The
+    * exchange is keyed on cell so the layout stays one file set per
+    * cell (the compactIvfIndex shape) instead of the ~tasks × cells
+    * files (65k at a 2048-cell 32-thread build) an unkeyed dynamic
+    * write emits. On-disk schema identical to the pre-r17 layout. */
+  private def writeVectors(e: DataFrame, centroids: Array[Array[Float]],
+                           path: String, mode: String): Unit =
+    e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .repartition(col("cell"))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/vectors")
 
   /** Search a persisted IVF index: each query row ranks the stored
     * centroids inline (literal expressions), probes its `nprobe`
@@ -465,7 +475,7 @@ object Similarity {
     * the coarse cell absorbs the vector's location, so the codebooks
     * only model the much smaller within-cell spread — materially
     * better reconstruction at the same code budget. */
-  private[api] def fitResidualCodebooks(
+  private[graft] def fitResidualCodebooks(
       sample: Array[Array[Double]], centroids: Array[Array[Float]],
       m: Int, ksub: Int, seed: Long, maxIter: Int): Array[Array[Array[Float]]] = {
     val dim = sample.head.length
@@ -513,7 +523,7 @@ object Similarity {
                       seed: Long = 42, maxIter: Int = 5): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = withNorm(emb, idCol, vecCol)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     require(e.head(1).nonEmpty, "cannot build an IVF+PQ index over an empty corpus")
     // ONE bounded sample feeds both the coarse quantizer and the
     // residual codebooks (identical to what buildIvfIndex would fit —
@@ -528,20 +538,24 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    e.withColumn("cell", nearestCell(col("embedding"), centroids))
-      // one shuffle keyed on cell before the partitioned write: without
-      // it every task holds most cells and the dynamic writer emits
-      // ~tasks x cells files (65k at a 2048-cell, 32-thread build) --
-      // metadata that slows every subsequent index listing; keyed, the
-      // layout is one file set per cell (the compactIvfIndex shape)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    writeVectors(e, centroids, path, "overwrite")
     codebooks.zipWithIndex.flatMap { case (cb, i) =>
       cb.zipWithIndex.map { case (w, c) => (i, c, w.toSeq) }
     }.toSeq.toDF("subspace", "codeword", "weights")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    writeCodes(e, centroids, codebooks, path, "overwrite")
+    // Encode pass from the JUST-WRITTEN cell-partitioned vectors
+    // (sketch-first, r17): the pre-r17 build re-scanned the SOURCE,
+    // re-ran the cells × dim assignment dots over the whole corpus,
+    // and paid a SECOND corpus exchange — but vectors/ already holds
+    // every row cell-local (one file set per cell), so the encode
+    // reads cell-clustered splits, needs no assignment, and shuffles
+    // nothing at all. The stored cell is by construction the same
+    // assignment the second pass would have recomputed.
+    val stored = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    writeCodes(stored, centroids, codebooks, path, "overwrite",
+      exchangeByCell = false)
   }
 
   /** The IVF+PQ encode pass: residual codes + reconstruction norm per
@@ -559,20 +573,28 @@ object Similarity {
     * The closure ships centroids+codebooks (a few KB); per row it runs
     * the same m·ksub·sub flops a codegen'd projection would, in one
     * tight loop with zero allocation beyond the output arrays.
-    * The cell repartition pre-clusters rows so the partitionBy write
-    * emits one file per (task, cell) instead of every task writing
-    * into all `cells` directories. */
-  private def writeCodes(e: DataFrame, centroids: Array[Array[Float]],
+    *
+    * `assigned` must carry (vec_id, embedding, cell) — the caller owns
+    * the assignment (the builds read it back from the cell-partitioned
+    * vectors/ they just wrote; appends compute it inline). With
+    * `exchangeByCell` the input is pre-clustered by one cell exchange
+    * so the partitionBy write emits one file per (task, cell) instead
+    * of every task writing into all `cells` directories; pass false
+    * when the input is ALREADY cell-clustered (a read of vectors/ —
+    * one file set per cell) and the encode pass then shuffles nothing
+    * at all (r17: the build previously paid a redundant post-encode
+    * exchange of the code rows on top of a second corpus exchange). */
+  private def writeCodes(assigned: DataFrame, centroids: Array[Array[Float]],
                          codebooks: Array[Array[Array[Float]]],
-                         path: String, mode: String): Unit = {
+                         path: String, mode: String,
+                         exchangeByCell: Boolean = true): Unit = {
     val m = codebooks.length
     val ksub = codebooks.head.length
     val dim = centroids.head.length
     val sub = dim / m
-    val inRows = e
-      .withColumn("cell", nearestCell(col("embedding"), centroids))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .repartition(col("cell"))
+    val inRows0 = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    val inRows =
+      if (exchangeByCell) inRows0.repartition(col("cell")) else inRows0
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("neighbor_id",
         inRows.schema("vec_id").dataType),
@@ -617,7 +639,9 @@ object Similarity {
         org.apache.spark.sql.Row(r.get(0), codes.toSeq, math.sqrt(rn), cell)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .repartition(col("cell")) // one file set per cell, not per task x cell
+      // no exchange here: mapPartitions preserves the cell-clustered
+      // input partitioning, so the dynamic writer already emits one
+      // file set per cell
       .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -637,15 +661,13 @@ object Similarity {
     val spark = emb.sparkSession
     val root = resolveIndexRoot(spark, path)
     val centroids = readCentroids(spark, root)
-    val e = withNorm(emb, idCol, vecCol)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     e.head(1).foreach { r =>
       val d = r.getSeq[Float](1).length
       require(d == centroids.head.length,
         s"appended dim $d != index dim ${centroids.head.length}")
     }
-    e.withColumn("cell", nearestCell(col("embedding"), centroids))
-      .repartition(col("cell")) // one file set per cell, not per task x cell
-      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+    writeVectors(e, centroids, root, "append")
   }
 
   /** Maintain a persisted IVF index FROM A STREAM — index maintenance
@@ -1235,16 +1257,23 @@ object Similarity {
     val root = resolveIndexRoot(spark, path)
     val centroids = readCentroids(spark, root)
     val codebooks = readCodebooks(spark, root)
-    val e = withNorm(emb, idCol, vecCol)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     e.head(1).foreach { r =>
       val d = r.getSeq[Float](1).length
       require(d == centroids.head.length,
         s"appended dim $d != index dim ${centroids.head.length}")
     }
-    e.withColumn("cell", nearestCell(col("embedding"), centroids))
-      .repartition(col("cell")) // one file set per cell, not per task x cell
+    // one explicit cell exchange feeds BOTH appends (batch-sized, so
+    // the encode re-derives the assignment rather than re-reading the
+    // whole vectors/ store); the encode pass adds no further exchange
+    val assigned = e
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .repartition(col("cell"))
+    assigned.withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
-    writeCodes(e, centroids, codebooks, root, "append")
+    writeCodes(assigned, centroids, codebooks, root, "append",
+      exchangeByCell = false)
   }
 
   /** Search a persistent IVF+PQ index by ASYMMETRIC DISTANCE: the query
