@@ -106,7 +106,8 @@ object Explain {
     "q211_sql_pii_ledger",     // redaction ledger via TVF, metadata-sized (r15)
     "q212_sql_snapshot_at",    // AS-OF-timestamp resolution → same manifest read (r16)
     "q213_ingest_neardup_suppress", // fp keep-first + pinned Bloom consult at commit (r16)
-    "q214_sql_snapshot_delta_at") // time-window delta → same O(delta) manifest read (r16)
+    "q214_sql_snapshot_delta_at", // time-window delta → same O(delta) manifest read (r16)
+    "q215_bucketed_commit_join") // bucket-aware committed read: zero Exchange on the cluster key (r17)
 
   /** Queries whose interesting plans are INSIDE the operator — every
     * stage localCheckpoints, so the outer frame dumps as `Scan
