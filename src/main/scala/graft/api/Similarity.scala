@@ -749,6 +749,7 @@ object Similarity {
       withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
         .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
           explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell")))
+    var afterIndexChk: Option[DataFrame] = None
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -760,8 +761,21 @@ object Similarity {
         .filter(roundedAtLeast(cosinePrenormed(dot(col("ea"), col("eb")),
           col("na"), col("nb")), threshold))
         .select(col("vec_id").as("__dup_id")).distinct()
-      val afterIndex =
-        b.join(flagged, b(idCol) === col("__dup_id"), "left_anti")
+      // step-1 survivors MATERIALIZE here (r17, guide §5): afterIndex
+      // feeds three consumers — the assigned-cell projection, the
+      // within-batch probe restriction, and the final anti-join — and
+      // two of those run in SEPARATE executions (aAssigned's checkpoint
+      // job, then keep's). Unchecked, each execution re-ran the whole
+      // flag subtree: the probed-cell index scan (≈ the corpus slice at
+      // commit-sized batches — every batch row probes nprobe cells, so
+      // a 250k-row batch touches essentially all cells), its exchange,
+      // and the per-pair cosine filter — 2× the dominant cost of the
+      // operator. One commit-sized localCheckpoint buys flag-join-
+      // exactly-once; results are identical (same rows, same plan
+      // below the checkpoint).
+      val afterIndex = PlanAudit.checkpoint(
+        b.join(flagged, b(idCol) === col("__dup_id"), "left_anti"))
+      afterIndexChk = Some(afterIndex)
       // step-1 survivors at their ASSIGNED cell — the indexed role for
       // the within-batch pass, and (restricted to the final survivors)
       // exactly the rows the append writes
@@ -818,7 +832,7 @@ object Similarity {
       } catch { case t: Throwable => Dedup.releaseCheckpoint(keep); throw t }
       finally Dedup.releaseCheckpoint(aAssigned)
       keep
-    } finally Seq(b, q).foreach(Dedup.releaseCheckpoint)
+    } finally (Seq(b, q) ++ afterIndexChk).foreach(Dedup.releaseCheckpoint)
   }
 
   /** DRY-RUN of [[semanticSuppressAndIndex]] —

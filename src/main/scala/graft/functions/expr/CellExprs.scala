@@ -60,16 +60,76 @@ object CellGeom {
     cc(i) - 2.0 * acc
   }
 
+  /** The embedding copied ONCE into a primitive double[] (r17, guide
+    * §1.2 "per-task work"): the per-(cell × dim) `ArrayData.getFloat` +
+    * float→double conversion in the scan loops was `cells`× redundant
+    * per row — at a 2048-cell quantizer, 2047 of every 2048 accessor
+    * calls re-read the same 16 floats. The copied values are exactly
+    * the doubles the per-cell fold converted on the fly, so every
+    * downstream fold is bit-identical. */
+  @inline private def toDoubles(e: ArrayData, n: Int): Array[Double] = {
+    val ev = new Array[Double](n)
+    var j = 0
+    while (j < n) { ev(j) = e.getFloat(j).toDouble; j += 1 }
+    ev
+  }
+
+  /** dist of cell i over the pre-converted embedding — the same
+    * left-to-right double fold as [[distOf]], bit-identical. */
+  @inline private def distOfD(ev: Array[Double], flat: Array[Float], dim: Int,
+                              cc: Array[Double], i: Int, n: Int): Double = {
+    var acc = 0.0
+    val base = i * dim
+    var j = 0
+    while (j < n) { acc += ev(j) * flat(base + j).toDouble; j += 1 }
+    cc(i) - 2.0 * acc
+  }
+
   /** Cell id of the nearest centroid; ties → lowest cell id (strict-<
-    * ascending scan under Double.compare = Spark's double ordering). */
+    * ascending scan under Double.compare = Spark's double ordering).
+    *
+    * r17 kernel shape (guide §1.2 step 2 — per-task work): the scan
+    * runs FOUR cells per pass, each with its own accumulator. A
+    * per-cell left-to-right double fold is a single serial dependency
+    * chain — ~4-cycle add latency × dim, the loop's floor — while four
+    * independent chains pipeline in the FPU. Each cell's fold order is
+    * unchanged (accumulators never mix), so distances, the argmin, and
+    * the tie rule are bit-identical to the single-cell scan; cell 0
+    * still initializes (best, bd) unconditionally, exactly like the
+    * r16 kernel, so NaN-first inputs resolve identically. */
   def bestCell(e: ArrayData, flat: Array[Float], dim: Int,
                cc: Array[Double]): Int = {
     val n = math.min(e.numElements(), dim)
+    val ev = toDoubles(e, n)
+    val m = cc.length
     var best = 0
-    var bd = distOf(e, flat, dim, cc, 0, n)
+    var bd = distOfD(ev, flat, dim, cc, 0, n)
     var i = 1
-    while (i < cc.length) {
-      val d = distOf(e, flat, dim, cc, i, n)
+    val nb = 1 + ((m - 1) / 4) * 4
+    while (i < nb) {
+      var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+      val b0 = i * dim; val b1 = b0 + dim; val b2 = b1 + dim; val b3 = b2 + dim
+      var j = 0
+      while (j < n) {
+        val x = ev(j)
+        a0 += x * flat(b0 + j).toDouble
+        a1 += x * flat(b1 + j).toDouble
+        a2 += x * flat(b2 + j).toDouble
+        a3 += x * flat(b3 + j).toDouble
+        j += 1
+      }
+      val d0 = cc(i) - 2.0 * a0
+      if (java.lang.Double.compare(d0, bd) < 0) { best = i; bd = d0 }
+      val d1 = cc(i + 1) - 2.0 * a1
+      if (java.lang.Double.compare(d1, bd) < 0) { best = i + 1; bd = d1 }
+      val d2 = cc(i + 2) - 2.0 * a2
+      if (java.lang.Double.compare(d2, bd) < 0) { best = i + 2; bd = d2 }
+      val d3 = cc(i + 3) - 2.0 * a3
+      if (java.lang.Double.compare(d3, bd) < 0) { best = i + 3; bd = d3 }
+      i += 4
+    }
+    while (i < m) {
+      val d = distOfD(ev, flat, dim, cc, i, n)
       if (java.lang.Double.compare(d, bd) < 0) { best = i; bd = d }
       i += 1
     }
@@ -92,28 +152,62 @@ object CellGeom {
     InternalRow(best, distOf(e, flat, dim, cc, best, n) + nsq)
   }
 
+  /** One streaming insertion into the (dist, cell)-ascending nprobe
+    * window; returns the new fill count. Identical logic to the r16
+    * inline body — extracted so the blocked scan below feeds it once
+    * per cell in ascending order. */
+  @inline private def insertTop(bd: Array[Double], bc: Array[Int],
+                                filled: Int, nprobe: Int,
+                                d: Double, cell: Int): Int = {
+    var pos = filled
+    while (pos > 0 && java.lang.Double.compare(d, bd(pos - 1)) < 0) pos -= 1
+    if (pos < nprobe) {
+      val last = math.min(filled, nprobe - 1)
+      var k = last
+      while (k > pos) { bd(k) = bd(k - 1); bc(k) = bc(k - 1); k -= 1 }
+      bd(pos) = d; bc(pos) = cell
+      if (filled < nprobe) filled + 1 else filled
+    } else filled
+  }
+
   /** The `nprobe` nearest cell ids, (dist, cell)-ascending — the order
     * `array_sort(array(struct(dist, cell)…))` produced. Streaming
     * insertion into an nprobe-sized window; scanning cells ascending
-    * makes strict-< insertion keep the lowest cell id on ties. */
+    * makes strict-< insertion keep the lowest cell id on ties. Blocked
+    * 4-cells-per-pass distance scan like [[bestCell]] (r17): per-cell
+    * folds untouched, insertions run in the same ascending cell order,
+    * so the probe list is bit-identical. */
   def topCells(e: ArrayData, flat: Array[Float], dim: Int,
                cc: Array[Double], nprobe: Int): ArrayData = {
     val n = math.min(e.numElements(), dim)
+    val ev = toDoubles(e, n)
+    val m = cc.length
     val bd = new Array[Double](nprobe)
     val bc = new Array[Int](nprobe)
     var filled = 0
     var i = 0
-    while (i < cc.length) {
-      val d = distOf(e, flat, dim, cc, i, n)
-      var pos = filled
-      while (pos > 0 && java.lang.Double.compare(d, bd(pos - 1)) < 0) pos -= 1
-      if (pos < nprobe) {
-        val last = math.min(filled, nprobe - 1)
-        var k = last
-        while (k > pos) { bd(k) = bd(k - 1); bc(k) = bc(k - 1); k -= 1 }
-        bd(pos) = d; bc(pos) = i
-        if (filled < nprobe) filled += 1
+    val nb = m - (m % 4)
+    while (i < nb) {
+      var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+      val b0 = i * dim; val b1 = b0 + dim; val b2 = b1 + dim; val b3 = b2 + dim
+      var j = 0
+      while (j < n) {
+        val x = ev(j)
+        a0 += x * flat(b0 + j).toDouble
+        a1 += x * flat(b1 + j).toDouble
+        a2 += x * flat(b2 + j).toDouble
+        a3 += x * flat(b3 + j).toDouble
+        j += 1
       }
+      filled = insertTop(bd, bc, filled, nprobe, cc(i) - 2.0 * a0, i)
+      filled = insertTop(bd, bc, filled, nprobe, cc(i + 1) - 2.0 * a1, i + 1)
+      filled = insertTop(bd, bc, filled, nprobe, cc(i + 2) - 2.0 * a2, i + 2)
+      filled = insertTop(bd, bc, filled, nprobe, cc(i + 3) - 2.0 * a3, i + 3)
+      i += 4
+    }
+    while (i < m) {
+      filled = insertTop(bd, bc, filled, nprobe,
+        distOfD(ev, flat, dim, cc, i, n), i)
       i += 1
     }
     val out = new Array[Any](nprobe)
