@@ -627,11 +627,22 @@ object Dedup {
     * k min-hashes per doc, banded, each band's slice folded to one
     * 64-bit bucket key. */
   private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
-                               shingle: Int, hashes: Int, bands: Int): DataFrame = {
+                               shingle: Int, hashes: Int, bands: Int): DataFrame =
+    bandsFromMinHashes(
+      docs.select(col(idCol).as("doc_id"),
+        minHashes(lower(col(textCol)), shingle, hashes).as("mh")),
+      hashes, bands)
+
+  /** (doc_id, band, bkey) from an already-computed `mh` minhash-array
+    * column — the banding tail of [[bandedSignatures]], factored out so
+    * the one-pass [[sketchSig]] paths derive bands without re-shingling
+    * (bkey is a function of the mh slice alone, so it is bit-identical
+    * whichever projection produced mh). */
+  private def bandsFromMinHashes(withMh: DataFrame, hashes: Int,
+                                 bands: Int): DataFrame = {
     require(hashes % bands == 0, "hashes must divide evenly into bands")
     val rowsPerBand = hashes / bands
-    docs.select(col(idCol).as("doc_id"),
-        minHashes(lower(col(textCol)), shingle, hashes).as("mh"))
+    withMh
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -640,16 +651,66 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** ONE-PASS combined signature frame: (doc_id, sh, n, bkeys) — the
+    * sorted shingle-hash set AND the per-band LSH bucket keys of every
+    * doc from a single shingling traversal. Callers that need both
+    * representations of the same frame checkpoint THIS instead of
+    * materializing two separate projections that each re-tokenize and
+    * re-hash every shingle (the build/append/LSH/suppressor paths —
+    * guide §1.2: don't compute the same expensive thing twice).
+    *
+    * Two deliberate shape choices, both measured (AbNearDupSuppress /
+    * AbNearDupBuild, first iteration of this rewrite):
+    * - banding is folded INTO the pass, so the materialized row
+    *   carries `bands` 8-byte bucket keys (128 B at the 64/16
+    *   defaults) instead of the raw `hashes` minhash array (512 B) —
+    *   the raw-mh variant materialized MORE bytes than the two legacy
+    *   checkpoints combined on short docs and re-ran the banding
+    *   explode per consumer, measurably slower;
+    * - the sketch struct is aliased in one projection and its fields
+    *   extracted in a second: a non-cheap alias referenced more than
+    *   once is not inlined by projection collapse, so the sketch
+    *   expression evaluates exactly once per row (pinned by
+    *   ShingleSketchSpec's optimized-plan assertion). */
+  private def sketchSig(docs: DataFrame, idCol: String, textCol: String,
+                        shingle: Int, hashes: Int, bands: Int): DataFrame = {
+    require(hashes % bands == 0, "hashes must divide evenly into bands")
+    val rowsPerBand = hashes / bands
+    docs.select(col(idCol).as("doc_id"),
+        shingleSketch(lower(col(textCol)), shingle, hashes).as("__sk"))
+      .select(col("doc_id"), col("__sk.sh").as("sh"),
+        size(col("__sk.sh")).as("n"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sk.mh"), b * lit(rowsPerBand) + 1,
+            lit(rowsPerBand)))).as("bkeys"))
+  }
+
+  /** The [[shingleSets]] schema (doc_id, sh, n) from a [[sketchSig]]
+    * frame. */
+  private def setsFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sh"), col("n"))
+
+  /** The [[bandedSignatures]] schema (doc_id, band, bkey) from a
+    * [[sketchSig]] frame — posexplode position IS the band index, and
+    * each bkey was computed with the exact expression
+    * [[bandsFromMinHashes]] uses, so rows are bit-identical. */
+  private def bandsFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("band"), col("bkey"))
+
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.8,
                       shingle: Int = 3, hashes: Int = 64,
                       bands: Int = 16): DataFrame = {
-    // sets verify twice, the banded signatures feed both sides of the
-    // candidate self-join (previously recomputed): materialize once,
-    // release at exit; MATERIALIZED result, [[releaseMaterialized]]
-    val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
-    val bb = PlanAudit.checkpoint(
-      bandedSignatures(docs, idCol, textCol, shingle, hashes, bands))
+    // sets verify twice and the banded signatures feed both sides of
+    // the candidate self-join: ONE combined-sketch pass materializes
+    // both representations (r17 — two separate checkpoints re-shingled
+    // the corpus twice and cost two materialization jobs); released at
+    // exit; MATERIALIZED result, [[releaseMaterialized]]
+    val sk = PlanAudit.checkpoint(
+      sketchSig(docs, idCol, textCol, shingle, hashes, bands))
+    val sets = setsFromSig(sk)
+    val bb = bandsFromSig(sk)
     try {
       val cand = bb.as("a").join(bb.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -657,7 +718,7 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       PlanAudit.checkpoint(verify(joinBack(cand, sets), threshold))
-    } finally Seq(sets, bb).foreach(releaseCheckpoint)
+    } finally releaseCheckpoint(sk)
   }
 
   /** Persisted MinHash-LSH near-dup index — the signature state of an
@@ -693,10 +754,20 @@ object Dedup {
     val target = next.fold(path)(v => s"$path/$v")
     Seq((shingle, hashes, bands)).toDF("shingle", "hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$target/params")
-    bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$target/bands")
-    shingleSets(docs, idCol, textCol, shingle)
-      .write.mode("overwrite").parquet(s"$target/sketches")
+    // ONE corpus pass (r17): the legacy build ran two independent write
+    // jobs that each re-read and re-shingled the corpus (bands via
+    // minHashes, sketches via distinctShingleHashes). The combined
+    // sketch materializes once — commit-scoped, released below — and
+    // both tables derive from it; rows are bit-identical (same hash
+    // stream feeds both accumulators).
+    val sk = PlanAudit.checkpoint(
+      sketchSig(docs, idCol, textCol, shingle, hashes, bands))
+    try {
+      bandsFromSig(sk)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$target/bands")
+      setsFromSig(sk)
+        .write.mode("overwrite").parquet(s"$target/sketches")
+    } finally releaseCheckpoint(sk)
     next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
   }
 
@@ -762,10 +833,16 @@ object Dedup {
     val spark = docs.sparkSession
     val root = VersionedIndex.resolveRoot(spark, path)
     val (shingle, hashes, bands) = readNearDupParams(spark, root)
-    shingleSets(docs, idCol, textCol, shingle)
-      .write.mode("append").parquet(s"$root/sketches")
-    bandedSignatures(docs, idCol, textCol, shingle, hashes, bands)
-      .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+    // one shingling pass for both signature tables (r17); sketches
+    // still append BEFORE bands (the crash rule above)
+    val sk = PlanAudit.checkpoint(
+      sketchSig(docs, idCol, textCol, shingle, hashes, bands))
+    try {
+      setsFromSig(sk)
+        .write.mode("append").parquet(s"$root/sketches")
+      bandsFromSig(sk)
+        .write.mode("append").partitionBy("band").parquet(s"$root/bands")
+    } finally releaseCheckpoint(sk)
   }
 
   /** Delete documents from a persisted near-dup index WITHOUT touching
@@ -914,11 +991,13 @@ object Dedup {
     // the batch's raw rows and both signature forms each feed 2+
     // subplans — materialize once, release at exit (a stream calls
     // this per micro-batch; internal caches would pin blocks for the
-    // stream's lifetime)
+    // stream's lifetime). r17: the two signature forms come from ONE
+    // combined-sketch checkpoint (one shingling pass + one
+    // materialization job per commit instead of two of each).
     val b = PlanAudit.checkpoint(batch)
-    val freshSets = PlanAudit.checkpoint(shingleSets(b, idCol, textCol, shingle))
-    val freshBands = PlanAudit.checkpoint(bandedSignatures(b, idCol, textCol,
-      shingle, hashes, bands))
+    val sk = PlanAudit.checkpoint(sketchSig(b, idCol, textCol, shingle, hashes, bands))
+    val freshSets = setsFromSig(sk)
+    val freshBands = bandsFromSig(sk)
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       // step 1 — against the index, minus this batch's own (replayed) ids
@@ -990,7 +1069,7 @@ object Dedup {
         }
       } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
       keep
-    } finally Seq(b, freshSets, freshBands).foreach(releaseCheckpoint)
+    } finally Seq(b, sk).foreach(releaseCheckpoint)
   }
 
   /** DRY-RUN of [[nearDupSuppressAndIndex]] — the per-document
@@ -1026,13 +1105,16 @@ object Dedup {
     val root = VersionedIndex.resolveRoot(spark, path)
     val (shingle, hashes, bands) = readNearDupParams(spark, root)
     val b = PlanAudit.checkpoint(batch)
-    val freshSets = PlanAudit.checkpoint(shingleSets(b, idCol, textCol, shingle))
+    // one combined-sketch pass supplies both the sets and the bands of
+    // the batch (r17 — mirrors the real suppressor's plan)
+    val sk = PlanAudit.checkpoint(sketchSig(b, idCol, textCol, shingle, hashes, bands))
+    val freshSets = setsFromSig(sk)
     var idxBestChk: Option[DataFrame] = None
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       val idxBands = spark.read.parquet(s"$root/bands")
         .join(bIds, col("doc_id") === col("__bid"), "left_anti")
-      val cand = bandedSignatures(b, idCol, textCol, shingle, hashes, bands)
+      val cand = bandsFromSig(sk)
         .as("a").join(idxBands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1075,7 +1157,7 @@ object Dedup {
             .otherwise(lit("kept")).as("verdict"),
           coalesce(col("__im"), col("__bm")).as("match_id"),
           coalesce(col("__is"), col("__bs")).as("score")))
-    } finally (Seq(b, freshSets) ++ idxBestChk).foreach(releaseCheckpoint)
+    } finally (Seq(b, sk) ++ idxBestChk).foreach(releaseCheckpoint)
   }
 
   /** Streaming near-dup suppression — dedup-at-ingest against a

@@ -125,6 +125,15 @@ object TextFunctions {
       graft.functions.expr.MinHashes(
         org.apache.spark.sql.GraftExprBridge.expression(text), n, k))
 
+  /** Combined one-pass text sketch: struct(sh = sorted distinct
+    * shingle hashes, mh = k minhashes) — both Jaccard representations
+    * of a document from ONE traversal (native expression; fields
+    * bit-identical to [[distinctShingleHashes]] / [[minHashes]]). */
+  def shingleSketch(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.ShingleSketch(
+        org.apache.spark.sql.GraftExprBridge.expression(text), n, k))
+
   /** 64-bit frequency-weighted SimHash over whitespace tokens (native
     * expression, one pass). */
   def simHash64(text: Column): Column =

@@ -158,6 +158,61 @@ case class DistinctShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "distinct_shingle_hashes"
 }
 
+/** Combined one-pass text sketch: `struct<sh: array<long>, mh:
+  * array<long>>` — the sorted distinct shingle-hash set
+  * ([[DistinctShingleHashes]]) AND the k minhashes ([[MinHashes]]) from
+  * ONE traversal of the document. The near-dup index build/append and
+  * the LSH/suppressor paths need BOTH representations of the same
+  * batch; computing them as two separate projections re-tokenizes and
+  * re-FNV-hashes every shingle twice (and, where each projection is
+  * checkpointed, costs two materialization jobs). Field values are
+  * bit-identical to the two single-output expressions by construction:
+  * the same [[TextHash.foreachShingleHash]] stream feeds both
+  * accumulators. */
+case class ShingleSketch(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && k > 0)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sh",
+      ArrayType(LongType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("mh",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_sketch needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    var buf = new Array[Long](64)
+    var m = 0
+    val mins = Array.fill(k)(Long.MaxValue)
+    TextHash.foreachShingleHash(input.asInstanceOf[UTF8String].toString, n) {
+      (h1, h2) =>
+        if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+        buf(m) = h1
+        m += 1
+        var i = 0
+        var h = h1
+        while (i < k) {
+          if (h < mins(i)) mins(i) = h
+          h += h2 // double hashing: h_i = h1 + i*h2
+          i += 1
+        }
+    }
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0
+    var i = 0
+    while (i < m) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(java.util.Arrays.copyOf(buf, w)),
+      new GenericArrayData(mins))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleSketch = copy(child = c)
+  override def prettyName: String = "shingle_sketch"
+}
+
 /** 64-bit SimHash over whitespace tokens (frequency-weighted ±1 per
   * bit): `long`, one pass with a primitive counter array. */
 case class SimHash64(child: Expression)
