@@ -2233,9 +2233,13 @@ object Dedup {
     * stage-timing A/B at 10M chain nodes — `graft.tools.ProbeCC`):
     *  - the edge set is materialized once via localCheckpoint,
     *    SYMMETRIZED, SELF-LOOPED, and PRE-PARTITIONED on the per-round
-    *    join key (localCheckpoint preserves the physical partitioning,
-    *    so the edge rows shuffle once for the whole run, not once per
-    *    round). The self-loops fold each node's own label into the
+    *    join key, with the layout DECLARED past the checkpoint
+    *    (PlanAudit.checkpointHash — localCheckpoint records
+    *    UnknownPartitioning under AQE, measured in r17 by
+    *    graft.tools.ProbePartitioning, so without the declaration
+    *    every round re-shuffled the edges). The edge rows shuffle once
+    *    for the whole run, not once per round. The self-loops fold
+    *    each node's own label into the
     *    neighborhood-min aggregation, so a round's propagate step is
     *    ONE keyed join + ONE keyed agg — the pre-r14 shape paid an
     *    extra node-keyed left join (two more 10M-row exchanges per
@@ -2266,11 +2270,12 @@ object Dedup {
       }
     def release(id: Option[Int]): Unit = id.foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val sym = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val edges = PlanAudit.checkpoint(sym
+    val edges = PlanAudit.checkpointHash(sym
       .union(sym.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
-      .repartition(col("doc_b")))
+      .repartition(np, col("doc_b")), np, Seq("doc_b"))
     var prevId: Option[Int] = None
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))

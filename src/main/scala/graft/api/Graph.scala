@@ -42,13 +42,29 @@ object Graph {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
     val spark = edges.sparkSession
-    val e = PlanAudit.checkpoint(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val nodes = PlanAudit.checkpoint(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // Co-partition the loop-invariant frames on one explicit partition
+    // count (r17): edges hash-partitioned on src (the per-iteration
+    // join key), nodes on node, outDeg on src — with the layout
+    // DECLARED past the checkpoint (checkpointHash: localCheckpoint
+    // records UnknownPartitioning under AQE, so without the
+    // declaration every iteration re-shuffled the full edge set). The
+    // edge rows now shuffle ONCE for the whole run; an iteration moves
+    // only node-sized frames.
+    val np = spark.sessionState.conf.numShufflePartitions
+    val e = PlanAudit.checkpointHash(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(np, col("src")), np, Seq("src"))
+    // repartition BEFORE distinct: HashPartitioning(node) satisfies the
+    // distinct's ClusteredDistribution, so the dedup aggregate runs on
+    // the pinned layout with no second exchange
+    val nodes = PlanAudit.checkpointHash(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .repartition(np, col("node")).distinct(), np, Seq("node"))
     val n = nodes.count()
-    val outDeg = PlanAudit.checkpoint(
-      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")))
+    // exchange-free on top of e's declared (src, np) layout, which the
+    // aggregation preserves — declared again past its own checkpoint
+    val outDeg = PlanAudit.checkpointHash(
+      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), np, Seq("src"))
     // (1 − d) via exact decimals: 1 − 0.85 in DOUBLE is
     // 0.15000000000000002, while every SQL engine's literal 0.15 is
     // the nearest double to decimal 0.15 — BigDecimal.valueOf keeps
@@ -67,6 +83,11 @@ object Graph {
         .select(col("dst").as("node"),
           round(col("score") / col("out_deg"), 12)
             .cast("decimal(28,12)").as("c"))
+      // the ONE edge-sized exchange an iteration fundamentally needs
+      // (mass moves from src-partitioning to dst-keying), partially
+      // aggregated map-side; the planner exchanges it straight to
+      // nodes' declared (node, np) layout, so the left join below adds
+      // no further shuffle
       val sums = contribs.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
       // eager checkpoint: `next` is materialized HERE, so the
       // superseded iteration's blocks are safe to release below
@@ -112,11 +133,13 @@ object Graph {
     * collapse to one vote — encode multiplicity upstream if it should
     * weight the vote).
     *
-    * Scale shape: per iteration ONE keyed equi-join (edges ⋈ labels
-    * on src) + ONE (node, label) count aggregation + ONE node-keyed
-    * argmax window; each iteration `localCheckpoint`s and releases
-    * its predecessor, the [[pageRank]] lineage hygiene. Output:
-    * (node, label). */
+    * Scale shape: per iteration ONE keyed equi-join (edges ⋈ labels on
+    * src — the edge side co-located on its declared checkpoint layout,
+    * never re-shuffled) + ONE (node, label) count aggregation + ONE
+    * node-keyed partially-aggregating argmax (min over
+    * struct(-cnt, label) — no window sort); each iteration
+    * `localCheckpoint`s and releases its predecessor, the [[pageRank]]
+    * lineage hygiene. Output: (node, label). */
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
                        dstCol: String = "dst", iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
@@ -125,25 +148,42 @@ object Graph {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
     val spark = edges.sparkSession
+    // Co-partitioned loop-invariant frames (the pageRank discipline,
+    // r17): edges pinned on src (the per-iteration vote-join key),
+    // nodes on node, with the layout DECLARED past the checkpoint
+    // (checkpointHash — localCheckpoint records UnknownPartitioning
+    // under AQE). The edge rows shuffle ONCE for the whole run instead
+    // of once per iteration.
+    val np = spark.sessionState.conf.numShufflePartitions
     val e0 = PlanAudit.checkpoint(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val nodes = PlanAudit.checkpoint(e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct())
+    // repartition BEFORE distinct: HashPartitioning(node) satisfies the
+    // distinct's ClusteredDistribution, so the dedup aggregate runs on
+    // the pinned layout with no second exchange (same for `e` on src)
+    val nodes = PlanAudit.checkpointHash(e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .repartition(np, col("node")).distinct(), np, Seq("node"))
     // the self-vote: one implicit self-loop per node (deduped against
     // any explicit ones so a self-edge never double-counts)
-    val e = PlanAudit.checkpoint(e0.union(nodes.select(col("node").as("src"),
-      col("node").as("dst"))).distinct())
+    val e = PlanAudit.checkpointHash(e0.union(nodes.select(col("node").as("src"),
+      col("node").as("dst")))
+      .repartition(np, col("src")).distinct(), np, Seq("src"))
     var labels = nodes.select(col("node"), col("node").as("label"))
     var labelsOwnedId: Option[Int] = None
     (1 to iters).foreach { _ =>
       val cand = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
-      val best = cand.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("label").as("new_label"))
+      // argmax by (cnt desc, label asc) as ONE partially-aggregating
+      // min(struct(-cnt, label)) — selects exactly the row the previous
+      // row_number window picked (count desc, then SMALLEST label; the
+      // struct order is total, so no tie can flap), without the
+      // window's node-keyed sort and with map-side partial aggregation
+      // ahead of the exchange.
+      val best = cand
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("new_label"))
       val next = PlanAudit.checkpoint(labels.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label")))

@@ -19,4 +19,18 @@ private[graft] object PlanAudit {
     probe.foreach(_(df))
     df.localCheckpoint()
   }
+
+  /** [[checkpoint]] for a frame whose plan ends in an explicit
+    * `repartition(np, keys...)` (or an exchange-free chain on top of
+    * one): re-declares the hash layout the checkpoint's `LogicalRDD`
+    * drops under AQE, so downstream joins/aggregations keyed on `keys`
+    * read the materialized rows co-located instead of re-shuffling
+    * them once per consumer — see
+    * [[org.apache.spark.sql.GraftCheckpointBridge]] for the soundness
+    * rule (declares only when the partition count proves the explicit
+    * repartition survived; silently falls back to the undeclared frame
+    * otherwise). */
+  def checkpointHash(df: DataFrame, np: Int, keys: Seq[String]): DataFrame =
+    org.apache.spark.sql.GraftCheckpointBridge.declareHashPartitioning(
+      checkpoint(df), keys, np)
 }
