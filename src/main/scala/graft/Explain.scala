@@ -137,6 +137,12 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional: further args name the only headline queries to dump
+    // (fast before/after plan captures for a targeted optimization)
+    val only = args.drop(1).toSet
+    val headline = if (only.isEmpty) this.headline
+      else this.headline.filter(only.contains) ++
+        only.filterNot(this.headline.contains).toSeq.sorted
     val spark = graft.core.Sessions.local("graft-explain", defaultCpus = "8")
     spark.sparkContext.setLogLevel("ERROR")
     // ASCII only: the forked JVM's default stdout encoding mangles

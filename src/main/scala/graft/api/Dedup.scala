@@ -1976,14 +1976,13 @@ object Dedup {
   def duplicatedNgramProfile(docs: DataFrame, idCol: String = "doc_id",
                              textCol: String = "text", n: Int = 8): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    val toks = filter(wsTokens(lower(col(textCol))), t => t =!= "")
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
-      .withColumn("n_grams", greatest(size(col("__t")) - (n - 1), lit(0)))
-    val grams = base.select(col("doc_id"),
-      explode(when(size(col("__t")) >= n,
-          transform(sequence(lit(0), size(col("__t")) - n),
-            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as("g"))
+    // one-pass native gram kernel (r17, guide §1.2 step 2): the gram
+    // array IS max(tokens-n+1, 0) long, so n_grams reads off its size
+    // (greatest keeps the legacy 0 for null text, where size is null)
+    val base = docs.select(col(idCol).as("doc_id"),
+        gramHashes(col(textCol), n).getField("g").as("__g"))
+      .withColumn("n_grams", greatest(size(col("__g")), lit(0)))
+    val grams = base.select(col("doc_id"), explode(col("__g")).as("g"))
     val dupGrams = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -2056,12 +2055,17 @@ object Dedup {
     }
     val toks = filter(wsTokens(col(textCol)), t => t =!= "")
     val base = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+    // gram markers come from the one-pass native kernel over the
+    // case-folded text (r17, guide §1.2 step 2): per-position hash
+    // equality classes match the legacy interpreted chain
+    // (posexplode(transform(sequence) + slice + concat_ws + lower +
+    // xxhash64) — see GramHashes), and lowercasing never moves a
+    // token boundary, so positions line up with `base`'s
+    // original-case tokens that the final cut rejoins on.
     def markedSpans(n: Int, minCount: Int): DataFrame = {
-      val grams = base.select(col("doc_id"),
-        posexplode(when(size(col("__t")) >= n,
-            transform(sequence(lit(0), size(col("__t")) - n),
-              i => xxhash64(lower(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
-          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "g")))
+      val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(gramHashes(col(textCol), n).getField("g"))
+          .as(Seq("pos", "g")))
       val dupGrams = grams.groupBy("g")
         .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("g")
       grams.join(dupGrams, "g")

@@ -439,14 +439,20 @@ object TextAnalysis {
   def dupNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    val toks = filter(wsTokens(lower(col(textCol))), t => t =!= "")
-    val base = docs.select(col(idCol).as("__id"), toks.as("__t"))
-      .withColumn("n_tokens", size(col("__t")).cast("long"))
+    // one-pass native gram kernel (r17, guide §1.2 step 2): token
+    // count and the posexplode-ready positional gram-hash array from
+    // one traversal — equality classes match the legacy interpreted
+    // transform+slice+concat_ws+xxhash64 chain (see GramHashes). The
+    // struct lands under ONE alias extracted twice: a non-cheap alias
+    // referenced more than once is never inlined by CollapseProject
+    // (pinned in GramHashesSpec), so the kernel runs once per row.
+    val base = docs.select(col(idCol).as("__id"),
+        gramHashes(col(textCol), n).as("__gh"))
+      .select(col("__id"),
+        col("__gh").getField("nt").cast("long").as("n_tokens"),
+        col("__gh").getField("g").as("__garr"))
     val grams = base.select(col("__id"),
-      posexplode(when(size(col("__t")) >= n,
-          transform(sequence(lit(0), size(col("__t")) - n),
-            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("__pos", "__g")))
+      posexplode(col("__garr")).as(Seq("__pos", "__g")))
     val marked = grams
       .withColumn("__c",
         count(lit(1)).over(Window.partitionBy(col("__id"), col("__g"))))

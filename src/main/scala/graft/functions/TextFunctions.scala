@@ -134,6 +134,19 @@ object TextFunctions {
       graft.functions.expr.ShingleSketch(
         org.apache.spark.sql.GraftExprBridge.expression(text), n, k))
 
+  /** Positional token n-gram hashes + nonempty-token count:
+    * struct(nt = token count, g = per-start-position gram hashes;
+    * empty under n tokens) of the CASE-FOLDED document — the
+    * exact-substring span-marker / dup-n-gram kernel (native
+    * expression, one pass; equality classes match the legacy
+    * transform+slice+concat_ws+xxhash64 chain). The lowercase is
+    * Spark's own `lower()` composed ABOVE the expression, the
+    * [[hashedGramFeatures]] rule. */
+  def gramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.GramHashes(
+        org.apache.spark.sql.GraftExprBridge.expression(lower(text)), n))
+
   /** 64-bit frequency-weighted SimHash over whitespace tokens (native
     * expression, one pass). */
   def simHash64(text: Column): Column =

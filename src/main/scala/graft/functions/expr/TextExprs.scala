@@ -213,6 +213,79 @@ case class ShingleSketch(child: Expression, n: Int, k: Int)
   override def prettyName: String = "shingle_sketch"
 }
 
+/** Positional token n-gram hashes + token count of an
+  * ALREADY-LOWERCASED document: `struct<nt: int, g: array<long>>` with
+  * `nt` = the nonempty whitespace-token count and `g(i)` = a 64-bit
+  * hash of tokens i..i+n-1 (so `g` is posexplode-ready: array index =
+  * gram start position; length = max(nt-n+1, 0) — a document shorter
+  * than n tokens carries NO grams, unlike the shingle family's
+  * whole-text fallback). One pass, one fnv64 per TOKEN plus an n-term
+  * polynomial fold per gram — the kernel behind the exact-substring
+  * span markers and the duplicated-n-gram profiles, replacing an
+  * interpreted HOF chain (transform + sequence + slice + concat_ws +
+  * xxhash64) that re-walked every gram's characters and allocated a
+  * slice array and a gram string per position.
+  *
+  * Hash EQUALITY CLASSES (all any caller uses — grams only ever group,
+  * join, and count by equality) match the legacy chain's: equal token
+  * sequences hash equal, unequal ones differ modulo 64-bit collisions
+  * — the same caveat `xxhash64(concat_ws(" ", slice(...)))` carried
+  * (single-space-joining whitespace-free tokens is injective, so gram
+  * string equality IS token-sequence equality). Like
+  * [[HashedGramFeatures]], expects ALREADY-LOWERCASED input — wrappers
+  * compose Spark's own `Lower` above (UTF8String/Java lowercasing
+  * applies context-sensitive SpecialCasing that `lower()` does not),
+  * and lowercasing never creates or destroys whitespace, so
+  * tokenizing lowered text equals lowering each original token. */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("nt",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("g",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"gram_hashes needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val raw = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
+    // drop empties (split("\\s+", -1) leaves one before a leading
+    // separator and one for the empty string)
+    var nt = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) nt += 1; i += 1 }
+    val m = nt - n + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        nt, new GenericArrayData(Array.emptyLongArray))
+    // hash each token once; grams fold the token hashes
+    val th = new Array[Long](nt)
+    var w = 0
+    i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { th(w) = TextHash.fnv64(raw(i)); w += 1 }
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        h = h * 0x100000001b3L + th(i + j)
+        j += 1
+      }
+      out(i) = TextHash.splitmix64(h)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nt, new GenericArrayData(out))
+  }
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
 /** 64-bit SimHash over whitespace tokens (frequency-weighted ±1 per
   * bit): `long`, one pass with a primitive counter array. */
 case class SimHash64(child: Expression)

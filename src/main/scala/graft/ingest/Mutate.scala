@@ -61,12 +61,22 @@ object Mutate {
       df.filter(predicate)
     }
     st.map { case (fs, root, affectedTokens, affectedDf) =>
-      val survivors = affectedDf.filter(!(predicate <=> lit(true)))
-      val affectedRows = affectedDf.count()
-      val rewrittenRows = survivors.count()
+      // accounting rides the rewrite write as observed metrics (r17,
+      // guide §5 — don't recompute the expensive subtree): one job
+      // scans the affected tokens, counting rows below and above the
+      // delete filter, instead of two standalone count jobs plus the
+      // write re-reading the same files a third time
+      val obsAff = org.apache.spark.sql.Observation()
+      val obsSurv = org.apache.spark.sql.Observation()
+      val survivors = affectedDf.observe(obsAff, count(lit(1)).as("n"))
+        .filter(!(predicate <=> lit(true)))
+        .observe(obsSurv, count(lit(1)).as("n"))
       publish(spark, fs, root, survivors, partitionCols, format, compression,
-        affectedTokens, matched = affectedRows - rewrittenRows,
-        inserted = 0L, rewrittenRows = rewrittenRows)
+        affectedTokens) { () =>
+        val affectedRows = obsAff.get("n").asInstanceOf[Long]
+        val rewrittenRows = obsSurv.get("n").asInstanceOf[Long]
+        (affectedRows - rewrittenRows, 0L, rewrittenRows)
+      }
     }
   }
 
@@ -123,23 +133,36 @@ object Mutate {
     }
     st match {
       case Some((fs, root, affectedTokens, affectedDf)) =>
-        val survivors = affectedDf.join(keys, keyCols, "left_anti")
-        val survCount = survivors.count()
-        val srcCount = src.count()
-        val matched = affectedDf.count() - survCount
-        // net-new keys = upsert rows whose key matched nothing old.
-        // `matched` counts DELETED rows too, so with a delete set the
-        // upsert keys must be matched specifically (cheap: the probe
-        // already narrowed affectedDf to the changed tokens); without
-        // one every matched row IS a matched upsert
-        val matchedUpserts = if (deletes.isEmpty) matched
-          else affectedDf.join(src.select(keyCols.map(col): _*),
-            keyCols, "left_semi").count()
-        val rewrite = survivors.unionByName(src.select(affectedDf.columns.map(col): _*))
+        // accounting rides the rewrite write as observed metrics (r17,
+        // guide §5): affected-row, survivor and source counts are all
+        // collected inside the ONE job that writes the rewrite,
+        // replacing three standalone count jobs that re-scanned the
+        // affected tokens and the source
+        val obsAff = org.apache.spark.sql.Observation()
+        val obsSurv = org.apache.spark.sql.Observation()
+        val obsSrc = org.apache.spark.sql.Observation()
+        val survivors = affectedDf.observe(obsAff, count(lit(1)).as("n"))
+          .join(keys, keyCols, "left_anti")
+          .observe(obsSurv, count(lit(1)).as("n"))
+        val rewrite = survivors.unionByName(
+          src.select(affectedDf.columns.map(col): _*)
+            .observe(obsSrc, count(lit(1)).as("n")))
         publish(spark, fs, root, rewrite, partitionCols, format, compression,
-          affectedTokens, matched,
-          inserted = math.max(0L, srcCount - matchedUpserts),
-          rewrittenRows = survCount + srcCount)
+          affectedTokens) { () =>
+          val survCount = obsSurv.get("n").asInstanceOf[Long]
+          val srcCount = obsSrc.get("n").asInstanceOf[Long]
+          val matched = obsAff.get("n").asInstanceOf[Long] - survCount
+          // net-new keys = upsert rows whose key matched nothing old.
+          // `matched` counts DELETED rows too, so with a delete set the
+          // upsert keys must be matched specifically (cheap: the probe
+          // already narrowed affectedDf to the changed tokens); without
+          // one every matched row IS a matched upsert
+          val matchedUpserts = if (deletes.isEmpty) matched
+            else affectedDf.join(src.select(keyCols.map(col): _*),
+              keyCols, "left_semi").count()
+          (matched, math.max(0L, srcCount - matchedUpserts),
+            survCount + srcCount)
+        }
       case None =>
         // empty table or no matches anywhere: deletes are no-ops and
         // the upserts are a pure insert (still a rewrite-class commit -
@@ -221,9 +244,15 @@ object Mutate {
              compression: String = "zlib"): MutateResult = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = df.count()
-    publish(spark, fs, root, df, partitionCols, format, compression,
-      Set.empty, matched = 0L, inserted = n, rewrittenRows = n)
+    // row accounting observed during the ONE write job (r17, guide §5)
+    // — the standalone count() evaluated the whole source frame twice
+    // (for appendZOrdered that included the range exchange + sort)
+    val obs = org.apache.spark.sql.Observation()
+    publish(spark, fs, root, df.observe(obs, count(lit(1)).as("n")),
+      partitionCols, format, compression, Set.empty) { () =>
+      val n = obs.get("n").asInstanceOf[Long]
+      (0L, n, n)
+    }
   }
 
   /** Append `df` as one commit whose files are Z-ORDERED on `zCols`
@@ -292,11 +321,14 @@ object Mutate {
     }
   }
 
+  /** Write + publish `df` as one commit, then build the result from
+    * `counts` — a thunk so callers can read `Observation` metrics the
+    * write job just collected (matched, inserted, rewrittenRows). */
   private def publish(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                       root: Path, df: DataFrame, partitionCols: Seq[String],
                       format: String, compression: String,
-                      superseded: Set[String], matched: Long, inserted: Long,
-                      rewrittenRows: Long): MutateResult = {
+                      superseded: Set[String])
+                     (counts: () => (Long, Long, Long)): MutateResult = {
     var stamp = System.currentTimeMillis()
     while (fs.exists(new Path(root, s"_commits/c$stamp"))) stamp += 1
     val token = s"c$stamp"
@@ -307,6 +339,7 @@ object Mutate {
       df.repartition(partitionCols.map(col): _*) else df
     Compact.publishRewrite(spark, fs, root, token, arranged,
       partitionCols, format, compression, superseded)
+    val (matched, inserted, rewrittenRows) = counts()
     MutateResult(token, superseded.toSeq.sorted, matched, inserted,
       rewrittenRows)
   }
