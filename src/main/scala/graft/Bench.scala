@@ -682,7 +682,10 @@ object Bench {
       "q164_streaming_neardup_suppress", "q174_index_integrity",
       "q171_semantic_suppress_explain", "q165_merge_neardup_indexes",
       "q176_merge_ivf_indexes", "q204_sql_commit_log",
-      "q211_sql_pii_ledger")
+      "q211_sql_pii_ledger",
+      // q215's bktcommit fixture (added r17) — the one
+      // fixture_builds_during_timed offender in the driver's r17 c8 run
+      "q215_bucketed_commit_join")
       .filter(SparkEntry.queries.contains)
       .foreach(q => try materialize(q) catch { case _: Throwable => () })
     dropCaches()
@@ -774,6 +777,26 @@ object Bench {
     // last probe window — the multi-minute scale smoke below would
     // otherwise inflate it and make every clean window look contaminated
     val load1 = load1Now()
+
+    // Core-count scaling probe (VERDICT r17 #2): fixed-size kernels big
+    // enough that the c8/c32 seconds ratio measures the ENGINE's
+    // parallelism, not per-job fixed cost — the signal the sf0.1 query
+    // map cannot carry. Runs after the headline load1 capture so its
+    // burst contaminates nothing. 0 reps disables.
+    val scalingTimes: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING_PROBE", "1") != "1") Seq.empty
+      else try ScalingProbe.run(spark)
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] scaling probe FAILED — ${t.getClass.getSimpleName}: ${t.getMessage}")
+          Seq.empty
+      } finally dropCaches()
+    scalingTimes.foreach { case (k, v) =>
+      System.err.println(f"[bench] scaling probe $k%-12s $v%6.1f s") }
+    val scalingJson =
+      if (scalingTimes.isEmpty) ""
+      else s""","scaling_probe":{"cpus":$cpus,${scalingTimes.map { case (k, v) =>
+        "\"" + BenchLine.esc(k) + "\":" + BenchLine.f2(v) }.mkString(",")}}"""
 
     // Scale smoke (VERDICT r11 #5, r12 #1): sf0.1 is 17 MB — drive the
     // heavy pipeline operators through one batch each against a
@@ -898,7 +921,7 @@ object Bench {
       else
         s""","ingest_ambient_samples":${bucketedAmbients.takeRight(ambCap).map(BenchLine.f2).mkString("[", ",", "]")},"ingest_io10_samples":${bucketedIos.takeRight(ambCap).map(BenchLine.f1).mkString("[", ",", "]")},"ingest_ambient_samples_capped":${bucketedAmbients.size - ambCap}$gateTail"""
     val samples =
-      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_forked_samples":${forkedBatchSamples.mkString("[", ",", "]")},"ingest_forked_ambient_samples":${forkedBatchAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_forked_io10_samples":${forkedBatchIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_forked_error":"${BenchLine.esc(forkedBatchError)}","ingest_forked_stream_samples":${forkedStreamSamples.map(f => f.map(BenchLine.f2).mkString("[", ",", "]")).mkString("[", ",", "]")},"ingest_forked_stream_error":"${BenchLine.esc(forkedStreamError)}","ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_io10_samples":${unbucketedIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_unbucketed_best_io10":${BenchLine.f1(ingestUnbIo)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_io10_windows":${streamIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_streaming_best_io10":${BenchLine.f1(streamBestGatedIo)},"io_gate":${BenchLine.f1(ioGate)},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scaleSmokeJson"""
+      s""","probe_reps":$probeReps,"ingest_rows":$ingestRows,"ingest_forked_samples":${forkedBatchSamples.mkString("[", ",", "]")},"ingest_forked_ambient_samples":${forkedBatchAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_forked_io10_samples":${forkedBatchIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_forked_error":"${BenchLine.esc(forkedBatchError)}","ingest_forked_stream_samples":${forkedStreamSamples.map(f => f.map(BenchLine.f2).mkString("[", ",", "]")).mkString("[", ",", "]")},"ingest_forked_stream_error":"${BenchLine.esc(forkedStreamError)}","ingest_samples":${bucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_samples":${unbucketedSamples.mkString("[", ",", "]")},"ingest_unbucketed_ambient_samples":${unbucketedAmbients.map(BenchLine.f2).mkString("[", ",", "]")},"ingest_unbucketed_io10_samples":${unbucketedIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_unbucketed_headline_gated":$ingestUnbGated,"ingest_unbucketed_best_ambient":${BenchLine.f2(ingestUnbAmbient)},"ingest_unbucketed_best_io10":${BenchLine.f1(ingestUnbIo)},"ingest_streaming_samples":${streamSamples.mkString("[", ",", "]")},"ingest_streaming_max_rows_per_sec":${streamBestAbs._2},"ingest_streaming_max_load1":${BenchLine.f3(streamBestAbsLoad1)},"ingest_streaming_headline_gated":$gatedHeadline,"ingest_streaming_best_ambient":${BenchLine.f3(streamBestGatedAmbient)},"load1_windows":${loadWindows.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load1_windows":${streamLoads.map(BenchLine.f3).mkString("[", ",", "]")},"stream_ambient_windows":${streamAmbients.map(BenchLine.f3).mkString("[", ",", "]")},"stream_io10_windows":${streamIos.map(BenchLine.f1).mkString("[", ",", "]")},"ingest_streaming_best_io10":${BenchLine.f1(streamBestGatedIo)},"io_gate":${BenchLine.f1(ioGate)},"stream_gate_passing":$streamGatePassing,"stream_gate_target":$streamGateTarget,"stream_zero_committed_retries":$streamZeroRetries,"stream_stall_retries":$streamStallRetries,"wait_quiet_sec":${quietWaits.map(BenchLine.f3).mkString("[", ",", "]")},"stream_load_gate":${BenchLine.f2(streamLoadGate)},"query_retry_sec":${BenchLine.f2(retrySec)},"load1_post_smoke":${BenchLine.f3(load1Now())},"own_load_ewma":${BenchLine.f3(ownLoadNow())},"ambient_sampler_errors":${AmbientLoad.samplerErrors},"ambient_sampler_dead":${AmbientLoad.samplerDead},"smoke_stage_errors":${smokeErrors.map(k => "\"" + BenchLine.esc(k) + "\"").mkString("[", ",", "]")},"query_load1":$queryLoads,"query_amb":$queryAmbs$fixtureJson$ingestGateJson$scalingJson$scaleSmokeJson"""
     // Full-name, full-precision record → file (never truncated there).
     val full = BenchLine.render(head, results,
       results.map { case (k, v) => k -> v.toString }, samples)
@@ -928,7 +951,7 @@ object Bench {
     // the END (smoke summary first, gate provenance second, the
     // full-map binding last — it is what makes the rest auditable)
     val compact = BenchLine.compact(head, results,
-      Seq(shaSegment, ingestGateJsonCompact, scaleSmokeJsonCompact))
+      Seq(shaSegment, scalingJson, ingestGateJsonCompact, scaleSmokeJsonCompact))
     println(compact)
     System.out.flush()
     spark.stop()

@@ -408,16 +408,37 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$target/sketches")
     val sets = spark.read.parquet(s"$target/sketches")
     val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-      .localCheckpoint() // vocabulary-sized; feeds the dfreq write AND the ranking join
-    try {
-      dfc.write.mode("overwrite").parquet(s"$target/dfreq")
-      toks.join(dfc, "tok")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
-        .select(col("doc_id"), col("n"), col("tok"), col("pos"))
-        .write.mode("overwrite").parquet(s"$target/postings")
-    } finally releaseCheckpoint(dfc)
+    // Postings in TWO hash aggregations, no join and no window sort
+    // (r18, guide §2.4/§1.2): the old shape aggregated dfc, PINNED it
+    // in a vocabulary-sized localCheckpoint (at 10M docs the trigram
+    // vocabulary is itself corpus-sized — most shingles are unique to
+    // one content id), sort-merge-joined it back onto the token frame,
+    // and ranked positions with a row_number window — a full sort of
+    // every token row. The df count and the per-token doc list come out
+    // of ONE groupBy(tok) (partial aggregation map-side); the per-doc
+    // position under the (dfc, tok) order is an ARRAY sort of that
+    // doc's ~n tokens after the doc-keyed regroup, not a partition
+    // sort. Token rows cross the network twice (tok-keyed, doc-keyed) —
+    // the two fundamentally required placements — and nothing pins.
+    // Positions are bit-identical: tok is unique per doc (sh is a set),
+    // so the struct(dfc, tok) order is total, exactly row_number's
+    // orderBy(dfc, tok) − 1.
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"),
+        collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .select(col("tok"), col("dfc"), explode(col("ds")).as("d"))
+      .groupBy(col("d.doc_id").as("doc_id"), col("d.n").as("n"))
+      .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"))
+      .select(col("doc_id"), col("n"), posexplode(col("arr")))
+      .select(col("doc_id"), col("n"), col("col.tok").as("tok"),
+        col("pos").cast("int").as("pos"))
+      .write.mode("overwrite").parquet(s"$target/postings")
+    // dfreq re-derives from the postings just written (one row per
+    // (doc, tok), so rows-per-tok IS the document frequency): a
+    // column-pruned scan of compressed longs instead of a second
+    // shingling pass over the corpus text.
+    spark.read.parquet(s"$target/postings")
+      .groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      .write.mode("overwrite").parquet(s"$target/dfreq")
     next.foreach(v => VersionedIndex.commitPointer(spark, path, v))
   }
 
@@ -434,12 +455,27 @@ object Dedup {
     * only affects which toks occupy the prefix — any fixed rule is
     * correct; 0 sorts them first (rarest-like, the df-ascending
     * spirit). */
-  private def rankUnderFrozenOrder(toks: DataFrame, dfreq: DataFrame): DataFrame =
-    toks.join(dfreq, Seq("tok"), "left")
+  private def rankUnderFrozenOrder(toks: DataFrame, dfreq: DataFrame): DataFrame = {
+    // `toks` is commit-sized while `dfreq` is the corpus VOCABULARY —
+    // at 10M indexed docs the frozen-order table is itself corpus-sized,
+    // and the left join (which can only build-right, i.e. would have to
+    // broadcast the CORPUS side) sort-merged all of it per micro-batch.
+    // Prefilter it to the batch's own tokens with a semi-join whose
+    // build side is the batch-sized distinct-token set (guide §3.2) —
+    // unhinted, so AQE picks the strategy (it converts both this semi
+    // join and the left join below to broadcast-hash at runtime once
+    // the batch side's measured size is visible; a corpus-sized side is
+    // never hinted onto the driver). Unmatched toks still rank with
+    // dfc→0 via the left join's nulls — the frozen-order contract is
+    // unchanged.
+    val slice = dfreq.join(
+      toks.select(col("tok")).distinct(), Seq("tok"), "left_semi")
+    toks.join(slice, Seq("tok"), "left")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(coalesce(col("dfc"), lit(0L)), col("tok"))) - 1)
       .select(col("doc_id"), col("n"), col("tok"), col("pos"))
+  }
 
   /** Append documents to a persisted containment index under its own
     * frozen parameters and shingle order. Sketches land BEFORE

@@ -136,7 +136,10 @@ object AbIvfBuild {
       if (args.length > i) args(i) else default
     val rows = argAt(0, "50000000").toLong
     val reps = argAt(1, "2").toInt
-    val outJson = argAt(2, "bench_ab_r17_ivf.json")
+    val outJson = argAt(2, "bench_ab_r18_ivf.json")
+    // r18: kind filter (ivf|pq|both) so the plain-IVF contradiction can
+    // re-run at ≥3 reps without paying the (already-proven) PQ legs
+    val kindFilter = argAt(3, "both")
     val spark = graft.core.Sessions.local("graft-ab-ivf")
     graft.AmbientLoad.start()
     val root = java.nio.file.Files.createTempDirectory("graft-ab-ivf")
@@ -206,15 +209,23 @@ object AbIvfBuild {
         slice.filter(col("vec_id") < indexRows / 50), s"$root/warm",
         cells = math.min(cells, 64))
       rmrf(new java.io.File(s"$root/warm"))
+      val kinds = kindFilter match {
+        case "ivf" => Seq("ivf"); case "pq" => Seq("pq")
+        case _ => Seq("ivf", "pq")
+      }
+      // leg ORDER alternates per rep (r18): the r17 run always put
+      // legacy first, so the library leg systematically ran with the
+      // dirtier heap/page cache — the exact bias class the fresh-JVM
+      // smoke fork exists for
       (1 to reps).foreach { r =>
-        leg("ivf", "legacy", r); leg("ivf", "sketchfirst", r)
-        leg("pq", "legacy", r); leg("pq", "sketchfirst", r)
+        val order = if (r % 2 == 1) Seq("legacy", "sketchfirst")
+          else Seq("sketchfirst", "legacy")
+        kinds.foreach(k => order.foreach(v => leg(k, v, r)))
       }
       def allEqual(kind: String): Boolean =
         gateValues.collect { case (k, v) if k.startsWith(s"$kind#") => v }
           .distinct.size == 1
-      require(allEqual("ivf"), s"IVF survivor-flag drift: $gateValues")
-      require(allEqual("pq"), s"PQ codes-checksum drift: $gateValues")
+      kinds.foreach(k => require(allEqual(k), s"$k gate drift: $gateValues"))
       val json = s"""{"tool":"AbIvfBuild","rows":$rows,"index_rows":$indexRows,""" +
         s""""batch_rows":$batchRows,"cells":$cells,"gates_identical":true,""" +
         s""""runs":[${entries.mkString(",")}]}"""

@@ -39,9 +39,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   * constructor); no Spark internals are modified — the
   * [[GraftExprBridge]] pattern. */
 object GraftCheckpointBridge {
+  /** A/B kill-switch (r18 graph_cc adjudication): `-Dgraft.declareHash=off`
+    * (or env GRAFT_DECLARE_HASH=off) makes every declaration a no-op, so a
+    * probe can run the EXACT shipped code with only the layout declaration
+    * removed. Read per call — a probe may flip it between legs. Default on. */
+  private def enabled: Boolean = {
+    val v = sys.props.get("graft.declareHash")
+      .orElse(sys.env.get("GRAFT_DECLARE_HASH")).getOrElse("on")
+    v != "off" && v != "0" && v != "false"
+  }
+
   def declareHashPartitioning(df: DataFrame, keys: Seq[String],
                               np: Int): DataFrame =
-    df.queryExecution.analyzed match {
+    if (!enabled) df
+    else df.queryExecution.analyzed match {
       case lr @ LogicalRDD(output, rdd, _, ordering, isStreaming, stream)
           if rdd.getNumPartitions == np =>
         val attrs = keys.map(k => output.find(_.name == k).getOrElse(
