@@ -57,15 +57,31 @@ private[graft] object AppendLedger {
     * aggregation over the already-materialized batch): count plus two
     * independent xxhash64 sums, decimal-summed (ANSI long addition
     * would overflow), folded through MD5 into a filename-safe token. */
-  def token(batch: DataFrame, idCol: String): String = {
+  def token(batch: DataFrame, idCol: String): String =
+    tokenFromRow(batch.agg(tokenAggs(idCol).head, tokenAggs(idCol).tail: _*)
+      .head())
+
+  /** The [[token]] aggregate columns, exposed so a suppressor can ride
+    * them on an existing materialization job via `Dataset.observe`
+    * (r18: one standalone aggregation job per commit saved) instead of
+    * calling [[token]]. The digest formula is SHARED with [[token]] —
+    * the marker files a replay checks are keyed by it. */
+  def tokenAggs(idCol: String): Seq[org.apache.spark.sql.Column] = {
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-    val r = batch.agg(
+    Seq(
       count(lit(1)),
       coalesce(sum(xxhash64(col(idCol)).cast("decimal(38,0)")), zero),
       coalesce(sum(xxhash64(lit(0x9e3779b97f4a7c15L), col(idCol))
-        .cast("decimal(38,0)")), zero)
-    ).head()
-    val raw = s"${r.getLong(0)}|${r.getDecimal(1)}|${r.getDecimal(2)}"
+        .cast("decimal(38,0)")), zero))
+  }
+
+  /** Fold a [[tokenAggs]] result row into the marker token. */
+  def tokenFromRow(r: org.apache.spark.sql.Row): String =
+    tokenFromParts(r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+
+  def tokenFromParts(count: Long, h1: java.math.BigDecimal,
+                     h2: java.math.BigDecimal): String = {
+    val raw = s"$count|$h1|$h2"
     java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }

@@ -1024,14 +1024,34 @@ object Dedup {
     val spark = batch.sparkSession
     val root = VersionedIndex.resolveRoot(spark, path)
     val (shingle, hashes, bands) = readNearDupParams(spark, root)
+    require(hashes % bands == 0, "hashes must divide evenly into bands")
     // the batch's raw rows and both signature forms each feed 2+
     // subplans — materialize once, release at exit (a stream calls
     // this per micro-batch; internal caches would pin blocks for the
     // stream's lifetime). r17: the two signature forms come from ONE
     // combined-sketch checkpoint (one shingling pass + one
-    // materialization job per commit instead of two of each).
-    val b = PlanAudit.checkpoint(batch)
-    val sk = PlanAudit.checkpoint(sketchSig(b, idCol, textCol, shingle, hashes, bands))
+    // materialization job per commit instead of two of each). r18: the
+    // batch rows and the sketch ride the SAME checkpoint (the sketch is
+    // a projection of the batch — a second checkpoint was a second
+    // materialization job per commit), and the append ledger's token
+    // aggregates ride it as observe metrics instead of a standalone
+    // aggregation job: 3 jobs per commit folded into 1.
+    val obs = org.apache.spark.sql.Observation()
+    val tokAggs = AppendLedger.tokenAggs(idCol)
+    val ck = PlanAudit.checkpoint(batch
+      .observe(obs, tokAggs.head.as("c"),
+        tokAggs(1).as("h1"), tokAggs(2).as("h2"))
+      .withColumn("__gsig", shingleSketch(lower(col(textCol)), shingle, hashes)))
+    val b = ck.drop("__gsig")
+    val rowsPerBand = hashes / bands
+    // the sketchSig views, derived from the shared checkpoint: sh/mh
+    // are STORED; n and the per-band keys are narrow projections over
+    // them (bit-identical to sketchSig's — same expressions)
+    val sk = ck.select(col(idCol).as("doc_id"), col("__gsig.sh").as("sh"),
+      size(col("__gsig.sh")).as("n"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        bd => xxhash64(bd, slice(col("__gsig.mh"), bd * lit(rowsPerBand) + 1,
+          lit(rowsPerBand)))).as("bkeys"))
     val freshSets = setsFromSig(sk)
     val freshBands = bandsFromSig(sk)
     try {
@@ -1072,8 +1092,13 @@ object Dedup {
       // caller holding it, so release here.
       try {
         val keepIds = keep.select(col(idCol).as("doc_id"))
-        AppendLedger.appendOnce(spark, path,
-            AppendLedger.token(b, idCol)) { repair =>
+        // token from the checkpoint job's observe metrics — the ONE
+        // aggregation formula appendOnce's marker files are keyed by
+        val tok = AppendLedger.tokenFromParts(
+          obs.get("c").asInstanceOf[Long],
+          obs.get("h1").asInstanceOf[java.math.BigDecimal],
+          obs.get("h2").asInstanceOf[java.math.BigDecimal])
+        AppendLedger.appendOnce(spark, path, tok) { repair =>
           val sk = freshSets.join(keepIds, "doc_id")
           (if (!repair) sk
            else {
@@ -1105,7 +1130,7 @@ object Dedup {
         }
       } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
       keep
-    } finally Seq(b, sk).foreach(releaseCheckpoint)
+    } finally releaseCheckpoint(ck)
   }
 
   /** DRY-RUN of [[nearDupSuppressAndIndex]] — the per-document
@@ -1676,9 +1701,17 @@ object Dedup {
     val spark = batch.sparkSession
     val root = VersionedIndex.resolveRoot(spark, path)
     val maxHamming = readHammingParams(spark, root)
-    val b = PlanAudit.checkpoint(batch)
-    val freshChunks =
-      PlanAudit.checkpoint(sigChunks(b, idCol, sigCol, maxHamming))
+    // r18: ONE checkpoint per commit — the chunk rows are bit
+    // shifts/masks over the stored sig (trivially recomputed per
+    // consumer, unlike the near-dup sketch), so their own checkpoint
+    // was a pure materialization job; the append ledger's token
+    // aggregates ride the batch checkpoint as observe metrics instead
+    // of a standalone aggregation job. 3 jobs per commit → 1.
+    val tokObs = org.apache.spark.sql.Observation()
+    val tokAggs = AppendLedger.tokenAggs(idCol)
+    val b = PlanAudit.checkpoint(batch.observe(tokObs, tokAggs.head.as("c"),
+      tokAggs(1).as("h1"), tokAggs(2).as("h2")))
+    val freshChunks = sigChunks(b, idCol, sigCol, maxHamming)
     try {
       val bIds = b.select(col(idCol).as("__bid")).distinct()
       val idxChunks = spark.read.parquet(s"$root/chunks")
@@ -1700,7 +1733,10 @@ object Dedup {
         .join(dropped, afterIndex(idCol) === col("__drop_id"), "left_anti"))
       try {
         AppendLedger.appendOnce(spark, path,
-            AppendLedger.token(b, idCol)) { repair =>
+            AppendLedger.tokenFromParts(
+              tokObs.get("c").asInstanceOf[Long],
+              tokObs.get("h1").asInstanceOf[java.math.BigDecimal],
+              tokObs.get("h2").asInstanceOf[java.math.BigDecimal])) { repair =>
           val rows = freshChunks
             .join(keep.select(col(idCol).as("doc_id")), "doc_id")
           (if (!repair) rows
@@ -1720,7 +1756,7 @@ object Dedup {
         }
       } catch { case t: Throwable => releaseCheckpoint(keep); throw t }
       keep
-    } finally Seq(b, freshChunks).foreach(releaseCheckpoint)
+    } finally releaseCheckpoint(b)
   }
 
   /** DRY-RUN of [[hammingSuppressAndIndex]] — the decision table for
@@ -2319,10 +2355,11 @@ object Dedup {
     var prevId: Option[Int] = None
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
-    // decimal(38,0) exact sum: strictly decreasing until fixpoint (ids
-    // can be any long; 1e10 rows × 9e18 ids still fits 38 digits)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // decimal(38,0) exact convergence sum: strictly decreasing until
+    // fixpoint (ids can be any long; 1e10 rows × 9e18 ids still fits
+    // 38 digits). r18: the sum rides the chase2 checkpoint job as an
+    // observe metric — the standalone labelSum aggregation was one
+    // extra job and one extra pass over the labels frame per iteration.
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
@@ -2341,17 +2378,21 @@ object Dedup {
       // key) — deliberately un-hinted so AQE's skew-join split (on by
       // default) re-splits those partitions; the per-key match side is
       // a single row, the duplicable case the splitter handles.
-      def chase(df: DataFrame): DataFrame = {
+      def chase(df: DataFrame,
+                obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
         val byNode = df.select(col("node").as("pnode"), col("label").as("plabel"))
-        PlanAudit.checkpoint(df
+        val joined = df
           .join(byNode, df("label") === byNode("pnode"))
-          .select(df("node"), least(df("label"), col("plabel")).as("label")))
+          .select(df("node"), least(df("label"), col("plabel")).as("label"))
+        PlanAudit.checkpoint(obs.fold(joined)(o => joined.observe(o,
+          sum(col("label").cast("decimal(38,0)")).as("s"))))
       }
-      val chased1 = chase(stepped)
+      val chased1 = chase(stepped, None)
       release(ownRddId(stepped))
-      val next = chase(chased1)
+      val sumObs = org.apache.spark.sql.Observation()
+      val next = chase(chased1, Some(sumObs))
       release(ownRddId(chased1))
-      val s = labelSum(next)
+      val s = sumObs.get("s").asInstanceOf[java.math.BigDecimal]
       converged = (s == null && prevSum == null) ||
         (s != null && prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s

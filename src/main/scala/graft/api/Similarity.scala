@@ -743,8 +743,13 @@ object Similarity {
     // the batch and its probed/assigned projections each feed 2+
     // subplans (probed-cells collect + flag join; both sides of the
     // cell-keyed within-batch join; the append) — materialize once,
-    // release at exit, like the text-side twin
-    val b = PlanAudit.checkpoint(batch)
+    // release at exit, like the text-side twin. r18: the append
+    // ledger's token aggregates ride this checkpoint as observe
+    // metrics instead of a standalone aggregation job per commit.
+    val tokObs = org.apache.spark.sql.Observation()
+    val tokAggs = AppendLedger.tokenAggs(idCol)
+    val b = PlanAudit.checkpoint(batch.observe(tokObs, tokAggs.head.as("c"),
+      tokAggs(1).as("h1"), tokAggs(2).as("h2")))
     val q = PlanAudit.checkpoint(
       withNorm(b.filter(col(vecCol).isNotNull), idCol, vecCol)
         .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"),
@@ -807,7 +812,10 @@ object Similarity {
         val toIndex = aAssigned.join(
           keep.select(col(idCol).as("vec_id")), Seq("vec_id"))
         AppendLedger.appendOnce(spark, path,
-            AppendLedger.token(b, idCol)) { repair =>
+            AppendLedger.tokenFromParts(
+              tokObs.get("c").asInstanceOf[Long],
+              tokObs.get("h1").asInstanceOf[java.math.BigDecimal],
+              tokObs.get("h2").asInstanceOf[java.math.BigDecimal])) { repair =>
           val rows =
             if (!repair) toIndex
             else {

@@ -514,6 +514,10 @@ class PlanShapeSpec extends AnyFunSuite {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
       .replaceAll("cachedrdd-\\d+", "cachedrdd-x")
+      // Observation names are per-instance UUIDs (keepOne's convergence
+      // sum rides a CollectMetrics node since r18)
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "uuid-x")
 
   private def tvfMatchesTwin(name: String)(api: => Unit)(sql: String): Unit = {
     val apiStages = capturedPlans(api).map(normalizePlan)

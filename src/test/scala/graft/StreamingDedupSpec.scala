@@ -59,6 +59,27 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(indexedIds(idx) == Set(100L, 5L, 10L, 20L, 31L))
   }
 
+  test("append-ledger token via observe metrics == standalone aggregation") {
+    // r18: the suppressors derive the ledger token from observe metrics
+    // riding the batch checkpoint job (one aggregation job per commit
+    // saved) — the two paths MUST agree or a replayed batch would miss
+    // its own done marker and re-append
+    import graft.api.AppendLedger
+    val b = docsDF(1L -> words("alpha"), 2L -> words("beta"),
+      3L -> words("gamma"))
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = AppendLedger.tokenAggs("doc_id")
+    val ck = b.observe(obs, aggs.head.as("c"), aggs(1).as("h1"),
+      aggs(2).as("h2")).localCheckpoint()
+    val viaObs = AppendLedger.tokenFromParts(
+      obs.get("c").asInstanceOf[Long],
+      obs.get("h1").asInstanceOf[java.math.BigDecimal],
+      obs.get("h2").asInstanceOf[java.math.BigDecimal])
+    assert(viaObs == AppendLedger.token(b, "doc_id"),
+      "observe-derived token must equal the standalone aggregation's")
+    ck.unpersist(false)
+  }
+
   test("replaying a batch is idempotent: same survivors, no index growth") {
     val idx = freshIndex()
     val batch = docsDF(1L -> words("corpus"), 5L -> words("pair"),
