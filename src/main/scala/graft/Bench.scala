@@ -445,8 +445,14 @@ object Bench {
     val (forkedStreamSamples, forkedStreamError) =
       if (forkedStreamReps <= 0) (Seq.empty[Seq[Double]], "")
       else runForkedProbe("stream",
+        // warmup 40 s = two full commit windows (r18): the fresh-JVM
+        // child's FIRST window runs 1.08–1.24M rows/s while warm
+        // windows sustain 1.76–2.12M at io10 = 0 (ProbeIngest phase
+        // attribution) — a 15 s warmup left the gate preferring the
+        // cold window, exactly the under-warm bias the 15 s value was
+        // itself raised from 5 s to fix
         Seq("stream", forkedStreamReps.toString, streamMs.toString,
-          "200000", "1000000", "0", "0", "15000",
+          "200000", "1000000", "0", "0", "40000",
           fmtGate(streamLoadGate), fmtGate(ioGate),
           forkedStreamMax.toString, forkedWaitMs.toString),
         "PROBE_STREAM_SAMPLE=", nFields = 5, timeoutMin = 15)

@@ -403,8 +403,14 @@ object Similarity {
       // per candidate; the exchange pins it to once per probe row and
       // routes queries to their probed cells' shards
       .repartition(col("cell"))
-    val probed = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // probed-cell discovery as its own NARROW pass (r18): collecting
+    // off `q` executed the whole norm+explode subtree AND its exchange
+    // a second time just to learn ≤cells ints; this plan is the same
+    // nearestCells expression over the same rows (identical cell set),
+    // map-side partial-aggregated, no exchange of payload columns.
+    val probed = queries
+      .select(explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(s"$root/vectors")
       .filter(col("cell").isin(probed: _*))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -1397,8 +1403,14 @@ object Similarity {
       // once per probe row; routing queries to their probed cells'
       // shards is also exactly how a sharded IVF service fans out.
       .repartition(col("cell"))
-    val probed = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // probed-cell discovery as its own NARROW pass (r18): collecting
+    // off `q` evaluated the full m×ksub LUT per query row and ran the
+    // cell exchange a second time just to learn ≤cells ints; this plan
+    // is the same nearestCells expression over the same rows (identical
+    // cell set), no LUT, no exchange.
+    val probed = queries
+      .select(explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     if (probed.isEmpty) return (None, probed, q0, root)
     val index = spark.read.parquet(s"$root/codes")
       .filter(col("cell").isin(probed: _*))

@@ -179,6 +179,32 @@ final case class IngestResult(
   */
 object Ingest {
 
+  /** Per-phase wall accounting for [[commitBatch]] (r18, VERDICT #6:
+    * attribute the streaming-vs-batch throughput gap). Cheap atomics —
+    * a couple of nanoTime reads per commit at ~1.5 commits/s — read by
+    * graft.tools.ProbeIngest to print per-phase deltas per rep. Not a
+    * result cache: pure telemetry. */
+  private[graft] object CommitPhases {
+    import java.util.concurrent.atomic.AtomicLong
+    val commits = new AtomicLong
+    val staleGlobNs = new AtomicLong
+    val dedupNs = new AtomicLong
+    val countNs = new AtomicLong
+    val stageNs = new AtomicLong
+    val publishNs = new AtomicLong
+    val sideNs = new AtomicLong
+    val markerNs = new AtomicLong
+    def all: Seq[(String, AtomicLong)] = Seq(
+      "commits" -> commits, "stale_glob" -> staleGlobNs, "dedup" -> dedupNs,
+      "count" -> countNs, "stage_write" -> stageNs, "publish" -> publishNs,
+      "side" -> sideNs, "marker" -> markerNs)
+    def snap(): Map[String, Long] = all.map { case (k, v) => k -> v.get }.toMap
+    private[ingest] def timed[A](acc: AtomicLong)(body: => A): A = {
+      val t0 = System.nanoTime()
+      try body finally acc.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
   /** The run's generated schema: the caller's override or the default
     * Yahoo-benchmark columns (`Stream.java:151-165`). */
   private def dataColumns(cfg: IngestConfig): Seq[Gen.ColSpec] =
@@ -331,26 +357,36 @@ object Ingest {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$path/_commits/$token")
     if (fs.exists(marker)) return 0L
+    CommitPhases.commits.incrementAndGet()
     // A prior attempt may have crashed mid-publish (some files renamed,
     // marker absent): delete any half-published b<token>-* files first
     // so the replay cannot leave duplicates visible to plain directory
     // readers. Partition layout is always <year=Y>/<month=M>, two levels.
-    val stale = fs.globStatus(new Path(s"$path/*/*/b$token-*"))
-    if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+    CommitPhases.timed(CommitPhases.staleGlobNs) {
+      val stale = fs.globStatus(new Path(s"$path/*/*/b$token-*"))
+      if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+    }
     // Near-dup suppression FIRST (cfg.suppressNearDups): rows a prior
     // commit (or an earlier row of this batch) already admitted under
     // the same content fingerprint are dropped before anything else
     // sees them — they neither publish, nor quarantine, nor count.
     val dedupInfo =
       if (cfg.suppressNearDups.isEmpty) None
-      else Some(suppressNearDupRows(cfg, path, token, batch, fs))
+      else Some(CommitPhases.timed(CommitPhases.dedupNs) {
+        suppressNearDupRows(cfg, path, token, batch, fs) })
     try {
-    val working = dedupInfo.fold(batch)(_.kept)
-    // Batch size, counted up front: the raw batch is just the rate
-    // micro-batch's (value, pid) range — nearly free. With suppression
-    // on, the count is the suppressor's kept total (already computed
-    // in its one accounting aggregate).
-    val n = dedupInfo.fold(batch.count())(_.nKept)
+    // Batch size via observe metrics riding the staging write (r18):
+    // the standalone batch.count() re-ran the generator projection over
+    // the whole micro-batch — measured 0.7 s of the ~3.4 s commit path
+    // (ProbeIngest phase attribution), ~20% of commit wall for a number
+    // the write job computes anyway. With suppression on, the count is
+    // the suppressor's kept total (already computed in its accounting
+    // aggregate). With expectations on, the quarantine write consumes
+    // the same subtree first and fires the metric — same rows either
+    // way (deterministic frame, counted above the quarantine split).
+    val obsN = org.apache.spark.sql.Observation()
+    val working = dedupInfo.fold(
+      batch.observe(obsN, count(lit(1)).as("n")))(_.kept)
     // PII scrub FIRST (policy is absolute: quarantined rows persist
     // too, so they must be as redacted as published ones), then the
     // expectations split on the scrubbed frame.
@@ -369,8 +405,8 @@ object Ingest {
     // Expectations split: tag the PROJECTED rows, land the violators
     // in the quarantine (their own token dir, overwritten on replay)
     // before anything publishes, and stage only the clean slice.
-    val (toStage, nCommitted) =
-      if (cfg.expectations.isEmpty) (scrubbed, n)
+    val (toStage, nQuarantined) =
+      if (cfg.expectations.isEmpty) (scrubbed, 0L)
       else {
         val qp = cfg.quarantinePath.getOrElse(sys.error(
           "ingest expectations configured without quarantinePath"))
@@ -383,15 +419,26 @@ object Ingest {
           .write.mode("overwrite").parquet(s"$qp/batch=$token")
         val nq = spark.read.parquet(s"$qp/batch=$token").count()
         (tagged.filter(!col("quarantined"))
-          .drop("violations", "quarantined"), n - nq)
+          .drop("violations", "quarantined"), nq)
       }
     val staging = new Path(s"$path/_staging/$token")
-    toStage
-      .write.mode("overwrite").format(cfg.format)
-      .option("compression", cfg.compression)
-      .options(orcWriteOptions(cfg))
-      .partitionBy("year", "month")
-      .save(staging.toString)
+    CommitPhases.timed(CommitPhases.stageNs) {
+      toStage
+        .write.mode("overwrite").format(cfg.format)
+        .option("compression", cfg.compression)
+        .options(orcWriteOptions(cfg))
+        .partitionBy("year", "month")
+        .save(staging.toString)
+    }
+    // the observe metric is available once a write over the subtree has
+    // run (the staging write at the latest); an EMPTY micro-batch (a
+    // stream's warm-up trigger) can complete with no metrics row at all
+    // — that is genuinely 0 rows, not an error
+    val n = CommitPhases.timed(CommitPhases.countNs) {
+      dedupInfo.fold(
+        obsN.get.getOrElse("n", 0L).asInstanceOf[Long])(_.nKept) }
+    val nCommitted = n - nQuarantined
+    CommitPhases.timed(CommitPhases.publishNs) {
     val stagingQualified = fs.makeQualified(staging).toString
     val stagedFiles = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.Path]
@@ -413,6 +460,7 @@ object Ingest {
       }
     }
     fs.delete(staging, true)
+    }
     // Seen-filter append BEFORE the marker: if the process dies between
     // the two, the replayed batch re-appends the same ids (bloom merge
     // of identical ids is idempotent) — committed ids can never end up
@@ -424,6 +472,7 @@ object Ingest {
     // seen-filter contract ("their ids still enter the filter")
     // forbids skipping them (review r16).
     val rawN = dedupInfo.fold(n)(i => i.nWithin + i.nSeen + i.nKept)
+    CommitPhases.timed(CommitPhases.sideNs) {
     if (rawN > 0) cfg.seenFilterPath.foreach(fp => appendSeenIds(cfg, fp, batch))
     // PII ledger entry BEFORE the marker (same ordering argument as
     // the seen filter: a crash between the two is repaired by the
@@ -457,8 +506,11 @@ object Ingest {
           finally out.close()
         } catch { case _: java.io.IOException => () }
     }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker).close()
+    }
+    CommitPhases.timed(CommitPhases.markerNs) {
+      fs.mkdirs(marker.getParent)
+      fs.create(marker).close()
+    }
     nCommitted
     } finally dedupInfo.foreach(_.release.unpersist(blocking = false))
   }

@@ -52,12 +52,14 @@ object AbIndexBuild {
     } finally dfc.unpersist(blocking = true)
   }
 
-  /** Order-insensitive content checksum of an index component. */
+  /** Order-insensitive content checksum of an index component —
+    * bit_xor of per-row hashes (ANSI mode makes a sum() of longs throw
+    * on overflow, the AbIvfBuild lesson). */
   private def checksum(spark: SparkSession, path: String,
                        cols: Seq[String]): Long =
     spark.read.parquet(path)
-      .agg(sum(xxhash64(cols.map(col): _*)).cast("decimal(38,0)"))
-      .head().getDecimal(0).longValue()
+      .agg(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))"))
+      .head().getLong(0)
 
   private def rmrf(f: java.io.File): Unit = graft.IngestProbes.rmrfQuiet(f)
 
@@ -117,7 +119,12 @@ object AbIndexBuild {
       graft.api.Dedup.buildContainmentIndex(
         slice.filter(col("doc_id") < indexRows / 50), s"$root/warm")
       rmrf(new java.io.File(s"$root/warm"))
-      (1 to reps).foreach { r => leg("legacy", r); leg("grouped", r) }
+      // leg ORDER alternates per rep (r18): a fixed order hands the
+      // second leg the first's dirty page cache every rep
+      (1 to reps).foreach { r =>
+        if (r % 2 == 1) { leg("legacy", r); leg("grouped", r) }
+        else { leg("grouped", r); leg("legacy", r) }
+      }
       val allEqual = survivors.map(_._2).distinct.size == 1 &&
         postSums.distinct.size == 1 && dfreqSums.distinct.size == 1
       require(allEqual, s"CONTENT DRIFT across variants: $survivors " +

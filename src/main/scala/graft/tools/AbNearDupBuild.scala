@@ -118,7 +118,12 @@ object AbNearDupBuild {
       graft.api.Dedup.buildNearDupIndex(
         slice.filter(col("doc_id") < indexRows / 50), s"$root/warm")
       rmrf(new java.io.File(s"$root/warm"))
-      (1 to reps).foreach { r => leg("legacy", r); leg("onepass", r) }
+      // leg ORDER alternates per rep (r18): a fixed order hands the
+      // second leg the first's dirty page cache every rep
+      (1 to reps).foreach { r =>
+        if (r % 2 == 1) { leg("legacy", r); leg("onepass", r) }
+        else { leg("onepass", r); leg("legacy", r) }
+      }
       val identical = sums.map(_._2).distinct.size == 1 &&
         survivors.map(_._2).distinct.size == 1
       require(identical,

@@ -97,10 +97,22 @@ object ProbeIngest {
         IngestProbes.streamOnce(spark, cpus, warmupMs, eps, commitRows, par, groups)
         repLoop(gate, ioGate, maxAttempts, waitQuietMs) { (i, a0, io0) =>
           val l0 = load1
+          val ph0 = graft.ingest.Ingest.CommitPhases.snap()
           val (rows, rate) = IngestProbes.streamOnce(
             spark, cpus, timeoutMs, eps, commitRows, par, groups)
           if (rate > best) best = rate
           println(f"[probe] stream rep$i: $rate%,d rows/s ($rows%,d committed, load1 $l0%.1f, ambient $a0%.2f, io10 $io0%.1f)")
+          // per-phase commit-path attribution (r18, VERDICT #6): wall
+          // seconds each commit phase spent this rep, summed across the
+          // concurrent commit groups (so the total can exceed the rep's
+          // wall when groups overlap)
+          val ph1 = graft.ingest.Ingest.CommitPhases.snap()
+          val deltas = ph1.map { case (k, v) => k -> (v - ph0.getOrElse(k, 0L)) }
+          val nCommits = math.max(1L, deltas.getOrElse("commits", 0L))
+          val phaseStr = deltas.toSeq.filter(_._1 != "commits").sortBy(-_._2)
+            .map { case (k, ns) => f"$k=${ns / 1e9}%.1fs(${ns / 1e6 / nCommits}%.0fms/c)" }
+            .mkString(" ")
+          println(s"[probe] phases rep$i: commits=$nCommits $phaseStr")
           // machine-parseable sample line (VERDICT r16 #1: the
           // streaming probe gets the same fresh-JVM forked form the
           // batch probe grew in r16); Locale.ROOT so a comma-decimal
