@@ -21,12 +21,30 @@ import org.apache.spark.sql.functions._
   * per bench run after the probe windows (its load cannot contaminate
   * a headline: the headline load1 is captured before it runs). */
 object ScalingProbe {
+  /** Standalone runner: `runMain graft.ScalingProbe` times the kernels
+    * at the session's `SPARK_GRAFT_CPUS` without the rest of Bench. */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local("graft-scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark).foreach { case (k, v) =>
+      println(f"[scaling] $k%-12s $v%6.1f s") }
+    spark.stop()
+  }
+
   def run(spark: SparkSession): Seq[(String, Double)] = {
     val sc = spark.sparkContext
-    def timed(name: String)(df: org.apache.spark.sql.DataFrame): (String, Double) = {
+    // each kernel runs at 1/8 scale first (codegen/JIT warm — a single
+    // cold run charges ~3-4 s of constant compile/warm cost to the
+    // timed number, which at 32 cores swamps the parallel fraction and
+    // flattens the very ratio this probe exists to expose), then the
+    // full-size timed run
+    def timed(name: String)(mk: Long => org.apache.spark.sql.DataFrame,
+              rows: Long): (String, Double) = {
+      sc.setJobDescription(s"scaling-probe warm: $name")
+      mk(rows / 8).queryExecution.toRdd.count()
       sc.setJobDescription(s"scaling-probe: $name")
       val t0 = System.nanoTime()
-      df.queryExecution.toRdd.count()
+      mk(rows).queryExecution.toRdd.count()
       sc.setJobDescription(null)
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -40,38 +58,40 @@ object ScalingProbe {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // wide shuffle aggregation: 120M rows → 15M groups (≥20× more keys
     // than partitions at any core count, guide §2.5)
-    out += timed("scale_agg") {
-      spark.range(120000000L)
-        .select(pmod(xxhash64(col("id")), lit(15000000L)).as("k"),
-          xxhash64(col("id"), lit(1)).as("v"))
+    // hash values shift right 33 bits before any sum: ANSI mode throws
+    // on long-sum overflow, and 1.2e8 × 2^31 stays far inside a long
+    out += timed("scale_agg")(n =>
+      spark.range(n)
+        .select(pmod(xxhash64(col("id")), lit(n / 8)).as("k"),
+          shiftright(xxhash64(col("id"), lit(1)), 33).as("v"))
         .groupBy(col("k"))
-        .agg(count(lit(1)).as("c"), sum(col("v")).as("s"), max(col("v")).as("m"))
-    }
+        .agg(count(lit(1)).as("c"), sum(col("v")).as("s"), max(col("v")).as("m")),
+      120000000L)
     // sort-merge join: both sides shuffled and sorted, 40M × 40M
-    out += timed("scale_join") {
-      val a = spark.range(40000000L)
-        .select(col("id").as("k"), xxhash64(col("id")).as("va"))
-      val b = spark.range(40000000L)
-        .select(pmod(xxhash64(col("id"), lit(2)), lit(40000000L)).as("k"),
+    out += timed("scale_join")(n => {
+      val a = spark.range(n)
+        .select(col("id").as("k"), shiftright(xxhash64(col("id")), 33).as("va"))
+      val b = spark.range(n)
+        .select(pmod(xxhash64(col("id"), lit(2)), lit(n)).as("k"),
           col("id").as("vb"))
       a.join(b, "k").groupBy(pmod(col("k"), lit(64)).as("g"))
-        .agg(count(lit(1)).as("c"), sum(col("va") + col("vb")).as("s"))
-    }
-    // compute-bound cell assignment: 3M × 256 cells × 16 dims
-    out += timed("scale_cell") {
-      ScaleSmoke.embeddings(spark, 3000000L)
+        .agg(count(lit(1)).as("c"), sum(col("va")).as("s"), max(col("vb")).as("m"))
+    }, 40000000L)
+    // compute-bound cell assignment: 8M × 256 cells × 16 dims
+    out += timed("scale_cell")(n =>
+      ScaleSmoke.embeddings(spark, n)
         .select(graft.functions.VectorFunctions
           .nearestCell(col("embedding"), centroids).as("cell"))
-        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
-    }
+        .groupBy(col("cell")).agg(count(lit(1)).as("c")),
+      8000000L)
     // text kernel: shingle/gram hashing over 4M generated docs
-    out += timed("scale_gram") {
-      ScaleSmoke.docs(spark, 4000000L)
+    out += timed("scale_gram")(n =>
+      ScaleSmoke.docs(spark, n)
         .select(graft.functions.TextFunctions
           .gramHashes(lower(col("text")), 3).as("gh"))
-        .select(explode(col("gh")).as("g"))
-        .agg(count(lit(1)).as("c"), sum(col("g")).as("s"))
-    }
+        .select(explode(col("gh.g")).as("g"))
+        .agg(count(lit(1)).as("c"), sum(shiftright(col("g"), 33)).as("s")),
+      4000000L)
     out.toSeq
   }
 }
