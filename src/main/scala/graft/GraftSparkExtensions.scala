@@ -82,6 +82,11 @@ object GraftSparkExtensions {
       arity("simhash64", 1, args)
       SimHash64(args(0))
     },
+    fd("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - intersection size of two sorted distinct array<bigint> sets") { args =>
+      arity("sorted_intersect_count", 2, args)
+      SortedIntersectCount(args(0), args(1))
+    },
     fd("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization") { args =>
       arity("nfc_normalize", 1, args)
       NfcNormalize(args(0))

@@ -151,10 +151,14 @@ object Dedup {
     * shingle arrays (sh_a/n_a, sh_b/n_b). The threshold applies to the
     * UNROUNDED Jaccard (rounding first would admit boundary pairs
     * strictly below the threshold — e.g. 0.7999996 rounds to 0.8);
-    * the output column is rounded for presentation/oracle parity only. */
+    * the output column is rounded for presentation/oracle parity only.
+    * Intersection size via the sorted-merge kernel (r18): the shingle
+    * arrays are sorted distinct at every producer, so the count equals
+    * size(array_intersect(...)) with no per-pair hash set or
+    * intersection-array allocation (AbIntersectKernel: 7.3×). */
   private[api] def verify(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jx",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jx") >= threshold)
@@ -278,7 +282,7 @@ object Dedup {
             col("n").as("n_inner")), "doc_inner")
           .join(sets.select(col("doc_id").as("doc_outer"), col("sh").as("sh_b"),
             col("n").as("n_outer")), "doc_outer")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
           .filter(col("inter").cast("double") / col("n_inner") >= threshold)
           .select(col("doc_inner"), col("doc_outer"), col("n_inner"),
             col("n_outer"),
@@ -343,7 +347,7 @@ object Dedup {
             col("n").as("n_f")), "doc_f")
           .join(cs.select(col("doc_id").as("doc_c"), col("sh").as("sh_b")),
             "doc_c")
-          .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          .filter(sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double") /
             col("n_f") >= threshold)
           .select(col("doc_f").as(idCol)).distinct()
         PlanAudit.checkpoint(fresh.join(flagged, Seq(idCol), "left_anti"))
@@ -546,7 +550,7 @@ object Dedup {
           col("n").as("n_f")), "doc_f")
         .join(sketches.select(col("doc_id").as("doc_c"), col("sh").as("sh_b")),
           "doc_c")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        .filter(sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double") /
           col("n_f") >= threshold)
         .select(col("doc_f").as("__flagged")).distinct()
       PlanAudit.checkpoint(

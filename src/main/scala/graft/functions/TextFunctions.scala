@@ -154,6 +154,17 @@ object TextFunctions {
       graft.functions.expr.SimHash64(
         org.apache.spark.sql.GraftExprBridge.expression(text)))
 
+  /** Intersection size of two SORTED DISTINCT `array<long>` sets (the
+    * shingle-hash set representation) — equal by construction to
+    * `size(array_intersect(a, b))` for such inputs, as one codegen'd
+    * merge pass with no per-row allocation (native expression; the
+    * exact-Jaccard / containment verify kernel). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.SortedIntersectCount(
+        org.apache.spark.sql.GraftExprBridge.expression(a),
+        org.apache.spark.sql.GraftExprBridge.expression(b)))
+
   /** Mean char-bigram log-probability under a trained 27-symbol model
     * (TextAnalysis.fitCharBigramLm) — the KenLM-perplexity stand-in for
     * CCNet-style quality filtering. Native expression, one pass, model

@@ -2,11 +2,11 @@ package graft.functions.expr
 
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expressions for the text-sketch hot paths (min-shingle hash,
@@ -642,4 +642,67 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
   override def prettyName: String = "nfc_normalize"
+}
+
+/** Static kernel behind [[SortedIntersectCount]] — kept on an object so
+  * whole-stage codegen can call it by name. */
+object SetOps {
+  /** Number of common elements of two SORTED (ascending), DISTINCT
+    * long arrays: one merge pass, zero allocation. For such inputs the
+    * result equals `size(array_intersect(a, b))` by construction
+    * (array_intersect returns the distinct common elements; a merge
+    * over sorted distinct inputs visits exactly those once). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
+/** `sorted_intersect_count(a, b)`: intersection SIZE of two sorted
+  * distinct `array<long>` sets — the exact-Jaccard / containment verify
+  * kernel. Replaces `size(array_intersect(sh_a, sh_b))` on the shingle
+  * hash sets ([[DistinctShingleHashes]] / [[ShingleSketch]] output and
+  * their persisted parquet form — all sorted distinct by construction):
+  * Spark's `array_intersect` builds a hash set of one side and
+  * materializes the intersection ARRAY per row just so `size` can read
+  * its length; this is one branch-light merge over the two primitive
+  * arrays with no per-row allocation, and it participates in
+  * whole-stage codegen (the HOF is evaluated inside the verify filter,
+  * so fallback would break the fused stage).
+  *
+  * CONTRACT: both inputs sorted ascending and distinct — callers pass
+  * only the shingle-set representation, which is sorted distinct at
+  * every producer. Null-intolerant like `size(array_intersect(...))`
+  * under ANSI (null input → null). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs two array<bigint>, got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.SetOps.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
 }

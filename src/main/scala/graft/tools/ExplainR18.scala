@@ -60,7 +60,11 @@ object ExplainR18 {
       "q172_hamming_suppress",
       "q63_near_dup_keep_one",
       "q57_ann_ivf",
-      "q81_ivfpq_contract"
+      "q81_ivfpq_contract",
+      // + the sorted_intersect_count verify-kernel change (late r18):
+      // the PPJoin pair surface and the LPA consumer of those pairs
+      "q44_near_dup_pairs",
+      "q187_label_propagation"
     ).foreach { q =>
       try dumpQuery(q)
       catch { case t: Throwable =>
