@@ -58,14 +58,20 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length in useful range, low
     * punctuation noise, moderate stopword density. Deterministic
-    * arithmetic only (no transcendentals) for oracle parity. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lenScore = least(nTok / 20.0, lit(1.0)) // saturates at 20 tokens
-    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val stopScore = lit(1.0) - stopwordRatio(text, stopwords)
-    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3).cast("double"), 6)
-  }
+    * arithmetic only (no transcendentals) for oracle parity.
+    *
+    * One-pass native kernel (r18 — see expr.QualityScoreRaw): the
+    * interpreted composition re-split the text three times (token
+    * count, stopword filter, its size guard), ran an interpreted HOF
+    * filter with a per-token isin chain, and materialized the
+    * punctuation-stripped string just to measure it — ~35× the cost of
+    * one tokenization (ProbeQuality; QualityScoreSpec pins bit-equality
+    * against the interpreted form). Spark's own `round` composes above
+    * the raw double, so the rounding rule stays Spark's. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    round(org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.QualityScoreRaw(
+        org.apache.spark.sql.GraftExprBridge.expression(text), stopwords)), 6)
 
   /** Language marker dictionaries for the n-gram/marker-word heuristic
     * language ID. Small, public stopword cores per language. */
@@ -83,17 +89,21 @@ object TextFunctions {
 
   /** Predicted language: argmax marker count, ties broken by language
     * code ascending, 'und' (undetermined) when no marker hits at all.
-    * Encoded as a least-of-sortable-strings pick — `%04d|lang` of the
-    * INVERTED score sorts (score desc, lang asc) — because a when-chain
-    * fold duplicates the accumulator subtree per level and blows up the
-    * expression size; this form references each score twice, total. */
-  def langId(text: Column): Column = {
-    val langs = langMarkers.keys.toSeq.sorted
-    val keyed = langs.map(l =>
-      format_string("%04d|%s", lit(9999) - langScore(text, l), lit(l)))
-    when(greatest(langs.map(langScore(text, _)): _*) <= 0, lit("und"))
-      .otherwise(substring(least(keyed: _*), 6, 2))
-  }
+    *
+    * One-pass native kernel (r18 — see expr.LangIdMarker, which
+    * replicates the least-of-`%04d|lang`-keyed-strings argmax the
+    * interpreted form encoded): the interpreted form re-tokenized and
+    * re-scanned the text once per language per REFERENCE — ten
+    * langScore evaluations for five languages (the keyed strings and
+    * the greatest() guard each hold one) — where one pass with a
+    * token→language-mask lookup computes all five counts
+    * (QualityScoreSpec pins output equality against the interpreted
+    * form). Expects the caller to compose `lower()` above, as before. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.LangIdMarker(
+        org.apache.spark.sql.GraftExprBridge.expression(text),
+        langMarkers.toSeq))
 
   /** Content-defined fingerprint: hex MD5 of the normalized text
     * (lowercased, whitespace-collapsed) — the exact-dup key. */

@@ -706,3 +706,176 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_count"
 }
+
+/** Shared token/char statistics helpers for the quality/lang-id
+  * kernels: the EXACT integer counts the interpreted formulations
+  * derive their floats from. */
+object TextStats {
+  /** Java-regex character-class membership of `[A-Za-z0-9\s]` (the
+    * complement of `qualityScore`'s punctuation class): ASCII
+    * alphanumerics plus Java's default (ASCII-only) `\s` =
+    * `[ \t\n\x0B\f\r]`. */
+  def isKeep(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+      (cp >= '0' && cp <= '9') ||
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      cp == '\f' || cp == '\r'
+
+  /** (codePoints, punctCodePoints) of `s` — codePoints equals Spark's
+    * `length(text)` (UTF8String.numChars counts code points) and
+    * punctCodePoints equals the char count removed by
+    * `regexp_replace(text, "[^A-Za-z0-9\\s]", "")` (Java regex walks
+    * code points, so a supplementary character matches once). */
+  def charAndPunctCounts(s: String): (Int, Int) = {
+    var chars = 0
+    var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      chars += 1
+      if (!isKeep(cp)) punct += 1
+    }
+    (chars, punct)
+  }
+}
+
+/** One-pass composite quality score (UNROUNDED — callers compose
+  * Spark's own `round(_, 6)` above, so the rounding rule stays
+  * Spark's): bit-identical to the interpreted formulation
+  *
+  * {{{
+  *   lenScore  = least(size(split(text,"\\s+")) / 20.0, 1.0)
+  *   punctR    = (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))) / length(text)   (0 when empty)
+  *   punctScore = 1.0 - least(punctR * 4.0, 1.0)
+  *   stopScore = 1.0 - size(filter(toks, isin(stopwords))) / size(toks)  (ratio 0 when no tokens)
+  *   lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
+  * }}}
+  *
+  * because every input to the float math is an INTEGER count computed
+  * with the same semantics (TextHash.tokens IS Spark's
+  * `split(text, "\\s+")`; [[TextStats]] replicates the length/regex
+  * counts; stopword membership is exact string equality, matching
+  * `isin` on string literals), and the IEEE operations then run in the
+  * same order. The interpreted chain re-split the text three times,
+  * ran an interpreted HOF filter with a per-token isin chain, and a
+  * regexp_replace that materialized the stripped string just to take
+  * its length — ~35× the cost of one tokenization (ProbeQuality). */
+case class QualityScoreRaw(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quality_score needs string, got $t")
+  }
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    val toks = TextHash.tokens(str)
+    val nTok = toks.length
+    var stops = 0
+    var i = 0
+    while (i < nTok) {
+      if (stopSet.contains(toks(i))) stops += 1
+      i += 1
+    }
+    val (chars, punct) = TextStats.charAndPunctCounts(str)
+    val lenScore = math.min(nTok.toDouble / 20.0, 1.0)
+    val punctRatio = if (chars == 0) 0.0 else punct.toDouble / chars.toDouble
+    val punctScore = 1.0 - math.min(punctRatio * 4.0, 1.0)
+    val stopScore =
+      1.0 - (if (nTok == 0) 0.0 else stops.toDouble / nTok.toDouble)
+    lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
+  }
+  override protected def withNewChildInternal(c: Expression): QualityScoreRaw =
+    copy(child = c)
+  override def prettyName: String = "quality_score_raw"
+}
+
+/** One-pass marker-word language ID over ALREADY-CASE-FOLDED text —
+  * bit-identical to the interpreted argmax
+  *
+  * {{{
+  *   scores(l) = size(filter(split(text,"\\s+"), isin(markers(l))))
+  *   when(greatest(scores) <= 0, "und")
+  *     .otherwise(substring(least(format_string("%04d|%s", 9999 - scores(l), l)), 6, 2))
+  * }}}
+  *
+  * replicated exactly: one tokenization, one hash lookup per token
+  * across ALL marker sets (the interpreted form re-split and re-scanned
+  * the text once per language per REFERENCE — ten times for five
+  * languages, since the keyed strings and the greatest() guard each
+  * reference the score), then the same Locale.US "%04d|%s" encoding and
+  * binary-min tie-break (count desc, code asc) on the driver-side
+  * constants. Callers compose Spark's own `lower()` above, the
+  * [[GramHashes]] rule. */
+case class LangIdMarker(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lang_id_marker needs string, got $t")
+  }
+  // langs in ASCENDING code order (the interpreted form's `langs`),
+  // token → bitmask of marker sets containing it
+  @transient private lazy val langs: Array[String] =
+    markers.map(_._1).sorted.toArray
+  @transient private lazy val tokenMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val byLang = markers.toMap
+    langs.zipWithIndex.foreach { case (l, i) =>
+      byLang(l).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    val toks = TextHash.tokens(str)
+    val scores = new Array[Int](langs.length)
+    var i = 0
+    while (i < toks.length) {
+      val mask = tokenMask.get(toks(i))
+      if (mask != null) {
+        var m = mask.intValue()
+        while (m != 0) {
+          val b = java.lang.Integer.numberOfTrailingZeros(m)
+          scores(b) += 1
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    var max = Int.MinValue
+    var j = 0
+    while (j < scores.length) {
+      if (scores(j) > max) max = scores(j)
+      j += 1
+    }
+    if (max <= 0) UTF8String.fromString("und")
+    else {
+      // least(format_string("%04d|%s", 9999 - score, lang)): Spark's
+      // format_string is a Locale.US java.util.Formatter; the keyed
+      // strings are ASCII so UTF8String binary order == String order
+      var best: String = null
+      var k = 0
+      while (k < langs.length) {
+        val keyed = String.format(java.util.Locale.US, "%04d|%s",
+          Integer.valueOf(9999 - scores(k)), langs(k))
+        if (best == null || keyed.compareTo(best) < 0) best = keyed
+        k += 1
+      }
+      // substring(least, 6, 2): 1-based start 6, length 2
+      UTF8String.fromString(best.substring(5, 7))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdMarker =
+    copy(child = c)
+  override def prettyName: String = "lang_id_marker"
+}

@@ -64,7 +64,10 @@ object ExplainR18 {
       // + the sorted_intersect_count verify-kernel change (late r18):
       // the PPJoin pair surface and the LPA consumer of those pairs
       "q44_near_dup_pairs",
-      "q187_label_propagation"
+      "q187_label_propagation",
+      // + the one-pass quality/lang-id kernels (late r18)
+      "q85_curation_pipeline",
+      "q50_lang_id"
     ).foreach { q =>
       try dumpQuery(q)
       catch { case t: Throwable =>
