@@ -18,9 +18,15 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(wsTokens(text))
 
   /** BPE-ish subword token count: word pieces, numbers, punctuation
-    * runs — the standard pre-tokenizer regex shape. */
+    * runs — the standard pre-tokenizer regex shape. Native one-pass
+    * kernel (r18, expr.BpeishTokenCount — count-equal to
+    * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]",
+    * 0))` without materializing the match array; QualityScoreSpec pins
+    * the equality). */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.BpeishTokenCount(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
 
   /** Word n-gram shingles (sliding window over whitespace tokens). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -34,27 +40,31 @@ object TextFunctions {
   def distinctShingles(text: Column, n: Int): Column =
     array_distinct(wordShingles(text, n))
 
-  /** Punctuation character ratio. */
-  def punctRatio(text: Column): Column = {
-    val total = length(text)
-    val noPunct = length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
-    when(total === 0, 0.0).otherwise((total - noPunct).cast("double") / total)
-  }
+  /** Punctuation character ratio. Native one-pass kernel (r18,
+    * expr.PunctRatioRaw): the interpreted regexp_replace form
+    * materialized the stripped string just to measure it — 71 s per
+    * 2M docs vs one code-point walk (ProbeQuality; QualityScoreSpec
+    * pins bit equality). */
+  def punctRatio(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.PunctRatioRaw(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
 
-  /** Fraction of tokens that are in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = wsTokens(text)
-    val stops = filter(toks, t => t.isin(stopwords: _*))
-    when(size(toks) === 0, 0.0)
-      .otherwise(size(stops).cast("double") / size(toks))
-  }
+  /** Fraction of tokens that are in `stopwords`. Native one-pass
+    * kernel (r18, expr.StopwordRatioRaw — bit-equal to the interpreted
+    * HOF filter form, QualityScoreSpec). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.StopwordRatioRaw(
+        org.apache.spark.sql.GraftExprBridge.expression(text), stopwords))
 
-  /** Mean token length. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = wsTokens(text)
-    when(size(toks) === 0, 0.0)
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+  /** Mean token length. Native one-pass kernel (r18,
+    * expr.MeanTokenLenRaw — bit-equal to the interpreted HOF aggregate
+    * form, QualityScoreSpec). */
+  def meanTokenLen(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.expr.MeanTokenLenRaw(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
 
   /** Composite quality score in [0,1]: length in useful range, low
     * punctuation noise, moderate stopword density. Deterministic

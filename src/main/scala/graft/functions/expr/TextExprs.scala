@@ -879,3 +879,146 @@ case class LangIdMarker(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = c)
   override def prettyName: String = "lang_id_marker"
 }
+
+/** `punct_ratio_raw(text)`: the quality family's punctuation ratio —
+  * bit-identical to
+  * `when(length(text) === 0, 0.0).otherwise((length(text) -
+  * length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast(double) /
+  * length(text))` because both counts are integers with the same
+  * semantics ([[TextStats.charAndPunctCounts]]) and the division is
+  * the same IEEE op. The interpreted form ran the regex engine over
+  * every character and MATERIALIZED the stripped string just to take
+  * its length — measured 71 s per 2M × 60-token docs at 8 cores
+  * (ProbeQuality), the single most expensive projection in the engine;
+  * this is one code-point walk. */
+case class PunctRatioRaw(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"punct_ratio_raw needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val (chars, punct) =
+      TextStats.charAndPunctCounts(input.asInstanceOf[UTF8String].toString)
+    if (chars == 0) 0.0 else punct.toDouble / chars.toDouble
+  }
+  override protected def withNewChildInternal(c: Expression): PunctRatioRaw =
+    copy(child = c)
+  override def prettyName: String = "punct_ratio_raw"
+}
+
+/** `stopword_ratio_raw(text)`: fraction of whitespace tokens in the
+  * stopword list — bit-identical to the interpreted
+  * `when(size(toks) === 0, 0.0).otherwise(size(filter(toks,
+  * isin(stopwords))).cast(double) / size(toks))` (same Pattern-split
+  * tokens, exact string equality, same IEEE division); one pass, no
+  * interpreted HOF filter. */
+case class StopwordRatioRaw(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"stopword_ratio_raw needs string, got $t")
+  }
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length == 0) 0.0
+    else {
+      var stops = 0
+      var i = 0
+      while (i < toks.length) {
+        if (stopSet.contains(toks(i))) stops += 1
+        i += 1
+      }
+      stops.toDouble / toks.length.toDouble
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordRatioRaw =
+    copy(child = c)
+  override def prettyName: String = "stopword_ratio_raw"
+}
+
+/** `mean_token_len_raw(text)`: mean whitespace-token length in code
+  * points — bit-identical to the interpreted
+  * `when(size(toks) === 0, 0.0).otherwise(aggregate(toks, 0L,
+  * (acc, t) => acc + length(t)).cast(double) / size(toks))` (same
+  * tokens, `length` counts code points, LONG accumulation, same IEEE
+  * division); one pass, no interpreted HOF aggregate. */
+case class MeanTokenLenRaw(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"mean_token_len_raw needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length == 0) 0.0
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < toks.length) {
+        sum += toks(i).codePointCount(0, toks(i).length)
+        i += 1
+      }
+      sum.toDouble / toks.length.toDouble
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): MeanTokenLenRaw =
+    copy(child = c)
+  override def prettyName: String = "mean_token_len_raw"
+}
+
+/** `bpeish_token_count(text)`: count of
+  * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches — the BPE-ish
+  * pre-tokenizer count — equal to
+  * `size(regexp_extract_all(text, ..., 0))` by construction: Java
+  * regex alternation is leftmost-first with greedy runs, so the match
+  * sequence is exactly (maximal ASCII-letter run | maximal ASCII-digit
+  * run | one non-alnum non-`\s` code point), which this single
+  * code-point scan reproduces without materializing the match array
+  * (the interpreted form: 19 s per 2M × 60-token docs — ProbeQuality). */
+case class BpeishTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpeish_token_count needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        n += 1
+        do i += Character.charCount(s.codePointAt(i))
+        while (i < s.length && {
+          val c = s.codePointAt(i); (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        })
+      } else if (cp >= '0' && cp <= '9') {
+        n += 1
+        do i += Character.charCount(s.codePointAt(i))
+        while (i < s.length && {
+          val c = s.codePointAt(i); c >= '0' && c <= '9'
+        })
+      } else {
+        // not a letter/digit: one match unless Java-regex \s
+        if (!(cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+              cp == '\f' || cp == '\r')) n += 1
+        i += Character.charCount(cp)
+      }
+    }
+    n
+  }
+  override protected def withNewChildInternal(c: Expression): BpeishTokenCount =
+    copy(child = c)
+  override def prettyName: String = "bpeish_token_count"
+}

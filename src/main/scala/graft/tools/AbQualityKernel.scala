@@ -25,16 +25,28 @@ import graft.functions.TextFunctions._
 object AbQualityKernel {
 
   // --- legacy interpreted twins, expression-identical to pre-r18 ---
+  private def legacyPunctRatio(text: Column): Column = {
+    val total = length(text)
+    val noPunct = length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    when(total === 0, 0.0).otherwise((total - noPunct).cast("double") / total)
+  }
   private def legacyStopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = wsTokens(text)
     val stops = filter(toks, t => t.isin(stopwords: _*))
     when(size(toks) === 0, 0.0)
       .otherwise(size(stops).cast("double") / size(toks))
   }
+  private def legacyMeanTokenLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+  private def legacyBpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
   private def legacyQualityScore(text: Column, stopwords: Seq[String]): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 20.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val punctScore = lit(1.0) - least(legacyPunctRatio(text) * 4.0, lit(1.0))
     val stopScore = lit(1.0) - legacyStopwordRatio(text, stopwords)
     round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3).cast("double"), 6)
   }
@@ -125,6 +137,59 @@ object AbQualityKernel {
       s""""speedup_best":${f(legacyTimes.min / nativeTimes.min)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     println(json)
+
+    // second shape: the qualityProfile / qcFeatures projection (punct
+    // ratio + stopword ratio + mean token length + bpeish count — the
+    // q49/q105 per-row kernels), same alternating-leg discipline
+    val out2 = argAt(4, "bench_ab_r18_textstats.json")
+    def profShape(p: Column, s: Column, m: Column, b: Column): DataFrame =
+      corpus.select(col("doc_id"), p.as("p"), s.as("s"), m.as("m"), b.as("b"))
+    def profConsume(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("doc_id"), col("p"), col("s"),
+          col("m"), col("b")).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("ck"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    def profLegacy(): (Long, Long) = profConsume(profShape(
+      legacyPunctRatio(col("text")),
+      legacyStopwordRatio(col("text"), langMarkers("en")),
+      legacyMeanTokenLen(col("text")),
+      legacyBpeishTokenCount(col("text")).cast("int")))
+    def profNative(): (Long, Long) = profConsume(profShape(
+      punctRatio(col("text")),
+      stopwordRatio(col("text"), langMarkers("en")),
+      meanTokenLen(col("text")),
+      bpeishTokenCount(col("text"))))
+    val p0 = profLegacy()
+    val p1 = profNative()
+    require(p0 == p1, s"profile drift: legacy $p0 vs native $p1")
+    val pl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pn = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pchecks = Set.empty[(Long, Long)]
+    (1 to reps).foreach { r =>
+      if (r % 2 == 1) {
+        val t0 = System.nanoTime(); pchecks += profLegacy()
+        val t1 = System.nanoTime(); pchecks += profNative()
+        val t2 = System.nanoTime()
+        pl += (t1 - t0) / 1e9; pn += (t2 - t1) / 1e9
+      } else {
+        val t0 = System.nanoTime(); pchecks += profNative()
+        val t1 = System.nanoTime(); pchecks += profLegacy()
+        val t2 = System.nanoTime()
+        pn += (t1 - t0) / 1e9; pl += (t2 - t1) / 1e9
+      }
+    }
+    require(pchecks.size == 1, s"profile cross-rep drift: $pchecks")
+    val json2 = s"""{"tool":"AbQualityKernel/profile","rows":$rows,""" +
+      s""""tokens":$tokens,"reps":$reps,"rows_out":${p0._1},""" +
+      s""""contents_identical":true,""" +
+      s""""legacy_sec":[${pl.map(f).mkString(",")}],""" +
+      s""""native_sec":[${pn.map(f).mkString(",")}],""" +
+      s""""legacy_best":${f(pl.min)},"native_best":${f(pn.min)},""" +
+      s""""speedup_best":${f(pl.min / pn.min)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out2), json2 + "\n")
+    println(json2)
     spark.stop()
   }
 }

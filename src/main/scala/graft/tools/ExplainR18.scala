@@ -67,7 +67,10 @@ object ExplainR18 {
       "q187_label_propagation",
       // + the one-pass quality/lang-id kernels (late r18)
       "q85_curation_pipeline",
-      "q50_lang_id"
+      "q50_lang_id",
+      // + the punct/stopword/meanlen/bpeish stat kernels (late r18)
+      "q49_text_quality",
+      "q105_quality_classifier"
     ).foreach { q =>
       try dumpQuery(q)
       catch { case t: Throwable =>

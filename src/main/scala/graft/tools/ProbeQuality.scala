@@ -49,6 +49,12 @@ object ProbeQuality {
 
     time("baseline_len", corpus.select(length(col("text")).as("v")))
     time("token_count", corpus.select(tokenCount(col("text")).as("v")))
+    time("bpeish_token_count",
+      corpus.select(bpeishTokenCount(col("text")).as("v")))
+    time("punct_ratio", corpus.select(punctRatio(col("text")).as("v")))
+    time("stopword_ratio",
+      corpus.select(stopwordRatio(col("text"), langMarkers("en")).as("v")))
+    time("mean_token_len", corpus.select(meanTokenLen(col("text")).as("v")))
     time("quality_score",
       corpus.select(qualityScore(col("text"), langMarkers("en")).as("v")))
     time("lang_id", corpus.select(langId(lower(col("text"))).as("v")))

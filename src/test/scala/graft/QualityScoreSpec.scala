@@ -18,16 +18,28 @@ class QualityScoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   // --- legacy interpreted twins, expression-identical to pre-r18 ---
+  private def legacyPunctRatio(text: Column): Column = {
+    val total = length(text)
+    val noPunct = length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    when(total === 0, 0.0).otherwise((total - noPunct).cast("double") / total)
+  }
   private def legacyStopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = wsTokens(text)
     val stops = filter(toks, t => t.isin(stopwords: _*))
     when(size(toks) === 0, 0.0)
       .otherwise(size(stops).cast("double") / size(toks))
   }
+  private def legacyMeanTokenLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+  private def legacyBpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
   private def legacyQualityScore(text: Column, stopwords: Seq[String]): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 20.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val punctScore = lit(1.0) - least(legacyPunctRatio(text) * 4.0, lit(1.0))
     val stopScore = lit(1.0) - legacyStopwordRatio(text, stopwords)
     round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3).cast("double"), 6)
   }
@@ -81,8 +93,41 @@ class QualityScoreSpec extends AnyFunSuite {
     }
   }
 
+  private def pinStats(df: DataFrame): Unit = {
+    val rows = df.select(col("doc_id"),
+        legacyPunctRatio(col("text")).as("pl"),
+        punctRatio(col("text")).as("pn"),
+        legacyStopwordRatio(col("text"), langMarkers("en")).as("sl"),
+        stopwordRatio(col("text"), langMarkers("en")).as("sn"),
+        legacyMeanTokenLen(col("text")).as("ml"),
+        meanTokenLen(col("text")).as("mn"),
+        legacyBpeishTokenCount(col("text")).as("bl"),
+        bpeishTokenCount(col("text")).as("bn"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq((1, 2, "punct"), (3, 4, "stopword"), (5, 6, "meanlen")).foreach {
+        case (li, ni, what) =>
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(li)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(ni)),
+            s"doc ${r.get(0)} $what: legacy ${r.getDouble(li)} vs native ${r.getDouble(ni)}")
+      }
+      assert(r.getInt(7) == r.getInt(8),
+        s"doc ${r.get(0)} bpeish: legacy ${r.getInt(7)} vs native ${r.getInt(8)}")
+    }
+  }
+
   test("quality + langId bit-equal to the interpreted forms on adversarial texts") {
     pinEqual(docsOf(adversarial))
+  }
+
+  test("punct/stopword/meanlen/bpeish kernels bit-equal on adversarial texts") {
+    pinStats(docsOf(adversarial))
+  }
+
+  test("punct/stopword/meanlen/bpeish kernels bit-equal on the sf0.001 fixture") {
+    pinStats(graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")))
   }
 
   test("quality + langId bit-equal on the sf0.001 documents fixture") {
