@@ -260,11 +260,23 @@ object Dedup {
     val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
     try {
       val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-      val ranked = PlanAudit.checkpoint(toks.join(dfc, "tok")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("tok"))) - 1)
-        .select(col("doc_id"), col("n"), col("tok"), col("pos")))
+      // ranked postings in TWO hash aggregations, no join and no window
+      // sort — the buildContainmentIndex shape (r18, guide §2.4/§1.2):
+      // dfc and the per-token doc list come out of ONE groupBy(tok);
+      // each doc's position under the (dfc, tok) order is an ARRAY sort
+      // of its ~n tokens after the doc-keyed regroup, not a
+      // partition-wide row_number sort. Positions bit-identical: tok is
+      // unique per doc (sh is a set) so the struct(dfc, tok) order is
+      // total — exactly the old window's orderBy(dfc, tok) − 1.
+      val ranked = PlanAudit.checkpoint(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"),
+            collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+          .select(col("tok"), col("dfc"), explode(col("ds")).as("d"))
+          .groupBy(col("d.doc_id").as("doc_id"), col("d.n").as("n"))
+          .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"))
+          .select(col("doc_id"), col("n"), posexplode(col("arr")))
+          .select(col("doc_id"), col("n"), col("col.tok").as("tok"),
+            col("pos").cast("int").as("pos")))
       try {
         // candEps slack: see pairsFromSets — inexact t makes n·(1−t) land
         // below exact integers; padding only loosens candidate generation
@@ -325,12 +337,21 @@ object Dedup {
         .withColumn("side", lit("c"))
         .union(fs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
           .withColumn("side", lit("f")))
-      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-      val ranked = PlanAudit.checkpoint(toks.join(dfc, "tok")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("side"), col("doc_id"))
-            .orderBy(col("dfc"), col("tok"))) - 1)
-        .select(col("side"), col("doc_id"), col("n"), col("tok"), col("pos")))
+      // ranked postings in TWO hash aggregations (the
+      // buildContainmentIndex shape, r18 — see containmentPairs): dfc
+      // counts across BOTH sides exactly as before (one groupBy over
+      // the union), positions bit-identical (tok unique per (side,
+      // doc); struct(dfc, tok) order total = the old window's orderBy)
+      val ranked = PlanAudit.checkpoint(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"),
+            collect_list(struct(col("side"), col("doc_id"), col("n"))).as("ds"))
+          .select(col("tok"), col("dfc"), explode(col("ds")).as("d"))
+          .groupBy(col("d.side").as("side"), col("d.doc_id").as("doc_id"),
+            col("d.n").as("n"))
+          .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"))
+          .select(col("side"), col("doc_id"), col("n"), posexplode(col("arr")))
+          .select(col("side"), col("doc_id"), col("n"),
+            col("col.tok").as("tok"), col("pos").cast("int").as("pos")))
       try {
         val freshPrefix = ranked.filter(col("side") === "f" &&
           col("pos") <= floor(col("n") * (1 - threshold) + candEps))

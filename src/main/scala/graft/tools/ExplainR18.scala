@@ -70,7 +70,10 @@ object ExplainR18 {
       "q50_lang_id",
       // + the punct/stopword/meanlen/bpeish stat kernels (late r18)
       "q49_text_quality",
-      "q105_quality_classifier"
+      "q105_quality_classifier",
+      // + the one-shot containment ranking on the build's two-hash-agg
+      // shape (late r18)
+      "q183_containment_pairs"
     ).foreach { q =>
       try dumpQuery(q)
       catch { case t: Throwable =>
