@@ -260,19 +260,21 @@ object Dedup {
     val sets = PlanAudit.checkpoint(shingleSets(docs, idCol, textCol, shingle))
     try {
       val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-      // ranked postings in TWO hash aggregations, no join and no window
-      // sort — the buildContainmentIndex shape (r18, guide §2.4/§1.2):
-      // dfc and the per-token doc list come out of ONE groupBy(tok);
-      // each doc's position under the (dfc, tok) order is an ARRAY sort
-      // of its ~n tokens after the doc-keyed regroup, not a
-      // partition-wide row_number sort. Positions bit-identical: tok is
-      // unique per doc (sh is a set) so the struct(dfc, tok) order is
-      // total — exactly the old window's orderBy(dfc, tok) − 1.
+      // ranked postings without the partition-wide window sort (r18,
+      // guide §2.4/§1.2 — the buildContainmentIndex shape): dfc joins
+      // back onto the token frame (bounded O(1) aggregation state per
+      // token — a per-token collect_list of the doc list would build
+      // ONE unbounded, non-spillable buffer for a boilerplate shingle
+      // shared by millions of docs), then each doc's position under the
+      // (dfc, tok) order is an ARRAY sort of its ~n tokens after the
+      // doc-keyed regroup — per-DOC arrays are bounded by document
+      // length. Positions bit-identical: tok is unique per doc (sh is a
+      // set) so the struct(dfc, tok) order is total — exactly the old
+      // window's orderBy(dfc, tok) − 1.
+      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
       val ranked = PlanAudit.checkpoint(
-        toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"),
-            collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-          .select(col("tok"), col("dfc"), explode(col("ds")).as("d"))
-          .groupBy(col("d.doc_id").as("doc_id"), col("d.n").as("n"))
+        toks.join(dfc, "tok")
+          .groupBy(col("doc_id"), col("n"))
           .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"))
           .select(col("doc_id"), col("n"), posexplode(col("arr")))
           .select(col("doc_id"), col("n"), col("col.tok").as("tok"),
@@ -337,17 +339,16 @@ object Dedup {
         .withColumn("side", lit("c"))
         .union(fs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
           .withColumn("side", lit("f")))
-      // ranked postings in TWO hash aggregations (the
-      // buildContainmentIndex shape, r18 — see containmentPairs): dfc
-      // counts across BOTH sides exactly as before (one groupBy over
-      // the union), positions bit-identical (tok unique per (side,
-      // doc); struct(dfc, tok) order total = the old window's orderBy)
+      // ranked postings without the window sort (the containmentPairs
+      // shape, r18): dfc counts across BOTH sides exactly as before
+      // (one groupBy over the union, bounded state), joined back and
+      // regrouped per (side, doc) — per-DOC arrays bounded by document
+      // length; positions bit-identical (tok unique per (side, doc);
+      // struct(dfc, tok) order total = the old window's orderBy)
+      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
       val ranked = PlanAudit.checkpoint(
-        toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"),
-            collect_list(struct(col("side"), col("doc_id"), col("n"))).as("ds"))
-          .select(col("tok"), col("dfc"), explode(col("ds")).as("d"))
-          .groupBy(col("d.side").as("side"), col("d.doc_id").as("doc_id"),
-            col("d.n").as("n"))
+        toks.join(dfc, "tok")
+          .groupBy(col("side"), col("doc_id"), col("n"))
           .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"))
           .select(col("side"), col("doc_id"), col("n"), posexplode(col("arr")))
           .select(col("side"), col("doc_id"), col("n"),
@@ -433,25 +434,25 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$target/sketches")
     val sets = spark.read.parquet(s"$target/sketches")
     val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
-    // Postings in TWO hash aggregations, no join and no window sort
-    // (r18, guide §2.4/§1.2): the old shape aggregated dfc, PINNED it
-    // in a vocabulary-sized localCheckpoint (at 10M docs the trigram
+    // Postings without the checkpoint pin or the window sort (r18,
+    // guide §2.4/§1.2): the old shape aggregated dfc, PINNED it in a
+    // vocabulary-sized localCheckpoint (at 10M docs the trigram
     // vocabulary is itself corpus-sized — most shingles are unique to
     // one content id), sort-merge-joined it back onto the token frame,
     // and ranked positions with a row_number window — a full sort of
-    // every token row. The df count and the per-token doc list come out
-    // of ONE groupBy(tok) (partial aggregation map-side); the per-doc
-    // position under the (dfc, tok) order is an ARRAY sort of that
-    // doc's ~n tokens after the doc-keyed regroup, not a partition
-    // sort. Token rows cross the network twice (tok-keyed, doc-keyed) —
-    // the two fundamentally required placements — and nothing pins.
-    // Positions are bit-identical: tok is unique per doc (sh is a set),
-    // so the struct(dfc, tok) order is total, exactly row_number's
-    // orderBy(dfc, tok) − 1.
-    toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"),
-        collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .select(col("tok"), col("dfc"), explode(col("ds")).as("d"))
-      .groupBy(col("d.doc_id").as("doc_id"), col("d.n").as("n"))
+    // every token row. Now dfc stays an in-plan aggregation (bounded
+    // O(1) state per token — NOT a per-token collect_list of the doc
+    // list, which would build one unbounded, non-spillable buffer for
+    // a boilerplate shingle shared by millions of docs), joins back,
+    // and the per-doc position under the (dfc, tok) order is an ARRAY
+    // sort of that doc's ~n tokens after the doc-keyed regroup —
+    // per-DOC arrays bounded by document length, nothing pins, no
+    // partition-wide sort. Positions are bit-identical: tok is unique
+    // per doc (sh is a set), so the struct(dfc, tok) order is total,
+    // exactly row_number's orderBy(dfc, tok) − 1.
+    val dfcB = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    toks.join(dfcB, "tok")
+      .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"))
       .select(col("doc_id"), col("n"), posexplode(col("arr")))
       .select(col("doc_id"), col("n"), col("col.tok").as("tok"),

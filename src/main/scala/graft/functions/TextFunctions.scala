@@ -93,10 +93,6 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
   )
 
-  /** Marker-hit count for one language. */
-  def langScore(text: Column, lang: String): Column =
-    size(filter(wsTokens(text), t => t.isin(langMarkers(lang): _*)))
-
   /** Predicted language: argmax marker count, ties broken by language
     * code ascending, 'und' (undetermined) when no marker hits at all.
     *

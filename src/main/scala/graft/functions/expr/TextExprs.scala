@@ -659,6 +659,12 @@ object SetOps {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
+      // LOUD on a null element (getLong on a null slot would silently
+      // read 0 and return a wrong count): the contract is sorted
+      // distinct non-null sets, and every internal producer satisfies
+      // it — a violation can only come through the SQL surface
+      if (a.isNullAt(i) || b.isNullAt(j)) throw new IllegalArgumentException(
+        "sorted_intersect_count: null array element (inputs must be sorted distinct non-null sets)")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x < y) i += 1

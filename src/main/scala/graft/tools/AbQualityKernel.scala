@@ -83,7 +83,7 @@ object AbQualityKernel {
       .select(col("id").as("doc_id"),
         concat_ws(" ",
           element_at(map(markerRun.toSeq.flatMap { case (k, v) =>
-            Seq(lit(k), lit(v)) }: _*), pmod(col("id"), lit(6)).cast("int") + 1),
+            Seq(lit(k), lit(v)) }: _*), pmod(col("id"), lit(6)).cast("int")),
           transform(sequence(lit(0), lit(tokens - 1)), t =>
             when(pmod(t, lit(11)) === 0, lit("x,y."))
               .otherwise(concat(lit("w"),

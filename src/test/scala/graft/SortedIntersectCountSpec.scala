@@ -75,6 +75,20 @@ class SortedIntersectCountSpec extends AnyFunSuite {
     both(df)
   }
 
+  test("null ELEMENT is a loud contract violation, not a silent wrong count") {
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT sorted_intersect_count(array(1L, NULL), array(1L, 2L))")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("sorted_intersect_count: null array element")),
+      s"unexpected failure: $ex")
+  }
+
   test("registered for SQL as sorted_intersect_count") {
     val n = spark.sql(
       "SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L))")
